@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * `events.ts` is physically parquet TIMESTAMP(NANOS), which Spark's parquet
+  * reader rejects ("Illegal Parquet type"). We read it as a nanosecond long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert with *integer*
+  * division: ns-since-epoch values (~1.7e18) exceed double's 2^53 mantissa,
+  * so a floating-point division would silently corrupt microseconds.
+  */
+object Tables {
+
+  /** Session settings every entry point applies before reading. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse mutations over plain Parquet (no Delta jar in this env).
+  *
+  * S7 MERGE upsert (reference: etl_framework.py:635-655, delta_setup.py:636-668),
+  * S8 DELETE/UPDATE by predicate (delta_setup.py:670-702).
+  *
+  * Scale posture: `upsert` is one shuffled left-anti join on the merge keys
+  * plus a union — both sides stay distributed; nothing is collected. The
+  * table-directory variant rewrites only the partitions the source touches
+  * (partition pruning on write), which is the property that matters at
+  * 100 TB: a day's late data rewrites a day, not the table. Single-writer
+  * semantics, matching the reference's usage.
+  */
+object Merge {
+
+  /** Pure-DataFrame MERGE: rows of `target` whose key matches a `source`
+    * row are replaced by the source row ("whenMatchedUpdateAll"); unmatched
+    * source rows are inserted ("whenNotMatchedInsertAll"). */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(source.select(target.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** S8 DELETE: predicate-filtered rewrite. */
+  def delete(target: DataFrame, cond: Column): DataFrame = target.filter(!cond || cond.isNull)
+
+  /** S8 UPDATE: conditional column rewrite. */
+  def update(target: DataFrame, cond: Column, set: Map[String, Column]): DataFrame =
+    set.foldLeft(target) { case (df, (name, value)) =>
+      df.withColumn(name, when(cond, value).otherwise(col(name)))
+    }
+
+  /** MERGE into a partitioned parquet table directory, rewriting only the
+    * partitions present in `source`. `partitionCol` must be a column of
+    * both sides (e.g. a derived `day`). */
+  def upsertIntoParquet(
+      spark: SparkSession,
+      targetDir: String,
+      source: DataFrame,
+      keys: Seq[String],
+      partitionCol: String): Unit = {
+    val target = spark.read.parquet(targetDir)
+    val touched = source.select(partitionCol).distinct()
+    // Only read+rewrite affected partitions; untouched partitions keep their files.
+    val affected = target.join(broadcast(touched), Seq(partitionCol), "left_semi")
+    val merged = upsert(affected, source, keys)
+    val staging = targetDir.stripSuffix("/") + "__staging"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+    val stagingPath = new Path(staging)
+    fs.listStatus(stagingPath).filter(_.isDirectory).foreach { st =>
+      val dest = new Path(targetDir, st.getPath.getName)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      fs.rename(st.getPath, dest)
+    }
+    fs.delete(stagingPath, true)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine deterministic aggregation helpers.
+  *
+  * Floating-point SUM/AVG are order-dependent: a 32-thread Spark plan and a
+  * single-threaded oracle accumulate in different orders and can differ in
+  * the last ULPs, which breaks hash comparison. Routing the sum through an
+  * exact DECIMAL accumulator makes the result independent of partitioning
+  * and row order, so both engines produce bit-identical doubles. Everything
+  * *non-reducing* on doubles (per-row arithmetic, comparisons, division of
+  * two already-deterministic values) is exact IEEE and needs no special
+  * handling — only order-dependent reductions over floats are routed
+  * through decimals.
+  */
+object Det {
+  private val Acc = DecimalType(18, 6)
+
+  /** Order-independent SUM over a double column (exact decimal accumulate). */
+  def dsum(c: Column): Column = sum(c.cast(Acc)).cast(DoubleType)
+
+  /** Order-independent AVG: exact sum / non-null count (matches SQL AVG). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Epoch seconds as bigint — timestamp output that is precision-identical
+    * across Spark (micros) and DuckDB (nanos). */
+  def epochS(c: Column): Column = unix_timestamp(c)
+
+  // ---- DuckDB-side equivalents, for building oracle SQL strings ----
+  def sqlDsum(e: String): String = s"cast(sum(cast(($e) as decimal(18,6))) as double)"
+  def sqlDavg(e: String): String = s"${sqlDsum(e)}/count($e)"
+  def sqlEpochS(e: String): String = s"cast(floor(epoch($e)) as bigint)"
+}

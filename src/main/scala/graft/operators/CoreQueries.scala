@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.etl.{Dedup, Incremental, Ingest, Sessions}
+import graft.functions.Det._
+
+/** The batch relational operator catalog (SURVEY.md §2), each query paired
+  * with a DuckDB oracle. Implementation notes on cross-engine determinism:
+  *
+  *  - double SUM/AVG go through [[graft.functions.Det]] decimal accumulation
+  *    (order-independent → bit-identical across engines);
+  *  - raw timestamps are emitted as epoch seconds (bigint) or DATE — the
+  *    source `events.ts` is nanos in DuckDB but micros in Spark;
+  *  - every integer SUM in oracle SQL is cast to BIGINT (DuckDB widens to
+  *    HUGEINT, Spark to LONG);
+  *  - every query ends in a total ORDER BY.
+  */
+object CoreQueries {
+
+  private def nullIfZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+
+  /** q01 — A10/P5: grouped pricing summary (TPC-H Q1 shape; reference
+    * analog: grouped means/sums over facts, analytics_views.sql:15-18). */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${sqlDsum("l_quantity")} AS sum_qty,
+       | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       | ${sqlDsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+       | ${sqlDavg("l_quantity")} AS avg_qty,
+       | ${sqlDavg("l_discount")} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** q02 — A2 (batch flavor) + W1 + P3: 10-minute-bucket content/event
+    * popularity with dedup, distinct users, and a conversion ratio
+    * (reference: real_time_streaming.py:315-345). Flagship `entry` query. */
+  def contentPopularity(events: DataFrame): DataFrame = {
+    val dedup = Dedup.keepLatest(events, Seq("event_id"), Seq(col("ts"), col("event_id")))
+    dedup
+      .withColumn("bucket_start", expr("unix_timestamp(ts) div 600 * 600"))
+      .groupBy("bucket_start")
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("uniq_users"),
+        davg(col("value")).as("avg_value"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"))
+      .withColumn("conversion_rate",
+        col("purchases").cast("double") / nullIfZero(col("views")))
+      .orderBy("bucket_start")
+  }
+
+  private val q02Sql =
+    s"""WITH dedup AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, event_id DESC) AS rn
+       |                 FROM events) WHERE rn = 1),
+       |agg AS (
+       |  SELECT (${sqlEpochS("ts")}//600)*600 AS bucket_start,
+       |         count(*) AS total_events,
+       |         count(DISTINCT user_id) AS uniq_users,
+       |         ${sqlDavg("value")} AS avg_value,
+       |         cast(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) as bigint) AS views,
+       |         cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as bigint) AS purchases
+       |  FROM dedup GROUP BY 1)
+       |SELECT bucket_start, total_events, uniq_users, avg_value, views, purchases,
+       |       cast(purchases as double)/nullif(views,0) AS conversion_rate
+       |FROM agg ORDER BY bucket_start""".stripMargin
+
+  /** q03 — A1 (batch replay): 5-minute-bucket per-user activity
+    * (reference: real_time_streaming.py:273-298; exact distinct here, the
+    * streaming variant in graft.streaming uses approx_count_distinct). */
+  def userActivity5m(events: DataFrame): DataFrame =
+    events
+      .withColumn("bucket_start", expr("unix_timestamp(ts) div 300 * 300"))
+      .groupBy("bucket_start", "user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("uniq_types"),
+        davg(col("value")).as("avg_value"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"))
+      .orderBy("bucket_start", "user_id")
+
+  private val q03Sql =
+    s"""SELECT (${sqlEpochS("ts")}//300)*300 AS bucket_start, user_id,
+       | count(*) AS n_events,
+       | count(DISTINCT event_type) AS uniq_types,
+       | ${sqlDavg("value")} AS avg_value,
+       | cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as bigint) AS purchases
+       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** q04 — A3/P14: rules-based anomaly detection — aggregate per (day,
+    * user), classify via a when-cascade, keep non-normal rows
+    * (reference: real_time_streaming.py:379-403; thresholds adapted to the
+    * driver fixture's density). */
+  def anomalyDetect(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day", "user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+        countDistinct(col("event_type")).as("uniq_types"))
+      .withColumn("anomaly_type",
+        when(col("n_events") >= 18, "high_activity")
+          .when(col("n_errors") >= 5, "high_errors")
+          .when(col("uniq_types") >= 5, "rapid_browsing")
+          .otherwise("normal"))
+      .filter(col("anomaly_type") =!= "normal")
+      .orderBy("day", "user_id")
+
+  private val q04Sql =
+    """SELECT * FROM (
+      |  SELECT cast(ts as date) AS day, user_id,
+      |   count(*) AS n_events,
+      |   cast(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) as bigint) AS n_errors,
+      |   count(DISTINCT event_type) AS uniq_types,
+      |   CASE WHEN count(*) >= 18 THEN 'high_activity'
+      |        WHEN sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) >= 5 THEN 'high_errors'
+      |        WHEN count(DISTINCT event_type) >= 5 THEN 'rapid_browsing'
+      |        ELSE 'normal' END AS anomaly_type
+      |  FROM events GROUP BY 1,2)
+      |WHERE anomaly_type <> 'normal' ORDER BY day, user_id""".stripMargin
+
+  /** q05 — A4/P7/P8: session rollup with engagement metrics
+    * (reference: etl_framework.py:606-629). */
+  def sessionRollup(events: DataFrame): DataFrame =
+    Sessions.rollup(events, "user_id").orderBy("user_id")
+
+  private val q05Sql =
+    s"""SELECT user_id,
+       | ${sqlEpochS("min(ts)")} AS session_start_s,
+       | ${sqlEpochS("max(ts)")} AS session_end_s,
+       | count(*) AS n_events,
+       | count(DISTINCT event_type) AS uniq_types,
+       | cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as bigint) AS purchases,
+       | ${sqlDavg("value")} AS avg_value,
+       | min(event_type) AS first_type_alpha,
+       | max(event_type) AS last_type_alpha,
+       | cast(${sqlEpochS("max(ts)")} - ${sqlEpochS("min(ts)")} as double)/cast(60.0 as double) AS session_duration_min,
+       | cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as double)/count(*) AS completion_rate,
+       | count(*)*cast(0.3 as double) + count(DISTINCT event_type)*cast(0.7 as double) AS engagement_score
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q06 — A5: duplicate counting (reference: etl_framework.py:164-167). */
+  def dupStats(events: DataFrame): DataFrame =
+    events.groupBy("event_id").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .agg(count(lit(1)).as("dup_groups"),
+           coalesce(sum(col("cnt")), lit(0L)).as("dup_rows"))
+
+  private val q06Sql =
+    """SELECT count(*) AS dup_groups, cast(coalesce(sum(cnt),0) as bigint) AS dup_rows
+      |FROM (SELECT event_id, count(*) AS cnt FROM events GROUP BY 1 HAVING count(*) > 1)""".stripMargin
+
+  /** q07 — A6: distinct projection (dim extraction; reference:
+    * snowflake_pipeline.py:593-597). */
+  def dimDistinct(events: DataFrame): DataFrame =
+    events.select("user_id", "event_type").distinct().orderBy("user_id", "event_type")
+
+  private val q07Sql =
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1,2"
+
+  /** q08 — A7/P15: incremental high-watermark read — the engine computes
+    * the target's max watermark (the one sanctioned scalar collect) and
+    * filters the source with a pushdown-friendly comparison
+    * (reference: etl_framework.py:216-249). */
+  def incrementalRead(events: DataFrame): DataFrame = {
+    val target = events.filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+    Incremental.newRows(events, target, "ts")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("new_rows"), min(unix_timestamp(col("ts"))).as("min_ts_s"))
+      .orderBy("event_type")
+  }
+
+  private val q08Sql =
+    s"""WITH wm AS (SELECT max(ts) AS m FROM events WHERE ts < TIMESTAMP '2024-01-15')
+       |SELECT event_type, count(*) AS new_rows, ${sqlEpochS("min(ts)")} AS min_ts_s
+       |FROM events, wm WHERE events.ts > wm.m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q09 — W1: dedup-keep-latest with deterministic tie-break
+    * (reference: etl_framework.py:251-277). */
+  def dedupKeepLatest(events: DataFrame): DataFrame =
+    Dedup.keepLatest(events, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"), epochS(col("ts")).as("ts_s"), col("value"))
+      .orderBy("user_id", "event_type")
+
+  private val q09Sql =
+    s"""SELECT user_id, event_type, ts_s, value FROM (
+       |  SELECT user_id, event_type, ${sqlEpochS("ts")} AS ts_s, value,
+       |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** q10 — W2: per-event session enrichment via unbounded partition window
+    * (reference: etl_framework.py:293-316). */
+  def sessionEnrich(events: DataFrame): DataFrame =
+    Sessions.enrich(events, "user_id")
+      .select("event_id", "user_id", "session_events",
+              "session_start_s", "session_end_s", "session_duration_s")
+      .orderBy("event_id")
+
+  private val q10Sql =
+    s"""SELECT event_id, user_id,
+       | count(*) OVER (PARTITION BY user_id) AS session_events,
+       | min(${sqlEpochS("ts")}) OVER (PARTITION BY user_id) AS session_start_s,
+       | max(${sqlEpochS("ts")}) OVER (PARTITION BY user_id) AS session_end_s,
+       | max(${sqlEpochS("ts")}) OVER (PARTITION BY user_id)
+       |   - min(${sqlEpochS("ts")}) OVER (PARTITION BY user_id) AS session_duration_s
+       |FROM events ORDER BY event_id""".stripMargin
+
+  /** q11 — W3/§2.6: rank-over-aggregate top-k (reference:
+    * analytics_views.sql:121-122). The rank runs over *aggregated* rows
+    * (one per part key), so the single-partition window is bounded by the
+    * part dimension's cardinality, not the fact table. */
+  def rankTopK(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem.groupBy("l_partkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("line_count"))
+    rev.withColumn("rev_rank", rank().over(Window.orderBy(col("revenue").desc)))
+      .filter(col("rev_rank") <= 10)
+      .orderBy("rev_rank", "l_partkey")
+  }
+
+  private val q11Sql =
+    s"""SELECT l_partkey, revenue, line_count, rev_rank FROM (
+       |  SELECT *, rank() OVER (ORDER BY revenue DESC) AS rev_rank FROM (
+       |    SELECT l_partkey, ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue,
+       |           count(*) AS line_count
+       |    FROM lineitem GROUP BY 1))
+       |WHERE rev_rank <= 10 ORDER BY rev_rank, l_partkey""".stripMargin
+
+  /** q12 — W4: ratio-to-total window over an aggregate
+    * (reference: analytics_views.sql:178). */
+  def ratioToTotal(events: DataFrame): DataFrame =
+    events.withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("pct_of_type",
+        (col("cnt") * 100).cast("double") /
+          sum(col("cnt")).over(Window.partitionBy("event_type")))
+      .orderBy("event_type", "day")
+
+  private val q12Sql =
+    """SELECT event_type, cast(ts as date) AS day, count(*) AS cnt,
+      | cast(count(*)*100 as double)/sum(count(*)) OVER (PARTITION BY event_type) AS pct_of_type
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** q13 — W5: LAG month-over-month growth
+    * (reference: analytics_views.sql:323-328). */
+  def lagGrowth(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .withColumn("month", to_date(date_trunc("month", col("o_orderdate"))))
+      .groupBy("o_orderpriority", "month")
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("month")
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("growth_pct",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue") * lit(100.0))
+      .orderBy("o_orderpriority", "month")
+  }
+
+  private val q13Sql =
+    s"""SELECT o_orderpriority, month, revenue,
+       | lag(revenue,1) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev_revenue,
+       | (revenue - lag(revenue,1) OVER (PARTITION BY o_orderpriority ORDER BY month))
+       |   / lag(revenue,1) OVER (PARTITION BY o_orderpriority ORDER BY month) * cast(100.0 as double) AS growth_pct
+       |FROM (SELECT o_orderpriority, cast(date_trunc('month', o_orderdate) as date) AS month,
+       |             ${sqlDsum("o_totalprice")} AS revenue
+       |      FROM orders GROUP BY 1,2) ORDER BY 1,2""".stripMargin
+
+  /** q14 — J1/P13: left-outer user-dim build with coalesce precedence and
+    * string cleaning (reference: snowflake_pipeline.py:600-609). The
+    * aggregated per-customer order stats keep the join 1:1. */
+  def userDimJoin(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val ostats = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("order_cnt"),
+           dsum(col("o_totalprice")).as("spend"),
+           max(to_date(col("o_orderdate"))).as("last_order_date"))
+    customer.join(ostats, customer("c_custkey") === ostats("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(Ingest.cleanString(col("c_mktsegment")), lit("UNKNOWN")).as("segment"),
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        col("last_order_date"))
+      .orderBy("c_custkey")
+  }
+
+  private val q14Sql =
+    s"""SELECT c_custkey, c_name,
+       | coalesce(nullif(trim(c_mktsegment),''),'UNKNOWN') AS segment,
+       | coalesce(order_cnt, 0) AS order_cnt,
+       | coalesce(spend, cast(0.0 as double)) AS spend,
+       | last_order_date
+       |FROM customer c LEFT JOIN (
+       |  SELECT o_custkey, count(*) AS order_cnt, ${sqlDsum("o_totalprice")} AS spend,
+       |         max(cast(o_orderdate as date)) AS last_order_date
+       |  FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** q15 — J2/J6: star-schema join rollup — fact ⋈ three dims; the dims
+    * come out as broadcast joins under autoBroadcastJoinThreshold
+    * (reference: analytics_views.sql:19-21, 242-246). */
+  def starJoin(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+               nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("order_cnt"),
+        countDistinct(col("c_custkey")).as("customer_cnt"))
+      .orderBy("r_name", "n_name")
+
+  private val q15Sql =
+    s"""SELECT r_name, n_name,
+       | ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue,
+       | count(DISTINCT o_orderkey) AS order_cnt,
+       | count(DISTINCT c_custkey) AS customer_cnt
+       |FROM lineitem
+       | JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  // ---- registry ----
+
+  def all: Seq[Q] = Seq(
+    Q("q01_pricing_summary",
+      (s, d) => pricingSummary(Tables.lineitem(s, d)), Some(q01Sql)),
+    Q("q02_content_popularity",
+      (s, d) => contentPopularity(Tables.events(s, d)), Some(q02Sql)),
+    Q("q03_user_activity_5min",
+      (s, d) => userActivity5m(Tables.events(s, d)), Some(q03Sql)),
+    Q("q04_anomaly_detect",
+      (s, d) => anomalyDetect(Tables.events(s, d)), Some(q04Sql)),
+    Q("q05_session_rollup",
+      (s, d) => sessionRollup(Tables.events(s, d)), Some(q05Sql)),
+    Q("q06_dup_stats",
+      (s, d) => dupStats(Tables.events(s, d)), Some(q06Sql)),
+    Q("q07_dim_distinct",
+      (s, d) => dimDistinct(Tables.events(s, d)), Some(q07Sql)),
+    Q("q08_incremental_read",
+      (s, d) => incrementalRead(Tables.events(s, d)), Some(q08Sql)),
+    Q("q09_dedup_keep_latest",
+      (s, d) => dedupKeepLatest(Tables.events(s, d)), Some(q09Sql)),
+    Q("q10_session_enrich",
+      (s, d) => sessionEnrich(Tables.events(s, d)), Some(q10Sql)),
+    Q("q11_rank_topk",
+      (s, d) => rankTopK(Tables.lineitem(s, d)), Some(q11Sql)),
+    Q("q12_ratio_to_total",
+      (s, d) => ratioToTotal(Tables.events(s, d)), Some(q12Sql)),
+    Q("q13_lag_growth",
+      (s, d) => lagGrowth(Tables.orders(s, d)), Some(q13Sql)),
+    Q("q14_user_dim_join",
+      (s, d) => userDimJoin(Tables.customer(s, d), Tables.orders(s, d)), Some(q14Sql)),
+    Q("q15_star_join",
+      (s, d) => starJoin(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)), Some(q15Sql)))
+}

@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    operators.CoreQueries.all
+    operators.CoreQueries.all ++
+      operators.ExtendedQueries.all ++
+      analytics.Views.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY §7.3 milestone: dedup + 10-min-bucket content popularity

@@ -1,0 +1,214 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Q, Tables}
+
+/** The 12 BI analytics views (reference:
+  * sql-scripts/snowflake/analytics_views.sql:9-375), re-expressed over the
+  * driver's TPC-H-ish analogs (customer→DIM_USER, orders/lineitem→facts,
+  * events→activity stream) and executed by Catalyst instead of Snowflake —
+  * the whole warehouse tier collapses into Spark SQL (SURVEY.md §3.3).
+  *
+  * Each view is written in dialect-neutral ANSI SQL wherever possible so
+  * the same text runs on Spark and on the DuckDB oracle; the two places
+  * where date arithmetic differs (month diff, day diff) carry a per-engine
+  * variant. Floating sums go through the DECIMAL-accumulator pattern
+  * (see graft.functions.Det) for cross-engine bit-identity.
+  */
+object Views {
+
+  private val viewTables =
+    Seq("events", "orders", "customer", "lineitem", "part", "nation", "region")
+
+  private def runSql(sql: String): (SparkSession, String) => DataFrame = { (spark, sfDir) =>
+    viewTables.foreach { t =>
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(sql)
+  }
+
+  private def dsum(e: String) = s"cast(sum(cast(($e) as decimal(18,6))) as double)"
+
+  /** V_DAILY_ACTIVE_USERS (analytics_views.sql:9-24) — A8/A10. */
+  private val v01 =
+    s"""SELECT cast(ts as date) AS day,
+       | count(DISTINCT user_id) AS dau,
+       | count(*) AS total_events,
+       | cast(count(*) as double)/count(DISTINCT user_id) AS events_per_user,
+       | cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as bigint) AS purchases,
+       | cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as double)/count(*) AS purchase_rate
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** V_USER_COHORTS (analytics_views.sql:27-60) — J3/J5/A10 + W6
+    * first_value. Month-diff syntax differs per engine. */
+  private def v02(monthsSince: String) =
+    s"""WITH om AS (SELECT o_custkey, cast(date_trunc('month', o_orderdate) as date) AS order_month, o_totalprice FROM orders),
+       |cohorts AS (SELECT o_custkey, min(order_month) AS cohort_month FROM om GROUP BY 1),
+       |activity AS (
+       |  SELECT cohort_month, $monthsSince AS months_since,
+       |         count(DISTINCT om.o_custkey) AS active_customers,
+       |         ${dsum("o_totalprice")} AS revenue
+       |  FROM om JOIN cohorts ON om.o_custkey = cohorts.o_custkey GROUP BY 1,2)
+       |SELECT cohort_month, months_since, active_customers, revenue,
+       | first_value(active_customers) OVER (PARTITION BY cohort_month ORDER BY months_since) AS cohort_size,
+       | cast(active_customers*100 as double)
+       |   / first_value(active_customers) OVER (PARTITION BY cohort_month ORDER BY months_since) AS retention_pct
+       |FROM activity ORDER BY cohort_month, months_since""".stripMargin
+  private val v02Spark = v02("cast(months_between(order_month, cohort_month) as bigint)")
+  private val v02Duck  = v02("cast(datediff('month', cohort_month, order_month) as bigint)")
+
+  /** V_USER_SEGMENTS (analytics_views.sql:63-102) — CASE segmentation over
+    * per-customer spend. */
+  private val v03 =
+    s"""WITH spend AS (
+       |  SELECT c_custkey, coalesce(cnt, 0) AS order_cnt, coalesce(total, cast(0.0 as double)) AS total_spend
+       |  FROM customer LEFT JOIN (
+       |    SELECT o_custkey, count(*) AS cnt, ${dsum("o_totalprice")} AS total
+       |    FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+       |seg AS (SELECT *,
+       |  CASE WHEN total_spend >= 3000000 THEN 'VIP'
+       |       WHEN total_spend >= 1500000 THEN 'HIGH'
+       |       WHEN total_spend >= 500000 THEN 'MEDIUM'
+       |       WHEN total_spend > 0 THEN 'LOW'
+       |       ELSE 'INACTIVE' END AS segment FROM spend)
+       |SELECT segment, count(*) AS customers,
+       | ${dsum("total_spend")} AS segment_revenue,
+       | cast(sum(order_cnt) as bigint) AS orders,
+       | cast(sum(order_cnt) as double)/count(*) AS avg_orders_per_customer
+       |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** V_TOP_CONTENT (analytics_views.sql:109-128) — W3 rank over aggregate. */
+  private val v04 =
+    s"""SELECT rev_rank, p_partkey, p_name, p_brand, revenue, total_qty, order_lines
+       |FROM (
+       | SELECT p_partkey, p_name, p_brand,
+       |  ${dsum("l_extendedprice*(1-l_discount)")} AS revenue,
+       |  ${dsum("l_quantity")} AS total_qty,
+       |  count(*) AS order_lines,
+       |  rank() OVER (ORDER BY ${dsum("l_extendedprice*(1-l_discount)")} DESC) AS rev_rank
+       | FROM lineitem JOIN part ON l_partkey = p_partkey
+       | GROUP BY 1,2,3)
+       |WHERE rev_rank <= 20 ORDER BY rev_rank, p_partkey""".stripMargin
+
+  /** V_CONTENT_TRENDS (analytics_views.sql:131-146) — weekly trend. */
+  private val v05 =
+    s"""SELECT p_brand, cast(date_trunc('week', l_shipdate) as date) AS week,
+       | count(*) AS lines,
+       | ${dsum("l_quantity")} AS qty,
+       | ${dsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** V_CONTENT_DROPOFF (analytics_views.sql:149-181) — A11 histogram +
+    * W4 ratio-to-total. */
+  private val v06 =
+    """WITH b AS (
+      | SELECT l_returnflag,
+      |  CASE WHEN l_quantity < 10 THEN '00-09' WHEN l_quantity < 20 THEN '10-19'
+      |       WHEN l_quantity < 30 THEN '20-29' WHEN l_quantity < 40 THEN '30-39'
+      |       ELSE '40+' END AS qty_bucket,
+      |  count(*) AS cnt
+      | FROM lineitem GROUP BY 1,2)
+      |SELECT l_returnflag, qty_bucket, cnt,
+      | cast(cnt*100 as double)/sum(cnt) OVER (PARTITION BY l_returnflag) AS pct_of_flag
+      |FROM b ORDER BY 1,2""".stripMargin
+
+  /** V_DEVICE_ANALYTICS (analytics_views.sql:188-205) — A9 rates. */
+  private val v07 =
+    s"""SELECT event_type,
+       | count(*) AS n_events,
+       | count(DISTINCT user_id) AS uniq_users,
+       | ${dsum("value")}/count(value) AS avg_value,
+       | cast(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)*100 as double)/count(*) AS high_value_pct
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** V_PLATFORM_QUALITY (analytics_views.sql:208-224). */
+  private val v08 =
+    s"""SELECT o_orderpriority,
+       | count(*) AS orders,
+       | ${dsum("o_totalprice")} AS revenue,
+       | ${dsum("o_totalprice")}/count(o_totalprice) AS avg_order_value,
+       | cast(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)*100 as double)/count(*) AS fulfilled_pct
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** V_GEOGRAPHIC_ANALYTICS (analytics_views.sql:231-249) — J2/J6/A8. */
+  private val v09 =
+    s"""SELECT r_name, n_name,
+       | count(DISTINCT c_custkey) AS customers,
+       | count(DISTINCT o_orderkey) AS orders,
+       | ${dsum("o_totalprice")} AS revenue,
+       | ${dsum("o_totalprice")}/count(DISTINCT c_custkey) AS revenue_per_customer
+       |FROM customer
+       | JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       | LEFT JOIN orders ON o_custkey = c_custkey
+       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** V_EXECUTIVE_KPIS (analytics_views.sql:256-295) — J4 cross join +
+    * growth percentages. */
+  private val v10 =
+    s"""WITH cur AS (
+       |  SELECT ${dsum("o_totalprice")} AS revenue, count(*) AS orders, count(DISTINCT o_custkey) AS buyers
+       |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2001-07-01'),
+       |prev AS (
+       |  SELECT ${dsum("o_totalprice")} AS revenue, count(*) AS orders, count(DISTINCT o_custkey) AS buyers
+       |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-07-01' AND o_orderdate < TIMESTAMP '2001-01-01')
+       |SELECT cur.revenue AS cur_revenue, prev.revenue AS prev_revenue,
+       | (cur.revenue - prev.revenue)/prev.revenue*cast(100.0 as double) AS revenue_growth_pct,
+       | cur.orders AS cur_orders, prev.orders AS prev_orders,
+       | cast(cur.orders - prev.orders as double)/prev.orders*cast(100.0 as double) AS order_growth_pct,
+       | cur.buyers AS cur_buyers, prev.buyers AS prev_buyers,
+       | cur.revenue/cur.orders AS cur_aov
+       |FROM cur CROSS JOIN prev""".stripMargin
+
+  /** V_MRR_ANALYSIS (analytics_views.sql:298-330) — W5 LAG MoM growth. */
+  private val v11 =
+    s"""WITH monthly AS (
+       | SELECT c_mktsegment, cast(date_trunc('month', o_orderdate) as date) AS month,
+       |  ${dsum("o_totalprice")} AS mrr
+       | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1,2)
+       |SELECT c_mktsegment, month, mrr,
+       | lag(mrr,1) OVER (PARTITION BY c_mktsegment ORDER BY month) AS prev_mrr,
+       | (mrr - lag(mrr,1) OVER (PARTITION BY c_mktsegment ORDER BY month))
+       |   / lag(mrr,1) OVER (PARTITION BY c_mktsegment ORDER BY month) * cast(100.0 as double) AS mom_growth_pct
+       |FROM monthly ORDER BY 1,2""".stripMargin
+
+  /** V_CHURN_RISK (analytics_views.sql:333-375) — J3 + risk CASE. The
+    * "now" is pinned to DATE '2002-01-01' (just past the fixture's last
+    * order) so results are deterministic. Day-diff syntax differs. */
+  private def v12(daysSince: String) =
+    s"""WITH lastord AS (
+       | SELECT o_custkey, max(cast(o_orderdate as date)) AS last_order_date, count(*) AS orders,
+       |  ${dsum("o_totalprice")} AS spend
+       | FROM orders GROUP BY 1),
+       |flags AS (
+       | SELECT c_custkey, coalesce(orders, 0) AS orders, coalesce(spend, cast(0.0 as double)) AS spend,
+       |  $daysSince AS days_since_last
+       | FROM customer LEFT JOIN lastord ON c_custkey = o_custkey)
+       |SELECT CASE WHEN days_since_last IS NULL THEN 'never_ordered'
+       |            WHEN days_since_last > 365 THEN 'high_risk'
+       |            WHEN days_since_last > 180 THEN 'medium_risk'
+       |            ELSE 'active' END AS churn_risk,
+       | count(*) AS customers,
+       | ${dsum("spend")} AS revenue_at_risk,
+       | cast(sum(orders) as bigint) AS orders
+       |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin
+  private val v12Spark = v12("datediff(DATE '2002-01-01', last_order_date)")
+  private val v12Duck  = v12("datediff('day', last_order_date, DATE '2002-01-01')")
+
+  // ---- registry ----
+
+  def all: Seq[Q] = Seq(
+    Q("v01_daily_active_users", runSql(v01), Some(v01)),
+    Q("v02_user_cohorts", runSql(v02Spark), Some(v02Duck)),
+    Q("v03_user_segments", runSql(v03), Some(v03)),
+    Q("v04_top_content", runSql(v04), Some(v04)),
+    Q("v05_content_trends", runSql(v05), Some(v05)),
+    Q("v06_content_dropoff", runSql(v06), Some(v06)),
+    Q("v07_device_analytics", runSql(v07), Some(v07)),
+    Q("v08_platform_quality", runSql(v08), Some(v08)),
+    Q("v09_geographic", runSql(v09), Some(v09)),
+    Q("v10_executive_kpis", runSql(v10), Some(v10)),
+    Q("v11_mrr_analysis", runSql(v11), Some(v11)),
+    Q("v12_churn_risk", runSql(v12Spark), Some(v12Duck)))
+}

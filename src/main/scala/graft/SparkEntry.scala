@@ -8,7 +8,11 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.CoreQueries.all ++
       operators.ExtendedQueries.all ++
-      analytics.Views.all
+      analytics.Views.all ++
+      llm.TextDedup.all ++
+      llm.Similarity.all ++
+      llm.TextStats.all ++
+      llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY §7.3 milestone: dedup + 10-min-bucket content popularity

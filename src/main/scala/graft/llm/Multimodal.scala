@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Multimodal column plumbing: image/audio/video carried as opaque
+  * `binary` columns with typed metadata, partition-friendly batch shape,
+  * and a decode/feature-extract boundary.
+  *
+  * The real decoders (libjpeg/ffmpeg) are NOT in this container, so the
+  * decode step is a clearly-marked DETERMINISTIC STUB — the Spark-side
+  * plumbing (schema, binary handling, mapPartitions batch shape,
+  * partitioning) is real and tested; swapping `decodeStub` for a JNI/
+  * process-call decoder is a single-function change.
+  */
+object Multimodal {
+
+  /** Media feature row produced by the decode boundary. */
+  final case class MediaFeature(
+      doc_id: Long,
+      mime: String,
+      media_bytes: Long,
+      width: Int,
+      height: Int,
+      feature: Array[Byte])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("mime", StringType),
+    StructField("media", BinaryType),
+    StructField("media_bytes", LongType)))
+
+  private def mimeFor = when(
+    col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"), "image/jpeg")
+    .when(col("source").isin("src6", "src7", "src8", "src9", "src10", "src11", "src12"), "audio/wav")
+    .otherwise("video/mp4")
+
+  /** Pack the documents fixture into the media schema (text bytes stand in
+    * for encoded media — the engine treats the payload as opaque). */
+  def packMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      mimeFor.as("mime"),
+      col("text").cast("binary").as("media"),
+      length(col("text").cast("binary")).cast("long").as("media_bytes"))
+
+  /** STUB decode boundary — deterministic fake "decoder": dimensions are
+    * derived from payload length, the feature vector is the first 16
+    * payload bytes. A real implementation replaces only this function
+    * (e.g. per-partition native decoder calls); the mapPartitions batch
+    * shape is what matters for executor-side library reuse at scale. */
+  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[MediaFeature]
+    media.select("doc_id", "mime", "media", "media_bytes")
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        // one "decoder init" per partition, amortized over the batch
+        rows.map { case (id, mime, payload, bytes) =>
+          val w = 16 + (bytes % 1024).toInt
+          val h = 9 + (bytes % 576).toInt
+          MediaFeature(id, mime, bytes, w, h, payload.take(16))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** l14 — metadata + first-bytes feature extraction, column-expression
+    * form (oracle-checkable: hex of the leading payload bytes). */
+  def mediaMeta(documents: DataFrame): DataFrame =
+    packMedia(documents)
+      .withColumn("feature_hex", hex(substring(col("media"), 1, 16)))
+      .withColumn("n_chunks", ceil(col("media_bytes") / lit(1024.0)).cast("long"))
+      .select("doc_id", "mime", "media_bytes", "feature_hex", "n_chunks")
+      .orderBy("doc_id")
+
+  private val l14Sql =
+    """SELECT doc_id,
+      | CASE WHEN source IN ('src0','src1','src2','src3','src4','src5') THEN 'image/jpeg'
+      |      WHEN source IN ('src6','src7','src8','src9','src10','src11','src12') THEN 'audio/wav'
+      |      ELSE 'video/mp4' END AS mime,
+      | cast(strlen(text) as bigint) AS media_bytes,
+      | hex(substr(text, 1, 16)) AS feature_hex,
+      | cast(ceil(strlen(text)/cast(1024.0 as double)) as bigint) AS n_chunks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** l15 — the decode boundary driven end-to-end (rows-only check: the
+    * stub's output summarized per mime type). */
+  def decodeFeatures(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeStub(spark, packMedia(documents))
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("media_bytes")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"))
+      .orderBy("mime")
+
+  def all: Seq[Q] = Seq(
+    Q("l14_media_meta", (s, d) => mediaMeta(Tables.documents(s, d)), Some(l14Sql)),
+    Q("l15_media_decode", (s, d) => decodeFeatures(s, Tables.documents(s, d)), None))
+}

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (len-64 float vectors).
+  *
+  *  - `cosinePairs` — fixed-pair cosine with an exact SQL oracle: the dot
+  *    product is an explicit left-associated 64-term chain so Spark and
+  *    DuckDB execute the identical IEEE operation sequence (bit-equal).
+  *  - `bruteTopK` — the correctness baseline: O(probes × n), probes
+  *    broadcast, never an n×n cross join.
+  *  - `lshNearDup` / `ivfTopK` — the scale path: sign-random-hyperplane
+  *    buckets prune candidates; at 1000 executors the bucket join shuffles
+  *    ~n rows instead of n² pairs.
+  */
+object Similarity {
+
+  private val Dims = 64
+  private val Planes = 8
+
+  /** Left-associated explicit dot chain — used where cross-engine
+    * bit-identity matters (the SQL oracle mirrors the same chain). */
+  private def dotChain(a: String, b: String) =
+    (0 until Dims).map(i =>
+      element_at(col(a), i + 1).cast("double") * element_at(col(b), i + 1).cast("double"))
+      .reduce(_ + _)
+
+  private def sqlDotChain(a: String, b: String) =
+    (1 to Dims).map(i =>
+      s"cast($a.embedding[$i] as double)*cast($b.embedding[$i] as double)").mkString(" + ")
+
+  /** l06 — cosine for adjacent-id pairs (exact oracle). */
+  def cosinePairs(embeddings: DataFrame): DataFrame = {
+    val a = embeddings.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("cosine",
+        dotChain("emb_a", "emb_b") /
+          (sqrt(dotChain("emb_a", "emb_a")) * sqrt(dotChain("emb_b", "emb_b"))))
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a")
+  }
+
+  private val l06Sql =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       | (${sqlDotChain("a", "b")})
+       |   / (sqrt(${sqlDotChain("a", "a")}) * sqrt(${sqlDotChain("b", "b")})) AS cosine
+       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |WHERE a.vec_id < 50 ORDER BY id_a""".stripMargin
+
+  /** l07 — brute-force cosine top-k for a probe set. The probe side is
+    * tiny and broadcast; cost is O(probes × n), fully parallel over n. */
+  def bruteTopK(embeddings: DataFrame, numProbes: Int = 20, k: Int = 10): DataFrame = {
+    val probes = embeddings.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val cands = embeddings
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    cands.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", VectorOps.cosine(col("probe_emb"), col("cand_emb")))
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("nn_rank") <= k)
+      .select("probe_id", "nn_rank", "cand_id", "cos")
+      .orderBy("probe_id", "nn_rank")
+  }
+
+  /** l05 — embedding-cosine near-dup: LSH bucket self-join, cosine verify,
+    * top pairs. Bucket count (2^planes) bounds the per-bucket quadratic
+    * work. */
+  def lshNearDup(embeddings: DataFrame): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", VectorOps.lshBucket("embedding", Planes, Dims))
+    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .select("id_a", "id_b", "cos")
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  /** l08 — IVF-style pruned top-k: the LSH bucket acts as the coarse
+    * quantizer; each probe searches only its own cell. */
+  def ivfTopK(embeddings: DataFrame, numProbes: Int = 20, k: Int = 10): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", VectorOps.lshBucket("embedding", Planes, Dims))
+    val probes = bucketed.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"), col("bucket"))
+    val cands = bucketed
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"), col("bucket"))
+    cands.join(broadcast(probes), Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", VectorOps.cosine(col("probe_emb"), col("cand_emb")))
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("nn_rank") <= k)
+      .select("probe_id", "nn_rank", "cand_id", "cos")
+      .orderBy("probe_id", "nn_rank")
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("l05_embed_neardup", (s, d) => lshNearDup(Tables.embeddings(s, d)), None),
+    Q("l06_cosine_pairs", (s, d) => cosinePairs(Tables.embeddings(s, d)), Some(l06Sql)),
+    Q("l07_ann_brute_topk", (s, d) => bruteTopK(Tables.embeddings(s, d)), None),
+    Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), None))
+}

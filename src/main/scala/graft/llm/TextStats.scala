@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Det._
+
+/** Text analysis for training-data curation over `documents`: corpus
+  * stats, heuristic language ID, regex tokenization, quality scoring, and
+  * rolling-hash document fingerprints. All pure column expressions — no
+  * UDFs, single aggregation shuffle each.
+  */
+object TextStats {
+
+  /** l09 — per-language corpus statistics. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("wc", size(split(col("text"), " ")))
+      .withColumn("nospace", length(expr("replace(text, ' ', '')")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("wc")).as("total_words"),
+        sum(col("nospace")).as("total_nospace"))
+      .withColumn("avg_chars", col("total_chars").cast("double") / col("docs"))
+      .withColumn("avg_word_len", col("total_nospace").cast("double") / col("total_words"))
+      .drop("total_nospace")
+      .orderBy("lang")
+
+  private val l09Sql =
+    """SELECT lang, docs, total_chars, total_words,
+      | cast(total_chars as double)/docs AS avg_chars,
+      | cast(total_nospace as double)/total_words AS avg_word_len
+      |FROM (SELECT lang, count(*) AS docs,
+      |       cast(sum(n_chars) as bigint) AS total_chars,
+      |       cast(sum(len(string_split(text, ' '))) as bigint) AS total_words,
+      |       cast(sum(len(replace(text, ' ', ''))) as bigint) AS total_nospace
+      |      FROM documents GROUP BY 1) ORDER BY lang""".stripMargin
+
+  /** l10 — n-gram/stopword-heuristic language ID, cross-tabbed against the
+    * labeled lang column (confusion-matrix shape). */
+  def langId(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("predicted_lang",
+        when(col("text").like("% the %"), "en")
+          .when(col("text").like("% der %"), "de")
+          .when(col("text").like("% le %"), "fr")
+          .when(col("text").like("% el %"), "es")
+          .otherwise("other"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("lang", "predicted_lang")
+
+  private val l10Sql =
+    """SELECT lang,
+      | CASE WHEN text LIKE '% the %' THEN 'en'
+      |      WHEN text LIKE '% der %' THEN 'de'
+      |      WHEN text LIKE '% le %' THEN 'fr'
+      |      WHEN text LIKE '% el %' THEN 'es'
+      |      ELSE 'other' END AS predicted_lang,
+      | count(*) AS docs
+      |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** l11 — BPE-ish regex token counting (words | digit runs | single
+    * punctuation), per source. */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("tokens", expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("total_tokens"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("docs"))
+      .orderBy("source")
+
+  private val l11Sql =
+    """SELECT source, count(*) AS docs,
+      | cast(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) as bigint) AS total_tokens,
+      | cast(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) as double)/count(*) AS avg_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** l12 — document quality scoring: length score + lexical diversity,
+    * bucketed (reference quality-score shape: consumer.py:283-296). */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val lenScore = least(lit(1.0), col("n_chars").cast("double") / lit(500.0))
+    val words = split(col("text"), " ")
+    val diversity = size(array_distinct(words)).cast("double") / size(words)
+    documents
+      .withColumn("score", lenScore * lit(0.5) + diversity * lit(0.5))
+      .withColumn("quality_bucket",
+        when(col("score") >= 0.75, "high")
+          .when(col("score") >= 0.5, "medium")
+          .otherwise("low"))
+      .groupBy("quality_bucket")
+      .agg(count(lit(1)).as("docs"), davg(col("score")).as("avg_score"))
+      .orderBy("quality_bucket")
+  }
+
+  private val l12Sql =
+    s"""SELECT quality_bucket, count(*) AS docs, ${sqlDavg("score")} AS avg_score
+       |FROM (SELECT CASE WHEN score >= cast(0.75 as double) THEN 'high'
+       |             WHEN score >= cast(0.5 as double) THEN 'medium'
+       |             ELSE 'low' END AS quality_bucket, score
+       |      FROM (SELECT least(cast(1.0 as double), n_chars/cast(500.0 as double))*cast(0.5 as double)
+       |                 + (cast(len(list_distinct(string_split(text, ' '))) as double)
+       |                    / len(string_split(text, ' ')))*cast(0.5 as double) AS score
+       |            FROM documents))
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** l13 — rolling-hash document fingerprint: min hash over all 8-char
+    * windows (winnowing-style robust content id). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fingerprint", expr(
+        "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8))))"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  private val l13Sql =
+    """SELECT doc_id,
+      | list_min([md5(substr(text, i, 8)) for i in range(1, greatest(len(text)-7, 1)+1)]) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
+    Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
+    Q("l11_token_count", (s, d) => tokenCount(Tables.documents(s, d)), Some(l11Sql)),
+    Q("l12_quality_score", (s, d) => qualityScore(Tables.documents(s, d)), Some(l12Sql)),
+    Q("l13_fingerprint", (s, d) => fingerprint(Tables.documents(s, d)), Some(l13Sql)))
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer (SURVEY.md §2.9; reference:
+  * real_time_streaming.py:98-415).
+  *
+  * The reference's Kafka topics are replaced by file-stream sources (no
+  * Kafka connector jar in this env — semantics-preserving: every
+  * downstream query reads the stream as a table). Stages are decoupled
+  * through storage exactly like the reference's Delta hops: each stage's
+  * parquet sink directory is the next stage's streaming source.
+  *
+  * Streaming aggregates use `approx_count_distinct` (HLL): exact distinct
+  * is unsupported under incremental state — the one place a sketch is
+  * required (SURVEY §7.5.1). The batch replays in graft.operators use
+  * exact distincts and carry the DuckDB oracles.
+  */
+object Streams {
+
+  /** S2 — rate-limited streaming file source
+    * (reference: real_time_streaming.py:226-230). */
+  def fileStreamSource(spark: SparkSession, dir: String, schema: StructType,
+                       maxFilesPerTrigger: Int = 50): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** A1 streaming — 5-minute tumbling user-activity aggregation with a
+    * 10-minute watermark (reference: real_time_streaming.py:273-298). */
+  def userActivity5m(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("event_type")).as("approx_uniq_types"),
+        avg(col("value")).as("avg_value"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("user_id"), col("n_events"), col("approx_uniq_types"),
+        col("avg_value"), col("purchases"))
+
+  /** A2 streaming — 10-minute content-popularity aggregation
+    * (reference: real_time_streaming.py:315-345). */
+  def contentPopularity10m(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_uniq_users"),
+        avg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("approx_uniq_users"),
+        col("avg_value"), col("max_value"))
+
+  /** A3 streaming — 1-minute anomaly aggregation + when-cascade classifier
+    * + non-normal filter (reference: real_time_streaming.py:379-415). */
+  def anomaly1m(events: DataFrame,
+                highActivity: Long = 100, highErrors: Long = 5): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+      .withColumn("anomaly_type",
+        when(col("n_events") >= highActivity, "high_activity")
+          .when(col("n_errors") >= highErrors, "high_errors")
+          .otherwise("normal"))
+      .filter(col("anomaly_type") =!= "normal")
+      .select(
+        col("window.start").as("window_start"),
+        col("user_id"), col("n_events"), col("n_errors"), col("anomaly_type"))
+
+  /** S5 — checkpointed append parquet sink, time-partitioned
+    * (reference: real_time_streaming.py:203-211). */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+                  triggerMs: Long = 1000, partitionBy: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = df.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+}

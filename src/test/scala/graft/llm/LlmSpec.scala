@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.functions.VectorOps
+
+class LlmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L),
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "src0", 43L), // near-dup of 1
+    (3L, "completely different content about spark engines", "en", "src1", 48L),
+    (4L, "the quick brown fox jumps over the lazy dog", "en", "src2", 43L)  // exact dup of 1
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup counts duplicate groups") {
+    val r = TextDedup.exactDedupStats(docs).head()
+    assert(r.getAs[Long]("total_docs") === 4)
+    assert(r.getAs[Long]("distinct_texts") === 3)
+    assert(r.getAs[Long]("docs_in_dup_groups") === 2)
+    assert(r.getAs[Long]("removable_dups") === 1)
+  }
+
+  test("minhash LSH surfaces the near-dup pair with high estimated jaccard") {
+    val pairs = TextDedup.minhashNearDup(docs).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("est_jaccard")))
+      .toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) === 1.0) // identical text
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.3)   // near-dup
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val pairs = TextDedup.ngramJaccard(docs).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard")))
+      .toMap
+    assert(pairs((1L, 4L)) === 1.0)
+    val nd = pairs((1L, 2L))
+    assert(nd > 0.5 && nd < 1.0) // 7 shingles, 6 shared → 6/8
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close") {
+    val pairs = TextDedup.simhashNearDup(docs).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Int]("hamming")))
+      .toMap
+    assert(pairs((1L, 4L)) === 0)
+    assert(pairs((1L, 2L)) < 20)
+  }
+
+  test("cosine: identity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)))
+      .toDF("a", "b")
+      .withColumn("cos", VectorOps.cosine($"a", $"b"))
+    val out = df.select("cos").as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks the most similar candidate first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(0.5f, 0.5f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteTopK(vecs, numProbes = 1, k = 3).collect()
+    assert(top.head.getAs[Long]("cand_id") === 1L) // closest to probe 0
+    assert(top.map(_.getAs[Int]("nn_rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("multimodal decode stub is deterministic and keeps first-16-byte features") {
+    val media = Multimodal.packMedia(docs)
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.collect().sortBy(_.getAs[Long]("doc_id")).map { r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("mime"), r.getAs[Long]("media_bytes"),
+          r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Array[Byte]]("feature").toSeq)
+      }.toSeq
+    val out1full = Multimodal.decodeStub(spark, media)
+    assert(snapshot(out1full) === snapshot(Multimodal.decodeStub(spark, media)))
+    val out1 = out1full.collect().sortBy(_.getAs[Long]("doc_id"))
+    val f = out1.head.getAs[Array[Byte]]("feature")
+    assert(new String(f, "UTF-8") === "the quick brown ")
+  }
+}

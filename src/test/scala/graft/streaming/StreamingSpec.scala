@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed agg emits finalized windows in append mode; late rows are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val query = Streams.userActivity5m(events)
+      .writeStream.format("memory").queryName("ua5m").outputMode("append").start()
+    try {
+      // batch 1: three events in window [10:00,10:05), one at 10:20 that
+      // advances the watermark to 10:10 and finalizes the first window
+      input.addData(
+        (1L, ts("2024-01-01 10:00:30"), 1L, "view", 10.0),
+        (2L, ts("2024-01-01 10:01:00"), 1L, "purchase", 20.0),
+        (3L, ts("2024-01-01 10:02:00"), 2L, "view", 5.0),
+        (4L, ts("2024-01-01 10:20:00"), 1L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData((5L, ts("2024-01-01 10:21:00"), 1L, "view", 2.0))
+      query.processAllAvailable()
+
+      val emitted = spark.table("ua5m")
+      val w1 = emitted.filter($"window_start" === ts("2024-01-01 10:00:00")).collect()
+      assert(w1.map(_.getAs[Long]("user_id")).toSet === Set(1L, 2L))
+      val u1 = w1.find(_.getAs[Long]("user_id") == 1L).get
+      assert(u1.getAs[Long]("n_events") === 2)
+      assert(u1.getAs[Long]("purchases") === 1)
+
+      // late arrival: far behind the 10:10 watermark → dropped
+      input.addData((6L, ts("2024-01-01 10:00:45"), 1L, "view", 99.0))
+      // advance watermark far enough (10:21 + 10min margin) to close [10:20,10:25)
+      input.addData((7L, ts("2024-01-01 10:40:00"), 3L, "view", 1.0))
+      query.processAllAvailable()
+      val w1After = spark.table("ua5m")
+        .filter($"window_start" === ts("2024-01-01 10:00:00") && $"user_id" === 1)
+        .collect()
+      assert(w1After.length === 1, "late row must not re-emit or grow the closed window")
+      assert(w1After.head.getAs[Long]("n_events") === 2)
+
+      val w2 = spark.table("ua5m").filter($"window_start" === ts("2024-01-01 10:20:00"))
+      assert(w2.count() === 1) // user 1: events at 10:20 and 10:21
+      assert(w2.head().getAs[Long]("n_events") === 2)
+    } finally query.stop()
+  }
+
+  test("anomaly stream classifies and filters non-normal windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = Streams.anomaly1m(events, highActivity = 3, highErrors = 2)
+      .writeStream.format("memory").queryName("anom1m").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:01"), 1L, "view", 1.0),
+        (2L, ts("2024-01-01 10:00:02"), 1L, "view", 1.0),
+        (3L, ts("2024-01-01 10:00:03"), 1L, "view", 1.0),
+        (4L, ts("2024-01-01 10:00:04"), 2L, "error", 1.0),
+        (5L, ts("2024-01-01 10:00:05"), 2L, "error", 1.0),
+        (6L, ts("2024-01-01 10:00:06"), 3L, "view", 1.0),
+        (7L, ts("2024-01-01 10:30:00"), 9L, "view", 1.0)) // watermark push
+      query.processAllAvailable()
+      val rows = spark.table("anom1m").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("anomaly_type")).toMap
+      assert(rows === Map(1L -> "high_activity", 2L -> "high_errors"))
+    } finally query.stop()
+  }
+
+  test("file-stream source → checkpointed parquet sink round-trips all rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val chk = s"$tmp/chk"
+    val data = (1 to 100).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:${i % 60}%02d:00"), i.toLong % 7, "view", i.toDouble))
+    data.take(50).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(src)
+    data.drop(50).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+
+    val schema = spark.read.parquet(src).schema
+    val stream = Streams.fileStreamSource(spark, src, schema, maxFilesPerTrigger = 2)
+    val query = Streams.parquetSink(stream, out, chk, triggerMs = 100).start()
+    try {
+      query.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 100)
+    } finally query.stop()
+  }
+}

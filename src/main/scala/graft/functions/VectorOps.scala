@@ -23,16 +23,23 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-random-hyperplane LSH bucket id in [0, 2^planes). The plane
-    * weights are pseudo-random ±1 derived from xxhash64(plane*dim + dim) —
-    * deterministic across runs and engines, no trained state. Vectors
-    * close in cosine land in the same bucket with high probability; used
-    * to prune candidate pairs from O(n²) to near-linear.
+    * weights are pseudo-random ±1 fixed at plan-construction time (seeded
+    * PRNG → baked into the expression as literal signs), so the executor
+    * evaluates a flat codegen-able arithmetic chain — no per-row hashing
+    * of plane constants. Vectors close in cosine land in the same bucket
+    * with high probability; prunes candidate pairs from O(n²) to
+    * near-linear.
     */
-  def lshBucket(vecCol: String, planes: Int, dims: Int): Column = expr(
-    s"""aggregate(sequence(0, ${planes - 1}), 0, (acc, p) ->
-       |  acc + IF(aggregate(sequence(0, ${dims - 1}), cast(0.0 as double), (s, d) ->
-       |    s + IF((xxhash64(p * $dims + d) & 1) = 1,
-       |           cast(element_at($vecCol, d + 1) as double),
-       |           -cast(element_at($vecCol, d + 1) as double))) > 0,
-       |    shiftleft(1, p), 0))""".stripMargin)
+  def lshBucket(vecCol: String, planes: Int, dims: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val signs = Array.fill(planes, dims)(rnd.nextBoolean())
+    val planeExprs = (0 until planes).map { p =>
+      val dot = (0 until dims).map { d =>
+        val term = s"cast(element_at($vecCol, ${d + 1}) as double)"
+        if (signs(p)(d)) s"+ $term" else s"- $term"
+      }.mkString(" ")
+      s"IF((0.0d $dot) > 0, ${1 << p}, 0)"
+    }
+    expr(planeExprs.mkString("(", " + ", ")"))
+  }
 }

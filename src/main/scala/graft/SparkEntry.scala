@@ -8,6 +8,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.CoreQueries.all ++
       operators.ExtendedQueries.all ++
+      operators.SurfaceQueries.all ++
       analytics.Views.all ++
       llm.TextDedup.all ++
       llm.Similarity.all ++

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Session settings every entry point applies before reading. */
+  /** Session settings every entry point applies before reading. Also
+    * registers the engine's native functions for sessions created without
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.plans.CosineSimilarity.register(spark)
     spark
   }
 

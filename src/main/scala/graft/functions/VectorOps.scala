@@ -19,8 +19,14 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. Assumes non-zero vectors. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity via the native codegen'd expression
+    * (graft.plans.CosineSimilarity) — one fused loop per row instead of
+    * three interpreted HOF aggregates. Requires the function registered
+    * (Tables.configure / GraftExtensions). Assumes non-zero vectors. */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** HOF composition form, kept as the no-extension fallback. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-random-hyperplane LSH bucket id in [0, 2^planes). The plane
     * weights are pseudo-random ±1 fixed at plan-construction time (seeded

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.{Q, Tables}
+import graft.etl.Ingest
+import graft.functions.Det._
+
+/** Scalar/function-surface queries rounding out SURVEY §2: JSON
+  * star-expansion with partition-column derivation, full summary stats
+  * (incl. exact median and a determinism-safe stddev), the complete
+  * analytic-window function family (W6), and gap sessionization.
+  */
+object SurfaceQueries {
+
+  /** q31 — P1/P3: from_json star-expand of the raw payload + derived
+    * partition columns (reference: real_time_streaming.py:155-179,
+    * etl_framework.py:286-291). */
+  def jsonStarExpand(events: DataFrame): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val parsed = Ingest.parseJson(events, "props", schema,
+      keep = Seq("event_id", "ts", "user_id", "event_type", "value"))
+    Ingest.withPartitionCols(parsed, "ts")
+      .groupBy("year", "month")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("user_id")).as("uniq_users"))
+      .orderBy("year", "month")
+  }
+
+  private val q31Sql =
+    """SELECT cast(year(ts) as int) AS year, cast(month(ts) as int) AS month,
+      | count(*) AS n,
+      | cast(sum(cast(props->>'k' as bigint)) as bigint) AS sum_k,
+      | count(DISTINCT user_id) AS uniq_users
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** q32 — A13: summary statistics incl. exact interpolated median and a
+    * stddev derived from decimal-exact sums (sqrt((Σx² − Σx²/n)/(n−1)))
+    * so both engines compute identical IEEE arithmetic. */
+  def summaryStats(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        count(col("value")).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        davg(col("value")).as("avg_v"),
+        expr("percentile(value, 0.5)").as("median_v"),
+        dsum(col("value") * col("value")).as("sumsq"),
+        dsum(col("value")).as("s"))
+      .withColumn("sd_v",
+        sqrt((col("sumsq") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+      .drop("sumsq", "s")
+      .orderBy("event_type")
+
+  private val q32Sql =
+    s"""SELECT event_type, n, min_v, max_v, avg_v, median_v,
+       | sqrt((sumsq - s*s/n)/(n-1)) AS sd_v
+       |FROM (SELECT event_type,
+       |        count(value) AS n,
+       |        min(value) AS min_v,
+       |        max(value) AS max_v,
+       |        ${sqlDavg("value")} AS avg_v,
+       |        quantile_cont(value, 0.5) AS median_v,
+       |        ${sqlDsum("value*value")} AS sumsq,
+       |        ${sqlDsum("value")} AS s
+       |      FROM events GROUP BY 1) ORDER BY event_type""".stripMargin
+
+  /** q33 — W6: the full analytic window family over daily counts:
+    * lag/lead/dense_rank/first_value/last_value with explicit frames
+    * (reference: etl_framework.py:29, snowflake_pipeline.py:24 imports). */
+  def windowSuite(events: DataFrame): DataFrame = {
+    val daily = events.withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val full = byDay.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.select(
+        col("event_type"), col("day"), col("cnt"),
+        lag(col("cnt"), 1).over(byDay).as("prev_cnt"),
+        lead(col("cnt"), 1).over(byDay).as("next_cnt"),
+        dense_rank().over(Window.partitionBy("event_type").orderBy(col("cnt").desc)).as("cnt_rank"),
+        first_value(col("cnt")).over(byDay).as("first_cnt"),
+        last_value(col("cnt")).over(full).as("last_cnt"))
+      .orderBy("event_type", "day")
+  }
+
+  private val q33Sql =
+    """SELECT event_type, day, cnt,
+      | lag(cnt, 1) OVER w AS prev_cnt,
+      | lead(cnt, 1) OVER w AS next_cnt,
+      | dense_rank() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS cnt_rank,
+      | first_value(cnt) OVER w AS first_cnt,
+      | last_value(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cnt
+      |FROM (SELECT event_type, cast(ts as date) AS day, count(*) AS cnt
+      |      FROM events GROUP BY 1,2)
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY event_type, day""".stripMargin
+
+  /** q34 — gap sessionization via gaps-and-islands (identical formulation
+    * on both engines; 2-hour gap; session end = last event + gap,
+    * matching `session_window` semantics). */
+  def sessionizeGaps(events: DataFrame): DataFrame = {
+    val gap = 7200L
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    events
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > gap, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(
+        min(col("ts_s")).as("session_start_s"),
+        (max(col("ts_s")) + gap).as("session_end_s"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "sid")
+  }
+
+  private val q34Sql =
+    s"""WITH e AS (SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS ts_s, value FROM events),
+       |s AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 7200
+       |                THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+       |SELECT user_id, cast(sid as bigint) AS sid,
+       | min(ts_s) AS session_start_s,
+       | max(ts_s) + 7200 AS session_end_s,
+       | count(*) AS n_events,
+       | ${sqlDsum("value")} AS total_value
+       |FROM s2 GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** q35 — the built-in `session_window` path (rows-only; its agreement
+    * with q34 is asserted in SessionizeSpec). */
+  def sessionWindow(events: DataFrame): DataFrame =
+    graft.streaming.Sessionize.sessionWindowRollup(events, "2 hours")
+
+  def all: Seq[Q] = Seq(
+    Q("q31_json_star_expand", (s, d) => jsonStarExpand(Tables.events(s, d)), Some(q31Sql)),
+    Q("q32_summary_stats", (s, d) => summaryStats(Tables.events(s, d)), Some(q32Sql)),
+    Q("q33_window_suite", (s, d) => windowSuite(Tables.events(s, d)), Some(q33Sql)),
+    Q("q34_sessionize_gaps", (s, d) => sessionizeGaps(Tables.events(s, d)), Some(q34Sql)),
+    Q("q35_session_window", (s, d) => sessionWindow(Tables.events(s, d)), None))
+}

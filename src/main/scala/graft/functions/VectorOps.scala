@@ -28,24 +28,18 @@ object VectorOps {
   /** HOF composition form, kept as the no-extension fallback. */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-random-hyperplane LSH bucket id in [0, 2^planes). The plane
-    * weights are pseudo-random ±1 fixed at plan-construction time (seeded
-    * PRNG → baked into the expression as literal signs), so the executor
-    * evaluates a flat codegen-able arithmetic chain — no per-row hashing
-    * of plane constants. Vectors close in cosine land in the same bucket
-    * with high probability; prunes candidate pairs from O(n²) to
-    * near-linear.
+  /** Sign-random-hyperplane LSH bucket id in [0, 2^planes), via the
+    * native graft.plans.HyperplaneBucket expression: plane signs are
+    * fixed at plan time (seeded PRNG), codegen emits a compact loop.
+    * Vectors close in cosine land in the same bucket with high
+    * probability; prunes candidate pairs from O(n²) to near-linear.
+    * Supports up to 64 dims per sign word.
     */
   def lshBucket(vecCol: String, planes: Int, dims: Int): Column = {
-    val rnd = new scala.util.Random(42)
-    val signs = Array.fill(planes, dims)(rnd.nextBoolean())
-    val planeExprs = (0 until planes).map { p =>
-      val dot = (0 until dims).map { d =>
-        val term = s"cast(element_at($vecCol, ${d + 1}) as double)"
-        if (signs(p)(d)) s"+ $term" else s"- $term"
-      }.mkString(" ")
-      s"IF((0.0d $dot) > 0, ${1 << p}, 0)"
-    }
-    expr(planeExprs.mkString("(", " + ", ")"))
+    require(dims <= 64, "one sign word per plane: dims <= 64")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.HyperplaneBucket(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+        graft.plans.HyperplaneBucket.randomSigns(planes)))
   }
 }

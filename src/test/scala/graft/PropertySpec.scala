@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.etl.{Dedup, Merge, Quality}
+import graft.operators.SurfaceQueries
+
+/** ScalaCheck properties over randomly generated event frames (SURVEY §5
+  * invariants). Kept to 10 cases per property — each case runs real Spark
+  * jobs. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSuite.session
+  import spark.implicits._
+
+  private val genEvent: Gen[(Long, Timestamp, Long, String, Double)] = for {
+    id <- Gen.choose(0L, 50L)
+    t <- Gen.choose(0L, 100000L)
+    user <- Gen.choose(0L, 5L)
+    typ <- Gen.oneOf("view", "click", "purchase", "error")
+    v <- Gen.choose(-10.0, 400.0)
+  } yield (id, new Timestamp(1704067200000L + t * 1000), user, typ, v)
+
+  private val genEvents = Gen.nonEmptyListOf(genEvent)
+
+  private def toDF(rows: List[(Long, Timestamp, Long, String, Double)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  property("dedup is idempotent and keys become unique") =
+    Prop.forAll(genEvents) { rows =>
+      val df = toDF(rows)
+      val once = Dedup.keepLatest(df, Seq("event_id"), Seq(col("ts"), col("value")))
+      val twice = Dedup.keepLatest(once, Seq("event_id"), Seq(col("ts"), col("value")))
+      val o = once.collect().toSet
+      o == twice.collect().toSet &&
+        once.groupBy("event_id").count().filter(col("count") > 1).count() == 0L
+    }
+
+  property("merge upsert: result keys = target ∪ source; source rows win") =
+    Prop.forAll(genEvents, genEvents) { (t, s) =>
+      val target = Dedup.keepLatest(toDF(t), Seq("event_id"), Seq(col("ts"), col("value")))
+      val source = Dedup.keepLatest(toDF(s), Seq("event_id"), Seq(col("ts"), col("value")))
+      val merged = Merge.upsert(target, source, Seq("event_id"))
+      val keys = merged.select("event_id").as[Long].collect().toSet
+      val expected = target.select("event_id").as[Long].collect().toSet ++
+        source.select("event_id").as[Long].collect().toSet
+      val srcRows = source.collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      val mergedRows = merged.collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      keys == expected && srcRows.forall { case (k, v) => mergedRows(k) == v }
+    }
+
+  property("quality score ∈ [0,1] and score==1 ⟺ valid") =
+    Prop.forAll(genEvents) { rows =>
+      val rules = Seq(
+        Quality.Rule("neg", col("value") < 0),
+        Quality.Rule("big", col("value") > 300))
+      val v = Quality.validate(toDF(rows), rules)
+        .select("_dq_score", "_dq_valid").collect()
+      v.forall { r =>
+        val s = r.getDouble(0)
+        s >= 0.0 && s <= 1.0 && (s == 1.0) == r.getBoolean(1)
+      }
+    }
+
+  property("gap sessionization conserves events, durations ≥ gap") =
+    Prop.forAll(genEvents) { rows =>
+      val df = toDF(rows)
+      val sessions = SurfaceQueries.sessionizeGaps(df).collect()
+      val total = sessions.map(_.getAs[Long]("n_events")).sum
+      total == rows.size &&
+        sessions.forall { s =>
+          s.getAs[Long]("session_end_s") - s.getAs[Long]("session_start_s") >= 7200L
+        }
+    }
+}

@@ -1,0 +1,28 @@
+package graft.etl
+
+import graft.SparkSuite
+
+class VersionLogSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("commit/read/history/restore/vacuum round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vlog").toString + "/t"
+    val v0 = VersionLog.commit(spark, Seq((1, "a")).toDF("id", "tag"), dir)
+    val v1 = VersionLog.commit(spark, Seq((1, "a"), (2, "b")).toDF("id", "tag"), dir)
+    val v2 = VersionLog.commit(spark, Seq((9, "z")).toDF("id", "tag"), dir)
+    assert(Seq(v0, v1, v2) === Seq(0, 1, 2))
+    assert(VersionLog.history(spark, dir) === Seq(0, 1, 2))
+
+    assert(VersionLog.read(spark, dir).count() === 1) // current = v2
+    assert(VersionLog.read(spark, dir, Some(1)).count() === 2) // time travel
+
+    VersionLog.restore(spark, dir, 1)
+    assert(VersionLog.read(spark, dir).count() === 2)
+    assert(VersionLog.currentVersion(spark, dir) === Some(1))
+
+    // vacuum keeps current and newer; drops strictly older than cur-keep+1
+    val dropped = VersionLog.vacuum(spark, dir, keep = 1)
+    assert(dropped === Seq(0))
+    assert(VersionLog.history(spark, dir) === Seq(1, 2))
+  }
+}

@@ -141,10 +141,32 @@ object SurfaceQueries {
   def sessionWindow(events: DataFrame): DataFrame =
     graft.streaming.Sessionize.sessionWindowRollup(events, "2 hours")
 
+  /** q36 — the medallion gold layer as a query: raw → bronze
+    * (validate/dedup) → gold daily user metrics with the collect_set
+    * columns (reference: delta_setup.py:366-386). */
+  def goldDailyUser(events: DataFrame): DataFrame = {
+    val (bronze, _) = graft.etl.Medallion.toBronze(events)
+    graft.etl.Medallion.toGoldDaily(bronze).orderBy("user_id", "day")
+  }
+
+  private val q36Sql =
+    s"""SELECT user_id, cast(ts as date) AS day,
+       | count(*) AS n_events,
+       | count(DISTINCT event_type) AS uniq_types,
+       | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+       | cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as bigint) AS purchases,
+       | ${sqlDsum("value")} AS total_value,
+       | ${sqlEpochS("min(ts)")} AS first_ts_s,
+       | ${sqlEpochS("max(ts)")} AS last_ts_s,
+       | count(*)*cast(0.3 as double) + count(DISTINCT event_type)*cast(0.7 as double) AS engagement_score
+       |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value >= 0
+       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_json_star_expand", (s, d) => jsonStarExpand(Tables.events(s, d)), Some(q31Sql)),
     Q("q32_summary_stats", (s, d) => summaryStats(Tables.events(s, d)), Some(q32Sql)),
     Q("q33_window_suite", (s, d) => windowSuite(Tables.events(s, d)), Some(q33Sql)),
     Q("q34_sessionize_gaps", (s, d) => sessionizeGaps(Tables.events(s, d)), Some(q34Sql)),
-    Q("q35_session_window", (s, d) => sessionWindow(Tables.events(s, d)), None))
+    Q("q35_session_window", (s, d) => sessionWindow(Tables.events(s, d)), None),
+    Q("q36_gold_daily_user", (s, d) => goldDailyUser(Tables.events(s, d)), Some(q36Sql)))
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the most recent right row with
+  * `rightTs <= leftTs` on the same key. Spark has no built-in; the naive
+  * formulation (non-equi join + max) is a BroadcastNestedLoop trap.
+  *
+  * This implementation is the scalable composition (brief preference (a)):
+  * union both sides with a side marker, then one `last_value(...,
+  * ignoreNulls)` window over (key, ts, marker) — a single hash shuffle on
+  * the key, linear in total rows, ties resolved right-before-left so a
+  * right row at exactly leftTs matches (DuckDB ASOF semantics).
+  */
+object AsOfJoin {
+
+  /** `right` must be unique per (key, tsCol) — pre-dedup if not; payload
+    * columns are taken from `valueCols`. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(tsCol), col("__side")) ++
+        left.columns.filterNot(c => c == key || c == tsCol).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val rightTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(tsCol), col("__side")) ++
+        left.columns.filterNot(c => c == key || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(leftTagged.unionByName(rightTagged)) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+}

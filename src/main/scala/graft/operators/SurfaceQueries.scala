@@ -162,11 +162,67 @@ object SurfaceQueries {
        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value >= 0
        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** q37 — as-of join: enrich every event with the value of the user's
+    * most recent signup event at-or-before it (union + ignore-nulls
+    * window — one shuffle; DuckDB's native ASOF JOIN is the oracle). */
+  def asofEnrich(events: DataFrame): DataFrame = {
+    val base = events.withColumn("ts_s", unix_timestamp(col("ts")))
+    val left = base.select("event_id", "user_id", "ts_s")
+    val right = graft.etl.Dedup.keepLatest(
+        base.filter(col("event_type") === "signup"), Seq("user_id", "ts_s"), Seq(col("event_id")))
+      .select(col("user_id"), col("ts_s"), col("value").as("signup_value"))
+    AsOfJoin.asofJoin(left, right, "user_id", "ts_s", Seq("signup_value"))
+      .withColumnRenamed("asof_signup_value", "last_signup_value")
+      .orderBy("event_id")
+  }
+
+  private val q37Sql =
+    """WITH sign AS (
+      |  SELECT user_id, ts_s, value AS signup_value FROM (
+      |    SELECT user_id, cast(floor(epoch(ts)) as bigint) AS ts_s, value,
+      |           row_number() OVER (PARTITION BY user_id, cast(floor(epoch(ts)) as bigint)
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+      |ev AS (SELECT event_id, user_id, cast(floor(epoch(ts)) as bigint) AS ts_s FROM events)
+      |SELECT ev.event_id, ev.user_id, ev.ts_s, sign.signup_value AS last_signup_value
+      |FROM ev ASOF LEFT JOIN sign
+      |  ON ev.user_id = sign.user_id AND ev.ts_s >= sign.ts_s
+      |ORDER BY ev.event_id""".stripMargin
+
+  /** q38 — interval-predicate join: lineitems shipped within 90 days of
+    * their order date — equi join on the key with a pushed range filter
+    * (never a BNLJ; the range rides on the hash join). */
+  def intervalJoin(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < date_add(col("o_orderdate"), 90))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("lines_in_window"),
+        countDistinct(col("o_orderkey")).as("orders_hit"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  private val q38Sql =
+    s"""SELECT o_orderpriority,
+       | count(*) AS lines_in_window,
+       | count(DISTINCT o_orderkey) AS orders_hit,
+       | ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders
+       |  ON l_orderkey = o_orderkey
+       | AND l_shipdate >= o_orderdate
+       | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_json_star_expand", (s, d) => jsonStarExpand(Tables.events(s, d)), Some(q31Sql)),
     Q("q32_summary_stats", (s, d) => summaryStats(Tables.events(s, d)), Some(q32Sql)),
     Q("q33_window_suite", (s, d) => windowSuite(Tables.events(s, d)), Some(q33Sql)),
     Q("q34_sessionize_gaps", (s, d) => sessionizeGaps(Tables.events(s, d)), Some(q34Sql)),
     Q("q35_session_window", (s, d) => sessionWindow(Tables.events(s, d)), None),
-    Q("q36_gold_daily_user", (s, d) => goldDailyUser(Tables.events(s, d)), Some(q36Sql)))
+    Q("q36_gold_daily_user", (s, d) => goldDailyUser(Tables.events(s, d)), Some(q36Sql)),
+    Q("q37_asof_join", (s, d) => asofEnrich(Tables.events(s, d)), Some(q37Sql)),
+    Q("q38_interval_join",
+      (s, d) => intervalJoin(Tables.lineitem(s, d), Tables.orders(s, d)), Some(q38Sql)))
 }

@@ -75,6 +75,30 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("two-hop chained streams: raw → bronze dir → windowed agg (storage-decoupled DAG)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    ev.write.parquet(s"$tmp/raw")
+
+    // hop 1: raw → bronze (projection + derived column), its sink dir is
+    // hop 2's source — the reference's Delta-hop chaining shape
+    val raw = Streams.fileStreamSource(spark, s"$tmp/raw", ev.schema, 5)
+    val bronze = raw.filter(col("event_type").isNotNull)
+      .withColumn("value_minutes", col("value") / 60.0)
+    val q1 = Streams.parquetSink(bronze, s"$tmp/bronze", s"$tmp/chk1", 100).start()
+    try q1.processAllAvailable() finally q1.stop()
+    val bronzeSchema = spark.read.parquet(s"$tmp/bronze").schema
+
+    val q2 = Streams.parquetSink(
+      Streams.userActivity5m(Streams.fileStreamSource(spark, s"$tmp/bronze", bronzeSchema, 5)),
+      s"$tmp/agg", s"$tmp/chk2", 100).start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val agg = spark.read.parquet(s"$tmp/agg")
+    assert(agg.count() > 0, "finalized windows must flow through the chained hop")
+    assert(agg.columns.contains("approx_uniq_types"))
+  }
+
   test("file-stream source → checkpointed parquet sink round-trips all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val chk = s"$tmp/chk"

@@ -23,12 +23,20 @@ object Tables {
     spark
   }
 
+  // Plan-level reuse only (no data persisted): a harness run touches the
+  // same table from dozens of queries; re-listing files and re-reading
+  // footers each time is pure fixed overhead.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    cache.getOrElseUpdate((spark, sfDir, name), {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
   }
 
   def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")

@@ -98,4 +98,30 @@ object EventGen {
       "device_id", "device_type", "platform", "subscription_tier", "country",
       "app_version", "video_id", "content_duration", "playback_position")
   }
+
+  /** Ad events with the reference's rates: every impression, ~2% CTR,
+    * ~15% skip (data_generator.py:714-733). */
+  def adEvents(spark: SparkSession, nImpressions: Long, seed: Long = 42L): DataFrame = {
+    val base = spark.range(nImpressions)
+      .withColumn("ad_id", concat(lit("ad-"), pmod(col("id"), lit(500L))))
+      .withColumn("user_id", pmod(xxhash64(lit(seed), col("id"), lit(20)), lit(10000L)))
+      .withColumn("ad_type",
+        pick(u(seed, col("id"), 21), Seq("pre_roll" -> 0.5, "mid_roll" -> 0.35, "banner" -> 0.15)))
+      .withColumn("ad_duration", when(u(seed, col("id"), 22) < 0.6, 15).otherwise(30))
+      .withColumn("event_timestamp",
+        timestamp_seconds(lit(1704067200L) +
+          pmod(xxhash64(lit(seed), col("id"), lit(23)), lit(30L * 86400))))
+      .withColumn("u_click", u(seed, col("id"), 24))
+      .withColumn("u_skip", u(seed, col("id"), 25))
+    val impressions = base.withColumn("event_type", lit("ad_impression"))
+    val clicks = base.filter(col("u_click") < 0.02).withColumn("event_type", lit("ad_click"))
+    val skips = base.filter(col("u_click") >= 0.02 && col("u_skip") < 0.15)
+      .withColumn("event_type", lit("ad_skip"))
+    val completes = base.filter(col("u_click") >= 0.02 && col("u_skip") >= 0.15)
+      .withColumn("event_type", lit("ad_complete"))
+    impressions.unionByName(clicks).unionByName(skips).unionByName(completes)
+      .withColumn("event_id", md5(concat_ws(":", lit(seed), col("id"), col("event_type"))))
+      .select("event_id", "event_type", "event_timestamp", "user_id",
+        "ad_id", "ad_type", "ad_duration")
+  }
 }

@@ -43,6 +43,19 @@ class EventGenSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("ad events follow the reference rates: every impression, ~2% CTR, ~15% skip") {
+    val ads = EventGen.adEvents(spark, 20000)
+    val counts = ads.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts("ad_impression").toDouble
+    assert(n === 20000.0)
+    val ctr = counts("ad_click") / n
+    assert(ctr > 0.01 && ctr < 0.03) // target 0.02
+    val skip = counts("ad_skip") / n
+    assert(skip > 0.12 && skip < 0.18) // target ~0.147 of all
+    assert(counts.values.sum === 40000L) // each impression has exactly one outcome
+  }
+
   test("device mix roughly follows the reference distribution") {
     val total = ev.select("session_id").distinct().count().toDouble
     val mobile = ev.filter(col("event_type") === "session_start" &&

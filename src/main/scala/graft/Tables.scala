@@ -25,13 +25,25 @@ object Tables {
 
   // Plan-level reuse only (no data persisted): a harness run touches the
   // same table from dozens of queries; re-listing files and re-reading
-  // footers each time is pure fixed overhead.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // footers each time is pure fixed overhead. Weak session keys let
+  // stopped sessions (and their cached plans) be collected instead of
+  // pinning them for the JVM lifetime. Only sane for the read-only
+  // fixture dirs — a rewritten directory would invalidate the snapshotted
+  // file index.
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    cache.getOrElseUpdate((spark, sfDir, name), {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((sfDir, name), {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (name == "events")
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

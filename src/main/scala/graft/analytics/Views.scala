@@ -27,7 +27,7 @@ object Views {
     spark.sql(sql)
   }
 
-  private def dsum(e: String) = s"cast(sum(cast(($e) as decimal(18,6))) as double)"
+  private def dsum(e: String) = graft.functions.Det.sqlDsum(e)
 
   /** V_DAILY_ACTIVE_USERS (analytics_views.sql:9-24) — A8/A10. */
   private val v01 =

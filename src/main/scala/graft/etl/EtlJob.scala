@@ -47,10 +47,13 @@ object EtlJob {
     quarantineDir.foreach(d => quarantined.write.mode(SaveMode.Append).parquet(d))
     val quality = if (extracted == 0) 1.0 else validN.toDouble / extracted
 
-    // dedup
-    val deduped = Dedup.keepLatest(
-      clean.drop("_dq_errors", "_dq_valid", "_dq_score"),
-      keys, Seq(col(watermarkCol)) ++ keys.map(col)).cache()
+    // dedup — tie-break on every non-key column so equal-watermark
+    // duplicates have a deterministic survivor (the keys themselves are
+    // constant within a window partition and break no ties)
+    val cleanCols = clean.drop("_dq_errors", "_dq_valid", "_dq_score")
+    val tieBreak = Seq(col(watermarkCol)) ++
+      cleanCols.columns.filterNot(c => keys.contains(c) || c == watermarkCol).sorted.map(col)
+    val deduped = Dedup.keepLatest(cleanCols, keys, tieBreak).cache()
     val dedupN = deduped.count()
 
     // transform + load (partition-pruned upsert)

@@ -24,7 +24,15 @@ object Maintenance {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     import org.apache.hadoop.fs.Path
-    fs.delete(new Path(dir), true)
-    fs.rename(new Path(tmp), new Path(dir))
+    // swap via rename, never delete-before-rename: a crash mid-swap
+    // leaves the data in either `dir` or `dir__old`, not gone
+    val old = new Path(dir.stripSuffix("/") + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(new Path(dir), old)
+    if (!fs.rename(new Path(tmp), new Path(dir))) {
+      fs.rename(old, new Path(dir)) // roll back
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+    }
+    fs.delete(old, true)
   }
 }

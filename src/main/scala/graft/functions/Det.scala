@@ -29,6 +29,10 @@ object Det {
     * across Spark (micros) and DuckDB (nanos). */
   def epochS(c: Column): Column = unix_timestamp(c)
 
+  /** NULL out a zero denominator — identical `nullif(x, 0)` semantics on
+    * both engines (division by zero throws under Spark ANSI mode). */
+  def nullIfZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+
   // ---- DuckDB-side equivalents, for building oracle SQL strings ----
   def sqlDsum(e: String): String = s"cast(sum(cast(($e) as decimal(18,6))) as double)"
   def sqlDavg(e: String): String = s"${sqlDsum(e)}/count($e)"

@@ -20,8 +20,6 @@ import graft.functions.Det._
   */
 object CoreQueries {
 
-  private def nullIfZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
-
   /** q01 — A10/P5: grouped pricing summary (TPC-H Q1 shape; reference
     * analog: grouped means/sums over facts, analytics_views.sql:15-18). */
   def pricingSummary(lineitem: DataFrame): DataFrame =
@@ -189,10 +187,13 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  // `wm.m IS NULL` mirrors Incremental.newRows: an empty target means no
+  // watermark and the full source flows through.
   private val q08Sql =
     s"""WITH wm AS (SELECT max(ts) AS m FROM events WHERE ts < TIMESTAMP '2024-01-15')
        |SELECT event_type, count(*) AS new_rows, ${sqlEpochS("min(ts)")} AS min_ts_s
-       |FROM events, wm WHERE events.ts > wm.m GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM events, wm WHERE events.ts > wm.m OR wm.m IS NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q09 — W1: dedup-keep-latest with deterministic tie-break
     * (reference: etl_framework.py:251-277). */

@@ -14,8 +14,6 @@ import graft.functions.Det._
   */
 object ExtendedQueries {
 
-  private def nullIfZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
-
   /** q16 — J3: left join against a filtered fact for sparse activity
     * (reference: analytics_views.sql:44-48, 344-347). */
   def leftJoinSparse(customer: DataFrame, orders: DataFrame): DataFrame = {
@@ -342,7 +340,7 @@ object ExtendedQueries {
     s"""SELECT event_type, count(*) AS n,
        | ${sqlDsum("CASE WHEN value > 150 THEN cast(0.0 as double) ELSE value END")} AS total_value,
        | max(CASE WHEN value > 150 THEN cast(0.0 as double) ELSE value END) AS max_value
-       |FROM events WHERE NOT (event_type = 'error')
+       |FROM events WHERE event_type <> 'error' OR event_type IS NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- registry ----

@@ -149,8 +149,17 @@ object SurfaceQueries {
     graft.etl.Medallion.toGoldDaily(bronze).orderBy("user_id", "day")
   }
 
+  // Oracle mirrors Medallion.toBronze exactly: the validity rules keep
+  // NULL `value` (the rule is `value < 0`, NULL-violated = false) and the
+  // bronze layer dedups by event_id before gold aggregates.
   private val q36Sql =
-    s"""SELECT user_id, cast(ts as date) AS day,
+    s"""WITH bronze AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events
+       |    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND (value >= 0 OR value IS NULL))
+       |  WHERE rn = 1)
+       |SELECT user_id, cast(ts as date) AS day,
        | count(*) AS n_events,
        | count(DISTINCT event_type) AS uniq_types,
        | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
@@ -159,8 +168,7 @@ object SurfaceQueries {
        | ${sqlEpochS("min(ts)")} AS first_ts_s,
        | ${sqlEpochS("max(ts)")} AS last_ts_s,
        | count(*)*cast(0.3 as double) + count(DISTINCT event_type)*cast(0.7 as double) AS engagement_score
-       |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value >= 0
-       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+       |FROM bronze GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
   /** q37 — as-of join: enrich every event with the value of the user's
     * most recent signup event at-or-before it (union + ignore-nulls

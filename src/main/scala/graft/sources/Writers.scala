@@ -27,4 +27,16 @@ object Writers {
     Ingest.withPartitionCols(df, tsCol)
       .write.mode(SaveMode.Overwrite).option("header", "true")
       .partitionBy("year", "month", "day").csv(path)
+
+  /** Bucketed+sorted managed table: two tables bucketed on the same join
+    * key join with NO exchange and no sort — the co-located join that
+    * makes repeated fact⋈fact joins affordable at 100 TB (pay the shuffle
+    * once at write time, reuse it every query). */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

@@ -41,6 +41,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import spark.implicits._
+    graft.sources.Writers.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "b_lineitem", "l_orderkey", 8)
+    graft.sources.Writers.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8)
+    // force the shuffle-join path (a broadcast would hide bucketing on
+    // these tiny fixtures) — the point is that bucketing removes the
+    // hash-partition exchanges a fact⋈fact SMJ would otherwise need
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      joined.collect()
+      val p = plan(joined)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected bucketed SMJ:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

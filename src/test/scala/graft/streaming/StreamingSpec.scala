@@ -53,6 +53,28 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("content popularity stream aggregates 10-minute windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = Streams.contentPopularity10m(events)
+      .writeStream.format("memory").queryName("cp10m").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:01:00"), 1L, "view", 10.0),
+        (2L, ts("2024-01-01 10:05:00"), 2L, "view", 30.0),
+        (3L, ts("2024-01-01 10:07:00"), 1L, "purchase", 99.0),
+        (4L, ts("2024-01-01 10:45:00"), 3L, "view", 1.0)) // watermark push
+      query.processAllAvailable()
+      val rows = spark.table("cp10m")
+        .filter($"window_start" === ts("2024-01-01 10:00:00")).collect()
+      val view = rows.find(_.getAs[String]("event_type") == "view").get
+      assert(view.getAs[Long]("n_events") === 2)
+      assert(view.getAs[Double]("max_value") === 30.0)
+      assert(view.getAs[Long]("approx_uniq_users") === 2)
+    } finally query.stop()
+  }
+
   test("anomaly stream classifies and filters non-normal windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]

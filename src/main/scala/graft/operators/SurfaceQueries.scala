@@ -223,6 +223,31 @@ object SurfaceQueries {
        | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q39 — mergeable HLL sketch rollup (SURVEY §7.4's "mergeable
+    * persisted sketches"): per-day DataSketches HLL of users, unioned
+    * into the period-wide distinct estimate. This is the architecture
+    * for incremental distinct counts at 100 TB — a gold table stores the
+    * per-day sketch column and any date range's DAU is a cheap
+    * `hll_union_agg` over already-aggregated rows, never a rescan of the
+    * fact table. Approximate ⇒ rows-only check; the ≤5% error bound is
+    * asserted in SketchSpec. */
+  def hllRollup(events: DataFrame): DataFrame = {
+    val daily = events.withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .agg(
+        hll_sketch_agg(col("user_id")).as("sketch"),
+        countDistinct(col("user_id")).as("exact_dau"))
+    val dailyOut = daily.select(
+      col("day"), hll_sketch_estimate(col("sketch")).as("approx_dau"), col("exact_dau"))
+    val totalApprox = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_dau"))
+    val totalExact = events.agg(countDistinct(col("user_id")).as("exact_dau"))
+    val total = totalApprox.crossJoin(totalExact)
+      .withColumn("day", lit(null).cast("date"))
+      .select("day", "approx_dau", "exact_dau")
+    dailyOut.unionByName(total).orderBy(col("day").asc_nulls_last)
+  }
+
   def all: Seq[Q] = Seq(
     Q("q31_json_star_expand", (s, d) => jsonStarExpand(Tables.events(s, d)), Some(q31Sql)),
     Q("q32_summary_stats", (s, d) => summaryStats(Tables.events(s, d)), Some(q32Sql)),
@@ -232,5 +257,6 @@ object SurfaceQueries {
     Q("q36_gold_daily_user", (s, d) => goldDailyUser(Tables.events(s, d)), Some(q36Sql)),
     Q("q37_asof_join", (s, d) => asofEnrich(Tables.events(s, d)), Some(q37Sql)),
     Q("q38_interval_join",
-      (s, d) => intervalJoin(Tables.lineitem(s, d), Tables.orders(s, d)), Some(q38Sql)))
+      (s, d) => intervalJoin(Tables.lineitem(s, d), Tables.orders(s, d)), Some(q38Sql)),
+    Q("q39_hll_sketch_rollup", (s, d) => hllRollup(Tables.events(s, d)), None))
 }

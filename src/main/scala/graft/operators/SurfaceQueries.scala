@@ -248,6 +248,39 @@ object SurfaceQueries {
     dailyOut.unionByName(total).orderBy(col("day").asc_nulls_last)
   }
 
+  /** q40 — ROLLUP subtotals (beyond the reference, standard BI surface).
+    * Null-ordering is pinned explicitly: Spark defaults NULLS FIRST,
+    * DuckDB NULLS LAST. */
+  def rollupTotals(lineitem: DataFrame): DataFrame =
+    lineitem.rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q40Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${sqlDsum("l_extendedprice")} AS revenue, count(*) AS n
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  /** q41 — pivot: event counts per day spread into one column per type
+    * (`na.fill(0)` matches the oracle's CASE-sum zeros). */
+  def pivotCounts(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events.withColumn("day", to_date(col("ts")))
+      .groupBy("day").pivot("event_type", types).count()
+      .na.fill(0, types)
+      .orderBy("day")
+  }
+
+  private val q41Sql =
+    """SELECT cast(ts as date) AS day,
+      | cast(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) as bigint) AS click,
+      | cast(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) as bigint) AS error,
+      | cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) as bigint) AS purchase,
+      | cast(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) as bigint) AS signup,
+      | cast(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) as bigint) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_json_star_expand", (s, d) => jsonStarExpand(Tables.events(s, d)), Some(q31Sql)),
     Q("q32_summary_stats", (s, d) => summaryStats(Tables.events(s, d)), Some(q32Sql)),
@@ -258,5 +291,7 @@ object SurfaceQueries {
     Q("q37_asof_join", (s, d) => asofEnrich(Tables.events(s, d)), Some(q37Sql)),
     Q("q38_interval_join",
       (s, d) => intervalJoin(Tables.lineitem(s, d), Tables.orders(s, d)), Some(q38Sql)),
-    Q("q39_hll_sketch_rollup", (s, d) => hllRollup(Tables.events(s, d)), None))
+    Q("q39_hll_sketch_rollup", (s, d) => hllRollup(Tables.events(s, d)), None),
+    Q("q40_rollup_totals", (s, d) => rollupTotals(Tables.lineitem(s, d)), Some(q40Sql)),
+    Q("q41_pivot_counts", (s, d) => pivotCounts(Tables.events(s, d)), Some(q41Sql)))
 }

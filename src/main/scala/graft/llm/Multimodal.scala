@@ -68,7 +68,9 @@ object Multimodal {
   }
 
   /** l14 — metadata + first-bytes feature extraction, column-expression
-    * form (oracle-checkable: hex of the leading payload bytes). */
+    * form (oracle-checkable: hex of the leading payload BYTES — the
+    * oracle slices the hex string, not the text, so multibyte UTF-8
+    * documents stay byte-identical with Spark's binary substring). */
   def mediaMeta(documents: DataFrame): DataFrame =
     packMedia(documents)
       .withColumn("feature_hex", hex(substring(col("media"), 1, 16)))
@@ -82,7 +84,7 @@ object Multimodal {
       |      WHEN source IN ('src6','src7','src8','src9','src10','src11','src12') THEN 'audio/wav'
       |      ELSE 'video/mp4' END AS mime,
       | cast(strlen(text) as bigint) AS media_bytes,
-      | hex(substr(text, 1, 16)) AS feature_hex,
+      | substr(hex(text), 1, 32) AS feature_hex,
       | cast(ceil(strlen(text)/cast(1024.0 as double)) as bigint) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 

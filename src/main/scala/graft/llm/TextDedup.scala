@@ -54,7 +54,8 @@ object TextDedup {
     * signature slot — measured 10×+ slower at sf0.1. The explode adds one
     * shuffle keyed by doc_id, which is also what distributes per-doc work
     * evenly at 100 TB. */
-  private def withSignatures(documents: DataFrame): DataFrame = {
+  private def withSignatures(documents: DataFrame,
+                             keepShingles: Boolean = false): DataFrame = {
     val shingled = documents
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
@@ -64,7 +65,10 @@ object TextDedup {
           |  i -> xxhash64(element_at(tokens_h, i+1), element_at(tokens_h, i+2), element_at(tokens_h, i+3))))""".stripMargin))
         .as("sh"))
     val minCols = (0 until NumHashes).map(i => min(expr(s"xxhash64($i, sh)")).as(s"mh_$i"))
-    val aggCols = collect_set(col("sh")).as("shingles") +: minCols
+    // collect_set of full shingle sets is the dominant aggregation-state
+    // cost at scale — only the exact-Jaccard verify needs it
+    val aggCols =
+      if (keepShingles) collect_set(col("sh")).as("shingles") +: minCols else minCols
     shingled.groupBy("doc_id")
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
@@ -134,7 +138,7 @@ object TextDedup {
 
   /** Exact n-gram Jaccard, verified only on LSH candidate pairs. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val sigs = withSignatures(documents)
+    val sigs = withSignatures(documents, keepShingles = true)
     val shingleSets = sigs.select(col("doc_id"), col("shingles"))
     lshCandidates(sigs)
       .select("id_a", "id_b")

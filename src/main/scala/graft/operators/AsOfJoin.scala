@@ -17,28 +17,35 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** `right` must be unique per (key, tsCol) — pre-dedup if not; payload
-    * columns are taken from `valueCols`. */
+    * columns are taken from `valueCols`.
+    *
+    * The payloads travel as ONE struct (null for left rows, non-null —
+    * even when its fields are null — for right rows), and a single
+    * `last(..., ignoreNulls)` picks the latest right ROW as a unit. A
+    * per-column fill would let a NULL field in the matched right row leak
+    * an older row's value, or stitch fields from different rows. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val leftTagged = left
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col(tsCol), col("__side")) ++
-        left.columns.filterNot(c => c == key || c == tsCol).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+        left.columns.filterNot(c => c == key || c == tsCol).map(col) :+
+        lit(null).cast(payloadType).as("__rv"): _*)
     val rightTagged = right
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col(tsCol), col("__side")) ++
         left.columns.filterNot(c => c == key || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__rv"): _*)
 
     val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(leftTagged.unionByName(rightTagged)) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(left.columns.map(col) ++
-        valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+        valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

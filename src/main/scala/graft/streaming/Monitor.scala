@@ -15,13 +15,22 @@ final class Monitor extends StreamingQueryListener {
   final case class QueryHealth(
       name: String, batches: Long, totalInputRows: Long,
       lastInputRowsPerSec: Double, lastBatchMs: Long, terminated: Boolean,
-      error: Option[String])
+      error: Option[String], restarts: Int = 0)
 
   private val state = new ConcurrentHashMap[java.util.UUID, QueryHealth]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    state.put(event.id, QueryHealth(
-      Option(event.name).getOrElse(event.id.toString), 0, 0, 0.0, 0, terminated = false, None))
+    state.compute(event.id, (_, prev) => {
+      val fresh = QueryHealth(
+        Option(event.name).getOrElse(event.id.toString),
+        0, 0, 0.0, 0, terminated = false, None)
+      // a restart (same checkpointed query id) must not erase the crash
+      // record: carry the error forward until healthy progress clears it
+      Option(prev) match {
+        case Some(p) => fresh.copy(error = p.error, restarts = p.restarts + 1)
+        case None    => fresh
+      }
+    })
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
@@ -32,7 +41,8 @@ final class Monitor extends StreamingQueryListener {
         batches = prev.batches + 1,
         totalInputRows = prev.totalInputRows + p.numInputRows,
         lastInputRowsPerSec = p.inputRowsPerSecond,
-        lastBatchMs = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        lastBatchMs = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+        error = None) // healthy progress clears a carried-over crash record
     })
   }
 
@@ -43,7 +53,8 @@ final class Monitor extends StreamingQueryListener {
   def health: Seq[QueryHealth] =
     scala.jdk.CollectionConverters.CollectionHasAsScala(state.values).asScala.toSeq
 
-  /** Names of queries that died with an error — the reference's
+  /** Health rows of queries whose latest run died with an error (a
+    * restart keeps the record until healthy progress) — the reference's
     * drop-failed-queries signal (real_time_streaming.py:505-510). */
   def failed: Seq[QueryHealth] = health.filter(_.error.isDefined)
 }

@@ -19,9 +19,13 @@ import graft.functions.Det._
 object Sessionize {
 
   /** Built-in session windows: a session extends while events arrive
-    * within `gap` of the previous one; window end = last event + gap. */
-  def sessionWindowRollup(events: DataFrame, gap: String = "2 hours"): DataFrame =
-    events
+    * within `gap` of the previous one; window end = last event + gap.
+    * Streaming inputs get a watermark (required for append-mode session
+    * aggregation) and skip the global sort (unsupported on streams). */
+  def sessionWindowRollup(events: DataFrame, gap: String = "2 hours",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val agg = src
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -31,7 +35,8 @@ object Sessionize {
         unix_timestamp(col("session_window.start")).as("session_start_s"),
         unix_timestamp(col("session_window.end")).as("session_end_s"),
         col("n_events"), col("total_value"))
-      .orderBy("user_id", "session_start_s")
+    if (events.isStreaming) agg else agg.orderBy("user_id", "session_start_s")
+  }
 
   final case class SessionEvent(
       event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
@@ -66,12 +71,22 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
+                // within the gap of either edge: extend (a cross-batch
+                // straggler just before the open start widens it backward)
+                case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
+                  open = Some(s.copy(
+                    startMs = math.min(s.startMs, t),
+                    endMs = math.max(s.endMs, t), n = s.n + 1,
                     totalValue = s.totalValue + e.value))
-                case Some(s) =>
+                // after end + gap: close the open session, start a new one
+                case Some(s) if t - s.endMs > gapMs =>
                   closed += toRow(uid, s)
                   open = Some(OpenSession(t, t, 1, e.value))
+                // more than a gap BEFORE the open start: an out-of-order
+                // straggler — emit as its own singleton session rather
+                // than corrupting the open session's bounds
+                case Some(_) =>
+                  closed += toRow(uid, OpenSession(t, t, 1, e.value))
                 case None =>
                   open = Some(OpenSession(t, t, 1, e.value))
               }

@@ -75,6 +75,41 @@ class SessionizeSpec extends SparkSuite {
     }
   }
 
+  test("asof join: NULL payload in the matched right row stays NULL (no older-row leak)") {
+    val left = Seq((1L, 250L, "e1")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, Some(5.0)), (1L, 200L, None)).toDF("k", "t", "v")
+    val out = graft.operators.AsOfJoin.asofJoin(left, right, "k", "t", Seq("v")).head()
+    assert(out.isNullAt(out.fieldIndex("asof_v")),
+      "the ts=200 match has v=NULL; ignoreNulls must not surface ts=100's value")
+  }
+
+  test("cosine_sim of a zero vector is 0, not NaN (would flood top-k)") {
+    val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+      .withColumn("c", graft.functions.VectorOps.cosine($"a", $"b"))
+    assert(df.select("c").head().getDouble(0) === 0.0)
+  }
+
+  test("sessionize: a straggler older than the open session emits as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.SessionEvent]
+    val out = Sessionize.sessionize(spark, input.toDS(), gapMs = 60 * 1000L,
+      watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("straggler")
+      .outputMode("append").start()
+    try {
+      input.addData(Sessionize.SessionEvent(1, ts("2024-01-01 10:10:00"), 1, "view", 1.0))
+      query.processAllAvailable()
+      // 8 minutes earlier, inside the watermark: must NOT merge into the
+      // 10:10 session (gap is 1 minute)
+      input.addData(Sessionize.SessionEvent(2, ts("2024-01-01 10:02:00"), 1, "view", 2.0))
+      query.processAllAvailable()
+      val rows = spark.table("straggler").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Timestamp]("session_start") === ts("2024-01-01 10:02:00"))
+      assert(rows.head.getAs[Int]("n_events") === 1)
+    } finally query.stop()
+  }
+
   test("cosine_sim registers into a fresh session and resolves from SQL") {
     // spark.sql.extensions is a static conf (can't apply to an existing
     // context), so the in-process test covers the runtime-registration

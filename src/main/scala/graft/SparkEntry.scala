@@ -13,6 +13,7 @@ object SparkEntry {
       llm.TextDedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++
+      llm.Sampling.all ++
       llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deterministic dataset splitting and downsampling for training-data
+  * pipelines. Split assignment is a pure function of the row key (md5 →
+  * bucket 0..99), so it is reproducible across runs, engines, cluster
+  * layouts, and data re-partitioning — the property `df.sample()` (seeded
+  * per-partition RNG) does NOT have, and the reason every serious corpus
+  * pipeline splits by content hash instead.
+  */
+object Sampling {
+
+  /** Hash bucket in [0,100) from the md5 of a key column; `offset` picks
+    * an independent 8-hex-digit window so multiple independent buckets
+    * can be derived from one digest. */
+  def hashBucket(key: Column, offset: Int = 1): Column =
+    expr(s"cast(conv(substring(md5(cast(${key.toString} as string)), $offset, 8), 16, 10) as bigint) % 100")
+
+  def withSplit(df: DataFrame, keyCol: String,
+                trainPct: Int = 80, valPct: Int = 15): DataFrame =
+    df.withColumn("bucket", hashBucket(col(keyCol)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "validation")
+          .otherwise("test"))
+
+  /** l16 — split + independent 10% downsample, rolled up per (split,
+    * lang). Oracle-exact: DuckDB derives identical buckets via
+    * `('0x' || substr(md5(..)))::BIGINT`. */
+  def datasetSplit(documents: DataFrame): DataFrame =
+    withSplit(documents, "doc_id")
+      .withColumn("bucket2", hashBucket(col("doc_id"), offset = 9))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("bucket2") < 10, 1).otherwise(0)).as("sampled_docs"))
+      .orderBy("split", "lang")
+
+  private val l16Sql =
+    """SELECT split, lang, count(*) AS docs,
+      | cast(sum(n_chars) as bigint) AS total_chars,
+      | cast(sum(CASE WHEN bucket2 < 10 THEN 1 ELSE 0 END) as bigint) AS sampled_docs
+      |FROM (SELECT lang, n_chars,
+      |        CASE WHEN bucket < 80 THEN 'train'
+      |             WHEN bucket < 95 THEN 'validation'
+      |             ELSE 'test' END AS split,
+      |        bucket2
+      |      FROM (SELECT lang, n_chars,
+      |              CAST(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8)) AS BIGINT) % 100 AS bucket,
+      |              CAST(('0x' || substr(md5(cast(doc_id as varchar)), 9, 8)) AS BIGINT) % 100 AS bucket2
+      |            FROM documents))
+      |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("l16_dataset_split", (s, d) => datasetSplit(Tables.documents(s, d)), Some(l16Sql)))
+}

@@ -70,6 +70,15 @@ class LlmSpec extends SparkSuite {
     assert(top.map(_.getAs[Int]("nn_rank")).toSeq === Seq(1, 2, 3))
   }
 
+  test("dataset split is a pure function of the key: repartitioning never moves a row") {
+    val base = Sampling.withSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val repart = Sampling.withSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(base === repart)
+    assert(base.values.toSet.subsetOf(Set("train", "validation", "test")))
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

@@ -152,9 +152,36 @@ object TextDedup {
       .limit(100)
   }
 
+  /** Near-dup REMOVAL (the pipeline step after detection): drop every doc
+    * that has a candidate near-dup with a smaller doc_id (est. Jaccard ≥
+    * threshold), keeping one representative per dup pair chain. One
+    * anti-join against the candidate pairs — no transitive closure pass,
+    * which matches the greedy keep-first policy common in corpus dedup. */
+  def dedupFilter(documents: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val toDrop = lshCandidates(withSignatures(documents))
+      .withColumn("est_jaccard",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_b").as("doc_id")).distinct()
+    documents.join(toDrop, Seq("doc_id"), "left_anti")
+  }
+
+  /** l17 — dedup-filter rollup: per-lang kept/removed counts. */
+  def dedupFilterStats(documents: DataFrame): DataFrame = {
+    val kept = dedupFilter(documents)
+      .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
+    val total = documents.groupBy("lang").agg(count(lit(1)).as("total_docs"))
+    total.join(kept, Seq("lang"), "left_outer")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("removed_docs", col("total_docs") - col("kept_docs"))
+      .orderBy("lang")
+  }
+
   def all: Seq[Q] = Seq(
     Q("l01_dedup_exact", (s, d) => exactDedupStats(Tables.documents(s, d)), Some(l01Sql)),
     Q("l02_dedup_minhash_lsh", (s, d) => minhashNearDup(Tables.documents(s, d)), None),
     Q("l03_dedup_simhash", (s, d) => simhashNearDup(Tables.documents(s, d)), None),
-    Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), None))
+    Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), None),
+    Q("l17_dedup_filter", (s, d) => dedupFilterStats(Tables.documents(s, d)), None))
 }

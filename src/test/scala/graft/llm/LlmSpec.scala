@@ -70,6 +70,15 @@ class LlmSpec extends SparkSuite {
     assert(top.map(_.getAs[Int]("nn_rank")).toSeq === Seq(1, 2, 3))
   }
 
+  test("dedup filter keeps one representative per near-dup pair") {
+    val kept = TextDedup.dedupFilter(docs, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L), "lowest id of the dup chain survives")
+    assert(!kept.contains(4L), "exact dup of doc 1 is removed")
+    assert(!kept.contains(2L), "near-dup of doc 1 (jaccard 0.75 est) is removed")
+    assert(kept.contains(3L), "unrelated doc survives")
+  }
+
   test("dataset split is a pure function of the key: repartitioning never moves a row") {
     val base = Sampling.withSplit(docs, "doc_id")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

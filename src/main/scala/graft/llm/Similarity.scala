@@ -105,9 +105,31 @@ object Similarity {
       .orderBy("probe_id", "nn_rank")
   }
 
+  /** l18 — per-label centroid vectors via dimension explosion: the
+    * vector-aggregation primitive behind IVF coarse-quantizer training
+    * (posexplode → groupBy(label, dim) → decimal-exact mean). One shuffle
+    * keyed by (label, dim); linear in n×dims; oracle-exact. */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    import graft.functions.Det._
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(col("v")).as("n"), davg(col("v").cast("double")).as("centroid_v"))
+      .orderBy("label", "dim")
+  }
+
+  private val l18Sql = {
+    val dsumV = "cast(sum(cast((cast(v as double)) as decimal(18,6))) as double)"
+    s"""SELECT label, cast(ord - 1 as int) AS dim, count(v) AS n, $dsumV/count(v) AS centroid_v
+       |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
+       |      FROM embeddings)
+       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("l05_embed_neardup", (s, d) => lshNearDup(Tables.embeddings(s, d)), None),
     Q("l06_cosine_pairs", (s, d) => cosinePairs(Tables.embeddings(s, d)), Some(l06Sql)),
     Q("l07_ann_brute_topk", (s, d) => bruteTopK(Tables.embeddings(s, d)), None),
-    Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), None))
+    Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), None),
+    Q("l18_label_centroids", (s, d) => labelCentroids(Tables.embeddings(s, d)), Some(l18Sql)))
 }

@@ -83,6 +83,15 @@ object Streams {
         col("window.start").as("window_start"),
         col("user_id"), col("n_events"), col("n_errors"), col("anomaly_type"))
 
+  /** Streaming exactly-once-per-key dedup: `dropDuplicates` with a
+    * watermark bounds the dedup state to the watermark horizon — the
+    * scale-correct ingest guard (unbounded streaming dedup state is a
+    * slow OOM; the reference dedups only in batch, etl_framework.py:251).
+    * Key should include the event-time column so state expires. */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String = "ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+
   /** S5 — checkpointed append parquet sink, time-partitioned
     * (reference: real_time_streaming.py:203-211). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,

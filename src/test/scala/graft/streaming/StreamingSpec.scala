@@ -97,6 +97,28 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.dedupStream(events, "event_id")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // same ids again in a later batch → dropped by streaming state
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (3L, ts("2024-01-01 10:02:00"), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").collect().map(_.getLong(0))
+      assert(ids.length === ids.distinct.length)
+      assert(ids.toSet === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("two-hop chained streams: raw → bronze dir → windowed agg (storage-decoupled DAG)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_chain").toString
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")

@@ -126,10 +126,31 @@ object Similarity {
        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   }
 
+  /** l19 — unit-normalization + int8 quantization of embedding vectors
+    * (the storage/serving transform for ANN indexes: 4× smaller than
+    * float32, dot products stay rank-faithful after normalization).
+    * Summary per label; rows-only — the L2≈1 invariant is asserted in
+    * LlmSpec. */
+  def normalizeQuantize(embeddings: DataFrame): DataFrame = {
+    import graft.functions.Det._
+    val normed = embeddings
+      .withColumn("norm", VectorOps.norm(col("embedding")))
+      .withColumn("unit", expr("transform(embedding, x -> cast(x as double) / norm)"))
+      .withColumn("q8", expr("transform(unit, x -> cast(round(x * 127.0) as int))"))
+    normed.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        davg(col("norm")).as("avg_norm"),
+        max(expr("array_max(q8)")).as("max_q8"),
+        min(expr("array_min(q8)")).as("min_q8"))
+      .orderBy("label")
+  }
+
   def all: Seq[Q] = Seq(
     Q("l05_embed_neardup", (s, d) => lshNearDup(Tables.embeddings(s, d)), None),
     Q("l06_cosine_pairs", (s, d) => cosinePairs(Tables.embeddings(s, d)), Some(l06Sql)),
     Q("l07_ann_brute_topk", (s, d) => bruteTopK(Tables.embeddings(s, d)), None),
     Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), None),
-    Q("l18_label_centroids", (s, d) => labelCentroids(Tables.embeddings(s, d)), Some(l18Sql)))
+    Q("l18_label_centroids", (s, d) => labelCentroids(Tables.embeddings(s, d)), Some(l18Sql)),
+    Q("l19_normalize_quantize", (s, d) => normalizeQuantize(Tables.embeddings(s, d)), None))
 }

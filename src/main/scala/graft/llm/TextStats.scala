@@ -120,10 +120,58 @@ object TextStats {
       | list_min([md5(substr(text, i, 8)) for i in range(1, greatest(len(text)-7, 1)+1)]) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** l20 — scrub pipeline (PII/stopword-removal shape): regexp-deletion
+    * passes with per-language removed-character accounting. */
+  def scrubStats(documents: DataFrame): DataFrame = {
+    val scrubbed = expr(
+      """regexp_replace(regexp_replace(regexp_replace(text,
+        | '[a-z0-9.]+@[a-z0-9.]+', ''),
+        | 'https?://[^ ]+', ''),
+        | '\\bthe\\b', '')""".stripMargin.replace("\n", ""))
+    documents
+      .withColumn("removed_chars", length(col("text")) - length(scrubbed))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("removed_chars")).as("total_removed"),
+        sum(when(col("removed_chars") > 0, 1).otherwise(0)).as("docs_touched"))
+      .orderBy("lang")
+  }
+
+  private val l20Sql =
+    """SELECT lang, count(*) AS docs,
+      | cast(sum(removed_chars) as bigint) AS total_removed,
+      | cast(sum(CASE WHEN removed_chars > 0 THEN 1 ELSE 0 END) as bigint) AS docs_touched
+      |FROM (SELECT lang,
+      |        len(text) - len(regexp_replace(regexp_replace(regexp_replace(text,
+      |          '[a-z0-9.]+@[a-z0-9.]+', '', 'g'),
+      |          'https?://[^ ]+', '', 'g'),
+      |          '\bthe\b', '', 'g')) AS removed_chars
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** l21 — corpus vocabulary: global top-20 terms by frequency
+    * (explode → count; ties broken by term for a total order). */
+  def topTerms(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(20)
+
+  private val l21Sql =
+    """SELECT term, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |WHERE term <> ''
+      |GROUP BY 1 ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
     Q("l11_token_count", (s, d) => tokenCount(Tables.documents(s, d)), Some(l11Sql)),
     Q("l12_quality_score", (s, d) => qualityScore(Tables.documents(s, d)), Some(l12Sql)),
-    Q("l13_fingerprint", (s, d) => fingerprint(Tables.documents(s, d)), Some(l13Sql)))
+    Q("l13_fingerprint", (s, d) => fingerprint(Tables.documents(s, d)), Some(l13Sql)),
+    Q("l20_scrub_stats", (s, d) => scrubStats(Tables.documents(s, d)), Some(l20Sql)),
+    Q("l21_top_terms", (s, d) => topTerms(Tables.documents(s, d)), Some(l21Sql)))
 }

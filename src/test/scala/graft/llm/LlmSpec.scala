@@ -70,6 +70,19 @@ class LlmSpec extends SparkSuite {
     assert(top.map(_.getAs[Int]("nn_rank")).toSeq === Seq(1, 2, 3))
   }
 
+  test("normalization yields unit vectors; int8 quantization stays in [-127,127]") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("norm", graft.functions.VectorOps.norm(col("embedding")))
+      .withColumn("unit", expr("transform(embedding, x -> cast(x as double) / norm)"))
+      .withColumn("unit_norm", expr(
+        "sqrt(aggregate(transform(unit, x -> x * x), cast(0.0 as double), (a, v) -> a + v))"))
+      .withColumn("q8max", expr("array_max(transform(unit, x -> cast(round(x * 127.0) as int)))"))
+    emb.select("unit_norm", "q8max").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(r.getInt(1) <= 127)
+    }
+  }
+
   test("dedup filter keeps one representative per near-dup pair") {
     val kept = TextDedup.dedupFilter(docs, minJaccard = 0.5)
       .select("doc_id").as[Long].collect().toSet

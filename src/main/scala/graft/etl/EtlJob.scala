@@ -29,22 +29,26 @@ object EtlJob {
       partitionCol: String,
       quarantineDir: Option[String] = None): Metrics = {
 
-    // extract (incremental, pushdown-friendly watermark filter)
-    val targetExists = try {
-      spark.read.parquet(targetDir); true
-    } catch { case _: Exception => false }
+    // extract (incremental, pushdown-friendly watermark filter). Probe
+    // existence via the filesystem — a try/catch around the read would
+    // misread a transient storage error as "no target" and silently
+    // disable incremental filtering for the run.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
+    val targetExists = fs.exists(new org.apache.hadoop.fs.Path(targetDir))
     val fresh =
       if (targetExists) Incremental.newRows(source, spark.read.parquet(targetDir), watermarkCol)
       else source
     val freshC = fresh.cache()
     val extracted = freshC.count()
 
-    // validate + quarantine
+    // validate + quarantine (the quarantine WRITE happens after a
+    // successful load — the watermark only advances on success, so
+    // writing earlier would duplicate quarantine rows on every retry)
     val validated = Quality.validate(freshC, rules).cache()
     val (clean, quarantined) = Quality.quarantine(validated)
     val validN = clean.count()
     val quarN = quarantined.count()
-    quarantineDir.foreach(d => quarantined.write.mode(SaveMode.Append).parquet(d))
     val quality = if (extracted == 0) 1.0 else validN.toDouble / extracted
 
     // dedup — tie-break on every non-key column so equal-watermark
@@ -56,15 +60,17 @@ object EtlJob {
     val deduped = Dedup.keepLatest(cleanCols, keys, tieBreak).cache()
     val dedupN = deduped.count()
 
-    // transform + load (partition-pruned upsert)
-    val out = transform(deduped)
+    // transform + load (partition-pruned upsert); count from the cached
+    // frame so the transform runs once, not once per action
+    val out = transform(deduped).cache()
+    val loaded = out.count()
     if (targetExists)
       Merge.upsertIntoParquet(spark, targetDir, out, keys, partitionCol)
     else
       out.write.partitionBy(partitionCol).parquet(targetDir)
-    val loaded = out.count()
+    quarantineDir.foreach(d => quarantined.write.mode(SaveMode.Append).parquet(d))
 
-    freshC.unpersist(); validated.unpersist(); deduped.unpersist()
+    freshC.unpersist(); validated.unpersist(); deduped.unpersist(); out.unpersist()
     Metrics(extracted, validN, quarN, dedupN, loaded, quality)
   }
 }

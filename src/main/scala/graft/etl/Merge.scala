@@ -35,8 +35,15 @@ object Merge {
     }
 
   /** MERGE into a partitioned parquet table directory, rewriting only the
-    * partitions present in `source`. `partitionCol` must be a column of
-    * both sides (e.g. a derived `day`). */
+    * partitions the merge touches. `partitionCol` must be a column of
+    * both sides (e.g. a derived `day`).
+    *
+    * "Touched" = partitions the source writes into PLUS partitions where
+    * a matched target row currently lives — a key whose partition value
+    * changed (a corrected event date) must have its old row rewritten out
+    * or the table would hold the key twice. Null partition values join
+    * null-safely so existing null-partition rows merge instead of being
+    * dropped by the swap. */
   def upsertIntoParquet(
       spark: SparkSession,
       targetDir: String,
@@ -44,9 +51,15 @@ object Merge {
       keys: Seq[String],
       partitionCol: String): Unit = {
     val target = spark.read.parquet(targetDir)
-    val touched = source.select(partitionCol).distinct()
-    // Only read+rewrite affected partitions; untouched partitions keep their files.
-    val affected = target.join(broadcast(touched), Seq(partitionCol), "left_semi")
+    val sourceParts = source.select(partitionCol).distinct()
+    val movedParts = target
+      .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select(partitionCol).distinct()
+    val touched = sourceParts.union(movedParts).distinct()
+    // Only read+rewrite affected partitions; untouched partitions keep
+    // their files. Null-safe equality keeps null-partition rows in scope.
+    val affected = target.join(broadcast(touched.withColumnRenamed(partitionCol, "__p")),
+      target(partitionCol) <=> col("__p"), "left_semi")
     val merged = upsert(affected, source, keys)
     val staging = targetDir.stripSuffix("/") + "__staging"
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)

@@ -66,6 +66,28 @@ object VersionLog {
     setPointer(spark, dir, version)
   }
 
+  /** Change feed between two snapshots (Delta CDF analog,
+    * delta_setup.py:461-467 enables CDF): full-row diff via exceptAll —
+    * rows only in `to` are inserts, rows only in `from` are deletes; an
+    * update surfaces as one of each. Distributed set difference, one
+    * shuffle per side. */
+  def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
+    val hist = history(spark, dir)
+    require(hist.contains(fromV) && hist.contains(toV),
+      s"unknown versions $fromV/$toV (have: ${hist.mkString(",")})")
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV (labels would invert)")
+    val before = read(spark, dir, Some(fromV))
+    val after = read(spark, dir, Some(toV))
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"snapshot schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    // align by NAME before the positional exceptAll — a reordered commit
+    // would otherwise diff same-typed columns positionally and emit garbage
+    val beforeAligned = before.select(after.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    import org.apache.spark.sql.functions.lit
+    after.exceptAll(beforeAligned).withColumn("_change_type", lit("insert"))
+      .unionByName(beforeAligned.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** Drop snapshots older than the current pointer minus `keep`. */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Seq[Int] = {
     val f = fs(spark, dir)

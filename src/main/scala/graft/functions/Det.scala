@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * through decimals.
   */
 object Det {
-  private val Acc = DecimalType(18, 6)
+  // 32 integer digits of headroom: a per-row cast that overflowed would
+  // error under ANSI mode (or silently null out a value otherwise) —
+  // (38,6) keeps any realistic column magnitude exact.
+  private val Acc = DecimalType(38, 6)
 
   /** Order-independent SUM over a double column (exact decimal accumulate). */
   def dsum(c: Column): Column = sum(c.cast(Acc)).cast(DoubleType)
@@ -34,7 +37,7 @@ object Det {
   def nullIfZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
 
   // ---- DuckDB-side equivalents, for building oracle SQL strings ----
-  def sqlDsum(e: String): String = s"cast(sum(cast(($e) as decimal(18,6))) as double)"
+  def sqlDsum(e: String): String = s"cast(sum(cast(($e) as decimal(38,6))) as double)"
   def sqlDavg(e: String): String = s"${sqlDsum(e)}/count($e)"
   def sqlEpochS(e: String): String = s"cast(floor(epoch($e)) as bigint)"
 }

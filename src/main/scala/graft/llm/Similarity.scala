@@ -119,7 +119,7 @@ object Similarity {
   }
 
   private val l18Sql = {
-    val dsumV = "cast(sum(cast((cast(v as double)) as decimal(18,6))) as double)"
+    val dsumV = "cast(sum(cast((cast(v as double)) as decimal(38,6))) as double)"
     s"""SELECT label, cast(ord - 1 as int) AS dim, count(v) AS n, $dsumV/count(v) AS centroid_v
        |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
        |      FROM embeddings)

@@ -26,23 +26,20 @@ object AsOfJoin {
     * an older row's value, or stitch fields from different rows. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
-    val payloadType = org.apache.spark.sql.types.StructType(
-      valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
-    val leftTagged = left
-      .withColumn("__side", lit(1))
-      .select(Seq(col(key), col(tsCol), col("__side")) ++
-        left.columns.filterNot(c => c == key || c == tsCol).map(col) :+
-        lit(null).cast(payloadType).as("__rv"): _*)
+    val leftTagged = left.withColumn("__side", lit(1))
+    // Null keys never match under SQL ASOF equality, but Window.partitionBy
+    // groups nulls together — filter null-key right rows so null-key left
+    // rows correctly get a null payload.
     val rightTagged = right
+      .filter(col(key).isNotNull)
+      .select(col(key), col(tsCol), struct(valueCols.map(col): _*).as("__rv"))
       .withColumn("__side", lit(0))
-      .select(Seq(col(key), col(tsCol), col("__side")) ++
-        left.columns.filterNot(c => c == key || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(valueCols.map(col): _*).as("__rv"): _*)
 
     val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    leftTagged.unionByName(rightTagged)
+    // unionByName(allowMissingColumns) null-fills each side's missing
+    // columns (left's payload slot, right's carried left columns)
+    leftTagged.unionByName(rightTagged, allowMissingColumns = true)
       .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(left.columns.map(col) ++

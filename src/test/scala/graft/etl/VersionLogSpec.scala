@@ -20,6 +20,11 @@ class VersionLogSpec extends SparkSuite {
     assert(VersionLog.read(spark, dir).count() === 2)
     assert(VersionLog.currentVersion(spark, dir) === Some(1))
 
+    // change feed v1 → v2: (1,a),(2,b) → (9,z) = 1 insert + 2 deletes
+    val feed = VersionLog.changes(spark, dir, 1, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set((9, "z", "insert"), (1, "a", "delete"), (2, "b", "delete")))
+
     // vacuum keeps current and newer; drops strictly older than cur-keep+1
     val dropped = VersionLog.vacuum(spark, dir, keep = 1)
     assert(dropped === Seq(0))

@@ -26,3 +26,18 @@ object SparkSuite {
     s
   }
 }
+
+class ConfSpec extends SparkSuite {
+  test("profiles apply AQE + shuffle sizing and register engine functions") {
+    val s2 = spark.newSession()
+    Conf(s2, Conf.Prod)
+    assert(s2.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(s2.conf.get("spark.sql.shuffle.partitions") === "400")
+    assert(s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "true")
+    // engine functions registered by configure
+    assert(s2.sql("SELECT cosine_sim(array(cast(1.0 as float)), array(cast(1.0 as float)))")
+      .head().getDouble(0) === 1.0)
+    Conf(s2, Conf.Dev)
+    assert(s2.conf.get("spark.sql.shuffle.partitions") === "32")
+  }
+}

@@ -18,9 +18,10 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    val registry = SparkEntry.queries
+    try registry("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = registry.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }

@@ -20,11 +20,16 @@ object Conf {
     * coalescing and skew-join splitting (the reference's
     * sql_adaptive_* flags, config.py:365-367), UTC, and the
     * nanos-timestamp read compatibility. */
+  /** Session key Streams.fileStreamSource reads its default trigger
+    * rate from. */
+  val MaxFilesPerTriggerKey = "spark.graft.maxFilesPerTrigger"
+
   def apply(spark: SparkSession, profile: Profile): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", profile.shufflePartitions.toString)
+    spark.conf.set(MaxFilesPerTriggerKey, profile.maxFilesPerTrigger.toString)
     Tables.configure(spark)
   }
 }

@@ -15,11 +15,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteOut(name: String): Unit = {
+      val d = java.nio.file.Paths.get(outDir, name)
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // pre-delete so a failed query can never leave a stale previous
+      // result for the driver to greenwash as a PASS
+      deleteOut(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        deleteOut(name)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

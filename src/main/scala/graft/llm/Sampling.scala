@@ -15,17 +15,21 @@ object Sampling {
 
   /** Hash bucket in [0,100) from the md5 of a key column; `offset` picks
     * an independent 8-hex-digit window so multiple independent buckets
-    * can be derived from one digest. */
+    * can be derived from one digest. Built from Column functions — no SQL
+    * string splicing, so any expression (qualified names, concats) works. */
   def hashBucket(key: Column, offset: Int = 1): Column =
-    expr(s"cast(conv(substring(md5(cast(${key.toString} as string)), $offset, 8), 16, 10) as bigint) % 100")
+    conv(substring(md5(key.cast("string")), offset, 8), 16, 10).cast("long") % 100
 
   def withSplit(df: DataFrame, keyCol: String,
-                trainPct: Int = 80, valPct: Int = 15): DataFrame =
+                trainPct: Int = 80, valPct: Int = 15): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split: train=$trainPct% val=$valPct% leaves test=${100 - trainPct - valPct}%")
     df.withColumn("bucket", hashBucket(col(keyCol)))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "validation")
           .otherwise("test"))
+  }
 
   /** l16 — split + independent 10% downsample, rolled up per (split,
     * lang). Oracle-exact: DuckDB derives identical buckets via

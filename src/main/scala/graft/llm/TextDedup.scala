@@ -75,30 +75,45 @@ object TextDedup {
       .drop((0 until NumHashes).map(i => s"mh_$i"): _*)
   }
 
-  /** LSH candidate pairs: docs sharing any (band, band-hash) bucket. */
-  private def lshCandidates(sigs: DataFrame): DataFrame = {
+  /** LSH candidate pairs (id_a, id_b): docs sharing any (band, band-hash)
+    * bucket. Only the ids ride through the self-join + distinct — the
+    * 16-long signatures are functionally dependent on doc_id and would
+    * add ~256 B/row to the distinct's shuffle for nothing; consumers that
+    * need them re-join against `sigs`. */
+  private def lshCandidatePairs(sigs: DataFrame): DataFrame = {
     val banded = sigs
       .withColumn("bands", array((0 until NumBands).map(b =>
         expr(s"hash($b, sig[${2 * b}], sig[${2 * b + 1}])")): _*))
-      .select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-      col("band_id"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-      col("band_id"), col("band_hash"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_hash"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .distinct()
   }
+
+  /** Estimated Jaccard = matching-signature fraction (single definition
+    * shared by detection and removal so the scores can't drift apart). */
+  private def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / NumHashes
+
+  /** Candidate pairs scored by estimated Jaccard. `sigs` is persisted by
+    * the caller-facing entry points: it feeds the band join and two
+    * payload re-joins, and recomputing the explode+aggregate pipeline —
+    * the module's dominant cost — per consumer would triple it. */
+  private def scoredCandidates(sigs: DataFrame): DataFrame =
+    lshCandidatePairs(sigs)
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
 
   /** MinHash near-dup: candidates ranked by estimated Jaccard (matching
     * signature fraction). Top-100 — not SQL-oracle-expressible; driver
     * does the rows-only check. */
   def minhashNearDup(documents: DataFrame): DataFrame =
-    lshCandidates(withSignatures(documents))
-      .withColumn("est_jaccard",
-        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / NumHashes)
+    scoredCandidates(withSignatures(documents).persist())
       .select("id_a", "id_b", "est_jaccard")
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
@@ -138,10 +153,9 @@ object TextDedup {
 
   /** Exact n-gram Jaccard, verified only on LSH candidate pairs. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val sigs = withSignatures(documents, keepShingles = true)
+    val sigs = withSignatures(documents, keepShingles = true).persist()
     val shingleSets = sigs.select(col("doc_id"), col("shingles"))
-    lshCandidates(sigs)
-      .select("id_a", "id_b")
+    lshCandidatePairs(sigs)
       .join(shingleSets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -158,10 +172,7 @@ object TextDedup {
     * anti-join against the candidate pairs — no transitive closure pass,
     * which matches the greedy keep-first policy common in corpus dedup. */
   def dedupFilter(documents: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val toDrop = lshCandidates(withSignatures(documents))
-      .withColumn("est_jaccard",
-        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / NumHashes)
+    val toDrop = scoredCandidates(withSignatures(documents).persist())
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_b").as("doc_id")).distinct()
     documents.join(toDrop, Seq("doc_id"), "left_anti")

@@ -22,13 +22,19 @@ import org.apache.spark.sql.types.StructType
 object Streams {
 
   /** S2 — rate-limited streaming file source
-    * (reference: real_time_streaming.py:226-230). */
+    * (reference: real_time_streaming.py:226-230). When no explicit rate
+    * is given, the active Conf profile's trigger rate applies (falling
+    * back to 50). */
   def fileStreamSource(spark: SparkSession, dir: String, schema: StructType,
-                       maxFilesPerTrigger: Int = 50): DataFrame =
+                       maxFilesPerTrigger: Int = -1): DataFrame = {
+    val rate =
+      if (maxFilesPerTrigger > 0) maxFilesPerTrigger
+      else spark.conf.getOption(graft.Conf.MaxFilesPerTriggerKey).map(_.toInt).getOrElse(50)
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("maxFilesPerTrigger", rate)
       .parquet(dir)
+  }
 
   /** A1 streaming — 5-minute tumbling user-activity aggregation with a
     * 10-minute watermark (reference: real_time_streaming.py:273-298). */

@@ -13,25 +13,41 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // Sessions already configured — weak keys with a primitive value, so
+  // stopped sessions really can be collected (unlike caching DataFrames,
+  // whose plans strongly reference their session).
+  private val configured = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Session settings every entry point applies before reading. Also
     * registers the engine's native functions for sessions created without
-    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. Idempotent and
+    * memoized — `table` calls this on a hot path. */
   def configure(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    graft.plans.CosineSimilarity.register(spark)
+    val needed = configured.synchronized { configured.add(spark) }
+    if (needed) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      graft.plans.CosineSimilarity.register(spark)
+    }
     spark
   }
 
   // Plan-level reuse only (no data persisted): a harness run touches the
   // same table from dozens of queries; re-listing files and re-reading
-  // footers each time is pure fixed overhead. Weak session keys let
-  // stopped sessions (and their cached plans) be collected instead of
-  // pinning them for the JVM lifetime. Only sane for the read-only
-  // fixture dirs — a rewritten directory would invalidate the snapshotted
-  // file index.
-  private val cache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  // footers each time is pure fixed overhead. A cached DataFrame strongly
+  // references its SparkSession, so weak keys would never collect — use a
+  // small LRU over sessions instead (evicting a live session only costs a
+  // re-read). Only sane for the read-only fixture dirs — a rewritten
+  // directory would invalidate the snapshotted file index.
+  private val MaxSessions = 8
+  private val cache = new java.util.LinkedHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]): Boolean =
+      size() > MaxSessions
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)

@@ -42,9 +42,9 @@ object EventGen {
 
   /** Generate `nSessions` video-watch sessions, each a `session_start`,
     * `eventsPerSession` video events with monotone playback positions
-    * (one deterministic mid-session seek), a final `video_complete` when
-    * the watch reached ≥95% (data_generator.py:611), and a
-    * `session_end`. */
+    * (seek events are forward seeks along the watch ramp), a
+    * `video_complete` when the watch reached ≥95% (data_generator.py:611),
+    * and always a closing `session_end`. */
   def videoSessions(spark: SparkSession, nSessions: Long,
                     eventsPerSession: Int = 8, seed: Long = 42L): DataFrame = {
     val sess = spark.range(nSessions)
@@ -69,22 +69,26 @@ object EventGen {
 
     val n = eventsPerSession
     val events = sess
-      .withColumn("idx", explode(expr(s"sequence(0, ${n + 1})")))
+      // idx 0 = session_start … idx n+1 = complete-or-last-play …
+      // idx n+2 = session_end (every session closes)
+      .withColumn("idx", explode(expr(s"sequence(0, ${n + 2})")))
       .withColumn("event_type",
         when(col("idx") === 0, "session_start")
+          .when(col("idx") === n + 2, "session_end")
           .when(col("idx") === n + 1,
-            when(col("watched_frac") >= 0.95, "video_complete").otherwise("session_end"))
+            when(col("watched_frac") >= 0.95, "video_complete").otherwise("video_pause"))
           .when(col("idx") === 1, "video_play")
           .when(u(seed, xxhash64(col("id"), col("idx")), 10) < 0.15, "video_buffer")
           .when(u(seed, xxhash64(col("id"), col("idx")), 10) < 0.25, "video_seek")
           .otherwise("video_play"))
       // monotone positions: idx/n of the watched span; a video_complete
-      // tail implies position ≥ 95% of duration
+      // tail implies position ≥ 95% of duration; session events carry no
+      // position (session family has none, schemas.py:279-304)
       .withColumn("playback_position",
-        when(col("idx") === 0, lit(null).cast("long"))
+        when(col("idx") === 0 || col("idx") === n + 2, lit(null).cast("long"))
           .when(col("event_type") === "video_complete", col("content_duration").cast("long"))
-          .when(col("event_type") === "session_end",
-            floor(col("content_duration") * col("watched_frac") * lit(1.0)).cast("long"))
+          .when(col("idx") === n + 1,
+            floor(col("content_duration") * col("watched_frac")).cast("long"))
           .otherwise(floor(col("content_duration") * col("watched_frac") *
             (col("idx").cast("double") / n)).cast("long")))
       .withColumn("event_timestamp",
@@ -93,10 +97,17 @@ object EventGen {
         md5(concat_ws(":", lit(seed), col("session_id"), col("idx"))))
       .withColumn("device_id", concat(lit("d-"), pmod(col("user_id"), lit(3L))))
       .withColumn("app_version", lit("4.1.2"))
+    // types conform to graft.core.Schemas (string ids, int positions —
+    // schemas.py serializes UUIDs/ids as strings) so output zips with the
+    // declared StructTypes without caller-side casts
     events.select(
-      "event_id", "event_type", "event_timestamp", "user_id", "session_id",
-      "device_id", "device_type", "platform", "subscription_tier", "country",
-      "app_version", "video_id", "content_duration", "playback_position")
+      col("event_id"), col("event_type"), col("event_timestamp"),
+      col("user_id").cast("string").as("user_id"), col("session_id"),
+      col("device_id"), col("device_type"), col("platform"),
+      col("subscription_tier"), col("country"), col("app_version"),
+      col("video_id").cast("string").as("video_id"),
+      col("content_duration").cast("int").as("content_duration"),
+      col("playback_position").cast("int").as("playback_position"))
   }
 
   /** Ad events with the reference's rates: every impression, ~2% CTR,

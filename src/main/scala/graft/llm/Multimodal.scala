@@ -38,13 +38,20 @@ object Multimodal {
     .otherwise("video/mp4")
 
   /** Pack the documents fixture into the media schema (text bytes stand in
-    * for encoded media — the engine treats the payload as opaque). */
-  def packMedia(documents: DataFrame): DataFrame =
-    documents.select(
+    * for encoded media — the engine treats the payload as opaque). The
+    * output is asserted against [[mediaSchema]] so the declared contract
+    * cannot drift from the produced shape. */
+  def packMedia(documents: DataFrame): DataFrame = {
+    val out = documents.select(
       col("doc_id"),
       mimeFor.as("mime"),
       col("text").cast("binary").as("media"),
       length(col("text").cast("binary")).cast("long").as("media_bytes"))
+    require(out.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      mediaSchema.fields.map(f => (f.name, f.dataType))),
+      s"packMedia output ${out.schema.simpleString} drifted from mediaSchema")
+    out
+  }
 
   /** STUB decode boundary — deterministic fake "decoder": dimensions are
     * derived from payload length, the feature vector is the first 16

@@ -10,23 +10,25 @@ import graft.etl.Ingest
   */
 object Writers {
 
-  /** Append/overwrite a time-partitioned parquet table. */
+  /** One time-partitioned writer for every output format the reference's
+    * generator produces (parquet/JSONL/CSV). */
   def writePartitioned(df: DataFrame, tsCol: String, path: String,
                        mode: SaveMode = SaveMode.Append,
-                       withHour: Boolean = false): Unit = {
+                       withHour: Boolean = false,
+                       format: String = "parquet"): Unit = {
     val cols = if (withHour) Seq("year", "month", "day", "hour") else Seq("year", "month", "day")
-    Ingest.withPartitionCols(df, tsCol, withHour)
-      .write.mode(mode).partitionBy(cols: _*).parquet(path)
+    val w = Ingest.withPartitionCols(df, tsCol, withHour)
+      .write.mode(mode).partitionBy(cols: _*)
+    (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
   }
 
-  def writeJsonl(df: DataFrame, tsCol: String, path: String): Unit =
-    Ingest.withPartitionCols(df, tsCol)
-      .write.mode(SaveMode.Overwrite).partitionBy("year", "month", "day").json(path)
+  def writeJsonl(df: DataFrame, tsCol: String, path: String,
+                 mode: SaveMode = SaveMode.Append): Unit =
+    writePartitioned(df, tsCol, path, mode, format = "json")
 
-  def writeCsv(df: DataFrame, tsCol: String, path: String): Unit =
-    Ingest.withPartitionCols(df, tsCol)
-      .write.mode(SaveMode.Overwrite).option("header", "true")
-      .partitionBy("year", "month", "day").csv(path)
+  def writeCsv(df: DataFrame, tsCol: String, path: String,
+               mode: SaveMode = SaveMode.Append): Unit =
+    writePartitioned(df, tsCol, path, mode, format = "csv")
 
   /** Bucketed+sorted managed table: two tables bucketed on the same join
     * key join with NO exchange and no sort — the co-located join that

@@ -20,11 +20,17 @@ object Sessionize {
 
   /** Built-in session windows: a session extends while events arrive
     * within `gap` of the previous one; window end = last event + gap.
-    * Streaming inputs get a watermark (required for append-mode session
-    * aggregation) and skip the global sort (unsupported on streams). */
+    * Event time is floored to whole seconds first so the gap decision
+    * matches the gaps-and-islands formulation (q34 and its oracle
+    * compare floor-second timestamps; a sub-second difference straddling
+    * exactly the gap boundary would otherwise split sessions
+    * differently). Streaming inputs get a watermark (required for
+    * append-mode session aggregation) and skip the global sort
+    * (unsupported on streams). */
   def sessionWindowRollup(events: DataFrame, gap: String = "2 hours",
                           watermark: String = "10 minutes"): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val floored = events.withColumn("ts", date_trunc("second", col("ts")))
+    val src = if (events.isStreaming) floored.withWatermark("ts", watermark) else floored
     val agg = src
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(
@@ -46,17 +52,26 @@ object Sessionize {
       n_events: Int, total_value: Double)
 
   /** Custom-state sessionization with event-time timeout: closed sessions
-    * emit in append mode once the watermark passes end + gap. */
+    * emit in append mode once the watermark passes end + gap. Works on
+    * batch Datasets too — timeouts never fire in batch, so the final open
+    * session per key is emitted directly instead of parked in state.
+    *
+    * Each invocation runs a proper interval merge over {state's open
+    * session} ∪ {this batch's events} sorted by time, so out-of-order
+    * stragglers merge with EACH OTHER (and with the open session when in
+    * gap range) rather than producing overlapping sessions. */
   def sessionize(spark: SparkSession, events: Dataset[SessionEvent],
                  gapMs: Long, watermark: String = "10 minutes"): Dataset[SessionRow] = {
     import spark.implicits._
+
+    val isStreaming = events.isStreaming
 
     def toRow(uid: Long, s: OpenSession): SessionRow =
       SessionRow(uid, new Timestamp(s.startMs), new Timestamp(s.endMs + gapMs),
         s.n, s.totalValue)
 
-    events
-      .withWatermark("ts", watermark)
+    val src = if (isStreaming) events.withWatermark("ts", watermark) else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
@@ -65,35 +80,34 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var open = state.getOption
+            // merge intervals: the open session joins the batch's events
+            // in time order (stragglers sort before it naturally)
+            val intervals: Seq[OpenSession] =
+              (state.getOption.toSeq ++
+                it.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)))
+                .sortBy(s => (s.startMs, s.endMs))
             val closed = Seq.newBuilder[SessionRow]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                // within the gap of either edge: extend (a cross-batch
-                // straggler just before the open start widens it backward)
-                case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
-                  open = Some(s.copy(
-                    startMs = math.min(s.startMs, t),
-                    endMs = math.max(s.endMs, t), n = s.n + 1,
-                    totalValue = s.totalValue + e.value))
-                // after end + gap: close the open session, start a new one
-                case Some(s) if t - s.endMs > gapMs =>
+            var open: Option[OpenSession] = None
+            intervals.foreach { iv =>
+              open = open match {
+                case Some(s) if iv.startMs - s.endMs <= gapMs =>
+                  Some(OpenSession(s.startMs, math.max(s.endMs, iv.endMs),
+                    s.n + iv.n, s.totalValue + iv.totalValue))
+                case Some(s) =>
                   closed += toRow(uid, s)
-                  open = Some(OpenSession(t, t, 1, e.value))
-                // more than a gap BEFORE the open start: an out-of-order
-                // straggler — emit as its own singleton session rather
-                // than corrupting the open session's bounds
-                case Some(_) =>
-                  closed += toRow(uid, OpenSession(t, t, 1, e.value))
-                case None =>
-                  open = Some(OpenSession(t, t, 1, e.value))
+                  Some(iv)
+                case None => Some(iv)
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+            if (isStreaming) {
+              open.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.endMs + gapMs)
+              }
+            } else {
+              // batch: no timeout will ever fire — emit the last session
+              open.foreach(closed += toRow(uid, _))
+              if (state.exists) state.remove()
             }
             closed.result().iterator
           }

@@ -10,17 +10,12 @@ class SchemasSpec extends SparkSuite {
   test("JSON wire round-trip: struct → to_json → from_json star-expand keeps values") {
     // build reference-shaped video events from the generator, serialize
     // to the JSON wire format, and re-ingest through the P1 parse path
+    // (generator output types conform to Schemas directly — no casts)
     val gen = graft.gen.EventGen.videoSessions(spark, 50)
       .filter(col("event_type").startsWith("video_"))
-      .select(
-        col("event_id"), col("event_type"),
-        col("event_timestamp"),
-        col("user_id").cast("string").as("user_id"),
-        col("session_id"), col("device_id"),
-        col("device_type"), col("platform"), col("app_version"),
-        col("video_id").cast("string").as("video_id"),
-        col("content_duration").cast("int").as("content_duration"),
-        col("playback_position").cast("int").as("playback_position"))
+      .select("event_id", "event_type", "event_timestamp", "user_id",
+        "session_id", "device_id", "device_type", "platform", "app_version",
+        "video_id", "content_duration", "playback_position")
 
     val wire = gen.select(
       col("event_id").as("k"),

@@ -110,6 +110,41 @@ class SessionizeSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("sessionize on a batch Dataset emits the final open session (no timeout in batch)") {
+    val ds = Seq(
+      Sessionize.SessionEvent(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Sessionize.SessionEvent(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0),
+      Sessionize.SessionEvent(3, ts("2024-01-01 13:00:00"), 1, "view", 4.0)).toDS()
+    val out = Sessionize.sessionize(spark, ds, gapMs = 10 * 60 * 1000L).collect()
+      .sortBy(_.session_start.getTime)
+    assert(out.length === 2, "both the closed and the final open session must emit")
+    assert(out(0).n_events === 2)
+    assert(out(1).n_events === 1)
+  }
+
+  test("consecutive stragglers within gap of each other merge into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.SessionEvent]
+    val out = Sessionize.sessionize(spark, input.toDS(), gapMs = 60 * 1000L,
+      watermark = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("stragglers2")
+      .outputMode("append").start()
+    try {
+      input.addData(Sessionize.SessionEvent(1, ts("2024-01-01 10:10:00"), 1, "view", 1.0))
+      query.processAllAvailable()
+      // two late events 30s apart, both > gap before the open session:
+      // they must merge with each other, not emit as overlapping singletons
+      input.addData(
+        Sessionize.SessionEvent(2, ts("2024-01-01 10:02:00"), 1, "view", 2.0),
+        Sessionize.SessionEvent(3, ts("2024-01-01 10:02:30"), 1, "view", 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("stragglers2").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Int]("n_events") === 2)
+      assert(rows.head.getAs[Double]("total_value") === 5.0)
+    } finally query.stop()
+  }
+
   test("cosine_sim registers into a fresh session and resolves from SQL") {
     // spark.sql.extensions is a static conf (can't apply to an existing
     // context), so the in-process test covers the runtime-registration

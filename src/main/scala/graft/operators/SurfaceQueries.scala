@@ -284,6 +284,31 @@ object SurfaceQueries {
       | cast(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) as bigint) AS view
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q42 — INTERSECT/EXCEPT set operations (completing §2.7 beyond the
+    * reference's union/distinct/anti surface). */
+  def setOps(events: DataFrame): DataFrame = {
+    val purchasers = events.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val erroring = events.filter(col("event_type") === "error").select("user_id").distinct()
+    val both = purchasers.intersect(erroring).withColumn("set_class", lit("purchase_and_error"))
+    val onlyP = purchasers.except(erroring).withColumn("set_class", lit("purchase_only"))
+    both.unionByName(onlyP)
+      .groupBy("set_class").agg(count(lit(1)).as("users"))
+      .orderBy("set_class")
+  }
+
+  private val q42Sql =
+    """SELECT set_class, count(*) AS users FROM (
+      |  SELECT user_id, 'purchase_and_error' AS set_class FROM (
+      |    SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+      |    INTERSECT
+      |    SELECT DISTINCT user_id FROM events WHERE event_type='error')
+      |  UNION ALL
+      |  SELECT user_id, 'purchase_only' FROM (
+      |    SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+      |    EXCEPT
+      |    SELECT DISTINCT user_id FROM events WHERE event_type='error'))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_json_star_expand", (s, d) => jsonStarExpand(Tables.events(s, d)), Some(q31Sql)),
     Q("q32_summary_stats", (s, d) => summaryStats(Tables.events(s, d)), Some(q32Sql)),
@@ -296,5 +321,6 @@ object SurfaceQueries {
       (s, d) => intervalJoin(Tables.lineitem(s, d), Tables.orders(s, d)), Some(q38Sql)),
     Q("q39_hll_sketch_rollup", (s, d) => hllRollup(Tables.events(s, d)), None),
     Q("q40_rollup_totals", (s, d) => rollupTotals(Tables.lineitem(s, d)), Some(q40Sql)),
-    Q("q41_pivot_counts", (s, d) => pivotCounts(Tables.events(s, d)), Some(q41Sql)))
+    Q("q41_pivot_counts", (s, d) => pivotCounts(Tables.events(s, d)), Some(q41Sql)),
+    Q("q42_set_ops", (s, d) => setOps(Tables.events(s, d)), Some(q42Sql)))
 }

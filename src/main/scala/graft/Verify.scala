@@ -33,6 +33,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         deleteOut(name)
       }
+      finally CacheScope.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -61,17 +61,38 @@ object Merge {
     val affected = target.join(broadcast(touched.withColumnRenamed(partitionCol, "__p")),
       target(partitionCol) <=> col("__p"), "left_semi")
     val merged = upsert(affected, source, keys)
+    // Materialize the touched-partition list BEFORE the swap mutates the
+    // files its plan reads. This collect is partition *metadata* (one
+    // value per touched partition), not data.
+    val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
     val staging = targetDir.stripSuffix("/") + "__staging"
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
     import org.apache.hadoop.fs.Path
     val stagingPath = new Path(staging)
-    fs.listStatus(stagingPath).filter(_.isDirectory).foreach { st =>
+    val stagingDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
+    val stagingNames = stagingDirs.map(_.getPath.getName).toSet
+    stagingDirs.foreach { st =>
       val dest = new Path(targetDir, st.getPath.getName)
       if (fs.exists(dest)) fs.delete(dest, true)
       fs.rename(st.getPath, dest)
     }
     fs.delete(stagingPath, true)
+    // A touched partition can end up EMPTY after the merge (its only rows
+    // were matched keys whose partition value moved): Spark writes no
+    // staging dir for it, so the stale target dir would survive the swap
+    // and the moved key would exist in both old and new partitions.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    touchedVals.iterator
+      .map {
+        case Some(v) => s"$partitionCol=${ExternalCatalogUtils.escapePathName(v)}"
+        case None    => s"$partitionCol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+      }
+      .filterNot(stagingNames.contains)
+      .foreach { name =>
+        val stale = new Path(targetDir, name)
+        if (fs.exists(stale)) fs.delete(stale, true)
+      }
   }
 }

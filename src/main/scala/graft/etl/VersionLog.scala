@@ -32,10 +32,16 @@ object VersionLog {
     }.sorted.toSeq
   }
 
+  /** Follows the `_current` pointer; if the pointer file is missing but
+    * snapshots exist (a crash mid-`setPointer`, or an out-of-band delete)
+    * it falls back to the newest snapshot rather than failing the table —
+    * the one state that loses is a crash during a backward `restore`,
+    * where the fallback resumes at the newest snapshot instead of the
+    * intended older one (the restore can simply be re-issued). */
   def currentVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
     val p = currentPath(dir)
-    if (!f.exists(p)) None
+    if (!f.exists(p)) history(spark, dir).lastOption
     else {
       val in = f.open(p)
       try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
@@ -102,8 +108,13 @@ object VersionLog {
     val tmp = new Path(dir, s"_current.tmp")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val cur = currentPath(dir)
-    if (f.exists(cur)) f.delete(cur, false)
-    f.rename(tmp, cur)
+    // Atomic replace where the FS supports it — the delete-then-rename
+    // alternative leaves a visible no-pointer window for crashes and
+    // concurrent readers (currentVersion's fallback covers FSes without
+    // atomic rename semantics).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, conf)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(currentPath(dir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

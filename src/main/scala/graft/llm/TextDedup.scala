@@ -113,7 +113,7 @@ object TextDedup {
     * signature fraction). Top-100 — not SQL-oracle-expressible; driver
     * does the rows-only check. */
   def minhashNearDup(documents: DataFrame): DataFrame =
-    scoredCandidates(withSignatures(documents).persist())
+    scoredCandidates(graft.CacheScope.manage(withSignatures(documents).persist()))
       .select("id_a", "id_b", "est_jaccard")
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
@@ -153,7 +153,7 @@ object TextDedup {
 
   /** Exact n-gram Jaccard, verified only on LSH candidate pairs. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val sigs = withSignatures(documents, keepShingles = true).persist()
+    val sigs = graft.CacheScope.manage(withSignatures(documents, keepShingles = true).persist())
     val shingleSets = sigs.select(col("doc_id"), col("shingles"))
     lshCandidatePairs(sigs)
       .join(shingleSets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
@@ -172,7 +172,7 @@ object TextDedup {
     * anti-join against the candidate pairs — no transitive closure pass,
     * which matches the greedy keep-first policy common in corpus dedup. */
   def dedupFilter(documents: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val toDrop = scoredCandidates(withSignatures(documents).persist())
+    val toDrop = scoredCandidates(graft.CacheScope.manage(withSignatures(documents).persist()))
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_b").as("doc_id")).distinct()
     documents.join(toDrop, Seq("doc_id"), "left_anti")

@@ -233,13 +233,14 @@ object SurfaceQueries {
     * asserted in SketchSpec. */
   def hllRollup(events: DataFrame): DataFrame = {
     // persisted: feeds both the per-day output and the union rollup —
-    // without it the day-level aggregation over the fact table runs twice
-    val daily = events.withColumn("day", to_date(col("ts")))
+    // without it the day-level aggregation over the fact table runs twice.
+    // CacheScope-managed so harness runs can release it post-action.
+    val daily = graft.CacheScope.manage(events.withColumn("day", to_date(col("ts")))
       .groupBy("day")
       .agg(
         hll_sketch_agg(col("user_id")).as("sketch"),
         countDistinct(col("user_id")).as("exact_dau"))
-      .persist()
+      .persist())
     val dailyOut = daily.select(
       col("day"), hll_sketch_estimate(col("sketch")).as("approx_dau"), col("exact_dau"))
     val totalApprox = daily.agg(

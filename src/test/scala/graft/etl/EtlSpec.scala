@@ -124,6 +124,21 @@ class EtlSpec extends SparkSuite {
       "the key must not exist in both its old and new partition")
   }
 
+  test("upsertIntoParquet deletes a touched partition left empty by a key move") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_empty").toString + "/t"
+    // day=2024-01-01 holds ONLY the moving key: after the merge it must
+    // not survive as a stale dir still holding the key's old row
+    Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(dir)
+    val source = Seq((1L, "2024-01-02", 10.0)).toDF("id", "day", "v")
+    Merge.upsertIntoParquet(spark, dir, source, Seq("id"), "day")
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists(),
+      "emptied partition dir must be removed")
+    val rows = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSet
+    assert(rows === Set((1L, 10.0), (2L, 2.0)))
+  }
+
   test("upsertIntoParquet merges null-partition rows instead of dropping them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_null").toString + "/t"
     Seq((1L, Some("2024-01-01"), 1.0), (2L, None, 2.0))
@@ -161,6 +176,43 @@ class EtlSpec extends SparkSuite {
     val worst = validated.filter($"user_id".isNull).head()
     assert(worst.getAs[String]("_dq_errors") === "neg,no_user")
     assert(worst.getAs[Double]("_dq_score") === 0.0)
+  }
+
+  test("validate with no rules scores 1.0, not NaN") {
+    val df = Seq((1L, 5.0)).toDF("user_id", "value")
+    val row = Quality.validate(df, Seq.empty).head()
+    assert(row.getAs[Boolean]("_dq_valid"))
+    assert(row.getAs[Double]("_dq_score") === 1.0)
+    assert(row.getAs[String]("_dq_errors") === "")
+  }
+
+  test("quarantineWithContext attaches the DLQ error envelope") {
+    val rules = Seq(Quality.Rule("neg", $"value" < 0))
+    val df = Seq((1L, 5.0), (2L, -1.0)).toDF("user_id", "value")
+    val (clean, dlq) = Quality.quarantineWithContext(Quality.validate(df, rules), "events_raw")
+    assert(clean.count() === 1)
+    assert(!clean.columns.contains("_dlq_source"), "clean side carries no DLQ envelope")
+    val bad = dlq.head()
+    assert(bad.getAs[Seq[String]]("_dlq_error_tags") === Seq("neg"))
+    assert(bad.getAs[String]("_dlq_source") === "events_raw")
+    assert(bad.getAs[java.sql.Timestamp]("_dlq_quarantined_at") != null)
+  }
+
+  test("rulesFromSchema derives required-field and enum-domain rules") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", StringType, nullable = false),
+      StructField("tier", StringType, nullable = true)))
+    val rules = Quality.rulesFromSchema(schema, Map("tier" -> Seq("free", "premium")))
+    assert(rules.map(_.tag) === Seq("null_event_id", "domain_tier"))
+    val df = Seq(
+      (Some("e1"), Some("free")),     // clean
+      (None, Some("premium")),        // null required
+      (Some("e3"), Some("platinum")), // out of domain
+      (Some("e4"), None)              // null optional: NOT a domain violation
+    ).toDF("event_id", "tier")
+    val v = Quality.validate(df, rules).select("_dq_errors").as[String].collect()
+    assert(v === Seq("", "null_event_id", "domain_tier", ""))
   }
 
   // ---- S9 maintenance ----

@@ -30,4 +30,16 @@ class VersionLogSpec extends SparkSuite {
     assert(dropped === Seq(0))
     assert(VersionLog.history(spark, dir) === Seq(1, 2))
   }
+
+  test("missing _current pointer falls back to the newest snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vlog_fb").toString + "/t"
+    VersionLog.commit(spark, Seq((1, "a")).toDF("id", "tag"), dir)
+    VersionLog.commit(spark, Seq((1, "a"), (2, "b")).toDF("id", "tag"), dir)
+    // simulate a crash that lost the pointer file
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_current"), false)
+    assert(VersionLog.currentVersion(spark, dir) === Some(1))
+    assert(VersionLog.read(spark, dir).count() === 2)
+  }
 }

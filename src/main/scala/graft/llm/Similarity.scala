@@ -70,6 +70,21 @@ object Similarity {
       .orderBy("probe_id", "nn_rank")
   }
 
+  // The native cosine_sim expression accumulates dot/na/nb in index order
+  // (left-associated, double precision) — the identical IEEE sequence to
+  // this explicit chain, so the oracle matches bit-for-bit (l06 proved
+  // the chain form; the fused loop performs the same operations).
+  private val l07Sql =
+    s"""WITH s AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    (${sqlDotChain("p", "c")})
+       |      / (sqrt(${sqlDotChain("p", "p")}) * sqrt(${sqlDotChain("c", "c")})) AS cos
+       |  FROM embeddings p JOIN embeddings c ON p.vec_id < 20 AND p.vec_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS nn_rank
+       |      FROM s)
+       |SELECT probe_id, nn_rank, cand_id, cos FROM r WHERE nn_rank <= 10
+       |ORDER BY probe_id, nn_rank""".stripMargin
+
   /** l05 — embedding-cosine near-dup: LSH bucket self-join, cosine verify,
     * top pairs. Bucket count (2^planes) bounds the per-bucket quadratic
     * work. */
@@ -129,8 +144,9 @@ object Similarity {
   /** l19 — unit-normalization + int8 quantization of embedding vectors
     * (the storage/serving transform for ANN indexes: 4× smaller than
     * float32, dot products stay rank-faithful after normalization).
-    * Summary per label; rows-only — the L2≈1 invariant is asserted in
-    * LlmSpec. */
+    * Summary per label, oracle-exact (the norm chain, the round-half-up
+    * quantizer, and the decimal-accumulated avg are all mirrored in the
+    * SQL); the L2≈1 invariant is additionally asserted in LlmSpec. */
   def normalizeQuantize(embeddings: DataFrame): DataFrame = {
     import graft.functions.Det._
     val normed = embeddings
@@ -146,11 +162,24 @@ object Similarity {
       .orderBy("label")
   }
 
+  private val l19Sql = {
+    val sq = (1 to Dims).map(i =>
+      s"cast(embedding[$i] as double)*cast(embedding[$i] as double)").mkString(" + ")
+    val q8 = "list_transform(embedding, x -> " +
+      "cast(round(cast(x as double)/norm*cast(127.0 as double)) as int))"
+    s"""WITH base AS (SELECT label, embedding, sqrt($sq) AS norm FROM embeddings),
+       |q AS (SELECT label, norm, list_max($q8) AS mx, list_min($q8) AS mn FROM base)
+       |SELECT label, count(*) AS n_vectors,
+       |  ${graft.functions.Det.sqlDavg("norm")} AS avg_norm,
+       |  max(mx) AS max_q8, min(mn) AS min_q8
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("l05_embed_neardup", (s, d) => lshNearDup(Tables.embeddings(s, d)), None),
     Q("l06_cosine_pairs", (s, d) => cosinePairs(Tables.embeddings(s, d)), Some(l06Sql)),
-    Q("l07_ann_brute_topk", (s, d) => bruteTopK(Tables.embeddings(s, d)), None),
+    Q("l07_ann_brute_topk", (s, d) => bruteTopK(Tables.embeddings(s, d)), Some(l07Sql)),
     Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), None),
     Q("l18_label_centroids", (s, d) => labelCentroids(Tables.embeddings(s, d)), Some(l18Sql)),
-    Q("l19_normalize_quantize", (s, d) => normalizeQuantize(Tables.embeddings(s, d)), None))
+    Q("l19_normalize_quantize", (s, d) => normalizeQuantize(Tables.embeddings(s, d)), Some(l19Sql)))
 }

@@ -54,8 +54,7 @@ object TextDedup {
     * signature slot — measured 10×+ slower at sf0.1. The explode adds one
     * shuffle keyed by doc_id, which is also what distributes per-doc work
     * evenly at 100 TB. */
-  private def withSignatures(documents: DataFrame,
-                             keepShingles: Boolean = false): DataFrame = {
+  private def withSignatures(documents: DataFrame): DataFrame = {
     val shingled = documents
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
@@ -65,12 +64,8 @@ object TextDedup {
           |  i -> xxhash64(element_at(tokens_h, i+1), element_at(tokens_h, i+2), element_at(tokens_h, i+3))))""".stripMargin))
         .as("sh"))
     val minCols = (0 until NumHashes).map(i => min(expr(s"xxhash64($i, sh)")).as(s"mh_$i"))
-    // collect_set of full shingle sets is the dominant aggregation-state
-    // cost at scale — only the exact-Jaccard verify needs it
-    val aggCols =
-      if (keepShingles) collect_set(col("sh")).as("shingles") +: minCols else minCols
     shingled.groupBy("doc_id")
-      .agg(aggCols.head, aggCols.tail: _*)
+      .agg(minCols.head, minCols.tail: _*)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
       .drop((0 until NumHashes).map(i => s"mh_$i"): _*)
   }
@@ -151,19 +146,75 @@ object TextDedup {
       .limit(100)
   }
 
-  /** Exact n-gram Jaccard, verified only on LSH candidate pairs. */
+  /** Exact n-gram Jaccard, verified only on MinHash-LSH candidate pairs.
+    *
+    * Unlike l02's xxhash64 fast path, this variant's whole pipeline —
+    * shingling, MinHash, banding, exact verify — is defined over
+    * engine-portable primitives (raw 3-gram strings; 16 32-bit hash
+    * slots cut from 4 md5 digests), so an independent engine (the DuckDB
+    * oracle) reproduces the candidate set AND the scores bit-for-bit.
+    * The execution shape is the same codegen'd explode + 16 min() aggs;
+    * md5-on-string costs more per shingle than xxhash64 but stays linear
+    * and map-side-combinable. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val sigs = graft.CacheScope.manage(withSignatures(documents, keepShingles = true).persist())
-    val shingleSets = sigs.select(col("doc_id"), col("shingles"))
-    lshCandidatePairs(sigs)
-      .join(shingleSets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(shingleSets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+    val sh = graft.CacheScope.manage(documents
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(ts)-3),
+          |  i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3))))""".stripMargin))
+        .as("sh"))
+      .persist())
+    val minCols = for { j <- 0 until 4; w <- 0 until 4 } yield
+      min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1 + 8 * w, 8)).as(s"mh_${4 * j + w}")
+    val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b =>
+        concat(col(s"mh_${2 * b}"), lit("|"), col(s"mh_${2 * b + 1}"))): _*))
+        .as(Seq("band_id", "band_key")))
+    val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_key"))
+    val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_key"))
+    val cands = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shset = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
+    cands
+      .join(shset.select(col("doc_id").as("id_a"), col("s").as("sh_a")), Seq("id_a"))
+      .join(shset.select(col("doc_id").as("id_b"), col("s").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .select("id_a", "id_b", "jaccard")
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
+  }
+
+  // Mirrors ngramJaccard term for term (same shingles, same md5-substring
+  // MinHash slots, same band keys, same intersect/union ratio).
+  private val l04Sql = {
+    val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
+      s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
+    val bands = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band_id, mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sig")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS ($bands),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band_id, band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |shset AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY doc_id)
+       |SELECT id_a, id_b,
+       |  cast(len(list_intersect(a.s, b.s)) as double)
+       |    / len(list_distinct(list_cat(a.s, b.s))) AS jaccard
+       |FROM cands JOIN shset a ON id_a = a.doc_id JOIN shset b ON id_b = b.doc_id
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
   }
 
   /** Near-dup REMOVAL (the pipeline step after detection): drop every doc
@@ -193,6 +244,6 @@ object TextDedup {
     Q("l01_dedup_exact", (s, d) => exactDedupStats(Tables.documents(s, d)), Some(l01Sql)),
     Q("l02_dedup_minhash_lsh", (s, d) => minhashNearDup(Tables.documents(s, d)), None),
     Q("l03_dedup_simhash", (s, d) => simhashNearDup(Tables.documents(s, d)), None),
-    Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), None),
+    Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) => dedupFilterStats(Tables.documents(s, d)), None))
 }

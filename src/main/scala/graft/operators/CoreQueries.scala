@@ -226,14 +226,26 @@ object CoreQueries {
        |FROM events ORDER BY event_id""".stripMargin
 
   /** q11 — W3/§2.6: rank-over-aggregate top-k (reference:
-    * analytics_views.sql:121-122). The rank runs over *aggregated* rows
-    * (one per part key), so the single-partition window is bounded by the
-    * part dimension's cardinality, not the fact table. */
+    * analytics_views.sql:121-122), scale-safe: a naive
+    * `rank().over(Window.orderBy(...))` funnels every aggregated part row
+    * (billions at 100 TB TPC-H) through ONE reducer for the sort. Instead
+    * the k-th largest revenue comes from `orderBy().limit(k)` — planned as
+    * TakeOrderedAndProject, a per-partition heap top-k with no full sort —
+    * and `rank <= k ⇔ revenue >= v_k` (rank counts strictly-greater rows,
+    * so ties at v_k carry rank <= k) lets a broadcast of that one-row
+    * threshold prune the input before the global rank window, which then
+    * sorts only the <= k+ties survivors. Identical output, including tie
+    * behavior, for any data. */
   def rankTopK(lineitem: DataFrame): DataFrame = {
     val rev = lineitem.groupBy("l_partkey")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("line_count"))
-    rev.withColumn("rev_rank", rank().over(Window.orderBy(col("revenue").desc)))
+    val vk = rev.select(col("revenue")).orderBy(col("revenue").desc).limit(10)
+      .agg(min(col("revenue")).as("__vk"))
+    rev.crossJoin(broadcast(vk))
+      .filter(col("revenue") >= col("__vk"))
+      .drop("__vk")
+      .withColumn("rev_rank", rank().over(Window.orderBy(col("revenue").desc)))
       .filter(col("rev_rank") <= 10)
       .orderBy("rev_rank", "l_partkey")
   }

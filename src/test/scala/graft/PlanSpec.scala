@@ -36,6 +36,21 @@ class PlanSpec extends SparkSuite {
       s"scan must prune unused columns:\n$p")
   }
 
+  test("rank top-k pre-reduces with TakeOrdered — no single-partition full sort") {
+    val df = CoreQueries.rankTopK(Tables.lineitem(spark, sf))
+    df.collect() // finalize AQE plan
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected a TakeOrdered threshold pre-reduction:\n$p")
+    // the global-rank window may only ever see threshold-filtered rows:
+    // every single-partition exchange must sit above the threshold filter,
+    // never directly above the full aggregate
+    val winIdx = p.indexOf("Window")
+    val filterIdx = p.indexOf("__vk")
+    assert(winIdx >= 0 && filterIdx > winIdx,
+      s"rank window must consume the threshold-filtered side:\n$p")
+  }
+
   test("partial aggregation happens before the shuffle (map-side combine)") {
     val p = plan(CoreQueries.userActivity5m(Tables.events(spark, sf)))
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")

@@ -10,6 +10,7 @@ object SparkEntry {
       operators.ExtendedQueries.all ++
       operators.SurfaceQueries.all ++
       analytics.Views.all ++
+      analytics.Calendar.all ++
       llm.TextDedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++

@@ -11,6 +11,7 @@ object SparkEntry {
       operators.SurfaceQueries.all ++
       analytics.Views.all ++
       analytics.Calendar.all ++
+      etl.Taxonomy.all ++
       llm.TextDedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++

@@ -32,7 +32,10 @@ object Medallion {
       Quality.Rule("null_user", col("user_id").isNull),
       Quality.Rule("null_ts", col("ts").isNull),
       Quality.Rule("neg_value", col("value") < 0))
-    val (clean, quarantined) = Quality.quarantine(Quality.validate(raw, rules))
+    // the quarantine side carries the DLQ error-context envelope
+    // (consumer.py:167-203): tags, source, quarantined-at timestamp
+    val (clean, quarantined) =
+      Quality.quarantineWithContext(Quality.validate(raw, rules), "events_raw")
     val deduped = Dedup.keepLatest(
       clean.drop("_dq_errors", "_dq_valid", "_dq_score"),
       Seq("event_id"), Seq(col("ts"), col("event_id")))

@@ -23,6 +23,12 @@ class MedallionSpec extends SparkSuite {
     val counts = Medallion.runBatch(spark, events, layout)
     assert(counts("raw") === 5)
     assert(counts("quarantine") === 1)
+
+    // quarantine rows carry the DLQ error-context envelope
+    val dlq = spark.read.parquet(layout.quarantine).head()
+    assert(dlq.getAs[Seq[String]]("_dlq_error_tags") === Seq("neg_value"))
+    assert(dlq.getAs[String]("_dlq_source") === "events_raw")
+    assert(dlq.getAs[java.sql.Timestamp]("_dlq_quarantined_at") != null)
     assert(counts("bronze") === 3) // 5 - 1 invalid - 1 dup
     assert(counts("silver_sessions") === 2) // (user1, d1), (user2, d2)
     assert(counts("gold_daily") === 2)

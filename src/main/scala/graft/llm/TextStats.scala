@@ -166,6 +166,46 @@ object TextStats {
       |WHERE term <> ''
       |GROUP BY 1 ORDER BY cnt DESC, term LIMIT 20""".stripMargin
 
+  /** l22 — distinctive terms per language: df-normalized term weighting
+    * (TF-IDF shape with a rational idf `n_docs/df` instead of a log, so
+    * the score is exact integer arithmetic + one division and therefore
+    * bit-identical cross-engine), with per-group top-k via a partitioned
+    * row_number — the windowed variant of q11's global top-k. Two
+    * aggregation shuffles (tf, df) + a broadcast 1-row corpus count. */
+  def tfidfTerms(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dfreq = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tfreq = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    tfreq.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("score").desc, col("term"))))
+      .filter(col("term_rank") <= 5)
+      .select("lang", "term_rank", "term", "tf", "df", "score")
+      .orderBy("lang", "term_rank")
+  }
+
+  private val l22Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tk AS (SELECT * FROM t WHERE term <> ''),
+      |dfreq AS (SELECT term, count(*) AS df
+      |          FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1),
+      |tfreq AS (SELECT lang, term, count(*) AS tf FROM tk GROUP BY 1,2),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT lang, term, tf, df, cast(tf*n_docs as double)/df AS score
+      |  FROM tfreq JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS term_rank
+      |      FROM scored)
+      |SELECT lang, term_rank, term, cast(tf as bigint) AS tf, cast(df as bigint) AS df, score
+      |FROM r WHERE term_rank <= 5 ORDER BY lang, term_rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
@@ -173,5 +213,6 @@ object TextStats {
     Q("l12_quality_score", (s, d) => qualityScore(Tables.documents(s, d)), Some(l12Sql)),
     Q("l13_fingerprint", (s, d) => fingerprint(Tables.documents(s, d)), Some(l13Sql)),
     Q("l20_scrub_stats", (s, d) => scrubStats(Tables.documents(s, d)), Some(l20Sql)),
-    Q("l21_top_terms", (s, d) => topTerms(Tables.documents(s, d)), Some(l21Sql)))
+    Q("l21_top_terms", (s, d) => topTerms(Tables.documents(s, d)), Some(l21Sql)),
+    Q("l22_tfidf_terms", (s, d) => tfidfTerms(Tables.documents(s, d)), Some(l22Sql)))
 }

@@ -266,6 +266,20 @@ object SurfaceQueries {
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  /** q46 — CUBE subtotals: all four grouping combinations in one pass
+    * (completes the grouping-sets family next to q40's ROLLUP; Spark
+    * plans one Expand + one aggregation shuffle). */
+  def cubeTotals(lineitem: DataFrame): DataFrame =
+    lineitem.cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q46Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${sqlDsum("l_extendedprice")} AS revenue, count(*) AS n
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** q41 — pivot: event counts per day spread into one column per type
     * (`na.fill(0)` matches the oracle's CASE-sum zeros). */
   def pivotCounts(events: DataFrame): DataFrame = {
@@ -323,5 +337,6 @@ object SurfaceQueries {
     Q("q39_hll_sketch_rollup", (s, d) => hllRollup(Tables.events(s, d)), None),
     Q("q40_rollup_totals", (s, d) => rollupTotals(Tables.lineitem(s, d)), Some(q40Sql)),
     Q("q41_pivot_counts", (s, d) => pivotCounts(Tables.events(s, d)), Some(q41Sql)),
-    Q("q42_set_ops", (s, d) => setOps(Tables.events(s, d)), Some(q42Sql)))
+    Q("q42_set_ops", (s, d) => setOps(Tables.events(s, d)), Some(q42Sql)),
+    Q("q46_cube_totals", (s, d) => cubeTotals(Tables.lineitem(s, d)), Some(q46Sql)))
 }

@@ -92,6 +92,20 @@ class LlmSpec extends SparkSuite {
     assert(kept.contains(3L), "unrelated doc survives")
   }
 
+  test("tfidf terms: corpus-wide terms score low, language-exclusive terms high") {
+    val out = TextStats.tfidfTerms(docs).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Double]("score")))
+    // 'the' appears in 3 of 4 docs -> idf 4/3; a doc-exclusive term gets 4/1
+    val the = out.find(_._1 == "the").get
+    assert(the._3 === 3L)
+    out.filter(_._3 === 1L).foreach { case (_, tf, df, score) =>
+      assert(score === tf.toDouble * 4 / df)
+    }
+    // per-group top-k: at most 5 rows per lang, ranks 1..k contiguous
+    assert(out.length <= 5)
+  }
+
   test("dedup filter recall vs exact-Jaccard ground truth on the fixture") {
     // ground truth: ALL pairs with exact shingle Jaccard >= 0.5 via a
     // spec-only cross join (125k pairs at sf0.01 — fine in-test, never in

@@ -85,6 +85,24 @@ object Similarity {
        |SELECT probe_id, nn_rank, cand_id, cos FROM r WHERE nn_rank <= 10
        |ORDER BY probe_id, nn_rank""".stripMargin
 
+  /** The native hyperplane_bucket expression's exact SQL mirror: its sign
+    * words are plan-time-fixed from a seeded PRNG, so the oracle builder
+    * reads THE SAME signs and emits each plane's ±term chain literally.
+    * Accumulation order matches the expression's index-order loop, and
+    * only the `dot > 0` comparison is consumed, so ±0.0 edge cases cannot
+    * flip a bucket differently across engines. */
+  private def sqlBucket(tbl: String): String = {
+    val signs = graft.plans.HyperplaneBucket.randomSigns(Planes)
+    val planes = signs.zipWithIndex.map { case (sb, p) =>
+      val chain = (0 until Dims).map { d =>
+        val t = s"cast($tbl.embedding[${d + 1}] as double)"
+        if (((sb >>> d) & 1L) == 1L) t else s"(- $t)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($chain) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"cast($planes as int)"
+  }
+
   /** l05 — embedding-cosine near-dup: LSH bucket self-join, cosine verify,
     * top pairs. Bucket count (2^planes) bounds the per-bucket quadratic
     * work. */
@@ -100,6 +118,14 @@ object Similarity {
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(100)
   }
+
+  private val l05Sql =
+    s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |        (${sqlDotChain("a", "c")})
+       |          / (sqrt(${sqlDotChain("a", "a")}) * sqrt(${sqlDotChain("c", "c")})) AS cos
+       |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, cos FROM p ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin
 
   /** l08 — IVF-style pruned top-k: the LSH bucket acts as the coarse
     * quantizer; each probe searches only its own cell. */
@@ -119,6 +145,17 @@ object Similarity {
       .select("probe_id", "nn_rank", "cand_id", "cos")
       .orderBy("probe_id", "nn_rank")
   }
+
+  private val l08Sql =
+    s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
+       |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |        (${sqlDotChain("p", "c")})
+       |          / (sqrt(${sqlDotChain("p", "p")}) * sqrt(${sqlDotChain("c", "c")})) AS cos
+       |      FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id < 20 AND p.vec_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS nn_rank
+       |      FROM s)
+       |SELECT probe_id, nn_rank, cand_id, cos FROM r WHERE nn_rank <= 10
+       |ORDER BY probe_id, nn_rank""".stripMargin
 
   /** l18 — per-label centroid vectors via dimension explosion: the
     * vector-aggregation primitive behind IVF coarse-quantizer training
@@ -176,10 +213,10 @@ object Similarity {
   }
 
   def all: Seq[Q] = Seq(
-    Q("l05_embed_neardup", (s, d) => lshNearDup(Tables.embeddings(s, d)), None),
+    Q("l05_embed_neardup", (s, d) => lshNearDup(Tables.embeddings(s, d)), Some(l05Sql)),
     Q("l06_cosine_pairs", (s, d) => cosinePairs(Tables.embeddings(s, d)), Some(l06Sql)),
     Q("l07_ann_brute_topk", (s, d) => bruteTopK(Tables.embeddings(s, d)), Some(l07Sql)),
-    Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), None),
+    Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), Some(l08Sql)),
     Q("l18_label_centroids", (s, d) => labelCentroids(Tables.embeddings(s, d)), Some(l18Sql)),
     Q("l19_normalize_quantize", (s, d) => normalizeQuantize(Tables.embeddings(s, d)), Some(l19Sql)))
 }

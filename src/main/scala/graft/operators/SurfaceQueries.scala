@@ -136,10 +136,27 @@ object SurfaceQueries {
        | ${sqlDsum("value")} AS total_value
        |FROM s2 GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
-  /** q35 — the built-in `session_window` path (rows-only; its agreement
-    * with q34 is asserted in SessionizeSpec). */
+  /** q35 — the built-in `session_window` path. Its oracle is the
+    * gaps-and-islands formulation (q34's CTE) projected without the
+    * island id — DuckDB has no session windows, but the two
+    * formulations are provably the same partition of events, which this
+    * oracle (and SessionizeSpec's q35≡q34 assertion) checks. */
   def sessionWindow(events: DataFrame): DataFrame =
     graft.streaming.Sessionize.sessionWindowRollup(events, "2 hours")
+
+  private val q35Sql =
+    s"""WITH e AS (SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS ts_s, value FROM events),
+       |s AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 7200
+       |                THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+       |SELECT user_id,
+       | min(ts_s) AS session_start_s,
+       | max(ts_s) + 7200 AS session_end_s,
+       | count(*) AS n_events,
+       | ${sqlDsum("value")} AS total_value
+       |FROM s2 GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
 
   /** q36 — the medallion gold layer as a query: raw → bronze
     * (validate/dedup) → gold daily user metrics with the collect_set
@@ -329,7 +346,7 @@ object SurfaceQueries {
     Q("q32_summary_stats", (s, d) => summaryStats(Tables.events(s, d)), Some(q32Sql)),
     Q("q33_window_suite", (s, d) => windowSuite(Tables.events(s, d)), Some(q33Sql)),
     Q("q34_sessionize_gaps", (s, d) => sessionizeGaps(Tables.events(s, d)), Some(q34Sql)),
-    Q("q35_session_window", (s, d) => sessionWindow(Tables.events(s, d)), None),
+    Q("q35_session_window", (s, d) => sessionWindow(Tables.events(s, d)), Some(q35Sql)),
     Q("q36_gold_daily_user", (s, d) => goldDailyUser(Tables.events(s, d)), Some(q36Sql)),
     Q("q37_asof_join", (s, d) => asofEnrich(Tables.events(s, d)), Some(q37Sql)),
     Q("q38_interval_join",

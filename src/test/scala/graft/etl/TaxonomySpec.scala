@@ -12,6 +12,7 @@ import graft.gen.EventGen
   * family-specific columns survive to gold
   * (reference: real_time_streaming.py:226-252). */
 class TaxonomySpec extends SparkSuite {
+  import spark.implicits._
 
   private lazy val video = EventGen.videoSessions(spark, nSessions = 40)
   private lazy val ads = EventGen.adEvents(spark, nImpressions = 200)
@@ -62,6 +63,32 @@ class TaxonomySpec extends SparkSuite {
     // session family: session ids parse back non-null for session events
     val sessBronze = Taxonomy.bronzeFor(raw, "session_events", Schemas.sessionEvent)
     assert(sessBronze.filter(col("session_id").isNull).count() === 0L)
+  }
+
+  test("per-topic bronze split runs under Structured Streaming (reference RT shape)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, Long)]
+    val stream = input.toDF().toDF("event_id", "event_type", "event_timestamp", "playback_position")
+    // same pure transforms as batch: wrap -> route -> per-family parse
+    val raw = Taxonomy.wrapEnvelope(stream)
+    val videoQ = Taxonomy.bronzeFor(raw, "video_events", Schemas.videoEvent)
+      .writeStream.format("memory").queryName("video_bronze").outputMode("append").start()
+    val adQ = Taxonomy.bronzeFor(raw, "ad_events", Schemas.adEvent)
+      .writeStream.format("memory").queryName("ad_bronze").outputMode("append").start()
+    try {
+      input.addData(
+        ("e1", "video_play", Timestamp.valueOf("2024-01-01 10:00:00"), 30L),
+        ("e2", "ad_impression", Timestamp.valueOf("2024-01-01 10:00:10"), 0L),
+        ("e3", "video_buffer", Timestamp.valueOf("2024-01-01 10:00:20"), 45L))
+      videoQ.processAllAvailable(); adQ.processAllAvailable()
+      val video = spark.table("video_bronze").select("event_id", "playback_position")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(video === Map("e1" -> 30, "e3" -> 45), "video family routed + parsed")
+      assert(spark.table("ad_bronze").select("event_id").as[String].collect().toSeq
+        === Seq("e2"), "ad family routed to its own bronze")
+    } finally { videoQ.stop(); adQ.stop() }
   }
 
   test("bronze parse honours the declared family schema types") {

@@ -80,6 +80,15 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("calendar dim broadcasts in the v13 star join") {
+    val df = graft.analytics.Calendar.dauCalendar(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4018-row dim must broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ expected in v13:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

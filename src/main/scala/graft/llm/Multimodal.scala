@@ -107,7 +107,36 @@ object Multimodal {
         max(col("height")).as("max_height"))
       .orderBy("mime")
 
+  /** l23 — frame-sample planning for video media: per clip, the
+    * deterministic list of (frame_idx, time offset, byte offset) a frame
+    * extractor would seek to — one `sequence` + `posexplode` per row, no
+    * decoder needed to PLAN the I/O. At scale this is the partition-local
+    * work list handed to the per-executor decoder; duration here is the
+    * stub's bytes/8 model (a real container parser replaces one line). */
+  def frameSamplePlan(documents: DataFrame, stepS: Int = 10): DataFrame =
+    packMedia(documents)
+      .filter(col("mime") === "video/mp4")
+      .withColumn("duration_s", expr("media_bytes div 8"))
+      .filter(col("duration_s") > 0)
+      .select(col("doc_id"),
+        posexplode(expr(s"sequence(0L, duration_s - 1, ${stepS}L)"))
+          .as(Seq("frame_idx", "offset_s")))
+      .withColumn("byte_offset", col("offset_s") * 8)
+      .orderBy("doc_id", "frame_idx")
+
+  private val l23Sql =
+    """WITH v AS (
+      |  SELECT doc_id, cast(strlen(text)//8 as bigint) AS duration_s FROM documents
+      |  WHERE CASE WHEN source IN ('src0','src1','src2','src3','src4','src5') THEN 'image/jpeg'
+      |             WHEN source IN ('src6','src7','src8','src9','src10','src11','src12') THEN 'audio/wav'
+      |             ELSE 'video/mp4' END = 'video/mp4'
+      |    AND strlen(text)//8 > 0),
+      |f AS (SELECT doc_id, unnest(generate_series(0, duration_s - 1, 10)) AS offset_s FROM v)
+      |SELECT doc_id, cast(offset_s//10 as int) AS frame_idx, offset_s, offset_s*8 AS byte_offset
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l14_media_meta", (s, d) => mediaMeta(Tables.documents(s, d)), Some(l14Sql)),
-    Q("l15_media_decode", (s, d) => decodeFeatures(s, Tables.documents(s, d)), None))
+    Q("l15_media_decode", (s, d) => decodeFeatures(s, Tables.documents(s, d)), None),
+    Q("l23_frame_sample_plan", (s, d) => frameSamplePlan(Tables.documents(s, d)), Some(l23Sql)))
 }

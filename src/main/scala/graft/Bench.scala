@@ -39,6 +39,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second, short totals-only line: the harness captures the tail of
+    // the output, which can truncate the long per-query line above —
+    // this one keeps the round's totals self-contained either way
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,19 +82,29 @@ object Views {
     * (rank <= k ⇔ revenue >= k-th largest, ties included) so the global
     * rank window sorts only the survivors instead of every part key on one
     * reducer — same output; the DuckDB oracle keeps the naive shape. */
-  private val v04Spark =
-    s"""WITH agg AS (
-       | SELECT p_partkey, p_name, p_brand,
-       |  ${dsum("l_extendedprice*(1-l_discount)")} AS revenue,
-       |  ${dsum("l_quantity")} AS total_qty,
-       |  count(*) AS order_lines
-       | FROM lineitem JOIN part ON l_partkey = p_partkey
-       | GROUP BY 1,2,3),
-       |v AS (SELECT min(revenue) AS vk FROM (SELECT revenue FROM agg ORDER BY revenue DESC LIMIT 20)),
-       |top AS (SELECT agg.* FROM agg CROSS JOIN v WHERE revenue >= vk)
+  private val v04AggSpark =
+    s"""SELECT p_partkey, p_name, p_brand,
+       | ${dsum("l_extendedprice*(1-l_discount)")} AS revenue,
+       | ${dsum("l_quantity")} AS total_qty,
+       | count(*) AS order_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1,2,3""".stripMargin
+  private val v04RestSpark =
+    s"""WITH v AS (SELECT min(revenue) AS vk FROM (SELECT revenue FROM v04_agg ORDER BY revenue DESC LIMIT 20)),
+       |top AS (SELECT v04_agg.* FROM v04_agg CROSS JOIN v WHERE revenue >= vk)
        |SELECT rev_rank, p_partkey, p_name, p_brand, revenue, total_qty, order_lines
        |FROM (SELECT *, rank() OVER (ORDER BY revenue DESC) AS rev_rank FROM top)
        |WHERE rev_rank <= 20 ORDER BY rev_rank, p_partkey""".stripMargin
+
+  /** v04 runner: persists the shared part-revenue aggregate so the
+    * threshold pass and the rank pass compute it once (CacheScope
+    * releases it after the harness action). */
+  private def runV04: (SparkSession, String) => DataFrame = { (spark, sfDir) =>
+    viewTables.foreach(t => Tables.table(spark, sfDir, t).createOrReplaceTempView(t))
+    val agg = graft.CacheScope.manage(spark.sql(v04AggSpark).persist())
+    agg.createOrReplaceTempView("v04_agg")
+    spark.sql(v04RestSpark)
+  }
   private val v04Duck =
     s"""SELECT rev_rank, p_partkey, p_name, p_brand, revenue, total_qty, order_lines
        |FROM (
@@ -219,7 +229,7 @@ object Views {
     Q("v01_daily_active_users", runSql(v01), Some(v01)),
     Q("v02_user_cohorts", runSql(v02Spark), Some(v02Duck)),
     Q("v03_user_segments", runSql(v03), Some(v03)),
-    Q("v04_top_content", runSql(v04Spark), Some(v04Duck)),
+    Q("v04_top_content", runV04, Some(v04Duck)),
     Q("v05_content_trends", runSql(v05), Some(v05)),
     Q("v06_content_dropoff", runSql(v06), Some(v06)),
     Q("v07_device_analytics", runSql(v07), Some(v07)),

@@ -21,6 +21,27 @@ object TextDedup {
   private val NumHashes = 16
   private val NumBands = 8 // 2 rows per band
 
+  /** Default per-bucket membership cap for banded LSH joins. A band
+    * bucket with b members contributes O(b²) candidate pairs; natural
+    * corpora put boilerplate (empty pages, licence headers) into a few
+    * giant buckets whose pairs are worthless for dedup but dominate the
+    * join at 100 TB. Capping keeps the lowest-doc_id members per bucket
+    * (deterministic), so the join is provably ≤ cap² per bucket; docs
+    * trimmed from one oversized bucket stay candidates through their
+    * other bands. 1024 is far above any fixture bucket (asserted in
+    * LlmSpec) and bounds a worst-case bucket at ~500k pairs. */
+  val MaxBucketDefault = 1024
+
+  /** Keep at most `maxBucket` members per (band, bucket), lowest doc_id
+    * first. The row_number shuffles on the same key the candidate join
+    * uses, so the guard adds no extra exchange pattern beyond one sort. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    banded.withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy("doc_id")))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+  }
+
   /** Exact dedup: whitespace-collapse + lowercase + md5. */
   def exactDedupStats(documents: DataFrame): DataFrame = {
     val norm = md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
@@ -70,16 +91,26 @@ object TextDedup {
       .drop((0 until NumHashes).map(i => s"mh_$i"): _*)
   }
 
+  /** Fast-path band key: engine-native hash of two adjacent slots. */
+  private def nativeBandKey(b: Int): Column =
+    expr(s"hash($b, sig[${2 * b}], sig[${2 * b + 1}])")
+
+  /** Portable band key: the l04 string concat DuckDB can reproduce. */
+  private def portableBandKey(b: Int): Column =
+    concat(col("sig").getItem(2 * b), lit("|"), col("sig").getItem(2 * b + 1))
+
   /** LSH candidate pairs (id_a, id_b): docs sharing any (band, band-hash)
-    * bucket. Only the ids ride through the self-join + distinct — the
-    * 16-long signatures are functionally dependent on doc_id and would
-    * add ~256 B/row to the distinct's shuffle for nothing; consumers that
+    * bucket, with oversized buckets capped (see [[MaxBucketDefault]]).
+    * Only the ids ride through the self-join + distinct — the 16-slot
+    * signatures are functionally dependent on doc_id and would add
+    * ~256 B/row to the distinct's shuffle for nothing; consumers that
     * need them re-join against `sigs`. */
-  private def lshCandidatePairs(sigs: DataFrame): DataFrame = {
-    val banded = sigs
-      .withColumn("bands", array((0 until NumBands).map(b =>
-        expr(s"hash($b, sig[${2 * b}], sig[${2 * b + 1}])")): _*))
+  private def lshCandidatePairs(sigs: DataFrame, bandKey: Int => Column,
+                                maxBucket: Int): DataFrame = {
+    val exploded = sigs
+      .withColumn("bands", array((0 until NumBands).map(bandKey): _*))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val banded = capBuckets(exploded, Seq("band_id", "band_hash"), maxBucket)
     val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_hash"))
     a.join(b, Seq("band_id", "band_hash"))
@@ -97,9 +128,12 @@ object TextDedup {
   /** Candidate pairs scored by estimated Jaccard. `sigs` is persisted by
     * the caller-facing entry points: it feeds the band join and two
     * payload re-joins, and recomputing the explode+aggregate pipeline —
-    * the module's dominant cost — per consumer would triple it. */
-  private def scoredCandidates(sigs: DataFrame): DataFrame =
-    lshCandidatePairs(sigs)
+    * the module's dominant cost — per consumer would triple it. Works on
+    * both the native (16 longs) and portable (16 hex strings) signature
+    * shapes — equality and the matching fraction are shape-agnostic. */
+  private def scoredCandidates(sigs: DataFrame, bandKey: Int => Column,
+                               maxBucket: Int): DataFrame =
+    lshCandidatePairs(sigs, bandKey, maxBucket)
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
@@ -107,15 +141,22 @@ object TextDedup {
   /** MinHash near-dup: candidates ranked by estimated Jaccard (matching
     * signature fraction). Top-100 — not SQL-oracle-expressible; driver
     * does the rows-only check. */
-  def minhashNearDup(documents: DataFrame): DataFrame =
-    scoredCandidates(graft.CacheScope.manage(withSignatures(documents).persist()))
+  def minhashNearDup(documents: DataFrame,
+                     maxBucket: Int = MaxBucketDefault): DataFrame =
+    scoredCandidates(graft.CacheScope.manage(withSignatures(documents).persist()),
+        nativeBandKey, maxBucket)
       .select("id_a", "id_b", "est_jaccard")
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
 
   /** SimHash fingerprint: per-token 64-bit hashes vote per bit position;
-    * candidates share one of four 16-bit bands; ranked by hamming. */
-  def simhashNearDup(documents: DataFrame): DataFrame = {
+    * candidates share one of four 16-bit bands; ranked by hamming.
+    * Oversized band buckets are capped (see [[MaxBucketDefault]]) — the
+    * classic Manku design is quadratic inside a bucket, and a fixed
+    * 2^16 band space means bucket occupancy grows linearly with corpus
+    * size, so the guard is what makes this shape safe at 100 TB. */
+  def simhashNearDup(documents: DataFrame,
+                     maxBucket: Int = MaxBucketDefault): DataFrame = {
     // Binary-weight simhash over the distinct-token set. Same perf shape
     // as MinHash: explode token hashes to rows and take the 64 per-bit
     // votes as codegen'd SUM aggregates (the nested-lambda form evaluates
@@ -133,9 +174,10 @@ object TextDedup {
       .withColumn("bands", array((0 until 4).map(k =>
         expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))
       .select(col("doc_id"), col("simhash"), posexplode(col("bands")).as(Seq("band_id", "band_val")))
-    val a = sims.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
+    val capped = capBuckets(sims, Seq("band_id", "band_val"), maxBucket)
+    val a = capped.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
       col("band_id"), col("band_val"))
-    val b = sims.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
+    val b = capped.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
       col("band_id"), col("band_val"))
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
@@ -156,18 +198,35 @@ object TextDedup {
     * The execution shape is the same codegen'd explode + 16 min() aggs;
     * md5-on-string costs more per shingle than xxhash64 but stays linear
     * and map-side-combinable. */
-  def ngramJaccard(documents: DataFrame): DataFrame = {
-    val sh = graft.CacheScope.manage(documents
-      .withColumn("ts", split(col("text"), " "))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(0, size(ts)-3),
-          |  i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3))))""".stripMargin))
-        .as("sh"))
-      .persist())
+  /** Raw word-3-gram shingles (engine-portable: plain strings). */
+  private def portableShingles(documents: DataFrame): DataFrame = documents
+    .withColumn("ts", split(col("text"), " "))
+    .filter(size(col("ts")) >= 3)
+    .select(col("doc_id"), explode(expr(
+      """array_distinct(transform(sequence(0, size(ts)-3),
+        |  i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3))))""".stripMargin))
+      .as("sh"))
+
+  /** 16 portable MinHash slots per doc: 8-hex-char substrings cut from 4
+    * salted md5 digests — lexicographic min over hex strings is the same
+    * total order in every engine, which is what lets DuckDB reproduce the
+    * whole LSH pipeline bit-for-bit (the l04 recipe). */
+  private def portableSigSlots(sh: DataFrame): DataFrame = {
     val minCols = for { j <- 0 until 4; w <- 0 until 4 } yield
       min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1 + 8 * w, 8)).as(s"mh_${4 * j + w}")
-    val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Portable signatures in the same (doc_id, sig array) shape as
+    * [[withSignatures]], so the scoring/banding machinery is shared. */
+  private def withPortableSignatures(documents: DataFrame): DataFrame =
+    portableSigSlots(portableShingles(documents))
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
+      .select("doc_id", "sig")
+
+  def ngramJaccard(documents: DataFrame): DataFrame = {
+    val sh = graft.CacheScope.manage(portableShingles(documents).persist())
+    val sigs = portableSigSlots(sh)
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b =>
         concat(col(s"mh_${2 * b}"), lit("|"), col(s"mh_${2 * b + 1}"))): _*))
@@ -222,16 +281,24 @@ object TextDedup {
     * threshold), keeping one representative per dup pair chain. One
     * anti-join against the candidate pairs — no transitive closure pass,
     * which matches the greedy keep-first policy common in corpus dedup. */
-  def dedupFilter(documents: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val toDrop = scoredCandidates(graft.CacheScope.manage(withSignatures(documents).persist()))
+  def dedupFilter(documents: DataFrame, minJaccard: Double = 0.5,
+                  portable: Boolean = false,
+                  maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val sigs = graft.CacheScope.manage(
+      (if (portable) withPortableSignatures(documents) else withSignatures(documents)).persist())
+    val toDrop = scoredCandidates(sigs,
+        if (portable) portableBandKey else nativeBandKey, maxBucket)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_b").as("doc_id")).distinct()
     documents.join(toDrop, Seq("doc_id"), "left_anti")
   }
 
-  /** l17 — dedup-filter rollup: per-lang kept/removed counts. */
+  /** l17 — dedup-filter rollup: per-lang kept/removed counts. Runs on the
+    * portable md5 signature pipeline so the DuckDB oracle reproduces the
+    * removal set exactly; `dedupFilter`'s default stays the xxhash64 fast
+    * path (LlmSpec keeps the recall bound on that one). */
   def dedupFilterStats(documents: DataFrame): DataFrame = {
-    val kept = dedupFilter(documents)
+    val kept = dedupFilter(documents, portable = true)
       .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
     val total = documents.groupBy("lang").agg(count(lit(1)).as("total_docs"))
     total.join(kept, Seq("lang"), "left_outer")
@@ -240,10 +307,128 @@ object TextDedup {
       .orderBy("lang")
   }
 
+  /** l24 — engine-portable SimHash twin of l03: each distinct token's 64
+    * fingerprint bits come from the first 16 hex nibbles of its md5 (hex
+    * char → value via ascii arithmetic — identical in every engine),
+    * votes are the same 64 codegen'd SUM aggregates as l03, bands are
+    * four 16-bit ints rebuilt from the vote signs, and hamming is
+    * popcount over per-band XOR. DuckDB reproduces fingerprints, bands,
+    * candidates, and distances bit-for-bit (the l04 recipe applied to
+    * SimHash); l03 keeps the cheaper xxhash64 bit source. */
+  def simhashPortable(documents: DataFrame,
+                      maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("hx", md5(col("t")))
+    val nib = (0 until 16).foldLeft(tok) { (df, i) =>
+      df.withColumn(s"n_$i", expr(
+        s"ascii(substring(hx, ${i + 1}, 1)) - IF(substring(hx, ${i + 1}, 1) >= 'a', 87, 48)"))
+    }
+    val voteCols = (0 until 64).map(b =>
+      sum(expr(s"IF((shiftright(n_${b / 4}, ${b % 4}) & 1) = 1, 1, -1)")).as(s"v_$b"))
+    val votes = nib.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    // four 16-bit band ints from the vote signs (bit j of band k = bit
+    // 16k+j of the fingerprint); ints keep XOR/popcount portable
+    val fp = graft.CacheScope.manage(votes.select(
+      col("doc_id") +: (0 until 4).map(k =>
+        expr((0 until 16).map(j => s"IF(v_${16 * k + j} > 0, ${1 << j}, 0)")
+          .mkString(" + ")).as(s"b_$k")): _*).persist())
+    val exploded = fp.select(col("doc_id"),
+      posexplode(array((0 until 4).map(k => col(s"b_$k")): _*)).as(Seq("band_id", "band_val")))
+    val banded = capBuckets(exploded, Seq("band_id", "band_val"), maxBucket)
+    val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_val"))
+    val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_val"))
+    val cands = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    def fpAs(side: String) = fp.select(
+      col("doc_id").as(s"id_$side") +: (0 until 4).map(k => col(s"b_$k").as(s"${side}_b_$k")): _*)
+    cands.join(fpAs("a"), Seq("id_a")).join(fpAs("b"), Seq("id_b"))
+      .withColumn("hamming", expr(
+        (0 until 4).map(k => s"bit_count(a_b_$k ^ b_b_$k)").mkString(" + ")).cast("int"))
+      .select("id_a", "id_b", "hamming")
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  // Mirrors simhashPortable term for term. DuckDB: `>>`/`&` are the int
+  // bit ops, xor() is bitwise, bit_count() is popcount.
+  private val l24Sql = {
+    val nibs = (0 until 16).map(i =>
+      s"ascii(substr(hx, ${i + 1}, 1)) - (CASE WHEN substr(hx, ${i + 1}, 1) >= 'a' THEN 87 ELSE 48 END) AS n_$i")
+      .mkString(", ")
+    val votes = (0 until 64).map(b =>
+      s"sum(CASE WHEN ((n_${b / 4} >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(", ")
+    val bands = (0 until 4).map(k =>
+      (0 until 16).map(j => s"(CASE WHEN v_${16 * k + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ") + s" AS b_$k").mkString(", ")
+    val bandRows = (0 until 4).map(k =>
+      s"SELECT doc_id, $k AS band_id, b_$k AS band_val FROM fp").mkString("\nUNION ALL ")
+    val ham = (0 until 4).map(k => s"bit_count(xor(a.b_$k, b.b_$k))").mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, md5(t) AS hx FROM tok),
+       |nib AS (SELECT doc_id, $nibs FROM h),
+       |votes AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $bands FROM votes),
+       |banded0 AS ($bandRows),
+       |banded AS (SELECT doc_id, band_id, band_val FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
+       |  FROM banded0) WHERE rn <= $MaxBucketDefault),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band_id, band_val)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, cast($ham as int) AS hamming
+       |FROM cands JOIN fp a ON id_a = a.doc_id JOIN fp b ON id_b = b.doc_id
+       |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin
+  }
+
+  // Mirrors dedupFilterStats: the l04 portable signature chain, banded
+  // with the same bucket cap, est-Jaccard = matching-slot fraction,
+  // greedy keep-first removal, per-lang rollup.
+  private val l17Sql = {
+    val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
+      s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
+    val bands = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band_id, mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sig")
+      .mkString("\nUNION ALL ")
+    val matches = (0 until NumHashes).map(i =>
+      s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded0 AS ($bands),
+       |banded AS (SELECT doc_id, band_id, band_key FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+       |  FROM banded0) WHERE rn <= $MaxBucketDefault),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band_id, band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |dropped AS (
+       |  SELECT DISTINCT id_b AS doc_id
+       |  FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
+       |  WHERE cast($matches as double)/$NumHashes >= cast(0.5 as double)),
+       |kept AS (
+       |  SELECT lang, count(*) AS kept_docs FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+       |  GROUP BY 1),
+       |total AS (SELECT lang, count(*) AS total_docs FROM documents GROUP BY 1)
+       |SELECT lang, total_docs, cast(coalesce(kept_docs, 0) as bigint) AS kept_docs,
+       |       cast(total_docs - coalesce(kept_docs, 0) as bigint) AS removed_docs
+       |FROM total LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("l01_dedup_exact", (s, d) => exactDedupStats(Tables.documents(s, d)), Some(l01Sql)),
     Q("l02_dedup_minhash_lsh", (s, d) => minhashNearDup(Tables.documents(s, d)), None),
     Q("l03_dedup_simhash", (s, d) => simhashNearDup(Tables.documents(s, d)), None),
     Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), Some(l04Sql)),
-    Q("l17_dedup_filter", (s, d) => dedupFilterStats(Tables.documents(s, d)), None))
+    Q("l17_dedup_filter", (s, d) => dedupFilterStats(Tables.documents(s, d)), Some(l17Sql)),
+    Q("l24_simhash_portable", (s, d) => simhashPortable(Tables.documents(s, d)), Some(l24Sql)))
 }

@@ -237,9 +237,12 @@ object CoreQueries {
     * sorts only the <= k+ties survivors. Identical output, including tie
     * behavior, for any data. */
   def rankTopK(lineitem: DataFrame): DataFrame = {
-    val rev = lineitem.groupBy("l_partkey")
+    // persisted: both the threshold pass and the rank pass consume this
+    // aggregate — without the cache the distributed agg runs twice
+    val rev = graft.CacheScope.manage(lineitem.groupBy("l_partkey")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("line_count"))
+      .persist())
     val vk = rev.select(col("revenue")).orderBy(col("revenue").desc).limit(10)
       .agg(min(col("revenue")).as("__vk"))
     rev.crossJoin(broadcast(vk))

@@ -134,6 +134,47 @@ class LlmSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH dedup recall $recall ($covered/${exact.length}) below bound")
   }
 
+  test("portable simhash matches the fast path's dup structure") {
+    val pairs = TextDedup.simhashPortable(docs).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Int]("hamming")))
+      .toMap
+    assert(pairs((1L, 4L)) === 0, "identical docs share the fingerprint")
+    // (1,2) may or may not share a band under the md5 bit source (band
+    // candidacy is probabilistic on a 4-doc fixture); any candidate that
+    // does surface must carry a sane distance
+    pairs.values.foreach(h => assert(h >= 0 && h <= 64))
+    // unrelated docs must not alias to hamming 0
+    assert(!pairs.get((1L, 3L)).contains(0) && !pairs.get((2L, 3L)).contains(0))
+  }
+
+  test("bucket cap bounds an adversarial all-identical-band corpus") {
+    // 50 copies of one text → every doc lands in the SAME bucket of every
+    // band. Uncapped, the candidate join is C(50,2)=1225 pairs and doc 1
+    // removes all 49 others; capped at 8, only the 8 lowest doc_ids per
+    // bucket may pair, so at most 7 docs can be removed — the join is
+    // provably ≤ cap²/bucket no matter how degenerate the corpus.
+    val boiler = (1L to 50L).map(i =>
+      (i, "license boilerplate text repeated verbatim on every page", "en", s"s$i", 55L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val keptCapped = TextDedup.dedupFilter(boiler, minJaccard = 0.5, maxBucket = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptCapped.size === 50 - 7,
+      s"cap 8 must bound removals to 7 (kept ${keptCapped.size})")
+    assert((2L to 8L).forall(!keptCapped(_)), "the capped bucket still dedups its members")
+    assert(keptCapped(1L) && (9L to 50L).forall(keptCapped),
+      "docs beyond the cap are untouched, not spuriously dropped")
+    val keptUncapped = TextDedup.dedupFilter(boiler, minJaccard = 0.5, maxBucket = Int.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptUncapped === Set(1L), "uncapped, the whole bucket collapses to one doc")
+  }
+
+  test("default cap is far above real fixture bucket occupancy (results unchanged)") {
+    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val capped = TextDedup.minhashNearDup(documents).collect().toSeq
+    val uncapped = TextDedup.minhashNearDup(documents, maxBucket = Int.MaxValue).collect().toSeq
+    assert(capped === uncapped, "MaxBucketDefault must not bite on the fixture")
+  }
+
   test("dataset split is a pure function of the key: repartitioning never moves a row") {
     val base = Sampling.withSplit(docs, "doc_id")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

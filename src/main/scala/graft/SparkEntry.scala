@@ -12,6 +12,7 @@ object SparkEntry {
       analytics.Views.all ++
       analytics.Calendar.all ++
       etl.Taxonomy.all ++
+      etl.VersionLog.all ++
       llm.TextDedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++

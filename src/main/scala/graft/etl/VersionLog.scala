@@ -103,6 +103,56 @@ object VersionLog {
     dropped
   }
 
+  /** q47 — the change feed exercised end-to-end as a registered query:
+    * two deterministic snapshots derived from the events fixture are
+    * committed to a fresh version-log table, and `changes(v0, v1)` is
+    * rolled up per (change type, event type). The snapshots go through
+    * real parquet commits + the pointer protocol — this is S10's
+    * CDF/time-travel path under the oracle gate, not a unit test. The
+    * oracle is plain EXCEPT ALL / UNION ALL SQL over the same fixture.
+    *
+    * Snapshot design (all pure functions of `events`):
+    *  - v0 = event_id % 10 < 8                       (the baseline)
+    *  - v1 = event_id % 10 < 9, minus 'error' rows,  (inserts + deletes)
+    *    with click values bumped by 10                (updates → del+ins)
+    */
+  def changesRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Det.dsum
+    val dir = java.nio.file.Files.createTempDirectory("graft_vlog_q47").toString
+    val ev = graft.Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+    val v0 = ev.filter(col("event_id") % 10 < 8)
+    val v1 = ev.filter(col("event_id") % 10 < 9)
+      .filter(col("event_type").isNull || col("event_type") =!= "error")
+      .withColumn("value",
+        when(col("event_type") === "click", col("value") + lit(10.0)).otherwise(col("value")))
+    val a = commit(spark, v0, dir)
+    val b = commit(spark, v1, dir)
+    changes(spark, dir, a, b)
+      .groupBy("_change_type", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("_change_type", "event_type")
+  }
+
+  private val q47Sql = {
+    val dsum = graft.functions.Det.sqlDsum _
+    s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+       |a AS (SELECT event_id, event_type, value FROM ev WHERE event_id % 10 < 8),
+       |b AS (SELECT event_id, event_type,
+       |        CASE WHEN event_type = 'click' THEN value + cast(10.0 as double) ELSE value END AS value
+       |      FROM ev WHERE event_id % 10 < 9 AND (event_type <> 'error' OR event_type IS NULL)),
+       |ins AS (SELECT * FROM b EXCEPT ALL SELECT * FROM a),
+       |del AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+       |feed AS (
+       |  SELECT 'insert' AS _change_type, event_type, value FROM ins
+       |  UNION ALL SELECT 'delete' AS _change_type, event_type, value FROM del)
+       |SELECT _change_type, event_type, count(*) AS n, ${dsum("value")} AS total_value
+       |FROM feed GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  }
+
+  def all: Seq[graft.Q] = Seq(
+    graft.Q("q47_version_changes", (s, d) => changesRollup(s, d), Some(q47Sql)))
+
   private def setPointer(spark: SparkSession, dir: String, v: Int): Unit = {
     val f = fs(spark, dir)
     val tmp = new Path(dir, s"_current.tmp")

@@ -120,6 +120,21 @@ object TextStats {
       | list_min([md5(substr(text, i, 8)) for i in range(1, greatest(len(text)-7, 1)+1)]) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** l25 — the fast-path twin of l13: the same min-over-all-8-byte-windows
+    * winnowing shape, computed by the native codegen'd Karp–Rabin
+    * expression (graft.plans.RollingMinHash) instead of an md5 per
+    * window. The composed HOF form pays ~24 s/GB in window plumbing alone
+    * (interpreted lambda + a substring allocation per position, hash
+    * choice irrelevant); the rolling form is one multiply-add per byte —
+    * measured >40× cheaper — which is what a per-ingest-batch fingerprint
+    * needs at 100 TB. No oracle (engine-native hash) — l13 stays the
+    * bit-checked variant, l02/l04-style. */
+  def fingerprintFast(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fingerprint", expr("rolling_min_hash(text, 8)"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
   /** l20 — scrub pipeline (PII/stopword-removal shape): regexp-deletion
     * passes with per-language removed-character accounting. */
   def scrubStats(documents: DataFrame): DataFrame = {
@@ -212,6 +227,7 @@ object TextStats {
     Q("l11_token_count", (s, d) => tokenCount(Tables.documents(s, d)), Some(l11Sql)),
     Q("l12_quality_score", (s, d) => qualityScore(Tables.documents(s, d)), Some(l12Sql)),
     Q("l13_fingerprint", (s, d) => fingerprint(Tables.documents(s, d)), Some(l13Sql)),
+    Q("l25_fingerprint_fast", (s, d) => fingerprintFast(Tables.documents(s, d)), None),
     Q("l20_scrub_stats", (s, d) => scrubStats(Tables.documents(s, d)), Some(l20Sql)),
     Q("l21_top_terms", (s, d) => topTerms(Tables.documents(s, d)), Some(l21Sql)),
     Q("l22_tfidf_terms", (s, d) => tfidfTerms(Tables.documents(s, d)), Some(l22Sql)))

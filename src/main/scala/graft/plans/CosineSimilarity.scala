@@ -82,17 +82,23 @@ object CosineSimilarity {
     classOf[CosineSimilarity].getName, "cosine_sim")
   val builder: Seq[Expression] => Expression = args => CosineSimilarity(args(0), args(1))
 
-  /** Runtime registration (for sessions created without the extensions
-    * config, e.g. the driver's). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration of all native functions (for sessions created
+    * without the extensions config, e.g. the driver's). Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(identifier, info, builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(RollingMinHash.identifier, RollingMinHash.info, RollingMinHash.builder)
+  }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the idiomatic
   * production injection path for the engine's native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
       CosineSimilarity.builder))
+    ext.injectFunction((RollingMinHash.identifier, RollingMinHash.info,
+      RollingMinHash.builder))
+  }
 }

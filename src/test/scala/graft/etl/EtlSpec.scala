@@ -228,4 +228,49 @@ class EtlSpec extends SparkSuite {
     }.collect()
     assert(sortedWithin.forall(identity))
   }
+
+  test("clustering enables data skipping: a range scan prunes files and row groups") {
+    // The POINT of rewriteClustered (the Z-ORDER analog): after the
+    // rewrite, parquet min/max stats let a range filter skip most of the
+    // table. Before: round-robin layout → every file spans the full key
+    // range → nothing skips. After: repartitionByRange → ≤2 of 8 files
+    // intersect a 10% key range.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString + "/t"
+    (1 to 8000).map(i => ((i * 2654435761L) % 8000, i.toLong)) // scrambled key order
+      .toDF("k", "payload")
+      .repartition(8).write.parquet(dir)
+
+    def parquetFiles = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    def intersectingFiles(lo: Long, hi: Long): Int = parquetFiles.count { f =>
+      val mm = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).head()
+      mm.getLong(0) <= hi && mm.getLong(1) >= lo
+    }
+    def scannedRows(lo: Long, hi: Long): Long = {
+      val q = spark.read.parquet(dir).filter(col("k") >= lo && col("k") <= hi)
+      q.collect()
+      // with pushed parquet filters, the scan only emits rows from row
+      // groups whose stats intersect the range — the direct runtime
+      // measure of data skipping
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+
+    val (lo, hi) = (3000L, 3799L) // a 10% slice of the key domain
+    val filesBefore = intersectingFiles(lo, hi)
+    val rowsBefore = scannedRows(lo, hi)
+    assert(filesBefore === 8, "round-robin layout: every file spans the range")
+
+    Maintenance.rewriteClustered(spark, dir, Seq("k"), 8)
+
+    val filesAfter = intersectingFiles(lo, hi)
+    val rowsAfter = scannedRows(lo, hi)
+    assert(filesAfter < filesBefore,
+      s"clustered layout must prune files: $filesAfter vs $filesBefore of 8")
+    assert(filesAfter <= 2, s"a 10% range should hit ≤2 of 8 range-partitioned files, got $filesAfter")
+    assert(rowsAfter < rowsBefore,
+      s"scan must emit fewer rows via row-group skipping: $rowsAfter vs $rowsBefore")
+    // identical results either way — skipping is purely physical
+    assert(spark.read.parquet(dir).filter(col("k") >= lo && col("k") <= hi).count() === 800)
+  }
 }

@@ -175,6 +175,28 @@ class LlmSpec extends SparkSuite {
     assert(capped === uncapped, "MaxBucketDefault must not bite on the fixture")
   }
 
+  test("rolling_min_hash matches a brute-force reference on edge cases") {
+    def brute(s: String, w: Int): Long = {
+      val bytes = s.getBytes("UTF-8")
+      val M = graft.plans.RollingMinHash.Mult
+      def h(bs: Seq[Byte]): Long = bs.foldLeft(0L)((a, b) => a * M + (b & 0xffL))
+      if (bytes.length <= w) h(bytes.toSeq)
+      else (0 to bytes.length - w).map(i => h(bytes.slice(i, i + w).toSeq)).min
+    }
+    val samples = Seq("", "a", "abcdefg", "abcdefgh", "abcdefghi",
+      "héllo wörld — ünïcode beyond the window",
+      "the quick brown fox jumps over the lazy dog")
+    val got = samples.toDF("text")
+      .withColumn("fp", expr("rolling_min_hash(text, 8)"))
+      .select("fp").as[Long].collect()
+    samples.zip(got).foreach { case (s, g) =>
+      assert(g === brute(s, 8), s"mismatch for '$s'")
+    }
+    val n = Seq[Option[String]](None).toDF("text")
+      .selectExpr("rolling_min_hash(text, 8) AS fp").collect()
+    assert(n.head.isNullAt(0), "null input stays null")
+  }
+
   test("dataset split is a pure function of the key: repartitioning never moves a row") {
     val base = Sampling.withSplit(docs, "doc_id")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -82,21 +82,29 @@ object Views {
     * (rank <= k ⇔ revenue >= k-th largest, ties included) so the global
     * rank window sorts only the survivors instead of every part key on one
     * reducer — same output; the DuckDB oracle keeps the naive shape. */
+  // Aggregate at lineitem grain BY THE INT KEY ONLY — shuffling 600k+
+  // rows keyed by (int, string, string) to group at part grain drags two
+  // dim strings through the exchange for nothing (p_partkey is the part
+  // PK, so name/brand are functionally dependent and can be attached
+  // later). Cached: both the threshold pass and the rank pass read it.
   private val v04AggSpark =
-    s"""SELECT p_partkey, p_name, p_brand,
+    s"""SELECT l_partkey,
        | ${dsum("l_extendedprice*(1-l_discount)")} AS revenue,
        | ${dsum("l_quantity")} AS total_qty,
        | count(*) AS order_lines
-       |FROM lineitem JOIN part ON l_partkey = p_partkey
-       |GROUP BY 1,2,3""".stripMargin
+       |FROM lineitem GROUP BY 1""".stripMargin
+  // The part dim is joined AFTER the threshold + rank prune: only the
+  // ~k surviving keys ever touch it — at 100 TB that's a 20-row
+  // broadcast probe into the dim instead of a fact⋈dim join.
   private val v04RestSpark =
     s"""WITH v AS (SELECT min(revenue) AS vk FROM (SELECT revenue FROM v04_agg ORDER BY revenue DESC LIMIT 20)),
-       |top AS (SELECT v04_agg.* FROM v04_agg CROSS JOIN v WHERE revenue >= vk)
+       |top AS (SELECT v04_agg.* FROM v04_agg CROSS JOIN v WHERE revenue >= vk),
+       |ranked AS (SELECT *, rank() OVER (ORDER BY revenue DESC) AS rev_rank FROM top)
        |SELECT rev_rank, p_partkey, p_name, p_brand, revenue, total_qty, order_lines
-       |FROM (SELECT *, rank() OVER (ORDER BY revenue DESC) AS rev_rank FROM top)
+       |FROM ranked JOIN part ON l_partkey = p_partkey
        |WHERE rev_rank <= 20 ORDER BY rev_rank, p_partkey""".stripMargin
 
-  /** v04 runner: persists the shared part-revenue aggregate so the
+  /** v04 runner: persists the shared per-key revenue aggregate so the
     * threshold pass and the rank pass compute it once (CacheScope
     * releases it after the harness action). */
   private def runV04: (SparkSession, String) => DataFrame = { (spark, sfDir) =>

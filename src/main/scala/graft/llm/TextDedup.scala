@@ -307,6 +307,99 @@ object TextDedup {
       .orderBy("lang")
   }
 
+  /** l26 — duplicate CLUSTERS via distributed connected components over
+    * the near-dup candidate graph (edges = portable-signature pairs with
+    * est. Jaccard ≥ threshold). l17's one-pass anti-join is greedy: in a
+    * chain A≈B≈C where A and C never share a band, it can only drop
+    * per-pair; the transitive closure groups the whole chain under one
+    * representative — the semantics corpus dedup actually wants when dup
+    * families are larger than a pair.
+    *
+    * Algorithm: min-label propagation — every node starts labeled with
+    * its own id, and each round takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds, each
+    * one shuffle keyed by doc_id. The per-round `changed` count is a
+    * driver-side SCALAR (like the q08 watermark — aggregated, never
+    * data), the standard Spark convergence check. Dup-cluster diameters
+    * are tiny in practice; the 64-round cap is a runaway guard.
+    *
+    * Output: one row per cluster — (cluster_id = min doc_id, n_docs,
+    * removable = n_docs - 1). Reproduced exactly in DuckDB via a
+    * recursive-CTE reachability closure over the same edge set. */
+  def dupComponents(documents: DataFrame, minJaccard: Double = 0.5,
+                    maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val sigs = graft.CacheScope.manage(withPortableSignatures(documents).persist())
+    val p0 = scoredCandidates(sigs, portableBandKey, maxBucket)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+    val edges = graft.CacheScope.manage(
+      p0.union(p0.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist())
+    var labels = graft.CacheScope.manage(
+      edges.select(col("id_a").as("id")).distinct()
+        .withColumn("comp", col("id")).persist())
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 64) {
+      val fromNbr = edges
+        .join(labels.select(col("id").as("id_b"), col("comp")), Seq("id_b"))
+        .select(col("id_a").as("id"), col("comp"))
+      val next = graft.CacheScope.manage(
+        labels.union(fromNbr).groupBy("id").agg(min(col("comp")).as("comp")).persist())
+      changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist(false) // superseded round; releaseAll's later call is a no-op
+      labels = next
+      iter += 1
+    }
+    labels.groupBy("comp").agg(count(lit(1)).as("n_docs"))
+      .select(col("comp").as("cluster_id"), col("n_docs"),
+        (col("n_docs") - 1).as("removable"))
+      .orderBy("cluster_id")
+  }
+
+  // Mirrors dupComponents: the l17 candidate chain, then a recursive
+  // reachability closure (undirected edges → reachable set ≡ component;
+  // min reachable id ≡ the propagated label).
+  private val l26Sql = {
+    val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
+      s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
+    val bands = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band_id, mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sig")
+      .mkString("\nUNION ALL ")
+    val matches = (0 until NumHashes).map(i =>
+      s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded0 AS ($bands),
+       |banded AS (SELECT doc_id, band_id, band_key FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+       |  FROM banded0) WHERE rn <= $MaxBucketDefault),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band_id, band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
+       |  WHERE cast($matches as double)/$NumHashes >= cast(0.5 as double)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT comp AS cluster_id, count(*) AS n_docs,
+       |       cast(count(*) - 1 as bigint) AS removable
+       |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** l24 — engine-portable SimHash twin of l03: each distinct token's 64
     * fingerprint bits come from the first 16 hex nibbles of its md5 (hex
     * char → value via ascii arithmetic — identical in every engine),
@@ -430,5 +523,6 @@ object TextDedup {
     Q("l03_dedup_simhash", (s, d) => simhashNearDup(Tables.documents(s, d)), None),
     Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) => dedupFilterStats(Tables.documents(s, d)), Some(l17Sql)),
-    Q("l24_simhash_portable", (s, d) => simhashPortable(Tables.documents(s, d)), Some(l24Sql)))
+    Q("l24_simhash_portable", (s, d) => simhashPortable(Tables.documents(s, d)), Some(l24Sql)),
+    Q("l26_dedup_components", (s, d) => dupComponents(Tables.documents(s, d)), Some(l26Sql)))
 }

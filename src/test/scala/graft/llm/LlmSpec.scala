@@ -175,6 +175,24 @@ class LlmSpec extends SparkSuite {
     assert(capped === uncapped, "MaxBucketDefault must not bite on the fixture")
   }
 
+  test("dup components merge a chain transitively (beyond greedy pair removal)") {
+    // two identical-text groups {1,2} and {3,4} that share NOTHING, plus
+    // a bridge doc 5 = concat of both texts: est(5, each group) ≈ 0.5,
+    // est(group1, group2) = 0 — so pairwise logic sees two families, but
+    // the closure must merge all five under cluster_id 1
+    val t1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 30).map(i => s"omega$i").mkString(" ")
+    val chain = Seq(
+      (1L, t1, "en", "s", 10L), (2L, t1, "en", "s", 10L),
+      (3L, t2, "en", "s", 10L), (4L, t2, "en", "s", 10L),
+      (5L, s"$t1 $t2", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.dupComponents(chain, minJaccard = 0.3).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"), r.getAs[Long]("removable")))
+    assert(out.toSeq === Seq((1L, 5L, 4L)),
+      s"expected one 5-doc cluster rooted at doc 1, got ${out.toSeq}")
+  }
+
   test("rolling_min_hash matches a brute-force reference on edge cases") {
     def brute(s: String, w: Int): Long = {
       val bytes = s.getBytes("UTF-8")

@@ -59,6 +59,51 @@ object Sampling {
       |            FROM documents))
       |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** l27 — balanced (stratified-quota) downsample: cap every language at
+    * the size of the smallest one — the standard rebalancing step before
+    * multilingual training. Selection is "the n_min smallest-md5 docs per
+    * lang": a pure function of content keys, so the SAME docs are chosen
+    * on any engine, run, or partitioning (sample() can't promise that).
+    *
+    * Shape: one count aggregate, a 1-row broadcast quota, and a
+    * row_number per stratum. The per-stratum window sorts within each
+    * lang partition — fine while strata are few and quota selection must
+    * be exact; the approximate scale-out alternative (keep doc if
+    * hash(doc) * n_lang < n_min * 2^k — no sort, no window) trades exact
+    * quotas for a fully shuffle-free pass. */
+  def balancedSample(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nMin = documents.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .agg(min(col("n_lang")).as("n_min"))
+    val ranked = documents
+      .withColumn("hkey", substring(md5(col("doc_id").cast("string")), 1, 16))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("hkey"), col("doc_id"))))
+    ranked.crossJoin(broadcast(nMin))
+      .filter(col("rn") <= col("n_min"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("kept_docs"),
+        sum(col("n_chars")).as("kept_chars"),
+        max(col("hkey")).as("max_hkey"))
+      .orderBy("lang")
+  }
+
+  private val l27Sql =
+    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_lang) AS n_min FROM c),
+      |r AS (SELECT lang, n_chars,
+      |        substr(md5(cast(doc_id as varchar)), 1, 16) AS hkey,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY substr(md5(cast(doc_id as varchar)), 1, 16), doc_id) AS rn
+      |      FROM documents)
+      |SELECT lang, count(*) AS kept_docs,
+      | cast(sum(n_chars) as bigint) AS kept_chars,
+      | max(hkey) AS max_hkey
+      |FROM r CROSS JOIN m WHERE rn <= n_min
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
-    Q("l16_dataset_split", (s, d) => datasetSplit(Tables.documents(s, d)), Some(l16Sql)))
+    Q("l16_dataset_split", (s, d) => datasetSplit(Tables.documents(s, d)), Some(l16Sql)),
+    Q("l27_balanced_sample", (s, d) => balancedSample(Tables.documents(s, d)), Some(l27Sql)))
 }

@@ -80,6 +80,23 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("v04 probes the part dim only after the top-k prune (broadcast, no SMJ)") {
+    val df = SparkEntry.queries("v04_top_content")(spark, sf)
+    df.collect() // finalize AQE plan
+    val p = plan(df)
+    try {
+      assert(p.contains("TakeOrderedAndProject"),
+        s"expected the TakeOrdered threshold pre-reduction:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"the part join must ride the ~k pruned survivors (broadcast), not shuffle:\n$p")
+      // the part dim join sits ABOVE the rank window (survivors-only probe)
+      val winIdx = p.indexOf("Window")
+      val partScan = p.lastIndexOf("part.parquet")
+      assert(winIdx >= 0 && partScan > winIdx,
+        s"part scan must feed the post-rank join, not the aggregate:\n$p")
+    } finally CacheScope.releaseAll()
+  }
+
   test("calendar dim broadcasts in the v13 star join") {
     val df = graft.analytics.Calendar.dauCalendar(spark, sf)
     df.collect()

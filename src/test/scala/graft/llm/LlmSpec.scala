@@ -215,6 +215,19 @@ class LlmSpec extends SparkSuite {
     assert(n.head.isNullAt(0), "null input stays null")
   }
 
+  test("balanced sample caps every stratum at the smallest stratum, reproducibly") {
+    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val nMin = documents.groupBy("lang").count()
+      .agg(min("count")).head().getLong(0)
+    val out = Sampling.balancedSample(documents).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("kept_docs") === nMin,
+      s"lang ${r.getAs[String]("lang")} kept ${r.getAs[Long]("kept_docs")} != quota $nMin"))
+    // selection is a pure function of doc_id — layout can't change it
+    val again = Sampling.balancedSample(documents.repartition(17)).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("dataset split is a pure function of the key: repartitioning never moves a row") {
     val base = Sampling.withSplit(docs, "doc_id")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

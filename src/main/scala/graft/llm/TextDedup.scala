@@ -307,6 +307,50 @@ object TextDedup {
       .orderBy("lang")
   }
 
+  /** l28 — engine-portable twin of l02: candidate pairs ranked by
+    * estimated Jaccard (matching-slot fraction) over the md5-substring
+    * signatures, so the whole detection tier — signatures, bands,
+    * candidates, scores, ranking — reproduces bit-for-bit in DuckDB.
+    * Completes the portable family: l04 (exact verify), l17 (removal),
+    * l24 (simhash), l26 (clusters), l28 (minhash ranking); l02 stays the
+    * xxhash64 fast path. */
+  def minhashPortable(documents: DataFrame,
+                      maxBucket: Int = MaxBucketDefault): DataFrame =
+    scoredCandidates(
+        graft.CacheScope.manage(withPortableSignatures(documents).persist()),
+        portableBandKey, maxBucket)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+
+  private val l28Sql = {
+    val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
+      s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
+    val bands = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band_id, mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sig")
+      .mkString("\nUNION ALL ")
+    val matches = (0 until NumHashes).map(i =>
+      s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded0 AS ($bands),
+       |banded AS (SELECT doc_id, band_id, band_key FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+       |  FROM banded0) WHERE rn <= $MaxBucketDefault),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band_id, band_key)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, cast($matches as double)/$NumHashes AS est_jaccard
+       |FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
+       |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+  }
+
   /** l26 — duplicate CLUSTERS via distributed connected components over
     * the near-dup candidate graph (edges = portable-signature pairs with
     * est. Jaccard ≥ threshold). l17's one-pass anti-join is greedy: in a
@@ -524,5 +568,6 @@ object TextDedup {
     Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) => dedupFilterStats(Tables.documents(s, d)), Some(l17Sql)),
     Q("l24_simhash_portable", (s, d) => simhashPortable(Tables.documents(s, d)), Some(l24Sql)),
-    Q("l26_dedup_components", (s, d) => dupComponents(Tables.documents(s, d)), Some(l26Sql)))
+    Q("l26_dedup_components", (s, d) => dupComponents(Tables.documents(s, d)), Some(l26Sql)),
+    Q("l28_minhash_portable", (s, d) => minhashPortable(Tables.documents(s, d)), Some(l28Sql)))
 }

@@ -376,23 +376,28 @@ object TextDedup {
     val p0 = scoredCandidates(sigs, portableBandKey, maxBucket)
       .filter(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b")
-    val edges = graft.CacheScope.manage(
-      p0.union(p0.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist())
-    var labels = graft.CacheScope.manage(
-      edges.select(col("id_a").as("id")).distinct()
-        .withColumn("comp", col("id")).persist())
+    // Lineage cut, not just a cache: Catalyst re-analyzes each round's
+    // FULL input plan, and the signature pipeline behind the edge list is
+    // hundreds of expression nodes — with plain persist() every round
+    // paid ~2 s of re-optimization for a sub-ms join on the (tiny) edge
+    // list. localCheckpoint materializes it eagerly and gives every
+    // round an O(1)-size plan. (On a real cluster, reliable
+    // `checkpoint()` to the cluster FS is the fault-tolerant knob.)
+    val edges = p0.union(p0.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 64) {
       val fromNbr = edges
         .join(labels.select(col("id").as("id_b"), col("comp")), Seq("id_b"))
         .select(col("id_a").as("id"), col("comp"))
-      val next = graft.CacheScope.manage(
-        labels.union(fromNbr).groupBy("id").agg(min(col("comp")).as("comp")).persist())
+      val next = labels.union(fromNbr)
+        .groupBy("id").agg(min(col("comp")).as("comp")).localCheckpoint()
       changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
         .filter(col("comp") =!= col("prev")).count()
-      labels.unpersist(false) // superseded round; releaseAll's later call is a no-op
-      labels = next
+      labels = next // superseded checkpoints are reclaimed by the ContextCleaner
       iter += 1
     }
     labels.groupBy("comp").agg(count(lit(1)).as("n_docs"))

@@ -103,7 +103,69 @@ object Sampling {
       |FROM r CROSS JOIN m WHERE rn <= n_min
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-doc split assignment that cannot leak near-duplicates across
+    * splits: the hash key is the doc's near-dup CLUSTER representative
+    * (its [[TextDedup.componentLabels]] component = min reachable doc_id
+    * in the candidate graph) rather than the doc itself, so an entire
+    * dup family lands in one split by construction — the classic
+    * train/test contamination guard (a near-copy of a training doc in
+    * the test split silently inflates eval scores). Docs outside any
+    * cluster fall back to their own id, i.e. exactly [[withSplit]].
+    *
+    * Scale shape: the label frame holds only docs that appear in a
+    * near-dup pair; the join back to `documents` is a plain equi-join on
+    * doc_id (AQE broadcasts it when small — no hint, because on a dirty
+    * corpus the clustered fraction can be large). */
+  def withLeakageSafeSplit(documents: DataFrame, minJaccard: Double = 0.5,
+                           maxBucket: Int = TextDedup.MaxBucketDefault): DataFrame = {
+    val labels = TextDedup.componentLabels(documents, minJaccard, maxBucket)
+    documents
+      .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left_outer")
+      .withColumn("rep_id", coalesce(col("comp"), col("doc_id")))
+      .withColumn("bucket", hashBucket(col("rep_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+  }
+
+  /** l29 — leakage-safe split rollup: per split, how many docs, how many
+    * of them are members of a near-dup cluster, how many distinct
+    * clusters landed there, and total chars. Composes l26's components
+    * with l16's hash split; the DuckDB oracle replays the recursive
+    * reachability closure and the same bucket arithmetic. */
+  def leakageSafeSplit(documents: DataFrame): DataFrame =
+    withLeakageSafeSplit(documents)
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("comp").isNotNull, 1).otherwise(0)).as("clustered_docs"),
+        count_distinct(col("comp")).as("n_clusters"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+
+  private val l29Sql =
+    TextDedup.reachCtesSql + ",\n" +
+      """labels AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY 1),
+        |rep AS (
+        |  SELECT d.doc_id, d.n_chars, l.comp,
+        |         coalesce(l.comp, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+        |s AS (
+        |  SELECT *, CASE WHEN bucket < 80 THEN 'train'
+        |                 WHEN bucket < 95 THEN 'validation'
+        |                 ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |          CAST(('0x' || substr(md5(cast(rep_id as varchar)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |        FROM rep))
+        |SELECT split, count(*) AS docs,
+        |  cast(sum(CASE WHEN comp IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS clustered_docs,
+        |  count(DISTINCT comp) AS n_clusters,
+        |  cast(sum(n_chars) as bigint) AS total_chars
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l16_dataset_split", (s, d) => datasetSplit(Tables.documents(s, d)), Some(l16Sql)),
-    Q("l27_balanced_sample", (s, d) => balancedSample(Tables.documents(s, d)), Some(l27Sql)))
+    Q("l27_balanced_sample", (s, d) => balancedSample(Tables.documents(s, d)), Some(l27Sql)),
+    Q("l29_leakage_safe_split", (s, d) => leakageSafeSplit(Tables.documents(s, d)), Some(l29Sql)))
 }

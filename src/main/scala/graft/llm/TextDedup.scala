@@ -371,7 +371,18 @@ object TextDedup {
     * removable = n_docs - 1). Reproduced exactly in DuckDB via a
     * recursive-CTE reachability closure over the same edge set. */
   def dupComponents(documents: DataFrame, minJaccard: Double = 0.5,
-                    maxBucket: Int = MaxBucketDefault): DataFrame = {
+                    maxBucket: Int = MaxBucketDefault): DataFrame =
+    componentLabels(documents, minJaccard, maxBucket)
+      .groupBy("comp").agg(count(lit(1)).as("n_docs"))
+      .select(col("comp").as("cluster_id"), col("n_docs"),
+        (col("n_docs") - 1).as("removable"))
+      .orderBy("cluster_id")
+
+  /** (id, comp) assignment for every doc that appears in a near-dup pair;
+    * comp = min doc_id reachable in the candidate graph. See
+    * [[dupComponents]] for the algorithm notes. */
+  private[llm] def componentLabels(documents: DataFrame, minJaccard: Double,
+                                   maxBucket: Int): DataFrame = {
     val sigs = graft.CacheScope.manage(withPortableSignatures(documents).persist())
     val p0 = scoredCandidates(sigs, portableBandKey, maxBucket)
       .filter(col("est_jaccard") >= minJaccard)
@@ -400,16 +411,14 @@ object TextDedup {
       labels = next // superseded checkpoints are reclaimed by the ContextCleaner
       iter += 1
     }
-    labels.groupBy("comp").agg(count(lit(1)).as("n_docs"))
-      .select(col("comp").as("cluster_id"), col("n_docs"),
-        (col("n_docs") - 1).as("removable"))
-      .orderBy("cluster_id")
+    labels
   }
 
   // Mirrors dupComponents: the l17 candidate chain, then a recursive
   // reachability closure (undirected edges → reachable set ≡ component;
-  // min reachable id ≡ the propagated label).
-  private val l26Sql = {
+  // min reachable id ≡ the propagated label). The CTE chain up through
+  // `reach` is shared with Sampling's l29 oracle via [[reachCtesSql]].
+  private[llm] val reachCtesSql: String = {
     val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
       s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
     val bands = (0 until NumBands).map(b =>
@@ -442,12 +451,14 @@ object TextDedup {
        |reach(src, dst) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT comp AS cluster_id, count(*) AS n_docs,
-       |       cast(count(*) - 1 as bigint) AS removable
-       |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
   }
+
+  private val l26Sql = reachCtesSql + "\n" +
+    """SELECT comp AS cluster_id, count(*) AS n_docs,
+      |       cast(count(*) - 1 as bigint) AS removable
+      |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** l24 — engine-portable SimHash twin of l03: each distinct token's 64
     * fingerprint bits come from the first 16 hex nibbles of its md5 (hex

@@ -237,6 +237,42 @@ class LlmSpec extends SparkSuite {
     assert(base.values.toSet.subsetOf(Set("train", "validation", "test")))
   }
 
+  test("leakage-safe split moves a whole dup chain into its representative's split") {
+    // bridged chain like the dup-components fixture: {1,2} ≈ {3,8} only
+    // via bridge doc 20 → one 5-doc cluster rooted at doc 1. Ids chosen
+    // so the NAIVE per-doc hash split scatters them (1,2,3 → train,
+    // 8 → validation, 20 → test — md5 buckets 60/5/10/93/96).
+    val t1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 30).map(i => s"omega$i").mkString(" ")
+    val chain = Seq(
+      (1L, t1, "en", "s", 10L), (2L, t1, "en", "s", 10L),
+      (3L, t2, "en", "s", 10L), (8L, t2, "en", "s", 10L),
+      (20L, s"$t1 $t2", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val safe = Sampling.withLeakageSafeSplit(chain, minJaccard = 0.3)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(safe.values.toSet.size === 1, s"cluster must not straddle splits: $safe")
+    val rep1 = Sampling.withSplit(chain, "doc_id")
+      .filter(col("doc_id") === 1L).select("split").head().getString(0)
+    assert(safe(1L) === rep1, "the cluster inherits the representative's own hash split")
+    // the naive per-doc split DOES scatter this chain (doc_ids 1..5 hash
+    // independently) — the delta the leakage guard exists to remove
+    val naive = Sampling.withSplit(chain, "doc_id")
+      .select("split").distinct().count()
+    assert(naive === 3, "fixture loses its point if per-doc hashing lands all 5 together")
+  }
+
+  test("leakage-safe split never straddles a cluster on the sf0.01 fixture") {
+    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Sampling.withLeakageSafeSplit(documents)
+    val clustered = out.filter(col("comp").isNotNull)
+    assert(clustered.count() > 0, "fixture must contain near-dup clusters")
+    val straddling = clustered.groupBy("comp")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddling === 0, s"$straddling clusters straddle a split boundary")
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.Det
 
 /** Deterministic dataset splitting and downsampling for training-data
   * pipelines. Split assignment is a pure function of the row key (md5 →
@@ -164,8 +165,68 @@ object Sampling {
         |  cast(sum(n_chars) as bigint) AS total_chars
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** l30 — residual-contamination audit of the NAIVE per-doc hash split
+    * (the failure mode [[withLeakageSafeSplit]] exists to prevent): for
+    * every validation/test doc, the fraction of its distinct word-3-gram
+    * shingles that also occur anywhere in the train split; rolled up per
+    * split as (docs, contaminated_docs at overlap ≥ 0.5, avg overlap).
+    * This is the standard eval-decontamination report run before
+    * publishing benchmark numbers.
+    *
+    * Scale shape: one distinct over train shingles and one equi-join of
+    * non-train shingles against it — both shuffle on the shingle string,
+    * exactly how an n-gram decontamination pass distributes at 100 TB
+    * (no per-doc broadcast of the train set anywhere). The avg rides the
+    * Det decimal accumulator so the rollup is order-independent. */
+  def splitContamination(documents: DataFrame): DataFrame = {
+    val sp = withSplit(documents, "doc_id").select(col("doc_id"), col("split"))
+    val sh = TextDedup.portableShingles(documents).join(sp, Seq("doc_id"))
+    val trainSh = sh.filter(col("split") === "train").select("sh").distinct()
+    val overlap = sh.filter(col("split") =!= "train")
+      .join(trainSh.withColumn("hit", lit(1)), Seq("sh"), "left_outer")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_sh"))
+    overlap.groupBy("split").agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("overlap") >= 0.5, 1).otherwise(0)).as("contaminated_docs"),
+        Det.davg(col("overlap")).as("avg_overlap"))
+      .orderBy("split")
+  }
+
+  private val l30Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |shg AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 95 THEN 'validation'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          CAST(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8)) AS BIGINT) % 100 AS bucket
+       |        FROM documents)),
+       |shs AS (SELECT s.doc_id, s.sh, p.split FROM shg s JOIN sp p USING (doc_id)),
+       |tr AS (SELECT DISTINCT sh FROM shs WHERE split = 'train'),
+       |ov AS (
+       |  SELECT s.doc_id, s.split, count(*) AS n_sh,
+       |         sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM shs s LEFT JOIN tr t ON s.sh = t.sh
+       |  WHERE s.split <> 'train'
+       |  GROUP BY 1, 2)
+       |SELECT split, count(*) AS docs,
+       |  cast(sum(CASE WHEN overlap >= cast(0.5 as double) THEN 1 ELSE 0 END) as bigint) AS contaminated_docs,
+       |  ${graft.functions.Det.sqlDsum("overlap")} / count(overlap) AS avg_overlap
+       |FROM (SELECT *, cast(n_hit as double) / n_sh AS overlap FROM ov)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l16_dataset_split", (s, d) => datasetSplit(Tables.documents(s, d)), Some(l16Sql)),
     Q("l27_balanced_sample", (s, d) => balancedSample(Tables.documents(s, d)), Some(l27Sql)),
-    Q("l29_leakage_safe_split", (s, d) => leakageSafeSplit(Tables.documents(s, d)), Some(l29Sql)))
+    Q("l29_leakage_safe_split", (s, d) => leakageSafeSplit(Tables.documents(s, d)), Some(l29Sql)),
+    Q("l30_split_contamination", (s, d) => splitContamination(Tables.documents(s, d)), Some(l30Sql)))
 }

@@ -157,6 +157,53 @@ object Similarity {
        |SELECT probe_id, nn_rank, cand_id, cos FROM r WHERE nn_rank <= 10
        |ORDER BY probe_id, nn_rank""".stripMargin
 
+  /** l31 — ANN recall audit: per probe, how many of the exact brute-force
+    * top-k ([[bruteTopK]], the correctness baseline) the IVF-pruned path
+    * ([[ivfTopK]], the scale path) actually returned. This is the quality
+    * gate a pipeline runs on a sample whenever the coarse quantizer
+    * changes — at 100 TB you can never afford the exact pass over the
+    * full corpus, so recall is measured on a probe subset exactly like
+    * this and the sampled bound is what licenses the approximate index.
+    * Both sides are the existing oracle-exact pipelines, so the recall
+    * join is oracle-exact too. */
+  def annRecall(embeddings: DataFrame, numProbes: Int = 20, k: Int = 10): DataFrame = {
+    val truth = bruteTopK(embeddings, numProbes, k).select("probe_id", "cand_id")
+    val approx = ivfTopK(embeddings, numProbes, k).select("probe_id", "cand_id")
+      .withColumn("hit", lit(1))
+    truth.join(approx, Seq("probe_id", "cand_id"), "left_outer")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("k_true"),
+        sum(coalesce(col("hit"), lit(0))).as("k_hit"))
+      .withColumn("recall", col("k_hit").cast("double") / col("k_true"))
+      .orderBy("probe_id")
+  }
+
+  private val l31Sql =
+    s"""WITH s1 AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    (${sqlDotChain("p", "c")})
+       |      / (sqrt(${sqlDotChain("p", "p")}) * sqrt(${sqlDotChain("c", "c")})) AS cos
+       |  FROM embeddings p JOIN embeddings c ON p.vec_id < 20 AND p.vec_id <> c.vec_id),
+       |r1 AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS nn_rank
+       |       FROM s1),
+       |bt AS (SELECT probe_id, cand_id FROM r1 WHERE nn_rank <= 10),
+       |b AS (SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
+       |s2 AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |        (${sqlDotChain("p", "c")})
+       |          / (sqrt(${sqlDotChain("p", "p")}) * sqrt(${sqlDotChain("c", "c")})) AS cos
+       |      FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id < 20 AND p.vec_id <> c.vec_id),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS nn_rank
+       |       FROM s2),
+       |iv AS (SELECT probe_id, cand_id FROM r2 WHERE nn_rank <= 10),
+       |g AS (
+       |  SELECT bt.probe_id, count(*) AS k_true,
+       |         sum(CASE WHEN iv.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS k_hit
+       |  FROM bt LEFT JOIN iv ON bt.probe_id = iv.probe_id AND bt.cand_id = iv.cand_id
+       |  GROUP BY 1)
+       |SELECT probe_id, k_true, cast(k_hit as bigint) AS k_hit,
+       |  cast(k_hit as double) / k_true AS recall
+       |FROM g ORDER BY probe_id""".stripMargin
+
   /** l18 — per-label centroid vectors via dimension explosion: the
     * vector-aggregation primitive behind IVF coarse-quantizer training
     * (posexplode → groupBy(label, dim) → decimal-exact mean). One shuffle
@@ -218,5 +265,6 @@ object Similarity {
     Q("l07_ann_brute_topk", (s, d) => bruteTopK(Tables.embeddings(s, d)), Some(l07Sql)),
     Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), Some(l08Sql)),
     Q("l18_label_centroids", (s, d) => labelCentroids(Tables.embeddings(s, d)), Some(l18Sql)),
-    Q("l19_normalize_quantize", (s, d) => normalizeQuantize(Tables.embeddings(s, d)), Some(l19Sql)))
+    Q("l19_normalize_quantize", (s, d) => normalizeQuantize(Tables.embeddings(s, d)), Some(l19Sql)),
+    Q("l31_ann_recall", (s, d) => annRecall(Tables.embeddings(s, d)), Some(l31Sql)))
 }

@@ -199,7 +199,7 @@ object TextDedup {
     * md5-on-string costs more per shingle than xxhash64 but stays linear
     * and map-side-combinable. */
   /** Raw word-3-gram shingles (engine-portable: plain strings). */
-  private def portableShingles(documents: DataFrame): DataFrame = documents
+  private[llm] def portableShingles(documents: DataFrame): DataFrame = documents
     .withColumn("ts", split(col("text"), " "))
     .filter(size(col("ts")) >= 3)
     .select(col("doc_id"), explode(expr(

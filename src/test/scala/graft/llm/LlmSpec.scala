@@ -273,6 +273,39 @@ class LlmSpec extends SparkSuite {
     assert(straddling === 0, s"$straddling clusters straddle a split boundary")
   }
 
+  test("split contamination flags non-train docs sharing train shingles") {
+    // id 1 → train (md5 bucket 60); id 20 → test (96) with IDENTICAL text
+    // → overlap 1.0; id 19 → validation (89) with disjoint text → 0.0
+    val t1 = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 20).map(i => s"omega$i").mkString(" ")
+    val fix = Seq(
+      (1L, t1, "en", "s", 10L),
+      (20L, t1, "en", "s", 10L),
+      (19L, t2, "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.splitContamination(fix).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("contaminated_docs"), r.getAs[Double]("avg_overlap"))))
+      .toMap
+    assert(out("test") === ((1L, 1L, 1.0)), "the verbatim train copy is fully contaminated")
+    assert(out("validation") === ((1L, 0L, 0.0)), "disjoint content is clean")
+  }
+
+  test("ann recall is consistent: k_true full, k_hit bounded, hits are true neighbors") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.annRecall(emb).collect()
+    assert(out.length === 20, "one row per probe")
+    out.foreach { r =>
+      val (kt, kh, rec) = (r.getAs[Long]("k_true"), r.getAs[Long]("k_hit"), r.getAs[Double]("recall"))
+      assert(kt === 10L)
+      assert(kh >= 0L && kh <= kt)
+      assert(rec === kh.toDouble / kt)
+    }
+    // the IVF cell always contains at least SOME true neighbors overall —
+    // an all-zero recall column means the quantizer or the join is broken
+    assert(out.map(_.getAs[Long]("k_hit")).sum > 0)
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

@@ -221,6 +221,106 @@ object TextStats {
       |SELECT lang, term_rank, term, cast(tf as bigint) AS tf, cast(df as bigint) AS df, score
       |FROM r WHERE term_rank <= 5 ORDER BY lang, term_rank""".stripMargin
 
+  /** l32 — repetition signals, the quality dimension [[qualityScore]]'s
+    * length/diversity score misses: boilerplate and generated spam pass a
+    * lexical-diversity check while repeating the same phrases. Per doc:
+    * the fraction of word-2-grams taken by the single most frequent one
+    * (`top_frac`) and the fraction occurring more than once (`dup_frac`)
+    * — the standard repetition rules in published corpus-curation
+    * pipelines. Flag = top_frac > 0.2 OR dup_frac > 0.5; rolled up per
+    * language.
+    *
+    * Shape: explode 2-grams (NOT distinct — multiplicity is the signal),
+    * one (doc, gram) count, one per-doc aggregate, one per-lang rollup —
+    * three shuffles, each on progressively smaller keys; linear in corpus
+    * size with map-side combine everywhere. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(0, size(ts)-2),
+          |  i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))""".stripMargin)).as("g"))
+    val perDoc = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_grams"))
+      .withColumn("top_frac", col("top_cnt").cast("double") / col("n_grams"))
+      .withColumn("dup_frac", col("dup_grams").cast("double") / col("n_grams"))
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("top_frac") > 0.2 || col("dup_frac") > 0.5, 1).otherwise(0))
+          .as("flagged_docs"),
+        davg(col("top_frac")).as("avg_top_frac"),
+        davg(col("dup_frac")).as("avg_dup_frac"))
+      .orderBy("lang")
+  }
+
+  private val l32Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |g AS (
+       |  SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS g
+       |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+       |pd AS (
+       |  SELECT doc_id, lang, sum(cnt) AS n_grams, max(cnt) AS top_cnt,
+       |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_grams
+       |  FROM (SELECT doc_id, lang, g, count(*) AS cnt FROM g GROUP BY 1,2,3)
+       |  GROUP BY 1,2),
+       |f AS (
+       |  SELECT lang,
+       |         cast(top_cnt as double)/n_grams AS top_frac,
+       |         cast(dup_grams as double)/n_grams AS dup_frac
+       |  FROM pd)
+       |SELECT lang, count(*) AS docs,
+       |  cast(sum(CASE WHEN top_frac > cast(0.2 as double)
+       |                  OR dup_frac > cast(0.5 as double) THEN 1 ELSE 0 END) as bigint) AS flagged_docs,
+       |  ${sqlDavg("top_frac")} AS avg_top_frac,
+       |  ${sqlDavg("dup_frac")} AS avg_dup_frac
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** l33 — context-window packing plan: what tokenized training actually
+    * pays at a fixed sequence length. Per doc, `n_seqs = ceil(tokens/ctx)`
+    * sequences (one-doc-per-sequence padding policy); per language the
+    * rollup reports total sequences, the perfect-packing lower bound
+    * `ceil(sum(tokens)/ctx)`, and the padding fraction — the number that
+    * tells a pipeline whether sequence packing is worth turning on before
+    * burning accelerator-hours. Integer `div` arithmetic end to end, so
+    * the oracle is exact; one aggregation shuffle. */
+  def packingPlan(documents: DataFrame, ctx: Int = 512): DataFrame = {
+    val t = documents
+      .withColumn("tokens",
+        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("long"))
+      .filter(col("tokens") > 0)
+      .withColumn("n_seqs", expr(s"(tokens + ${ctx - 1}) div $ctx"))
+    t.groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(col("n_seqs")).as("total_seqs"))
+      .withColumn("packed_seqs_lb", expr(s"(total_tokens + ${ctx - 1}) div $ctx"))
+      .withColumn("padding_frac",
+        (col("total_seqs") * ctx - col("total_tokens")).cast("double") /
+          (col("total_seqs") * ctx))
+      .orderBy("lang")
+  }
+
+  private val l33Sql =
+    """WITH t AS (
+      |  SELECT lang, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tokens
+      |  FROM documents),
+      |tt AS (SELECT lang, tokens, (tokens + 511) // 512 AS n_seqs FROM t WHERE tokens > 0)
+      |SELECT lang, count(*) AS docs,
+      |  cast(sum(tokens) as bigint) AS total_tokens,
+      |  cast(sum(n_seqs) as bigint) AS total_seqs,
+      |  cast((sum(tokens) + 511) // 512 as bigint) AS packed_seqs_lb,
+      |  cast(sum(n_seqs)*512 - sum(tokens) as double) / (sum(n_seqs)*512) AS padding_frac
+      |FROM tt GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
@@ -230,5 +330,7 @@ object TextStats {
     Q("l25_fingerprint_fast", (s, d) => fingerprintFast(Tables.documents(s, d)), None),
     Q("l20_scrub_stats", (s, d) => scrubStats(Tables.documents(s, d)), Some(l20Sql)),
     Q("l21_top_terms", (s, d) => topTerms(Tables.documents(s, d)), Some(l21Sql)),
-    Q("l22_tfidf_terms", (s, d) => tfidfTerms(Tables.documents(s, d)), Some(l22Sql)))
+    Q("l22_tfidf_terms", (s, d) => tfidfTerms(Tables.documents(s, d)), Some(l22Sql)),
+    Q("l32_repetition_stats", (s, d) => repetitionStats(Tables.documents(s, d)), Some(l32Sql)),
+    Q("l33_packing_plan", (s, d) => packingPlan(Tables.documents(s, d)), Some(l33Sql)))
 }

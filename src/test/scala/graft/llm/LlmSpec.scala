@@ -306,6 +306,33 @@ class LlmSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("k_hit")).sum > 0)
   }
 
+  test("repetition stats flag repeated-phrase spam that lexical diversity misses") {
+    val fix = Seq(
+      (1L, Seq.fill(20)("buy cheap pills now").mkString(" "), "en", "s", 100L), // 4-word loop
+      (2L, (1 to 80).map(i => s"w$i").mkString(" "), "en", "s", 100L))          // all-distinct
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.repetitionStats(fix).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("docs") === 2)
+    assert(r.head.getAs[Long]("flagged_docs") === 1, "only the looped doc is flagged")
+    // the looped doc: 79 bigrams, top ('now buy') cnt 19 or ('buy cheap') 20 → top_frac ≥ 0.2
+    assert(r.head.getAs[Double]("avg_dup_frac") > 0.4)
+  }
+
+  test("packing plan: seq counts, perfect-packing bound, and padding fraction agree") {
+    // 600 one-letter words → 600 tokens → 2 seqs of 512; 100 tokens → 1 seq.
+    // lb = ceil(700/512) = 2; padding = (3*512 - 700) / (3*512)
+    val fix = Seq(
+      (1L, Seq.fill(600)("a").mkString(" "), "en", "s", 100L),
+      (2L, Seq.fill(100)("b").mkString(" "), "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.packingPlan(fix).head()
+    assert(r.getAs[Long]("total_tokens") === 700L)
+    assert(r.getAs[Long]("total_seqs") === 3L)
+    assert(r.getAs[Long]("packed_seqs_lb") === 2L)
+    assert(r.getAs[Double]("padding_frac") === (3 * 512 - 700).toDouble / (3 * 512))
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

@@ -106,6 +106,37 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"no SMJ expected in v13:\n$p")
   }
 
+  test("contamination audit joins on the shingle key — never a cartesian") {
+    val df = graft.llm.Sampling.splitContamination(Tables.documents(spark, sf))
+    df.collect()
+    val p = plan(df)
+    try {
+      assert(!p.contains("CartesianProduct"),
+        s"train-shingle membership must be an equi-join on the shingle:\n$p")
+      assert(p.contains("partial_"), s"expected map-side combine in the rollups:\n$p")
+    } finally CacheScope.releaseAll()
+  }
+
+  test("ann recall: probe sides broadcast; no cartesian product anywhere") {
+    val df = graft.llm.Similarity.annRecall(Tables.embeddings(spark, sf))
+    df.collect()
+    val p = plan(df)
+    // bruteTopK's probes ride a broadcast nested-loop (the intentional
+    // O(probes×n) baseline); the recall join itself is an equi-join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbounded pair blowup:\n$p")
+  }
+
+  test("leakage-safe split joins labels back by doc_id equi-join — no cartesian") {
+    val df = graft.llm.Sampling.withLeakageSafeSplit(Tables.documents(spark, sf))
+    df.collect()
+    val p = plan(df)
+    try {
+      assert(!p.contains("CartesianProduct"), s"label re-join must stay keyed:\n$p")
+    } finally CacheScope.releaseAll()
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

@@ -414,11 +414,11 @@ object TextDedup {
     labels
   }
 
-  // Mirrors dupComponents: the l17 candidate chain, then a recursive
-  // reachability closure (undirected edges → reachable set ≡ component;
-  // min reachable id ≡ the propagated label). The CTE chain up through
-  // `reach` is shared with Sampling's l29 oracle via [[reachCtesSql]].
-  private[llm] val reachCtesSql: String = {
+  // Shared DuckDB chain: portable signatures → capped bands → candidate
+  // pairs → est-Jaccard-thresholded `pairs`. (The WITH RECURSIVE prefix is
+  // harmless for non-recursive consumers and lets [[reachCtesSql]] extend
+  // the same text with the reachability closure.)
+  private[llm] val pairsCtesSql: String = {
     val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
       s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
     val bands = (0 until NumBands).map(b =>
@@ -444,15 +444,20 @@ object TextDedup {
        |pairs AS (
        |  SELECT id_a, id_b
        |  FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
-       |  WHERE cast($matches as double)/$NumHashes >= cast(0.5 as double)),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |          UNION ALL SELECT id_b, id_a FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |reach(src, dst) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+       |  WHERE cast($matches as double)/$NumHashes >= cast(0.5 as double))""".stripMargin
   }
+
+  // Extends the pairs chain with the recursive reachability closure
+  // (undirected edges → reachable set ≡ component; min reachable id ≡ the
+  // propagated label). Shared with Sampling's l29 oracle.
+  private[llm] val reachCtesSql: String = pairsCtesSql + ",\n" +
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
   private val l26Sql = reachCtesSql + "\n" +
     """SELECT comp AS cluster_id, count(*) AS n_docs,
@@ -577,6 +582,55 @@ object TextDedup {
        |FROM total LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
   }
 
+  /** l35 — INCREMENTAL dedup: the shape a pipeline actually runs daily at
+    * 100 TB, where re-deduping the whole corpus per ingest is off the
+    * table. The arriving batch (here the deterministic 10% slice
+    * `doc_id % 10 = 7`) is deduped against the existing corpus AND
+    * keep-first within itself: a batch doc is dropped if it has a
+    * near-dup partner in the corpus (any id) or an earlier batch doc.
+    * Corpus–corpus pairs are never inspected — in production the corpus
+    * side's signatures are precomputed and only batch-side bands drive
+    * the candidate join, so cost scales with the batch, not the corpus.
+    * Per-language rollup; oracle replays the same candidate chain and
+    * membership arithmetic. */
+  def incrementalDedup(documents: DataFrame,
+                       maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val sigs = graft.CacheScope.manage(withPortableSignatures(documents).persist())
+    val pairs = scoredCandidates(sigs, portableBandKey, maxBucket)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    val isBatch: Column => Column = c => c % 10 === 7
+    val partnered = pairs.select(col("id_b").as("bid"), col("id_a").as("pid"))
+      .union(pairs.select(col("id_a").as("bid"), col("id_b").as("pid")))
+    val dropped = partnered
+      .filter(isBatch(col("bid")) && (!isBatch(col("pid")) || col("pid") < col("bid")))
+      .select(col("bid").as("doc_id")).distinct()
+      .withColumn("dr", lit(1))
+    documents.filter(isBatch(col("doc_id")))
+      .join(dropped, Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("batch_docs"),
+        sum(coalesce(col("dr"), lit(0))).as("dropped_docs"))
+      .withColumn("kept_docs", col("batch_docs") - col("dropped_docs"))
+      .orderBy("lang")
+  }
+
+  private val l35Sql = pairsCtesSql + ",\n" +
+    """bd AS (SELECT id_b AS bid, id_a AS pid FROM pairs
+      |       UNION ALL SELECT id_a, id_b FROM pairs),
+      |dropped AS (
+      |  SELECT DISTINCT bid AS doc_id FROM bd
+      |  WHERE bid % 10 = 7 AND (pid % 10 <> 7 OR pid < bid)),
+      |b AS (
+      |  SELECT d.lang, CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dr
+      |  FROM documents d LEFT JOIN dropped x USING (doc_id)
+      |  WHERE d.doc_id % 10 = 7)
+      |SELECT lang, count(*) AS batch_docs,
+      |  cast(sum(dr) as bigint) AS dropped_docs,
+      |  cast(count(*) - sum(dr) as bigint) AS kept_docs
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l01_dedup_exact", (s, d) => exactDedupStats(Tables.documents(s, d)), Some(l01Sql)),
     Q("l02_dedup_minhash_lsh", (s, d) => minhashNearDup(Tables.documents(s, d)), None),
@@ -585,5 +639,6 @@ object TextDedup {
     Q("l17_dedup_filter", (s, d) => dedupFilterStats(Tables.documents(s, d)), Some(l17Sql)),
     Q("l24_simhash_portable", (s, d) => simhashPortable(Tables.documents(s, d)), Some(l24Sql)),
     Q("l26_dedup_components", (s, d) => dupComponents(Tables.documents(s, d)), Some(l26Sql)),
-    Q("l28_minhash_portable", (s, d) => minhashPortable(Tables.documents(s, d)), Some(l28Sql)))
+    Q("l28_minhash_portable", (s, d) => minhashPortable(Tables.documents(s, d)), Some(l28Sql)),
+    Q("l35_incremental_dedup", (s, d) => incrementalDedup(Tables.documents(s, d)), Some(l35Sql)))
 }

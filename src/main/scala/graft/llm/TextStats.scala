@@ -321,6 +321,46 @@ object TextStats {
       |  cast(sum(n_seqs)*512 - sum(tokens) as double) / (sum(n_seqs)*512) AS padding_frac
       |FROM tt GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** l34 — vocabulary coverage / OOV rate: build the top-1000 corpus
+    * vocabulary by frequency (ties broken by term for a total order) and
+    * report, per language, how many token occurrences it covers — the
+    * report that sizes a tokenizer's vocab and shows which languages it
+    * under-serves. The vocab is bounded (1000 rows) and broadcast, so
+    * the coverage pass is a broadcast probe over the exploded tokens —
+    * no shuffle grows with corpus size except the two token aggregates.
+    * The exploded token stream is deliberately recomputed rather than
+    * persisted: at 100 TB caching it would dwarf executor storage, while
+    * re-reading rides the scan. */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    def toks = documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0))).as("covered_tokens"))
+      .withColumn("oov_rate",
+        (col("total_tokens") - col("covered_tokens")).cast("double") / col("total_tokens"))
+      .orderBy("lang")
+  }
+
+  private val l34Sql =
+    """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |t AS (SELECT * FROM tk WHERE term <> ''),
+      |v AS (SELECT term FROM (
+      |  SELECT term, count(*) AS cnt FROM t GROUP BY 1
+      |  ORDER BY cnt DESC, term LIMIT 1000)),
+      |j AS (SELECT t.lang, CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS iv
+      |      FROM t LEFT JOIN v ON t.term = v.term)
+      |SELECT lang, count(*) AS total_tokens,
+      |  cast(sum(iv) as bigint) AS covered_tokens,
+      |  cast(count(*) - sum(iv) as double) / count(*) AS oov_rate
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
@@ -332,5 +372,6 @@ object TextStats {
     Q("l21_top_terms", (s, d) => topTerms(Tables.documents(s, d)), Some(l21Sql)),
     Q("l22_tfidf_terms", (s, d) => tfidfTerms(Tables.documents(s, d)), Some(l22Sql)),
     Q("l32_repetition_stats", (s, d) => repetitionStats(Tables.documents(s, d)), Some(l32Sql)),
-    Q("l33_packing_plan", (s, d) => packingPlan(Tables.documents(s, d)), Some(l33Sql)))
+    Q("l33_packing_plan", (s, d) => packingPlan(Tables.documents(s, d)), Some(l33Sql)),
+    Q("l34_vocab_coverage", (s, d) => vocabCoverage(Tables.documents(s, d)), Some(l34Sql)))
 }

@@ -333,6 +333,34 @@ class LlmSpec extends SparkSuite {
     assert(r.getAs[Double]("padding_frac") === (3 * 512 - 700).toDouble / (3 * 512))
   }
 
+  test("vocab coverage counts occurrences under the top-k vocabulary") {
+    // terms: a×3, b×2, c×1 → vocab(2) = {a, b}; covered 5 of 6
+    val fix = Seq((1L, "a a a b b c", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.vocabCoverage(fix, vocabSize = 2).head()
+    assert(r.getAs[Long]("total_tokens") === 6L)
+    assert(r.getAs[Long]("covered_tokens") === 5L)
+    assert(r.getAs[Double]("oov_rate") === 1.0 / 6)
+  }
+
+  test("incremental dedup drops batch docs against corpus and keep-first within batch") {
+    val tA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val tB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val tC = (1 to 20).map(i => s"gamma$i").mkString(" ")
+    // batch = doc_id % 10 == 7: docs 7, 17, 27, 37. Doc 7 dups corpus doc
+    // 1 → dropped; 17/27 dup each other → keep-first keeps 17; 37 unique.
+    val fix = Seq(
+      (1L, tA, "en", "s", 10L),
+      (7L, tA, "en", "s", 10L),
+      (17L, tB, "en", "s", 10L), (27L, tB, "en", "s", 10L),
+      (37L, tC, "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextDedup.incrementalDedup(fix).head()
+    assert(r.getAs[Long]("batch_docs") === 4L)
+    assert(r.getAs[Long]("dropped_docs") === 2L, "doc 7 (vs corpus) and doc 27 (vs doc 17)")
+    assert(r.getAs[Long]("kept_docs") === 2L)
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

@@ -118,8 +118,9 @@ object Sampling {
     * doc_id (AQE broadcasts it when small — no hint, because on a dirty
     * corpus the clustered fraction can be large). */
   def withLeakageSafeSplit(documents: DataFrame, minJaccard: Double = 0.5,
-                           maxBucket: Int = TextDedup.MaxBucketDefault): DataFrame = {
-    val labels = TextDedup.componentLabels(documents, minJaccard, maxBucket)
+                           maxBucket: Int = TextDedup.MaxBucketDefault,
+                           sigsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = TextDedup.componentLabels(documents, minJaccard, maxBucket, sigsOpt)
     documents
       .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left_outer")
       .withColumn("rep_id", coalesce(col("comp"), col("doc_id")))
@@ -135,8 +136,9 @@ object Sampling {
     * clusters landed there, and total chars. Composes l26's components
     * with l16's hash split; the DuckDB oracle replays the recursive
     * reachability closure and the same bucket arithmetic. */
-  def leakageSafeSplit(documents: DataFrame): DataFrame =
-    withLeakageSafeSplit(documents)
+  def leakageSafeSplit(documents: DataFrame,
+                       sigsOpt: Option[DataFrame] = None): DataFrame =
+    withLeakageSafeSplit(documents, sigsOpt = sigsOpt)
       .groupBy("split")
       .agg(
         count(lit(1)).as("docs"),
@@ -227,6 +229,7 @@ object Sampling {
   def all: Seq[Q] = Seq(
     Q("l16_dataset_split", (s, d) => datasetSplit(Tables.documents(s, d)), Some(l16Sql)),
     Q("l27_balanced_sample", (s, d) => balancedSample(Tables.documents(s, d)), Some(l27Sql)),
-    Q("l29_leakage_safe_split", (s, d) => leakageSafeSplit(Tables.documents(s, d)), Some(l29Sql)),
+    Q("l29_leakage_safe_split", (s, d) =>
+      leakageSafeSplit(Tables.documents(s, d), Some(SigStore.portable(s, d))), Some(l29Sql)),
     Q("l30_split_contamination", (s, d) => splitContamination(Tables.documents(s, d)), Some(l30Sql)))
 }

@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped store of portable MinHash signatures per dataset
+  * directory — the batch analog of the signature TABLE a production dedup
+  * pipeline maintains: signatures are computed once per corpus snapshot
+  * and every consumer (removal filter, clustering, leakage-safe split,
+  * incremental batch dedup, candidate ranking) reads the store instead of
+  * re-deriving the shingle→md5 pipeline per query. At 100 TB that
+  * recomputation is the dominant dedup cost, which is exactly why real
+  * systems persist signatures next to the corpus; here the store is an
+  * in-session persist keyed by (session, dir), LRU-bounded like
+  * [[graft.Tables]]'s plan cache, evicted entries unpersisted.
+  *
+  * Results are identical with or without the store (the pipeline is a
+  * pure function of the corpus) — asserted in LlmSpec.
+  */
+object SigStore {
+
+  private val MaxEntries = 8
+  private val cache = new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
+      val evict = size() > MaxEntries
+      if (evict) e.getValue.unpersist(blocking = false)
+      evict
+    }
+  }
+
+  /** Portable md5-substring MinHash signatures (doc_id, sig) for the
+    * `documents` table under `dir`, persisted for the session. */
+  def portable(spark: SparkSession, dir: String): DataFrame = cache.synchronized {
+    var df = cache.get((spark, dir))
+    if (df == null) {
+      df = TextDedup.withPortableSignatures(graft.Tables.documents(spark, dir)).persist()
+      cache.put((spark, dir), df)
+    }
+    df
+  }
+}

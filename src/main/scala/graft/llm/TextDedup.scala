@@ -218,8 +218,10 @@ object TextDedup {
   }
 
   /** Portable signatures in the same (doc_id, sig array) shape as
-    * [[withSignatures]], so the scoring/banding machinery is shared. */
-  private def withPortableSignatures(documents: DataFrame): DataFrame =
+    * [[withSignatures]], so the scoring/banding machinery is shared.
+    * Registered queries share one computation per session via
+    * [[SigStore]]. */
+  private[llm] def withPortableSignatures(documents: DataFrame): DataFrame =
     portableSigSlots(portableShingles(documents))
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
       .select("doc_id", "sig")
@@ -283,9 +285,10 @@ object TextDedup {
     * which matches the greedy keep-first policy common in corpus dedup. */
   def dedupFilter(documents: DataFrame, minJaccard: Double = 0.5,
                   portable: Boolean = false,
-                  maxBucket: Int = MaxBucketDefault): DataFrame = {
-    val sigs = graft.CacheScope.manage(
-      (if (portable) withPortableSignatures(documents) else withSignatures(documents)).persist())
+                  maxBucket: Int = MaxBucketDefault,
+                  sigsOpt: Option[DataFrame] = None): DataFrame = {
+    val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
+      (if (portable) withPortableSignatures(documents) else withSignatures(documents)).persist()))
     val toDrop = scoredCandidates(sigs,
         if (portable) portableBandKey else nativeBandKey, maxBucket)
       .filter(col("est_jaccard") >= minJaccard)
@@ -297,8 +300,9 @@ object TextDedup {
     * portable md5 signature pipeline so the DuckDB oracle reproduces the
     * removal set exactly; `dedupFilter`'s default stays the xxhash64 fast
     * path (LlmSpec keeps the recall bound on that one). */
-  def dedupFilterStats(documents: DataFrame): DataFrame = {
-    val kept = dedupFilter(documents, portable = true)
+  def dedupFilterStats(documents: DataFrame,
+                       sigsOpt: Option[DataFrame] = None): DataFrame = {
+    val kept = dedupFilter(documents, portable = true, sigsOpt = sigsOpt)
       .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
     val total = documents.groupBy("lang").agg(count(lit(1)).as("total_docs"))
     total.join(kept, Seq("lang"), "left_outer")
@@ -315,9 +319,10 @@ object TextDedup {
     * l24 (simhash), l26 (clusters), l28 (minhash ranking); l02 stays the
     * xxhash64 fast path. */
   def minhashPortable(documents: DataFrame,
-                      maxBucket: Int = MaxBucketDefault): DataFrame =
+                      maxBucket: Int = MaxBucketDefault,
+                      sigsOpt: Option[DataFrame] = None): DataFrame =
     scoredCandidates(
-        graft.CacheScope.manage(withPortableSignatures(documents).persist()),
+        sigsOpt.getOrElse(graft.CacheScope.manage(withPortableSignatures(documents).persist())),
         portableBandKey, maxBucket)
       .select("id_a", "id_b", "est_jaccard")
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
@@ -371,8 +376,9 @@ object TextDedup {
     * removable = n_docs - 1). Reproduced exactly in DuckDB via a
     * recursive-CTE reachability closure over the same edge set. */
   def dupComponents(documents: DataFrame, minJaccard: Double = 0.5,
-                    maxBucket: Int = MaxBucketDefault): DataFrame =
-    componentLabels(documents, minJaccard, maxBucket)
+                    maxBucket: Int = MaxBucketDefault,
+                    sigsOpt: Option[DataFrame] = None): DataFrame =
+    componentLabels(documents, minJaccard, maxBucket, sigsOpt)
       .groupBy("comp").agg(count(lit(1)).as("n_docs"))
       .select(col("comp").as("cluster_id"), col("n_docs"),
         (col("n_docs") - 1).as("removable"))
@@ -382,8 +388,10 @@ object TextDedup {
     * comp = min doc_id reachable in the candidate graph. See
     * [[dupComponents]] for the algorithm notes. */
   private[llm] def componentLabels(documents: DataFrame, minJaccard: Double,
-                                   maxBucket: Int): DataFrame = {
-    val sigs = graft.CacheScope.manage(withPortableSignatures(documents).persist())
+                                   maxBucket: Int,
+                                   sigsOpt: Option[DataFrame] = None): DataFrame = {
+    val sigs = sigsOpt.getOrElse(
+      graft.CacheScope.manage(withPortableSignatures(documents).persist()))
     val p0 = scoredCandidates(sigs, portableBandKey, maxBucket)
       .filter(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b")
@@ -594,8 +602,10 @@ object TextDedup {
     * Per-language rollup; oracle replays the same candidate chain and
     * membership arithmetic. */
   def incrementalDedup(documents: DataFrame,
-                       maxBucket: Int = MaxBucketDefault): DataFrame = {
-    val sigs = graft.CacheScope.manage(withPortableSignatures(documents).persist())
+                       maxBucket: Int = MaxBucketDefault,
+                       sigsOpt: Option[DataFrame] = None): DataFrame = {
+    val sigs = sigsOpt.getOrElse(
+      graft.CacheScope.manage(withPortableSignatures(documents).persist()))
     val pairs = scoredCandidates(sigs, portableBandKey, maxBucket)
       .filter(col("est_jaccard") >= 0.5)
       .select("id_a", "id_b")
@@ -636,9 +646,13 @@ object TextDedup {
     Q("l02_dedup_minhash_lsh", (s, d) => minhashNearDup(Tables.documents(s, d)), None),
     Q("l03_dedup_simhash", (s, d) => simhashNearDup(Tables.documents(s, d)), None),
     Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), Some(l04Sql)),
-    Q("l17_dedup_filter", (s, d) => dedupFilterStats(Tables.documents(s, d)), Some(l17Sql)),
+    Q("l17_dedup_filter", (s, d) =>
+      dedupFilterStats(Tables.documents(s, d), Some(SigStore.portable(s, d))), Some(l17Sql)),
     Q("l24_simhash_portable", (s, d) => simhashPortable(Tables.documents(s, d)), Some(l24Sql)),
-    Q("l26_dedup_components", (s, d) => dupComponents(Tables.documents(s, d)), Some(l26Sql)),
-    Q("l28_minhash_portable", (s, d) => minhashPortable(Tables.documents(s, d)), Some(l28Sql)),
-    Q("l35_incremental_dedup", (s, d) => incrementalDedup(Tables.documents(s, d)), Some(l35Sql)))
+    Q("l26_dedup_components", (s, d) =>
+      dupComponents(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l26Sql)),
+    Q("l28_minhash_portable", (s, d) =>
+      minhashPortable(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l28Sql)),
+    Q("l35_incremental_dedup", (s, d) =>
+      incrementalDedup(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l35Sql)))
 }

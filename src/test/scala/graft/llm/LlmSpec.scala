@@ -361,6 +361,17 @@ class LlmSpec extends SparkSuite {
     assert(r.getAs[Long]("kept_docs") === 2L)
   }
 
+  test("signature store is shared per session and changes no results") {
+    val dir = "/root/testdata/sf0.001"
+    assert(SigStore.portable(spark, dir) eq SigStore.portable(spark, dir),
+      "repeat lookups must hit the same persisted frame")
+    val documents = graft.Tables.documents(spark, dir)
+    val fromStore = TextDedup.incrementalDedup(documents,
+      sigsOpt = Some(SigStore.portable(spark, dir))).collect().map(_.toSeq).toSeq
+    val recomputed = TextDedup.incrementalDedup(documents).collect().map(_.toSeq).toSeq
+    assert(fromStore === recomputed, "the store is a pure cache, not a semantic change")
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

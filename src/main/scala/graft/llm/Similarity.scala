@@ -204,6 +204,51 @@ object Similarity {
        |  cast(k_hit as double) / k_true AS recall
        |FROM g ORDER BY probe_id""".stripMargin
 
+  /** l36 — embedding-space dup CLUSTERS: connected components over the
+    * hyperplane-LSH cosine graph (edges = bucket-sharing pairs with
+    * cosine ≥ threshold), the embedding analog of l26's text clusters —
+    * same min-label propagation, same recursive-closure oracle. This is
+    * the semantic-dedup step run after text-level dedup: paraphrases
+    * and re-encodes that share no n-grams but embed together. The
+    * threshold is corpus-calibrated; 0.35 yields non-trivial clusters on
+    * the synthetic fixture (whose vectors are random — real corpora sit
+    * near 1.0). */
+  def embedDupComponents(embeddings: DataFrame, minCos: Double = 0.35): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", VectorOps.lshBucket("embedding", Planes, Dims))
+    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b").distinct()
+    TextDedup.propagateMinLabels(pairs)
+      .groupBy("comp").agg(count(lit(1)).as("n_vecs"))
+      .select(col("comp").as("cluster_id"), col("n_vecs"),
+        (col("n_vecs") - 1).as("removable"))
+      .orderBy("cluster_id")
+  }
+
+  private val l36Sql =
+    s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |        (${sqlDotChain("a", "c")})
+       |          / (sqrt(${sqlDotChain("a", "a")}) * sqrt(${sqlDotChain("c", "c")})) AS cos
+       |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |pairs AS (SELECT DISTINCT id_a, id_b FROM p WHERE cos >= cast(0.35 as double)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT comp AS cluster_id, count(*) AS n_vecs,
+       |       cast(count(*) - 1 as bigint) AS removable
+       |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** l18 — per-label centroid vectors via dimension explosion: the
     * vector-aggregation primitive behind IVF coarse-quantizer training
     * (posexplode → groupBy(label, dim) → decimal-exact mean). One shuffle
@@ -266,5 +311,6 @@ object Similarity {
     Q("l08_ann_ivf_topk", (s, d) => ivfTopK(Tables.embeddings(s, d)), Some(l08Sql)),
     Q("l18_label_centroids", (s, d) => labelCentroids(Tables.embeddings(s, d)), Some(l18Sql)),
     Q("l19_normalize_quantize", (s, d) => normalizeQuantize(Tables.embeddings(s, d)), Some(l19Sql)),
-    Q("l31_ann_recall", (s, d) => annRecall(Tables.embeddings(s, d)), Some(l31Sql)))
+    Q("l31_ann_recall", (s, d) => annRecall(Tables.embeddings(s, d)), Some(l31Sql)),
+    Q("l36_embed_dup_clusters", (s, d) => embedDupComponents(Tables.embeddings(s, d)), Some(l36Sql)))
 }

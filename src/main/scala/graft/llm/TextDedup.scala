@@ -392,9 +392,16 @@ object TextDedup {
                                    sigsOpt: Option[DataFrame] = None): DataFrame = {
     val sigs = sigsOpt.getOrElse(
       graft.CacheScope.manage(withPortableSignatures(documents).persist()))
-    val p0 = scoredCandidates(sigs, portableBandKey, maxBucket)
+    propagateMinLabels(scoredCandidates(sigs, portableBandKey, maxBucket)
       .filter(col("est_jaccard") >= minJaccard)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b"))
+  }
+
+  /** Min-label propagation over an undirected pair list `(id_a, id_b)`:
+    * returns `(id, comp)` where comp = min id reachable. Shared by the
+    * text-side ([[componentLabels]]) and embedding-side
+    * ([[Similarity.embedDupComponents]]) clustering. */
+  private[llm] def propagateMinLabels(p0: DataFrame): DataFrame = {
     // Lineage cut, not just a cache: Catalyst re-analyzes each round's
     // FULL input plan, and the signature pipeline behind the edge list is
     // hundreds of expression nodes — with plain persist() every round

@@ -372,6 +372,21 @@ class LlmSpec extends SparkSuite {
     assert(fromStore === recomputed, "the store is a pure cache, not a semantic change")
   }
 
+  test("embedding dup clusters group identical vectors transitively") {
+    // identical vectors share every hyperplane sign (same bucket) and
+    // have cosine exactly 1 — {1,2,3} and {10,11} must form two clusters
+    val vA = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val vB = Array.tabulate(64)(i => ((i * 3) % 11 - 5).toFloat)
+    val fix = Seq(
+      (1L, vA, 0), (2L, vA, 0), (3L, vA, 0),
+      (10L, vB, 1), (11L, vB, 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedDupComponents(fix, minCos = 0.99).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_vecs"), r.getAs[Long]("removable")))
+    assert(out.toSeq === Seq((1L, 3L, 2L), (10L, 2L, 1L)),
+      s"expected clusters {1,2,3} and {10,11}, got ${out.toSeq}")
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

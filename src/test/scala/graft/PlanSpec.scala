@@ -137,6 +137,20 @@ class PlanSpec extends SparkSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("as-of join compiles to a window, not a join — no pair blowup operator") {
+    val df = graft.operators.AsofJoin.asofEnrich(
+      Tables.events(spark, sf), Tables.orders(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the tagged-union shape must not materialize event x order pairs:\n$p")
+    assert(p.contains("Window"), s"expected the per-key as-of window:\n$p")
+    // AQE prints the plan twice (final + initial) — count the final only
+    val finalP = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalP).length <= 1,
+      s"one shuffle on the join key is the whole cost:\n$finalP")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

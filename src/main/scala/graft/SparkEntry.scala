@@ -9,7 +9,7 @@ object SparkEntry {
     operators.CoreQueries.all ++
       operators.ExtendedQueries.all ++
       operators.SurfaceQueries.all ++
-      operators.AsofJoin.all ++
+      operators.AsOfJoin.all ++
       analytics.Views.all ++
       analytics.Calendar.all ++
       etl.Taxonomy.all ++

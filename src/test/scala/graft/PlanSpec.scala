@@ -138,7 +138,7 @@ class PlanSpec extends SparkSuite {
   }
 
   test("as-of join compiles to a window, not a join — no pair blowup operator") {
-    val df = graft.operators.AsofJoin.asofEnrich(
+    val df = graft.operators.AsOfJoin.asofEnrich(
       Tables.events(spark, sf), Tables.orders(spark, sf))
     df.collect()
     val p = plan(df)

@@ -3,7 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 import graft.SparkSuite
 
-class AsofJoinSpec extends SparkSuite {
+class AsOfJoinSpec extends SparkSuite {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
@@ -21,7 +21,7 @@ class AsofJoinSpec extends SparkSuite {
       (13L, 100L, "O", 30.0, ts("2024-01-08 00:00:00"), "1-URGENT")
     ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
-    val out = AsofJoin.asofEnrich(events, orders).collect()
+    val out = AsOfJoin.asofEnrich(events, orders).collect()
       .map(r => r.getAs[Long]("event_id") ->
         ((Option(r.getAs[java.lang.Long]("asof_orderkey")).map(_.toLong),
           Option(r.getAs[java.lang.Double]("asof_price")).map(_.toDouble))))
@@ -31,7 +31,7 @@ class AsofJoinSpec extends SparkSuite {
     assert(out(3L) === ((None, None)))
     assert(out(4L) === ((None, None)))
 
-    val roll = AsofJoin.asofRollup(events, orders).collect()
+    val roll = AsOfJoin.asofRollup(events, orders).collect()
       .map(r => r.getAs[String]("event_type") ->
         ((r.getAs[Long]("n_events"), r.getAs[Long]("matched_events")))).toMap
     assert(roll("view") === ((3L, 2L)))
@@ -42,7 +42,7 @@ class AsofJoinSpec extends SparkSuite {
     val events = Tables.events
     val orders = Tables.orders
     def run(e: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
-      AsofJoin.asofRollup(e, o).collect().map(_.toSeq).toSeq
+      AsOfJoin.asofRollup(e, o).collect().map(_.toSeq).toSeq
     assert(run(events, orders) === run(events.repartition(13), orders.repartition(5)))
   }
 

@@ -98,6 +98,27 @@ object Streams {
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
 
+  /** Streaming corpus ingestion — the streaming front door of the batch
+    * dedup/quality tiers (l01/l12): exact dedup on the NORMALIZED content
+    * hash (whitespace-collapse + lowercase, the l01 definition — not the
+    * doc id, so re-submissions under new ids are still dropped), state
+    * bounded by the watermark horizon, then the l12 length/diversity
+    * quality score as a routing flag. Emits the surviving docs with
+    * (text_hash, quality_ok); callers fan out to bronze/quarantine sinks
+    * exactly like the event-side taxonomy split. */
+  def corpusIngest(docs: DataFrame, tsCol: String = "ingest_ts",
+                   watermark: String = "1 hour"): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("text_hash", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .dropDuplicates("text_hash")
+      .withColumn("quality_score",
+        least(lit(1.0), length(col("text")).cast("double") / 500.0) * 0.5 +
+          (size(array_distinct(words)).cast("double") / size(words)) * 0.5)
+      .withColumn("quality_ok", col("quality_score") >= 0.35)
+  }
+
   /** S5 — checkpointed append parquet sink, time-partitioned
     * (reference: real_time_streaming.py:203-211). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -119,6 +119,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest: content-hash dedup across batches + quality routing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "ingest_ts")
+    val q = Streams.corpusIngest(docs)
+      .writeStream.format("memory").queryName("corpus_ingest").outputMode("append").start()
+    try {
+      val good = (1 to 120).map(i => s"word$i").mkString(" ") // long + diverse
+      val spam = Seq.fill(60)("buy").mkString(" ")            // diversity 1/60
+      input.addData(
+        (1L, good, "en", ts("2024-01-01 10:00:00")),
+        (2L, spam, "en", ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      // same TEXT under a NEW doc_id in a later batch → content-hash state drops it
+      input.addData(
+        (3L, good, "en", ts("2024-01-01 10:01:00")),
+        (4L, "fresh short text here", "en", ts("2024-01-01 10:01:30")))
+      q.processAllAvailable()
+      val rows = spark.table("corpus_ingest")
+        .select("doc_id", "quality_ok").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows.keySet === Set(1L, 2L, 4L), "doc 3 re-submits doc 1's text and must be dropped")
+      assert(rows(1L), "long diverse text passes the gate")
+      assert(!rows(2L), "repeated-token spam fails the gate")
+    } finally q.stop()
+  }
+
   test("two-hop chained streams: raw → bronze dir → windowed agg (storage-decoupled DAG)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_chain").toString
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")

@@ -361,6 +361,49 @@ object TextStats {
       |  cast(count(*) - sum(iv) as double) / count(*) AS oov_rate
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** l37 — overlapping chunk plan: split every doc into fixed 256-char
+    * windows at a 224-char stride (32-char overlap), the standard prep
+    * for embedding/RAG indexing where context must not be cut mid-
+    * sentence at a window edge. Reports, per language, the chunk count,
+    * average chunk length, and the expansion factor (chunked chars over
+    * raw chars — what the overlap costs in storage and embedding
+    * compute). One explode + one aggregation shuffle; the chunk list is
+    * computed per row with no shuffle of the raw text. */
+  def chunkPlan(documents: DataFrame, size: Int = 256, stride: Int = 224): DataFrame = {
+    val chunks = documents
+      .select(col("lang"), col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(length(text), 1), $stride), i -> substring(text, i, $size))"))
+        .as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")).cast("long"))
+    chunks.groupBy("lang")
+      .agg(
+        count_distinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("total_chunks"),
+        davg(col("chunk_chars").cast("double")).as("avg_chunk_chars"),
+        sum(col("chunk_chars")).as("chunked_chars"))
+      .join(documents.groupBy("lang").agg(sum(length(col("text"))).as("raw_chars")), Seq("lang"))
+      .withColumn("expansion", col("chunked_chars").cast("double") / col("raw_chars"))
+      .orderBy("lang")
+  }
+
+  private val l37Sql = {
+    val davgC = "cast(sum(cast((cast(chunk_chars as double)) as decimal(38,6))) as double)/count(chunk_chars)"
+    s"""WITH ch AS (
+       |  SELECT lang, doc_id, len(chunk) AS chunk_chars
+       |  FROM (SELECT lang, doc_id,
+       |          unnest([substr(text, i, 256) for i in range(1, greatest(len(text), 1) + 1, 224)]) AS chunk
+       |        FROM documents)),
+       |agg AS (
+       |  SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS total_chunks,
+       |         $davgC AS avg_chunk_chars,
+       |         cast(sum(chunk_chars) as bigint) AS chunked_chars
+       |  FROM ch GROUP BY 1),
+       |raw AS (SELECT lang, cast(sum(len(text)) as bigint) AS raw_chars FROM documents GROUP BY 1)
+       |SELECT lang, docs, total_chunks, avg_chunk_chars, chunked_chars,
+       |       raw_chars, cast(chunked_chars as double) / raw_chars AS expansion
+       |FROM agg JOIN raw USING (lang) ORDER BY lang""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
@@ -373,5 +416,6 @@ object TextStats {
     Q("l22_tfidf_terms", (s, d) => tfidfTerms(Tables.documents(s, d)), Some(l22Sql)),
     Q("l32_repetition_stats", (s, d) => repetitionStats(Tables.documents(s, d)), Some(l32Sql)),
     Q("l33_packing_plan", (s, d) => packingPlan(Tables.documents(s, d)), Some(l33Sql)),
-    Q("l34_vocab_coverage", (s, d) => vocabCoverage(Tables.documents(s, d)), Some(l34Sql)))
+    Q("l34_vocab_coverage", (s, d) => vocabCoverage(Tables.documents(s, d)), Some(l34Sql)),
+    Q("l37_chunk_plan", (s, d) => chunkPlan(Tables.documents(s, d)), Some(l37Sql)))
 }

@@ -387,6 +387,19 @@ class LlmSpec extends SparkSuite {
       s"expected clusters {1,2,3} and {10,11}, got ${out.toSeq}")
   }
 
+  test("chunk plan: window starts, tail chunk, and expansion accounting") {
+    // 600 chars at size 256 / stride 224 → starts 1, 225, 449 →
+    // lengths 256, 256, 152; chunked 664 over raw 600
+    val fix = Seq((1L, "x" * 600, "en", "s", 600L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.chunkPlan(fix).head()
+    assert(r.getAs[Long]("docs") === 1L)
+    assert(r.getAs[Long]("total_chunks") === 3L)
+    assert(r.getAs[Long]("chunked_chars") === 664L)
+    assert(r.getAs[Double]("expansion") === 664.0 / 600)
+    assert(r.getAs[Double]("avg_chunk_chars") === 664.0 / 3)
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

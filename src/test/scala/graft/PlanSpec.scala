@@ -137,6 +137,15 @@ class PlanSpec extends SparkSuite {
     } finally CacheScope.releaseAll()
   }
 
+  test("vocab coverage probes the bounded vocabulary via broadcast") {
+    val df = graft.llm.TextStats.vocabCoverage(Tables.documents(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1000-row vocab must broadcast to the token stream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair blowup:\n$p")
+  }
+
   test("as-of join compiles to a window, not a join — no pair blowup operator") {
     val df = graft.operators.AsOfJoin.asofEnrich(
       Tables.events(spark, sf), Tables.orders(spark, sf))

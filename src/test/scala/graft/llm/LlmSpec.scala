@@ -400,6 +400,30 @@ class LlmSpec extends SparkSuite {
     assert(r.getAs[Double]("avg_chunk_chars") === 664.0 / 3)
   }
 
+  test("round-4 operators are total on degenerate corpora (empty / sub-minimum docs)") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextDedup.incrementalDedup(empty).collect().isEmpty)
+    assert(Sampling.splitContamination(empty).collect().isEmpty)
+    assert(Sampling.leakageSafeSplit(empty).collect().isEmpty)
+    assert(TextStats.repetitionStats(empty).collect().isEmpty)
+    assert(TextStats.packingPlan(empty).collect().isEmpty)
+    assert(TextStats.vocabCoverage(empty).collect().isEmpty)
+    assert(TextStats.chunkPlan(empty).collect().isEmpty)
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Similarity.embedDupComponents(emptyEmb).collect().isEmpty)
+    assert(Similarity.annRecall(emptyEmb).collect().isEmpty)
+    // one doc below the 3-token shingle minimum: no pairs anywhere, but
+    // per-doc rollups still emit the doc
+    val tiny = Seq((7L, "one", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Sampling.splitContamination(tiny).collect().isEmpty) // no shingles → no audit rows
+    val inc = TextDedup.incrementalDedup(tiny).head()           // doc 7 IS the batch
+    assert(inc.getAs[Long]("batch_docs") === 1L && inc.getAs[Long]("kept_docs") === 1L)
+    val ch = TextStats.chunkPlan(tiny).head()
+    assert(ch.getAs[Long]("total_chunks") === 1L && ch.getAs[Long]("chunked_chars") === 3L)
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

@@ -95,7 +95,12 @@ object Views {
        |FROM lineitem GROUP BY 1""".stripMargin
   // The part dim is joined AFTER the threshold + rank prune: only the
   // ~k surviving keys ever touch it — at 100 TB that's a 20-row
-  // broadcast probe into the dim instead of a fact⋈dim join.
+  // broadcast probe into the dim instead of a fact⋈dim join. This
+  // assumes lineitem→part FK integrity (the TPC-H contract): a fact key
+  // absent from the dim would take a rank slot and then drop out of the
+  // inner probe, gapping the ranks the pre-join shape would have
+  // produced. On data without the FK guarantee, semi-join-filter the
+  // aggregate against the dim keys first.
   private val v04RestSpark =
     s"""WITH v AS (SELECT min(revenue) AS vk FROM (SELECT revenue FROM v04_agg ORDER BY revenue DESC LIMIT 20)),
        |top AS (SELECT v04_agg.* FROM v04_agg CROSS JOIN v WHERE revenue >= vk),

@@ -119,7 +119,7 @@ object VersionLog {
   def changesRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.Det.dsum
-    val dir = java.nio.file.Files.createTempDirectory("graft_vlog_q47").toString
+    val dir = q47Dir(sfDir)
     val ev = graft.Tables.events(spark, sfDir).select("event_id", "event_type", "value")
     val v0 = ev.filter(col("event_id") % 10 < 8)
     val v1 = ev.filter(col("event_id") % 10 < 9)
@@ -131,8 +131,26 @@ object VersionLog {
     changes(spark, dir, a, b)
       .groupBy("_change_type", "event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-      .orderBy("_change_type", "event_type")
+      // nulls-last matches the oracle engine's ORDER BY default (Spark
+      // defaults nulls-first) — event_type is nullable by contract
+      .orderBy(col("_change_type"), col("event_type").asc_nulls_last)
   }
+
+  // One scratch version-log per (JVM, sfDir), deleted on JVM exit — a
+  // fresh createTempDirectory per call would leak two parquet snapshots
+  // into /tmp on every verify/bench invocation of q47.
+  private val q47Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q47Dir(sfDir: String): String = q47Dirs.computeIfAbsent(sfDir, { _ =>
+    val p = java.nio.file.Files.createTempDirectory("graft_vlog_q47")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }))
+    p.toString
+  })
 
   private val q47Sql = {
     val dsum = graft.functions.Det.sqlDsum _

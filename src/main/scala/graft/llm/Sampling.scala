@@ -182,7 +182,10 @@ object Sampling {
     * Det decimal accumulator so the rollup is order-independent. */
   def splitContamination(documents: DataFrame): DataFrame = {
     val sp = withSplit(documents, "doc_id").select(col("doc_id"), col("split"))
-    val sh = TextDedup.portableShingles(documents).join(sp, Seq("doc_id"))
+    // persisted: the explode pipeline (the dominant cost) feeds both the
+    // train-distinct and the overlap join
+    val sh = graft.CacheScope.manage(
+      TextDedup.portableShingles(documents).join(sp, Seq("doc_id")).persist())
     val trainSh = sh.filter(col("split") === "train").select("sh").distinct()
     val overlap = sh.filter(col("split") =!= "train")
       .join(trainSh.withColumn("hit", lit(1)), Seq("sh"), "left_outer")

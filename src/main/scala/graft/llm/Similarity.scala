@@ -230,24 +230,20 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
-  private val l36Sql =
+  // cosine pair chain + the shared reachability closure (TextDedup owns
+  // the closure text — same `pairs` contract as the text-side oracles)
+  private lazy val l36Sql =
     s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
        |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        |        (${sqlDotChain("a", "c")})
        |          / (sqrt(${sqlDotChain("a", "a")}) * sqrt(${sqlDotChain("c", "c")})) AS cos
        |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
        |pairs AS (SELECT DISTINCT id_a, id_b FROM p WHERE cos >= cast(0.35 as double)),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |          UNION ALL SELECT id_b, id_a FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |reach(src, dst) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT comp AS cluster_id, count(*) AS n_vecs,
-       |       cast(count(*) - 1 as bigint) AS removable
-       |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |""".stripMargin + TextDedup.closureCtesSql + "\n" +
+      """SELECT comp AS cluster_id, count(*) AS n_vecs,
+        |       cast(count(*) - 1 as bigint) AS removable
+        |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** l18 — per-label centroid vectors via dimension explosion: the
     * vector-aggregation primitive behind IVF coarse-quantizer training

@@ -99,6 +99,17 @@ object TextDedup {
   private def portableBandKey(b: Int): Column =
     concat(col("sig").getItem(2 * b), lit("|"), col("sig").getItem(2 * b + 1))
 
+  /** (doc_id, band_id, band_hash) rows with the bucket cap applied — the
+    * "band index" both the self-join (full dedup) and the one-sided
+    * incremental join probe. */
+  private def bandedSigs(sigs: DataFrame, bandKey: Int => Column,
+                         maxBucket: Int): DataFrame = {
+    val exploded = sigs
+      .withColumn("bands", array((0 until NumBands).map(bandKey): _*))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    capBuckets(exploded, Seq("band_id", "band_hash"), maxBucket)
+  }
+
   /** LSH candidate pairs (id_a, id_b): docs sharing any (band, band-hash)
     * bucket, with oversized buckets capped (see [[MaxBucketDefault]]).
     * Only the ids ride through the self-join + distinct — the 16-slot
@@ -107,10 +118,7 @@ object TextDedup {
     * need them re-join against `sigs`. */
   private def lshCandidatePairs(sigs: DataFrame, bandKey: Int => Column,
                                 maxBucket: Int): DataFrame = {
-    val exploded = sigs
-      .withColumn("bands", array((0 until NumBands).map(bandKey): _*))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
-    val banded = capBuckets(exploded, Seq("band_id", "band_hash"), maxBucket)
+    val banded = bandedSigs(sigs, bandKey, maxBucket)
     val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_hash"))
     a.join(b, Seq("band_id", "band_hash"))
@@ -226,13 +234,16 @@ object TextDedup {
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
       .select("doc_id", "sig")
 
-  def ngramJaccard(documents: DataFrame): DataFrame = {
+  def ngramJaccard(documents: DataFrame,
+                   maxBucket: Int = MaxBucketDefault): DataFrame = {
     val sh = graft.CacheScope.manage(portableShingles(documents).persist())
     val sigs = portableSigSlots(sh)
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until NumBands).map(b =>
-        concat(col(s"mh_${2 * b}"), lit("|"), col(s"mh_${2 * b + 1}"))): _*))
-        .as(Seq("band_id", "band_key")))
+    val banded = capBuckets(
+      sigs.select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(b =>
+          concat(col(s"mh_${2 * b}"), lit("|"), col(s"mh_${2 * b + 1}"))): _*))
+          .as(Seq("band_id", "band_key"))),
+      Seq("band_id", "band_key"), maxBucket)
     val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_key"))
     val cands = a.join(b, Seq("band_id", "band_key"))
@@ -250,33 +261,17 @@ object TextDedup {
       .limit(100)
   }
 
-  // Mirrors ngramJaccard term for term (same shingles, same md5-substring
-  // MinHash slots, same band keys, same intersect/union ratio).
-  private val l04Sql = {
-    val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
-      s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
-    val bands = (0 until NumBands).map(b =>
-      s"SELECT doc_id, $b AS band_id, mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sig")
-      .mkString("\nUNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 3),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded AS ($bands),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b USING (band_id, band_key)
-       |  WHERE a.doc_id < b.doc_id),
-       |shset AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY doc_id)
-       |SELECT id_a, id_b,
-       |  cast(len(list_intersect(a.s, b.s)) as double)
-       |    / len(list_distinct(list_cat(a.s, b.s))) AS jaccard
-       |FROM cands JOIN shset a ON id_a = a.doc_id JOIN shset b ON id_b = b.doc_id
-       |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
-  }
+  // Mirrors ngramJaccard term for term: shares the portable candidate
+  // chain (toks→sh→sig→capped bands→cands) with every other portable
+  // oracle via [[pairsCtesSql]]; the exact-verify tail joins the full
+  // shingle sets back per candidate.
+  private lazy val l04Sql = pairsCtesSql + ",\n" +
+    """shset AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY doc_id)
+      |SELECT id_a, id_b,
+      |  cast(len(list_intersect(a.s, b.s)) as double)
+      |    / len(list_distinct(list_cat(a.s, b.s))) AS jaccard
+      |FROM cands JOIN shset a ON id_a = a.doc_id JOIN shset b ON id_b = b.doc_id
+      |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
 
   /** Near-dup REMOVAL (the pipeline step after detection): drop every doc
     * that has a candidate near-dup with a smaller doc_id (est. Jaccard ≥
@@ -328,33 +323,10 @@ object TextDedup {
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
 
-  private val l28Sql = {
-    val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
-      s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
-    val bands = (0 until NumBands).map(b =>
-      s"SELECT doc_id, $b AS band_id, mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sig")
-      .mkString("\nUNION ALL ")
-    val matches = (0 until NumHashes).map(i =>
-      s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 3),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded0 AS ($bands),
-       |banded AS (SELECT doc_id, band_id, band_key FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
-       |  FROM banded0) WHERE rn <= $MaxBucketDefault),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b USING (band_id, band_key)
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, cast($matches as double)/$NumHashes AS est_jaccard
+  private lazy val l28Sql = pairsCtesSql + "\n" +
+    s"""SELECT id_a, id_b, cast($sqlMatches as double)/$NumHashes AS est_jaccard
        |FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
        |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
-  }
 
   /** l26 — duplicate CLUSTERS via distributed connected components over
     * the near-dup candidate graph (edges = portable-signature pairs with
@@ -419,28 +391,45 @@ object TextDedup {
       val fromNbr = edges
         .join(labels.select(col("id").as("id_b"), col("comp")), Seq("id_b"))
         .select(col("id_a").as("id"), col("comp"))
-      val next = labels.union(fromNbr)
-        .groupBy("id").agg(min(col("comp")).as("comp")).localCheckpoint()
+      val folded = labels.union(fromNbr)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+      // pointer jump (path compression): comp ← label(comp). Plain
+      // neighbor propagation needs O(diameter) rounds — a 70-link chain
+      // of near-dups would exhaust the round cap and silently return
+      // unconverged labels; jumping through the label table halves the
+      // remaining path per round, so 64 rounds covers any component a
+      // 64-bit id space can express. comp is always itself a node id,
+      // but left_outer+coalesce keeps the step total regardless.
+      val next = folded
+        .join(folded.select(col("id").as("comp"), col("comp").as("__jump")),
+          Seq("comp"), "left_outer")
+        .select(col("id"), coalesce(col("__jump"), col("comp")).as("comp"))
+        .localCheckpoint()
       changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
         .filter(col("comp") =!= col("prev")).count()
       labels = next // superseded checkpoints are reclaimed by the ContextCleaner
       iter += 1
     }
+    require(changed == 0,
+      s"component label propagation did not converge after $iter rounds")
     labels
   }
+
+  /** The matching-slot count between two signature rows aliased a/b. */
+  private lazy val sqlMatches = (0 until NumHashes).map(i =>
+    s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
 
   // Shared DuckDB chain: portable signatures → capped bands → candidate
   // pairs → est-Jaccard-thresholded `pairs`. (The WITH RECURSIVE prefix is
   // harmless for non-recursive consumers and lets [[reachCtesSql]] extend
   // the same text with the reachability closure.)
-  private[llm] val pairsCtesSql: String = {
+  private[llm] lazy val pairsCtesSql: String = {
     val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
       s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
     val bands = (0 until NumBands).map(b =>
       s"SELECT doc_id, $b AS band_id, mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sig")
       .mkString("\nUNION ALL ")
-    val matches = (0 until NumHashes).map(i =>
-      s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val matches = sqlMatches
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -462,10 +451,11 @@ object TextDedup {
        |  WHERE cast($matches as double)/$NumHashes >= cast(0.5 as double))""".stripMargin
   }
 
-  // Extends the pairs chain with the recursive reachability closure
+  // The recursive reachability closure over a `pairs(id_a, id_b)` CTE
   // (undirected edges → reachable set ≡ component; min reachable id ≡ the
-  // propagated label). Shared with Sampling's l29 oracle.
-  private[llm] val reachCtesSql: String = pairsCtesSql + ",\n" +
+  // propagated label). Appended after any chain that defines `pairs` —
+  // the text chain here and Similarity's cosine chain (l36).
+  private[llm] lazy val closureCtesSql: String =
     """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |          UNION ALL SELECT id_b, id_a FROM pairs),
       |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -474,7 +464,10 @@ object TextDedup {
       |  UNION
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
-  private val l26Sql = reachCtesSql + "\n" +
+  // pairs chain + closure — shared by l26 and Sampling's l29 oracle.
+  private[llm] lazy val reachCtesSql: String = pairsCtesSql + ",\n" + closureCtesSql
+
+  private lazy val l26Sql = reachCtesSql + "\n" +
     """SELECT comp AS cluster_id, count(*) AS n_docs,
       |       cast(count(*) - 1 as bigint) AS removable
       |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
@@ -557,45 +550,19 @@ object TextDedup {
        |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin
   }
 
-  // Mirrors dedupFilterStats: the l04 portable signature chain, banded
-  // with the same bucket cap, est-Jaccard = matching-slot fraction,
-  // greedy keep-first removal, per-lang rollup.
-  private val l17Sql = {
-    val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
-      s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
-    val bands = (0 until NumBands).map(b =>
-      s"SELECT doc_id, $b AS band_id, mh_${2 * b} || '|' || mh_${2 * b + 1} AS band_key FROM sig")
-      .mkString("\nUNION ALL ")
-    val matches = (0 until NumHashes).map(i =>
-      s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 3),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded0 AS ($bands),
-       |banded AS (SELECT doc_id, band_id, band_key FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
-       |  FROM banded0) WHERE rn <= $MaxBucketDefault),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b USING (band_id, band_key)
-       |  WHERE a.doc_id < b.doc_id),
-       |dropped AS (
-       |  SELECT DISTINCT id_b AS doc_id
-       |  FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
-       |  WHERE cast($matches as double)/$NumHashes >= cast(0.5 as double)),
-       |kept AS (
-       |  SELECT lang, count(*) AS kept_docs FROM documents d
-       |  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
-       |  GROUP BY 1),
-       |total AS (SELECT lang, count(*) AS total_docs FROM documents GROUP BY 1)
-       |SELECT lang, total_docs, cast(coalesce(kept_docs, 0) as bigint) AS kept_docs,
-       |       cast(total_docs - coalesce(kept_docs, 0) as bigint) AS removed_docs
-       |FROM total LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
-  }
+  // Mirrors dedupFilterStats via the shared portable chain
+  // ([[pairsCtesSql]]: same bands, cap, est-Jaccard threshold), then
+  // greedy keep-first removal and the per-lang rollup.
+  private lazy val l17Sql = pairsCtesSql + ",\n" +
+    """dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+      |kept AS (
+      |  SELECT lang, count(*) AS kept_docs FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+      |  GROUP BY 1),
+      |total AS (SELECT lang, count(*) AS total_docs FROM documents GROUP BY 1)
+      |SELECT lang, total_docs, cast(coalesce(kept_docs, 0) as bigint) AS kept_docs,
+      |       cast(total_docs - coalesce(kept_docs, 0) as bigint) AS removed_docs
+      |FROM total LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
 
   /** l35 — INCREMENTAL dedup: the shape a pipeline actually runs daily at
     * 100 TB, where re-deduping the whole corpus per ingest is off the
@@ -603,24 +570,33 @@ object TextDedup {
     * `doc_id % 10 = 7`) is deduped against the existing corpus AND
     * keep-first within itself: a batch doc is dropped if it has a
     * near-dup partner in the corpus (any id) or an earlier batch doc.
-    * Corpus–corpus pairs are never inspected — in production the corpus
-    * side's signatures are precomputed and only batch-side bands drive
-    * the candidate join, so cost scales with the batch, not the corpus.
+    *
+    * The candidate join is ONE-SIDED: only batch-side bands probe the
+    * (capped) band index, so corpus–corpus pairs are never generated,
+    * joined, or scored — the join and the signature re-joins all scale
+    * with the batch, not the corpus². (In production the index side is
+    * the precomputed signature store; here [[SigStore]] plays that role.)
     * Per-language rollup; oracle replays the same candidate chain and
-    * membership arithmetic. */
+    * membership arithmetic — its full pair set filters down to the same
+    * batch-touching pairs this plan is restricted to from the start. */
   def incrementalDedup(documents: DataFrame,
                        maxBucket: Int = MaxBucketDefault,
                        sigsOpt: Option[DataFrame] = None): DataFrame = {
     val sigs = sigsOpt.getOrElse(
       graft.CacheScope.manage(withPortableSignatures(documents).persist()))
-    val pairs = scoredCandidates(sigs, portableBandKey, maxBucket)
-      .filter(col("est_jaccard") >= 0.5)
-      .select("id_a", "id_b")
     val isBatch: Column => Column = c => c % 10 === 7
-    val partnered = pairs.select(col("id_b").as("bid"), col("id_a").as("pid"))
-      .union(pairs.select(col("id_a").as("bid"), col("id_b").as("pid")))
-    val dropped = partnered
-      .filter(isBatch(col("bid")) && (!isBatch(col("pid")) || col("pid") < col("bid")))
+    val banded = bandedSigs(sigs, portableBandKey, maxBucket)
+    val probe = banded.filter(isBatch(col("doc_id")))
+      .select(col("doc_id").as("bid"), col("band_id"), col("band_hash"))
+    val index = banded.select(col("doc_id").as("pid"), col("band_id"), col("band_hash"))
+    val cand = probe.join(index, Seq("band_id", "band_hash"))
+      .filter(col("bid") =!= col("pid"))
+      .select("bid", "pid").distinct()
+    val dropped = cand
+      .join(sigs.select(col("doc_id").as("bid"), col("sig").as("sig_b")), Seq("bid"))
+      .join(sigs.select(col("doc_id").as("pid"), col("sig").as("sig_p")), Seq("pid"))
+      .filter(estJaccard(col("sig_b"), col("sig_p")) >= 0.5)
+      .filter(!isBatch(col("pid")) || col("pid") < col("bid"))
       .select(col("bid").as("doc_id")).distinct()
       .withColumn("dr", lit(1))
     documents.filter(isBatch(col("doc_id")))
@@ -633,7 +609,7 @@ object TextDedup {
       .orderBy("lang")
   }
 
-  private val l35Sql = pairsCtesSql + ",\n" +
+  private lazy val l35Sql = pairsCtesSql + ",\n" +
     """bd AS (SELECT id_b AS bid, id_a AS pid FROM pairs
       |       UNION ALL SELECT id_a, id_b FROM pairs),
       |dropped AS (

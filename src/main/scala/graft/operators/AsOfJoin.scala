@@ -76,7 +76,8 @@ object AsOfJoin {
         count(lit(1)).as("n_events"),
         sum(when(col("asof_orderkey").isNotNull, 1).otherwise(0)).as("matched_events"),
         graft.functions.Det.dsum(col("asof_price")).as("asof_price_sum"))
-      .orderBy("event_type")
+      // nulls-last to match the oracle engine's ORDER BY default
+      .orderBy(col("event_type").asc_nulls_last)
 
   private val q48Sql =
     s"""WITH m AS (

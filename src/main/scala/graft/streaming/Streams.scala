@@ -101,18 +101,26 @@ object Streams {
   /** Streaming corpus ingestion — the streaming front door of the batch
     * dedup/quality tiers (l01/l12): exact dedup on the NORMALIZED content
     * hash (whitespace-collapse + lowercase, the l01 definition — not the
-    * doc id, so re-submissions under new ids are still dropped), state
-    * bounded by the watermark horizon, then the l12 length/diversity
-    * quality score as a routing flag. Emits the surviving docs with
-    * (text_hash, quality_ok); callers fan out to bronze/quarantine sinks
-    * exactly like the event-side taxonomy split. */
+    * doc id, so re-submissions under new ids are still dropped), then the
+    * l12 length/diversity quality score as a routing flag. Emits the
+    * surviving docs with (text_hash, quality_ok); callers fan out to
+    * bronze/quarantine sinks exactly like the event-side taxonomy split.
+    *
+    * State boundedness: plain `dropDuplicates(hash)` would keep one state
+    * entry per distinct text FOREVER (the watermark only evicts dedup
+    * state when the event-time column is part of the key set);
+    * `dropDuplicatesWithinWatermark` is the operator built for exactly
+    * this — content-keyed dedup whose state expires at the watermark
+    * horizon, trading eternal exactness for bounded memory (a re-submit
+    * arriving later than the horizon is re-admitted; the batch tiers
+    * catch those). */
   def corpusIngest(docs: DataFrame, tsCol: String = "ingest_ts",
                    watermark: String = "1 hour"): DataFrame = {
     val words = split(col("text"), " ")
     docs
       .withWatermark(tsCol, watermark)
       .withColumn("text_hash", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
-      .dropDuplicates("text_hash")
+      .dropDuplicatesWithinWatermark("text_hash")
       .withColumn("quality_score",
         least(lit(1.0), length(col("text")).cast("double") / 500.0) * 0.5 +
           (size(array_distinct(words)).cast("double") / size(words)) * 0.5)

@@ -193,6 +193,17 @@ class LlmSpec extends SparkSuite {
       s"expected one 5-doc cluster rooted at doc 1, got ${out.toSeq}")
   }
 
+  test("label propagation converges on a 300-link path well inside the round cap") {
+    // a pure path graph has diameter 299 — plain neighbor propagation
+    // would need ~299 rounds and trip the 64-round cap; pointer jumping
+    // must converge in O(log n) rounds and label every node with 1
+    val p0 = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = TextDedup.propagateMinLabels(p0).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(labels.size === 300)
+    assert(labels.values.forall(_ == 1L), "every node reaches the path minimum")
+  }
+
   test("rolling_min_hash matches a brute-force reference on edge cases") {
     def brute(s: String, w: Int): Long = {
       val bytes = s.getBytes("UTF-8")

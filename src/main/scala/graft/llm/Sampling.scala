@@ -229,10 +229,54 @@ object Sampling {
        |FROM (SELECT *, cast(n_hit as double) / n_sh AS overlap FROM ov)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** l38 — training-mix plan: given per-language token mass and a target
+    * mix (uniform here — the common de-biasing default), the sampling
+    * rate each language needs and the effective epoch count that implies
+    * (rate > 1 means upsampling = repeating data; the epochs column is
+    * what flags languages that would repeat too often to be useful).
+    * This is the datamix report an LLM data team signs off before a
+    * run. One aggregation shuffle + a broadcast 1-row total; all
+    * arithmetic is post-aggregate and exact. */
+  def trainingMixPlan(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .withColumn("tokens",
+        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("long"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("docs"),
+        sum(col("tokens")).as("lang_tokens"))
+    val totals = toks.agg(
+      sum(col("lang_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    toks.crossJoin(broadcast(totals))
+      .withColumn("share", col("lang_tokens").cast("double") / col("total_tokens"))
+      .withColumn("target_share", lit(1.0) / col("n_langs"))
+      .withColumn("sample_rate", col("target_share") / col("share"))
+      .withColumn("effective_epochs", greatest(col("sample_rate"), lit(1.0)))
+      .select("lang", "docs", "lang_tokens", "share", "target_share",
+        "sample_rate", "effective_epochs")
+      .orderBy("lang")
+  }
+
+  private val l38Sql =
+    """WITH t AS (
+      |  SELECT lang, count(*) AS docs,
+      |    cast(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) as bigint) AS lang_tokens
+      |  FROM documents GROUP BY 1),
+      |g AS (SELECT cast(sum(lang_tokens) as bigint) AS total_tokens,
+      |             count(*) AS n_langs FROM t)
+      |SELECT lang, docs, lang_tokens,
+      |  cast(lang_tokens as double) / total_tokens AS share,
+      |  cast(1.0 as double) / n_langs AS target_share,
+      |  (cast(1.0 as double) / n_langs) / (cast(lang_tokens as double) / total_tokens) AS sample_rate,
+      |  greatest((cast(1.0 as double) / n_langs) / (cast(lang_tokens as double) / total_tokens),
+      |           cast(1.0 as double)) AS effective_epochs
+      |FROM t CROSS JOIN g ORDER BY lang""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l16_dataset_split", (s, d) => datasetSplit(Tables.documents(s, d)), Some(l16Sql)),
     Q("l27_balanced_sample", (s, d) => balancedSample(Tables.documents(s, d)), Some(l27Sql)),
     Q("l29_leakage_safe_split", (s, d) =>
       leakageSafeSplit(Tables.documents(s, d), Some(SigStore.portable(s, d))), Some(l29Sql)),
-    Q("l30_split_contamination", (s, d) => splitContamination(Tables.documents(s, d)), Some(l30Sql)))
+    Q("l30_split_contamination", (s, d) => splitContamination(Tables.documents(s, d)), Some(l30Sql)),
+    Q("l38_training_mix", (s, d) => trainingMixPlan(Tables.documents(s, d)), Some(l38Sql)))
 }

@@ -435,6 +435,20 @@ class LlmSpec extends SparkSuite {
     assert(ch.getAs[Long]("total_chunks") === 1L && ch.getAs[Long]("chunked_chars") === 3L)
   }
 
+  test("training mix plan: shares, sampling rates, and epoch flags") {
+    // en: 300 one-letter tokens, de: 100 → shares .75/.25, uniform target .5
+    val fix = Seq(
+      (1L, Seq.fill(300)("a").mkString(" "), "en", "s", 1L),
+      (2L, Seq.fill(100)("b").mkString(" "), "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.trainingMixPlan(fix).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("share"), r.getAs[Double]("sample_rate"),
+          r.getAs[Double]("effective_epochs")))).toMap
+    assert(out("en") === ((0.75, 0.5 / 0.75, 1.0)), "over-represented lang downsamples, 1 epoch")
+    assert(out("de") === ((0.25, 2.0, 2.0)), "under-represented lang repeats twice")
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

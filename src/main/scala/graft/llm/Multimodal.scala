@@ -9,11 +9,16 @@ import graft.{Q, Tables}
   * `binary` columns with typed metadata, partition-friendly batch shape,
   * and a decode/feature-extract boundary.
   *
-  * The real decoders (libjpeg/ffmpeg) are NOT in this container, so the
-  * decode step is a clearly-marked DETERMINISTIC STUB — the Spark-side
-  * plumbing (schema, binary handling, mapPartitions batch shape,
-  * partitioning) is real and tested; swapping `decodeStub` for a JNI/
-  * process-call decoder is a single-function change.
+  * IMAGE decode is REAL: [[decodeImages]] drives the JDK's own codecs
+  * (javax.imageio ships PNG/JPEG/BMP/GIF readers — no external library
+  * needed) inside mapPartitions, emitting true dimensions, and a 4×4
+  * grayscale thumbnail as the feature vector. Payloads ImageIO cannot
+  * decode — video/audio containers (ffmpeg-class codecs are not in this
+  * environment) and the fixtures' synthetic text payloads — fall back to
+  * the DETERMINISTIC STUB features, keeping the boundary total; swapping
+  * the fallback for a JNI/process-call decoder is a single-function
+  * change, and the partition-amortized batch shape is the part that
+  * matters at scale.
   */
 object Multimodal {
 
@@ -53,11 +58,20 @@ object Multimodal {
     out
   }
 
-  /** STUB decode boundary — deterministic fake "decoder": dimensions are
-    * derived from payload length, the feature vector is the first 16
-    * payload bytes. A real implementation replaces only this function
-    * (e.g. per-partition native decoder calls); the mapPartitions batch
-    * shape is what matters for executor-side library reuse at scale. */
+  /** Deterministic fallback features for payloads no available codec can
+    * decode: dimensions derived from payload length, feature = first 16
+    * payload bytes. */
+  private def stubFeature(id: Long, mime: String, payload: Array[Byte],
+                          bytes: Long): MediaFeature = {
+    val w = 16 + (bytes % 1024).toInt
+    val h = 9 + (bytes % 576).toInt
+    MediaFeature(id, mime, bytes, w, h, payload.take(16))
+  }
+
+  /** STUB decode boundary — every row takes the deterministic fallback
+    * (kept as the reproducible reference path; [[decodeImages]] is the
+    * real boundary). The mapPartitions batch shape is what matters for
+    * executor-side library reuse at scale. */
   def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val enc = org.apache.spark.sql.Encoders.product[MediaFeature]
@@ -66,9 +80,47 @@ object Multimodal {
       .mapPartitions { rows =>
         // one "decoder init" per partition, amortized over the batch
         rows.map { case (id, mime, payload, bytes) =>
-          val w = 16 + (bytes % 1024).toInt
-          val h = 9 + (bytes % 576).toInt
-          MediaFeature(id, mime, bytes, w, h, payload.take(16))
+          stubFeature(id, mime, payload, bytes)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** REAL image decode + feature extraction via the JDK's ImageIO
+    * (PNG/JPEG/BMP/GIF — no external codecs): true width/height and a
+    * 4×4 nearest-neighbor grayscale thumbnail (16 luma bytes, the classic
+    * tiny-thumbnail perceptual feature) per image. Non-decodable payloads
+    * take [[stubFeature]], so the operator is total over mixed corpora.
+    * Decoding runs inside mapPartitions — the codec registry warms once
+    * per executor task, amortized over the batch, which is the shape a
+    * native decoder needs at 100 TB. */
+  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[MediaFeature]
+    media.select("doc_id", "mime", "media", "media_bytes")
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, payload, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) stubFeature(id, mime, payload, bytes)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val thumb = new Array[Byte](16)
+            var i = 0
+            while (i < 16) {
+              val x = math.min((i % 4) * w / 4 + w / 8, w - 1)
+              val y = math.min((i / 4) * h / 4 + h / 8, h - 1)
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              thumb(i) = luma.toByte
+              i += 1
+            }
+            MediaFeature(id, mime, bytes, w, h, thumb)
+          }
         }
       }(enc)
       .toDF()
@@ -95,10 +147,13 @@ object Multimodal {
       | cast(ceil(strlen(text)/cast(1024.0 as double)) as bigint) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** l15 — the decode boundary driven end-to-end (rows-only check: the
-    * stub's output summarized per mime type). */
+  /** l15 — the decode boundary driven end-to-end through the REAL
+    * ImageIO path (rows-only check: output summarized per mime type).
+    * The fixtures' synthetic payloads all take the deterministic
+    * fallback, which keeps the result reproducible; LlmSpec drives the
+    * same operator over genuine PNG/BMP bytes. */
   def decodeFeatures(spark: SparkSession, documents: DataFrame): DataFrame =
-    decodeStub(spark, packMedia(documents))
+    decodeImages(spark, packMedia(documents))
       .groupBy("mime")
       .agg(
         count(lit(1)).as("n_media"),

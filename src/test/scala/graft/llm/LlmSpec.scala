@@ -449,6 +449,40 @@ class LlmSpec extends SparkSuite {
     assert(out("de") === ((0.25, 2.0, 2.0)), "under-represented lang repeats twice")
   }
 
+  test("real image decode: true dimensions and luma thumbnail from PNG/BMP bytes") {
+    import java.awt.image.BufferedImage
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        bi.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff) // left black, right white
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, out)
+      out.toByteArray
+    }
+    val png = encode("png", 8, 4)
+    val bmp = encode("bmp", 16, 16)
+    val rows = Seq(
+      (1L, "image/png", png, png.length.toLong),
+      (2L, "image/bmp", bmp, bmp.length.toLong),
+      (3L, "video/mp4", "not an image".getBytes("UTF-8"), 12L))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.decodeImages(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("width") === 8 && out(1L).getAs[Int]("height") === 4,
+      "true PNG dimensions, not the length-derived stub")
+    assert(out(2L).getAs[Int]("width") === 16 && out(2L).getAs[Int]("height") === 16)
+    val thumb = out(1L).getAs[Array[Byte]]("feature")
+    assert(thumb.length === 16)
+    // left thumbnail columns sample black (0), right columns white (-1 = 0xff)
+    assert((0 until 16 by 4).forall(i => thumb(i) === 0.toByte), "left column is black")
+    assert((3 until 16 by 4).forall(i => thumb(i) === 0xff.toByte), "right column is white")
+    // non-image payload takes the deterministic fallback (length-derived dims)
+    assert(out(3L).getAs[Int]("width") === 16 + 12 && out(3L).getAs[Int]("height") === 9 + 12)
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

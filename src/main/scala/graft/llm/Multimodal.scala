@@ -162,6 +162,55 @@ object Multimodal {
         max(col("height")).as("max_height"))
       .orderBy("mime")
 
+  /** Audio metadata row produced by the WAV probe. */
+  final case class AudioMeta(
+      doc_id: Long,
+      mime: String,
+      media_bytes: Long,
+      decoded: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      frames: Long,
+      duration_ms: Long)
+
+  /** REAL audio metadata extraction via the JDK's javax.sound.sampled
+    * (WAV/AIFF/AU parse with no external library): sample rate, channel
+    * count, frame count, and duration per clip, inside the same
+    * partition-amortized batch shape as [[decodeImages]]. Payloads the
+    * sound API cannot parse are emitted with `decoded = false` and
+    * zeroed audio fields — total over mixed corpora, and the flag is
+    * what a curation pipeline filters on. */
+  def probeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[AudioMeta]
+    media.select("doc_id", "mime", "media", "media_bytes")
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, payload, bytes) =>
+          val fmt =
+            try {
+              val in = new java.io.ByteArrayInputStream(payload)
+              Some(javax.sound.sampled.AudioSystem.getAudioInputStream(in))
+            } catch { case _: Exception => None }
+          fmt match {
+            case Some(ais) =>
+              try {
+                val f = ais.getFormat
+                val frames = ais.getFrameLength
+                val durMs =
+                  if (f.getFrameRate > 0) (frames * 1000L / f.getFrameRate.toLong)
+                  else 0L
+                AudioMeta(id, mime, bytes, decoded = true,
+                  f.getSampleRate.toInt, f.getChannels, frames, durMs)
+              } finally ais.close()
+            case None =>
+              AudioMeta(id, mime, bytes, decoded = false, 0, 0, 0L, 0L)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** l23 — frame-sample planning for video media: per clip, the
     * deterministic list of (frame_idx, time offset, byte offset) a frame
     * extractor would seek to — one `sequence` + `posexplode` per row, no
@@ -190,8 +239,21 @@ object Multimodal {
       |SELECT doc_id, cast(offset_s//10 as int) AS frame_idx, offset_s, offset_s*8 AS byte_offset
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** l39 — the audio boundary end-to-end (rows-only: per-mime rollup of
+    * the real WAV probe; the synthetic fixture payloads all flag
+    * `decoded = false`, and LlmSpec drives genuine WAV bytes). */
+  def audioProbeStats(spark: SparkSession, documents: DataFrame): DataFrame =
+    probeAudio(spark, packMedia(documents))
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(when(col("decoded"), 1).otherwise(0)).as("decoded_clips"),
+        sum(col("media_bytes")).as("total_bytes"))
+      .orderBy("mime")
+
   def all: Seq[Q] = Seq(
     Q("l14_media_meta", (s, d) => mediaMeta(Tables.documents(s, d)), Some(l14Sql)),
     Q("l15_media_decode", (s, d) => decodeFeatures(s, Tables.documents(s, d)), None),
-    Q("l23_frame_sample_plan", (s, d) => frameSamplePlan(Tables.documents(s, d)), Some(l23Sql)))
+    Q("l23_frame_sample_plan", (s, d) => frameSamplePlan(Tables.documents(s, d)), Some(l23Sql)),
+    Q("l39_audio_probe", (s, d) => audioProbeStats(s, Tables.documents(s, d)), None))
 }

@@ -483,6 +483,32 @@ class LlmSpec extends SparkSuite {
     assert(out(3L).getAs[Int]("width") === 16 + 12 && out(3L).getAs[Int]("height") === 9 + 12)
   }
 
+  test("real audio probe: sample rate, channels, and duration from WAV bytes") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // 0.5 s of 8 kHz mono 16-bit silence → 4000 frames, 500 ms
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](4000 * 2)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 4000L)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+    val rows = Seq(
+      (1L, "audio/wav", wav, wav.length.toLong),
+      (2L, "audio/wav", "definitely not audio".getBytes("UTF-8"), 20L))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4))),
+      Multimodal.mediaSchema)
+    val got = Multimodal.probeAudio(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("decoded"))
+    assert(got(1L).getAs[Int]("sample_rate") === 8000)
+    assert(got(1L).getAs[Int]("channels") === 1)
+    assert(got(1L).getAs[Long]("frames") === 4000L)
+    assert(got(1L).getAs[Long]("duration_ms") === 500L)
+    assert(!got(2L).getAs[Boolean]("decoded"), "non-audio payload is flagged, not crashed")
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

@@ -239,6 +239,65 @@ object Multimodal {
       |SELECT doc_id, cast(offset_s//10 as int) AS frame_idx, offset_s, offset_s*8 AS byte_offset
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** 64-bit difference hash (dHash) of an image: decode, sample a 9×8
+    * luma grid, emit one bit per horizontal neighbor comparison — the
+    * classic perceptual fingerprint that is invariant to re-encoding
+    * (PNG vs BMP of the same pixels hash identically) and robust to mild
+    * resizing, which byte- or text-level dedup can never catch.
+    * Non-decodable payloads hash to null. */
+  def withDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) (id, None: Option[Long])
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            // 9×8 luma grid via nearest-neighbor sampling
+            val g = Array.tabulate(8, 9) { (y, x) =>
+              val px = math.min(x * w / 9 + w / 18, w - 1)
+              val py = math.min(y * h / 8 + h / 16, h - 1)
+              val rgb = img.getRGB(px, py)
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            }
+            var bits = 0L
+            for (y <- 0 until 8; x <- 0 until 8)
+              if (g(y)(x) < g(y)(x + 1)) bits |= 1L << (y * 8 + x)
+            (id, Some(bits))
+          }
+        }
+      }
+      .toDF("doc_id", "dhash") // Option[Long] encodes to a nullable bigint
+  }
+
+  /** Perceptual image near-dup pairs: dHash 16-bit band join + hamming
+    * verify — the SimHash banding machinery applied to image fingerprints
+    * (same scale shape: banded candidates, never all-pairs). */
+  def imageNearDup(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 10): DataFrame = {
+    val hashed = withDHash(spark, media).filter(col("dhash").isNotNull)
+      .select(col("doc_id"), col("dhash"),
+        posexplode(array((0 until 4).map(k =>
+          expr(s"shiftright(dhash, ${16 * k}) & 65535")): _*)).as(Seq("band_id", "band_val")))
+    val a = hashed.select(col("doc_id").as("id_a"), col("dhash").as("h_a"),
+      col("band_id"), col("band_val"))
+    val b = hashed.select(col("doc_id").as("id_b"), col("dhash").as("h_b"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("hamming", "id_a", "id_b")
+  }
+
   /** l39 — the audio boundary end-to-end (rows-only: per-mime rollup of
     * the real WAV probe; the synthetic fixture payloads all flag
     * `decoded = false`, and LlmSpec drives genuine WAV bytes). */

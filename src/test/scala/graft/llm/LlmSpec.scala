@@ -509,6 +509,44 @@ class LlmSpec extends SparkSuite {
     assert(!got(2L).getAs[Boolean]("decoded"), "non-audio payload is flagged, not crashed")
   }
 
+  test("perceptual image dedup: same pixels across PNG/BMP encodings, hamming 0") {
+    import java.awt.image.BufferedImage
+    def pattern(seed: Int, w: Int, h: Int): BufferedImage = {
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var s = seed
+      for (x <- 0 until w; y <- 0 until h) {
+        s = s * 1103515245 + 12345 // deterministic LCG pattern
+        bi.setRGB(x, y, s & 0xffffff)
+      }
+      bi
+    }
+    def enc(bi: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, out)
+      out.toByteArray
+    }
+    val imgA = pattern(1, 32, 32)
+    val imgC = pattern(99, 32, 32)
+    val rows = Seq(
+      (1L, "image/png", enc(imgA, "png")),
+      (2L, "image/bmp", enc(imgA, "bmp")), // same pixels, different container
+      (3L, "image/png", enc(imgC, "png")),
+      (4L, "video/mp4", "not an image".getBytes("UTF-8")))
+      .map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._3.length.toLong))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val pairs = Multimodal.imageNearDup(spark, media).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(0),
+      s"re-encoded image must hash identically, got $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated pattern stays outside the hamming threshold")
+    val hashes = Multimodal.withDHash(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[java.lang.Long]("dhash"))).toMap
+    assert(hashes(4L).isEmpty, "non-image payload hashes to null, not garbage")
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Det._
@@ -404,6 +404,56 @@ object TextStats {
        |FROM agg JOIN raw USING (lang) ORDER BY lang""".stripMargin
   }
 
+  /** Extract visible text from HTML-ish content: drop script/style
+    * blocks wholesale, strip tags, decode the common entities, collapse
+    * whitespace — the first transform every web-corpus pipeline runs.
+    * Pure regexp column expressions (codegen'd, no UDF); patterns stay
+    * in the regex subset Java and RE2 agree on so the oracle is exact. */
+  def htmlToText(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** l40 — HTML extraction rollup: per language, how many docs carry
+    * markup, and how much of their length survives extraction (the
+    * boilerplate ratio a crawler monitors). */
+  def htmlExtractStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("is_html", col("text").rlike("<[a-zA-Z!/][^>]*>"))
+      .withColumn("extracted_len", length(htmlToText(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("is_html"), 1).otherwise(0)).as("html_docs"),
+        sum(length(col("text"))).as("raw_len"),
+        sum(col("extracted_len")).as("extracted_len"))
+      .withColumn("keep_ratio",
+        col("extracted_len").cast("double") / col("raw_len"))
+      .orderBy("lang")
+
+  private val l40Sql = {
+    val ent = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+    val decoded = ent.foldLeft(
+      "regexp_replace(regexp_replace(text, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'), '<[^>]*>', ' ', 'g')") {
+      case (c, (e, r)) => s"regexp_replace($c, '$e', '$r', 'g')"
+    }
+    s"""SELECT lang, count(*) AS docs,
+       |  cast(sum(CASE WHEN regexp_matches(text, '<[a-zA-Z!/][^>]*>') THEN 1 ELSE 0 END) as bigint) AS html_docs,
+       |  cast(sum(len(text)) as bigint) AS raw_len,
+       |  cast(sum(len(trim(regexp_replace($decoded, '\\s+', ' ', 'g')))) as bigint) AS extracted_len,
+       |  cast(sum(len(trim(regexp_replace($decoded, '\\s+', ' ', 'g')))) as double)
+       |    / sum(len(text)) AS keep_ratio
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
@@ -417,5 +467,6 @@ object TextStats {
     Q("l32_repetition_stats", (s, d) => repetitionStats(Tables.documents(s, d)), Some(l32Sql)),
     Q("l33_packing_plan", (s, d) => packingPlan(Tables.documents(s, d)), Some(l33Sql)),
     Q("l34_vocab_coverage", (s, d) => vocabCoverage(Tables.documents(s, d)), Some(l34Sql)),
-    Q("l37_chunk_plan", (s, d) => chunkPlan(Tables.documents(s, d)), Some(l37Sql)))
+    Q("l37_chunk_plan", (s, d) => chunkPlan(Tables.documents(s, d)), Some(l37Sql)),
+    Q("l40_html_extract", (s, d) => htmlExtractStats(Tables.documents(s, d)), Some(l40Sql)))
 }

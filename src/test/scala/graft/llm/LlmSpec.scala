@@ -547,6 +547,25 @@ class LlmSpec extends SparkSuite {
     assert(hashes(4L).isEmpty, "non-image payload hashes to null, not garbage")
   }
 
+  test("html extraction strips tags, script blocks, and entities") {
+    val html = """<html><head><style>p { color: red; }</style></head>
+      |<body><p>Tom &amp; Jerry</p><script>var x = "<p>";</script>
+      |<div>say &quot;hi&quot;</div></body></html>""".stripMargin
+    val fix = Seq(
+      (1L, html, "en", "s", html.length.toLong),
+      (2L, "plain text stays untouched", "en", "s", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val extracted = fix.select(col("doc_id"),
+      TextStats.htmlToText(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(extracted(1L) === "Tom & Jerry say \"hi\"")
+    assert(extracted(2L) === "plain text stays untouched")
+    val r = TextStats.htmlExtractStats(fix).head()
+    assert(r.getAs[Long]("docs") === 2L)
+    assert(r.getAs[Long]("html_docs") === 1L)
+    assert(r.getAs[Double]("keep_ratio") > 0 && r.getAs[Double]("keep_ratio") < 1)
+  }
+
   test("multimodal decode stub is deterministic and keeps first-16-byte features") {
     val media = Multimodal.packMedia(docs)
     def snapshot(df: org.apache.spark.sql.DataFrame) =

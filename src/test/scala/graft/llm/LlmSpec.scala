@@ -344,6 +344,26 @@ class LlmSpec extends SparkSuite {
     assert(r.getAs[Double]("padding_frac") === (3 * 512 - 700).toDouble / (3 * 512))
   }
 
+  test("incremental dedup is blind to corpus-corpus duplicates (the one-sided contract)") {
+    val tA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val tB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val base = Seq(
+      (1L, tA, "en", "s", 10L),
+      (7L, tA, "en", "s", 10L),  // batch dup of corpus doc 1 → dropped
+      (37L, tB, "en", "s", 10L)) // unique batch doc → kept
+    // corpus-corpus dup family {2,3} shares nothing with the batch —
+    // adding it must not change the batch rollup at all
+    val extra = Seq(
+      (2L, (1 to 20).map(i => s"gamma$i").mkString(" "), "en", "s", 10L),
+      (3L, (1 to 20).map(i => s"gamma$i").mkString(" "), "en", "s", 10L))
+    def run(rows: Seq[(Long, String, String, String, Long)]) =
+      TextDedup.incrementalDedup(
+          rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(base) === run(base ++ extra),
+      "corpus-corpus dup structure leaked into the batch result")
+  }
+
   test("vocab coverage counts occurrences under the top-k vocabulary") {
     // terms: a×3, b×2, c×1 → vocab(2) = {a, b}; covered 5 of 6
     val fix = Seq((1L, "a a a b b c", "en", "s", 11L))

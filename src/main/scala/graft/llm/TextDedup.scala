@@ -624,6 +624,48 @@ object TextDedup {
       |  cast(count(*) - sum(dr) as bigint) AS kept_docs
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** l41 — segment-level dedup stats: the line-level dedup of published
+    * web-corpus pipelines, adapted to unstructured text as tumbling
+    * 8-word segments (fixture docs have no newlines). A segment occurring
+    * in ≥3 distinct docs is boilerplate (headers, licence blocks,
+    * templates) — the unit removed at sub-document granularity where
+    * whole-doc dedup keeps both copies. Two aggregation shuffles (global
+    * segment counts, per-lang rollup), both map-side combinable;
+    * segment text never rides a shuffle wider than the count join. */
+  def segmentDedupStats(documents: DataFrame, segWords: Int = 8,
+                        minDocs: Int = 3): DataFrame = {
+    val segs = documents
+      .withColumn("ts", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"""transform(sequence(0, (size(ts)-1) div $segWords),
+           |  i -> concat_ws(' ', slice(ts, i*$segWords+1, $segWords)))""".stripMargin))
+        .as("seg"))
+    val counts = segs.groupBy("seg")
+      .agg(count_distinct(col("doc_id")).as("n_docs_with"))
+    segs.join(counts, Seq("seg"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("segments"),
+        sum(when(col("n_docs_with") >= minDocs, 1).otherwise(0)).as("boilerplate_segments"),
+        count_distinct(when(col("n_docs_with") >= minDocs, col("seg"))).as("distinct_boilerplate"))
+      .withColumn("boilerplate_frac",
+        col("boilerplate_segments").cast("double") / col("segments"))
+      .orderBy("lang")
+  }
+
+  private val l41Sql =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |segs AS (
+      |  SELECT doc_id, lang, array_to_string(ts[i*8+1 : i*8+8], ' ') AS seg
+      |  FROM (SELECT doc_id, lang, ts, unnest(range(0, (len(ts)-1)//8 + 1)) AS i FROM t)),
+      |counts AS (SELECT seg, count(DISTINCT doc_id) AS n_docs_with FROM segs GROUP BY 1)
+      |SELECT lang, count(*) AS segments,
+      |  cast(sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END) as bigint) AS boilerplate_segments,
+      |  count(DISTINCT CASE WHEN n_docs_with >= 3 THEN seg END) AS distinct_boilerplate,
+      |  cast(sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END) as double)/count(*) AS boilerplate_frac
+      |FROM segs JOIN counts USING (seg)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l01_dedup_exact", (s, d) => exactDedupStats(Tables.documents(s, d)), Some(l01Sql)),
     Q("l02_dedup_minhash_lsh", (s, d) => minhashNearDup(Tables.documents(s, d)), None),
@@ -637,5 +679,6 @@ object TextDedup {
     Q("l28_minhash_portable", (s, d) =>
       minhashPortable(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l28Sql)),
     Q("l35_incremental_dedup", (s, d) =>
-      incrementalDedup(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l35Sql)))
+      incrementalDedup(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l35Sql)),
+    Q("l41_segment_dedup", (s, d) => segmentDedupStats(Tables.documents(s, d)), Some(l41Sql)))
 }

@@ -364,6 +364,20 @@ class LlmSpec extends SparkSuite {
       "corpus-corpus dup structure leaked into the batch result")
   }
 
+  test("segment dedup flags the 8-word run shared across three docs") {
+    // each doc = shared 8-word header + a unique 8-word tail →
+    // 2 segments/doc; the header occurs in 3 docs ⇒ boilerplate
+    val header = (1 to 8).map(i => s"h$i").mkString(" ")
+    val fix = (1L to 3L).map(d =>
+      (d, header + " " + (1 to 8).map(i => s"u${d}_$i").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextDedup.segmentDedupStats(fix).head()
+    assert(r.getAs[Long]("segments") === 6L)
+    assert(r.getAs[Long]("boilerplate_segments") === 3L, "one header occurrence per doc")
+    assert(r.getAs[Long]("distinct_boilerplate") === 1L)
+    assert(r.getAs[Double]("boilerplate_frac") === 0.5)
+  }
+
   test("vocab coverage counts occurrences under the top-k vocabulary") {
     // terms: a×3, b×2, c×1 → vocab(2) = {a, b}; covered 5 of 6
     val fix = Seq((1L, "a a a b b c", "en", "s", 11L))

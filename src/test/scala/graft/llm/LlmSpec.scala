@@ -455,6 +455,9 @@ class LlmSpec extends SparkSuite {
     assert(TextStats.packingPlan(empty).collect().isEmpty)
     assert(TextStats.vocabCoverage(empty).collect().isEmpty)
     assert(TextStats.chunkPlan(empty).collect().isEmpty)
+    assert(TextStats.htmlExtractStats(empty).collect().isEmpty)
+    assert(Sampling.trainingMixPlan(empty).collect().isEmpty)
+    assert(TextDedup.segmentDedupStats(empty).collect().isEmpty)
     val emptyEmb = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
     assert(Similarity.embedDupComponents(emptyEmb).collect().isEmpty)
     assert(Similarity.annRecall(emptyEmb).collect().isEmpty)

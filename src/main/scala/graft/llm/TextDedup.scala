@@ -630,8 +630,12 @@ object TextDedup {
     * in ≥3 distinct docs is boilerplate (headers, licence blocks,
     * templates) — the unit removed at sub-document granularity where
     * whole-doc dedup keeps both copies. Two aggregation shuffles (global
-    * segment counts, per-lang rollup), both map-side combinable;
-    * segment text never rides a shuffle wider than the count join. */
+    * segment counts, per-lang rollup), both map-side combinable. The
+    * count aggregate and join are keyed by the raw segment string —
+    * exact by construction; at extreme corpus sizes key the pair on
+    * md5(seg) instead (128 bits: negligible collision odds, fixed-width
+    * shuffle keys) — a 64-bit key is NOT enough there, the birthday
+    * bound bites at ~10^10 distinct segments. */
   def segmentDedupStats(documents: DataFrame, segWords: Int = 8,
                         minDocs: Int = 3): DataFrame = {
     val segs = documents

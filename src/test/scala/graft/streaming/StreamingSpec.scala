@@ -146,6 +146,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("corpus ingest state expires at the watermark horizon (bounded, not eternal)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "ingest_ts")
+    val q = Streams.corpusIngest(docs) // 1-hour horizon
+      .writeStream.format("memory").queryName("corpus_expiry").outputMode("append").start()
+    try {
+      val text = (1 to 120).map(i => s"word$i").mkString(" ")
+      input.addData((1L, text, "en", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance event time far past the horizon → doc 1's hash state evicts
+      input.addData((2L, "unrelated fresh content entirely", "en", ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // the same TEXT hours later must be RE-ADMITTED: bounded state trades
+      // eternal exactness for memory; the batch tiers catch long-range dups
+      input.addData((3L, text, "en", ts("2024-01-01 14:30:00")))
+      q.processAllAvailable()
+      val ids = spark.table("corpus_expiry").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 3L),
+        s"expired content hash must not block a late re-submit: got $ids")
+    } finally q.stop()
+  }
+
   test("two-hop chained streams: raw → bronze dir → windowed agg (storage-decoupled DAG)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_chain").toString
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")

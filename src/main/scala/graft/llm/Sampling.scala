@@ -63,25 +63,54 @@ object Sampling {
   /** l27 — balanced (stratified-quota) downsample: cap every language at
     * the size of the smallest one — the standard rebalancing step before
     * multilingual training. Selection is "the n_min smallest-md5 docs per
-    * lang": a pure function of content keys, so the SAME docs are chosen
-    * on any engine, run, or partitioning (sample() can't promise that).
+    * lang" (tie-broken by doc_id): a pure function of content keys, so
+    * the SAME docs are chosen on any engine, run, or partitioning
+    * (sample() can't promise that).
     *
-    * Shape: one count aggregate, a 1-row broadcast quota, and a
-    * row_number per stratum. The per-stratum window sorts within each
-    * lang partition — fine while strata are few and quota selection must
-    * be exact; the approximate scale-out alternative (keep doc if
-    * hash(doc) * n_lang < n_min * 2^k — no sort, no window) trades exact
-    * quotas for a fully shuffle-free pass. */
+    * Shape — distributed exact selection, NO per-stratum sort of the
+    * relation (a row_number window over each lang would funnel every
+    * stratum through one partition, the classic 100 TB killer):
+    *   1. histogram the leading 4 hex chars of the selection key per
+    *      stratum → a metadata-sized frame (≤ strata × 65536 rows);
+    *      a window over THAT finds the bucket holding the n_min-th key;
+    *   2. rank only the boundary-bucket slice (~1/65536 of a stratum)
+    *      to pin the exact per-stratum threshold (hkey, doc_id) pair;
+    *   3. one broadcast join filters the full relation by the threshold
+    *      — all earlier buckets satisfy it lexicographically for free.
+    * Total cost: two small aggregates + one pass over the data with a
+    * broadcast filter; every window input is either aggregated metadata
+    * or a 65536×-reduced slice. */
   def balancedSample(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nMin = documents.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       .agg(min(col("n_lang")).as("n_min"))
-    val ranked = documents
+    val docs = documents
       .withColumn("hkey", substring(md5(col("doc_id").cast("string")), 1, 16))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(col("hkey"), col("doc_id"))))
-    ranked.crossJoin(broadcast(nMin))
-      .filter(col("rn") <= col("n_min"))
+      .withColumn("hb", substring(col("hkey"), 1, 4))
+    // (1) per-stratum histogram over the 65536 key-prefix buckets; the
+    // running count locates the bucket containing the n_min-th key
+    val hist = docs.groupBy("lang", "hb").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("lang").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = hist
+      .withColumn("cum_before", coalesce(sum(col("c")).over(cumW), lit(0L)))
+      .crossJoin(broadcast(nMin))
+      .filter(col("cum_before") < col("n_min") &&
+        col("n_min") <= col("cum_before") + col("c"))
+      .select(col("lang"), col("hb"),
+        (col("n_min") - col("cum_before")).as("rank_in_bucket"))
+    // (2) exact threshold: the rank_in_bucket-th smallest key inside the
+    // boundary bucket only (the one window that touches row data rides a
+    // 65536×-pruned slice)
+    val sliceW = Window.partitionBy("lang").orderBy(col("hkey"), col("doc_id"))
+    val thresholds = docs.join(broadcast(boundary), Seq("lang", "hb"))
+      .withColumn("rn", row_number().over(sliceW))
+      .filter(col("rn") === col("rank_in_bucket"))
+      .select(col("lang"), col("hkey").as("t_hkey"), col("doc_id").as("t_doc_id"))
+    // (3) quota filter = key ≤ per-stratum threshold (1 row/stratum, broadcast)
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("hkey") < col("t_hkey") ||
+        (col("hkey") === col("t_hkey") && col("doc_id") <= col("t_doc_id")))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("kept_docs"),

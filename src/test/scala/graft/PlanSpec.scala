@@ -160,6 +160,25 @@ class PlanSpec extends SparkSuite {
       s"one shuffle on the join key is the whole cost:\n$finalP")
   }
 
+  test("balanced sample selects by threshold — no window over the raw relation") {
+    val df = graft.llm.Sampling.balancedSample(Tables.documents(spark, sf))
+    df.collect() // finalize AQE plan
+    val p = plan(df)
+    // every Window must consume either aggregated metadata (the 65536-bucket
+    // histogram) or the boundary-bucket slice (a broadcast-join prune) —
+    // never the documents scan directly. A window fed straight from the
+    // scan would single-partition each stratum at 100 TB.
+    val winIdxs = "Window ".r.findAllMatchIn(p).map(_.start).toList
+    assert(winIdxs.nonEmpty, s"expected the two reduced-input windows:\n$p")
+    winIdxs.foreach { i =>
+      val rest = p.substring(i)
+      val scanAt = rest.indexOf("Scan parquet")
+      val seg = if (scanAt >= 0) rest.substring(0, scanAt) else rest
+      assert(seg.contains("HashAggregate") || seg.contains("BroadcastHashJoin"),
+        s"window at offset $i rides the raw scan (no aggregate/prune between):\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

@@ -147,21 +147,6 @@ object Multimodal {
       | cast(ceil(strlen(text)/cast(1024.0 as double)) as bigint) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** l15 — the decode boundary driven end-to-end through the REAL
-    * ImageIO path (rows-only check: output summarized per mime type).
-    * The fixtures' synthetic payloads all take the deterministic
-    * fallback, which keeps the result reproducible; LlmSpec drives the
-    * same operator over genuine PNG/BMP bytes. */
-  def decodeFeatures(spark: SparkSession, documents: DataFrame): DataFrame =
-    decodeImages(spark, packMedia(documents))
-      .groupBy("mime")
-      .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("media_bytes")).as("total_bytes"),
-        max(col("width")).as("max_width"),
-        max(col("height")).as("max_height"))
-      .orderBy("mime")
-
   /** Audio metadata row produced by the WAV probe. */
   final case class AudioMeta(
       doc_id: Long,
@@ -298,21 +283,179 @@ object Multimodal {
       .orderBy("hamming", "id_a", "id_b")
   }
 
-  /** l39 — the audio boundary end-to-end (rows-only: per-mime rollup of
-    * the real WAV probe; the synthetic fixture payloads all flag
-    * `decoded = false`, and LlmSpec drives genuine WAV bytes). */
-  def audioProbeStats(spark: SparkSession, documents: DataFrame): DataFrame =
-    probeAudio(spark, packMedia(documents))
-      .groupBy("mime")
-      .agg(
-        count(lit(1)).as("n_media"),
-        sum(when(col("decoded"), 1).otherwise(0)).as("decoded_clips"),
-        sum(col("media_bytes")).as("total_bytes"))
-      .orderBy("mime")
+  // ---- synthesized-media oracle path -----------------------------------
+  //
+  // The fixture carries no real media bytes, so the decode boundary was
+  // only rows-only checkable. These queries close that gap: each doc_id
+  // deterministically ENCODES a real PNG / WAV on the executor (JDK
+  // codecs), pushes it through the same decode operators as production
+  // data, and emits only fields the decoder must RECOVER — which the
+  // DuckDB oracle re-derives from doc_id arithmetic alone. A decoder bug
+  // (wrong dimensions, wrong sample rate, dropped frames, luma drift)
+  // breaks the hash compare.
+
+  /** Solid-gray PNG, dimensions and luma a pure function of the id. */
+  private[llm] def synthPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 32).toInt
+    val h = 12 + (id % 24).toInt
+    val v = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** l15 — REAL image decode, oracle-exact: encode a per-doc PNG, decode
+    * it through [[decodeImages]], emit the recovered width/height and the
+    * first thumbnail luma byte. With r=g=b=v the 299/587/114 luma weights
+    * sum to 1000, so the thumbnail byte recovers v exactly; PNG is
+    * lossless, so the oracle is plain doc_id arithmetic. */
+  def synthImageDecode(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = documents.select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, "image/png", synthPng(id))))
+      .toDF("doc_id", "mime", "media")
+      .withColumn("media_bytes", length(col("media")).cast("long"))
+    decodeImages(spark, media)
+      .select(col("doc_id"), col("width"), col("height"),
+        conv(hex(substring(col("feature"), 1, 1)), 16, 10).cast("int").as("luma"))
+      .orderBy("doc_id")
+  }
+
+  private val l15Sql =
+    """SELECT doc_id,
+      | cast(16 + doc_id % 32 as int) AS width,
+      | cast(12 + doc_id % 24 as int) AS height,
+      | cast(doc_id % 256 as int) AS luma
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** 16-bit PCM WAV with rate/channels/frames a pure function of the id. */
+  private[llm] def synthWav(id: Long): Array[Byte] = {
+    val rate = 8000 + 1600 * (id % 5).toInt
+    val channels = 1 + (id % 2).toInt
+    val frames = 100 + (id % 400).toInt
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < data.length) { data(i) = ((id + i) % 256).toByte; i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** l39 — REAL audio probe, oracle-exact: encode a per-doc WAV, parse it
+    * through [[probeAudio]], emit the recovered rate/channels/frames and
+    * the probe's duration arithmetic. All rates are integer-valued, so
+    * the float round-trip is exact. */
+  def synthAudioProbe(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = documents.select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, "audio/wav", synthWav(id))))
+      .toDF("doc_id", "mime", "media")
+      .withColumn("media_bytes", length(col("media")).cast("long"))
+    probeAudio(spark, media)
+      .select(col("doc_id"), col("decoded"), col("sample_rate"),
+        col("channels"), col("frames"), col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  private val l39Sql =
+    """SELECT doc_id, true AS decoded,
+      | cast(8000 + 1600 * (doc_id % 5) as int) AS sample_rate,
+      | cast(1 + doc_id % 2 as int) AS channels,
+      | cast(100 + doc_id % 400 as bigint) AS frames,
+      | cast((100 + doc_id % 400) * 1000 // (8000 + 1600 * (doc_id % 5)) as bigint) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The 64-bit dHash a [[synthGradientPng]] image must produce: four
+    * 16-bit band words from affine maps of the doc's dup-group id (so
+    * group members share all bands), with every third variant flipping
+    * one band-1 bit to create true NEAR-duplicates. Bit 63 stays clear so
+    * the value is SQL-safe (no BIGINT overflow building it in DuckDB). */
+  private[llm] def dhashTarget(id: Long): Long = {
+    val base = id % 50
+    val variant = id / 50
+    val t = ((base * 40503 + 1229) % 65536) |
+      (((base * 12345 + 6789) % 65536) << 16) |
+      (((base * 23456 + 987) % 65536) << 32) |
+      (((base * 7891 + 234) % 32768) << 48)
+    if (variant % 3 == 1) t ^ (1L << ((variant % 16) + 16).toInt) else t
+  }
+
+  /** 9×8 gradient PNG whose dHash equals [[dhashTarget]] exactly: the
+    * 9×8 canvas makes [[withDHash]]'s nearest-neighbor grid sample every
+    * pixel 1:1, and each row walks luma ±1 per target bit (< compares). */
+  private[llm] def synthGradientPng(id: Long): Array[Byte] = {
+    val target = dhashTarget(id)
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      var x = 0
+      while (x < 8) {
+        v += (if (((target >> (y * 8 + x)) & 1L) == 1L) 1 else -1)
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** l42 — perceptual near-dup dedup end-to-end and oracle-exact: encode
+    * gradient PNGs carrying a known dHash, run the full decode → dHash →
+    * 16-bit band join → hamming-verify pipeline on real pixels, while the
+    * oracle replays the SAME banding/hamming algebra over the closed-form
+    * hashes. Every stage (codec, luma sampling, bit packing, band
+    * bucketing, XOR popcount) is covered by the hash compare. */
+  def synthImageNearDup(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = documents.select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, "image/png", synthGradientPng(id))))
+      .toDF("doc_id", "mime", "media")
+      .withColumn("media_bytes", length(col("media")).cast("long"))
+    imageNearDup(spark, media)
+  }
+
+  private val l42Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    xor((doc_id % 50 * 40503 + 1229) % 65536
+      |        + ((doc_id % 50 * 12345 + 6789) % 65536) * 65536
+      |        + ((doc_id % 50 * 23456 + 987) % 65536) * 4294967296
+      |        + ((doc_id % 50 * 7891 + 234) % 32768) * 281474976710656,
+      |      CASE WHEN (doc_id // 50) % 3 = 1
+      |           THEN (1::BIGINT << cast((doc_id // 50) % 16 + 16 as int))
+      |           ELSE 0 END) AS dhash
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, dhash, band_id, (dhash >> (16 * band_id)) & 65535 AS band_val
+      |  FROM h, (SELECT unnest(range(0, 4)) AS band_id)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |         a.dhash AS h_a, b2.dhash AS h_b
+      |  FROM b a JOIN b b2 ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+      |  WHERE a.doc_id < b2.doc_id)
+      |SELECT id_a, id_b, cast(bit_count(xor(h_a, h_b)) as int) AS hamming
+      |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 10
+      |ORDER BY hamming, id_a, id_b""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("l14_media_meta", (s, d) => mediaMeta(Tables.documents(s, d)), Some(l14Sql)),
-    Q("l15_media_decode", (s, d) => decodeFeatures(s, Tables.documents(s, d)), None),
+    Q("l15_media_decode", (s, d) => synthImageDecode(s, Tables.documents(s, d)), Some(l15Sql)),
     Q("l23_frame_sample_plan", (s, d) => frameSamplePlan(Tables.documents(s, d)), Some(l23Sql)),
-    Q("l39_audio_probe", (s, d) => audioProbeStats(s, Tables.documents(s, d)), None))
+    Q("l39_audio_probe", (s, d) => synthAudioProbe(s, Tables.documents(s, d)), Some(l39Sql)),
+    Q("l42_image_neardup", (s, d) => synthImageNearDup(s, Tables.documents(s, d)), Some(l42Sql)))
 }

@@ -584,6 +584,27 @@ class LlmSpec extends SparkSuite {
     assert(hashes(4L).isEmpty, "non-image payload hashes to null, not garbage")
   }
 
+  test("synthesized gradient PNG round-trips its target dHash exactly") {
+    // the l42 oracle's whole premise: encode → decode → dHash recovers the
+    // closed-form target bit-for-bit, including a flipped-variant id
+    val ids = Seq(0L, 7L, 49L, 50L, 51L, 123L, 450L)
+    val rows = ids.map { id =>
+      val png = Multimodal.synthGradientPng(id)
+      org.apache.spark.sql.Row(id, "image/png", png, png.length.toLong)
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.withDHash(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[java.lang.Long]("dhash")).toMap
+    ids.foreach { id =>
+      assert(got(id) === Multimodal.dhashTarget(id),
+        s"doc $id: decoded dHash must equal the closed-form target")
+    }
+    // 51 = base 1, variant 1 (%3==1): exactly one band-1 bit from 1 = base 1, variant 0
+    assert(java.lang.Long.bitCount(
+      Multimodal.dhashTarget(51L) ^ Multimodal.dhashTarget(1L)) === 1)
+  }
+
   test("html extraction strips tags, script blocks, and entities") {
     val html = """<html><head><style>p { color: red; }</style></head>
       |<body><p>Tom &amp; Jerry</p><script>var x = "<p>";</script>

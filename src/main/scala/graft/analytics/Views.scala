@@ -87,20 +87,25 @@ object Views {
   // dim strings through the exchange for nothing (p_partkey is the part
   // PK, so name/brand are functionally dependent and can be attached
   // later). Cached: both the threshold pass and the rank pass read it.
+  // The FK guard sits AFTER the aggregation, not on the fact: a fact key
+  // absent from the dim would otherwise take a rank slot and then drop
+  // out of the final inner probe, gapping the ranks. Semi-joining the
+  // per-key AGGREGATE against the dim keys costs a #keys-sized key-only
+  // shuffle (vs dragging every fact row through a fact⋈dim semi join),
+  // and makes the threshold shape safe on data without TPC-H's FK
+  // contract.
   private val v04AggSpark =
-    s"""SELECT l_partkey,
-       | ${dsum("l_extendedprice*(1-l_discount)")} AS revenue,
-       | ${dsum("l_quantity")} AS total_qty,
-       | count(*) AS order_lines
-       |FROM lineitem GROUP BY 1""".stripMargin
-  // The part dim is joined AFTER the threshold + rank prune: only the
-  // ~k surviving keys ever touch it — at 100 TB that's a 20-row
-  // broadcast probe into the dim instead of a fact⋈dim join. This
-  // assumes lineitem→part FK integrity (the TPC-H contract): a fact key
-  // absent from the dim would take a rank slot and then drop out of the
-  // inner probe, gapping the ranks the pre-join shape would have
-  // produced. On data without the FK guarantee, semi-join-filter the
-  // aggregate against the dim keys first.
+    s"""WITH a AS (
+       |  SELECT l_partkey,
+       |   ${dsum("l_extendedprice*(1-l_discount)")} AS revenue,
+       |   ${dsum("l_quantity")} AS total_qty,
+       |   count(*) AS order_lines
+       |  FROM lineitem GROUP BY 1)
+       |SELECT a.* FROM a LEFT SEMI JOIN part ON l_partkey = p_partkey""".stripMargin
+  // The part dim's payload columns are joined AFTER the threshold + rank
+  // prune: only the ~k surviving keys ever fetch name/brand — at 100 TB
+  // that's a 20-row broadcast probe into the dim instead of a fact⋈dim
+  // join.
   private val v04RestSpark =
     s"""WITH v AS (SELECT min(revenue) AS vk FROM (SELECT revenue FROM v04_agg ORDER BY revenue DESC LIMIT 20)),
        |top AS (SELECT v04_agg.* FROM v04_agg CROSS JOIN v WHERE revenue >= vk),

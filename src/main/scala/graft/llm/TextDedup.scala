@@ -631,27 +631,32 @@ object TextDedup {
     * templates) — the unit removed at sub-document granularity where
     * whole-doc dedup keeps both copies. Two aggregation shuffles (global
     * segment counts, per-lang rollup), both map-side combinable. The
-    * count aggregate and join are keyed by the raw segment string —
-    * exact by construction; at extreme corpus sizes key the pair on
-    * md5(seg) instead (128 bits: negligible collision odds, fixed-width
-    * shuffle keys) — a 64-bit key is NOT enough there, the birthday
-    * bound bites at ~10^10 distinct segments. */
+    * count aggregate and join are keyed on md5(seg) by default: segments
+    * are unbounded-width strings, and a fixed 32-char key keeps shuffle
+    * rows uniform at corpus scale; 128 bits has negligible collision
+    * odds (a 64-bit key is NOT enough there — the birthday bound bites
+    * at ~10^10 distinct segments), and the oracle hashes identically so
+    * the compare is still exact. `hashKeys = false` restores raw-string
+    * keying for debugging (same result either way absent collisions). */
   def segmentDedupStats(documents: DataFrame, segWords: Int = 8,
-                        minDocs: Int = 3): DataFrame = {
-    val segs = documents
+                        minDocs: Int = 3, hashKeys: Boolean = true): DataFrame = {
+    val raw = documents
       .withColumn("ts", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), explode(expr(
         s"""transform(sequence(0, (size(ts)-1) div $segWords),
            |  i -> concat_ws(' ', slice(ts, i*$segWords+1, $segWords)))""".stripMargin))
         .as("seg"))
-    val counts = segs.groupBy("seg")
+    val segs =
+      if (hashKeys) raw.select(col("doc_id"), col("lang"), md5(col("seg")).as("segk"))
+      else raw.withColumnRenamed("seg", "segk")
+    val counts = segs.groupBy("segk")
       .agg(count_distinct(col("doc_id")).as("n_docs_with"))
-    segs.join(counts, Seq("seg"))
+    segs.join(counts, Seq("segk"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("segments"),
         sum(when(col("n_docs_with") >= minDocs, 1).otherwise(0)).as("boilerplate_segments"),
-        count_distinct(when(col("n_docs_with") >= minDocs, col("seg"))).as("distinct_boilerplate"))
+        count_distinct(when(col("n_docs_with") >= minDocs, col("segk"))).as("distinct_boilerplate"))
       .withColumn("boilerplate_frac",
         col("boilerplate_segments").cast("double") / col("segments"))
       .orderBy("lang")
@@ -660,14 +665,14 @@ object TextDedup {
   private val l41Sql =
     """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
       |segs AS (
-      |  SELECT doc_id, lang, array_to_string(ts[i*8+1 : i*8+8], ' ') AS seg
+      |  SELECT doc_id, lang, md5(array_to_string(ts[i*8+1 : i*8+8], ' ')) AS segk
       |  FROM (SELECT doc_id, lang, ts, unnest(range(0, (len(ts)-1)//8 + 1)) AS i FROM t)),
-      |counts AS (SELECT seg, count(DISTINCT doc_id) AS n_docs_with FROM segs GROUP BY 1)
+      |counts AS (SELECT segk, count(DISTINCT doc_id) AS n_docs_with FROM segs GROUP BY 1)
       |SELECT lang, count(*) AS segments,
       |  cast(sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END) as bigint) AS boilerplate_segments,
-      |  count(DISTINCT CASE WHEN n_docs_with >= 3 THEN seg END) AS distinct_boilerplate,
+      |  count(DISTINCT CASE WHEN n_docs_with >= 3 THEN segk END) AS distinct_boilerplate,
       |  cast(sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END) as double)/count(*) AS boilerplate_frac
-      |FROM segs JOIN counts USING (seg)
+      |FROM segs JOIN counts USING (segk)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def all: Seq[Q] = Seq(

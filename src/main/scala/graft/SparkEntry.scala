@@ -14,6 +14,7 @@ object SparkEntry {
       analytics.Calendar.all ++
       etl.Taxonomy.all ++
       etl.VersionLog.all ++
+      etl.Skew.all ++
       llm.TextDedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++

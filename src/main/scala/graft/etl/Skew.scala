@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
 
 /** Skew-mitigation utilities (SURVEY §4 — the reference delegates skew to
   * AQE; these are the explicit tools for when a hot key defeats even
@@ -37,4 +38,31 @@ object Skew {
       explode(expr(s"sequence(0, ${saltBuckets - 1})")))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** q49 — the salted two-phase aggregation under the oracle gate:
+    * per-event-type totals over the fixture's power-law type column
+    * (a handful of values over every row — exactly the shape that melts
+    * a single reducer at 100 TB), computed through [[saltedSumCount]]
+    * and oracle-compared against a PLAIN one-shot GROUP BY in DuckDB.
+    * The hash match IS the proof that salting is a pure execution-shape
+    * rewrite. The value rides the Det decimal accumulator through both
+    * phases, so the two-level re-association cannot drift a ULP. */
+  def saltedAggStats(events: DataFrame): DataFrame = {
+    val prepared = events.select(col("event_type"),
+      col("value").cast("decimal(18,6)").as("v"))
+    saltedSumCount(prepared, Seq("event_type"), "v")
+      .select(col("event_type"),
+        col("sum_v").cast("double").as("total_value"),
+        col("cnt"))
+      .orderBy(asc_nulls_last("event_type"))
+  }
+
+  private val q49Sql =
+    """SELECT event_type,
+      | cast(sum(cast(value as decimal(18,6))) as double) AS total_value,
+      | count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q49_salted_agg", (s, d) => saltedAggStats(Tables.events(s, d)), Some(q49Sql)))
 }

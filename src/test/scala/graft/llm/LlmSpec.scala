@@ -584,6 +584,33 @@ class LlmSpec extends SparkSuite {
     assert(hashes(4L).isEmpty, "non-image payload hashes to null, not garbage")
   }
 
+  test("fast and portable minhash paths agree on high-similarity pairs") {
+    // l02 (xxhash64 signatures, rows-only checked) and l28 (md5
+    // signatures, oracle-green) are independent hash families over the
+    // same LSH pipeline — every pair one path scores ≥ 0.75 must surface
+    // as a candidate in the other with a high estimate too. This ties
+    // the unoracled fast path to its oracle-exact twin on the fixture.
+    val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] = {
+      val m = df.collect().map(r =>
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard")).toMap
+      graft.CacheScope.releaseAll()
+      m
+    }
+    val fast = pairs(TextDedup.minhashNearDup(fixture))
+    val portable = pairs(TextDedup.minhashPortable(fixture))
+    def crossCheck(hi: Map[(Long, Long), Double], other: Map[(Long, Long), Double],
+                   label: String): Unit =
+      hi.filter(_._2 >= 0.75).foreach { case (k, est) =>
+        assert(other.contains(k), s"$label: pair $k (est $est) missing from the twin path")
+        assert(other(k) >= 0.5,
+          s"$label: pair $k scores $est vs ${other(k)} — families disagree too much")
+      }
+    assert(fast.count(_._2 >= 0.75) > 10, "fixture must exercise the bound")
+    crossCheck(fast, portable, "fast→portable")
+    crossCheck(portable, fast, "portable→fast")
+  }
+
   test("synthesized gradient PNG round-trips its target dHash exactly") {
     // the l42 oracle's whole premise: encode → decode → dHash recovers the
     // closed-form target bit-for-bit, including a flipped-variant id

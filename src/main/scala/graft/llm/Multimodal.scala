@@ -266,7 +266,11 @@ object Multimodal {
     * (same scale shape: banded candidates, never all-pairs). */
   def imageNearDup(spark: SparkSession, media: DataFrame,
                    maxHamming: Int = 10): DataFrame = {
-    val hashed = withDHash(spark, media).filter(col("dhash").isNotNull)
+    // persisted: the decode+hash pipeline (the dominant cost) feeds BOTH
+    // sides of the band self-join — uncached it would run twice
+    val hashes = graft.CacheScope.manage(
+      withDHash(spark, media).filter(col("dhash").isNotNull).persist())
+    val hashed = hashes
       .select(col("doc_id"), col("dhash"),
         posexplode(array((0 until 4).map(k =>
           expr(s"shiftright(dhash, ${16 * k}) & 65535")): _*)).as(Seq("band_id", "band_val")))

@@ -63,6 +63,39 @@ object Skew {
       | count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q50 — the salted skewed JOIN under the oracle gate: every events
+    * row carries one of five hot key values (the worst-case join skew —
+    * a handful of keys owning the whole fact), joined to a tiny category
+    * dim through [[saltedJoin]] (dim exploded 16×, fact salted row-wise,
+    * equi-join on (key, salt)) and rolled up per category. The DuckDB
+    * oracle runs the PLAIN inner join — the hash match proves the salt
+    * column is invisible in the result, like q49 does for aggregation. */
+  def saltedJoinStats(spark: org.apache.spark.sql.SparkSession,
+                      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("view", "passive"), ("click", "engagement"), ("purchase", "conversion"),
+      ("signup", "conversion"), ("error", "fault"))
+      .toDF("event_type", "category")
+    val fact = events.select(col("event_type"),
+      col("value").cast("decimal(18,6)").as("v"))
+    saltedJoin(fact, dim, "event_type")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy("category")
+  }
+
+  private val q50Sql =
+    """SELECT category, count(*) AS n_events,
+      | cast(sum(cast(value as decimal(18,6))) as double) AS total_value
+      |FROM events e JOIN (VALUES
+      |  ('view','passive'), ('click','engagement'), ('purchase','conversion'),
+      |  ('signup','conversion'), ('error','fault')) AS d(event_type, category)
+      |  ON e.event_type = d.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
-    Q("q49_salted_agg", (s, d) => saltedAggStats(Tables.events(s, d)), Some(q49Sql)))
+    Q("q49_salted_agg", (s, d) => saltedAggStats(Tables.events(s, d)), Some(q49Sql)),
+    Q("q50_salted_join", (s, d) => saltedJoinStats(s, Tables.events(s, d)), Some(q50Sql)))
 }

@@ -263,17 +263,21 @@ object Multimodal {
 
   /** Perceptual image near-dup pairs: dHash 16-bit band join + hamming
     * verify — the SimHash banding machinery applied to image fingerprints
-    * (same scale shape: banded candidates, never all-pairs). */
+    * (same scale shape: banded candidates, never all-pairs, and the same
+    * deterministic bucket cap — a meme duplicated 10M times at corpus
+    * scale would otherwise turn one band bucket into a quadratic join). */
   def imageNearDup(spark: SparkSession, media: DataFrame,
-                   maxHamming: Int = 10): DataFrame = {
+                   maxHamming: Int = 10,
+                   maxBucket: Int = TextDedup.MaxBucketDefault): DataFrame = {
     // persisted: the decode+hash pipeline (the dominant cost) feeds BOTH
     // sides of the band self-join — uncached it would run twice
     val hashes = graft.CacheScope.manage(
       withDHash(spark, media).filter(col("dhash").isNotNull).persist())
-    val hashed = hashes
+    val hashed = TextDedup.capBuckets(hashes
       .select(col("doc_id"), col("dhash"),
         posexplode(array((0 until 4).map(k =>
-          expr(s"shiftright(dhash, ${16 * k}) & 65535")): _*)).as(Seq("band_id", "band_val")))
+          expr(s"shiftright(dhash, ${16 * k}) & 65535")): _*)).as(Seq("band_id", "band_val"))),
+      Seq("band_id", "band_val"), maxBucket)
     val a = hashed.select(col("doc_id").as("id_a"), col("dhash").as("h_a"),
       col("band_id"), col("band_val"))
     val b = hashed.select(col("doc_id").as("id_b"), col("dhash").as("h_b"),
@@ -444,9 +448,14 @@ object Multimodal {
       |           THEN (1::BIGINT << cast((doc_id // 50) % 16 + 16 as int))
       |           ELSE 0 END) AS dhash
       |  FROM documents),
-      |b AS (
+      |b0 AS (
       |  SELECT doc_id, dhash, band_id, (dhash >> (16 * band_id)) & 65535 AS band_val
       |  FROM h, (SELECT unnest(range(0, 4)) AS band_id)),
+      |b AS (
+      |  SELECT doc_id, dhash, band_id, band_val FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
+      |    FROM b0)
+      |  WHERE rn <= 1024),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
       |         a.dhash AS h_a, b2.dhash AS h_b

@@ -35,7 +35,7 @@ object TextDedup {
   /** Keep at most `maxBucket` members per (band, bucket), lowest doc_id
     * first. The row_number shuffles on the same key the candidate join
     * uses, so the guard adds no extra exchange pattern beyond one sort. */
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+  private[llm] def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     banded.withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy("doc_id")))

@@ -179,6 +179,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("salted aggregation keeps the two-phase shape with map-side combine") {
+    val df = graft.etl.Skew.saltedAggStats(Tables.events(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("__salt"),
+      s"Catalyst must not collapse the salted pre-aggregation:\n$p")
+    assert(p.contains("partial_"), s"expected map-side combine:\n$p")
+  }
+
+  test("salted join broadcasts the replicated dim — no shuffle join, no cartesian") {
+    val df = graft.etl.Skew.saltedJoinStats(spark, Tables.events(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 16x-replicated 5-row dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the fact side must never shuffle for this join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

@@ -297,15 +297,105 @@ object SurfaceQueries {
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
   /** q41 — pivot: event counts per day spread into one column per type
     * (`na.fill(0)` matches the oracle's CASE-sum zeros). */
-  def pivotCounts(events: DataFrame): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+  def pivotCounts(events: DataFrame): DataFrame =
     events.withColumn("day", to_date(col("ts")))
-      .groupBy("day").pivot("event_type", types).count()
-      .na.fill(0, types)
+      .groupBy("day").pivot("event_type", pivotTypes).count()
+      .na.fill(0, pivotTypes)
       .orderBy("day")
+
+  /** q51 — unpivot (melt): q41's wide daily matrix back to long
+    * (day, event_type, cnt) rows — the inverse reshape, producing the
+    * DENSE grid (zero cells kept, the property a pivot→unpivot round
+    * trip must preserve and a plain GROUP BY would lose). One narrow
+    * aggregate then a per-row expansion — no extra shuffle. */
+  def unpivotCounts(events: DataFrame): DataFrame =
+    pivotCounts(events)
+      .unpivot(Array(col("day")), pivotTypes.map(col).toArray, "event_type", "cnt")
+      .orderBy("day", "event_type")
+
+  private val q51Sql =
+    """WITH days AS (SELECT DISTINCT cast(ts as date) AS day FROM events),
+      |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+      |c AS (SELECT cast(ts as date) AS day, event_type, count(*) AS cnt
+      |      FROM events GROUP BY 1,2)
+      |SELECT d.day, t.event_type, cast(coalesce(c.cnt, 0) as bigint) AS cnt
+      |FROM days d CROSS JOIN t
+      |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q52 — explicit GROUPING SETS with grouping() disambiguation:
+    * per-returnflag totals, per-linestatus totals, and the grand total
+    * in one Expand + one aggregation shuffle (completes the family next
+    * to q40's ROLLUP and q46's CUBE — this set is NOT expressible as
+    * either). The grouping flags distinguish a subtotal's NULL from a
+    * data NULL, which the BI layer needs on nullable dimensions. */
+  def groupingSetsTotals(lineitem: DataFrame): DataFrame =
+    lineitem.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q52Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | cast(grouping(l_returnflag) as int) AS g_rf,
+       | cast(grouping(l_linestatus) as int) AS g_ls,
+       | ${sqlDsum("l_extendedprice")} AS revenue, count(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY 3, 4, 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  /** q53 — time-series gap fill + forward fill (resample): daily
+    * high-value revenue per event type on a dense day spine, missing
+    * days flagged and forward-filled from the last observed day — the
+    * standard sparse-metric resample before charting or joining time
+    * series. Scale shape: the spine and the window ride the DAILY
+    * AGGREGATE (days × types rows — metadata-sized at any corpus size),
+    * never the event grain; the fact is touched once by the groupBy. */
+  def gapFill(events: DataFrame, minValue: Double = 250.0): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isNotNull && col("value") >= minValue)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(dsum(col("value")).as("day_value"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = span
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(daily.select("event_type").distinct())
+    spine.join(daily, Seq("day", "event_type"), "left_outer")
+      .withColumn("is_gap", col("day_value").isNull)
+      .withColumn("filled_value", last(col("day_value"), ignoreNulls = true)
+        .over(Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("day", "event_type", "is_gap", "filled_value")
+      .orderBy("day", "event_type")
   }
+
+  private val q53Sql =
+    s"""WITH daily AS (
+       |  SELECT cast(ts as date) AS day, event_type,
+       |    ${sqlDsum("value")} AS day_value
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value >= cast(250.0 as double)
+       |  GROUP BY 1, 2),
+       |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       |days AS (
+       |  SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+       |    cast(d1 as timestamp), interval 1 day)) as date) AS day FROM span),
+       |spine AS (SELECT day, event_type
+       |          FROM days CROSS JOIN (SELECT DISTINCT event_type FROM daily)),
+       |j AS (SELECT s.day, s.event_type, d.day_value
+       |      FROM spine s LEFT JOIN daily d USING (day, event_type))
+       |SELECT day, event_type, day_value IS NULL AS is_gap,
+       |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY event_type
+       |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+       |FROM j ORDER BY 1, 2""".stripMargin
 
   private val q41Sql =
     """SELECT cast(ts as date) AS day,
@@ -355,5 +445,8 @@ object SurfaceQueries {
     Q("q40_rollup_totals", (s, d) => rollupTotals(Tables.lineitem(s, d)), Some(q40Sql)),
     Q("q41_pivot_counts", (s, d) => pivotCounts(Tables.events(s, d)), Some(q41Sql)),
     Q("q42_set_ops", (s, d) => setOps(Tables.events(s, d)), Some(q42Sql)),
-    Q("q46_cube_totals", (s, d) => cubeTotals(Tables.lineitem(s, d)), Some(q46Sql)))
+    Q("q46_cube_totals", (s, d) => cubeTotals(Tables.lineitem(s, d)), Some(q46Sql)),
+    Q("q51_unpivot_counts", (s, d) => unpivotCounts(Tables.events(s, d)), Some(q51Sql)),
+    Q("q52_grouping_sets", (s, d) => groupingSetsTotals(Tables.lineitem(s, d)), Some(q52Sql)),
+    Q("q53_gap_fill", (s, d) => gapFill(Tables.events(s, d)), Some(q53Sql)))
 }

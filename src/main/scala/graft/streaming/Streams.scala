@@ -139,4 +139,56 @@ object Streams {
       .trigger(Trigger.ProcessingTime(triggerMs))
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
+
+  /** Stream-static dim enrichment: the streaming fact left-joined to a
+    * batch dimension. The static side is re-planned every micro-batch
+    * (so a slowly-changing dim read from storage stays current without
+    * restarting the query) and broadcast — the stream never shuffles for
+    * the join, which is the only viable shape for a per-batch join at
+    * production rates. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left_outer")
+
+  /** Stream-stream interval join — the click-attribution shape: each
+    * view matches the same user's clicks landing within `lag` AFTER it.
+    * Both sides are watermarked and the join condition is time-bounded
+    * in both directions, so Spark can expire join state (an unbounded
+    * stream-stream join buffers forever — the condition IS the state
+    * bound). Output carries both event times for downstream windowing. */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+                       lag: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    views.withWatermark("ts", watermark).alias("v")
+      .join(clicks.withWatermark("ts", watermark).alias("c"),
+        expr(s"""v.user_id = c.user_id AND
+                 c.ts >= v.ts AND c.ts <= v.ts + interval $lag"""))
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"), col("c.event_id").as("click_id"),
+        col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
+
+  /** foreachBatch MERGE sink — the streaming upsert into a keyed parquet
+    * table (the lakehouse "streaming MERGE INTO"): each micro-batch is
+    * first deduped to one row per key (last writer within the batch
+    * wins, by the event-time column) and then upserted through the
+    * partition-pruned batch merge. Re-running a batch after a crash
+    * re-applies the same upsert — idempotent per key, which is what
+    * makes foreachBatch exactly-once-per-key under at-least-once
+    * delivery. The first batch bootstraps the table. */
+  def mergeSink(stream: DataFrame, targetDir: String, checkpoint: String,
+                keys: Seq[String], tsCol: String,
+                partitionCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.etl.Dedup.keepLatest(batch, keys, Seq(col(tsCol)))
+        val dir = new java.io.File(targetDir)
+        val bootstrap = !dir.exists() || Option(dir.list()).forall(_.isEmpty)
+        if (bootstrap)
+          latest.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
+        else
+          graft.etl.Merge.upsertIntoParquet(
+            batch.sparkSession, targetDir, latest, keys, partitionCol)
+      }
 }

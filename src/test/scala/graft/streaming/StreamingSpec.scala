@@ -193,6 +193,74 @@ class StreamingSpec extends SparkSuite {
     assert(agg.columns.contains("approx_uniq_types"))
   }
 
+  test("stream-static enrichment joins the dim per micro-batch without shuffling the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val query = Streams.enrichWithDim(events, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (2L, ts("2024-01-01 10:00:10"), 2L, "view", 2.0),
+        (3L, ts("2024-01-01 10:00:20"), 9L, "view", 3.0)) // no dim row
+      query.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(got(1L).contains("gold") && got(2L).contains("basic"))
+      assert(got(3L).isEmpty, "left join must keep unmatched stream rows")
+    } finally query.stop()
+  }
+
+  test("stream-stream attribution joins clicks within the lag window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val query = Streams.clickAttribution(
+        views.toDF().toDF(cols: _*), clicks.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      views.addData((1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0))
+      clicks.addData(
+        (2L, ts("2024-01-01 10:10:00"), 7L, "click", 0.0), // within 30 min
+        (3L, ts("2024-01-01 11:10:00"), 7L, "click", 0.0), // past the lag
+        (4L, ts("2024-01-01 10:05:00"), 8L, "click", 0.0)) // other user
+      query.processAllAvailable()
+      val pairs = spark.table("attr").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+      assert(pairs.toSet === Set((1L, 2L)),
+        s"only the in-window same-user click may attribute, got ${pairs.mkString(",")}")
+    } finally query.stop()
+  }
+
+  test("foreachBatch merge sink upserts each micro-batch by key") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mergesink").toString
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("day", to_date(col("ts")))
+    val query = Streams.mergeSink(events, s"$tmp/table", s"$tmp/chk",
+      keys = Seq("event_id"), tsCol = "ts", partitionCol = "day").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2L, "view", 2.0))
+      query.processAllAvailable()
+      // batch 2: update key 1 (newer value), insert key 3
+      input.addData(
+        (1L, ts("2024-01-02 09:00:00"), 1L, "view", 10.0),
+        (3L, ts("2024-01-02 09:01:00"), 3L, "view", 3.0))
+      query.processAllAvailable()
+      val t = spark.read.parquet(s"$tmp/table")
+      assert(t.count() === 3, "one row per key after the upsert")
+      val v1 = t.filter(col("event_id") === 1L).head()
+      assert(v1.getAs[Double]("value") === 10.0, "newer batch must win for key 1")
+      assert(t.filter(col("event_id") === 3L).count() === 1)
+    } finally query.stop()
+  }
+
   test("file-stream source → checkpointed parquet sink round-trips all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val chk = s"$tmp/chk"

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 import graft.{Q, Tables}
 import graft.etl.Ingest
 import graft.functions.Det._
@@ -68,6 +68,57 @@ object SurfaceQueries {
        |        ${sqlDsum("value*value")} AS sumsq,
        |        ${sqlDsum("value")} AS s
        |      FROM events GROUP BY 1) ORDER BY event_type""".stripMargin
+
+  /** q54 — grouped Pearson correlation and covariance, bit-exact across
+    * engines (completes the statistical family next to q32). The
+    * built-in `corr`/`covar_samp` accumulate co-moments in doubles —
+    * ORDER-dependent across partitions, so they can never hash-match an
+    * oracle. Even decimal-summing the raw double products isn't enough:
+    * a squared price (~1e10) has double ULP ≈ 2e-6, the same order as a
+    * (38,6) cast's resolution, so engines can round the cast apart.
+    * The cure is exact integers: quantities are integral and prices have
+    * two decimals, so cents-scaling makes every product and sum EXACT
+    * (decimal(38,0) — no fractional rounding anywhere); the one
+    * int→double conversion per sum rounds nearest-even identically in
+    * both engines, and the closed-form tail is IEEE-identical. Scaling
+    * cancels in corr; covar unscales by the constant at the end. */
+  def correlationStats(lineitem: DataFrame): DataFrame = {
+    val exact = DecimalType(38, 0)
+    val q = col("l_quantity").cast("long")
+    val p = round(col("l_extendedprice") * 100).cast("long") // exact cents
+    lineitem.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(q.cast(exact)).cast("double").as("sx"),
+        sum(p.cast(exact)).cast("double").as("sy"),
+        sum((q * q).cast(exact)).cast("double").as("sxx"),
+        sum((p * p).cast(exact)).cast("double").as("syy"),
+        sum((q * p).cast(exact)).cast("double").as("sxy"))
+      .withColumn("covar_samp",
+        (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1) / 100.0)
+      .withColumn("corr_xy",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0)))
+      .select("l_returnflag", "n", "covar_samp", "corr_xy")
+      .orderBy("l_returnflag")
+  }
+
+  private val q54Sql =
+    """SELECT l_returnflag, n,
+      | (sxy - sx*sy/n) / (n-1) / 100.0 AS covar_samp,
+      | (n*sxy - sx*sy) / nullif(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy), 0.0) AS corr_xy
+      |FROM (SELECT l_returnflag, count(*) AS n,
+      |        cast(sum(cast(q as decimal(38,0))) as double) AS sx,
+      |        cast(sum(cast(p as decimal(38,0))) as double) AS sy,
+      |        cast(sum(cast(q*q as decimal(38,0))) as double) AS sxx,
+      |        cast(sum(cast(p*p as decimal(38,0))) as double) AS syy,
+      |        cast(sum(cast(q*p as decimal(38,0))) as double) AS sxy
+      |      FROM (SELECT l_returnflag,
+      |              cast(l_quantity as bigint) AS q,
+      |              cast(round(l_extendedprice*100) as bigint) AS p
+      |            FROM lineitem)
+      |      GROUP BY 1)
+      |ORDER BY 1""".stripMargin
 
   /** q33 — W6: the full analytic window family over daily counts:
     * lag/lead/dense_rank/first_value/last_value with explicit frames
@@ -448,5 +499,6 @@ object SurfaceQueries {
     Q("q46_cube_totals", (s, d) => cubeTotals(Tables.lineitem(s, d)), Some(q46Sql)),
     Q("q51_unpivot_counts", (s, d) => unpivotCounts(Tables.events(s, d)), Some(q51Sql)),
     Q("q52_grouping_sets", (s, d) => groupingSetsTotals(Tables.lineitem(s, d)), Some(q52Sql)),
-    Q("q53_gap_fill", (s, d) => gapFill(Tables.events(s, d)), Some(q53Sql)))
+    Q("q53_gap_fill", (s, d) => gapFill(Tables.events(s, d)), Some(q53Sql)),
+    Q("q54_correlation", (s, d) => correlationStats(Tables.lineitem(s, d)), Some(q54Sql)))
 }

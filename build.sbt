@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally passes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix has broken JSON-line parsing of
+// Bench output in every round so far. StdoutOutput forwards the child's
+// stdout/stderr verbatim so the benchmark's JSON line stays machine-readable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -454,6 +454,65 @@ object TextStats {
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** l43 — corpus-level bigram novelty: per doc, the share of its
+    * distinct word-2-grams that occur in NO other document (`doc_freq
+    * == 1`), rolled up per language with a boilerplate flag for docs
+    * whose bigrams are mostly corpus-shared. This is the n-gram-overlap
+    * memorization/boilerplate proxy published curation pipelines run
+    * beside l32's within-doc repetition: l32 catches a doc repeating
+    * itself, l43 catches a doc repeating the corpus. All-integer counts
+    * — no transcendentals — so the oracle is bit-exact (a log-prob LM
+    * score would hang cross-engine determinism on libm's uncorrectly-
+    * rounded log).
+    *
+    * Shape: explode 2-grams, one (doc, gram) count, one gram-level
+    * doc-frequency aggregate, one gram-keyed equi-join back, then doc
+    * and lang rollups — every shuffle keyed on the gram or doc_id,
+    * linear in corpus size, map-side combine throughout. The gram join
+    * key stays the raw two-word string: it is short and bounded (unlike
+    * l41's full segments, where md5 keying pays for itself). */
+  def bigramNovelty(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(0, size(ts)-2),
+          |  i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))""".stripMargin)).as("g"))
+    val perDocGram = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
+    val docFreq = perDocGram.groupBy("g").agg(count(lit(1)).as("doc_freq"))
+    val perDoc = perDocGram.join(docFreq, "g")
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("doc_freq") === 1, 1).otherwise(0)).as("n_unique"))
+      .withColumn("novelty", col("n_unique").cast("double") / col("n_distinct"))
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        davg(col("novelty")).as("avg_novelty"),
+        sum(when(col("novelty") < 0.5, 1).otherwise(0)).as("boilerplate_docs"))
+      .orderBy("lang")
+  }
+
+  private val l43Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |g AS (
+       |  SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS g
+       |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+       |pdg AS (SELECT doc_id, lang, g, count(*) AS cnt FROM g GROUP BY 1,2,3),
+       |df AS (SELECT g, count(*) AS doc_freq FROM pdg GROUP BY 1),
+       |pd AS (
+       |  SELECT doc_id, lang, count(*) AS n_distinct,
+       |         sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END) AS n_unique
+       |  FROM pdg JOIN df USING (g) GROUP BY 1,2),
+       |f AS (SELECT lang, cast(n_unique as double)/n_distinct AS novelty FROM pd)
+       |SELECT lang, count(*) AS docs,
+       |  ${sqlDavg("novelty")} AS avg_novelty,
+       |  cast(sum(CASE WHEN novelty < cast(0.5 as double) THEN 1 ELSE 0 END) as bigint) AS boilerplate_docs
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
@@ -468,5 +527,6 @@ object TextStats {
     Q("l33_packing_plan", (s, d) => packingPlan(Tables.documents(s, d)), Some(l33Sql)),
     Q("l34_vocab_coverage", (s, d) => vocabCoverage(Tables.documents(s, d)), Some(l34Sql)),
     Q("l37_chunk_plan", (s, d) => chunkPlan(Tables.documents(s, d)), Some(l37Sql)),
-    Q("l40_html_extract", (s, d) => htmlExtractStats(Tables.documents(s, d)), Some(l40Sql)))
+    Q("l40_html_extract", (s, d) => htmlExtractStats(Tables.documents(s, d)), Some(l40Sql)),
+    Q("l43_bigram_novelty", (s, d) => bigramNovelty(Tables.documents(s, d)), Some(l43Sql)))
 }

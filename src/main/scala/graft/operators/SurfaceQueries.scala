@@ -457,6 +457,118 @@ object SurfaceQueries {
       | cast(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) as bigint) AS view
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q55 — ntile quantile bucketing: days binned into revenue quartiles
+    * within each event type (the "rank days by how good they were" BI
+    * cut). Scale shape: like q53, the window rides the DAILY AGGREGATE
+    * (days × types rows — metadata-sized at any corpus size), never the
+    * event grain, so the per-partition sort ntile needs is over a
+    * relation whose size is independent of fact cardinality. Tie-break
+    * on day pins the ntile assignment to a total order. */
+  def ntileQuartiles(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(dsum(col("value")).as("revenue"))
+    daily
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy("event_type").orderBy(col("revenue"), col("day"))))
+      .groupBy("event_type", "quartile")
+      .agg(
+        count(lit(1)).as("days"),
+        min(col("revenue")).as("min_rev"),
+        max(col("revenue")).as("max_rev"),
+        dsum(col("revenue")).as("sum_rev"))
+      .orderBy("event_type", "quartile")
+  }
+
+  private val q55Sql =
+    s"""WITH daily AS (
+       |  SELECT cast(ts as date) AS day, event_type,
+       |    ${sqlDsum("value")} AS revenue
+       |  FROM events GROUP BY 1, 2),
+       |q AS (SELECT *, cast(ntile(4) OVER (PARTITION BY event_type
+       |        ORDER BY revenue, day) as int) AS quartile FROM daily)
+       |SELECT event_type, quartile, count(*) AS days,
+       |  min(revenue) AS min_rev, max(revenue) AS max_rev,
+       |  ${sqlDsum("revenue")} AS sum_rev
+       |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q56 — rolling 7-day revenue via a RANGE frame over day numbers:
+    * unlike a ROWS frame, missing days shrink the window instead of
+    * silently pulling older rows in — the correct rolling metric on a
+    * sparse daily series, without materializing a gap-filled spine
+    * first (contrast q53, which fills the gaps). Same scale shape as
+    * q53/q55: the frame walks the daily aggregate, not the fact. The
+    * window SUM goes through the decimal accumulator — engines walk
+    * frames with different incremental strategies (running accumulate
+    * vs segment tree), so a double frame-sum is order-sensitive. */
+  def rollingRange(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(dsum(col("value")).as("day_value"))
+      .withColumn("day_nr", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.partitionBy("event_type").orderBy("day_nr").rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_7d",
+        sum(col("day_value").cast(DecimalType(38, 6))).over(w).cast("double"))
+      .withColumn("days_in_window", count(lit(1)).over(w))
+      .select("day", "event_type", "day_value", "rolling_7d", "days_in_window")
+      .orderBy("day", "event_type")
+  }
+
+  private val q56Sql =
+    s"""WITH daily AS (
+       |  SELECT cast(ts as date) AS day, event_type,
+       |    ${sqlDsum("value")} AS day_value,
+       |    cast(ts as date) - DATE '1970-01-01' AS day_nr
+       |  FROM events GROUP BY 1, 2)
+       |SELECT day, event_type, day_value,
+       |  cast(sum(cast(day_value as decimal(38,6))) OVER w as double) AS rolling_7d,
+       |  count(*) OVER w AS days_in_window
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day_nr
+       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q57 — IQR outlier detection (Tukey fence): per-group exact
+    * quartiles → upper fence q3 + 1.5·IQR → count/total the rows beyond
+    * it. The classic two-pass robust-outlier pattern: the fence relation
+    * is group-cardinality-sized, so the second pass is a broadcast probe
+    * of the fact — no shuffle beyond the quartile aggregation itself.
+    * Exact `percentile` keeps the oracle bit-exact (same linear
+    * interpolation as DuckDB's quantile_cont, already proven by q32's
+    * median); at 100 TB swap in approx_percentile and drop the oracle to
+    * a tolerance check — the plan shape is unchanged. */
+  def iqrOutliers(lineitem: DataFrame): DataFrame = {
+    val fences = lineitem.groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+    lineitem.join(broadcast(fences), "l_returnflag")
+      .groupBy("l_returnflag", "q1", "q3", "hi_fence")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") > col("hi_fence"), 1).otherwise(0))
+          .as("n_outliers"),
+        dsum(when(col("l_extendedprice") > col("hi_fence"), col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("outlier_revenue"))
+      .withColumn("outlier_frac", col("n_outliers").cast("double") / col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q57Sql =
+    s"""WITH f AS (
+       |  SELECT l_returnflag,
+       |    quantile_cont(l_extendedprice, cast(0.25 as double)) AS q1,
+       |    quantile_cont(l_extendedprice, cast(0.75 as double)) AS q3
+       |  FROM lineitem GROUP BY 1),
+       |f2 AS (SELECT *, q3 + (q3 - q1) * cast(1.5 as double) AS hi_fence FROM f)
+       |SELECT l.l_returnflag, q1, q3, hi_fence,
+       |  count(*) AS n,
+       |  cast(sum(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+       |  ${sqlDsum("CASE WHEN l_extendedprice > hi_fence THEN l_extendedprice ELSE cast(0.0 as double) END")} AS outlier_revenue,
+       |  cast(sum(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END) as double)/count(*) AS outlier_frac
+       |FROM lineitem l JOIN f2 USING (l_returnflag)
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
   /** q42 — INTERSECT/EXCEPT set operations (completing §2.7 beyond the
     * reference's union/distinct/anti surface). */
   def setOps(events: DataFrame): DataFrame = {
@@ -500,5 +612,8 @@ object SurfaceQueries {
     Q("q51_unpivot_counts", (s, d) => unpivotCounts(Tables.events(s, d)), Some(q51Sql)),
     Q("q52_grouping_sets", (s, d) => groupingSetsTotals(Tables.lineitem(s, d)), Some(q52Sql)),
     Q("q53_gap_fill", (s, d) => gapFill(Tables.events(s, d)), Some(q53Sql)),
-    Q("q54_correlation", (s, d) => correlationStats(Tables.lineitem(s, d)), Some(q54Sql)))
+    Q("q54_correlation", (s, d) => correlationStats(Tables.lineitem(s, d)), Some(q54Sql)),
+    Q("q55_ntile_quartiles", (s, d) => ntileQuartiles(Tables.events(s, d)), Some(q55Sql)),
+    Q("q56_rolling_range", (s, d) => rollingRange(Tables.events(s, d)), Some(q56Sql)),
+    Q("q57_iqr_outliers", (s, d) => iqrOutliers(Tables.lineitem(s, d)), Some(q57Sql)))
 }

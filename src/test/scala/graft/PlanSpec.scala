@@ -198,6 +198,36 @@ class PlanSpec extends SparkSuite {
       s"the fact side must never shuffle for this join:\n$p")
   }
 
+  test("iqr outliers probe the fact through a broadcast fence — no shuffle join") {
+    val df = graft.operators.SurfaceQueries.iqrOutliers(Tables.lineitem(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the group-cardinality fence relation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the fact side must never shuffle for the fence probe:\n$p")
+  }
+
+  test("ntile and range-frame windows ride the daily aggregate, never the raw scan") {
+    for (df <- Seq(
+        graft.operators.SurfaceQueries.ntileQuartiles(Tables.events(spark, sf)),
+        graft.operators.SurfaceQueries.rollingRange(Tables.events(spark, sf)))) {
+      df.collect()
+      val p = plan(df)
+      val winIdxs = "Window ".r.findAllMatchIn(p).map(_.start).toList
+      assert(winIdxs.nonEmpty, s"expected a window operator:\n$p")
+      // every Window must sit above an aggregate, not directly on the scan —
+      // the frame walks days × types rows, not the event grain
+      winIdxs.foreach { i =>
+        val rest = p.substring(i)
+        val scanAt = rest.indexOf("Scan parquet")
+        val seg = if (scanAt >= 0) rest.substring(0, scanAt) else rest
+        assert(seg.contains("HashAggregate"),
+          s"window at offset $i rides the raw scan (no aggregate between):\n$p")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

@@ -328,6 +328,103 @@ object TextDedup {
        |FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
        |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
 
+  /** Ground-truth universe knobs for [[minhashRecall]]: a pair enters
+    * the audit when the docs share ≥ [[MinSharedRare]] shingles whose
+    * corpus doc-frequency is ≤ [[RareShingleDf]]. Measured at sf0.1:
+    * df≤8 + shared≥2 keeps 240 of the 256 true pairs the far looser
+    * df≤64 universe finds, from 3.6k exact verifications instead of
+    * 1.13M — the verify stage is the quadratic-ish part, so the universe
+    * definition is what makes the audit itself scale-safe. */
+  private val RareShingleDf = 8
+  private val MinSharedRare = 2
+
+  /** l44 — LSH recall audit (the text analog of l31's ANN recall): how
+    * many TRUE near-dup pairs does the banded MinHash pipeline actually
+    * surface, bucketed by exact-Jaccard band? Banding theory says recall
+    * rises steeply with similarity (P(caught) = 1-(1-j^r)^b); this query
+    * measures that curve on the corpus itself — the number a curation
+    * pipeline needs before trusting the fast path to do removal.
+    *
+    * Ground truth is pairs sharing ≥ [[MinSharedRare]] RARE shingles
+    * (2 ≤ doc freq ≤ [[RareShingleDf]]) with exact shingle-Jaccard ≥
+    * 0.5 — exact all-pairs is O(n²) and impossible at scale, but a
+    * ≥0.5-Jaccard pair shares half its shingles, so it misses the
+    * universe only when at most one shared shingle is rare — i.e. the
+    * pair's entire overlap is boilerplate-common text, which is not a
+    * meaningful dup pair. The rare-shingle self-join is bounded at
+    * RareShingleDf² pairs per shingle — the same capped-bucket
+    * discipline as the LSH join itself (constants: see the knobs above).
+    * The oracle replays the identical pruned universe, so the audit is
+    * oracle-exact. */
+  def minhashRecall(documents: DataFrame,
+                    maxBucket: Int = MaxBucketDefault,
+                    sigsOpt: Option[DataFrame] = None): DataFrame = {
+    val sh = graft.CacheScope.manage(portableShingles(documents).persist())
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.filter(col("df").between(2, RareShingleDf)), Seq("sh"))
+    val truCand = rare.select(col("doc_id").as("id_a"), col("sh"))
+      .join(rare.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinSharedRare)
+      .select("id_a", "id_b")
+    val shset = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
+    val truPairs = truCand
+      .join(shset.select(col("doc_id").as("id_a"), col("s").as("sh_a")), Seq("id_a"))
+      .join(shset.select(col("doc_id").as("id_b"), col("s").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+    val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
+      withPortableSignatures(documents).persist()))
+    val caught = lshCandidatePairs(sigs, portableBandKey, maxBucket)
+      .withColumn("caught", lit(1))
+    truPairs.join(caught, Seq("id_a", "id_b"), "left_outer")
+      .withColumn("j_band",
+        when(col("jaccard") >= 0.9, "0.9-1.0")
+          .when(col("jaccard") >= 0.7, "0.7-0.9")
+          .otherwise("0.5-0.7"))
+      .groupBy("j_band")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0))).as("n_caught"))
+      .withColumn("recall", col("n_caught").cast("double") / col("n_true"))
+      .orderBy("j_band")
+  }
+
+  // Shares the portable chain's sh/sig/banded/cands CTEs; the unused
+  // `pairs` CTE costs nothing (DuckDB drops unreferenced CTEs).
+  private lazy val l44Sql = pairsCtesSql + ",\n" +
+    s"""dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+       |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq USING (sh)
+       |         WHERE df BETWEEN 2 AND $RareShingleDf),
+       |tc AS (SELECT id_a, id_b FROM (
+       |         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |         FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id
+       |         GROUP BY 1, 2)
+       |       WHERE shared >= $MinSharedRare),
+       |shset AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY doc_id),
+       |tru AS (
+       |  SELECT id_a, id_b,
+       |    cast(len(list_intersect(a.s, b.s)) as double)
+       |      / len(list_distinct(list_cat(a.s, b.s))) AS jaccard
+       |  FROM tc JOIN shset a ON id_a = a.doc_id JOIN shset b ON id_b = b.doc_id),
+       |jj AS (
+       |  SELECT t.jaccard, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
+       |  FROM (SELECT * FROM tru WHERE jaccard >= cast(0.5 as double)) t
+       |  LEFT JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+       |bnd AS (
+       |  SELECT CASE WHEN jaccard >= cast(0.9 as double) THEN '0.9-1.0'
+       |              WHEN jaccard >= cast(0.7 as double) THEN '0.7-0.9'
+       |              ELSE '0.5-0.7' END AS j_band, caught
+       |  FROM jj)
+       |SELECT j_band, count(*) AS n_true,
+       |  cast(sum(caught) as bigint) AS n_caught,
+       |  cast(sum(caught) as double)/count(*) AS recall
+       |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** l26 — duplicate CLUSTERS via distributed connected components over
     * the near-dup candidate graph (edges = portable-signature pairs with
     * est. Jaccard ≥ threshold). l17's one-pass anti-join is greedy: in a
@@ -689,5 +786,7 @@ object TextDedup {
       minhashPortable(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l28Sql)),
     Q("l35_incremental_dedup", (s, d) =>
       incrementalDedup(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l35Sql)),
-    Q("l41_segment_dedup", (s, d) => segmentDedupStats(Tables.documents(s, d)), Some(l41Sql)))
+    Q("l41_segment_dedup", (s, d) => segmentDedupStats(Tables.documents(s, d)), Some(l41Sql)),
+    Q("l44_minhash_recall", (s, d) =>
+      minhashRecall(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l44Sql)))
 }

@@ -425,6 +425,45 @@ object TextDedup {
        |  cast(sum(caught) as double)/count(*) AS recall
        |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** l45 — cross-source duplication matrix: near-dup pairs (portable
+    * est. Jaccard ≥ 0.5) bucketed by the UNORDERED source pair of their
+    * two docs. The curation question this answers: which crawls/dumps
+    * overlap each other (off-diagonal cells — keep one, or dedup across
+    * them first) vs which duplicate internally (diagonal cells)? Cost
+    * is two broadcast-able dim probes over the already-bounded candidate
+    * set — the detection tier is reused through [[SigStore]], and the
+    * matrix itself is |sources|² rows at most. */
+  def crossSourceDupMatrix(documents: DataFrame,
+                           minJaccard: Double = 0.5,
+                           maxBucket: Int = MaxBucketDefault,
+                           sigsOpt: Option[DataFrame] = None): DataFrame = {
+    val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
+      withPortableSignatures(documents).persist()))
+    val pairs = scoredCandidates(sigs, portableBandKey, maxBucket)
+      .filter(col("est_jaccard") >= minJaccard)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_of_a")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_of_b")), Seq("id_b"))
+      .select(
+        least(col("src_of_a"), col("src_of_b")).as("src_a"),
+        greatest(col("src_of_a"), col("src_of_b")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_a") =!= col("src_b"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private lazy val l45Sql = pairsCtesSql + "\n" +
+    """SELECT least(da.source, db.source) AS src_a,
+      |  greatest(da.source, db.source) AS src_b,
+      |  count(*) AS n_pairs,
+      |  least(da.source, db.source) <> greatest(da.source, db.source) AS cross_source
+      |FROM pairs
+      |JOIN documents da ON id_a = da.doc_id
+      |JOIN documents db ON id_b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** l26 — duplicate CLUSTERS via distributed connected components over
     * the near-dup candidate graph (edges = portable-signature pairs with
     * est. Jaccard ≥ threshold). l17's one-pass anti-join is greedy: in a
@@ -788,5 +827,7 @@ object TextDedup {
       incrementalDedup(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l35Sql)),
     Q("l41_segment_dedup", (s, d) => segmentDedupStats(Tables.documents(s, d)), Some(l41Sql)),
     Q("l44_minhash_recall", (s, d) =>
-      minhashRecall(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l44Sql)))
+      minhashRecall(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l44Sql)),
+    Q("l45_cross_source_dups", (s, d) =>
+      crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l45Sql)))
 }

@@ -9,6 +9,7 @@ object SparkEntry {
     operators.CoreQueries.all ++
       operators.ExtendedQueries.all ++
       operators.SurfaceQueries.all ++
+      operators.FunnelQueries.all ++
       operators.AsOfJoin.all ++
       analytics.Views.all ++
       analytics.Calendar.all ++

@@ -228,6 +228,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("funnel computes all three step minima on a single user_id exchange") {
+    val df = graft.operators.FunnelQueries.funnelSteps(Tables.events(spark, sf))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"stacked window minima + per-user rollup must share ONE shuffle, got $exchanges:\n$p")
+    assert("Window ".r.findAllIn(p).length == 3, s"expected the three stacked windows:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

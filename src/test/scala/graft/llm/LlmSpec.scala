@@ -472,6 +472,42 @@ class LlmSpec extends SparkSuite {
     assert(ch.getAs[Long]("total_chunks") === 1L && ch.getAs[Long]("chunked_chars") === 3L)
   }
 
+  test("round-6 operators are total on degenerate corpora (empty / sub-minimum docs)") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextStats.bigramNovelty(empty).collect().isEmpty)
+    assert(TextDedup.minhashRecall(empty).collect().isEmpty)
+    assert(TextDedup.crossSourceDupMatrix(empty).collect().isEmpty)
+    // a single doc: no pairs, no candidate buckets — recall and the
+    // source matrix must be empty, not fail; novelty still emits the doc
+    val solo = Seq((7L, "alpha beta gamma delta", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextDedup.minhashRecall(solo).collect().isEmpty)
+    assert(TextDedup.crossSourceDupMatrix(solo).collect().isEmpty)
+    val nv = TextStats.bigramNovelty(solo).head()
+    assert(nv.getAs[Long]("docs") === 1L &&
+      nv.getAs[Double]("avg_novelty") === 1.0,
+      "a lone doc's bigrams are all corpus-unique")
+    // two identical docs: every bigram is shared → novelty 0, one
+    // same-source dup pair in the matrix, and the recall audit catches
+    // the identical pair at full similarity
+    val twins = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "s", 30L),
+      (2L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tnv = TextStats.bigramNovelty(twins).head()
+    assert(tnv.getAs[Double]("avg_novelty") === 0.0 &&
+      tnv.getAs[Long]("boilerplate_docs") === 2L)
+    val rec = TextDedup.minhashRecall(twins).collect()
+    assert(rec.length === 1 &&
+      rec.head.getAs[String]("j_band") === "0.9-1.0" &&
+      rec.head.getAs[Double]("recall") === 1.0,
+      s"identical pair must land in the top band fully caught: ${rec.toSeq}")
+    val mat = TextDedup.crossSourceDupMatrix(twins).collect()
+    assert(mat.length === 1 && !mat.head.getAs[Boolean]("cross_source") &&
+      mat.head.getAs[Long]("n_pairs") === 1L)
+  }
+
   test("training mix plan: shares, sampling rates, and epoch flags") {
     // en: 300 one-letter tokens, de: 100 → shares .75/.25, uniform target .5
     val fix = Seq(

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSuite
+import Funnel._
+
+class FunnelSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming funnel tracks strict progression incrementally across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val out = Funnel.streamingFunnel(spark, input.toDS())
+    val query = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 clicks BEFORE any view — no step 2 yet
+      input.addData(FunnelEvent(1, "click", 100), FunnelEvent(1, "purchase", 150))
+      query.processAllAvailable()
+      // batch 2: a LATE view at t=50 validates the t=100 click and the
+      // t=150 purchase retroactively — the buffered minima make the
+      // recomputation find both
+      input.addData(FunnelEvent(1, "view", 50))
+      query.processAllAvailable()
+      // batch 3: user 2 runs the steps in order but strictly out of
+      // progression: purchase precedes its click → step 3 stays open
+      input.addData(
+        FunnelEvent(2, "view", 10), FunnelEvent(2, "purchase", 20),
+        FunnelEvent(2, "click", 30))
+      query.processAllAvailable()
+
+      val rows = spark.table("funnel").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t2")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t3")).map(_.toLong)))
+      val u1 = rows.filter(_._1 == 1L)
+      assert(u1.head === ((1L, None, None, None)),
+        s"before the view nothing counts: ${u1.toSeq}")
+      assert(u1.last === ((1L, Some(50L), Some(100L), Some(150L))),
+        s"the late view must validate the earlier click+purchase: ${u1.toSeq}")
+      val u2 = rows.filter(_._1 == 2L).last
+      assert(u2 === ((2L, Some(10L), Some(30L), None)),
+        s"a purchase before its click must not complete the funnel: $u2")
+    } finally query.stop()
+  }
+
+  test("streaming funnel state agrees with the batch funnel on the fixture") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // run the stateful operator in BATCH mode (one invocation per key)
+    val ds = events.select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .as[FunnelEvent]
+    val streamed = Funnel.streamingFunnel(spark, ds, bufK = Int.MaxValue)
+      .collect().map(u => u.user_id -> ((u.t1, u.t2, u.t3))).toMap
+    // the batch reference: stacked window minima (q58's per-user stage)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = events
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts_s"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts_s") >= col("t1"), col("ts_s"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts_s") >= col("t2"), col("ts_s"))).over(w))
+      .groupBy("user_id")
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+      }.toMap
+    assert(streamed === batch,
+      "stateful funnel must reproduce the batch window formulation exactly")
+    assert(batch.values.exists(_._3.isDefined), "fixture must complete some funnels")
+  }
+}

@@ -300,6 +300,68 @@ object Similarity {
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** l46 — quantization-distortion audit: how much cosine similarity
+    * does l19's int8 storage transform actually cost? For the l06 pair
+    * set, cosine on the original floats vs cosine on the quantized
+    * vectors, summarized as avg/max absolute error — the quality gate a
+    * serving stack checks before switching its ANN index to int8. Wholly
+    * oracle-exact: the float cosine is the proven left-associated chain;
+    * the quantized cosine is built from EXACT integer dot products
+    * (int8×int8 sums are order-independent integers, so both engines
+    * can sum them any way they like), and the error rollup goes through
+    * the decimal accumulator. */
+  def quantizationError(embeddings: DataFrame): DataFrame = {
+    import graft.functions.Det._
+    val q = embeddings
+      .withColumn("norm", VectorOps.norm(col("embedding")))
+      .withColumn("q8", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) / norm * 127.0D) as int))"))
+    val a = q.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("q8").as("q8_a"))
+    val b = q.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("q8").as("q8_b"))
+    def intDot(x: String, y: String) = expr(
+      s"cast(aggregate(zip_with($x, $y, (p, r) -> cast(p as bigint) * r), 0L, (acc, v) -> acc + v) as double)")
+    val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("cos_f",
+        dotChain("emb_a", "emb_b") /
+          (sqrt(dotChain("emb_a", "emb_a")) * sqrt(dotChain("emb_b", "emb_b"))))
+      .withColumn("cos_q",
+        intDot("q8_a", "q8_b") /
+          (sqrt(intDot("q8_a", "q8_a")) * sqrt(intDot("q8_b", "q8_b"))))
+      .withColumn("err", abs(col("cos_f") - col("cos_q")))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      davg(col("err")).as("avg_abs_err"),
+      max(col("err")).as("max_abs_err"))
+  }
+
+  private val l46Sql = {
+    val sq = (1 to Dims).map(i =>
+      s"cast(embedding[$i] as double)*cast(embedding[$i] as double)").mkString(" + ")
+    def chain(x: String, y: String) = (1 to Dims).map(i =>
+      s"cast($x[$i] as double)*cast($y[$i] as double)").mkString(" + ")
+    def intDot(x: String, y: String) =
+      s"cast(list_sum(list_transform(range(1, ${Dims + 1}), i -> cast($x[i] as bigint)*$y[i])) as double)"
+    s"""WITH base AS (SELECT vec_id, embedding, sqrt($sq) AS norm FROM embeddings),
+       |qv AS (SELECT vec_id, embedding,
+       |         list_transform(embedding, x ->
+       |           cast(round(cast(x as double)/norm*cast(127.0 as double)) as int)) AS q8
+       |       FROM base),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        a.embedding AS ea, b.embedding AS eb, a.q8 AS qa, b.q8 AS qb
+       |      FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 50),
+       |c AS (SELECT id_a,
+       |        (${chain("ea", "eb")})
+       |          / (sqrt(${chain("ea", "ea")}) * sqrt(${chain("eb", "eb")})) AS cos_f,
+       |        ${intDot("qa", "qb")}
+       |          / (sqrt(${intDot("qa", "qa")}) * sqrt(${intDot("qb", "qb")})) AS cos_q
+       |      FROM p)
+       |SELECT count(*) AS n_pairs,
+       |  ${graft.functions.Det.sqlDavg("abs(cos_f - cos_q)")} AS avg_abs_err,
+       |  max(abs(cos_f - cos_q)) AS max_abs_err
+       |FROM c""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("l05_embed_neardup", (s, d) => lshNearDup(Tables.embeddings(s, d)), Some(l05Sql)),
     Q("l06_cosine_pairs", (s, d) => cosinePairs(Tables.embeddings(s, d)), Some(l06Sql)),
@@ -308,5 +370,6 @@ object Similarity {
     Q("l18_label_centroids", (s, d) => labelCentroids(Tables.embeddings(s, d)), Some(l18Sql)),
     Q("l19_normalize_quantize", (s, d) => normalizeQuantize(Tables.embeddings(s, d)), Some(l19Sql)),
     Q("l31_ann_recall", (s, d) => annRecall(Tables.embeddings(s, d)), Some(l31Sql)),
-    Q("l36_embed_dup_clusters", (s, d) => embedDupComponents(Tables.embeddings(s, d)), Some(l36Sql)))
+    Q("l36_embed_dup_clusters", (s, d) => embedDupComponents(Tables.embeddings(s, d)), Some(l36Sql)),
+    Q("l46_quantization_error", (s, d) => quantizationError(Tables.embeddings(s, d)), Some(l46Sql)))
 }

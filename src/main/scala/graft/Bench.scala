@@ -44,7 +44,10 @@ object Bench {
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render 62,588
+    // and break every JSON consumer of these lines.
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -22,6 +22,10 @@ object Similarity {
 
   private val Dims = 64
   private val Planes = 8
+  // The fixed audit pair set shared by l06 and l46: (id, id+1) for
+  // id < PairCutoff. l46's claim of auditing "the l06 pair set" holds
+  // exactly as long as both read this constant.
+  private val PairCutoff = 50
 
   /** Left-associated explicit dot chain — used where cross-engine
     * bit-identity matters (the SQL oracle mirrors the same chain). */
@@ -36,7 +40,7 @@ object Similarity {
 
   /** l06 — cosine for adjacent-id pairs (exact oracle). */
   def cosinePairs(embeddings: DataFrame): DataFrame = {
-    val a = embeddings.filter(col("vec_id") < 50)
+    val a = embeddings.filter(col("vec_id") < PairCutoff)
       .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_b") === col("id_a") + 1)
@@ -52,7 +56,7 @@ object Similarity {
        | (${sqlDotChain("a", "b")})
        |   / (sqrt(${sqlDotChain("a", "a")}) * sqrt(${sqlDotChain("b", "b")})) AS cosine
        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-       |WHERE a.vec_id < 50 ORDER BY id_a""".stripMargin
+       |WHERE a.vec_id < $PairCutoff ORDER BY id_a""".stripMargin
 
   /** l07 — brute-force cosine top-k for a probe set. The probe side is
     * tiny and broadcast; cost is O(probes × n), fully parallel over n. */
@@ -312,11 +316,15 @@ object Similarity {
     * the decimal accumulator. */
   def quantizationError(embeddings: DataFrame): DataFrame = {
     import graft.functions.Det._
+    // norm > 0 guard: a zero vector has no quantized direction, and the
+    // engines disagree on 0/0 (Spark non-ANSI nulls, DuckDB infs) — both
+    // sides exclude it so the audit stays total AND oracle-exact.
     val q = embeddings
       .withColumn("norm", VectorOps.norm(col("embedding")))
+      .filter(col("norm") > 0)
       .withColumn("q8", expr(
         "transform(embedding, x -> cast(round(cast(x as double) / norm * 127.0D) as int))"))
-    val a = q.filter(col("vec_id") < 50)
+    val a = q.filter(col("vec_id") < PairCutoff)
       .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("q8").as("q8_a"))
     val b = q.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("q8").as("q8_b"))
     def intDot(x: String, y: String) = expr(
@@ -342,14 +350,15 @@ object Similarity {
       s"cast($x[$i] as double)*cast($y[$i] as double)").mkString(" + ")
     def intDot(x: String, y: String) =
       s"cast(list_sum(list_transform(range(1, ${Dims + 1}), i -> cast($x[i] as bigint)*$y[i])) as double)"
-    s"""WITH base AS (SELECT vec_id, embedding, sqrt($sq) AS norm FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, embedding, sqrt($sq) AS norm FROM embeddings
+       |              WHERE sqrt($sq) > cast(0.0 as double)),
        |qv AS (SELECT vec_id, embedding,
        |         list_transform(embedding, x ->
        |           cast(round(cast(x as double)/norm*cast(127.0 as double)) as int)) AS q8
        |       FROM base),
        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |        a.embedding AS ea, b.embedding AS eb, a.q8 AS qa, b.q8 AS qb
-       |      FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 50),
+       |      FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < $PairCutoff),
        |c AS (SELECT id_a,
        |        (${chain("ea", "eb")})
        |          / (sqrt(${chain("ea", "ea")}) * sqrt(${chain("eb", "eb")})) AS cos_f,

@@ -478,7 +478,7 @@ object TextStats {
       .select(col("doc_id"), col("lang"), explode(expr(
         """transform(sequence(0, size(ts)-2),
           |  i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2)))""".stripMargin)).as("g"))
-    val perDocGram = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
+    val perDocGram = grams.distinct()
     val docFreq = perDocGram.groupBy("g").agg(count(lit(1)).as("doc_freq"))
     val perDoc = perDocGram.join(docFreq, "g")
       .groupBy("doc_id", "lang")
@@ -501,7 +501,7 @@ object TextStats {
        |g AS (
        |  SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS g
        |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i FROM toks)),
-       |pdg AS (SELECT doc_id, lang, g, count(*) AS cnt FROM g GROUP BY 1,2,3),
+       |pdg AS (SELECT DISTINCT doc_id, lang, g FROM g),
        |df AS (SELECT g, count(*) AS doc_freq FROM pdg GROUP BY 1),
        |pd AS (
        |  SELECT doc_id, lang, count(*) AS n_distinct,

@@ -8,23 +8,43 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * strict-progression step timestamps view → click → purchase, updated
   * as events arrive and re-emitted whenever they change (Update mode).
   *
-  * State is CONSTANT-SIZE per user: the single minimum view timestamp
-  * (t1 only ever decreases, so the minimum is sufficient) plus the
-  * `bufK` smallest click/purchase timestamps. The buffers are what make
-  * late data correct: a view arriving late can lower t1 and thereby
-  * validate a click that was seen BEFORE the view — recomputing from
-  * the buffered minima finds it. The approximation bound is explicit:
-  * a step can be missed only if more than `bufK` later-invalidated
-  * earlier events of the same type precede it — unbounded exactness
-  * would require keeping every event per user, which no streaming
-  * funnel does.
+  * State is CONSTANT-SIZE per user and exploits the funnel's
+  * monotonicity: every step threshold only ever DECREASES (t1 is a
+  * minimum; t2 = min click ≥ t1 can only fall when t1 falls or a
+  * smaller valid click arrives; likewise t3). So a step, once
+  * completed, NEVER regresses — the state keeps the current valid
+  * minimum per step plus the `bufK` smallest still-PENDING timestamps
+  * (events below the current threshold, which a late view/click can
+  * still validate by lowering that threshold). The approximation bound
+  * is explicit: a step can be mis-reported only when a falling
+  * threshold lands inside a pending band that already evicted more
+  * than `bufK` smaller same-type events — unbounded exactness would
+  * require keeping every event per user, which no streaming funnel
+  * does.
   */
 object Funnel {
 
   final case class FunnelEvent(user_id: Long, event_type: String, ts_s: Long)
-  final case class FunnelBuf(minView: Option[Long], clicks: Seq[Long], purchases: Seq[Long])
+  final case class FunnelBuf(
+      minView: Option[Long],
+      validClick: Option[Long], pendClicks: Seq[Long],
+      validPurchase: Option[Long], pendPurchases: Seq[Long])
   final case class FunnelUpdate(
       user_id: Long, t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /** Split `prior valid ∪ pending ∪ batch` against a (possibly lowered)
+    * threshold: new valid minimum and the bufK smallest still-pending. */
+  private def settle(threshold: Option[Long], valid: Option[Long],
+                     pending: Seq[Long], batch: Seq[Long],
+                     bufK: Int): (Option[Long], Seq[Long]) = {
+    val all = valid.toSeq ++ pending ++ batch
+    threshold match {
+      case None => (None, all.sorted.take(bufK))
+      case Some(t) =>
+        val (ok, pend) = all.partition(_ >= t)
+        (ok.minOption, pend.sorted.take(bufK))
+    }
+  }
 
   /** One funnel row per (user, micro-batch touching that user): current
     * step-completion timestamps. Works identically on a batch Dataset
@@ -37,26 +57,16 @@ object Funnel {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelEvent], state: org.apache.spark.sql.streaming.GroupState[FunnelBuf]) =>
-          val prev = state.getOption.getOrElse(FunnelBuf(None, Nil, Nil))
-          var minView = prev.minView
-          var clicks = prev.clicks
-          var purchases = prev.purchases
-          it.foreach { e =>
-            e.event_type match {
-              case "view" =>
-                if (!minView.exists(_ <= e.ts_s)) minView = Some(e.ts_s)
-              case "click" =>
-                clicks = (clicks :+ e.ts_s).sorted.take(bufK)
-              case "purchase" =>
-                purchases = (purchases :+ e.ts_s).sorted.take(bufK)
-              case _ => ()
-            }
-          }
-          state.update(FunnelBuf(minView, clicks, purchases))
-          val t1 = minView
-          val t2 = t1.flatMap(a => clicks.find(_ >= a))
-          val t3 = t2.flatMap(b => purchases.find(_ >= b))
-          FunnelUpdate(uid, t1, t2, t3)
+          val prev = state.getOption.getOrElse(FunnelBuf(None, None, Nil, None, Nil))
+          val batch = it.toSeq
+          def of(t: String) = batch.collect { case e if e.event_type == t => e.ts_s }
+          val minView = (prev.minView.toSeq ++ of("view")).minOption
+          val (validClick, pendClicks) =
+            settle(minView, prev.validClick, prev.pendClicks, of("click"), bufK)
+          val (validPurchase, pendPurchases) =
+            settle(validClick, prev.validPurchase, prev.pendPurchases, of("purchase"), bufK)
+          state.update(FunnelBuf(minView, validClick, pendClicks, validPurchase, pendPurchases))
+          FunnelUpdate(uid, minView, validClick, validPurchase)
       }
   }
 }

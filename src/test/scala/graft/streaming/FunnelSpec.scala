@@ -34,15 +34,43 @@ class FunnelSpec extends SparkSuite {
         .map(r => (r.getAs[Long]("user_id"),
           Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
           Option(r.getAs[java.lang.Long]("t2")).map(_.toLong),
-          Option(r.getAs[java.lang.Long]("t3")).map(_.toLong)))
-      val u1 = rows.filter(_._1 == 1L)
-      assert(u1.head === ((1L, None, None, None)),
-        s"before the view nothing counts: ${u1.toSeq}")
-      assert(u1.last === ((1L, Some(50L), Some(100L), Some(150L))),
-        s"the late view must validate the earlier click+purchase: ${u1.toSeq}")
-      val u2 = rows.filter(_._1 == 2L).last
-      assert(u2 === ((2L, Some(10L), Some(30L), None)),
-        s"a purchase before its click must not complete the funnel: $u2")
+          Option(r.getAs[java.lang.Long]("t3")).map(_.toLong))).toSet
+      assert(rows.contains((1L, None, None, None)),
+        s"before the view nothing counts: $rows")
+      assert(rows.contains((1L, Some(50L), Some(100L), Some(150L))),
+        s"the late view must validate the earlier click+purchase: $rows")
+      assert(rows.contains((2L, Some(10L), Some(30L), None)),
+        s"a purchase before its click must not complete the funnel: $rows")
+    } finally query.stop()
+  }
+
+  test("a completed step never regresses when invalid stragglers flood the buffer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val out = Funnel.streamingFunnel(spark, input.toDS(), bufK = 4)
+    val query = out.writeStream.format("memory").queryName("funnel_noregress")
+      .outputMode("update").start()
+    try {
+      input.addData(FunnelEvent(1, "view", 10), FunnelEvent(1, "click", 12))
+      query.processAllAvailable()
+      // a flood of clicks BEFORE the view (never valid unless a still-
+      // earlier view arrives) must not evict the already-valid click —
+      // the old smallest-k-overall buffer did exactly that
+      input.addData((1L to 6L).map(t => FunnelEvent(1, "click", t)): _*)
+      query.processAllAvailable()
+      val last = spark.table("funnel_noregress").collect()
+        .map(r => (Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t2")).map(_.toLong)))
+      assert(last.contains((Some(10L), Some(12L))) && !last.contains((Some(10L), None)),
+        s"valid click must survive the pending flood: ${last.toSeq}")
+      // and when an even earlier view lands, the best pending click wins
+      input.addData(FunnelEvent(1, "view", 0))
+      query.processAllAvailable()
+      val after = spark.table("funnel_noregress").collect()
+        .map(r => (Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t2")).map(_.toLong)))
+      assert(after.contains((Some(0L), Some(1L))),
+        s"the lowered threshold must promote the smallest pending click: ${after.toSeq}")
     } finally query.stop()
   }
 

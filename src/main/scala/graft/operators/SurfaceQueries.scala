@@ -540,8 +540,8 @@ object SurfaceQueries {
     * count. Interpolation uses the same `(hi-pos)·v_lo + (pos-lo)·v_hi`
     * form as engine quantile implementations, so results stay bit-exact
     * vs the oracle. Emits one row per group: q1, q3. */
-  private def exactQuartilesCdf(fact: DataFrame, groupCol: String,
-                                valueCol: String): DataFrame = {
+  private[graft] def exactQuartilesCdf(fact: DataFrame, groupCol: String,
+                                       valueCol: String): DataFrame = {
     val hist = fact.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))

@@ -86,6 +86,20 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("CDF quartile selection ≡ built-in exact percentile, bit-for-bit") =
+    Prop.forAll(Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (g, v))) { rows =>
+      val df = rows.toDF("g", "v")
+      val cdf = SurfaceQueries.exactQuartilesCdf(df, "g", "v")
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val ref = df.groupBy("g").agg(
+          expr("percentile(v, 0.25)").as("q1"), expr("percentile(v, 0.75)").as("q3"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      cdf == ref
+    }
+
   property("gap sessionization conserves events, durations ≥ gap") =
     Prop.forAll(genEvents) { rows =>
       val df = toDF(rows)

@@ -50,19 +50,22 @@ object Bench {
       if (v < 0) "-1.0" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // total over the ROUNDED per-query values so the printed total always
+    // equals the sum of the printed queries
+    val total = results.map(_._2).filter(_ >= 0).map(v => math.rint(v * 1000) / 1000).sum
     val failed = results.count(_._2 < 0)
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}"""
     // The harness archives only the last 2000 chars of output, so the full
     // per-query line (~3.5 KB at 109 queries) can be cut mid-line in that
-    // window. Persist the complete per-query map as a repo file, print the
-    // full line first, and end with a short line (top-15 slowest queries)
-    // that always fits whole inside the tail window.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // window. Print the full line first, persist the complete per-query map
+    // as a repo file (best-effort: an unwritable cwd must not discard a
+    // completed run's stdout results), and end with a short line (top-15
+    // slowest queries) that always fits whole inside the tail window.
     println(fullLine)
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(top)},"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

@@ -43,10 +43,17 @@ object FunnelQueries {
         count(col("t1")).as("reached_view"),
         count(col("t2")).as("reached_click"),
         count(col("t3")).as("reached_purchase"))
+      // guard the zero-divisor case (a corpus with no view / no valid
+      // click): Spark non-ANSI division yields null but DuckDB's IEEE
+      // double division yields inf/nan, so an unguarded ratio would
+      // hash-diverge from the oracle on such data — both sides use the
+      // same CASE-WHEN formulation
       .withColumn("view_to_click",
-        col("reached_click").cast("double") / col("reached_view"))
+        when(col("reached_view") > 0,
+          col("reached_click").cast("double") / col("reached_view")))
       .withColumn("click_to_purchase",
-        col("reached_purchase").cast("double") / col("reached_click"))
+        when(col("reached_click") > 0,
+          col("reached_purchase").cast("double") / col("reached_click")))
   }
 
   private val q58Sql =
@@ -62,8 +69,8 @@ object FunnelQueries {
       |  count(t1) AS reached_view,
       |  count(t2) AS reached_click,
       |  count(t3) AS reached_purchase,
-      |  cast(count(t2) as double)/count(t1) AS view_to_click,
-      |  cast(count(t3) as double)/count(t2) AS click_to_purchase
+      |  CASE WHEN count(t1) > 0 THEN cast(count(t2) as double)/count(t1) END AS view_to_click,
+      |  CASE WHEN count(t2) > 0 THEN cast(count(t3) as double)/count(t2) END AS click_to_purchase
       |FROM u""".stripMargin
 
   /** q59 — retention cohort matrix: users grouped by first-active day,

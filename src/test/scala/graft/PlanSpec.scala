@@ -8,7 +8,7 @@ import graft.operators.CoreQueries
   */
 class PlanSpec extends SparkSuite {
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = sfDir("0.001")
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString

@@ -7,10 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all specs. */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSuite.session
+  /** Fixture dir for a scale factor, e.g. `sfDir("0.001")`. */
+  protected def sfDir(sf: String): String = s"${SparkSuite.testData}/sf$sf"
   override def afterAll(): Unit = () // session shared across suites
 }
 
 object SparkSuite {
+  /** Fixture root — env-overridable so the suite runs on any checkout
+    * layout, not just this machine's /root/testdata. */
+  val testData: String = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -71,7 +71,7 @@ class LlmSpec extends SparkSuite {
   }
 
   test("normalization yields unit vectors; int8 quantization stays in [-127,127]") {
-    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, sfDir("0.001"))
       .withColumn("norm", graft.functions.VectorOps.norm(col("embedding")))
       .withColumn("unit", expr("transform(embedding, x -> cast(x as double) / norm)"))
       .withColumn("unit_norm", expr(
@@ -111,7 +111,7 @@ class LlmSpec extends SparkSuite {
     // spec-only cross join (125k pairs at sf0.01 — fine in-test, never in
     // the engine); the LSH filter must have removed a member of (almost)
     // every true dup pair. Measured recall on this fixture: 25/25.
-    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val documents = graft.Tables.documents(spark, sfDir("0.01"))
     val sh = documents
       .withColumn("ts", split(col("text"), " "))
       .filter(size(col("ts")) >= 3)
@@ -169,7 +169,7 @@ class LlmSpec extends SparkSuite {
   }
 
   test("default cap is far above real fixture bucket occupancy (results unchanged)") {
-    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val documents = graft.Tables.documents(spark, sfDir("0.01"))
     val capped = TextDedup.minhashNearDup(documents).collect().toSeq
     val uncapped = TextDedup.minhashNearDup(documents, maxBucket = Int.MaxValue).collect().toSeq
     assert(capped === uncapped, "MaxBucketDefault must not bite on the fixture")
@@ -227,7 +227,7 @@ class LlmSpec extends SparkSuite {
   }
 
   test("balanced sample caps every stratum at the smallest stratum, reproducibly") {
-    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val documents = graft.Tables.documents(spark, sfDir("0.01"))
     val nMin = documents.groupBy("lang").count()
       .agg(min("count")).head().getLong(0)
     val out = Sampling.balancedSample(documents).collect()
@@ -274,7 +274,7 @@ class LlmSpec extends SparkSuite {
   }
 
   test("leakage-safe split never straddles a cluster on the sf0.01 fixture") {
-    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val documents = graft.Tables.documents(spark, sfDir("0.01"))
     val out = Sampling.withLeakageSafeSplit(documents)
     val clustered = out.filter(col("comp").isNotNull)
     assert(clustered.count() > 0, "fixture must contain near-dup clusters")
@@ -303,7 +303,7 @@ class LlmSpec extends SparkSuite {
   }
 
   test("ann recall is consistent: k_true full, k_hit bounded, hits are true neighbors") {
-    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, sfDir("0.001"))
     val out = Similarity.annRecall(emb).collect()
     assert(out.length === 20, "one row per probe")
     out.foreach { r =>
@@ -407,7 +407,7 @@ class LlmSpec extends SparkSuite {
   }
 
   test("signature store is shared per session and changes no results") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sfDir("0.001")
     assert(SigStore.portable(spark, dir) eq SigStore.portable(spark, dir),
       "repeat lookups must hit the same persisted frame")
     val documents = graft.Tables.documents(spark, dir)
@@ -626,7 +626,7 @@ class LlmSpec extends SparkSuite {
     // same LSH pipeline — every pair one path scores ≥ 0.75 must surface
     // as a candidate in the other with a high estimate too. This ties
     // the unoracled fast path to its oracle-exact twin on the fixture.
-    val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fixture = graft.Tables.documents(spark, sfDir("0.001"))
     def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] = {
       val m = df.collect().map(r =>
         (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard")).toMap

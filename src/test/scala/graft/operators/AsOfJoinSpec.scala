@@ -47,7 +47,7 @@ class AsOfJoinSpec extends SparkSuite {
   }
 
   private object Tables {
-    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
-    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val events = graft.Tables.events(spark, sfDir("0.001"))
+    val orders = graft.Tables.orders(spark, sfDir("0.001"))
   }
 }

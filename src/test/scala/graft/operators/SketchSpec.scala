@@ -6,7 +6,7 @@ import graft.SparkSuite
 class SketchSpec extends SparkSuite {
 
   test("HLL sketch rollup: union of daily sketches estimates period DAU within 5%") {
-    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val ev = graft.Tables.events(spark, sfDir("0.01"))
     val out = SurfaceQueries.hllRollup(ev)
     val total = out.filter(col("day").isNull).head()
     val approx = total.getAs[Long]("approx_dau").toDouble

@@ -76,7 +76,7 @@ class FunnelSpec extends SparkSuite {
 
   test("streaming funnel state agrees with the batch funnel on the fixture") {
     import org.apache.spark.sql.functions._
-    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val events = graft.Tables.events(spark, sfDir("0.001"))
     // run the stateful operator in BATCH mode (one invocation per key)
     val ds = events.select(col("user_id"), col("event_type"),
         unix_timestamp(col("ts")).as("ts_s"))

@@ -12,7 +12,7 @@ class SessionizeSpec extends SparkSuite {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("session_window and gaps-and-islands sessionization agree on the fixture") {
-    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = graft.Tables.events(spark, sfDir("0.001"))
     val builtin = Sessionize.sessionWindowRollup(ev, "2 hours")
       .select("user_id", "session_start_s", "session_end_s", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

@@ -171,7 +171,7 @@ class StreamingSpec extends SparkSuite {
 
   test("two-hop chained streams: raw → bronze dir → windowed agg (storage-decoupled DAG)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_chain").toString
-    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = graft.Tables.events(spark, sfDir("0.001"))
     ev.write.parquet(s"$tmp/raw")
 
     // hop 1: raw → bronze (projection + derived column), its sink dir is

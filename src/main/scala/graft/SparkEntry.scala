@@ -16,6 +16,7 @@ object SparkEntry {
       etl.Taxonomy.all ++
       etl.VersionLog.all ++
       etl.Skew.all ++
+      sources.PartitionedLayout.all ++
       llm.TextDedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++

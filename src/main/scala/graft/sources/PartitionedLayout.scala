@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Det.{dsum, sqlDsum}
+
+/** The physical-layout operators under the oracle gate: partition-pruned
+  * scans (q60) and bucketed zero-exchange joins (q62). Both write a
+  * derived layout into a per-JVM scratch area through the real writers
+  * (`Writers.writePartitioned` / `Writers.writeBucketed`), read it back,
+  * and must produce results hash-identical to the oracle computing the
+  * same answer from the flat fixture — proving the layout changes WHERE
+  * the data lives and what the scan READS, never what a query returns.
+  *
+  * This is the reference's storage design (delta_setup.py:395-431
+  * partitions every table by y/m/d; etl_framework.py:286-291 filters on
+  * those columns) — at 100 TB the date predicate prunes the scan to the
+  * touched partitions and the pre-bucketed fact⋈fact join repays its
+  * write-time shuffle on every query.
+  */
+object PartitionedLayout {
+
+  // One scratch layout per (JVM, sfDir), deleted on JVM exit — the q47
+  // memoization pattern (VersionLog.scala): the layouts are pure
+  // functions of the read-only fixture, so verify + bench in one session
+  // write them once and every call after that only reads.
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDir(key: String): String = dirs.computeIfAbsent(key, { _ =>
+    val p = java.nio.file.Files.createTempDirectory(s"graft_layout_$key")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }))
+    p.toString
+  })
+
+  private val partitionedWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The y/m/d-partitioned copy of `events` for an sf dir (written once
+    * per JVM through the production writer). */
+  def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = partitionedWritten.computeIfAbsent(sfDir, { _ =>
+      val out = scratchDir("part") + "/events_" + Integer.toHexString(sfDir.hashCode)
+      Writers.writePartitioned(
+        graft.Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "event_type", "value", "ts"),
+        "ts", out, SaveMode.Overwrite)
+      out
+    })
+    spark.read.parquet(dir)
+  }
+
+  /** q60 — a date-sliced daily rollup over the partitioned layout. The
+    * filter lands on PARTITION columns, so the scan's `PartitionFilters`
+    * prune to 11 of 30 day-directories before a single row is read
+    * (PlanSpec asserts the pruned scan). The oracle recomputes the same
+    * slice from the flat fixture by deriving y/m/d from the timestamp —
+    * hash equality proves pruning is a pure I/O optimization. */
+  def prunedDailyRollup(spark: SparkSession, sfDir: String): DataFrame =
+    partitionedEvents(spark, sfDir)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day").between(10, 20))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("day"), col("event_type").asc_nulls_last)
+
+  private val q60Sql =
+    s"""SELECT day(ts) AS day, event_type, count(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events
+       |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 20
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val bucketedWritten = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The pair of order-key-bucketed tables for an sf dir, registered in a
+    * scratch-located database so the bucket files never land in the
+    * caller's working directory. */
+  def bucketedTables(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val (li, ord) = bucketedWritten.computeIfAbsent(sfDir, { _ =>
+      val db = "graft_scratch"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '${scratchDir("bucket")}'")
+      val sfx = Integer.toHexString(sfDir.hashCode)
+      val (liName, ordName) = (s"$db.b_lineitem_$sfx", s"$db.b_orders_$sfx")
+      Writers.writeBucketed(
+        graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+        liName, "l_orderkey", 8)
+      Writers.writeBucketed(
+        graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+        ordName, "o_orderkey", 8)
+      (liName, ordName)
+    })
+    (spark.table(li), spark.table(ord))
+  }
+
+  /** q62 — the co-located fact⋈fact join: both sides pre-bucketed on the
+    * join key, so the sort-merge join AND the per-order rollup (same key)
+    * run with ZERO exchanges — the only shuffle in the whole plan is the
+    * metadata-sized items-histogram rollup at the end (PlanSpec asserts
+    * exactly one hash exchange). The MERGE hint pins the join strategy so
+    * the plan proves the bucketed path rather than a broadcast hiding it. */
+  def bucketedOrderRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (li, ord) = bucketedTables(spark, sfDir)
+    val perOrder = li
+      .join(ord.hint("merge"), li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("items"), dsum(col("l_quantity")).as("qty"),
+        max(col("o_totalprice")).as("total_price"))
+    perOrder.groupBy("items")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("qty")).as("sum_qty"),
+        dsum(col("total_price")).as("sum_price"))
+      .orderBy("items")
+  }
+
+  private val q62Sql =
+    s"""WITH j AS (SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+       |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |p AS (SELECT l_orderkey, count(*) AS items, ${sqlDsum("l_quantity")} AS qty,
+       |             max(o_totalprice) AS total_price
+       |      FROM j GROUP BY 1)
+       |SELECT items, count(*) AS n_orders, ${sqlDsum("qty")} AS sum_qty,
+       |       ${sqlDsum("total_price")} AS sum_price
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def all: Seq[graft.Q] = Seq(
+    graft.Q("q60_partition_pruned_rollup", (s, d) => prunedDailyRollup(s, d), Some(q60Sql)),
+    graft.Q("q62_bucketed_join_rollup", (s, d) => bucketedOrderRollup(s, d), Some(q62Sql)))
+}

@@ -80,6 +80,40 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q60 prunes the partitioned scan: non-empty PartitionFilters, 11 of 30 days read") {
+    val df = graft.sources.PartitionedLayout.prunedDailyRollup(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // the day-range predicate must land in PartitionFilters (directory
+    // pruning — zero rows read from the other 19 days), not PushedFilters
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findFirstIn(p)
+    assert(pf.exists(s => s.contains("day") && s.length > "PartitionFilters: []".length),
+      s"expected a non-empty PartitionFilters on day in:\n$p")
+    // and the rows actually read must all come from day=10..20 directories
+    // (input_file_name sees the post-pruning scan, unlike df.inputFiles
+    // which lists the whole relation)
+    val ev = graft.sources.PartitionedLayout.partitionedEvents(spark, sf)
+    val readFiles = ev
+      .filter(col("year") === 2024 && col("month") === 1 && col("day").between(10, 20))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    val allFiles = ev.inputFiles
+    assert(readFiles.nonEmpty && readFiles.length < allFiles.length,
+      s"pruning must cut the file list (${readFiles.length} of ${allFiles.length})")
+    assert(readFiles.forall(f => f.contains("/day=1") || f.contains("/day=20")),
+      s"only day=10..20 directories may be read:\n${readFiles.mkString("\n")}")
+  }
+
+  test("q62 bucketed join + per-key rollup run with exactly one exchange (the final histogram)") {
+    val df = graft.sources.PartitionedLayout.bucketedOrderRollup(spark, sf)
+    df.collect() // finalize AQE plan
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), s"the MERGE hint must pin the co-located SMJ:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"bucketing must eliminate the join + per-order-agg shuffles; got $exchanges:\n$p")
+    assert(p.contains("Bucketed: true"), s"both scans must report bucketed reads:\n$p")
+  }
+
   test("v04 probes the part dim only after the top-k prune (broadcast, no SMJ)") {
     val df = SparkEntry.queries("v04_top_content")(spark, sf)
     df.collect() // finalize AQE plan

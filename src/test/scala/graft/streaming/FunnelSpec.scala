@@ -74,6 +74,76 @@ class FunnelSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("a falling threshold inside a large pending band resolves exactly (no bufK mis-validation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val out = Funnel.streamingFunnel(spark, input.toDS())
+    val query = out.writeStream.format("memory").queryName("funnel_band")
+      .outputMode("update").start()
+    try {
+      // 20 pending clicks — well beyond the old bufK=8 heuristic bound
+      input.addData((100L to 119L).map(t => FunnelEvent(1, "click", t)): _*)
+      query.processAllAvailable()
+      // a late view at 112 lands INSIDE the pending band: the exact t2 is
+      // the click at 112; the old heuristic kept only the 8 smallest
+      // pendings (100..107) and would have reported no click at all
+      input.addData(FunnelEvent(1, "view", 112))
+      query.processAllAvailable()
+      val rows = spark.table("funnel_band").collect()
+        .map(r => (Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t2")).map(_.toLong))).toSet
+      assert(rows.contains((Some(112L), Some(112L))),
+        s"the exact in-band click must validate, regardless of band size: $rows")
+    } finally query.stop()
+  }
+
+  test("watermark evicts pending state and excludes late input without changing on-time results") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    // the watermarked column must STAY in the plan feeding the stateful
+    // operator (watermark presence is read off the child's output
+    // attributes); as[FunnelEvent] binds by name and tolerates the extra
+    val withWm = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", "5 seconds")
+      .as[FunnelEvent]
+    val out = Funnel.streamingFunnel(spark, withWm)
+    val query = out.writeStream.format("memory").queryName("funnel_wm")
+      .outputMode("update").start()
+    def userRows(uid: Long) = spark.table("funnel_wm").collect()
+      .filter(_.getAs[Long]("user_id") == uid)
+      .map(r => (Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("t2")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("t3")).map(_.toLong)))
+    try {
+      // batch 1: clicks + a purchase, all pending (no view yet); watermark
+      // after this batch = 120 - 5 = 115
+      input.addData((100L to 110L).map(t => FunnelEvent(1, "click", t))
+        :+ FunnelEvent(1, "purchase", 120): _*)
+      query.processAllAvailable()
+      // batch 2: another user far ahead advances the watermark to 295 —
+      // every pending entry of user 1 is now unreachable (a view that
+      // could validate them would have to arrive below the watermark)
+      input.addData(FunnelEvent(2, "view", 300))
+      query.processAllAvailable()
+      // batch 3: a LATE view at 50 (< wm 295) is excluded by the contract;
+      // user 1's state must stay step-less — under the old heuristic this
+      // view would have (wrongly, per the contract) validated the band
+      input.addData(FunnelEvent(1, "view", 50))
+      query.processAllAvailable()
+      assert(userRows(1).last === ((None, None, None)),
+        s"late input below the watermark must be excluded: ${userRows(1).toSeq}")
+      // batch 4: an on-time view — t1 completes; the evicted clicks sat
+      // below the view, so eviction is invisible in the result (exactly
+      // the batch funnel over the on-time events)
+      input.addData(FunnelEvent(1, "view", 296))
+      query.processAllAvailable()
+      assert(userRows(1).last === ((Some(296L), None, None)),
+        s"on-time results must match the batch funnel: ${userRows(1).toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming funnel state agrees with the batch funnel on the fixture") {
     import org.apache.spark.sql.functions._
     val events = graft.Tables.events(spark, sfDir("0.001"))

@@ -425,6 +425,46 @@ object TextDedup {
        |  cast(sum(caught) as double)/count(*) AS recall
        |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** l47 — fast-tier agreement audit, under the oracle: every
+    * HIGH-CONFIDENCE near-dup pair the portable md5 pipeline finds
+    * (est. Jaccard ≥ [[FastTierMinEst]]) must ALSO be surfaced by the
+    * xxhash64 fast path's candidate generation (l02's tier). The query
+    * emits the portable high-sim pairs INNER-joined against the fast
+    * candidate set, while the oracle computes the portable high-sim
+    * pairs alone — so a fast-tier recall regression DROPS rows and turns
+    * the driver's row/hash check red. This is the driver-visible twin of
+    * LlmSpec's cross-path agreement bound: the fast tier is the
+    * production path, and this row is the standing proof it doesn't
+    * silently lose the pairs the portable tier would act on. Cost: the
+    * two banded candidate tiers (both capped), one equi-join on the pair
+    * key — nothing quadratic. */
+  def fastTierAgreement(documents: DataFrame,
+                        maxBucket: Int = MaxBucketDefault,
+                        sigsOpt: Option[DataFrame] = None): DataFrame = {
+    val portable = sigsOpt.getOrElse(graft.CacheScope.manage(
+      withPortableSignatures(documents).persist()))
+    val high = scoredCandidates(portable, portableBandKey, maxBucket)
+      .filter(col("est_jaccard") >= FastTierMinEst)
+      .select("id_a", "id_b", "est_jaccard")
+    val fast = lshCandidatePairs(
+      graft.CacheScope.manage(withSignatures(documents).persist()),
+      nativeBandKey, maxBucket)
+    high.join(fast, Seq("id_a", "id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** High-confidence threshold for [[fastTierAgreement]]: ≥ 12 of 16
+    * matching slots. Banding theory puts the fast tier's catch
+    * probability at 1-(1-j²)⁸ ≥ 99.5% per pair at this similarity; the
+    * audit pins the fixture's actual agreement to 100%. */
+  private val FastTierMinEst = 0.75
+
+  private lazy val l47Sql = pairsCtesSql + "\n" +
+    s"""SELECT id_a, id_b, cast($sqlMatches as double)/$NumHashes AS est_jaccard
+       |FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
+       |WHERE cast($sqlMatches as double)/$NumHashes >= cast($FastTierMinEst as double)
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** l45 — cross-source duplication matrix: near-dup pairs (portable
     * est. Jaccard ≥ 0.5) bucketed by the UNORDERED source pair of their
     * two docs. The curation question this answers: which crawls/dumps
@@ -829,5 +869,7 @@ object TextDedup {
     Q("l44_minhash_recall", (s, d) =>
       minhashRecall(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l44Sql)),
     Q("l45_cross_source_dups", (s, d) =>
-      crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l45Sql)))
+      crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l45Sql)),
+    Q("l47_fast_tier_agreement", (s, d) =>
+      fastTierAgreement(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l47Sql)))
 }

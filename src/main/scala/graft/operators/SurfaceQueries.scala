@@ -577,8 +577,15 @@ object SurfaceQueries {
     * and distributed (no per-group map-merge reducer); at 100 TB on an
     * unbounded value domain swap in approx_percentile and drop the
     * oracle to a tolerance check — the probe shape is unchanged. */
-  def iqrOutliers(lineitem: DataFrame): DataFrame = {
-    val fences = exactQuartilesCdf(lineitem, "l_returnflag", "l_extendedprice")
+  def iqrOutliers(lineitem: DataFrame): DataFrame =
+    fenceProbe(lineitem,
+      exactQuartilesCdf(lineitem, "l_returnflag", "l_extendedprice"))
+
+  /** The shared second pass of q57/q63: broadcast the group-cardinality
+    * fence relation and count/total the rows beyond the upper fence in
+    * one probe of the fact. */
+  private def fenceProbe(lineitem: DataFrame, quartiles: DataFrame): DataFrame = {
+    val fences = quartiles
       .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
     lineitem.join(broadcast(fences), "l_returnflag")
       .groupBy("l_returnflag", "q1", "q3", "hi_fence")
@@ -591,6 +598,21 @@ object SurfaceQueries {
       .withColumn("outlier_frac", col("n_outliers").cast("double") / col("n"))
       .orderBy("l_returnflag")
   }
+
+  /** q63 — the documented unbounded-domain twin of q57: quartile fences
+    * from `approx_percentile` (a mergeable fixed-size sketch per group —
+    * no per-group map-merge of full value→count maps, no dependence on a
+    * bounded value domain), pushed through the IDENTICAL broadcast fence
+    * probe via [[fenceProbe]]. Registered rows-only (a sketch has no SQL
+    * oracle); SketchSpec bounds its fences against q57's exact quartiles
+    * and PlanSpec asserts the same broadcast-probe plan shape. */
+  def iqrOutliersApprox(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
+    fenceProbe(lineitem,
+      lineitem.filter(col("l_extendedprice").isNotNull)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.75)), lit(accuracy)).as("qs"))
+        .select(col("l_returnflag"), col("qs")(0).as("q1"), col("qs")(1).as("q3")))
 
   private val q57Sql =
     s"""WITH f AS (
@@ -653,5 +675,6 @@ object SurfaceQueries {
     Q("q54_correlation", (s, d) => correlationStats(Tables.lineitem(s, d)), Some(q54Sql)),
     Q("q55_ntile_quartiles", (s, d) => ntileQuartiles(Tables.events(s, d)), Some(q55Sql)),
     Q("q56_rolling_range", (s, d) => rollingRange(Tables.events(s, d)), Some(q56Sql)),
-    Q("q57_iqr_outliers", (s, d) => iqrOutliers(Tables.lineitem(s, d)), Some(q57Sql)))
+    Q("q57_iqr_outliers", (s, d) => iqrOutliers(Tables.lineitem(s, d)), Some(q57Sql)),
+    Q("q63_iqr_outliers_approx", (s, d) => iqrOutliersApprox(Tables.lineitem(s, d)), None))
 }

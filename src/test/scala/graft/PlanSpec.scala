@@ -232,14 +232,17 @@ class PlanSpec extends SparkSuite {
       s"the fact side must never shuffle for this join:\n$p")
   }
 
-  test("iqr outliers probe the fact through a broadcast fence — no shuffle join") {
-    val df = graft.operators.SurfaceQueries.iqrOutliers(Tables.lineitem(spark, sf))
-    df.collect()
-    val p = plan(df)
-    assert(p.contains("BroadcastHashJoin"),
-      s"the group-cardinality fence relation must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"the fact side must never shuffle for the fence probe:\n$p")
+  test("iqr outliers (exact q57 and approx q63) probe the fact through a broadcast fence — no shuffle join") {
+    for (df <- Seq(
+        graft.operators.SurfaceQueries.iqrOutliers(Tables.lineitem(spark, sf)),
+        graft.operators.SurfaceQueries.iqrOutliersApprox(Tables.lineitem(spark, sf)))) {
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"the group-cardinality fence relation must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"the fact side must never shuffle for the fence probe:\n$p")
+    }
   }
 
   test("ntile and range-frame windows ride the daily aggregate, never the raw scan") {

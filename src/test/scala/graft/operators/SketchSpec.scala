@@ -20,4 +20,21 @@ class SketchSpec extends SparkSuite {
       assert(math.abs(a - e) / e <= 0.05)
     }
   }
+
+  test("q63 approx fences track q57's exact quartiles within 1% and agree on outlier mass") {
+    val li = graft.Tables.lineitem(spark, sfDir("0.01"))
+    def byFlag(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Double]("q1"), r.getAs[Double]("q3"), r.getAs[Double]("outlier_frac")))).toMap
+    val exact = byFlag(SurfaceQueries.iqrOutliers(li))
+    val approx = byFlag(SurfaceQueries.iqrOutliersApprox(li))
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (flag, (q1e, q3e, fracE)) =>
+      val (q1a, q3a, fracA) = approx(flag)
+      assert(math.abs(q1a - q1e) / q1e <= 0.01, s"$flag q1: approx=$q1a exact=$q1e")
+      assert(math.abs(q3a - q3e) / q3e <= 0.01, s"$flag q3: approx=$q3a exact=$q3e")
+      // a ≤1% fence shift may only move a sliver of the tail
+      assert(math.abs(fracA - fracE) <= 0.01, s"$flag frac: approx=$fracA exact=$fracE")
+    }
+  }
 }

@@ -31,11 +31,22 @@ object SigStore {
 
   /** Portable md5-substring MinHash signatures (doc_id, sig) for the
     * `documents` table under `dir`, persisted for the session. */
-  def portable(spark: SparkSession, dir: String): DataFrame = cache.synchronized {
-    var df = cache.get((spark, dir))
+  def portable(spark: SparkSession, dir: String): DataFrame =
+    get(spark, "portable:" + dir,
+      () => TextDedup.withPortableSignatures(graft.Tables.documents(spark, dir)))
+
+  /** Native xxhash64 MinHash signatures — the fast tier's store (l02's
+    * detection pass and l47's agreement audit read the same table). */
+  def native(spark: SparkSession, dir: String): DataFrame =
+    get(spark, "native:" + dir,
+      () => TextDedup.withNativeSignatures(graft.Tables.documents(spark, dir)))
+
+  private def get(spark: SparkSession, key: String,
+                  build: () => DataFrame): DataFrame = cache.synchronized {
+    var df = cache.get((spark, key))
     if (df == null) {
-      df = TextDedup.withPortableSignatures(graft.Tables.documents(spark, dir)).persist()
-      cache.put((spark, dir), df)
+      df = build().persist()
+      cache.put((spark, key), df)
     }
     df
   }

@@ -75,7 +75,7 @@ object TextDedup {
     * signature slot — measured 10×+ slower at sf0.1. The explode adds one
     * shuffle keyed by doc_id, which is also what distributes per-doc work
     * evenly at 100 TB. */
-  private def withSignatures(documents: DataFrame): DataFrame = {
+  private[llm] def withNativeSignatures(documents: DataFrame): DataFrame = {
     val shingled = documents
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
@@ -150,8 +150,10 @@ object TextDedup {
     * signature fraction). Top-100 — not SQL-oracle-expressible; driver
     * does the rows-only check. */
   def minhashNearDup(documents: DataFrame,
-                     maxBucket: Int = MaxBucketDefault): DataFrame =
-    scoredCandidates(graft.CacheScope.manage(withSignatures(documents).persist()),
+                     maxBucket: Int = MaxBucketDefault,
+                     sigsOpt: Option[DataFrame] = None): DataFrame =
+    scoredCandidates(
+        sigsOpt.getOrElse(graft.CacheScope.manage(withNativeSignatures(documents).persist())),
         nativeBandKey, maxBucket)
       .select("id_a", "id_b", "est_jaccard")
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
@@ -226,7 +228,7 @@ object TextDedup {
   }
 
   /** Portable signatures in the same (doc_id, sig array) shape as
-    * [[withSignatures]], so the scoring/banding machinery is shared.
+    * [[withNativeSignatures]], so the scoring/banding machinery is shared.
     * Registered queries share one computation per session via
     * [[SigStore]]. */
   private[llm] def withPortableSignatures(documents: DataFrame): DataFrame =
@@ -283,7 +285,7 @@ object TextDedup {
                   maxBucket: Int = MaxBucketDefault,
                   sigsOpt: Option[DataFrame] = None): DataFrame = {
     val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
-      (if (portable) withPortableSignatures(documents) else withSignatures(documents)).persist()))
+      (if (portable) withPortableSignatures(documents) else withNativeSignatures(documents)).persist()))
     val toDrop = scoredCandidates(sigs,
         if (portable) portableBandKey else nativeBandKey, maxBucket)
       .filter(col("est_jaccard") >= minJaccard)
@@ -440,14 +442,15 @@ object TextDedup {
     * key — nothing quadratic. */
   def fastTierAgreement(documents: DataFrame,
                         maxBucket: Int = MaxBucketDefault,
-                        sigsOpt: Option[DataFrame] = None): DataFrame = {
+                        sigsOpt: Option[DataFrame] = None,
+                        fastSigsOpt: Option[DataFrame] = None): DataFrame = {
     val portable = sigsOpt.getOrElse(graft.CacheScope.manage(
       withPortableSignatures(documents).persist()))
     val high = scoredCandidates(portable, portableBandKey, maxBucket)
       .filter(col("est_jaccard") >= FastTierMinEst)
       .select("id_a", "id_b", "est_jaccard")
     val fast = lshCandidatePairs(
-      graft.CacheScope.manage(withSignatures(documents).persist()),
+      fastSigsOpt.getOrElse(graft.CacheScope.manage(withNativeSignatures(documents).persist())),
       nativeBandKey, maxBucket)
     high.join(fast, Seq("id_a", "id_b"))
       .orderBy("id_a", "id_b")
@@ -853,7 +856,8 @@ object TextDedup {
 
   def all: Seq[Q] = Seq(
     Q("l01_dedup_exact", (s, d) => exactDedupStats(Tables.documents(s, d)), Some(l01Sql)),
-    Q("l02_dedup_minhash_lsh", (s, d) => minhashNearDup(Tables.documents(s, d)), None),
+    Q("l02_dedup_minhash_lsh", (s, d) =>
+      minhashNearDup(Tables.documents(s, d), sigsOpt = Some(SigStore.native(s, d))), None),
     Q("l03_dedup_simhash", (s, d) => simhashNearDup(Tables.documents(s, d)), None),
     Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) =>
@@ -871,5 +875,6 @@ object TextDedup {
     Q("l45_cross_source_dups", (s, d) =>
       crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l45Sql)),
     Q("l47_fast_tier_agreement", (s, d) =>
-      fastTierAgreement(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l47Sql)))
+      fastTierAgreement(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
+        fastSigsOpt = Some(SigStore.native(s, d))), Some(l47Sql)))
 }

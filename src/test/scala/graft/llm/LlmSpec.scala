@@ -415,6 +415,12 @@ class LlmSpec extends SparkSuite {
       sigsOpt = Some(SigStore.portable(spark, dir))).collect().map(_.toSeq).toSeq
     val recomputed = TextDedup.incrementalDedup(documents).collect().map(_.toSeq).toSeq
     assert(fromStore === recomputed, "the store is a pure cache, not a semantic change")
+    // the native (fast-tier) store obeys the same contract
+    assert(SigStore.native(spark, dir) eq SigStore.native(spark, dir))
+    val fastFromStore = TextDedup.minhashNearDup(documents,
+      sigsOpt = Some(SigStore.native(spark, dir))).collect().map(_.toSeq).toSeq
+    val fastRecomputed = TextDedup.minhashNearDup(documents).collect().map(_.toSeq).toSeq
+    assert(fastFromStore === fastRecomputed)
   }
 
   test("embedding dup clusters group identical vectors transitively") {

@@ -29,11 +29,20 @@ object SigStore {
     }
   }
 
+  /** Raw word-3-gram shingle rows (doc_id, sh) — the stage BELOW the
+    * signatures, shared by the exact-verify (l04) and truth-universe
+    * (l44) pipelines that need the shingle sets themselves. */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    get(spark, "shingles:" + dir,
+      () => TextDedup.portableShingles(graft.Tables.documents(spark, dir)))
+
   /** Portable md5-substring MinHash signatures (doc_id, sig) for the
-    * `documents` table under `dir`, persisted for the session. */
+    * `documents` table under `dir`, persisted for the session. Derived
+    * from the shared shingle store, so a session that touches both tiers
+    * computes the shingling exactly once. */
   def portable(spark: SparkSession, dir: String): DataFrame =
     get(spark, "portable:" + dir,
-      () => TextDedup.withPortableSignatures(graft.Tables.documents(spark, dir)))
+      () => TextDedup.withPortableSignaturesFrom(shingles(spark, dir)))
 
   /** Native xxhash64 MinHash signatures — the fast tier's store (l02's
     * detection pass and l47's agreement audit read the same table). */

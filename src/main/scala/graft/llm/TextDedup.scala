@@ -232,13 +232,19 @@ object TextDedup {
     * Registered queries share one computation per session via
     * [[SigStore]]. */
   private[llm] def withPortableSignatures(documents: DataFrame): DataFrame =
-    portableSigSlots(portableShingles(documents))
+    withPortableSignaturesFrom(portableShingles(documents))
+
+  /** Same, from an already-materialized shingle frame (the SigStore
+    * layering: signatures derive from the shared shingle store). */
+  private[llm] def withPortableSignaturesFrom(sh: DataFrame): DataFrame =
+    portableSigSlots(sh)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
       .select("doc_id", "sig")
 
   def ngramJaccard(documents: DataFrame,
-                   maxBucket: Int = MaxBucketDefault): DataFrame = {
-    val sh = graft.CacheScope.manage(portableShingles(documents).persist())
+                   maxBucket: Int = MaxBucketDefault,
+                   shOpt: Option[DataFrame] = None): DataFrame = {
+    val sh = shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))
     val sigs = portableSigSlots(sh)
     val banded = capBuckets(
       sigs.select(col("doc_id"),
@@ -360,8 +366,9 @@ object TextDedup {
     * oracle-exact. */
   def minhashRecall(documents: DataFrame,
                     maxBucket: Int = MaxBucketDefault,
-                    sigsOpt: Option[DataFrame] = None): DataFrame = {
-    val sh = graft.CacheScope.manage(portableShingles(documents).persist())
+                    sigsOpt: Option[DataFrame] = None,
+                    shOpt: Option[DataFrame] = None): DataFrame = {
+    val sh = shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val rare = sh.join(dfreq.filter(col("df").between(2, RareShingleDf)), Seq("sh"))
     val truCand = rare.select(col("doc_id").as("id_a"), col("sh"))
@@ -859,7 +866,8 @@ object TextDedup {
     Q("l02_dedup_minhash_lsh", (s, d) =>
       minhashNearDup(Tables.documents(s, d), sigsOpt = Some(SigStore.native(s, d))), None),
     Q("l03_dedup_simhash", (s, d) => simhashNearDup(Tables.documents(s, d)), None),
-    Q("l04_ngram_jaccard", (s, d) => ngramJaccard(Tables.documents(s, d)), Some(l04Sql)),
+    Q("l04_ngram_jaccard", (s, d) =>
+      ngramJaccard(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d))), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) =>
       dedupFilterStats(Tables.documents(s, d), Some(SigStore.portable(s, d))), Some(l17Sql)),
     Q("l24_simhash_portable", (s, d) => simhashPortable(Tables.documents(s, d)), Some(l24Sql)),
@@ -871,7 +879,8 @@ object TextDedup {
       incrementalDedup(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l35Sql)),
     Q("l41_segment_dedup", (s, d) => segmentDedupStats(Tables.documents(s, d)), Some(l41Sql)),
     Q("l44_minhash_recall", (s, d) =>
-      minhashRecall(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l44Sql)),
+      minhashRecall(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
+        shOpt = Some(SigStore.shingles(s, d))), Some(l44Sql)),
     Q("l45_cross_source_dups", (s, d) =>
       crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l45Sql)),
     Q("l47_fast_tier_agreement", (s, d) =>

@@ -18,7 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SigStore {
 
-  private val MaxEntries = 8
+  // three entries per (session, dir) — shingles, portable, native — so
+  // the bound covers four concurrent (session, dir) combinations before
+  // evicting (eviction only costs a recompute, never correctness)
+  private val MaxEntries = 12
   private val cache = new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
       16, 0.75f, true) {
     override def removeEldestEntry(

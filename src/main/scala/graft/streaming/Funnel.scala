@@ -74,12 +74,18 @@ object Funnel {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelEvent], state: org.apache.spark.sql.streaming.GroupState[FunnelBuf]) =>
           val prev = state.getOption.getOrElse(FunnelBuf(None, None, Nil, None, Nil))
-          // 0 when no watermark is attached (batch mode, or an unbounded
-          // stream): nothing is evicted, nothing is considered late
-          val wmMs = try state.getCurrentWatermarkMs()
-            catch { case _: UnsupportedOperationException => 0L }
-          val batch = it.filter(_.ts_s * 1000L >= wmMs).toSeq
-          val wmS = (wmMs + 999L) / 1000L // ceil: pending at ts survives iff ts*1000 >= wmMs
+          // None when no watermark is attached (batch mode, or an
+          // unbounded stream): nothing is evicted, nothing is considered
+          // late — the guard matters for pre-1970 (negative-epoch) data,
+          // which an unconditional >= 0 comparison would silently drop
+          val wmMs = try Some(state.getCurrentWatermarkMs())
+            catch { case _: UnsupportedOperationException => None }
+          val batch = wmMs match {
+            case Some(w) => it.filter(_.ts_s * 1000L >= w).toSeq
+            case None    => it.toSeq
+          }
+          // ceil: pending at ts survives iff ts*1000 >= wmMs
+          val wmS = wmMs.map(w => (w + 999L) / 1000L).getOrElse(Long.MinValue)
           def of(t: String) = batch.collect { case e if e.event_type == t => e.ts_s }
           val minView = (prev.minView.toSeq ++ of("view")).minOption
           val (validClick, pendClicks) =

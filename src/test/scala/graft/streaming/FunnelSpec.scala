@@ -144,6 +144,14 @@ class FunnelSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("batch mode (no watermark) admits negative-epoch timestamps") {
+    import spark.implicits._
+    val ds = Seq(FunnelEvent(1, "view", -100), FunnelEvent(1, "click", -50)).toDS()
+    val out = Funnel.streamingFunnel(spark, ds).collect()
+    assert(out.toSeq === Seq(FunnelUpdate(1, Some(-100L), Some(-50L), None)),
+      s"pre-1970 events must not be treated as late when no watermark exists: ${out.toSeq}")
+  }
+
   test("streaming funnel state agrees with the batch funnel on the fixture") {
     import org.apache.spark.sql.functions._
     val events = graft.Tables.events(spark, sfDir("0.001"))

@@ -53,6 +53,12 @@ object SigStore {
     get(spark, "native:" + dir,
       () => TextDedup.withNativeSignatures(graft.Tables.documents(spark, dir)))
 
+  /** Portable md5-bit SimHash fingerprints (l24's ranking and l48's
+    * recall audit read the same table). */
+  def simhashFp(spark: SparkSession, dir: String): DataFrame =
+    get(spark, "simfp:" + dir,
+      () => TextDedup.portableSimhashFp(graft.Tables.documents(spark, dir)))
+
   private def get(spark: SparkSession, key: String,
                   build: () => DataFrame): DataFrame = cache.synchronized {
     var df = cache.get((spark, key))

@@ -165,8 +165,10 @@ object TextDedup {
     * classic Manku design is quadratic inside a bucket, and a fixed
     * 2^16 band space means bucket occupancy grows linearly with corpus
     * size, so the guard is what makes this shape safe at 100 TB. */
-  def simhashNearDup(documents: DataFrame,
-                     maxBucket: Int = MaxBucketDefault): DataFrame = {
+  /** The fast tier's banded fingerprint rows (doc_id, simhash, band_id,
+    * band_val), bucket-capped — shared by the ranked query (l03) and the
+    * tier-agreement audit (l48). */
+  private def nativeSimhashBanded(documents: DataFrame, maxBucket: Int): DataFrame = {
     // Binary-weight simhash over the distinct-token set. Same perf shape
     // as MinHash: explode token hashes to rows and take the 64 per-bit
     // votes as codegen'd SUM aggregates (the nested-lambda form evaluates
@@ -184,7 +186,22 @@ object TextDedup {
       .withColumn("bands", array((0 until 4).map(k =>
         expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))
       .select(col("doc_id"), col("simhash"), posexplode(col("bands")).as(Seq("band_id", "band_val")))
-    val capped = capBuckets(sims, Seq("band_id", "band_val"), maxBucket)
+    capBuckets(sims, Seq("band_id", "band_val"), maxBucket)
+  }
+
+  /** Fast-tier candidate pairs (id_a, id_b), unlimited. */
+  private[llm] def nativeSimhashCands(documents: DataFrame, maxBucket: Int): DataFrame = {
+    val capped = nativeSimhashBanded(documents, maxBucket)
+    val a = capped.select(col("doc_id").as("id_a"), col("band_id"), col("band_val"))
+    val b = capped.select(col("doc_id").as("id_b"), col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  def simhashNearDup(documents: DataFrame,
+                     maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val capped = nativeSimhashBanded(documents, maxBucket)
     val a = capped.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
       col("band_id"), col("band_val"))
     val b = capped.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
@@ -364,11 +381,10 @@ object TextDedup {
     * discipline as the LSH join itself (constants: see the knobs above).
     * The oracle replays the identical pruned universe, so the audit is
     * oracle-exact. */
-  def minhashRecall(documents: DataFrame,
-                    maxBucket: Int = MaxBucketDefault,
-                    sigsOpt: Option[DataFrame] = None,
-                    shOpt: Option[DataFrame] = None): DataFrame = {
-    val sh = shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))
+  /** The ground-truth near-dup universe over a shingle frame: pairs
+    * sharing ≥ [[MinSharedRare]] rare shingles with exact Jaccard ≥ 0.5
+    * (see [[minhashRecall]]'s scaladoc for why this prunes soundly). */
+  private[llm] def truthPairs(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val rare = sh.join(dfreq.filter(col("df").between(2, RareShingleDf)), Seq("sh"))
     val truCand = rare.select(col("doc_id").as("id_a"), col("sh"))
@@ -378,7 +394,7 @@ object TextDedup {
       .filter(col("shared") >= MinSharedRare)
       .select("id_a", "id_b")
     val shset = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
-    val truPairs = truCand
+    truCand
       .join(shset.select(col("doc_id").as("id_a"), col("s").as("sh_a")), Seq("id_a"))
       .join(shset.select(col("doc_id").as("id_b"), col("s").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -386,11 +402,12 @@ object TextDedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
-    val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
-      withPortableSignatures(documents).persist()))
-    val caught = lshCandidatePairs(sigs, portableBandKey, maxBucket)
-      .withColumn("caught", lit(1))
-    truPairs.join(caught, Seq("id_a", "id_b"), "left_outer")
+  }
+
+  /** Left-join the truth universe against a candidate set and roll up
+    * per exact-similarity band — the shared tail of l44 and l48. */
+  private def recallRollup(truPairs: DataFrame, cands: DataFrame): DataFrame =
+    truPairs.join(cands.withColumn("caught", lit(1)), Seq("id_a", "id_b"), "left_outer")
       .withColumn("j_band",
         when(col("jaccard") >= 0.9, "0.9-1.0")
           .when(col("jaccard") >= 0.7, "0.7-0.9")
@@ -401,11 +418,41 @@ object TextDedup {
         sum(coalesce(col("caught"), lit(0))).as("n_caught"))
       .withColumn("recall", col("n_caught").cast("double") / col("n_true"))
       .orderBy("j_band")
+
+  def minhashRecall(documents: DataFrame,
+                    maxBucket: Int = MaxBucketDefault,
+                    sigsOpt: Option[DataFrame] = None,
+                    shOpt: Option[DataFrame] = None): DataFrame = {
+    val sh = shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))
+    val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
+      withPortableSignatures(documents).persist()))
+    recallRollup(truthPairs(sh),
+      lshCandidatePairs(sigs, portableBandKey, maxBucket).select("id_a", "id_b"))
   }
 
-  // Shares the portable chain's sh/sig/banded/cands CTEs; the unused
-  // `pairs` CTE costs nothing (DuckDB drops unreferenced CTEs).
-  private lazy val l44Sql = pairsCtesSql + ",\n" +
+  /** l48 — SimHash recall audit: the l44 question asked of the OTHER
+    * sketch family. Same exact-Jaccard truth universe, caught = the
+    * portable md5-bit SimHash banding (4 × 16-bit bands, hamming-0
+    * within a band to collide) — fully DuckDB-reproducible, so the row
+    * is oracle-exact. The number this publishes is the reason the
+    * minhash tier is the removal path: 16-bit-exact banding recalls only
+    * ~⅔ of true ≥0.5-Jaccard pairs (measured 148/240 at sf0.1), where
+    * the banded MinHash pipeline is near-complete (l44) — SimHash's
+    * fixed 2^16 band space trades recall for a 64-bit fingerprint and is
+    * kept as the cheap secondary signal, not the gate. */
+  def simhashRecall(documents: DataFrame,
+                    maxBucket: Int = MaxBucketDefault,
+                    shOpt: Option[DataFrame] = None,
+                    fpOpt: Option[DataFrame] = None): DataFrame = {
+    val sh = shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))
+    val fp = fpOpt.getOrElse(graft.CacheScope.manage(portableSimhashFp(documents).persist()))
+    recallRollup(truthPairs(sh),
+      portableSimhashPairs(fp, maxBucket).select("id_a", "id_b"))
+  }
+
+  // The truth-universe CTEs over the `sh` shingle CTE — shared by the
+  // two recall audits (l44 minhash, l48 simhash).
+  private lazy val truthCtesSql: String =
     s"""dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
        |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq USING (sh)
        |         WHERE df BETWEEN 2 AND $RareShingleDf),
@@ -419,11 +466,14 @@ object TextDedup {
        |  SELECT id_a, id_b,
        |    cast(len(list_intersect(a.s, b.s)) as double)
        |      / len(list_distinct(list_cat(a.s, b.s))) AS jaccard
-       |  FROM tc JOIN shset a ON id_a = a.doc_id JOIN shset b ON id_b = b.doc_id),
-       |jj AS (
+       |  FROM tc JOIN shset a ON id_a = a.doc_id JOIN shset b ON id_b = b.doc_id)""".stripMargin
+
+  /** The per-band recall rollup against a candidate CTE. */
+  private def recallTailSql(candsCte: String): String =
+    s"""jj AS (
        |  SELECT t.jaccard, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
        |  FROM (SELECT * FROM tru WHERE jaccard >= cast(0.5 as double)) t
-       |  LEFT JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+       |  LEFT JOIN $candsCte c ON t.id_a = c.id_a AND t.id_b = c.id_b),
        |bnd AS (
        |  SELECT CASE WHEN jaccard >= cast(0.9 as double) THEN '0.9-1.0'
        |              WHEN jaccard >= cast(0.7 as double) THEN '0.7-0.9'
@@ -433,6 +483,17 @@ object TextDedup {
        |  cast(sum(caught) as bigint) AS n_caught,
        |  cast(sum(caught) as double)/count(*) AS recall
        |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Shares the portable chain's sh/sig/banded/cands CTEs; the unused
+  // `pairs` CTE costs nothing (DuckDB drops unreferenced CTEs).
+  private lazy val l44Sql =
+    pairsCtesSql + ",\n" + truthCtesSql + ",\n" + recallTailSql("cands")
+
+  // Minhash truth chain + the prefixed simhash chain in one WITH clause:
+  // caught = the simhash banding's candidates, truth = exact Jaccard.
+  private lazy val l48Sql =
+    pairsCtesSql + ",\n" + simhashCtesSql("s_") + ",\n" +
+      truthCtesSql + ",\n" + recallTailSql("s_cands")
 
   /** l47 — fast-tier agreement audit, under the oracle: every
     * HIGH-CONFIDENCE near-dup pair the portable md5 pipeline finds
@@ -667,8 +728,10 @@ object TextDedup {
     * popcount over per-band XOR. DuckDB reproduces fingerprints, bands,
     * candidates, and distances bit-for-bit (the l04 recipe applied to
     * SimHash); l03 keeps the cheaper xxhash64 bit source. */
-  def simhashPortable(documents: DataFrame,
-                      maxBucket: Int = MaxBucketDefault): DataFrame = {
+  /** The portable md5-bit SimHash fingerprint as four 16-bit band ints
+    * (bit j of band k = bit 16k+j of the fingerprint); ints keep
+    * XOR/popcount portable. Caller persists. */
+  private[llm] def portableSimhashFp(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("t"))
       .withColumn("hx", md5(col("t")))
@@ -679,12 +742,15 @@ object TextDedup {
     val voteCols = (0 until 64).map(b =>
       sum(expr(s"IF((shiftright(n_${b / 4}, ${b % 4}) & 1) = 1, 1, -1)")).as(s"v_$b"))
     val votes = nib.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    // four 16-bit band ints from the vote signs (bit j of band k = bit
-    // 16k+j of the fingerprint); ints keep XOR/popcount portable
-    val fp = graft.CacheScope.manage(votes.select(
+    votes.select(
       col("doc_id") +: (0 until 4).map(k =>
         expr((0 until 16).map(j => s"IF(v_${16 * k + j} > 0, ${1 << j}, 0)")
-          .mkString(" + ")).as(s"b_$k")): _*).persist())
+          .mkString(" + ")).as(s"b_$k")): _*)
+  }
+
+  /** Banded candidate pairs scored by hamming over a persisted portable
+    * fingerprint frame — unlimited (l24 ranks + limits; l48 thresholds). */
+  private[llm] def portableSimhashPairs(fp: DataFrame, maxBucket: Int): DataFrame = {
     val exploded = fp.select(col("doc_id"),
       posexplode(array((0 until 4).map(k => col(s"b_$k")): _*)).as(Seq("band_id", "band_val")))
     val banded = capBuckets(exploded, Seq("band_id", "band_val"), maxBucket)
@@ -699,13 +765,23 @@ object TextDedup {
       .withColumn("hamming", expr(
         (0 until 4).map(k => s"bit_count(a_b_$k ^ b_b_$k)").mkString(" + ")).cast("int"))
       .select("id_a", "id_b", "hamming")
-      .orderBy(col("hamming"), col("id_a"), col("id_b"))
-      .limit(100)
   }
 
-  // Mirrors simhashPortable term for term. DuckDB: `>>`/`&` are the int
-  // bit ops, xor() is bitwise, bit_count() is popcount.
-  private val l24Sql = {
+  def simhashPortable(documents: DataFrame,
+                      maxBucket: Int = MaxBucketDefault,
+                      fpOpt: Option[DataFrame] = None): DataFrame =
+    portableSimhashPairs(
+        fpOpt.getOrElse(graft.CacheScope.manage(portableSimhashFp(documents).persist())),
+        maxBucket)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(100)
+
+  /** The portable SimHash chain (mirrors [[portableSimhashFp]] +
+    * [[portableSimhashPairs]] term for term) as CTE text, names prefixed
+    * with `p` so it can share a WITH clause with the minhash chain
+    * (l48). Ends with `${p}cands`. DuckDB: `>>`/`&` are the int bit ops,
+    * xor() is bitwise, bit_count() is popcount. */
+  private def simhashCtesSql(p: String): String = {
     val nibs = (0 until 16).map(i =>
       s"ascii(substr(hx, ${i + 1}, 1)) - (CASE WHEN substr(hx, ${i + 1}, 1) >= 'a' THEN 87 ELSE 48 END) AS n_$i")
       .mkString(", ")
@@ -716,24 +792,29 @@ object TextDedup {
       (0 until 16).map(j => s"(CASE WHEN v_${16 * k + j} > 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ") + s" AS b_$k").mkString(", ")
     val bandRows = (0 until 4).map(k =>
-      s"SELECT doc_id, $k AS band_id, b_$k AS band_val FROM fp").mkString("\nUNION ALL ")
-    val ham = (0 until 4).map(k => s"bit_count(xor(a.b_$k, b.b_$k))").mkString(" + ")
-    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-       |h AS (SELECT doc_id, md5(t) AS hx FROM tok),
-       |nib AS (SELECT doc_id, $nibs FROM h),
-       |votes AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
-       |fp AS (SELECT doc_id, $bands FROM votes),
-       |banded0 AS ($bandRows),
-       |banded AS (SELECT doc_id, band_id, band_val FROM (
+      s"SELECT doc_id, $k AS band_id, b_$k AS band_val FROM ${p}fp").mkString("\nUNION ALL ")
+    s"""${p}tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |${p}h AS (SELECT doc_id, md5(t) AS hx FROM ${p}tok),
+       |${p}nib AS (SELECT doc_id, $nibs FROM ${p}h),
+       |${p}votes AS (SELECT doc_id, $votes FROM ${p}nib GROUP BY doc_id),
+       |${p}fp AS (SELECT doc_id, $bands FROM ${p}votes),
+       |${p}banded0 AS ($bandRows),
+       |${p}banded AS (SELECT doc_id, band_id, band_val FROM (
        |  SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
-       |  FROM banded0) WHERE rn <= $MaxBucketDefault),
-       |cands AS (
+       |  FROM ${p}banded0) WHERE rn <= $MaxBucketDefault),
+       |${p}cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b USING (band_id, band_val)
-       |  WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, cast($ham as int) AS hamming
-       |FROM cands JOIN fp a ON id_a = a.doc_id JOIN fp b ON id_b = b.doc_id
-       |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin
+       |  FROM ${p}banded a JOIN ${p}banded b USING (band_id, band_val)
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private lazy val l24Sql = {
+    val ham = (0 until 4).map(k => s"bit_count(xor(a.b_$k, b.b_$k))").mkString(" + ")
+    "WITH " + simhashCtesSql("") +
+      s"""
+         |SELECT id_a, id_b, cast($ham as int) AS hamming
+         |FROM cands JOIN fp a ON id_a = a.doc_id JOIN fp b ON id_b = b.doc_id
+         |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin
   }
 
   // Mirrors dedupFilterStats via the shared portable chain
@@ -870,7 +951,8 @@ object TextDedup {
       ngramJaccard(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d))), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) =>
       dedupFilterStats(Tables.documents(s, d), Some(SigStore.portable(s, d))), Some(l17Sql)),
-    Q("l24_simhash_portable", (s, d) => simhashPortable(Tables.documents(s, d)), Some(l24Sql)),
+    Q("l24_simhash_portable", (s, d) =>
+      simhashPortable(Tables.documents(s, d), fpOpt = Some(SigStore.simhashFp(s, d))), Some(l24Sql)),
     Q("l26_dedup_components", (s, d) =>
       dupComponents(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l26Sql)),
     Q("l28_minhash_portable", (s, d) =>
@@ -883,6 +965,9 @@ object TextDedup {
         shOpt = Some(SigStore.shingles(s, d))), Some(l44Sql)),
     Q("l45_cross_source_dups", (s, d) =>
       crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l45Sql)),
+    Q("l48_simhash_recall", (s, d) =>
+      simhashRecall(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d)),
+        fpOpt = Some(SigStore.simhashFp(s, d))), Some(l48Sql)),
     Q("l47_fast_tier_agreement", (s, d) =>
       fastTierAgreement(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
         fastSigsOpt = Some(SigStore.native(s, d))), Some(l47Sql)))

@@ -66,6 +66,30 @@ object Funnel {
     * presence is read off the operator's child output, so projecting the
     * event-time column away silently disables eviction (`as[FunnelEvent]`
     * binds by name and keeps extra columns). */
+  /** One pure state transition: prior buffer + a micro-batch's events for
+    * one user (+ the watermark, if any) → next buffer. Extracted from the
+    * mapGroupsWithState closure so the batching-invariance property —
+    * folding `advance` over ANY partition of the events equals one batch,
+    * absent a watermark — is testable without the streaming harness. */
+  private[streaming] def advance(prev: FunnelBuf, events: Seq[FunnelEvent],
+                                 wmMs: Option[Long], bufK: Int): FunnelBuf = {
+    val batch = wmMs match {
+      case Some(w) => events.filter(_.ts_s * 1000L >= w)
+      case None    => events
+    }
+    // ceil: pending at ts survives iff ts*1000 >= wmMs
+    val wmS = wmMs.map(w => (w + 999L) / 1000L).getOrElse(Long.MinValue)
+    def of(t: String) = batch.collect { case e if e.event_type == t => e.ts_s }
+    val minView = (prev.minView.toSeq ++ of("view")).minOption
+    val (validClick, pendClicks) =
+      settle(minView, prev.validClick, prev.pendClicks, of("click"), bufK, wmS)
+    val (validPurchase, pendPurchases) =
+      settle(validClick, prev.validPurchase, prev.pendPurchases, of("purchase"), bufK, wmS)
+    FunnelBuf(minView, validClick, pendClicks, validPurchase, pendPurchases)
+  }
+
+  private[streaming] val emptyBuf = FunnelBuf(None, None, Nil, None, Nil)
+
   def streamingFunnel(spark: SparkSession, events: Dataset[FunnelEvent],
                       bufK: Int = Int.MaxValue): Dataset[FunnelUpdate] = {
     import spark.implicits._
@@ -73,27 +97,16 @@ object Funnel {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelEvent], state: org.apache.spark.sql.streaming.GroupState[FunnelBuf]) =>
-          val prev = state.getOption.getOrElse(FunnelBuf(None, None, Nil, None, Nil))
+          val prev = state.getOption.getOrElse(emptyBuf)
           // None when no watermark is attached (batch mode, or an
           // unbounded stream): nothing is evicted, nothing is considered
           // late — the guard matters for pre-1970 (negative-epoch) data,
           // which an unconditional >= 0 comparison would silently drop
           val wmMs = try Some(state.getCurrentWatermarkMs())
             catch { case _: UnsupportedOperationException => None }
-          val batch = wmMs match {
-            case Some(w) => it.filter(_.ts_s * 1000L >= w).toSeq
-            case None    => it.toSeq
-          }
-          // ceil: pending at ts survives iff ts*1000 >= wmMs
-          val wmS = wmMs.map(w => (w + 999L) / 1000L).getOrElse(Long.MinValue)
-          def of(t: String) = batch.collect { case e if e.event_type == t => e.ts_s }
-          val minView = (prev.minView.toSeq ++ of("view")).minOption
-          val (validClick, pendClicks) =
-            settle(minView, prev.validClick, prev.pendClicks, of("click"), bufK, wmS)
-          val (validPurchase, pendPurchases) =
-            settle(validClick, prev.validPurchase, prev.pendPurchases, of("purchase"), bufK, wmS)
-          state.update(FunnelBuf(minView, validClick, pendClicks, validPurchase, pendPurchases))
-          FunnelUpdate(uid, minView, validClick, validPurchase)
+          val next = advance(prev, it.toSeq, wmMs, bufK)
+          state.update(next)
+          FunnelUpdate(uid, next.minView, next.validClick, next.validPurchase)
       }
   }
 }

@@ -144,6 +144,31 @@ class FunnelSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("property: any batch partitioning of any event sequence yields the one-batch answer") {
+    // the monotone-recomputation claim, brute-forced: 500 random event
+    // sequences, each folded through `advance` under a random partition
+    // into micro-batches (random sizes AND random arrival order), must
+    // land in the same (t1, t2, t3) as the single-batch evaluation
+    val rnd = new scala.util.Random(42)
+    val types = Seq("view", "click", "purchase")
+    for (iter <- 1 to 500) {
+      val n = 1 + rnd.nextInt(24)
+      val events = Seq.fill(n)(FunnelEvent(1, types(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+      val shuffled = rnd.shuffle(events)
+      // random partition into 1..6 batches
+      val cuts = Seq.fill(rnd.nextInt(5))(rnd.nextInt(n + 1)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(n)).sliding(2).map {
+        case Seq(a, b) => shuffled.slice(a, b)
+      }.toSeq
+      val folded = batches.foldLeft(Funnel.emptyBuf)(
+        (buf, b) => Funnel.advance(buf, b, None, Int.MaxValue))
+      val oneShot = Funnel.advance(Funnel.emptyBuf, events, None, Int.MaxValue)
+      assert((folded.minView, folded.validClick, folded.validPurchase) ===
+        ((oneShot.minView, oneShot.validClick, oneShot.validPurchase)),
+        s"iter $iter: batches=$batches events=$events")
+    }
+  }
+
   test("batch mode (no watermark) admits negative-epoch timestamps") {
     import spark.implicits._
     val ds = Seq(FunnelEvent(1, "view", -100), FunnelEvent(1, "click", -50)).toDS()

@@ -18,10 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SigStore {
 
-  // three entries per (session, dir) — shingles, portable, native — so
-  // the bound covers four concurrent (session, dir) combinations before
-  // evicting (eviction only costs a recompute, never correctness)
-  private val MaxEntries = 12
+  // five entries per (session, dir) — shingles, portable + native
+  // minhash, portable + native simhash — so the bound covers four
+  // concurrent (session, dir) combinations before evicting (eviction
+  // only costs a recompute, never correctness)
+  private val MaxEntries = 20
   private val cache = new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
       16, 0.75f, true) {
     override def removeEldestEntry(
@@ -58,6 +59,11 @@ object SigStore {
   def simhashFp(spark: SparkSession, dir: String): DataFrame =
     get(spark, "simfp:" + dir,
       () => TextDedup.portableSimhashFp(graft.Tables.documents(spark, dir)))
+
+  /** Native xxhash64 SimHash fingerprints — the fast simhash tier (l03). */
+  def nativeSimhash(spark: SparkSession, dir: String): DataFrame =
+    get(spark, "nsimfp:" + dir,
+      () => TextDedup.nativeSimhashFp(graft.Tables.documents(spark, dir)))
 
   private def get(spark: SparkSession, key: String,
                   build: () => DataFrame): DataFrame = cache.synchronized {

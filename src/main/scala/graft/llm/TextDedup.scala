@@ -165,10 +165,9 @@ object TextDedup {
     * classic Manku design is quadratic inside a bucket, and a fixed
     * 2^16 band space means bucket occupancy grows linearly with corpus
     * size, so the guard is what makes this shape safe at 100 TB. */
-  /** The fast tier's banded fingerprint rows (doc_id, simhash, band_id,
-    * band_val), bucket-capped — shared by the ranked query (l03) and the
-    * tier-agreement audit (l48). */
-  private def nativeSimhashBanded(documents: DataFrame, maxBucket: Int): DataFrame = {
+  /** The fast tier's 64-bit xxhash64 SimHash fingerprint (doc_id,
+    * simhash) — the stored frame ([[SigStore.nativeSimhash]]). */
+  private[llm] def nativeSimhashFp(documents: DataFrame): DataFrame = {
     // Binary-weight simhash over the distinct-token set. Same perf shape
     // as MinHash: explode token hashes to rows and take the 64 per-bit
     // votes as codegen'd SUM aggregates (the nested-lambda form evaluates
@@ -178,11 +177,18 @@ object TextDedup {
         explode(expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")).as("h"))
     val voteCols = (0 until 64).map(b =>
       sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"v_$b"))
-    val sims = tok.groupBy("doc_id")
+    tok.groupBy("doc_id")
       .agg(voteCols.head, voteCols.tail: _*)
       .withColumn("simhash", expr(
         (0 until 64).map(b => s"IF(v_$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")))
-      .drop((0 until 64).map(b => s"v_$b"): _*)
+      .select("doc_id", "simhash")
+  }
+
+  /** Banded fingerprint rows (doc_id, simhash, band_id, band_val),
+    * bucket-capped — shared by the ranked query (l03) and the fast-tier
+    * candidate set. */
+  private def nativeSimhashBanded(fp: DataFrame, maxBucket: Int): DataFrame = {
+    val sims = fp
       .withColumn("bands", array((0 until 4).map(k =>
         expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))
       .select(col("doc_id"), col("simhash"), posexplode(col("bands")).as(Seq("band_id", "band_val")))
@@ -190,8 +196,10 @@ object TextDedup {
   }
 
   /** Fast-tier candidate pairs (id_a, id_b), unlimited. */
-  private[llm] def nativeSimhashCands(documents: DataFrame, maxBucket: Int): DataFrame = {
-    val capped = nativeSimhashBanded(documents, maxBucket)
+  private[llm] def nativeSimhashCands(documents: DataFrame, maxBucket: Int,
+                                      fpOpt: Option[DataFrame] = None): DataFrame = {
+    val capped = nativeSimhashBanded(
+      fpOpt.getOrElse(graft.CacheScope.manage(nativeSimhashFp(documents).persist())), maxBucket)
     val a = capped.select(col("doc_id").as("id_a"), col("band_id"), col("band_val"))
     val b = capped.select(col("doc_id").as("id_b"), col("band_id"), col("band_val"))
     a.join(b, Seq("band_id", "band_val"))
@@ -200,8 +208,10 @@ object TextDedup {
   }
 
   def simhashNearDup(documents: DataFrame,
-                     maxBucket: Int = MaxBucketDefault): DataFrame = {
-    val capped = nativeSimhashBanded(documents, maxBucket)
+                     maxBucket: Int = MaxBucketDefault,
+                     fpOpt: Option[DataFrame] = None): DataFrame = {
+    val capped = nativeSimhashBanded(
+      fpOpt.getOrElse(graft.CacheScope.manage(nativeSimhashFp(documents).persist())), maxBucket)
     val a = capped.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
       col("band_id"), col("band_val"))
     val b = capped.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
@@ -946,7 +956,8 @@ object TextDedup {
     Q("l01_dedup_exact", (s, d) => exactDedupStats(Tables.documents(s, d)), Some(l01Sql)),
     Q("l02_dedup_minhash_lsh", (s, d) =>
       minhashNearDup(Tables.documents(s, d), sigsOpt = Some(SigStore.native(s, d))), None),
-    Q("l03_dedup_simhash", (s, d) => simhashNearDup(Tables.documents(s, d)), None),
+    Q("l03_dedup_simhash", (s, d) =>
+      simhashNearDup(Tables.documents(s, d), fpOpt = Some(SigStore.nativeSimhash(s, d))), None),
     Q("l04_ngram_jaccard", (s, d) =>
       ngramJaccard(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d))), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) =>

@@ -113,6 +113,54 @@ object PartitionedLayout {
       .orderBy("items")
   }
 
+  private val textWritten = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The partitioned JSONL and CSV copies of `events` for an sf dir
+    * (written once per JVM through the production writers). */
+  private def textLayouts(spark: SparkSession, sfDir: String): (String, String) =
+    textWritten.computeIfAbsent(sfDir, { _ =>
+      val base = scratchDir("text") + "/" + Integer.toHexString(sfDir.hashCode)
+      val ev = graft.Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      Writers.writeJsonl(ev, "ts", s"$base/jsonl", SaveMode.Overwrite)
+      Writers.writeCsv(ev, "ts", s"$base/csv", SaveMode.Overwrite)
+      (s"$base/jsonl", s"$base/csv")
+    })
+
+  // Read the text formats with an explicit schema (never inference: a
+  // schema-inference pass reads the data twice and can widen types under
+  // it). `ts` is re-read as STRING and ignored — the partition columns
+  // carry the time slice, so no timestamp text format has to round-trip.
+  private val textSchema = "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+    "value DOUBLE, ts STRING"
+
+  private def textRollup(df: DataFrame): DataFrame = df
+    .filter(col("year") === 2024 && col("month") === 1 && col("day").between(5, 9))
+    .groupBy("event_type")
+    .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+      dsum(col("value")).as("total_value"))
+    .orderBy(col("event_type").asc_nulls_last)
+
+  /** q66/q67 — the JSONL / CSV writer paths under the oracle gate: the
+    * reference's generator emits exactly these partitioned text layouts
+    * (batch_generator.py:276-339), so prove the full write→read round
+    * trip — directory partition discovery, text re-parse of longs and
+    * doubles, null handling — is lossless by hash-matching an aggregate
+    * against the oracle computing from the original parquet fixture. */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    textRollup(spark.read.schema(textSchema).json(textLayouts(spark, sfDir)._1))
+
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    textRollup(spark.read.schema(textSchema).option("header", "true")
+      .csv(textLayouts(spark, sfDir)._2))
+
+  private val textSql =
+    s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+       |       ${sqlDsum("value")} AS total_value
+       |FROM events
+       |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 5 AND 9
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q62Sql =
     s"""WITH j AS (SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -125,5 +173,7 @@ object PartitionedLayout {
 
   def all: Seq[graft.Q] = Seq(
     graft.Q("q60_partition_pruned_rollup", (s, d) => prunedDailyRollup(s, d), Some(q60Sql)),
-    graft.Q("q62_bucketed_join_rollup", (s, d) => bucketedOrderRollup(s, d), Some(q62Sql)))
+    graft.Q("q62_bucketed_join_rollup", (s, d) => bucketedOrderRollup(s, d), Some(q62Sql)),
+    graft.Q("q66_jsonl_roundtrip", (s, d) => jsonlRoundtrip(s, d), Some(textSql)),
+    graft.Q("q67_csv_roundtrip", (s, d) => csvRoundtrip(s, d), Some(textSql)))
 }

@@ -148,8 +148,9 @@ object Sampling {
     * corpus the clustered fraction can be large). */
   def withLeakageSafeSplit(documents: DataFrame, minJaccard: Double = 0.5,
                            maxBucket: Int = TextDedup.MaxBucketDefault,
-                           sigsOpt: Option[DataFrame] = None): DataFrame = {
-    val labels = TextDedup.componentLabels(documents, minJaccard, maxBucket, sigsOpt)
+                           sigsOpt: Option[DataFrame] = None,
+                           candsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = TextDedup.componentLabels(documents, minJaccard, maxBucket, sigsOpt, candsOpt)
     documents
       .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left_outer")
       .withColumn("rep_id", coalesce(col("comp"), col("doc_id")))
@@ -166,8 +167,9 @@ object Sampling {
     * with l16's hash split; the DuckDB oracle replays the recursive
     * reachability closure and the same bucket arithmetic. */
   def leakageSafeSplit(documents: DataFrame,
-                       sigsOpt: Option[DataFrame] = None): DataFrame =
-    withLeakageSafeSplit(documents, sigsOpt = sigsOpt)
+                       sigsOpt: Option[DataFrame] = None,
+                       candsOpt: Option[DataFrame] = None): DataFrame =
+    withLeakageSafeSplit(documents, sigsOpt = sigsOpt, candsOpt = candsOpt)
       .groupBy("split")
       .agg(
         count(lit(1)).as("docs"),
@@ -305,7 +307,8 @@ object Sampling {
     Q("l16_dataset_split", (s, d) => datasetSplit(Tables.documents(s, d)), Some(l16Sql)),
     Q("l27_balanced_sample", (s, d) => balancedSample(Tables.documents(s, d)), Some(l27Sql)),
     Q("l29_leakage_safe_split", (s, d) =>
-      leakageSafeSplit(Tables.documents(s, d), Some(SigStore.portable(s, d))), Some(l29Sql)),
+      leakageSafeSplit(Tables.documents(s, d), Some(SigStore.portable(s, d)),
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l29Sql)),
     Q("l30_split_contamination", (s, d) => splitContamination(Tables.documents(s, d)), Some(l30Sql)),
     Q("l38_training_mix", (s, d) => trainingMixPlan(Tables.documents(s, d)), Some(l38Sql)))
 }

@@ -65,6 +65,15 @@ object SigStore {
     get(spark, "nsimfp:" + dir,
       () => TextDedup.nativeSimhashFp(graft.Tables.documents(spark, dir)))
 
+  /** Portable scored candidate pairs at the default bucket cap — one
+    * band join + scoring per (session, corpus), read by removal (l17),
+    * clustering (l26/l29), ranking (l28), the source matrix (l45), and
+    * the agreement audit (l47). Derived from the portable signature
+    * store, so the whole chain computes once. */
+  def portableCands(spark: SparkSession, dir: String): DataFrame =
+    get(spark, "pcands:" + dir,
+      () => TextDedup.portableScoredCandidates(portable(spark, dir)))
+
   private def get(spark: SparkSession, key: String,
                   build: () => DataFrame): DataFrame = cache.synchronized {
     var df = cache.get((spark, key))

@@ -139,6 +139,12 @@ object TextDedup {
     * the module's dominant cost — per consumer would triple it. Works on
     * both the native (16 longs) and portable (16 hex strings) signature
     * shapes — equality and the matching fraction are shape-agnostic. */
+  /** The portable tier's scored candidate frame at the default cap — the
+    * store-backed shape ([[SigStore.portableCands]]) shared by removal,
+    * clustering, ranking, the source matrix, and the agreement audit. */
+  private[llm] def portableScoredCandidates(sigs: DataFrame): DataFrame =
+    scoredCandidates(sigs, portableBandKey, MaxBucketDefault)
+
   private def scoredCandidates(sigs: DataFrame, bandKey: Int => Column,
                                maxBucket: Int): DataFrame =
     lshCandidatePairs(sigs, bandKey, maxBucket)
@@ -316,11 +322,14 @@ object TextDedup {
   def dedupFilter(documents: DataFrame, minJaccard: Double = 0.5,
                   portable: Boolean = false,
                   maxBucket: Int = MaxBucketDefault,
-                  sigsOpt: Option[DataFrame] = None): DataFrame = {
-    val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
-      (if (portable) withPortableSignatures(documents) else withNativeSignatures(documents)).persist()))
-    val toDrop = scoredCandidates(sigs,
-        if (portable) portableBandKey else nativeBandKey, maxBucket)
+                  sigsOpt: Option[DataFrame] = None,
+                  candsOpt: Option[DataFrame] = None): DataFrame = {
+    val cands = candsOpt.getOrElse {
+      val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
+        (if (portable) withPortableSignatures(documents) else withNativeSignatures(documents)).persist()))
+      scoredCandidates(sigs, if (portable) portableBandKey else nativeBandKey, maxBucket)
+    }
+    val toDrop = cands
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_b").as("doc_id")).distinct()
     documents.join(toDrop, Seq("doc_id"), "left_anti")
@@ -331,8 +340,9 @@ object TextDedup {
     * removal set exactly; `dedupFilter`'s default stays the xxhash64 fast
     * path (LlmSpec keeps the recall bound on that one). */
   def dedupFilterStats(documents: DataFrame,
-                       sigsOpt: Option[DataFrame] = None): DataFrame = {
-    val kept = dedupFilter(documents, portable = true, sigsOpt = sigsOpt)
+                       sigsOpt: Option[DataFrame] = None,
+                       candsOpt: Option[DataFrame] = None): DataFrame = {
+    val kept = dedupFilter(documents, portable = true, sigsOpt = sigsOpt, candsOpt = candsOpt)
       .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
     val total = documents.groupBy("lang").agg(count(lit(1)).as("total_docs"))
     total.join(kept, Seq("lang"), "left_outer")
@@ -350,10 +360,11 @@ object TextDedup {
     * xxhash64 fast path. */
   def minhashPortable(documents: DataFrame,
                       maxBucket: Int = MaxBucketDefault,
-                      sigsOpt: Option[DataFrame] = None): DataFrame =
-    scoredCandidates(
+                      sigsOpt: Option[DataFrame] = None,
+                      candsOpt: Option[DataFrame] = None): DataFrame =
+    candsOpt.getOrElse(scoredCandidates(
         sigsOpt.getOrElse(graft.CacheScope.manage(withPortableSignatures(documents).persist())),
-        portableBandKey, maxBucket)
+        portableBandKey, maxBucket))
       .select("id_a", "id_b", "est_jaccard")
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
@@ -521,10 +532,11 @@ object TextDedup {
   def fastTierAgreement(documents: DataFrame,
                         maxBucket: Int = MaxBucketDefault,
                         sigsOpt: Option[DataFrame] = None,
-                        fastSigsOpt: Option[DataFrame] = None): DataFrame = {
-    val portable = sigsOpt.getOrElse(graft.CacheScope.manage(
-      withPortableSignatures(documents).persist()))
-    val high = scoredCandidates(portable, portableBandKey, maxBucket)
+                        fastSigsOpt: Option[DataFrame] = None,
+                        candsOpt: Option[DataFrame] = None): DataFrame = {
+    val high = candsOpt.getOrElse(scoredCandidates(
+        sigsOpt.getOrElse(graft.CacheScope.manage(withPortableSignatures(documents).persist())),
+        portableBandKey, maxBucket))
       .filter(col("est_jaccard") >= FastTierMinEst)
       .select("id_a", "id_b", "est_jaccard")
     val fast = lshCandidatePairs(
@@ -557,10 +569,11 @@ object TextDedup {
   def crossSourceDupMatrix(documents: DataFrame,
                            minJaccard: Double = 0.5,
                            maxBucket: Int = MaxBucketDefault,
-                           sigsOpt: Option[DataFrame] = None): DataFrame = {
-    val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
-      withPortableSignatures(documents).persist()))
-    val pairs = scoredCandidates(sigs, portableBandKey, maxBucket)
+                           sigsOpt: Option[DataFrame] = None,
+                           candsOpt: Option[DataFrame] = None): DataFrame = {
+    val pairs = candsOpt.getOrElse(scoredCandidates(
+        sigsOpt.getOrElse(graft.CacheScope.manage(withPortableSignatures(documents).persist())),
+        portableBandKey, maxBucket))
       .filter(col("est_jaccard") >= minJaccard)
     val src = documents.select(col("doc_id"), col("source"))
     pairs
@@ -606,8 +619,9 @@ object TextDedup {
     * recursive-CTE reachability closure over the same edge set. */
   def dupComponents(documents: DataFrame, minJaccard: Double = 0.5,
                     maxBucket: Int = MaxBucketDefault,
-                    sigsOpt: Option[DataFrame] = None): DataFrame =
-    componentLabels(documents, minJaccard, maxBucket, sigsOpt)
+                    sigsOpt: Option[DataFrame] = None,
+                    candsOpt: Option[DataFrame] = None): DataFrame =
+    componentLabels(documents, minJaccard, maxBucket, sigsOpt, candsOpt)
       .groupBy("comp").agg(count(lit(1)).as("n_docs"))
       .select(col("comp").as("cluster_id"), col("n_docs"),
         (col("n_docs") - 1).as("removable"))
@@ -618,10 +632,12 @@ object TextDedup {
     * [[dupComponents]] for the algorithm notes. */
   private[llm] def componentLabels(documents: DataFrame, minJaccard: Double,
                                    maxBucket: Int,
-                                   sigsOpt: Option[DataFrame] = None): DataFrame = {
-    val sigs = sigsOpt.getOrElse(
-      graft.CacheScope.manage(withPortableSignatures(documents).persist()))
-    propagateMinLabels(scoredCandidates(sigs, portableBandKey, maxBucket)
+                                   sigsOpt: Option[DataFrame] = None,
+                                   candsOpt: Option[DataFrame] = None): DataFrame = {
+    val cands = candsOpt.getOrElse(scoredCandidates(
+      sigsOpt.getOrElse(graft.CacheScope.manage(withPortableSignatures(documents).persist())),
+      portableBandKey, maxBucket))
+    propagateMinLabels(cands
       .filter(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b"))
   }
@@ -961,13 +977,16 @@ object TextDedup {
     Q("l04_ngram_jaccard", (s, d) =>
       ngramJaccard(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d))), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) =>
-      dedupFilterStats(Tables.documents(s, d), Some(SigStore.portable(s, d))), Some(l17Sql)),
+      dedupFilterStats(Tables.documents(s, d), Some(SigStore.portable(s, d)),
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l17Sql)),
     Q("l24_simhash_portable", (s, d) =>
       simhashPortable(Tables.documents(s, d), fpOpt = Some(SigStore.simhashFp(s, d))), Some(l24Sql)),
     Q("l26_dedup_components", (s, d) =>
-      dupComponents(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l26Sql)),
+      dupComponents(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l26Sql)),
     Q("l28_minhash_portable", (s, d) =>
-      minhashPortable(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l28Sql)),
+      minhashPortable(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l28Sql)),
     Q("l35_incremental_dedup", (s, d) =>
       incrementalDedup(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l35Sql)),
     Q("l41_segment_dedup", (s, d) => segmentDedupStats(Tables.documents(s, d)), Some(l41Sql)),
@@ -975,11 +994,13 @@ object TextDedup {
       minhashRecall(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
         shOpt = Some(SigStore.shingles(s, d))), Some(l44Sql)),
     Q("l45_cross_source_dups", (s, d) =>
-      crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d))), Some(l45Sql)),
+      crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l45Sql)),
     Q("l48_simhash_recall", (s, d) =>
       simhashRecall(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d)),
         fpOpt = Some(SigStore.simhashFp(s, d))), Some(l48Sql)),
     Q("l47_fast_tier_agreement", (s, d) =>
       fastTierAgreement(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
-        fastSigsOpt = Some(SigStore.native(s, d))), Some(l47Sql)))
+        fastSigsOpt = Some(SigStore.native(s, d)),
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l47Sql)))
 }

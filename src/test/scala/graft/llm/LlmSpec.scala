@@ -421,6 +421,11 @@ class LlmSpec extends SparkSuite {
       sigsOpt = Some(SigStore.native(spark, dir))).collect().map(_.toSeq).toSeq
     val fastRecomputed = TextDedup.minhashNearDup(documents).collect().map(_.toSeq).toSeq
     assert(fastFromStore === fastRecomputed)
+    // and the scored-candidate frame obeys the same contract
+    val compFromStore = TextDedup.dupComponents(documents,
+      candsOpt = Some(SigStore.portableCands(spark, dir))).collect().map(_.toSeq).toSeq
+    val compRecomputed = TextDedup.dupComponents(documents).collect().map(_.toSeq).toSeq
+    assert(compFromStore === compRecomputed)
   }
 
   test("fast simhash tier recalls the truth universe at least as well as the portable tier") {

@@ -74,6 +74,13 @@ object SigStore {
     get(spark, "pcands:" + dir,
       () => TextDedup.portableScoredCandidates(portable(spark, dir)))
 
+  /** The exact-Jaccard ground-truth pair universe over the rare-shingle
+    * prune — read by both recall audits (l44, l48). Derived from the
+    * shingle store. */
+  def truth(spark: SparkSession, dir: String): DataFrame =
+    get(spark, "truth:" + dir,
+      () => TextDedup.truthPairs(shingles(spark, dir)))
+
   private def get(spark: SparkSession, key: String,
                   build: () => DataFrame): DataFrame = cache.synchronized {
     var df = cache.get((spark, key))

@@ -276,20 +276,26 @@ object TextDedup {
 
   def ngramJaccard(documents: DataFrame,
                    maxBucket: Int = MaxBucketDefault,
-                   shOpt: Option[DataFrame] = None): DataFrame = {
+                   shOpt: Option[DataFrame] = None,
+                   candsOpt: Option[DataFrame] = None): DataFrame = {
     val sh = shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))
-    val sigs = portableSigSlots(sh)
-    val banded = capBuckets(
-      sigs.select(col("doc_id"),
-        posexplode(array((0 until NumBands).map(b =>
-          concat(col(s"mh_${2 * b}"), lit("|"), col(s"mh_${2 * b + 1}"))): _*))
-          .as(Seq("band_id", "band_key"))),
-      Seq("band_id", "band_key"), maxBucket)
-    val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_key"))
-    val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_key"))
-    val cands = a.join(b, Seq("band_id", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // the banding below IS the portable chain (signatures from the same
+    // shingles, portableBandKey band keys, same cap), so the stored
+    // candidate frame substitutes exactly
+    val cands = candsOpt.map(_.select("id_a", "id_b")).getOrElse {
+      val sigs = portableSigSlots(sh)
+      val banded = capBuckets(
+        sigs.select(col("doc_id"),
+          posexplode(array((0 until NumBands).map(b =>
+            concat(col(s"mh_${2 * b}"), lit("|"), col(s"mh_${2 * b + 1}"))): _*))
+            .as(Seq("band_id", "band_key"))),
+        Seq("band_id", "band_key"), maxBucket)
+      val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_key"))
+      val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_key"))
+      a.join(b, Seq("band_id", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     val shset = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
     cands
       .join(shset.select(col("doc_id").as("id_a"), col("s").as("sh_a")), Seq("id_a"))
@@ -443,11 +449,13 @@ object TextDedup {
   def minhashRecall(documents: DataFrame,
                     maxBucket: Int = MaxBucketDefault,
                     sigsOpt: Option[DataFrame] = None,
-                    shOpt: Option[DataFrame] = None): DataFrame = {
-    val sh = shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))
+                    shOpt: Option[DataFrame] = None,
+                    truthOpt: Option[DataFrame] = None): DataFrame = {
+    val tru = truthOpt.getOrElse(truthPairs(
+      shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))))
     val sigs = sigsOpt.getOrElse(graft.CacheScope.manage(
       withPortableSignatures(documents).persist()))
-    recallRollup(truthPairs(sh),
+    recallRollup(tru,
       lshCandidatePairs(sigs, portableBandKey, maxBucket).select("id_a", "id_b"))
   }
 
@@ -464,10 +472,12 @@ object TextDedup {
   def simhashRecall(documents: DataFrame,
                     maxBucket: Int = MaxBucketDefault,
                     shOpt: Option[DataFrame] = None,
-                    fpOpt: Option[DataFrame] = None): DataFrame = {
-    val sh = shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))
+                    fpOpt: Option[DataFrame] = None,
+                    truthOpt: Option[DataFrame] = None): DataFrame = {
+    val tru = truthOpt.getOrElse(truthPairs(
+      shOpt.getOrElse(graft.CacheScope.manage(portableShingles(documents).persist()))))
     val fp = fpOpt.getOrElse(graft.CacheScope.manage(portableSimhashFp(documents).persist()))
-    recallRollup(truthPairs(sh),
+    recallRollup(tru,
       portableSimhashPairs(fp, maxBucket).select("id_a", "id_b"))
   }
 
@@ -975,7 +985,8 @@ object TextDedup {
     Q("l03_dedup_simhash", (s, d) =>
       simhashNearDup(Tables.documents(s, d), fpOpt = Some(SigStore.nativeSimhash(s, d))), None),
     Q("l04_ngram_jaccard", (s, d) =>
-      ngramJaccard(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d))), Some(l04Sql)),
+      ngramJaccard(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d)),
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l04Sql)),
     Q("l17_dedup_filter", (s, d) =>
       dedupFilterStats(Tables.documents(s, d), Some(SigStore.portable(s, d)),
         candsOpt = Some(SigStore.portableCands(s, d))), Some(l17Sql)),
@@ -992,13 +1003,13 @@ object TextDedup {
     Q("l41_segment_dedup", (s, d) => segmentDedupStats(Tables.documents(s, d)), Some(l41Sql)),
     Q("l44_minhash_recall", (s, d) =>
       minhashRecall(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
-        shOpt = Some(SigStore.shingles(s, d))), Some(l44Sql)),
+        truthOpt = Some(SigStore.truth(s, d))), Some(l44Sql)),
     Q("l45_cross_source_dups", (s, d) =>
       crossSourceDupMatrix(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
         candsOpt = Some(SigStore.portableCands(s, d))), Some(l45Sql)),
     Q("l48_simhash_recall", (s, d) =>
-      simhashRecall(Tables.documents(s, d), shOpt = Some(SigStore.shingles(s, d)),
-        fpOpt = Some(SigStore.simhashFp(s, d))), Some(l48Sql)),
+      simhashRecall(Tables.documents(s, d), fpOpt = Some(SigStore.simhashFp(s, d)),
+        truthOpt = Some(SigStore.truth(s, d))), Some(l48Sql)),
     Q("l47_fast_tier_agreement", (s, d) =>
       fastTierAgreement(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
         fastSigsOpt = Some(SigStore.native(s, d)),

@@ -18,11 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SigStore {
 
-  // five entries per (session, dir) — shingles, portable + native
-  // minhash, portable + native simhash — so the bound covers four
-  // concurrent (session, dir) combinations before evicting (eviction
-  // only costs a recompute, never correctness)
-  private val MaxEntries = 20
+  // seven entries per (session, dir) — shingles, portable + native
+  // minhash, portable + native simhash, scored candidates, truth pairs —
+  // so the bound covers four concurrent (session, dir) combinations
+  // before evicting (eviction only costs a recompute, never correctness)
+  private val MaxEntries = 28
   private val cache = new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
       16, 0.75f, true) {
     override def removeEldestEntry(

@@ -17,6 +17,7 @@ object SparkEntry {
       etl.VersionLog.all ++
       etl.Skew.all ++
       sources.PartitionedLayout.all ++
+      streaming.StreamingOracle.all ++
       llm.TextDedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++

@@ -56,7 +56,7 @@ object FunnelQueries {
           col("reached_purchase").cast("double") / col("reached_click")))
   }
 
-  private val q58Sql =
+  private[graft] val q58Sql =
     """WITH e AS (SELECT user_id, event_type, cast(floor(epoch(ts)) as bigint) AS ts_s FROM events),
       |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_s END)
       |                   OVER (PARTITION BY user_id) AS t1 FROM e),
@@ -76,7 +76,7 @@ object FunnelQueries {
   /** The q58 summary shape over a per-user (t1, t2, t3) table — shared by
     * the window formulation (q58) and the stateful operator (q61), with
     * divide-by-zero guarded identically to the SQL twin. */
-  private def funnelSummary(perUser: DataFrame): DataFrame =
+  private[graft] def funnelSummary(perUser: DataFrame): DataFrame =
     perUser.agg(
         count(lit(1)).as("users"),
         count(col("t1")).as("reached_view"),

@@ -53,6 +53,15 @@ object PartitionedLayout {
     spark.read.parquet(dir)
   }
 
+  /** The scratch path of the partitioned copy — valid after
+    * [[partitionedEvents]] has materialized it for `sfDir` (the
+    * streaming-oracle query streams this directory). */
+  def partitionedEventsDir(sfDir: String): String = {
+    val dir = partitionedWritten.get(sfDir)
+    require(dir != null, s"partitionedEvents($sfDir) has not been materialized yet")
+    dir
+  }
+
   /** q60 — a date-sliced daily rollup over the partitioned layout. The
     * filter lands on PARTITION columns, so the scan's `PartitionFilters`
     * prune to 11 of 30 day-directories before a single row is read

@@ -92,8 +92,57 @@ object StreamingOracle {
     graft.operators.FunnelQueries.funnelSummary(perUser)
   }
 
+  private val docsWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q70 — STREAMING corpus dedup under the oracle: `documents` arrives
+    * as ten separate files streamed two per trigger, and the streaming
+    * `dropDuplicates` state machine keeps the first (lang, text-hash)
+    * occurrence it sees. WHICH row survives depends on arrival order, so
+    * the gate aggregates to the order-INVARIANT surface — kept docs per
+    * language = distinct (lang, hash) pairs — which must hash-match
+    * DuckDB computing the same from the flat fixture (the streaming twin
+    * of l01's exact-dedup arithmetic, and the front door a streaming
+    * corpus-ingest pipeline runs; reference analog: the content-hash
+    * dedup in Streams.corpusIngest). */
+  def streamingDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = docsWritten.computeIfAbsent(sfDir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val out = p.toString
+      graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang")
+        .repartition(10, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(dir)
+      .withColumn("text_hash", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .dropDuplicates("lang", "text_hash")
+    val name = s"q70_stream_${runId.incrementAndGet()}"
+    val q = src.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  private val q70Sql =
+    """SELECT lang, count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS kept_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),
     graft.Q("q69_streaming_funnel", (s, d) => streamingFunnelSummary(s, d),
-      Some(graft.operators.FunnelQueries.q58Sql)))
+      Some(graft.operators.FunnelQueries.q58Sql)),
+    graft.Q("q70_streaming_dedup", (s, d) => streamingDedupStats(s, d), Some(q70Sql)))
 }

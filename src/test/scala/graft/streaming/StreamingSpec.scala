@@ -279,4 +279,26 @@ class StreamingSpec extends SparkSuite {
       assert(spark.read.parquet(out).count() === 100)
     } finally query.stop()
   }
+
+  test("the streaming-oracle gates really slice the source into multiple data-carrying micro-batches") {
+    import org.apache.spark.sql.functions._
+    // same source shape as StreamingOracle.streamingWindowRollup: the
+    // y/m/d-partitioned copy streamed 7 files per trigger — the exactness
+    // claim of q68/q69 rests on >1 micro-batch actually occurring
+    val sf = sfDir("0.001")
+    graft.sources.PartitionedLayout.partitionedEvents(spark, sf)
+    val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sf)
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "7").option("basePath", dir).parquet(dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = src.writeStream.format("memory").queryName("wm_batches")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2,
+        s"expected the 30 day-directories to arrive across several triggers, got $dataBatches")
+    } finally q.stop()
+  }
 }

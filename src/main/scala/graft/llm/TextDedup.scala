@@ -133,18 +133,18 @@ object TextDedup {
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / NumHashes
 
-  /** Candidate pairs scored by estimated Jaccard. `sigs` is persisted by
-    * the caller-facing entry points: it feeds the band join and two
-    * payload re-joins, and recomputing the explode+aggregate pipeline —
-    * the module's dominant cost — per consumer would triple it. Works on
-    * both the native (16 longs) and portable (16 hex strings) signature
-    * shapes — equality and the matching fraction are shape-agnostic. */
   /** The portable tier's scored candidate frame at the default cap — the
     * store-backed shape ([[SigStore.portableCands]]) shared by removal,
     * clustering, ranking, the source matrix, and the agreement audit. */
   private[llm] def portableScoredCandidates(sigs: DataFrame): DataFrame =
     scoredCandidates(sigs, portableBandKey, MaxBucketDefault)
 
+  /** Candidate pairs scored by estimated Jaccard. `sigs` is persisted by
+    * the caller-facing entry points: it feeds the band join and two
+    * payload re-joins, and recomputing the explode+aggregate pipeline —
+    * the module's dominant cost — per consumer would triple it. Works on
+    * both the native (16 longs) and portable (16 hex strings) signature
+    * shapes — equality and the matching fraction are shape-agnostic. */
   private def scoredCandidates(sigs: DataFrame, bandKey: Int => Column,
                                maxBucket: Int): DataFrame =
     lshCandidatePairs(sigs, bandKey, maxBucket)

@@ -428,6 +428,30 @@ class LlmSpec extends SparkSuite {
     assert(compFromStore === compRecomputed)
   }
 
+  test("property: capBuckets keeps exactly the lowest-id members per bucket, independent of row order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val rows = Seq.fill(200)((rnd.nextInt(5), rnd.nextInt(4).toString, rnd.nextInt(50).toLong))
+        .distinct.map { case (b, k, id) => (b, k, id) }
+      val df = rows.toDF("band_id", "band_hash", "doc_id")
+      val cap = 1 + rnd.nextInt(4)
+      def normalize(out: Array[org.apache.spark.sql.Row]) =
+        out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      val got = normalize(
+        TextDedup.capBuckets(df, Seq("band_id", "band_hash"), cap).collect())
+      // reference: per (band, hash), the cap lowest doc_ids
+      val want = rows.groupBy(r => (r._1, r._2)).values
+        .flatMap(g => g.sortBy(_._3).take(cap)).toSeq.sorted
+      assert(got === want, s"cap=$cap")
+      // and row order must not matter (the determinism the whole LSH tier leans on)
+      val shuffledGot = normalize(TextDedup.capBuckets(
+        rnd.shuffle(rows).toDF("band_id", "band_hash", "doc_id"),
+        Seq("band_id", "band_hash"), cap).collect())
+      assert(shuffledGot === want, s"order-dependence at cap=$cap")
+    }
+  }
+
   test("fast simhash tier recalls the truth universe at least as well as the portable tier") {
     import org.apache.spark.sql.functions._
     val dir = sfDir("0.01")

@@ -343,6 +343,35 @@ object ExtendedQueries {
        |FROM events WHERE event_type <> 'error' OR event_type IS NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q71 — supplier-side star rollup: supplier ⋈ nation ⋈ region
+    * (broadcast dims), per-region supplier counts, account-balance
+    * totals, and the negative-balance share — the supply-side health
+    * view mirroring q15's customer-side star, and the one fixture table
+    * no other registered query touched. */
+  def supplierHealth(supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        countDistinct(col("n_name")).as("n_nations"),
+        dsum(col("s_acctbal")).as("total_acctbal"),
+        sum(when(col("s_acctbal") < 0, 1).otherwise(0)).as("n_negative"))
+      .withColumn("negative_share",
+        col("n_negative").cast("double") / col("n_suppliers"))
+      .orderBy("region")
+
+  private val q71Sql =
+    s"""SELECT r_name AS region, count(*) AS n_suppliers,
+       | count(DISTINCT n_name) AS n_nations,
+       | ${sqlDsum("s_acctbal")} AS total_acctbal,
+       | cast(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) as bigint) AS n_negative,
+       | cast(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) as double)/count(*) AS negative_share
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ----
 
   def all: Seq[Q] = Seq(
@@ -373,5 +402,8 @@ object ExtendedQueries {
     Q("q29_merge_upsert",
       (s, d) => mergeUpsert(Tables.events(s, d)), Some(q29Sql)),
     Q("q30_delete_update",
-      (s, d) => deleteUpdate(Tables.events(s, d)), Some(q30Sql)))
+      (s, d) => deleteUpdate(Tables.events(s, d)), Some(q30Sql)),
+    Q("q71_supplier_health",
+      (s, d) => supplierHealth(Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d)),
+      Some(q71Sql)))
 }

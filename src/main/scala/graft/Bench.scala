@@ -51,8 +51,12 @@ object Bench {
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // total over the ROUNDED per-query values so the printed total always
-    // equals the sum of the printed queries
-    val total = results.map(_._2).filter(_ >= 0).map(v => math.rint(v * 1000) / 1000).sum
+    // equals the sum of the printed queries — rounded with the same
+    // HALF_UP rule %.3f uses (rint is half-even: an exact .0005 tie
+    // would leave the total 0.001 off the sum of displayed values)
+    val total = results.map(_._2).filter(_ >= 0)
+      .map(v => BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
     val failed = results.count(_._2 < 0)
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}"""

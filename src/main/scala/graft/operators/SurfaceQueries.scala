@@ -195,7 +195,7 @@ object SurfaceQueries {
   def sessionWindow(events: DataFrame): DataFrame =
     graft.streaming.Sessionize.sessionWindowRollup(events, "2 hours")
 
-  private val q35Sql =
+  private[graft] val q35Sql =
     s"""WITH e AS (SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS ts_s, value FROM events),
        |s AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 7200
        |                THEN 1 ELSE 0 END AS brk
@@ -297,8 +297,9 @@ object SurfaceQueries {
     * for incremental distinct counts at 100 TB — a gold table stores the
     * per-day sketch column and any date range's DAU is a cheap
     * `hll_union_agg` over already-aggregated rows, never a rescan of the
-    * fact table. Approximate ⇒ rows-only check; the ≤5% error bound is
-    * asserted in SketchSpec. */
+    * fact table. Registered through [[hllRollupAudit]], whose agreement
+    * surface is oracle-exact; the raw ≤5% error bound is also asserted
+    * in SketchSpec. */
   def hllRollup(events: DataFrame): DataFrame = {
     // persisted: feeds both the per-day output and the union rollup —
     // without it the day-level aggregation over the fact table runs twice.
@@ -319,6 +320,29 @@ object SurfaceQueries {
       .select("day", "approx_dau", "exact_dau")
     dailyOut.unionByName(total).orderBy(col("day").asc_nulls_last)
   }
+
+  /** The registered q39 surface: [[hllRollup]] reduced to its AGREEMENT
+    * CONTRACT — per day (and the union-sketch total row, day = NULL) the
+    * exact DAU plus `approx_ok` = the HLL estimate lands within ±5% of
+    * it, which the oracle pins to `true` (the l47 trick: the error bound
+    * becomes a driver-visible oracle-exact row instead of a rows-only
+    * check; the sketch value itself has no SQL oracle — DuckDB's HLL is
+    * a different implementation). Deterministic: the HLL register state
+    * is a pure function of the value SET, invariant to partition order,
+    * so the estimate cannot wobble between runs. SketchSpec keeps the
+    * tighter per-estimate assertions. */
+  def hllRollupAudit(events: DataFrame): DataFrame =
+    hllRollup(events).select(
+      col("day"), col("exact_dau"),
+      (abs(col("approx_dau").cast("double") - col("exact_dau").cast("double")) <=
+        col("exact_dau").cast("double") * 0.05).as("approx_ok"))
+
+  private val q39Sql =
+    """SELECT cast(ts as date) AS day, count(DISTINCT user_id) AS exact_dau, true AS approx_ok
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT NULL, count(DISTINCT user_id), true FROM events
+      |ORDER BY 1 NULLS LAST""".stripMargin
 
   /** q40 — ROLLUP subtotals (beyond the reference, standard BI surface).
     * Null-ordering is pinned explicitly: Spark defaults NULLS FIRST,
@@ -614,6 +638,34 @@ object SurfaceQueries {
           array(lit(0.25), lit(0.75)), lit(accuracy)).as("qs"))
         .select(col("l_returnflag"), col("qs")(0).as("q1"), col("qs")(1).as("q3")))
 
+  /** The registered q63 surface: the approx fence probe reduced to its
+    * AGREEMENT CONTRACT against the exact path — per group, the exact row
+    * count plus `fences_ok` = each of (q1, q3, hi_fence) from
+    * `approx_percentile` lands within ±1% of [[iqrOutliers]]'s exact
+    * value, pinned to `true` by the oracle (the l47 trick — same shape
+    * as q39's audit). At accuracy=10000 the sketch's rank error is
+    * ≤0.01%, so the 1% VALUE tolerance has orders-of-magnitude headroom
+    * against partial-merge order wobble. SketchSpec keeps the raw fence
+    * bound; PlanSpec keeps the broadcast-probe plan shape. */
+  def iqrOutliersApproxAudit(lineitem: DataFrame): DataFrame = {
+    def within1pct(a: Column, e: Column): Column =
+      abs(a - e) <= abs(e) * 0.01
+    val approx = iqrOutliersApprox(lineitem)
+      .select(col("l_returnflag"), col("q1").as("q1_a"), col("q3").as("q3_a"),
+        col("hi_fence").as("hf_a"))
+    iqrOutliers(lineitem)
+      .join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        (within1pct(col("q1_a"), col("q1")) &&
+          within1pct(col("q3_a"), col("q3")) &&
+          within1pct(col("hf_a"), col("hi_fence"))).as("fences_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q63Sql =
+    """SELECT l_returnflag, count(*) AS n, true AS fences_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q57Sql =
     s"""WITH f AS (
        |  SELECT l_returnflag,
@@ -664,7 +716,7 @@ object SurfaceQueries {
     Q("q37_asof_join", (s, d) => asofEnrich(Tables.events(s, d)), Some(q37Sql)),
     Q("q38_interval_join",
       (s, d) => intervalJoin(Tables.lineitem(s, d), Tables.orders(s, d)), Some(q38Sql)),
-    Q("q39_hll_sketch_rollup", (s, d) => hllRollup(Tables.events(s, d)), None),
+    Q("q39_hll_sketch_rollup", (s, d) => hllRollupAudit(Tables.events(s, d)), Some(q39Sql)),
     Q("q40_rollup_totals", (s, d) => rollupTotals(Tables.lineitem(s, d)), Some(q40Sql)),
     Q("q41_pivot_counts", (s, d) => pivotCounts(Tables.events(s, d)), Some(q41Sql)),
     Q("q42_set_ops", (s, d) => setOps(Tables.events(s, d)), Some(q42Sql)),
@@ -676,5 +728,5 @@ object SurfaceQueries {
     Q("q55_ntile_quartiles", (s, d) => ntileQuartiles(Tables.events(s, d)), Some(q55Sql)),
     Q("q56_rolling_range", (s, d) => rollingRange(Tables.events(s, d)), Some(q56Sql)),
     Q("q57_iqr_outliers", (s, d) => iqrOutliers(Tables.lineitem(s, d)), Some(q57Sql)),
-    Q("q63_iqr_outliers_approx", (s, d) => iqrOutliersApprox(Tables.lineitem(s, d)), None))
+    Q("q63_iqr_outliers_approx", (s, d) => iqrOutliersApproxAudit(Tables.lineitem(s, d)), Some(q63Sql)))
 }

@@ -87,7 +87,7 @@ object PartitionedLayout {
     * scratch-located database so the bucket files never land in the
     * caller's working directory. */
   def bucketedTables(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val (li, ord) = bucketedWritten.computeIfAbsent(sfDir, { _ =>
+    def create(): (String, String) = {
       val db = "graft_scratch"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '${scratchDir("bucket")}'")
       val sfx = Integer.toHexString(sfDir.hashCode)
@@ -99,6 +99,16 @@ object PartitionedLayout {
         graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
         ordName, "o_orderkey", 8)
       (liName, ordName)
+    }
+    // Unlike the path-keyed memos below (whose parquet directories any
+    // SparkSession can read), table names live in a SESSION's catalog —
+    // a second SparkSession in the same JVM would get memoized names its
+    // own catalog has never seen. Re-validate against the caller's
+    // catalog and rebuild for it when the names don't resolve.
+    val (li, ord) = bucketedWritten.compute(sfDir, { (_, cached) =>
+      if (cached != null && spark.catalog.tableExists(cached._1) &&
+        spark.catalog.tableExists(cached._2)) cached
+      else create()
     })
     (spark.table(li), spark.table(ord))
   }

@@ -1,56 +1,162 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicInteger
-import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.functions.Det.{dsum, sqlDsum}
 
 /** Structured Streaming EXECUTION under the DuckDB oracle gate.
   *
   * Streaming operators elsewhere in graft/streaming are spec-gated —
-  * DuckDB cannot watch a stream. But a BOUNDED stream in Complete output
-  * mode has a well-defined final table that no micro-batch boundary can
-  * perturb: the aggregation state folds the whole input regardless of
-  * how the file source slices it into triggers, and the decimal-routed
-  * sums make the fold order-independent. So the full streaming machinery
-  * — file-stream source over a partitioned directory, trigger-bounded
-  * micro-batches, stateful aggregation, memory sink — runs end-to-end
-  * inside a registered query whose FINAL result hash-matches the oracle
-  * computing the same aggregate from the flat fixture in SQL (reference:
-  * real_time_streaming.py's windowed aggregations, RT:155-211).
+  * DuckDB cannot watch a stream. But a BOUNDED stream has a well-defined
+  * final on-storage result once every micro-batch has committed, and for
+  * each gate here that final result is provably invariant to how the file
+  * source slices the input into triggers:
   *
-  * The query streams the y/m/d-partitioned copy of `events`
-  * ([[graft.sources.PartitionedLayout.partitionedEvents]]) with
-  * `maxFilesPerTrigger=7`, so a 30-day corpus really does arrive as
-  * multiple micro-batches in arbitrary file order — the exactness being
-  * proven is precisely "micro-batching is invisible in the result".
+  *  - q68 (Complete mode): the aggregation state folds the whole input
+  *    regardless of micro-batch boundaries; decimal-routed sums make the
+  *    fold order-independent.
+  *  - q69 (Update mode): the funnel state machine is monotone — the
+  *    final per-user state is the per-column MIN over all emissions.
+  *  - q70 (Append + dropDuplicates): WHICH duplicate survives depends on
+  *    arrival order, so the gate aggregates to the order-invariant
+  *    surface (kept docs per language).
+  *  - q72 (Append + watermark): arrival order is PINNED by file
+  *    modification times, so exactly which rows are late — and which
+  *    windows finalize — is deterministic and oracle-computable.
+  *  - q73 (Append + session windows): in-day-order arrival makes the
+  *    streaming session merge reproduce the batch session partition
+  *    exactly (see [[streamingSessionRollup]]).
+  *
+  * Every gate runs the full production machinery: file-stream source,
+  * trigger-bounded micro-batches, stateful operators on the ROCKSDB
+  * state store (the 100 TB state backend — state must spill to disk at
+  * scale, so the gates prove the operators are provider-agnostic), and a
+  * CHECKPOINTED FILE SINK (reference: real_time_streaming.py:203-211's
+  * checkpointed file output). Complete/Update-mode results go through
+  * `foreachBatch` parquet writes (the documented pattern for those modes
+  * — the parquet sink itself is append-only); append-mode results go
+  * through the production S5 sink ([[Streams.parquetSink]]). No result
+  * ever materializes driver-side.
+  *
+  * Harness sizing: `maxFilesPerTrigger` is derived from the source's
+  * actual file count so each gate runs ~3 micro-batches (the multi-batch
+  * proof needs >1; more just multiplies per-batch state-commit overhead),
+  * and the gates run with 8 shuffle/state partitions instead of the
+  * session's 32 — at fixture scale the state per partition is tiny and
+  * per-batch cost is dominated by the per-partition state-store commit.
+  * Both are run-time configs, not semantics: at production scale you
+  * raise them (more state partitions = more parallelism, smaller
+  * per-store footprint).
   */
 object StreamingOracle {
 
   private val runId = new AtomicInteger(0)
 
-  /** q68 — 5-minute windowed rollup per event type, computed BY THE
-    * STREAMING ENGINE and returned as the final Complete-mode table. */
-  def streamingWindowRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    // materialize the partitioned copy (memoized per JVM) and stream it
-    graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
-    val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sfDir)
+  // ---- scratch management -------------------------------------------------
+
+  private lazy val scratchRoot: Path = {
+    val p = Files.createTempDirectory("graft_stream_oracle")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p)))
+    p
+  }
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+
+  // One live run dir per gate: each invocation gets a FRESH checkpoint +
+  // sink (so re-runs genuinely re-execute the stream) and deletes the
+  // previous invocation's dir — bench iterations don't accumulate sinks.
+  private val lastRunDir = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  private def freshRunDir(gate: String): Path = {
+    val p = scratchRoot.resolve(s"${gate}_${runId.incrementAndGet()}")
+    Files.createDirectories(p)
+    val prev = lastRunDir.put(gate, p)
+    if (prev != null) deleteRec(prev)
+    p
+  }
+
+  // ---- gate harness -------------------------------------------------------
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val GatePartitions = "8"
+
+  /** Run `start` under the gate configuration (RocksDB state store, 8
+    * state partitions), drain the stream, and restore the session conf.
+    * The conf is only read at query START, so restoring after the drain
+    * cannot affect the running batches. */
+  private def drain(spark: SparkSession)(start: => StreamingQuery): StreamingQuery = {
+    val conf = spark.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevProv = conf.getOption(ProviderKey)
+    conf.set("spark.sql.shuffle.partitions", GatePartitions)
+    conf.set(ProviderKey, RocksDbProvider)
+    try {
+      val q = start
+      try q.processAllAvailable() finally q.stop()
+      q
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => conf.set(ProviderKey, v)
+        case None    => conf.unset(ProviderKey)
+      }
+    }
+  }
+
+  /** Files-per-trigger that slices `dir` into ~`targetBatches`
+    * micro-batches whatever the layout's file count is. */
+  private[streaming] def mftFor(spark: SparkSession, dir: String,
+                                targetBatches: Int = 3): Int = {
+    val n = spark.read.parquet(dir).inputFiles.length
+    math.max(1, math.ceil(n.toDouble / targetBatches).toInt)
+  }
+
+  private def sourceOver(spark: SparkSession, dir: String, mft: Int): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    val src = spark.readStream
+    spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "7")
+      .option("maxFilesPerTrigger", mft.toString)
       .option("basePath", dir)
       .parquet(dir)
-    val agg = src
+  }
+
+  // ---- q68: Complete-mode windowed rollup ---------------------------------
+
+  /** q68 — 5-minute windowed rollup per event type, computed BY THE
+    * STREAMING ENGINE over the y/m/d-partitioned copy of `events`
+    * ([[graft.sources.PartitionedLayout.partitionedEvents]]) and
+    * persisted through a checkpointed `foreachBatch` parquet write (each
+    * Complete-mode batch overwrites the result table — the documented
+    * file-sink shape for Complete mode; reference:
+    * real_time_streaming.py:155-211). */
+  def streamingWindowRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
+    val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sfDir)
+    val run = freshRunDir("q68")
+    val result = run.resolve("result").toString
+    val agg = sourceOver(spark, dir, mftFor(spark, dir))
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n"), col("total_value"))
-    val name = s"q68_stream_${runId.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    drain(spark) {
+      agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(result)
+        }
+        .start()
+    }
+    spark.read.parquet(result)
       .orderBy(col("bucket_start"), col("event_type").asc_nulls_last)
   }
 
@@ -59,79 +165,85 @@ object StreamingOracle {
        |       event_type, count(*) AS n, ${sqlDsum("value")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q69: Update-mode stateful funnel -----------------------------------
+
   /** q69 — the stateful funnel across REAL micro-batches, under q58's
     * oracle. The Update-mode stream re-emits a user's (t1, t2, t3)
     * whenever a batch touches them; the funnel's monotonicity (every
     * step threshold only ever DECREASES once defined, and never reverts
     * to null — proven by FunnelSpec's property test) means the FINAL
     * state per user is simply the per-column MIN over all emissions. So:
-    * stream the partitioned copy in arbitrary file order, fold the
-    * emissions, roll up to q58's summary — hash equality with the batch
-    * window formulation proves the state machine is exact under any
-    * micro-batch slicing the source produces. */
+    * stream the partitioned copy in arbitrary file order, append every
+    * emission to a checkpointed parquet sink (the Update-mode
+    * `foreachBatch` changelog pattern), fold the emissions FROM STORAGE,
+    * and roll up to q58's summary — hash equality with the batch window
+    * formulation proves the state machine is exact under any micro-batch
+    * slicing the source produces. */
   def streamingFunnelSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
     val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sfDir)
-    val schema = spark.read.parquet(dir).schema
-    val src = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "7")
-      .option("basePath", dir)
-      .parquet(dir)
+    val run = freshRunDir("q69")
+    val result = run.resolve("result").toString
+    val src = sourceOver(spark, dir, mftFor(spark, dir))
       .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
       .as[Funnel.FunnelEvent]
-    val name = s"q69_stream_${runId.incrementAndGet()}"
-    val q = Funnel.streamingFunnel(spark, src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
-    val perUser = spark.table(name)
+    drain(spark) {
+      Funnel.streamingFunnel(spark, src)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(result)
+        }
+        .start()
+    }
+    val perUser = spark.read.parquet(result)
       .groupBy("user_id")
       .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
     graft.operators.FunnelQueries.funnelSummary(perUser)
   }
 
+  // ---- q70: streaming dedup -----------------------------------------------
+
   private val docsWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q70 — STREAMING corpus dedup under the oracle: `documents` arrives
-    * as ten separate files streamed two per trigger, and the streaming
-    * `dropDuplicates` state machine keeps the first (lang, text-hash)
-    * occurrence it sees. WHICH row survives depends on arrival order, so
-    * the gate aggregates to the order-INVARIANT surface — kept docs per
-    * language = distinct (lang, hash) pairs — which must hash-match
-    * DuckDB computing the same from the flat fixture (the streaming twin
-    * of l01's exact-dedup arithmetic, and the front door a streaming
-    * corpus-ingest pipeline runs; reference analog: the content-hash
-    * dedup in Streams.corpusIngest). */
+    * as ten separate files streamed across several triggers, and the
+    * streaming `dropDuplicates` state machine keeps the first
+    * (lang, text-hash) occurrence it sees. WHICH row survives depends on
+    * arrival order, so the gate aggregates to the order-INVARIANT
+    * surface — kept docs per language = distinct (lang, hash) pairs —
+    * which must hash-match DuckDB computing the same from the flat
+    * fixture (the streaming twin of l01's exact-dedup arithmetic;
+    * reference analog: the content-hash dedup in Streams.corpusIngest).
+    * The survivors land in the PRODUCTION checkpointed parquet sink
+    * (S5); the rollup reads them back from storage. */
   def streamingDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = docsWritten.computeIfAbsent(sfDir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
-      val out = p.toString
+      val out = scratchRoot.resolve(
+        "docs_" + Integer.toHexString(sfDir.hashCode)).toString
       graft.Tables.documents(spark, sfDir)
         .select("doc_id", "text", "lang")
         .repartition(10, col("doc_id"))
         .write.mode("overwrite").parquet(out)
       out
     })
-    val schema = spark.read.parquet(dir).schema
-    val src = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "2")
-      .parquet(dir)
-      .withColumn("text_hash", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+    val run = freshRunDir("q70")
+    val result = run.resolve("result").toString
+    // project to (lang, text_hash) BEFORE the stateful dedup: the state
+    // and the sink then carry two small strings per kept doc, not the
+    // full document text
+    val deduped = sourceOver(spark, dir, mftFor(spark, dir))
+      .select(col("lang"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("text_hash"))
       .dropDuplicates("lang", "text_hash")
-    val name = s"q70_stream_${runId.incrementAndGet()}"
-    val q = src.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    drain(spark) {
+      Streams.parquetSink(deduped, result,
+        run.resolve("checkpoint").toString, triggerMs = 0).start()
+    }
+    spark.read.parquet(result)
       .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
       .orderBy(col("lang").asc_nulls_last)
   }
@@ -140,9 +252,161 @@ object StreamingOracle {
     """SELECT lang, count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS kept_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- ordered event layouts (q72/q73) ------------------------------------
+
+  // Arbitrary fixed epoch for the slice modification times — only the
+  // ORDER matters (the file source processes oldest-first), never the
+  // wall clock.
+  private val SliceEpochMs = 1700000000000L
+
+  private val orderedWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write `slices` of the 5-column event projection as single parquet
+    * files `000.parquet, 001.parquet, …` whose ascending modification
+    * times pin the file source's processing order (oldest-first is the
+    * source's documented default). Memoized per (gate, sfDir) — the
+    * layout is a pure function of the read-only fixture. */
+  private def orderedSliceDir(spark: SparkSession, gate: String, sfDir: String,
+                              slices: Seq[DataFrame]): String =
+    orderedWritten.computeIfAbsent(
+      gate + "_" + Integer.toHexString(sfDir.hashCode), { key =>
+        val dir = scratchRoot.resolve(key)
+        Files.createDirectories(dir)
+        slices.zipWithIndex.foreach { case (df, i) =>
+          val tmp = scratchRoot.resolve(s"${key}_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().orElseThrow()
+          val dst = dir.resolve(f"$i%03d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(SliceEpochMs + i * 60000L)
+          deleteRec(tmp)
+        }
+        dir.toString
+      })
+
+  private def eventCols(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+
+  private def daySlice(ev: DataFrame, lo: Int, hi: Int): DataFrame =
+    ev.filter(dayofmonth(col("ts")).between(lo, hi))
+
+  /** One sentinel row far past the fixture's 30-day January span: its
+    * arrival pushes the watermark beyond every real window so append
+    * mode flushes them, while its OWN window/session can never finalize
+    * (the watermark stops `delay` short of it) — so it is structurally
+    * absent from the sink and the oracle never has to model it. */
+  private def sentinel(spark: SparkSession, userId: Long): DataFrame =
+    spark.range(1).select(
+      lit(-1L).as("event_id"), lit(userId).as("user_id"),
+      lit("view").as("event_type"), lit(0.0).as("value"),
+      to_timestamp(lit("2024-03-01 00:00:00")).as("ts"))
+
+  /** Per-run stats of the last q72 execution, read by StreamingSpec to
+    * assert the semantics the final table alone cannot show: that ≥1
+    * window finalized BEFORE the last batch and ≥1 late row was dropped
+    * by the watermark. */
+  @volatile private[streaming] var lastLateStats: Option[LateStats] = None
+  private[streaming] final case class LateStats(
+      droppedByWatermark: Long, emittingBatches: Int, usedRocksDb: Boolean)
+
+  // ---- q72: append-mode watermark finalization ----------------------------
+
+  /** q72 — the reference's ACTUAL streaming contract under the oracle:
+    * `withWatermark` + `outputMode("append")` (real_time_streaming.py:
+    * 204-211) — a window is emitted to the sink exactly once, when the
+    * watermark passes its end, and late rows are dropped. Append-mode
+    * results depend on ARRIVAL ORDER, so the gate pins it: the fixture
+    * is sliced into on-time files (days 6–15, then 16–30), a LATE TAIL
+    * (days 1–5 — weeks behind the watermark by the time it arrives, so
+    * unambiguously dropped), and the sentinel flush row, processed
+    * oldest-modtime-first at one file per trigger. The final sink —
+    * written by the production S5 checkpointed parquet sink — must
+    * hash-match DuckDB aggregating ONLY the watermark-surviving rows
+    * (day ≥ 6). The 10-minute delay matches the production pipelines
+    * (Streams.userActivity5m); the day-16 boundary row can never be
+    * late because day 15's max event time is at most 23:59:59 and the
+    * watermark it induces trails it by those 10 minutes. */
+  def streamingLateWindowRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventCols(spark, sfDir)
+    val dir = orderedSliceDir(spark, "q72", sfDir, Seq(
+      daySlice(ev, 6, 15), daySlice(ev, 16, 31),
+      daySlice(ev, 1, 5), sentinel(spark, -1L)))
+    val run = freshRunDir("q72")
+    val result = run.resolve("result").toString
+    val agg = sourceOver(spark, dir, mft = 1)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = drain(spark) {
+      Streams.parquetSink(agg, result,
+        run.resolve("checkpoint").toString, triggerMs = 0).start()
+    }
+    val progress = q.recentProgress
+    lastLateStats = Some(LateStats(
+      droppedByWatermark =
+        progress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum,
+      // the file sink does not report numOutputRows; in append-mode
+      // aggregation a window is EMITTED exactly when its state row is
+      // evicted, so batches with numRowsRemoved > 0 are emitting batches
+      emittingBatches =
+        progress.count(_.stateOperators.exists(_.numRowsRemoved > 0)),
+      usedRocksDb = progress.flatMap(_.stateOperators).exists { op =>
+        val it = op.customMetrics.keySet().iterator()
+        var found = false
+        while (it.hasNext && !found) found = it.next().startsWith("rocksdb")
+        found
+      }))
+    spark.read.parquet(result)
+      .orderBy(col("bucket_start"), col("event_type").asc_nulls_last)
+  }
+
+  private val q72Sql =
+    s"""SELECT cast(floor(epoch(ts) / 300) * 300 as bigint) AS bucket_start,
+       |       event_type, count(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events WHERE day(ts) >= 6
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q73: streaming session windows -------------------------------------
+
+  /** q73 — `session_window` aggregation EXECUTED BY THE STREAMING ENGINE
+    * in append mode, under q35's batch oracle. The fixture streams in
+    * day order (days 1–10, 11–20, 21–30, sentinel), which makes the
+    * incremental session merge provably exact: a session is evicted and
+    * emitted only when the watermark passes its end, and at that point
+    * no in-order future row can extend it — any such row's timestamp
+    * exceeds the watermark, hence exceeds session end, hence is beyond
+    * the merge gap. So the emitted sessions are exactly the batch
+    * session partition (q34 ≡ q35 ≡ this), row for row, and the sink —
+    * the production S5 checkpointed parquet sink — hash-matches the
+    * gaps-and-islands SQL. Closes the last stateful operator family
+    * (sessionization) without a streaming-execution oracle row. */
+  def streamingSessionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventCols(spark, sfDir)
+    val dir = orderedSliceDir(spark, "q73", sfDir, Seq(
+      daySlice(ev, 1, 10), daySlice(ev, 11, 20),
+      daySlice(ev, 21, 31), sentinel(spark, -1L)))
+    val run = freshRunDir("q73")
+    val result = run.resolve("result").toString
+    val agg = Sessionize.sessionWindowRollup(sourceOver(spark, dir, mft = 1), "2 hours")
+    drain(spark) {
+      Streams.parquetSink(agg, result,
+        run.resolve("checkpoint").toString, triggerMs = 0).start()
+    }
+    spark.read.parquet(result)
+      .orderBy(col("user_id"), col("session_start_s"))
+  }
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),
     graft.Q("q69_streaming_funnel", (s, d) => streamingFunnelSummary(s, d),
       Some(graft.operators.FunnelQueries.q58Sql)),
-    graft.Q("q70_streaming_dedup", (s, d) => streamingDedupStats(s, d), Some(q70Sql)))
+    graft.Q("q70_streaming_dedup", (s, d) => streamingDedupStats(s, d), Some(q70Sql)),
+    graft.Q("q72_streaming_late_data", (s, d) => streamingLateWindowRollup(s, d), Some(q72Sql)),
+    graft.Q("q73_streaming_session_window", (s, d) => streamingSessionRollup(s, d),
+      Some(graft.operators.SurfaceQueries.q35Sql)))
 }

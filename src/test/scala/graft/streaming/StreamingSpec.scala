@@ -282,15 +282,17 @@ class StreamingSpec extends SparkSuite {
 
   test("the streaming-oracle gates really slice the source into multiple data-carrying micro-batches") {
     import org.apache.spark.sql.functions._
-    // same source shape as StreamingOracle.streamingWindowRollup: the
-    // y/m/d-partitioned copy streamed 7 files per trigger — the exactness
-    // claim of q68/q69 rests on >1 micro-batch actually occurring
+    // same source shape + trigger sizing as StreamingOracle's gates: the
+    // y/m/d-partitioned copy at the gates' derived maxFilesPerTrigger —
+    // the exactness claim of q68/q69 rests on >1 micro-batch actually
+    // occurring under that sizing
     val sf = sfDir("0.001")
     graft.sources.PartitionedLayout.partitionedEvents(spark, sf)
     val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sf)
+    val mft = StreamingOracle.mftFor(spark, dir)
     val schema = spark.read.parquet(dir).schema
     val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "7").option("basePath", dir).parquet(dir)
+      .option("maxFilesPerTrigger", mft.toString).option("basePath", dir).parquet(dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val q = src.writeStream.format("memory").queryName("wm_batches")
       .outputMode("complete").start()
@@ -298,7 +300,46 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       assert(dataBatches >= 2,
-        s"expected the 30 day-directories to arrive across several triggers, got $dataBatches")
+        s"expected the day-directories to arrive across several triggers at mft=$mft, got $dataBatches")
     } finally q.stop()
+  }
+
+  test("q72: append mode finalizes windows early, drops the late tail, and runs on RocksDB") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Det.dsum
+    val sf = sfDir("0.001")
+    val got = StreamingOracle.streamingLateWindowRollup(spark, sf).collect()
+
+    // the final sink must equal the batch aggregate over ONLY the
+    // watermark-surviving rows (days ≥ 6 — the late tail is days 1–5)
+    val want = graft.Tables.events(spark, sf)
+      .filter(dayofmonth(col("ts")) >= 6)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("bucket_start"), col("event_type").asc_nulls_last)
+      .collect()
+    assert(got.toSeq === want.toSeq,
+      "append-mode sink must hold exactly the finalized windows over on-time rows")
+
+    // semantics the final table alone cannot show, read off the run's
+    // progress: late rows really were dropped by the watermark, ≥1
+    // window finalized BEFORE the flush batch, and the state machine ran
+    // on the RocksDB provider
+    val stats = StreamingOracle.lastLateStats.get
+    assert(stats.droppedByWatermark > 0, "the day-1–5 tail must be watermark-dropped")
+    assert(stats.emittingBatches >= 2,
+      s"windows must finalize across ≥2 batches (early + flush), got ${stats.emittingBatches}")
+    assert(stats.usedRocksDb, "the gate must run on the RocksDB state store")
+  }
+
+  test("q73: streaming session windows reproduce the batch session partition exactly") {
+    val sf = sfDir("0.001")
+    val got = StreamingOracle.streamingSessionRollup(spark, sf).collect()
+    val want = Sessionize.sessionWindowRollup(graft.Tables.events(spark, sf), "2 hours")
+      .collect()
+    assert(got.toSeq === want.toSeq,
+      "in-day-order streaming must close exactly the batch sessions, sentinel withheld")
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational/streaming amplification smoke (dev harness, test scope —
+  * the dedup-family twin lives in SCALING_r07.md): builds a 10×
+  * amplified copy of the sf0.1 fixture and times the headline
+  * relational/streaming queries at 1× and 10× through their REGISTERED
+  * paths. Amplification is a deterministic shifted union — copy k
+  * offsets every key id by k·10⁹ (events also shift user ids, so user
+  * cardinality scales with the data and per-user row counts stay
+  * fixture-shaped; lineitem/orders shift order keys together so join
+  * selectivity is preserved). Events are amplified on the RAW
+  * nanosecond-long `ts` (before Tables' µs conversion) so the copy
+  * round-trips through the same reader path as the fixture.
+  *
+  * Run: sbt "Test/runMain graft.ScaleSmoke"
+  */
+object ScaleSmoke {
+
+  private val Copies = 10
+
+  private def amplifyEvents(spark: SparkSession, base: String): DataFrame = {
+    val raw = spark.read.parquet(s"$base/events.parquet") // ts stays a ns long
+    (0 until Copies).map { k =>
+      raw.select(
+        (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def amplifyLineitem(spark: SparkSession, base: String): DataFrame = {
+    val raw = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until Copies).map { k =>
+      raw.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _)
+  }
+
+  private def build10x(spark: SparkSession, base: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_scale10x")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(out))
+        Files.walk(out).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }))
+    amplifyEvents(spark, base).write.parquet(s"$out/events.parquet")
+    amplifyLineitem(spark, base).write.parquet(s"$out/lineitem.parquet")
+    // dims and untouched facts: 1× copies keep every query runnable
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet").write.parquet(s"$out/$t.parquet")
+    }
+    out.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+
+    val x10 = build10x(spark, base)
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q68_streaming_window_rollup", "q57_iqr_outliers",
+        "q11_rank_topk", "v04_top_content", "v05_content_trends",
+        "q03_user_activity_5min", "q36_gold_daily_user")
+    val registry = SparkEntry.queries
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      registry(name)(spark, dir).count()
+      CacheScope.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // per (query, dir): one warm-up pass (JVM/codegen/layout build), one
+    // timed pass — the steady-state per-query cost, matching Bench's
+    // best-of protocol
+    val rows = names.map { n =>
+      val pairs = Seq(base, x10).map { dir =>
+        time(n, dir); time(n, dir)
+      }
+      (n, pairs.head, pairs.last)
+    }
+    println("query,base_sec,x10_sec,ratio")
+    rows.foreach { case (n, a, b) =>
+      println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f")
+    }
+    spark.stop()
+  }
+}

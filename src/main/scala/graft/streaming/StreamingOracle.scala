@@ -304,6 +304,15 @@ object StreamingOracle {
       lit("view").as("event_type"), lit(0.0).as("value"),
       to_timestamp(lit("2024-03-01 00:00:00")).as("ts"))
 
+  /** The fully in-day-order layout (days 1–15 / 16–30 / sentinel)
+    * shared by q73 and q74 — both exactness arguments rest on in-order
+    * arrival, and the memo writes it once per (JVM, sfDir). */
+  private def inOrderEventsDir(spark: SparkSession, sfDir: String): String = {
+    val ev = eventCols(spark, sfDir)
+    orderedSliceDir(spark, "inorder", sfDir, Seq(
+      daySlice(ev, 1, 15), daySlice(ev, 16, 31), sentinel(spark, -1L)))
+  }
+
   /** Per-run stats of the last q72 execution, read by StreamingSpec to
     * assert the semantics the final table alone cannot show: that ≥1
     * window finalized BEFORE the last batch and ≥1 late row was dropped
@@ -327,8 +336,14 @@ object StreamingOracle {
     * hash-match DuckDB aggregating ONLY the watermark-surviving rows
     * (day ≥ 6). The 10-minute delay matches the production pipelines
     * (Streams.userActivity5m); the day-16 boundary row can never be
-    * late because day 15's max event time is at most 23:59:59 and the
-    * watermark it induces trails it by those 10 minutes. */
+    * late because day 15's max event time trails day 16 by under the
+    * delay. TWO on-time batches before the tail are load-bearing, not
+    * decoration: the engine applies the late-row filter with the
+    * watermark as of the PREVIOUS batch's planning (one batch behind
+    * the value its progress reports), so a tail arriving in the second
+    * batch would be filtered against a still-unset watermark and
+    * silently admitted — observed empirically; the extra batch makes
+    * the drop deterministic under the lag. */
   def streamingLateWindowRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = eventCols(spark, sfDir)
     val dir = orderedSliceDir(spark, "q72", sfDir, Seq(
@@ -375,7 +390,7 @@ object StreamingOracle {
 
   /** q73 — `session_window` aggregation EXECUTED BY THE STREAMING ENGINE
     * in append mode, under q35's batch oracle. The fixture streams in
-    * day order (days 1–10, 11–20, 21–30, sentinel), which makes the
+    * day order (days 1–15, 16–30, sentinel), which makes the
     * incremental session merge provably exact: a session is evicted and
     * emitted only when the watermark passes its end, and at that point
     * no in-order future row can extend it — any such row's timestamp
@@ -386,10 +401,7 @@ object StreamingOracle {
     * gaps-and-islands SQL. Closes the last stateful operator family
     * (sessionization) without a streaming-execution oracle row. */
   def streamingSessionRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = eventCols(spark, sfDir)
-    val dir = orderedSliceDir(spark, "q73", sfDir, Seq(
-      daySlice(ev, 1, 10), daySlice(ev, 11, 20),
-      daySlice(ev, 21, 31), sentinel(spark, -1L)))
+    val dir = inOrderEventsDir(spark, sfDir)
     val run = freshRunDir("q73")
     val result = run.resolve("result").toString
     val agg = Sessionize.sessionWindowRollup(sourceOver(spark, dir, mft = 1), "2 hours")
@@ -401,6 +413,52 @@ object StreamingOracle {
       .orderBy(col("user_id"), col("session_start_s"))
   }
 
+  // ---- q74: stream-stream interval join -----------------------------------
+
+  /** q74 — the STREAM-STREAM interval join (click attribution) under the
+    * oracle: views and clicks are two separate file-stream sources over
+    * the same in-day-order layout as q73 (one file per trigger keeps the
+    * two sources' batches in lockstep), joined through the production
+    * operator [[Streams.clickAttribution]] — both sides watermarked 1
+    * hour, the join time-bounded in both directions so state expires.
+    * An INNER stream-stream join emits each qualifying pair exactly once
+    * as its second leg arrives, so the final sink is the full pair set
+    * PROVIDED eviction never beats a partner's arrival — and in-day
+    * order it can't: only a view within 30 minutes of a day boundary has
+    * partners in the next file, and the watermark trails that boundary
+    * by the full 1-hour delay, so such a view is still in state when its
+    * clicks arrive. Hence the sink hash-matches DuckDB's declarative
+    * interval self-join over the flat fixture (exact to the microsecond:
+    * the fixture's timestamps are µs-aligned, so the ns→µs read path
+    * cannot flip a boundary comparison). The q73 sentinel rows are
+    * partnerless by construction (user −1 has a view and no clicks). */
+  def streamingClickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = inOrderEventsDir(spark, sfDir)
+    val run = freshRunDir("q74")
+    val result = run.resolve("result").toString
+    val views = sourceOver(spark, dir, mft = 1).filter(col("event_type") === "view")
+    val clicks = sourceOver(spark, dir, mft = 1).filter(col("event_type") === "click")
+    val joined = Streams.clickAttribution(views, clicks)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_timestamp(col("view_ts")).as("view_ts_s"),
+        unix_timestamp(col("click_ts")).as("click_ts_s"))
+    drain(spark) {
+      Streams.parquetSink(joined, result,
+        run.resolve("checkpoint").toString, triggerMs = 0).start()
+    }
+    spark.read.parquet(result).orderBy("view_id", "click_id")
+  }
+
+  private val q74Sql =
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, view_id, click_id,
+      |  cast(floor(epoch(v.ts)) as bigint) AS view_ts_s,
+      |  cast(floor(epoch(c.ts)) as bigint) AS click_ts_s
+      |FROM v JOIN c ON v.user_id = c.user_id
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id, click_id""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),
     graft.Q("q69_streaming_funnel", (s, d) => streamingFunnelSummary(s, d),
@@ -408,5 +466,7 @@ object StreamingOracle {
     graft.Q("q70_streaming_dedup", (s, d) => streamingDedupStats(s, d), Some(q70Sql)),
     graft.Q("q72_streaming_late_data", (s, d) => streamingLateWindowRollup(s, d), Some(q72Sql)),
     graft.Q("q73_streaming_session_window", (s, d) => streamingSessionRollup(s, d),
-      Some(graft.operators.SurfaceQueries.q35Sql)))
+      Some(graft.operators.SurfaceQueries.q35Sql)),
+    graft.Q("q74_streaming_stream_join", (s, d) => streamingClickAttribution(s, d),
+      Some(q74Sql)))
 }

@@ -342,4 +342,25 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSeq === want.toSeq,
       "in-day-order streaming must close exactly the batch sessions, sentinel withheld")
   }
+
+  test("q74: the stream-stream interval join emits exactly the batch pair set") {
+    import org.apache.spark.sql.functions._
+    val sf = sfDir("0.001")
+    val got = StreamingOracle.streamingClickAttribution(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val want = v.join(c, col("user_id") === col("c_uid") &&
+        col("cts") >= col("vts") && col("cts") <= col("vts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_timestamp(col("vts")).as("view_ts_s"),
+        unix_timestamp(col("cts")).as("click_ts_s"))
+      .orderBy("view_id", "click_id")
+      .collect()
+    assert(want.nonEmpty, "fixture must contain qualifying view→click pairs")
+    assert(got.toSeq === want.toSeq,
+      "inner stream-stream join must surface every qualifying pair exactly once")
+  }
 }

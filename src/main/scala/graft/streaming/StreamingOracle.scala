@@ -89,14 +89,17 @@ object StreamingOracle {
   private val GatePartitions = "8"
 
   /** Run `start` under the gate configuration (RocksDB state store, 8
-    * state partitions), drain the stream, and restore the session conf.
-    * The conf is only read at query START, so restoring after the drain
-    * cannot affect the running batches. */
-  private def drain(spark: SparkSession)(start: => StreamingQuery): StreamingQuery = {
+    * state partitions — 4 for the stream-stream join, whose four state
+    * store families per partition would otherwise quadruple the
+    * per-batch RocksDB open/commit count), drain the stream, and
+    * restore the session conf. The conf is only read at query START, so
+    * restoring after the drain cannot affect the running batches. */
+  private def drain(spark: SparkSession, partitions: String = GatePartitions)(
+      start: => StreamingQuery): StreamingQuery = {
     val conf = spark.conf
     val prevParts = conf.get("spark.sql.shuffle.partitions")
     val prevProv = conf.getOption(ProviderKey)
-    conf.set("spark.sql.shuffle.partitions", GatePartitions)
+    conf.set("spark.sql.shuffle.partitions", partitions)
     conf.set(ProviderKey, RocksDbProvider)
     try {
       val q = start
@@ -442,7 +445,7 @@ object StreamingOracle {
       .select(col("user_id"), col("view_id"), col("click_id"),
         unix_timestamp(col("view_ts")).as("view_ts_s"),
         unix_timestamp(col("click_ts")).as("click_ts_s"))
-    drain(spark) {
+    drain(spark, partitions = "4") {
       Streams.parquetSink(joined, result,
         run.resolve("checkpoint").toString, triggerMs = 0).start()
     }

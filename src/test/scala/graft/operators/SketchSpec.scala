@@ -21,6 +21,14 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("the quartile session store is a pure cache: q57 via store equals the direct computation") {
+    val d = sfDir("0.01")
+    val li = graft.Tables.lineitem(spark, d)
+    val direct = SurfaceQueries.iqrOutliers(li).collect().toSeq
+    val viaStore = graft.SparkEntry.queries("q57_iqr_outliers")(spark, d).collect().toSeq
+    assert(viaStore === direct, "the store must change performance, never results")
+  }
+
   test("q63 approx fences track q57's exact quartiles within 1% and agree on outlier mass") {
     val li = graft.Tables.lineitem(spark, sfDir("0.01"))
     def byFlag(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -678,16 +678,24 @@ object SurfaceQueries {
   def iqrOutliersApproxAudit(spark: SparkSession, sfDir: String): DataFrame = {
     def within1pct(a: Column, e: Column): Column =
       abs(a - e) <= abs(e) * 0.01
+    def fence(q1: Column, q3: Column): Column = q3 + (q3 - q1) * 1.5
     val lineitem = Tables.lineitem(spark, sfDir)
-    val approx = iqrOutliersApprox(lineitem)
-      .select(col("l_returnflag"), col("q1").as("q1_a"), col("q3").as("q3_a"),
-        col("hi_fence").as("hf_a"))
-    fenceProbe(lineitem, exactQuartileStore(spark, sfDir))
-      .join(approx, "l_returnflag")
+    // ONE scan: the approx sketch and the group counts ride the same
+    // aggregation; the exact side is the 4-row session store joined in
+    val approx = lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.75)), lit(10000)).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        col("qs")(0).as("q1_a"), col("qs")(1).as("q3_a"))
+    approx.join(broadcast(exactQuartileStore(spark, sfDir)), "l_returnflag")
       .select(col("l_returnflag"), col("n"),
         (within1pct(col("q1_a"), col("q1")) &&
           within1pct(col("q3_a"), col("q3")) &&
-          within1pct(col("hf_a"), col("hi_fence"))).as("fences_ok"))
+          within1pct(fence(col("q1_a"), col("q3_a")),
+            fence(col("q1"), col("q3")))).as("fences_ok"))
       .orderBy("l_returnflag")
   }
 

@@ -245,6 +245,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("the q63 audit runs one fact scan: sketch + counts in a single aggregation, exact side broadcast") {
+    val df = graft.operators.SurfaceQueries.iqrOutliersApproxAudit(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4-row exact quartile store must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing in the audit may shuffle a join:\n$p")
+    // the sketch and the counts ride the SAME aggregation operator —
+    // every aggregate over the fact carries both functions (AQE reprints
+    // stages, so assert fusion per line rather than counting operators)
+    val aggLines = p.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(aggLines.nonEmpty &&
+      aggLines.forall(l => l.contains("percentile_approx") && l.contains("count")),
+      s"sketch + counts must share one aggregation:\n$p")
+  }
+
   test("ntile and range-frame windows ride the daily aggregate, never the raw scan") {
     for (df <- Seq(
         graft.operators.SurfaceQueries.ntileQuartiles(Tables.events(spark, sf)),

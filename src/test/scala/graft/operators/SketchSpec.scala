@@ -21,6 +21,15 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("HLL estimates are partition-layout invariant (q39's oracle rests on this determinism)") {
+    val ev = graft.Tables.events(spark, sfDir("0.01"))
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      SurfaceQueries.hllRollup(df).collect().map(_.toString).toSeq
+    assert(rollup(ev) === rollup(ev.repartition(17, col("event_id"))),
+      "the HLL register state must be a pure function of the value set, " +
+        "not of how rows are partitioned or merged")
+  }
+
   test("the quartile session store is a pure cache: q57 via store equals the direct computation") {
     val d = sfDir("0.01")
     val li = graft.Tables.lineitem(spark, d)

@@ -71,9 +71,10 @@ object ScaleSmoke {
     val x10 = build10x(spark, base)
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q68_streaming_window_rollup", "q57_iqr_outliers",
-        "q11_rank_topk", "v04_top_content", "v05_content_trends",
-        "q03_user_activity_5min", "q36_gold_daily_user")
+      else Seq("q68_streaming_window_rollup", "q72_streaming_late_data",
+        "q73_streaming_session_window", "q74_streaming_stream_join",
+        "q57_iqr_outliers", "q11_rank_topk", "v04_top_content",
+        "v05_content_trends", "q03_user_activity_5min", "q36_gold_daily_user")
     val registry = SparkEntry.queries
 
     def time(name: String, dir: String): Double = {

@@ -278,9 +278,11 @@ object StreamingOracle {
         slices.zipWithIndex.foreach { case (df, i) =>
           val tmp = scratchRoot.resolve(s"${key}_tmp")
           df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(p => p.getFileName.toString.startsWith("part-"))
-            .findFirst().orElseThrow()
+          val listing = Files.list(tmp)
+          val part =
+            try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+              .findFirst().orElseThrow()
+            finally listing.close()
           val dst = dir.resolve(f"$i%03d.parquet")
           Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
           dst.toFile.setLastModified(SliceEpochMs + i * 60000L)

@@ -128,12 +128,69 @@ object TextStats {
     * choice irrelevant); the rolling form is one multiply-add per byte —
     * measured >40× cheaper — which is what a per-ingest-batch fingerprint
     * needs at 100 TB. No oracle (engine-native hash) — l13 stays the
-    * bit-checked variant, l02/l04-style. */
+    * bit-checked variant, l02/l04-style — but l49's agreement audit
+    * ([[fingerprintAgreement]]) puts this tier's soundness and
+    * discrimination parity under the driver gate. */
   def fingerprintFast(documents: DataFrame): DataFrame =
     documents
       .withColumn("fingerprint", expr("rolling_min_hash(text, 8)"))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
+
+  /** l49 — the fast fingerprint tier's agreement audit (the l47 pattern
+    * applied to l25, so a native-expression regression fails the DRIVER
+    * gate, not just LlmSpec's brute-force spec). One row, three columns:
+    *
+    *  - `portable_classes` — distinct l13 fingerprints; oracle-exact
+    *    (DuckDB computes the same md5-HOF expression).
+    *  - `fast_sound` — the STRUCTURAL soundness invariant of l25: docs
+    *    with equal fast fingerprints share the minimizing window, so
+    *    every fast-class pair must share ≥1 raw 8-char window (the
+    *    fixture is pure ASCII, so byte and char windows coincide).
+    *    Any mis-rolled hash, wrong min, or nondeterminism across the
+    *    corpus collapses unrelated docs into one class and trips this —
+    *    pinned true, with a ~2⁻⁶⁴ window-collision caveat.
+    *  - `fast_class_band_ok` — discrimination parity: the fast tier's
+    *    class count stays within ±30% of the portable tier's. Both
+    *    counts are fixture-deterministic; the max observed deviation is
+    *    15.5% across all three fixture scales (101/115, 98/116,
+    *    266/266), so the band carries ~2× headroom (the q39 pattern:
+    *    audit bound ≫ expected deviation).
+    *
+    * The pair check joins ON the fast fingerprint — banded like every
+    * candidate path here, never all-pairs; at audit scale the class
+    * sizes are bounded, and at 100 TB you'd sample classes first. */
+  def fingerprintAgreement(documents: DataFrame): DataFrame = {
+    val fps = graft.CacheScope.manage(documents.select(
+      col("doc_id"),
+      expr("transform(sequence(1, greatest(length(text)-7, 1)), i -> substring(text, i, 8))")
+        .as("wins"),
+      expr("array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8))))")
+        .as("pfp"),
+      expr("rolling_min_hash(text, 8)").as("ffp")).persist())
+    val counts = fps.agg(
+      countDistinct(col("pfp")).as("portable_classes"),
+      countDistinct(col("ffp")).as("fast_classes"))
+    val a = fps.select(col("ffp"), col("doc_id").as("id_a"), col("wins").as("wins_a"))
+    val b = fps.select(col("ffp"), col("doc_id").as("id_b"), col("wins").as("wins_b"))
+    val badPairs = a.join(b, Seq("ffp"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(!arrays_overlap(col("wins_a"), col("wins_b")))
+      .agg(count(lit(1)).as("bad_pairs"))
+    counts.crossJoin(badPairs).select(
+      col("portable_classes"),
+      (col("bad_pairs") === 0).as("fast_sound"),
+      (abs(col("fast_classes") - col("portable_classes")) <=
+        col("portable_classes") * 0.30).as("fast_class_band_ok"))
+  }
+
+  private val l49Sql =
+    """WITH fp AS (
+      |  SELECT list_min([md5(substr(text, i, 8)) for i in range(1, greatest(len(text)-7, 1)+1)]) AS pfp
+      |  FROM documents)
+      |SELECT count(DISTINCT pfp) AS portable_classes,
+      |       true AS fast_sound, true AS fast_class_band_ok
+      |FROM fp""".stripMargin
 
   /** l20 — scrub pipeline (PII/stopword-removal shape): regexp-deletion
     * passes with per-language removed-character accounting. */
@@ -520,6 +577,8 @@ object TextStats {
     Q("l12_quality_score", (s, d) => qualityScore(Tables.documents(s, d)), Some(l12Sql)),
     Q("l13_fingerprint", (s, d) => fingerprint(Tables.documents(s, d)), Some(l13Sql)),
     Q("l25_fingerprint_fast", (s, d) => fingerprintFast(Tables.documents(s, d)), None),
+    Q("l49_fingerprint_agreement",
+      (s, d) => fingerprintAgreement(Tables.documents(s, d)), Some(l49Sql)),
     Q("l20_scrub_stats", (s, d) => scrubStats(Tables.documents(s, d)), Some(l20Sql)),
     Q("l21_top_terms", (s, d) => topTerms(Tables.documents(s, d)), Some(l21Sql)),
     Q("l22_tfidf_terms", (s, d) => tfidfTerms(Tables.documents(s, d)), Some(l22Sql)),

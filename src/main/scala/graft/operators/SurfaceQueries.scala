@@ -323,19 +323,25 @@ object SurfaceQueries {
 
   /** The registered q39 surface: [[hllRollup]] reduced to its AGREEMENT
     * CONTRACT — per day (and the union-sketch total row, day = NULL) the
-    * exact DAU plus `approx_ok` = the HLL estimate lands within ±5% of
+    * exact DAU plus `approx_ok` = the HLL estimate lands within ±10% of
     * it, which the oracle pins to `true` (the l47 trick: the error bound
     * becomes a driver-visible oracle-exact row instead of a rows-only
     * check; the sketch value itself has no SQL oracle — DuckDB's HLL is
     * a different implementation). Deterministic: the HLL register state
     * is a pure function of the value SET, invariant to partition order,
-    * so the estimate cannot wobble between runs. SketchSpec keeps the
-    * tighter per-estimate assertions. */
+    * so the estimate cannot wobble between runs — but the ERROR a given
+    * fixture realizes is a lottery, so the driver gate carries sigma
+    * headroom: at the sketch's default lgConfigK=12 the relative
+    * standard error is ≈1.04/√4096 ≈ 1.6%, making 10% a ≳6σ bound — a
+    * new fixture or scale essentially cannot trip it without a real
+    * regression (the l47/l48 pattern: audit bound ≫ expected error).
+    * SketchSpec keeps the tight ≤5% product assertion on the pinned
+    * fixtures. */
   def hllRollupAudit(events: DataFrame): DataFrame =
     hllRollup(events).select(
       col("day"), col("exact_dau"),
       (abs(col("approx_dau").cast("double") - col("exact_dau").cast("double")) <=
-        col("exact_dau").cast("double") * 0.05).as("approx_ok"))
+        col("exact_dau").cast("double") * 0.10).as("approx_ok"))
 
   private val q39Sql =
     """SELECT cast(ts as date) AS day, count(DISTINCT user_id) AS exact_dau, true AS approx_ok
@@ -618,12 +624,22 @@ object SurfaceQueries {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
         val evict = size() > MaxQuartileEntries
-        if (evict) e.getValue.unpersist(blocking = false)
+        // the evicted entry's session may already be stopped (multi-
+        // session JVM): its cache blocks died with the context, and an
+        // unpersist would throw from inside put()
+        if (evict && !e.getKey._1.sparkContext.isStopped)
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: IllegalStateException => () }
         evict
       }
     }
   private def exactQuartileStore(spark: SparkSession, sfDir: String): DataFrame =
     quartileCache.synchronized {
+      // stopped sessions' entries are dead weight (their cached blocks
+      // died with the context) — drop them now rather than letting them
+      // pin DataFrames until LRU age-out
+      val it = quartileCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
       var df = quartileCache.get((spark, sfDir))
       if (df == null) {
         df = exactQuartilesCdf(Tables.lineitem(spark, sfDir),

@@ -43,7 +43,7 @@ object PartitionedLayout {
     * per JVM through the production writer). */
   def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = partitionedWritten.computeIfAbsent(sfDir, { _ =>
-      val out = scratchDir("part") + "/events_" + Integer.toHexString(sfDir.hashCode)
+      val out = scratchDir("part") + "/events_" + graft.PathKey(sfDir)
       Writers.writePartitioned(
         graft.Tables.events(spark, sfDir)
           .select("event_id", "user_id", "event_type", "value", "ts"),
@@ -90,7 +90,7 @@ object PartitionedLayout {
     def create(): (String, String) = {
       val db = "graft_scratch"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '${scratchDir("bucket")}'")
-      val sfx = Integer.toHexString(sfDir.hashCode)
+      val sfx = graft.PathKey(sfDir)
       val (liName, ordName) = (s"$db.b_lineitem_$sfx", s"$db.b_orders_$sfx")
       Writers.writeBucketed(
         graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
@@ -132,13 +132,59 @@ object PartitionedLayout {
       .orderBy("items")
   }
 
+  private val clusteredWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The OPTIMIZE'd copy of `events` for an sf dir: first written
+    * ROUND-ROBIN (the worst possible layout — every file spans the full
+    * key range, nothing can skip), then rewritten IN PLACE by the S9
+    * maintenance job ([[graft.etl.Maintenance.rewriteClustered]])
+    * clustering on (event_type, value) — the Z-ORDER analog: range
+    * partitioning gives each file a tight key range and the in-file sort
+    * tightens parquet row-group min/max stats on those keys. */
+  def clusteredEventsDir(spark: SparkSession, sfDir: String): String =
+    clusteredWritten.computeIfAbsent(sfDir, { _ =>
+      val out = scratchDir("clust") + "/events_" + graft.PathKey(sfDir)
+      graft.Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .repartition(12)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      graft.etl.Maintenance.rewriteClustered(spark, out, Seq("event_type", "value"), 8)
+      out
+    })
+
+  /** q75 — the S9 OPTIMIZE/Z-ORDER analog under the oracle gate: a
+    * selective rollup over the clustered rewrite of `events`. The filter
+    * lands on the CLUSTER keys, so the pushed parquet predicates skip
+    * the files and row groups whose (event_type, value) stats exclude
+    * the range (~2.5% of rows survive; EtlSpec asserts the scan emits a
+    * small fraction of the table). The oracle recomputes the same slice
+    * from the flat fixture — hash equality proves the maintenance
+    * rewrite changes only WHERE rows sit and what the scan reads, never
+    * what a query returns (the q60/q62 contract, completing the layout
+    * trio: partition pruning, bucketing, clustering). */
+  def clusteredRollup(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(clusteredEventsDir(spark, sfDir))
+      .filter(col("event_type") === "error" &&
+        col("value") >= 100.0 && col("value") < 250.0)
+      .groupBy(dayofmonth(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("day")
+
+  private val q75Sql =
+    s"""SELECT day(ts) AS day, count(*) AS n, count(DISTINCT user_id) AS users,
+       |       ${sqlDsum("value")} AS total_value
+       |FROM events
+       |WHERE event_type = 'error' AND value >= 100 AND value < 250
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val textWritten = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** The partitioned JSONL and CSV copies of `events` for an sf dir
     * (written once per JVM through the production writers). */
   private def textLayouts(spark: SparkSession, sfDir: String): (String, String) =
     textWritten.computeIfAbsent(sfDir, { _ =>
-      val base = scratchDir("text") + "/" + Integer.toHexString(sfDir.hashCode)
+      val base = scratchDir("text") + "/" + graft.PathKey(sfDir)
       val ev = graft.Tables.events(spark, sfDir)
         .select("event_id", "user_id", "event_type", "value", "ts")
       Writers.writeJsonl(ev, "ts", s"$base/jsonl", SaveMode.Overwrite)
@@ -194,5 +240,6 @@ object PartitionedLayout {
     graft.Q("q60_partition_pruned_rollup", (s, d) => prunedDailyRollup(s, d), Some(q60Sql)),
     graft.Q("q62_bucketed_join_rollup", (s, d) => bucketedOrderRollup(s, d), Some(q62Sql)),
     graft.Q("q66_jsonl_roundtrip", (s, d) => jsonlRoundtrip(s, d), Some(textSql)),
-    graft.Q("q67_csv_roundtrip", (s, d) => csvRoundtrip(s, d), Some(textSql)))
+    graft.Q("q67_csv_roundtrip", (s, d) => csvRoundtrip(s, d), Some(textSql)),
+    graft.Q("q75_clustered_rollup", (s, d) => clusteredRollup(s, d), Some(q75Sql)))
 }

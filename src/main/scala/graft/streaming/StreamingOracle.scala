@@ -50,7 +50,8 @@ import graft.functions.Det.{dsum, sqlDsum}
   * per-batch cost is dominated by the per-partition state-store commit.
   * Both are run-time configs, not semantics: at production scale you
   * raise them (more state partitions = more parallelism, smaller
-  * per-store footprint).
+  * per-store footprint). The sizing lives on a cloned gate session
+  * ([[gateSession]]), never on the caller's — see the method doc.
   */
 object StreamingOracle {
 
@@ -69,15 +70,17 @@ object StreamingOracle {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
 
-  // One live run dir per gate: each invocation gets a FRESH checkpoint +
-  // sink (so re-runs genuinely re-execute the stream) and deletes the
-  // previous invocation's dir — bench iterations don't accumulate sinks.
-  private val lastRunDir = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  // Each invocation gets a FRESH checkpoint + sink dir (so re-runs
+  // genuinely re-execute the stream). A previous invocation's dir is NOT
+  // deleted eagerly: the gate returns a lazy DataFrame over its sink,
+  // and deleting on the next invocation would invalidate a still-held
+  // earlier result at its first re-collection. Retired dirs are removed
+  // by the scratch-root shutdown hook instead — each is checkpoint
+  // metadata plus a kilobyte-scale result table, so a bench session's
+  // accumulation is bounded and tiny.
   private def freshRunDir(gate: String): Path = {
     val p = scratchRoot.resolve(s"${gate}_${runId.incrementAndGet()}")
     Files.createDirectories(p)
-    val prev = lastRunDir.put(gate, p)
-    if (prev != null) deleteRec(prev)
     p
   }
 
@@ -88,30 +91,39 @@ object StreamingOracle {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private val GatePartitions = "8"
 
-  /** Run `start` under the gate configuration (RocksDB state store, 8
-    * state partitions — 4 for the stream-stream join, whose four state
-    * store families per partition would otherwise quadruple the
-    * per-batch RocksDB open/commit count), drain the stream, and
-    * restore the session conf. The conf is only read at query START, so
-    * restoring after the drain cannot affect the running batches. */
-  private def drain(spark: SparkSession, partitions: String = GatePartitions)(
-      start: => StreamingQuery): StreamingQuery = {
-    val conf = spark.conf
-    val prevParts = conf.get("spark.sql.shuffle.partitions")
-    val prevProv = conf.getOption(ProviderKey)
-    conf.set("spark.sql.shuffle.partitions", partitions)
-    conf.set(ProviderKey, RocksDbProvider)
-    try {
-      val q = start
-      try q.processAllAvailable() finally q.stop()
-      q
-    } finally {
-      conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProv match {
-        case Some(v) => conf.set(ProviderKey, v)
-        case None    => conf.unset(ProviderKey)
+  /** The session a gate's stream runs on: a memoized per-(caller,
+    * sizing) CLONE. `SparkSession.newSession` shares the SparkContext,
+    * catalog, and cache but owns an independent SQLConf, so the gate
+    * sizing (8 shuffle/state partitions — 4 for the stream-stream join,
+    * whose four state-store families per partition would otherwise
+    * quadruple the per-batch RocksDB open/commit count) and the RocksDB
+    * provider are set ONCE on the clone and never touch the caller's
+    * session — nothing to save/restore, nothing a concurrent query on
+    * the caller's session can observe, and concurrent gates cannot race
+    * on shared conf. The clone starts from the context's INITIAL SQL
+    * conf, so the caller's runtime conf (time zone, parquet nanos
+    * handling, ANSI flags, …) is folded in first; only the two gate
+    * knobs diverge. */
+  private val gateSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]()
+  private def gateSession(spark: SparkSession,
+                          partitions: String = GatePartitions): SparkSession =
+    gateSessions.computeIfAbsent((spark, partitions), { _ =>
+      val s = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
       }
-    }
+      s.conf.set("spark.sql.shuffle.partitions", partitions)
+      s.conf.set(ProviderKey, RocksDbProvider)
+      s
+    })
+
+  /** Start the gate's stream, drain it, stop it. */
+  private def drain(start: => StreamingQuery): StreamingQuery = {
+    val q = start
+    try q.processAllAvailable() finally q.stop()
+    q
   }
 
   /** Files-per-trigger that slices `dir` into ~`targetBatches`
@@ -143,14 +155,15 @@ object StreamingOracle {
   def streamingWindowRollup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
     val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sfDir)
+    val gs = gateSession(spark)
     val run = freshRunDir("q68")
     val result = run.resolve("result").toString
-    val agg = sourceOver(spark, dir, mftFor(spark, dir))
+    val agg = sourceOver(gs, dir, mftFor(gs, dir))
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n"), col("total_value"))
-    drain(spark) {
+    drain {
       agg.writeStream
         .outputMode("complete")
         .option("checkpointLocation", run.resolve("checkpoint").toString)
@@ -183,16 +196,17 @@ object StreamingOracle {
     * formulation proves the state machine is exact under any micro-batch
     * slicing the source produces. */
   def streamingFunnelSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
     val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sfDir)
+    val gs = gateSession(spark)
+    import gs.implicits._
     val run = freshRunDir("q69")
     val result = run.resolve("result").toString
-    val src = sourceOver(spark, dir, mftFor(spark, dir))
+    val src = sourceOver(gs, dir, mftFor(gs, dir))
       .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
       .as[Funnel.FunnelEvent]
-    drain(spark) {
-      Funnel.streamingFunnel(spark, src)
+    drain {
+      Funnel.streamingFunnel(gs, src)
         .toDF()
         .writeStream
         .outputMode("update")
@@ -225,24 +239,24 @@ object StreamingOracle {
     * (S5); the rollup reads them back from storage. */
   def streamingDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = docsWritten.computeIfAbsent(sfDir, { _ =>
-      val out = scratchRoot.resolve(
-        "docs_" + Integer.toHexString(sfDir.hashCode)).toString
+      val out = scratchRoot.resolve("docs_" + graft.PathKey(sfDir)).toString
       graft.Tables.documents(spark, sfDir)
         .select("doc_id", "text", "lang")
         .repartition(10, col("doc_id"))
         .write.mode("overwrite").parquet(out)
       out
     })
+    val gs = gateSession(spark)
     val run = freshRunDir("q70")
     val result = run.resolve("result").toString
     // project to (lang, text_hash) BEFORE the stateful dedup: the state
     // and the sink then carry two small strings per kept doc, not the
     // full document text
-    val deduped = sourceOver(spark, dir, mftFor(spark, dir))
+    val deduped = sourceOver(gs, dir, mftFor(gs, dir))
       .select(col("lang"),
         md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("text_hash"))
       .dropDuplicates("lang", "text_hash")
-    drain(spark) {
+    drain {
       Streams.parquetSink(deduped, result,
         run.resolve("checkpoint").toString, triggerMs = 0).start()
     }
@@ -272,7 +286,7 @@ object StreamingOracle {
   private def orderedSliceDir(spark: SparkSession, gate: String, sfDir: String,
                               slices: Seq[DataFrame]): String =
     orderedWritten.computeIfAbsent(
-      gate + "_" + Integer.toHexString(sfDir.hashCode), { key =>
+      gate + "_" + graft.PathKey(sfDir), { key =>
         val dir = scratchRoot.resolve(key)
         Files.createDirectories(dir)
         slices.zipWithIndex.foreach { case (df, i) =>
@@ -354,15 +368,16 @@ object StreamingOracle {
     val dir = orderedSliceDir(spark, "q72", sfDir, Seq(
       daySlice(ev, 6, 15), daySlice(ev, 16, 31),
       daySlice(ev, 1, 5), sentinel(spark, -1L)))
+    val gs = gateSession(spark)
     val run = freshRunDir("q72")
     val result = run.resolve("result").toString
-    val agg = sourceOver(spark, dir, mft = 1)
+    val agg = sourceOver(gs, dir, mft = 1)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n"), col("total_value"))
-    val q = drain(spark) {
+    val q = drain {
       Streams.parquetSink(agg, result,
         run.resolve("checkpoint").toString, triggerMs = 0).start()
     }
@@ -407,10 +422,11 @@ object StreamingOracle {
     * (sessionization) without a streaming-execution oracle row. */
   def streamingSessionRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = inOrderEventsDir(spark, sfDir)
+    val gs = gateSession(spark)
     val run = freshRunDir("q73")
     val result = run.resolve("result").toString
-    val agg = Sessionize.sessionWindowRollup(sourceOver(spark, dir, mft = 1), "2 hours")
-    drain(spark) {
+    val agg = Sessionize.sessionWindowRollup(sourceOver(gs, dir, mft = 1), "2 hours")
+    drain {
       Streams.parquetSink(agg, result,
         run.resolve("checkpoint").toString, triggerMs = 0).start()
     }
@@ -439,15 +455,16 @@ object StreamingOracle {
     * partnerless by construction (user −1 has a view and no clicks). */
   def streamingClickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = inOrderEventsDir(spark, sfDir)
+    val gs = gateSession(spark, partitions = "4")
     val run = freshRunDir("q74")
     val result = run.resolve("result").toString
-    val views = sourceOver(spark, dir, mft = 1).filter(col("event_type") === "view")
-    val clicks = sourceOver(spark, dir, mft = 1).filter(col("event_type") === "click")
+    val views = sourceOver(gs, dir, mft = 1).filter(col("event_type") === "view")
+    val clicks = sourceOver(gs, dir, mft = 1).filter(col("event_type") === "click")
     val joined = Streams.clickAttribution(views, clicks)
       .select(col("user_id"), col("view_id"), col("click_id"),
         unix_timestamp(col("view_ts")).as("view_ts_s"),
         unix_timestamp(col("click_ts")).as("click_ts_s"))
-    drain(spark, partitions = "4") {
+    drain {
       Streams.parquetSink(joined, result,
         run.resolve("checkpoint").toString, triggerMs = 0).start()
     }

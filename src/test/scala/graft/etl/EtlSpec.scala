@@ -273,4 +273,28 @@ class EtlSpec extends SparkSuite {
     // identical results either way — skipping is purely physical
     assert(spark.read.parquet(dir).filter(col("k") >= lo && col("k") <= hi).count() === 800)
   }
+
+  test("q75: the registered clustered rollup skips — scan emits a small fraction") {
+    // the receipt behind the q75 oracle row: the CORRECTNESS gate proves
+    // the clustered rewrite preserves results; this pins that the scan
+    // over it actually SKIPS (pushed (event_type, value) predicates vs
+    // the per-file/row-group stats the rewrite tightened)
+    val q = graft.sources.PartitionedLayout.clusteredRollup(spark, sfDir("0.001"))
+    q.collect()
+    // the aggregate plan runs under AQE: unwrap adaptive/query-stage
+    // nodes to reach the parquet scan's runtime metric
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scanRows(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => scanRows(a.executedPlan)
+      case qs: QueryStageExec       => scanRows(qs.plan)
+      case s: FileSourceScanExec    => s.metrics("numOutputRows").value
+      case other                    => other.children.map(scanRows).sum
+    }
+    val scanned = scanRows(q.queryExecution.executedPlan)
+    val total = spark.read.parquet(
+      graft.sources.PartitionedLayout.clusteredEventsDir(spark, sfDir("0.001"))).count()
+    assert(scanned <= total * 2 / 5,
+      s"clustered scan must skip most of the table: emitted $scanned of $total rows")
+  }
 }

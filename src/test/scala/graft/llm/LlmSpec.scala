@@ -226,6 +226,28 @@ class LlmSpec extends SparkSuite {
     assert(n.head.isNullAt(0), "null input stays null")
   }
 
+  test("l49 fingerprint agreement: sound, in-band, and layout-invariant") {
+    val documents = graft.Tables.documents(spark, sfDir("0.001"))
+    val row = TextStats.fingerprintAgreement(documents).head()
+    assert(row.getAs[Long]("portable_classes") > 0)
+    assert(row.getAs[Boolean]("fast_sound"),
+      "docs sharing a fast fingerprint must share a raw 8-char window")
+    assert(row.getAs[Boolean]("fast_class_band_ok"),
+      "fast class count must stay within ±30% of the portable tier's")
+    // audit is a pure function of the doc SET — partition layout can't move it
+    val again = TextStats.fingerprintAgreement(documents.repartition(17)).head()
+    assert(row.toSeq === again.toSeq)
+    // structural sanity on a corpus with a known exact dup: both tiers
+    // collapse the identical pair, neither merges the unrelated doc
+    val tiny = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "zyxwvutsrqponmlkjihgfedcba 0123456789 qqqq")).toDF("doc_id", "text")
+    val t = TextStats.fingerprintAgreement(tiny).head()
+    assert(t.getAs[Long]("portable_classes") === 2L)
+    assert(t.getAs[Boolean]("fast_sound"))
+  }
+
   test("balanced sample caps every stratum at the smallest stratum, reproducibly") {
     val documents = graft.Tables.documents(spark, sfDir("0.01"))
     val nMin = documents.groupBy("lang").count()

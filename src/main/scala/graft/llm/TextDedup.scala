@@ -172,23 +172,16 @@ object TextDedup {
     * 2^16 band space means bucket occupancy grows linearly with corpus
     * size, so the guard is what makes this shape safe at 100 TB. */
   /** The fast tier's 64-bit xxhash64 SimHash fingerprint (doc_id,
-    * simhash) — the stored frame ([[SigStore.nativeSimhash]]). */
-  private[llm] def nativeSimhashFp(documents: DataFrame): DataFrame = {
-    // Binary-weight simhash over the distinct-token set. Same perf shape
-    // as MinHash: explode token hashes to rows and take the 64 per-bit
-    // votes as codegen'd SUM aggregates (the nested-lambda form evaluates
-    // ~64×tokens interpreted closures per doc and was 5× slower).
-    val tok = documents
-      .select(col("doc_id"),
-        explode(expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")).as("h"))
-    val voteCols = (0 until 64).map(b =>
-      sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"v_$b"))
-    tok.groupBy("doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .withColumn("simhash", expr(
-        (0 until 64).map(b => s"IF(v_$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")))
-      .select("doc_id", "simhash")
-  }
+    * simhash) — the stored frame ([[SigStore.nativeSimhash]]).
+    * Computed by the native codegen'd expression
+    * ([[graft.plans.SimHash64]]): one map-side pass per doc — no token
+    * explode, no doc_id shuffle, no 64-column vote aggregate. The
+    * expression dedups token hashes internally, so the fingerprints are
+    * bit-identical to the previous explode + 64×SUM formulation
+    * (LlmSpec pins the equivalence against exactly that pipeline). */
+  private[llm] def nativeSimhashFp(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      expr("simhash64(split(text, ' '))").as("simhash"))
 
   /** Banded fingerprint rows (doc_id, simhash, band_id, band_val),
     * bucket-capped — shared by the ranked query (l03) and the fast-tier

@@ -89,6 +89,8 @@ object CosineSimilarity {
       .registerFunction(identifier, info, builder)
     spark.sessionState.functionRegistry
       .registerFunction(RollingMinHash.identifier, RollingMinHash.info, RollingMinHash.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(SimHash64.identifier, SimHash64.info, SimHash64.builder)
   }
 }
 
@@ -100,5 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.builder))
     ext.injectFunction((RollingMinHash.identifier, RollingMinHash.info,
       RollingMinHash.builder))
+    ext.injectFunction((SimHash64.identifier, SimHash64.info,
+      SimHash64.builder))
   }
 }

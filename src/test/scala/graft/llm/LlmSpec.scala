@@ -226,6 +226,34 @@ class LlmSpec extends SparkSuite {
     assert(n.head.isNullAt(0), "null input stays null")
   }
 
+  test("simhash64 is bit-identical to the composed explode+vote formulation") {
+    val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
+    val native = fixture.select($"doc_id", expr("simhash64(split(text, ' '))").as("s"))
+    // the formulation nativeSimhashFp used before the native expression:
+    // distinct token hashes explode to rows, 64 SUM votes, bit reassembly
+    val tok = fixture.select($"doc_id",
+      explode(expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")).as("h"))
+    val voteCols = (0 until 64).map(b =>
+      sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"v_$b"))
+    val composed = tok.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .withColumn("s", expr(
+        (0 until 64).map(b => s"IF(v_$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")))
+      .select($"doc_id", $"s")
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+    // internal hash dedup matches explicit token dedup; null stays null
+    val edge = Seq("", "a", "a a a", "a b a b")
+      .toDF("text")
+      .select(expr("simhash64(split(text, ' '))").as("s"),
+        expr("simhash64(array_distinct(split(text, ' ')))").as("sd"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val n = Seq[Option[String]](None).toDF("text")
+      .selectExpr("simhash64(split(text, ' ')) AS s").collect()
+    assert(n.head.isNullAt(0), "null text stays null")
+  }
+
   test("l49 fingerprint agreement: sound, in-band, and layout-invariant") {
     val documents = graft.Tables.documents(spark, sfDir("0.001"))
     val row = TextStats.fingerprintAgreement(documents).head()

@@ -62,34 +62,18 @@ object TextDedup {
       |FROM (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash, count(*) AS cnt
       |      FROM documents GROUP BY 1)""".stripMargin
 
-  /** Word-3-gram shingle sets + 16-hash MinHash signatures.
-    *
-    * Perf shape (this was the round's hottest path): token strings are
-    * hashed to longs exactly once, shingle ids are fixed-width hashes of
-    * three token longs, and — critically — the 16 signature minima are
-    * computed by EXPLODING shingles to rows and taking 16 `min()` columns
-    * in one codegen'd HashAggregate with map-side partial aggregation.
-    * Computing the minima as higher-order-function lambdas instead leaves
-    * them in the interpreted evaluator AND invites Catalyst's
-    * CollapseProject to inline the whole token pipeline once per
-    * signature slot — measured 10×+ slower at sf0.1. The explode adds one
-    * shuffle keyed by doc_id, which is also what distributes per-doc work
-    * evenly at 100 TB. */
-  private[llm] def withNativeSignatures(documents: DataFrame): DataFrame = {
-    val shingled = documents
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= 3)
-      .withColumn("tokens_h", expr("transform(tokens, t -> xxhash64(t))"))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(0, size(tokens_h)-3),
-          |  i -> xxhash64(element_at(tokens_h, i+1), element_at(tokens_h, i+2), element_at(tokens_h, i+3))))""".stripMargin))
-        .as("sh"))
-    val minCols = (0 until NumHashes).map(i => min(expr(s"xxhash64($i, sh)")).as(s"mh_$i"))
-    shingled.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
-      .drop((0 until NumHashes).map(i => s"mh_$i"): _*)
-  }
+  /** Word-3-gram shingle sets + 16-hash MinHash signatures. */
+  private[llm] def withNativeSignatures(documents: DataFrame): DataFrame =
+    // Computed by the native codegen'd expression
+    // ([[graft.plans.MinHash16]]): one map-side pass per doc — no shingle
+    // explode, no doc_id shuffle, no 16-column min aggregate. Signatures
+    // are bit-identical to the previous explode + 16×MIN formulation
+    // (same engine xxhash64 folds; LlmSpec pins the equivalence against
+    // exactly that pipeline). Docs under 3 tokens yield null (the old
+    // size filter) and are dropped.
+    documents
+      .select(col("doc_id"), expr("minhash16(split(text, ' '))").as("sig"))
+      .where(col("sig").isNotNull)
 
   /** Fast-path band key: engine-native hash of two adjacent slots. */
   private def nativeBandKey(b: Int): Column =
@@ -771,32 +755,28 @@ object TextDedup {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** l24 — engine-portable SimHash twin of l03: each distinct token's 64
-    * fingerprint bits come from the first 16 hex nibbles of its md5 (hex
-    * char → value via ascii arithmetic — identical in every engine),
-    * votes are the same 64 codegen'd SUM aggregates as l03, bands are
-    * four 16-bit ints rebuilt from the vote signs, and hamming is
-    * popcount over per-band XOR. DuckDB reproduces fingerprints, bands,
-    * candidates, and distances bit-for-bit (the l04 recipe applied to
-    * SimHash); l03 keeps the cheaper xxhash64 bit source. */
+    * fingerprint bits come from the first 16 hex nibbles of its md5,
+    * votes decide each bit's sign, bands are four 16-bit ints rebuilt
+    * from the vote signs, and hamming is popcount over per-band XOR.
+    * DuckDB reproduces fingerprints, bands, candidates, and distances
+    * bit-for-bit from the hex-string SQL chain (the l04 recipe applied
+    * to SimHash); l03 keeps the cheaper xxhash64 bit source. */
   /** The portable md5-bit SimHash fingerprint as four 16-bit band ints
     * (bit j of band k = bit 16k+j of the fingerprint); ints keep
     * XOR/popcount portable. Caller persists. */
-  private[llm] def portableSimhashFp(documents: DataFrame): DataFrame = {
-    val tok = documents.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("t"))
-      .withColumn("hx", md5(col("t")))
-    val nib = (0 until 16).foldLeft(tok) { (df, i) =>
-      df.withColumn(s"n_$i", expr(
-        s"ascii(substring(hx, ${i + 1}, 1)) - IF(substring(hx, ${i + 1}, 1) >= 'a', 87, 48)"))
-    }
-    val voteCols = (0 until 64).map(b =>
-      sum(expr(s"IF((shiftright(n_${b / 4}, ${b % 4}) & 1) = 1, 1, -1)")).as(s"v_$b"))
-    val votes = nib.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    votes.select(
-      col("doc_id") +: (0 until 4).map(k =>
-        expr((0 until 16).map(j => s"IF(v_${16 * k + j} > 0, ${1 << j}, 0)")
-          .mkString(" + ")).as(s"b_$k")): _*)
-  }
+  private[llm] def portableSimhashFp(documents: DataFrame): DataFrame =
+    // Computed by the native codegen'd expression
+    // ([[graft.plans.Md5SimHashBands]]): one map-side pass per doc — no
+    // token explode, no doc_id shuffle, no 64-column vote aggregate. The
+    // band ints are bit-identical to the previous explode + md5-nibble +
+    // 64×SUM formulation (same MD5 digest, same nibble→bit mapping;
+    // LlmSpec pins the equivalence against exactly that pipeline), so
+    // the DuckDB oracle keeps reproducing them from the SQL chain.
+    documents
+      .select(col("doc_id"), expr("simhash_md5_bands(split(text, ' '))").as("bands"))
+      .where(col("bands").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 4).map(k => col("bands").getItem(k).as(s"b_$k")): _*)
 
   /** Banded candidate pairs scored by hamming over a persisted portable
     * fingerprint frame — unlimited (l24 ranks + limits; l48 thresholds). */

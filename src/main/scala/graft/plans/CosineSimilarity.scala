@@ -91,6 +91,10 @@ object CosineSimilarity {
       .registerFunction(RollingMinHash.identifier, RollingMinHash.info, RollingMinHash.builder)
     spark.sessionState.functionRegistry
       .registerFunction(SimHash64.identifier, SimHash64.info, SimHash64.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(Md5SimHashBands.identifier, Md5SimHashBands.info, Md5SimHashBands.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(MinHash16.identifier, MinHash16.info, MinHash16.builder)
   }
 }
 
@@ -104,5 +108,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RollingMinHash.builder))
     ext.injectFunction((SimHash64.identifier, SimHash64.info,
       SimHash64.builder))
+    ext.injectFunction((Md5SimHashBands.identifier, Md5SimHashBands.info,
+      Md5SimHashBands.builder))
+    ext.injectFunction((MinHash16.identifier, MinHash16.info,
+      MinHash16.builder))
   }
 }

@@ -226,6 +226,64 @@ class LlmSpec extends SparkSuite {
     assert(n.head.isNullAt(0), "null input stays null")
   }
 
+  test("minhash16 is bit-identical to the composed explode+min formulation") {
+    val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
+    val native = TextDedup.withNativeSignatures(fixture)
+    // the formulation withNativeSignatures used before the native
+    // expression: token hashes → distinct shingle hashes exploded to
+    // rows, 16 MIN slots, array reassembly
+    val shingled = fixture
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("tokens_h", expr("transform(tokens, t -> xxhash64(t))"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(tokens_h)-3),
+          |  i -> xxhash64(element_at(tokens_h, i+1), element_at(tokens_h, i+2), element_at(tokens_h, i+3))))""".stripMargin))
+        .as("sh"))
+    val minCols = (0 until 16).map(i => min(expr(s"xxhash64($i, sh)")).as(s"mh_$i"))
+    val composed = shingled.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+    // under-3-token docs and null text drop, like the old size filter
+    val edge = Seq((1L, "a b"), (2L, "a"), (3L, null), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    assert(TextDedup.withNativeSignatures(edge).select("doc_id").as[Long].collect()
+      .toSeq === Seq(4L))
+  }
+
+  test("simhash_md5_bands is bit-identical to the composed md5-nibble formulation") {
+    val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
+    val native = TextDedup.portableSimhashFp(fixture)
+    // the formulation portableSimhashFp used before the native
+    // expression: distinct tokens exploded, md5 hex nibbles via ascii
+    // arithmetic, 64 SUM votes, band ints from the vote signs
+    val tok = fixture.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("hx", md5(col("t")))
+    val nib = (0 until 16).foldLeft(tok) { (df, i) =>
+      df.withColumn(s"n_$i", expr(
+        s"ascii(substring(hx, ${i + 1}, 1)) - IF(substring(hx, ${i + 1}, 1) >= 'a', 87, 48)"))
+    }
+    val voteCols = (0 until 64).map(b =>
+      sum(expr(s"IF((shiftright(n_${b / 4}, ${b % 4}) & 1) = 1, 1, -1)")).as(s"v_$b"))
+    val composed = nib.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(
+        col("doc_id") +: (0 until 4).map(k =>
+          expr((0 until 16).map(j => s"IF(v_${16 * k + j} > 0, ${1 << j}, 0)")
+            .mkString(" + ")).as(s"b_$k")): _*)
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+    // null text drops (the explode semantics); duplicate tokens vote once
+    val edge = Seq((1L, null), (2L, "x y x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val fp = TextDedup.portableSimhashFp(edge).collect()
+      .map(r => r.getLong(0) -> (0 until 4).map(k => r.getInt(k + 1))).toMap
+    assert(!fp.contains(1L))
+    assert(fp(2L) === fp(3L))
+  }
+
   test("simhash64 is bit-identical to the composed explode+vote formulation") {
     val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
     val native = fixture.select($"doc_id", expr("simhash64(split(text, ' '))").as("s"))

@@ -130,6 +130,11 @@ object StreamingOracle {
   private def drain(start: => StreamingQuery): StreamingQuery = {
     val q = start
     try q.processAllAvailable() finally q.stop()
+    if (sys.env.contains("GRAFT_GATE_DEBUG"))
+      q.recentProgress.foreach { p =>
+        System.err.println(s"[gate] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}")
+      }
     q
   }
 
@@ -141,13 +146,15 @@ object StreamingOracle {
     math.max(1, math.ceil(n.toDouble / targetBatches).toInt)
   }
 
-  private def sourceOver(spark: SparkSession, dir: String, mft: Int): DataFrame = {
+  private def sourceOver(spark: SparkSession, dir: String, mft: Int,
+                         fileGlob: Option[String] = None): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream
+    val reader = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", mft.toString)
       .option("basePath", dir)
-      .parquet(dir)
+    fileGlob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.parquet(dir)
   }
 
   // ---- q68: Complete-mode windowed rollup ---------------------------------
@@ -458,15 +465,24 @@ object StreamingOracle {
     * clicks arrive. Hence the sink hash-matches DuckDB's declarative
     * interval self-join over the flat fixture (exact to the microsecond:
     * the fixture's timestamps are µs-aligned, so the ns→µs read path
-    * cannot flip a boundary comparison). The q73 sentinel rows are
-    * partnerless by construction (user −1 has a view and no clicks). */
+    * cannot flip a boundary comparison). The shared layout's sentinel
+    * file is excluded from both sources — an inner join needs no
+    * watermark flush, and the sentinel user (−1) is partnerless by
+    * construction — so the gate runs only the two data batches. */
   def streamingClickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = inOrderEventsDir(spark, sfDir)
     val gs = gateSession(spark, partitions = "2")
     val run = freshRunDir("q74")
     val result = run.resolve("result").toString
-    val views = sourceOver(gs, dir, mft = 1).filter(col("event_type") === "view")
-    val clicks = sourceOver(gs, dir, mft = 1).filter(col("event_type") === "click")
+    // the shared layout's sentinel file (002) exists for q73's append-mode
+    // flush; an INNER stream-stream join emits pairs as legs arrive and
+    // needs no watermark flush, and the sentinel user (−1) is partnerless
+    // by construction — so both sources exclude it and the gate runs one
+    // micro-batch fewer for the identical pair set
+    val views = sourceOver(gs, dir, mft = 1, fileGlob = Some("00[01].parquet"))
+      .filter(col("event_type") === "view")
+    val clicks = sourceOver(gs, dir, mft = 1, fileGlob = Some("00[01].parquet"))
+      .filter(col("event_type") === "click")
     val joined = Streams.clickAttribution(views, clicks)
       .select(col("user_id"), col("view_id"), col("click_id"),
         unix_timestamp(col("view_ts")).as("view_ts_s"),

@@ -41,12 +41,16 @@ object SigStore {
       () => TextDedup.portableShingles(graft.Tables.documents(spark, dir)))
 
   /** Portable md5-substring MinHash signatures (doc_id, sig) for the
-    * `documents` table under `dir`, persisted for the session. Derived
-    * from the shared shingle store, so a session that touches both tiers
-    * computes the shingling exactly once. */
+    * `documents` table under `dir`, persisted for the session. Computed
+    * in one map-side pass by the native [[graft.plans.MinHashMd5]]
+    * expression (shingling inside the expression is cheap string
+    * concatenation; the digests dominate and their count is identical),
+    * so the store no longer derives from the exploded shingle frame —
+    * that frame remains for the consumers that need shingle ROWS
+    * (l04's exact verify, the truth universe). */
   def portable(spark: SparkSession, dir: String): DataFrame =
     get(spark, "portable:" + dir,
-      () => TextDedup.withPortableSignaturesFrom(shingles(spark, dir)))
+      () => TextDedup.withPortableSignatures(graft.Tables.documents(spark, dir)))
 
   /** Native xxhash64 MinHash signatures — the fast tier's store (l02's
     * detection pass and l47's agreement audit read the same table). */

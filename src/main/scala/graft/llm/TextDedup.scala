@@ -227,29 +227,24 @@ object TextDedup {
         |  i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3))))""".stripMargin))
       .as("sh"))
 
-  /** 16 portable MinHash slots per doc: 8-hex-char substrings cut from 4
-    * salted md5 digests — lexicographic min over hex strings is the same
-    * total order in every engine, which is what lets DuckDB reproduce the
-    * whole LSH pipeline bit-for-bit (the l04 recipe). */
-  private def portableSigSlots(sh: DataFrame): DataFrame = {
-    val minCols = for { j <- 0 until 4; w <- 0 until 4 } yield
-      min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1 + 8 * w, 8)).as(s"mh_${4 * j + w}")
-    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-  }
-
   /** Portable signatures in the same (doc_id, sig array) shape as
-    * [[withNativeSignatures]], so the scoring/banding machinery is shared.
-    * Registered queries share one computation per session via
-    * [[SigStore]]. */
+    * [[withNativeSignatures]], so the scoring/banding machinery is
+    * shared: 16 slots of 8-hex-char substrings cut from 4 salted md5
+    * digests per shingle — lexicographic min over hex strings is the
+    * same total order in every engine, which is what lets DuckDB
+    * reproduce the whole LSH pipeline bit-for-bit (the l04 recipe).
+    * Computed by the native codegen'd expression
+    * ([[graft.plans.MinHashMd5]]): one map-side pass per doc — no
+    * shingle explode, no doc_id shuffle, no 16-column string-min
+    * aggregate. Signatures are bit-identical to the composed
+    * explode + 16×MIN(substring(md5(…))) formulation (same digest, and
+    * hex-min ≡ uint32-min; LlmSpec pins the equivalence against exactly
+    * that pipeline). Registered queries share one computation per
+    * session via [[SigStore]]. */
   private[llm] def withPortableSignatures(documents: DataFrame): DataFrame =
-    withPortableSignaturesFrom(portableShingles(documents))
-
-  /** Same, from an already-materialized shingle frame (the SigStore
-    * layering: signatures derive from the shared shingle store). */
-  private[llm] def withPortableSignaturesFrom(sh: DataFrame): DataFrame =
-    portableSigSlots(sh)
-      .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
-      .select("doc_id", "sig")
+    documents
+      .select(col("doc_id"), expr("minhash_md5(split(text, ' '))").as("sig"))
+      .where(col("sig").isNotNull)
 
   def ngramJaccard(documents: DataFrame,
                    maxBucket: Int = MaxBucketDefault,
@@ -261,20 +256,8 @@ object TextDedup {
     // the banding below IS the portable chain (signatures from the same
     // shingles, portableBandKey band keys, same cap), so the stored
     // candidate frame substitutes exactly
-    val cands = candsOpt.map(_.select("id_a", "id_b")).getOrElse {
-      val sigs = portableSigSlots(sh)
-      val banded = capBuckets(
-        sigs.select(col("doc_id"),
-          posexplode(array((0 until NumBands).map(b =>
-            concat(col(s"mh_${2 * b}"), lit("|"), col(s"mh_${2 * b + 1}"))): _*))
-            .as(Seq("band_id", "band_key"))),
-        Seq("band_id", "band_key"), maxBucket)
-      val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_key"))
-      val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_key"))
-      a.join(b, Seq("band_id", "band_key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-    }
+    val cands = candsOpt.map(_.select("id_a", "id_b")).getOrElse(
+      lshCandidatePairs(withPortableSignatures(documents), portableBandKey, maxBucket))
     val shset = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
     cands
       .join(shset.select(col("doc_id").as("id_a"), col("s").as("sh_a")), Seq("id_a"))

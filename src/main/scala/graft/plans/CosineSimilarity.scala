@@ -95,6 +95,8 @@ object CosineSimilarity {
       .registerFunction(Md5SimHashBands.identifier, Md5SimHashBands.info, Md5SimHashBands.builder)
     spark.sessionState.functionRegistry
       .registerFunction(MinHash16.identifier, MinHash16.info, MinHash16.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(MinHashMd5.identifier, MinHashMd5.info, MinHashMd5.builder)
   }
 }
 
@@ -112,5 +114,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Md5SimHashBands.builder))
     ext.injectFunction((MinHash16.identifier, MinHash16.info,
       MinHash16.builder))
+    ext.injectFunction((MinHashMd5.identifier, MinHashMd5.info,
+      MinHashMd5.builder))
   }
 }

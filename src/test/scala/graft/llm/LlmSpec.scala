@@ -253,6 +253,32 @@ class LlmSpec extends SparkSuite {
       .toSeq === Seq(4L))
   }
 
+  test("minhash_md5 is bit-identical to the composed md5-substring formulation") {
+    val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
+    val native = TextDedup.withPortableSignatures(fixture)
+    // the formulation withPortableSignatures used before the native
+    // expression: distinct 3-gram shingle strings exploded to rows, 16
+    // MIN(substring(md5('j:' || sh), 1+8w, 8)) slots, array reassembly
+    val sh = fixture
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(ts)-3),
+          |  i -> concat_ws(' ', element_at(ts, i+1), element_at(ts, i+2), element_at(ts, i+3))))""".stripMargin))
+        .as("sh"))
+    val minCols = for { j <- 0 until 4; w <- 0 until 4 } yield
+      min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1 + 8 * w, 8)).as(s"mh_${4 * j + w}")
+    val composed = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+    // under-3-token docs and null text drop, like the old size filter
+    val edge = Seq((1L, "a b"), (2L, null), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    assert(TextDedup.withPortableSignatures(edge).select("doc_id").as[Long].collect()
+      .toSeq === Seq(3L))
+  }
+
   test("simhash_md5_bands is bit-identical to the composed md5-nibble formulation") {
     val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
     val native = TextDedup.portableSimhashFp(fixture)

@@ -256,9 +256,22 @@ object TextDedup {
     // the banding below IS the portable chain (signatures from the same
     // shingles, portableBandKey band keys, same cap), so the stored
     // candidate frame substitutes exactly
+    // persisted: referenced by the id-set prune AND the verify joins
     val cands = candsOpt.map(_.select("id_a", "id_b")).getOrElse(
-      lshCandidatePairs(withPortableSignatures(documents), portableBandKey, maxBucket))
-    val shset = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
+      graft.CacheScope.manage(
+        lshCandidatePairs(withPortableSignatures(documents), portableBandKey, maxBucket)
+          .persist()))
+    // collect the shingle SETS only for docs that appear in a candidate
+    // pair: the candidate list is bucket-capped (bounded), so the id set
+    // broadcasts and the heavy per-doc collect_set — the verify stage's
+    // dominant cost at corpus scale — prunes from |corpus| to
+    // |candidate docs| before the shuffle. Joins below are inner, so
+    // the result is unchanged.
+    val candIds = broadcast(
+      cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id"))).distinct())
+    val shset = sh.join(candIds, "doc_id")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
     cands
       .join(shset.select(col("doc_id").as("id_a"), col("s").as("sh_a")), Seq("id_a"))
       .join(shset.select(col("doc_id").as("id_b"), col("s").as("sh_b")), Seq("id_b"))
@@ -382,13 +395,23 @@ object TextDedup {
   private[llm] def truthPairs(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val rare = sh.join(dfreq.filter(col("df").between(2, RareShingleDf)), Seq("sh"))
-    val truCand = rare.select(col("doc_id").as("id_a"), col("sh"))
-      .join(rare.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= MinSharedRare)
-      .select("id_a", "id_b")
-    val shset = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
+    // persisted: referenced by the id-set prune AND the verify joins
+    val truCand = graft.CacheScope.manage(
+      rare.select(col("doc_id").as("id_a"), col("sh"))
+        .join(rare.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= MinSharedRare)
+        .select("id_a", "id_b")
+        .persist())
+    // same prune as the l04 verify: the truth-candidate list is bounded
+    // (rare-shingle join, ≥MinSharedRare), so only its docs need their
+    // full shingle set collected — inner joins keep the result identical
+    val candIds = broadcast(
+      truCand.select(col("id_a").as("doc_id"))
+        .union(truCand.select(col("id_b").as("doc_id"))).distinct())
+    val shset = sh.join(candIds, "doc_id")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
     truCand
       .join(shset.select(col("doc_id").as("id_a"), col("s").as("sh_a")), Seq("id_a"))
       .join(shset.select(col("doc_id").as("id_b"), col("s").as("sh_b")), Seq("id_b"))

@@ -149,8 +149,13 @@ object Sampling {
   def withLeakageSafeSplit(documents: DataFrame, minJaccard: Double = 0.5,
                            maxBucket: Int = TextDedup.MaxBucketDefault,
                            sigsOpt: Option[DataFrame] = None,
-                           candsOpt: Option[DataFrame] = None): DataFrame = {
-    val labels = TextDedup.componentLabels(documents, minJaccard, maxBucket, sigsOpt, candsOpt)
+                           candsOpt: Option[DataFrame] = None,
+                           labelsOpt: Option[DataFrame] = None): DataFrame = {
+    require(labelsOpt.isEmpty ||
+        (minJaccard == 0.5 && maxBucket == TextDedup.MaxBucketDefault),
+      "labelsOpt carries labels propagated at the default knobs; custom knobs need labelsOpt=None")
+    val labels = labelsOpt.getOrElse(
+      TextDedup.componentLabels(documents, minJaccard, maxBucket, sigsOpt, candsOpt))
     documents
       .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left_outer")
       .withColumn("rep_id", coalesce(col("comp"), col("doc_id")))
@@ -168,8 +173,10 @@ object Sampling {
     * reachability closure and the same bucket arithmetic. */
   def leakageSafeSplit(documents: DataFrame,
                        sigsOpt: Option[DataFrame] = None,
-                       candsOpt: Option[DataFrame] = None): DataFrame =
-    withLeakageSafeSplit(documents, sigsOpt = sigsOpt, candsOpt = candsOpt)
+                       candsOpt: Option[DataFrame] = None,
+                       labelsOpt: Option[DataFrame] = None): DataFrame =
+    withLeakageSafeSplit(documents, sigsOpt = sigsOpt, candsOpt = candsOpt,
+        labelsOpt = labelsOpt)
       .groupBy("split")
       .agg(
         count(lit(1)).as("docs"),
@@ -308,7 +315,8 @@ object Sampling {
     Q("l27_balanced_sample", (s, d) => balancedSample(Tables.documents(s, d)), Some(l27Sql)),
     Q("l29_leakage_safe_split", (s, d) =>
       leakageSafeSplit(Tables.documents(s, d), Some(SigStore.portable(s, d)),
-        candsOpt = Some(SigStore.portableCands(s, d))), Some(l29Sql)),
+        candsOpt = Some(SigStore.portableCands(s, d)),
+        labelsOpt = Some(SigStore.compLabels(s, d))), Some(l29Sql)),
     Q("l30_split_contamination", (s, d) => splitContamination(Tables.documents(s, d)), Some(l30Sql)),
     Q("l38_training_mix", (s, d) => trainingMixPlan(Tables.documents(s, d)), Some(l38Sql)))
 }

@@ -18,11 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SigStore {
 
-  // seven entries per (session, dir) — shingles, portable + native
-  // minhash, portable + native simhash, scored candidates, truth pairs —
-  // so the bound covers four concurrent (session, dir) combinations
-  // before evicting (eviction only costs a recompute, never correctness)
-  private val MaxEntries = 28
+  // eight entries per (session, dir) — shingles, portable + native
+  // minhash, portable + native simhash, scored candidates, truth pairs,
+  // component labels — so the bound covers four concurrent
+  // (session, dir) combinations before evicting (eviction only costs a
+  // recompute, never correctness)
+  private val MaxEntries = 32
   private val cache = new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
       16, 0.75f, true) {
     override def removeEldestEntry(
@@ -84,6 +85,18 @@ object SigStore {
   def truth(spark: SparkSession, dir: String): DataFrame =
     get(spark, "truth:" + dir,
       () => TextDedup.truthPairs(shingles(spark, dir)))
+
+  /** Propagated near-dup component labels (id, comp) at the default
+    * knobs (est. Jaccard ≥ 0.5, default bucket cap) — the min-label
+    * propagation is rounds of shuffles over the candidate graph, so
+    * clustering (l26) and the leakage-safe split (l29) share one run
+    * per (session, corpus). Derived from the candidate store. */
+  def compLabels(spark: SparkSession, dir: String): DataFrame =
+    get(spark, "complabels:" + dir,
+      () => TextDedup.componentLabels(
+        graft.Tables.documents(spark, dir), 0.5, TextDedup.MaxBucketDefault,
+        sigsOpt = Some(portable(spark, dir)),
+        candsOpt = Some(portableCands(spark, dir))))
 
   private def get(spark: SparkSession, key: String,
                   build: () => DataFrame): DataFrame = cache.synchronized {

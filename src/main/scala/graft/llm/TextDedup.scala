@@ -634,12 +634,17 @@ object TextDedup {
   def dupComponents(documents: DataFrame, minJaccard: Double = 0.5,
                     maxBucket: Int = MaxBucketDefault,
                     sigsOpt: Option[DataFrame] = None,
-                    candsOpt: Option[DataFrame] = None): DataFrame =
-    componentLabels(documents, minJaccard, maxBucket, sigsOpt, candsOpt)
+                    candsOpt: Option[DataFrame] = None,
+                    labelsOpt: Option[DataFrame] = None): DataFrame = {
+    require(labelsOpt.isEmpty || (minJaccard == 0.5 && maxBucket == MaxBucketDefault),
+      "labelsOpt carries labels propagated at the default knobs; custom knobs need labelsOpt=None")
+    labelsOpt.getOrElse(
+        componentLabels(documents, minJaccard, maxBucket, sigsOpt, candsOpt))
       .groupBy("comp").agg(count(lit(1)).as("n_docs"))
       .select(col("comp").as("cluster_id"), col("n_docs"),
         (col("n_docs") - 1).as("removable"))
       .orderBy("cluster_id")
+  }
 
   /** (id, comp) assignment for every doc that appears in a near-dup pair;
     * comp = min doc_id reachable in the candidate graph. See
@@ -994,7 +999,8 @@ object TextDedup {
       simhashPortable(Tables.documents(s, d), fpOpt = Some(SigStore.simhashFp(s, d))), Some(l24Sql)),
     Q("l26_dedup_components", (s, d) =>
       dupComponents(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
-        candsOpt = Some(SigStore.portableCands(s, d))), Some(l26Sql)),
+        candsOpt = Some(SigStore.portableCands(s, d)),
+        labelsOpt = Some(SigStore.compLabels(s, d))), Some(l26Sql)),
     Q("l28_minhash_portable", (s, d) =>
       minhashPortable(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
         candsOpt = Some(SigStore.portableCands(s, d))), Some(l28Sql)),

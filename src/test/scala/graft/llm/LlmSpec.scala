@@ -560,6 +560,15 @@ class LlmSpec extends SparkSuite {
       candsOpt = Some(SigStore.portableCands(spark, dir))).collect().map(_.toSeq).toSeq
     val compRecomputed = TextDedup.dupComponents(documents).collect().map(_.toSeq).toSeq
     assert(compFromStore === compRecomputed)
+    // and the propagated-label frame obeys the same contract
+    assert(SigStore.compLabels(spark, dir) eq SigStore.compLabels(spark, dir))
+    val labelsFromStore = TextDedup.dupComponents(documents,
+      labelsOpt = Some(SigStore.compLabels(spark, dir))).collect().map(_.toSeq).toSeq
+    assert(labelsFromStore === compRecomputed)
+    val splitFromStore = Sampling.leakageSafeSplit(documents,
+      labelsOpt = Some(SigStore.compLabels(spark, dir))).collect().map(_.toSeq).toSeq
+    val splitRecomputed = Sampling.leakageSafeSplit(documents).collect().map(_.toSeq).toSeq
+    assert(splitFromStore === splitRecomputed)
   }
 
   test("property: capBuckets keeps exactly the lowest-id members per bucket, independent of row order") {

@@ -106,12 +106,15 @@ object TextStats {
        |            FROM documents))
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** l13 — rolling-hash document fingerprint: min hash over all 8-char
-    * windows (winnowing-style robust content id). */
+  /** l13 — rolling-hash document fingerprint: min md5 over all 8-char
+    * windows (winnowing-style robust content id). Computed by the native
+    * codegen'd expression ([[graft.plans.Md5WindowMin]]) — bit-identical
+    * to the composed `array_min(transform(...))` md5-HOF chain the
+    * DuckDB oracle runs (LlmSpec pins the equivalence), without the
+    * per-window interpreted lambda + substring + hex allocations. */
   def fingerprint(documents: DataFrame): DataFrame =
     documents
-      .withColumn("fingerprint", expr(
-        "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8))))"))
+      .withColumn("fingerprint", expr("md5_window_min(text, 8)"))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
 
@@ -143,43 +146,39 @@ object TextStats {
     *
     *  - `portable_classes` — distinct l13 fingerprints; oracle-exact
     *    (DuckDB computes the same md5-HOF expression).
-    *  - `fast_sound` — the STRUCTURAL soundness invariant of l25: docs
-    *    with equal fast fingerprints share the minimizing window, so
-    *    every fast-class pair must share ≥1 raw 8-char window (the
-    *    fixture is pure ASCII, so byte and char windows coincide).
-    *    Any mis-rolled hash, wrong min, or nondeterminism across the
-    *    corpus collapses unrelated docs into one class and trips this —
-    *    pinned true, with a ~2⁻⁶⁴ window-collision caveat.
+    *  - `fast_sound` — the STRUCTURAL soundness invariant of l25, in
+    *    its strict form: absent a 64-bit window collision, docs with
+    *    equal fast fingerprints carry the IDENTICAL minimizing window
+    *    (`rolling_argmin_window` — the hash is a function of the window
+    *    bytes, so equal min hash ⟹ equal argmin window), hence every
+    *    fast class must hold exactly one distinct argmin window. Any
+    *    mis-rolled hash, wrong min, argmin/min divergence, or
+    *    nondeterminism across the corpus trips this — pinned true, with
+    *    the same ~2⁻⁶⁴ collision caveat. Strictly stronger than the
+    *    earlier any-shared-window pair check, and O(corpus) instead of
+    *    O(class²) pairs dragging window arrays through a self-join —
+    *    the form that runs at 100 TB with no class sampling.
     *  - `fast_class_band_ok` — discrimination parity: the fast tier's
     *    class count stays within ±30% of the portable tier's. Both
     *    counts are fixture-deterministic; the max observed deviation is
     *    15.5% across all three fixture scales (101/115, 98/116,
     *    266/266), so the band carries ~2× headroom (the q39 pattern:
-    *    audit bound ≫ expected deviation).
-    *
-    * The pair check joins ON the fast fingerprint — banded like every
-    * candidate path here, never all-pairs; at audit scale the class
-    * sizes are bounded, and at 100 TB you'd sample classes first. */
+    *    audit bound ≫ expected deviation). */
   def fingerprintAgreement(documents: DataFrame): DataFrame = {
     val fps = graft.CacheScope.manage(documents.select(
-      col("doc_id"),
-      expr("transform(sequence(1, greatest(length(text)-7, 1)), i -> substring(text, i, 8))")
-        .as("wins"),
-      expr("array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8))))")
-        .as("pfp"),
-      expr("rolling_min_hash(text, 8)").as("ffp")).persist())
+      expr("md5_window_min(text, 8)").as("pfp"),
+      expr("rolling_min_hash(text, 8)").as("ffp"),
+      expr("rolling_argmin_window(text, 8)").as("amw")).persist())
     val counts = fps.agg(
       countDistinct(col("pfp")).as("portable_classes"),
       countDistinct(col("ffp")).as("fast_classes"))
-    val a = fps.select(col("ffp"), col("doc_id").as("id_a"), col("wins").as("wins_a"))
-    val b = fps.select(col("ffp"), col("doc_id").as("id_b"), col("wins").as("wins_b"))
-    val badPairs = a.join(b, Seq("ffp"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(!arrays_overlap(col("wins_a"), col("wins_b")))
-      .agg(count(lit(1)).as("bad_pairs"))
-    counts.crossJoin(badPairs).select(
+    val badClasses = fps.groupBy("ffp")
+      .agg(countDistinct(col("amw")).as("n_wins"))
+      .filter(col("n_wins") > 1)
+      .agg(count(lit(1)).as("bad_classes"))
+    counts.crossJoin(badClasses).select(
       col("portable_classes"),
-      (col("bad_pairs") === 0).as("fast_sound"),
+      (col("bad_classes") === 0).as("fast_sound"),
       (abs(col("fast_classes") - col("portable_classes")) <=
         col("portable_classes") * 0.30).as("fast_class_band_ok"))
   }

@@ -97,6 +97,11 @@ object CosineSimilarity {
       .registerFunction(MinHash16.identifier, MinHash16.info, MinHash16.builder)
     spark.sessionState.functionRegistry
       .registerFunction(MinHashMd5.identifier, MinHashMd5.info, MinHashMd5.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(RollingArgminWindow.identifier, RollingArgminWindow.info,
+        RollingArgminWindow.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(Md5WindowMin.identifier, Md5WindowMin.info, Md5WindowMin.builder)
   }
 }
 
@@ -116,5 +121,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHash16.builder))
     ext.injectFunction((MinHashMd5.identifier, MinHashMd5.info,
       MinHashMd5.builder))
+    ext.injectFunction((RollingArgminWindow.identifier, RollingArgminWindow.info,
+      RollingArgminWindow.builder))
+    ext.injectFunction((Md5WindowMin.identifier, Md5WindowMin.info,
+      Md5WindowMin.builder))
   }
 }

@@ -93,4 +93,75 @@ object RollingMinHash {
     }
     minH
   }
+
+  /** The argmin twin of [[minHash]]: the WINDOW BYTES achieving the
+    * rolling minimum (first occurrence on hash ties — every occurrence
+    * of the same window string hashes equally, so the returned bytes are
+    * a pure function of the text whenever distinct windows don't collide
+    * at 64 bits). Same loop, same hash, one extra position register. */
+  def argminWindow(bytes: Array[Byte], width: Int): UTF8String = {
+    val n = bytes.length
+    if (n <= width) return UTF8String.fromBytes(bytes)
+    var h = 0L
+    var i = 0
+    while (i < width) { h = h * Mult + (bytes(i) & 0xffL); i += 1 }
+    var minH = h
+    var minPos = 0
+    var bw = 1L
+    var k = 1
+    while (k < width) { bw *= Mult; k += 1 }
+    while (i < n) {
+      h = (h - (bytes(i - width) & 0xffL) * bw) * Mult + (bytes(i) & 0xffL)
+      if (h < minH) { minH = h; minPos = i - width + 1 }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, minPos, minPos + width))
+  }
+}
+
+/** `rolling_argmin_window(text, w)` — the window SUBSTRING behind
+  * [[RollingMinHash]]'s minimum (byte windows, like the hash; on ASCII
+  * text byte and character windows coincide). Lets an audit reason about
+  * fast-fingerprint classes in O(corpus) — docs with equal
+  * `rolling_min_hash` must (collision-free) carry the identical argmin
+  * window, so class soundness becomes a per-class distinct count instead
+  * of an all-pairs window-overlap join. */
+case class RollingArgminWindow(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  require(width >= 1 && width <= 64, "window width must be in [1, 64]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_argmin_window expects a string argument, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "rolling_argmin_window"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMinHash.argminWindow(input.asInstanceOf[UTF8String].getBytes, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = classOf[RollingMinHash].getName
+      s"${ev.value} = $cls.argminWindow($s.getBytes(), $width);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingArgminWindow =
+    copy(child = newChild)
+}
+
+object RollingArgminWindow {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("rolling_argmin_window")
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[RollingArgminWindow].getName, "rolling_argmin_window")
+  val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2 && args(1).foldable,
+      "usage: rolling_argmin_window(text, <int literal window width>)")
+    RollingArgminWindow(args.head, args(1).eval().asInstanceOf[Number].intValue())
+  }
 }

@@ -338,12 +338,48 @@ class LlmSpec extends SparkSuite {
     assert(n.head.isNullAt(0), "null text stays null")
   }
 
+  test("md5_window_min is bit-identical to the composed md5-HOF formulation") {
+    val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
+    val native = fixture.selectExpr("doc_id", "md5_window_min(text, 8) AS fp")
+    val composed = fixture.selectExpr("doc_id",
+      "array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))) AS fp")
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+    // short and empty strings fingerprint as the single whole-string window
+    val edge = Seq("", "abc", "exactly8").toDF("text")
+      .selectExpr("md5_window_min(text, 8) AS a", "md5(text) AS b").collect()
+    edge.foreach(r => assert(r.getString(0) === r.getString(1)))
+    val n = Seq[Option[String]](None).toDF("text")
+      .selectExpr("md5_window_min(text, 8) AS a").collect()
+    assert(n.head.isNullAt(0), "null text stays null")
+  }
+
+  test("rolling_argmin_window returns the window behind the rolling minimum") {
+    val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
+    // the argmin window is an in-text window whose own single-window hash
+    // IS the rolling minimum (|window| = 8 ⇒ rolling_min_hash of it is
+    // its plain Karp–Rabin hash)
+    val rows = fixture.selectExpr(
+      "text", "rolling_min_hash(text, 8) AS mh",
+      "rolling_argmin_window(text, 8) AS amw",
+      "rolling_min_hash(rolling_argmin_window(text, 8), 8) AS amw_h").collect()
+    rows.foreach { r =>
+      assert(r.getString(2) != null)
+      assert(r.getLong(3) === r.getLong(1), "argmin window must hash to the min")
+      assert(r.getString(0).contains(r.getString(2)), "argmin window must be in-text")
+    }
+    // short strings: the whole string is the single window
+    val s = Seq("tiny").toDF("text")
+      .selectExpr("rolling_argmin_window(text, 8) AS w").head.getString(0)
+    assert(s === "tiny")
+  }
+
   test("l49 fingerprint agreement: sound, in-band, and layout-invariant") {
     val documents = graft.Tables.documents(spark, sfDir("0.001"))
     val row = TextStats.fingerprintAgreement(documents).head()
     assert(row.getAs[Long]("portable_classes") > 0)
     assert(row.getAs[Boolean]("fast_sound"),
-      "docs sharing a fast fingerprint must share a raw 8-char window")
+      "docs sharing a fast fingerprint must carry the identical argmin window")
     assert(row.getAs[Boolean]("fast_class_band_ok"),
       "fast class count must stay within ±30% of the portable tier's")
     // audit is a pure function of the doc SET — partition layout can't move it

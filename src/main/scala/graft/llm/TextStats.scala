@@ -569,6 +569,58 @@ object TextStats {
        |  cast(sum(CASE WHEN novelty < cast(0.5 as double) THEN 1 ELSE 0 END) as bigint) AS boilerplate_docs
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The character-trigram stream of the corpus (SQL-substring character
+    * windows, so DuckDB's `substring(text, i, 3)` replays it exactly). */
+  private def trigramStream(documents: DataFrame): DataFrame =
+    documents
+      .filter(length(col("text")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
+
+  /** l50 — heavy-hitter character trigrams via the [[graft.plans.MisraGries]]
+    * aggregate: dominant n-grams are the signal behind the l10 lang-ID
+    * heuristic and boilerplate detection, and "keys owning > 1/m of the
+    * stream" is the hot-key question the reference's trending-content
+    * tier asks of content ids.
+    *
+    * Two scan-bound passes, no key-universe shuffle:
+    *  1. ONE aggregation computes the stream length and the m-capacity
+    *     Misra–Gries summary (map-side partials, m-1 counters per task,
+    *     merged associatively).
+    *  2. The ≤ m-1 surfaced candidates are broadcast back and ONLY their
+    *     exact counts computed; `exact·m > n` keeps precisely the true
+    *     heavy hitters (the MG superset guarantee makes the filter
+    *     lossless), so the result is deterministic — merge-order and
+    *     partition-layout invariant — and hash-exact under the oracle's
+    *     plain GROUP BY … HAVING, which DuckDB can afford at fixture
+    *     scale but a 100 TB engine cannot.
+    */
+  def heavyTrigrams(documents: DataFrame, capacity: Int = 128): DataFrame = {
+    val grams = trigramStream(documents)
+    val sketch = grams.agg(
+      count(lit(1)).as("n"),
+      expr(s"misra_gries(g, $capacity)").as("sk"))
+    val cands = sketch
+      .select(col("n"), explode(col("sk")).as("c"))
+      .select(col("n"), col("c.key").as("g"))
+    grams
+      .join(broadcast(cands), Seq("g"))
+      .groupBy("g", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(capacity.toLong) > col("n"))
+      .select(col("g").as("trigram"), col("cnt"))
+      .orderBy(col("cnt").desc, col("trigram"))
+  }
+
+  private val l50Sql =
+    """WITH g AS (SELECT substring(text, i, 3) AS trigram
+      |           FROM (SELECT text, unnest(range(1, length(text)-1)) AS i
+      |                 FROM documents WHERE length(text) >= 3))
+      |SELECT trigram, count(*) AS cnt
+      |FROM g GROUP BY 1
+      |HAVING count(*) * 128 > (SELECT count(*) FROM g)
+      |ORDER BY cnt DESC, trigram""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
@@ -586,5 +638,6 @@ object TextStats {
     Q("l34_vocab_coverage", (s, d) => vocabCoverage(Tables.documents(s, d)), Some(l34Sql)),
     Q("l37_chunk_plan", (s, d) => chunkPlan(Tables.documents(s, d)), Some(l37Sql)),
     Q("l40_html_extract", (s, d) => htmlExtractStats(Tables.documents(s, d)), Some(l40Sql)),
-    Q("l43_bigram_novelty", (s, d) => bigramNovelty(Tables.documents(s, d)), Some(l43Sql)))
+    Q("l43_bigram_novelty", (s, d) => bigramNovelty(Tables.documents(s, d)), Some(l43Sql)),
+    Q("l50_heavy_trigrams", (s, d) => heavyTrigrams(Tables.documents(s, d)), Some(l50Sql)))
 }

@@ -759,6 +759,42 @@ object SurfaceQueries {
       |    SELECT DISTINCT user_id FROM events WHERE event_type='error'))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q76 — exact per-key top-k ("latest k events per type") through the
+    * [[graft.plans.TopKRows]] bounded-heap aggregate instead of
+    * `row_number() OVER (PARTITION BY …) <= k`.
+    *
+    * The window form is the 100 TB trap this query exists to retire:
+    * with a handful of key values (event types, languages, tenants) the
+    * PARTITION BY shuffles the ENTIRE fact to as many reducers as there
+    * are keys and sorts each fact-sized partition. The aggregate form
+    * bounds state at k rows per key per task — partial aggregation
+    * ships k·keys rows per task, the merge keeps the unique top-k set
+    * under the total order (ts DESC, event_id ASC) — so the shuffle is
+    * aggregate-grain and the plan has no sort at all below the final
+    * 50-row ORDER BY. The top-k SET under a total order is
+    * merge-order-invariant, so unlike [[graft.plans.MisraGries]] the
+    * aggregate output itself is deterministic and sits directly under
+    * the window-rank oracle; PlanSpec pins the no-WindowExec,
+    * partial/final ObjectHashAggregate shape.
+    */
+  def topKPerKey(events: DataFrame, k: Int = 10): DataFrame =
+    events
+      .select(col("event_type"), epochS(col("ts")).as("ts_s"), col("event_id"))
+      .groupBy("event_type")
+      .agg(expr(s"top_k_rows(ts_s, event_id, $k)").as("tk"))
+      .select(col("event_type"), explode(col("tk")).as("t"))
+      .select(col("event_type"), col("t.id").as("event_id"), col("t.ord").as("ts_s"))
+      .orderBy(col("event_type"), col("ts_s").desc, col("event_id"))
+
+  private val q76Sql =
+    s"""SELECT event_type, event_id, ts_s FROM (
+       |  SELECT event_type, event_id, ${sqlEpochS("ts")} AS ts_s,
+       |         row_number() OVER (PARTITION BY event_type
+       |           ORDER BY ${sqlEpochS("ts")} DESC, event_id) AS rn
+       |  FROM events) t
+       |WHERE rn <= 10
+       |ORDER BY event_type, ts_s DESC, event_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_json_star_expand", (s, d) => jsonStarExpand(Tables.events(s, d)), Some(q31Sql)),
     Q("q32_summary_stats", (s, d) => summaryStats(Tables.events(s, d)), Some(q32Sql)),
@@ -782,5 +818,6 @@ object SurfaceQueries {
     Q("q56_rolling_range", (s, d) => rollingRange(Tables.events(s, d)), Some(q56Sql)),
     Q("q57_iqr_outliers",
       (s, d) => fenceProbe(Tables.lineitem(s, d), exactQuartileStore(s, d)), Some(q57Sql)),
-    Q("q63_iqr_outliers_approx", (s, d) => iqrOutliersApproxAudit(s, d), Some(q63Sql)))
+    Q("q63_iqr_outliers_approx", (s, d) => iqrOutliersApproxAudit(s, d), Some(q63Sql)),
+    Q("q76_topk_per_key", (s, d) => topKPerKey(Tables.events(s, d)), Some(q76Sql)))
 }

@@ -102,6 +102,10 @@ object CosineSimilarity {
         RollingArgminWindow.builder)
     spark.sessionState.functionRegistry
       .registerFunction(Md5WindowMin.identifier, Md5WindowMin.info, Md5WindowMin.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(MisraGries.identifier, MisraGries.info, MisraGries.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(TopKRows.identifier, TopKRows.info, TopKRows.builder)
   }
 }
 
@@ -125,5 +129,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RollingArgminWindow.builder))
     ext.injectFunction((Md5WindowMin.identifier, Md5WindowMin.info,
       Md5WindowMin.builder))
+    ext.injectFunction((MisraGries.identifier, MisraGries.info,
+      MisraGries.builder))
+    ext.injectFunction((TopKRows.identifier, TopKRows.info,
+      TopKRows.builder))
   }
 }

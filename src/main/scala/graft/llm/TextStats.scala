@@ -621,6 +621,87 @@ object TextStats {
       |HAVING count(*) * 128 > (SELECT count(*) FROM g)
       |ORDER BY cnt DESC, trigram""".stripMargin
 
+  /** l51 — bigram-LM familiarity filter: the perplexity-style quality gate
+    * (the CCNet/KenLM wellformedness filter; reference quality scoring:
+    * consumer.py:283-296) re-expressed in exact rational arithmetic. A
+    * Laplace-smoothed bigram model is fit on the corpus itself —
+    * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + |V|)` — and each document is
+    * scored by its mean transition probability ("familiarity"). Ranking by
+    * familiarity is the monotone inverse of ranking by perplexity over the
+    * same model, without the libm `log` whose uncorrectly-rounded results
+    * l43's note rules out for cross-engine hashes. Low-familiarity docs
+    * (improbable transitions under the corpus model) are what a curation
+    * pipeline drops or down-weights; smoothing is what keeps a doc of
+    * hapax bigrams from degenerately scoring 1.0 under the ML estimate.
+    *
+    * Shape: one explode to bigrams; vocab²-bounded count tables; the
+    * scalar |V| attached via a broadcast 1-row cross join (q17's sanctioned
+    * pattern); one gram-keyed equi-join back to the exploded corpus
+    * (linear, map-side combine); doc- then source-level rollups. Each p is
+    * one exact double division, then quantized to integer micro-probs via
+    * `floor(p * 1e6)` — floor has no rounding ties (the decimal
+    * accumulator's HALF_UP cast disagrees with DuckDB's half-even exactly
+    * when a dyadic p like odd/128 lands on the 6-decimal halfway point),
+    * so every reduction after the division is exact integer arithmetic
+    * and bit-identical cross-engine by construction. */
+  def lmFamiliarity(documents: DataFrame): DataFrame = {
+    val bg = documents
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, size(ts)-2),
+          |  i -> struct(element_at(ts, i+1) AS w1, element_at(ts, i+2) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+    val vocab = documents
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .agg(countDistinct(col("t")).as("vsz"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val pc = bc.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val p = bc.join(pc, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor((col("c2") + 1).cast("double") / (col("c1") + col("vsz")) * 1e6)
+          .as("micro_p"))
+    val doc = bg.join(p, Seq("w1", "w2"))
+      .groupBy("doc_id", "source")
+      .agg(expr("sum(micro_p) div count(micro_p)").as("micro_fam"))
+    doc.groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        (sum(col("micro_fam")).cast("double") / count(lit(1))).as("avg_microfam"),
+        min(col("micro_fam")).as("min_microfam"),
+        sum(when(col("micro_fam") < 33000L, 1L).otherwise(0L)).as("filtered_docs"))
+      .orderBy("source")
+  }
+
+  private val l51Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |v AS (
+       |  SELECT count(DISTINCT t) AS vsz
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |bg AS (
+       |  SELECT doc_id, source, ts[i] AS w1, ts[i+1] AS w2
+       |  FROM (SELECT doc_id, source, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+       |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |pc AS (SELECT w1, cast(sum(c2) as bigint) AS c1 FROM bc GROUP BY 1),
+       |p AS (
+       |  SELECT bc.w1, bc.w2,
+       |    cast(floor(cast(c2 + 1 as double) / (c1 + vsz) * 1e6) as bigint) AS micro_p
+       |  FROM bc JOIN pc ON bc.w1 = pc.w1 CROSS JOIN v),
+       |doc AS (
+       |  SELECT doc_id, source,
+       |    cast(sum(micro_p) as bigint) // count(micro_p) AS micro_fam
+       |  FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+       |  GROUP BY 1, 2)
+       |SELECT source, count(*) AS docs,
+       |  cast(sum(micro_fam) as double) / count(*) AS avg_microfam,
+       |  min(micro_fam) AS min_microfam,
+       |  cast(sum(CASE WHEN micro_fam < 33000 THEN 1 ELSE 0 END) as bigint) AS filtered_docs
+       |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("l09_corpus_stats", (s, d) => corpusStats(Tables.documents(s, d)), Some(l09Sql)),
     Q("l10_lang_id", (s, d) => langId(Tables.documents(s, d)), Some(l10Sql)),
@@ -639,5 +720,6 @@ object TextStats {
     Q("l37_chunk_plan", (s, d) => chunkPlan(Tables.documents(s, d)), Some(l37Sql)),
     Q("l40_html_extract", (s, d) => htmlExtractStats(Tables.documents(s, d)), Some(l40Sql)),
     Q("l43_bigram_novelty", (s, d) => bigramNovelty(Tables.documents(s, d)), Some(l43Sql)),
-    Q("l50_heavy_trigrams", (s, d) => heavyTrigrams(Tables.documents(s, d)), Some(l50Sql)))
+    Q("l50_heavy_trigrams", (s, d) => heavyTrigrams(Tables.documents(s, d)), Some(l50Sql)),
+    Q("l51_lm_familiarity", (s, d) => lmFamiliarity(Tables.documents(s, d)), Some(l51Sql)))
 }

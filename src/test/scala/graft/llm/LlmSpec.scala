@@ -747,6 +747,34 @@ class LlmSpec extends SparkSuite {
       mat.head.getAs[Long]("n_pairs") === 1L)
   }
 
+  test("lm familiarity: smoothed bigram model separates corpus-typical from unique docs") {
+    // Fixture model: |V| = 15 distinct tokens. Doc 3's five bigrams are
+    // all hapax (c2=1, c1=1) → each p = (1+1)/(1+15) = 0.125 exactly =
+    // 125000 micro-probs — the case Laplace smoothing exists for: the
+    // unsmoothed ML estimate would score this maximally-unfamiliar doc
+    // at p = 1.0. Docs 1/4 (hand-computed): bigram micro-probs
+    // 190476×2 + 222222×5 + 166666 → micro_fam 207341; doc 2 swaps the
+    // tail for "lazy cat" (2/18 → 111111) → 200396.
+    val rows = TextStats.lmFamiliarity(docs).collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq === Seq("src0", "src1", "src2"))
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r).toMap
+    assert(bySrc("src1").getAs[Long]("docs") === 1L)
+    assert(bySrc("src1").getAs[Long]("min_microfam") === 125000L)
+    // corpus-repeated docs (1,2,4) transition along c2=3..4 paths → more
+    // familiar than the hapax doc on both rollups
+    assert(bySrc("src0").getAs[Double]("avg_microfam") === 203868.5)
+    assert(bySrc("src2").getAs[Long]("min_microfam") === 207341L)
+    // every fixture doc clears the production 0.033 gate
+    assert(rows.map(_.getAs[Long]("filtered_docs")).sum === 0L)
+    // degenerate corpora: empty in → empty out; a sub-minimum doc (no
+    // bigram) contributes nothing
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextStats.lmFamiliarity(empty).collect().isEmpty)
+    val short = Seq((9L, "solo", "en", "s", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextStats.lmFamiliarity(short).collect().isEmpty)
+  }
+
   test("training mix plan: shares, sampling rates, and epoch flags") {
     // en: 300 one-letter tokens, de: 100 → shares .75/.25, uniform target .5
     val fix = Seq(

@@ -5,11 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md / FIXTURES.md).
   *
-  * `events.ts` is physically parquet TIMESTAMP(NANOS), which Spark's parquet
-  * reader rejects ("Illegal Parquet type"). We read it as a nanosecond long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert with *integer*
-  * division: ns-since-epoch values (~1.7e18) exceed double's 2^53 mantissa,
-  * so a floating-point division would silently corrupt microseconds.
+  * Timestamp columns have shipped in two physical forms across fixture
+  * generations, and the loader accepts both:
+  *  - TIMESTAMP(NANOS), which Spark's parquet reader rejects ("Illegal
+  *    Parquet type"): read as a nanosecond long
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and converted with *integer*
+  *    division — ns-since-epoch (~1.7e18) exceeds double's 2^53 mantissa,
+  *    so floating-point division would silently corrupt microseconds.
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers TIMESTAMP_NTZ
+  *    by default, which poisons every comparison against TIMESTAMP literals
+  *    downstream. We disable `spark.sql.parquet.inferTimestampNTZ.enabled`
+  *    so the scan itself yields TimestampType (stored micros = UTC instant
+  *    under the UTC session zone — identical values to DuckDB's naive read),
+  *    keeping parquet filter pushdown on time columns instead of hiding
+  *    them behind a cast projection.
   */
 object Tables {
 
@@ -27,6 +36,7 @@ object Tables {
     val needed = configured.synchronized { configured.add(spark) }
     if (needed) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       graft.plans.CosineSimilarity.register(spark)
     }
@@ -61,7 +71,11 @@ object Tables {
     }
     perSession.getOrElseUpdate((sfDir, name), {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events")
+      // Older fixture generations stored events.ts as TIMESTAMP(NANOS),
+      // surfaced as a long under nanosAsLong; newer ones store micros and
+      // arrive as TimestampType already (see the object Scaladoc).
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else df
     })

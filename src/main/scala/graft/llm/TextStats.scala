@@ -570,12 +570,14 @@ object TextStats {
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The character-trigram stream of the corpus (SQL-substring character
-    * windows, so DuckDB's `substring(text, i, 3)` replays it exactly). */
+    * windows, so DuckDB's `substring(text, i, 3)` replays it exactly —
+    * [[graft.plans.CharNgrams]] is the one-pass form of exactly that
+    * composed `transform(sequence(...), i -> substring(text, i, 3))`,
+    * whose per-window start-of-string UTF-8 scan is quadratic per doc). */
   private def trigramStream(documents: DataFrame): DataFrame =
     documents
       .filter(length(col("text")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
+      .select(explode(expr("char_ngrams(text, 3)")).as("g"))
 
   /** l50 — heavy-hitter character trigrams via the [[graft.plans.MisraGries]]
     * aggregate: dominant n-grams are the signal behind the l10 lang-ID

@@ -106,6 +106,8 @@ object CosineSimilarity {
       .registerFunction(MisraGries.identifier, MisraGries.info, MisraGries.builder)
     spark.sessionState.functionRegistry
       .registerFunction(TopKRows.identifier, TopKRows.info, TopKRows.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(CharNgrams.identifier, CharNgrams.info, CharNgrams.builder)
   }
 }
 
@@ -133,5 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MisraGries.builder))
     ext.injectFunction((TopKRows.identifier, TopKRows.info,
       TopKRows.builder))
+    ext.injectFunction((CharNgrams.identifier, CharNgrams.info,
+      CharNgrams.builder))
   }
 }

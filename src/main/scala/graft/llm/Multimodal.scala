@@ -58,6 +58,17 @@ object Multimodal {
     out
   }
 
+  /** ImageIO's default ImageInputStream/ImageOutputStream cache is a
+    * TEMP FILE PER read/write CALL — a per-image disk round-trip (plus a
+    * synchronized temp-name allocation) that dwarfs the actual decode of
+    * thumbnail-scale images and turns a 10k-image partition batch into
+    * 10k file creations. Memory-buffered streams are strictly better for
+    * in-memory payload columns at any scale. JVM-global, idempotent;
+    * referenced at the top of every ImageIO-using partition so it runs
+    * on the EXECUTOR JVM, not just the driver. */
+  private lazy val imageioNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic fallback features for payloads no available codec can
     * decode: dimensions derived from payload length, feature = first 16
     * payload bytes. */
@@ -100,6 +111,7 @@ object Multimodal {
     media.select("doc_id", "mime", "media", "media_bytes")
       .as[(Long, String, Array[Byte], Long)]
       .mapPartitions { rows =>
+        imageioNoCache
         rows.map { case (id, mime, payload, bytes) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -235,6 +247,7 @@ object Multimodal {
     media.select("doc_id", "media")
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageioNoCache
         rows.map { case (id, payload) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -325,7 +338,10 @@ object Multimodal {
   def synthImageDecode(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     val media = documents.select(col("doc_id")).as[Long]
-      .mapPartitions(ids => ids.map(id => (id, "image/png", synthPng(id))))
+      .mapPartitions { ids =>
+        imageioNoCache
+        ids.map(id => (id, "image/png", synthPng(id)))
+      }
       .toDF("doc_id", "mime", "media")
       .withColumn("media_bytes", length(col("media")).cast("long"))
     decodeImages(spark, media)
@@ -431,7 +447,10 @@ object Multimodal {
   def synthImageNearDup(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     val media = documents.select(col("doc_id")).as[Long]
-      .mapPartitions(ids => ids.map(id => (id, "image/png", synthGradientPng(id))))
+      .mapPartitions { ids =>
+        imageioNoCache
+        ids.map(id => (id, "image/png", synthGradientPng(id)))
+      }
       .toDF("doc_id", "mime", "media")
       .withColumn("media_bytes", length(col("media")).cast("long"))
     imageNearDup(spark, media)

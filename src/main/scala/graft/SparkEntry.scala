@@ -11,6 +11,7 @@ object SparkEntry {
       operators.SurfaceQueries.all ++
       operators.FunnelQueries.all ++
       operators.AsOfJoin.all ++
+      operators.RuntimeFilter.all ++
       analytics.Views.all ++
       analytics.Calendar.all ++
       etl.Taxonomy.all ++

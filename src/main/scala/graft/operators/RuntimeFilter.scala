@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+import graft.{Q, Tables}
+import graft.functions.Det.{dsum, sqlDsum}
+
+/** Runtime bloom-filter semi-join pruning — the scan-side prune Spark's
+  * own `InjectRuntimeFilter` rule applies to shuffle joins
+  * (`spark.sql.optimizer.runtime.bloomFilter.*`), expressed as an
+  * explicit operator so the engine controls WHEN it fires instead of
+  * depending on the optimizer's creation-side size heuristics.
+  *
+  * Shape, and why it matters at 100 TB: a selective dimension predicate
+  * (here: urgent, high-value orders — ~2% of `orders`) must prune the
+  * FACT side before the join's shuffle, or the full 100 TB fact relation
+  * is hashed, serialized, and shipped only for the join to discard 98%
+  * of it. The build side aggregates its join keys into a bloom filter
+  * (map-side partials; bitwise-OR merge, so the result is
+  * partition-layout-invariant), the ~MB filter ships to every fact
+  * scan task (the same driver materialization Spark performs for a
+  * runtime filter's ScalarSubquery), and `might_contain` drops
+  * non-qualifying rows inside the scan stage. The exact equi-join then
+  * removes the bloom's false positives — the sketch→verify architecture
+  * of the dedup family, which is exactly why the operator stays
+  * hash-exact under the oracle's plain JOIN: the bloom affects WORK,
+  * never RESULTS.
+  *
+  * Reference analog: the analytics views join the full event stream to
+  * sparse dimension slices (analytics_views.sql's content/session
+  * joins); at reference scale the optimizer's broadcast join suffices,
+  * this is the shape that survives when both sides stop fitting memory.
+  */
+object RuntimeFilter {
+
+  /** The selective build side: urgent, high-value orders (~2%). */
+  private[graft] def buildSide(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+
+  /** The fact relation with only the bloom prune applied (pre-join) —
+    * exposed so specs can measure the prune rate the join never sees. */
+  private[graft] def prunedFact(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = buildSide(spark, sfDir)
+    // Distributed bloom build over the build-side keys (XxHash64-keyed,
+    // like InjectRuntimeFilter's); head() is the scalar-subquery
+    // materialization — one ~MB binary to the driver, not data rows.
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.expression(col("o_orderkey")))))
+        .toAggregateExpression())
+    val bloom = sel.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+
+    val prune = ColumnBridge.column(
+      new BloomFilterMightContain(
+        Literal.create(bloom, BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression(col("l_orderkey"))))))
+    Tables.lineitem(spark, sfDir).filter(prune)
+  }
+
+  /** Per-returnflag revenue rollup of lineitems belonging to urgent,
+    * high-value orders, with the fact scan bloom-pruned before the join. */
+  def bloomPrunedRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = buildSide(spark, sfDir)
+    prunedFact(spark, sfDir) // scan-side: rows drop before the join shuffle
+      .join(sel, col("l_orderkey") === col("o_orderkey")) // exact: kills false positives
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q77Sql =
+    s"""SELECT l_returnflag,
+       | cast(count(*) as bigint) AS n_rows,
+       | ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > cast(450000 as double)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q77_bloom_prune", (s, d) => bloomPrunedRollup(s, d), Some(q77Sql)))
+}

@@ -292,6 +292,33 @@ class PlanSpec extends SparkSuite {
     assert("Window ".r.findAllIn(p).length == 3, s"expected the three stacked windows:\n$p")
   }
 
+  test("q77 bloom prune: scan-side might_contain, exact under the plain join") {
+    val df = graft.operators.RuntimeFilter.bloomPrunedRollup(spark, sf)
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"bloom probe must reach the fact side:\n$p")
+    // exactness: the bloom affects work, never results — the equi-join
+    // removes false positives, so the rollup equals the plain join's
+    val li = Tables.lineitem(spark, sf)
+    val sel = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+      .select("o_orderkey")
+    val exact = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+    assert(df.collect().toSeq === exact.collect().toSeq)
+    // the prune genuinely shrinks the join's fact input: survivors cover
+    // every true match (no false negatives) yet are far fewer than the
+    // scan — the work the join never has to shuffle
+    val total = li.count()
+    val matches = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    val survivors = graft.operators.RuntimeFilter.prunedFact(spark, sf).count()
+    assert(survivors >= matches, "bloom filters never drop true matches")
+    assert(survivors < total / 2,
+      s"prune must shrink the fact input: $survivors of $total survived")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

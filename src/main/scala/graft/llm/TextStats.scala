@@ -647,13 +647,16 @@ object TextStats {
     * so every reduction after the division is exact integer arithmetic
     * and bit-identical cross-engine by construction. */
   def lmFamiliarity(documents: DataFrame): DataFrame = {
-    val bg = documents
+    // persisted: the bigram stream feeds BOTH the model fit (bc/pc) and
+    // the per-doc scoring join — uncached the tokenize+explode runs twice
+    val bg = graft.CacheScope.manage(documents
       .withColumn("ts", split(col("text"), " "))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
         """transform(sequence(0, size(ts)-2),
           |  i -> struct(element_at(ts, i+1) AS w1, element_at(ts, i+2) AS w2))""".stripMargin)).as("b"))
       .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      .persist())
     val vocab = documents
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")

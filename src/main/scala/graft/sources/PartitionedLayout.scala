@@ -236,8 +236,42 @@ object PartitionedLayout {
        |       ${sqlDsum("total_price")} AS sum_price
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q78 — DYNAMIC partition pruning: q60's filter names its days as
+    * literals, so the scan prunes at plan time; here the qualifying days
+    * (January 2024 weekends) are known only by JOINING the calendar
+    * dimension — the selective predicate lives on the DIM side. Spark's
+    * DPP turns the broadcast dim into a runtime partition filter
+    * (`dynamicpruningexpression` in the scan's PartitionFilters, reusing
+    * the join's broadcast exchange), so only the 8 weekend
+    * day-directories of 30 are ever listed and read. At 100 TB this is
+    * the difference between scanning a month and scanning its weekends
+    * whenever the slice is defined by a dimension attribute (holiday
+    * flag, fiscal period, campaign window) rather than a literal range.
+    * The oracle re-derives the weekend slice from the flat fixture with
+    * date arithmetic — hash equality proves DPP is pure I/O pruning.
+    * PlanSpec pins the dynamicpruningexpression in the scan. */
+  def dppWeekendRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekendDim = graft.analytics.Calendar.dimTime(spark)
+      .filter(col("is_weekend") && col("year") === 2024 && col("month") === 1)
+      .select(col("year"), col("month"), col("day"), col("day_name"))
+    partitionedEvents(spark, sfDir)
+      .join(broadcast(weekendDim), Seq("year", "month", "day"))
+      .groupBy("day", "day_name")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("day")
+  }
+
+  private val q78Sql =
+    s"""SELECT day(ts) AS day,
+       | CASE dayofweek(ts) WHEN 0 THEN 'Sunday' ELSE 'Saturday' END AS day_name,
+       | count(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events
+       |WHERE year(ts) = 2024 AND month(ts) = 1 AND dayofweek(ts) IN (0, 6)
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q60_partition_pruned_rollup", (s, d) => prunedDailyRollup(s, d), Some(q60Sql)),
+    graft.Q("q78_dpp_weekend_rollup", (s, d) => dppWeekendRollup(s, d), Some(q78Sql)),
     graft.Q("q62_bucketed_join_rollup", (s, d) => bucketedOrderRollup(s, d), Some(q62Sql)),
     graft.Q("q66_jsonl_roundtrip", (s, d) => jsonlRoundtrip(s, d), Some(textSql)),
     graft.Q("q67_csv_roundtrip", (s, d) => csvRoundtrip(s, d), Some(textSql)),

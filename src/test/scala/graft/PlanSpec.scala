@@ -292,6 +292,17 @@ class PlanSpec extends SparkSuite {
     assert("Window ".r.findAllIn(p).length == 3, s"expected the three stacked windows:\n$p")
   }
 
+  test("q78 joins through the calendar dim with dynamic partition pruning") {
+    val df = graft.sources.PartitionedLayout.dppWeekendRollup(spark, sf)
+    val p = df.queryExecution.executedPlan.treeString
+    assert(p.contains("dynamicpruning"),
+      s"the dim-side weekend predicate must prune fact partitions at runtime:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("year"),
+      s"static year/month pruning must still reach the scan:\n$p")
+    // 8 weekend days of January 2024, each a real partition directory
+    assert(df.count() === 8)
+  }
+
   test("q77 bloom prune: scan-side might_contain, exact under the plain join") {
     val df = graft.operators.RuntimeFilter.bloomPrunedRollup(spark, sf)
     val p = plan(df)

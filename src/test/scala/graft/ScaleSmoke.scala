@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * offsets every key id by k·10⁹ (events also shift user ids, so user
   * cardinality scales with the data and per-user row counts stay
   * fixture-shaped; lineitem/orders shift order keys together so join
-  * selectivity is preserved). Events are amplified on the RAW
-  * nanosecond-long `ts` (before Tables' µs conversion) so the copy
-  * round-trips through the same reader path as the fixture.
+  * selectivity is preserved; documents shift doc_id with text kept —
+  * a crawl re-ingesting the same pages). Events are amplified on the
+  * RAW `ts` column exactly as stored (ns-long or µs-timestamp fixture
+  * generations alike) so the copy round-trips through the same reader
+  * path as the fixture.
   *
   * Run: sbt "Test/runMain graft.ScaleSmoke"
   */
@@ -49,9 +51,15 @@ object ScaleSmoke {
     }))
     amplifyEvents(spark, base).write.parquet(s"$out/events.parquet")
     amplifyLineitem(spark, base).write.parquet(s"$out/lineitem.parquet")
+    // documents: duplicate the corpus with shifted ids — a 10× crawl re-
+    // ingesting the same pages, which is exactly the dedup-era workload
+    val rawDocs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until Copies).map { k =>
+      rawDocs.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _).write.parquet(s"$out/documents.parquet")
     // dims and untouched facts: 1× copies keep every query runnable
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "documents", "embeddings").foreach { t =>
+        "embeddings").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet").write.parquet(s"$out/$t.parquet")
     }
     out.toString
@@ -74,7 +82,9 @@ object ScaleSmoke {
       else Seq("q68_streaming_window_rollup", "q72_streaming_late_data",
         "q73_streaming_session_window", "q74_streaming_stream_join",
         "q57_iqr_outliers", "q11_rank_topk", "v04_top_content",
-        "v05_content_trends", "q03_user_activity_5min", "q36_gold_daily_user")
+        "v05_content_trends", "q03_user_activity_5min", "q36_gold_daily_user",
+        "q77_bloom_prune", "q78_dpp_weekend_rollup",
+        "l50_heavy_trigrams", "l51_lm_familiarity", "l15_media_decode")
     val registry = SparkEntry.queries
 
     def time(name: String, dir: String): Double = {

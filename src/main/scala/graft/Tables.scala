@@ -39,6 +39,12 @@ object Tables {
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       graft.plans.CosineSimilarity.register(spark)
+      // runtime twin of GraftExtensions' injectOptimizerRule (same
+      // dual-path registration as the native functions); conf-gated, so
+      // sessions that never set the flag keep byte-identical plans
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.AutoBloomPrune))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.AutoBloomPrune
     }
     spark
   }

@@ -77,6 +77,43 @@ object RuntimeFilter {
       .orderBy("l_returnflag")
   }
 
+  /** The PLAIN declarative form of the q77 rollup — what a user writes
+    * when they don't know the bloom trick exists. */
+  private def plainRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(buildSide(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+
+  // q79 runs on a memoized session CLONE with the rule's conf flag set
+  // (the StreamingOracle gate-session pattern): independent SQLConf and
+  // ExperimentalMethods, shared context/catalog — the caller's session
+  // never observes the flag, and every other query's plan stays
+  // byte-identical.
+  private val ruleSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def ruleSession(spark: SparkSession): SparkSession =
+    ruleSessions.computeIfAbsent(spark, { _ =>
+      val s = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+      }
+      s.conf.set(graft.plans.AutoBloomPrune.Flag, "true")
+      s
+    })
+
+  /** q79 — the [[graft.plans.AutoBloomPrune]] OPTIMIZER RULE applied to
+    * the plain join: same result as q77 (and the same oracle SQL), but
+    * the scan-side `might_contain` prune is injected by the rule, not
+    * written by the user — the engine's demonstration that the bloom
+    * rewrite is a planning concern, not a query-authoring one. */
+  def autoBloomPrunedRollup(spark: SparkSession, sfDir: String): DataFrame =
+    plainRollup(ruleSession(spark), sfDir)
+
   private val q77Sql =
     s"""SELECT l_returnflag,
        | cast(count(*) as bigint) AS n_rows,
@@ -86,5 +123,6 @@ object RuntimeFilter {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("q77_bloom_prune", (s, d) => bloomPrunedRollup(s, d), Some(q77Sql)))
+    Q("q77_bloom_prune", (s, d) => bloomPrunedRollup(s, d), Some(q77Sql)),
+    Q("q79_auto_bloom_prune", (s, d) => autoBloomPrunedRollup(s, d), Some(q77Sql)))
 }

@@ -137,5 +137,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopKRows.builder))
     ext.injectFunction((CharNgrams.identifier, CharNgrams.info,
       CharNgrams.builder))
+    // conf-gated (spark.graft.autoBloomPrune); a no-op for every session
+    // that does not opt in, so global injection is plan-preserving
+    ext.injectOptimizerRule(_ => AutoBloomPrune)
   }
 }

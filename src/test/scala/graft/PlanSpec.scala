@@ -330,6 +330,26 @@ class PlanSpec extends SparkSuite {
       s"prune must shrink the fact input: $survivors of $total survived")
   }
 
+  test("q79 auto bloom prune: the optimizer rule injects the probe; callers are untouched") {
+    val auto = graft.operators.RuntimeFilter.autoBloomPrunedRollup(spark, sf)
+    val p = auto.queryExecution.executedPlan.treeString
+    assert(p.contains("might_contain"),
+      s"the rule must inject the scan-side bloom probe:\n$p")
+    // results identical to the hand-written q77 (the rule changes WORK,
+    // never RESULTS)
+    val manual = graft.operators.RuntimeFilter.bloomPrunedRollup(spark, sf)
+    assert(auto.collect().toSeq === manual.collect().toSeq)
+    // the caller's session must keep byte-identical plans: same join,
+    // no flag, no probe
+    val sel = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+      .select("o_orderkey")
+    val plain = Tables.lineitem(spark, sf)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+    assert(!plain.queryExecution.executedPlan.treeString.contains("might_contain"),
+      "the conf-gated rule must not fire on sessions that never opted in")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

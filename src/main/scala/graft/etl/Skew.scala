@@ -95,7 +95,80 @@ object Skew {
       |  ON e.event_type = d.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q80 runs on a memoized session CLONE (the StreamingOracle gate-
+  // session pattern): broadcast joins disabled so the skewed join
+  // actually sort-merges, and the AQE skew thresholds sized to the
+  // fixture (production defaults are 256 MB partitions — harness
+  // sizing, not semantics; at 100 TB you keep the defaults). The
+  // caller's session never sees these knobs.
+  private val skewSessions =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+  private def skewSession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    skewSessions.computeIfAbsent(spark, { _ =>
+      val s = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2048")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+      s
+    })
+
+  /** q80 — the SAME hot-key join problem as q50, solved by AQE's
+    * `OptimizeSkewedJoin` instead of manual salting: four of the five
+    * event types collapse to one derived key, so ~80% of the fact lands
+    * in a single shuffle partition that would pin its reducer for the
+    * whole stage. With broadcast disabled (the 100 TB case — both sides
+    * too big), AQE observes the finished map stage, splits the
+    * oversized partitions into advisory-sized chunks, and duplicates
+    * the matching build-side partition per chunk —
+    * `SortMergeJoin(skew=true)` + `AQEShuffleRead ... skewed` in the
+    * final plan (PlanSpec pins both). The build side must be a plain
+    * shuffled relation (a literal dim, like q50's): `OptimizeSkewedJoin`
+    * duplicates shuffle-READ partitions, so an aggregate between the
+    * join and the build-side shuffle (e.g. a distinct-derived dim)
+    * makes the join ineligible — a real planning constraint worth
+    * pinning. The DuckDB oracle replays the PLAIN join: the hash match
+    * proves the runtime re-plan is invisible in the result, completing
+    * the skew triptych — q49 salted agg, q50 salted join (explicit
+    * tools), q80 the optimizer doing it for you. */
+  def aqeSkewJoinStats(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): DataFrame = {
+    val s = skewSession(spark)
+    import s.implicits._
+    // AQE splits a skewed reduce partition at MAP-OUTPUT boundaries, and
+    // the single-file fixture scans as ONE map task — an unsplittable
+    // hot partition. The round-robin repartition restores the
+    // multi-mapper reality of any production scan (a 100 TB fact has
+    // thousands of mappers; this is fixture shaping, not semantics).
+    val keyed = Tables.events(s, sfDir).repartition(32).select(
+      when(col("event_type") === "error", lit("error"))
+        .otherwise(lit("hot")).as("k"),
+      col("value").cast("decimal(18,6)").as("v"))
+    val dim = Seq(("hot", "bulk"), ("error", "fault")).toDF("k", "k_class")
+    keyed.join(dim, Seq("k"))
+      .groupBy("k_class")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy("k_class")
+  }
+
+  private val q80Sql =
+    """WITH f AS (SELECT CASE WHEN event_type = 'error' THEN 'error'
+      |                       ELSE 'hot' END AS k,
+      |                  cast(value as decimal(18,6)) AS v FROM events)
+      |SELECT k_class, count(*) AS n_events, cast(sum(v) as double) AS total_value
+      |FROM f JOIN (VALUES ('hot', 'bulk'), ('error', 'fault')) AS d(k, k_class)
+      |  USING (k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q49_salted_agg", (s, d) => saltedAggStats(Tables.events(s, d)), Some(q49Sql)),
-    Q("q50_salted_join", (s, d) => saltedJoinStats(s, Tables.events(s, d)), Some(q50Sql)))
+    Q("q50_salted_join", (s, d) => saltedJoinStats(s, Tables.events(s, d)), Some(q50Sql)),
+    Q("q80_aqe_skew_join", (s, d) => aqeSkewJoinStats(s, d), Some(q80Sql)))
 }

@@ -350,6 +350,24 @@ class PlanSpec extends SparkSuite {
       "the conf-gated rule must not fire on sessions that never opted in")
   }
 
+  test("q80: AQE splits the skewed join partition at runtime (skew=true)") {
+    val df = graft.etl.Skew.aqeSkewJoinStats(spark, sf)
+    val rows = df.collect() // materialize so the AQE final plan exists
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"the SMJ must be marked skew-optimized:\n$p")
+    assert(p.contains("skewed"), s"the shuffle read must carry skew splits:\n$p")
+    // the runtime re-plan is invisible in the result: same totals as the
+    // plain (skew-blind) formulation on the caller's session
+    val plain = Tables.events(spark, sf)
+      .select(when(col("event_type") === "error", lit("error"))
+        .otherwise(lit("hot")).as("k_class_src"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy(when(col("k_class_src") === "error", "fault").otherwise("bulk").as("k_class"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).cast("double").as("total_value"))
+      .orderBy("k_class")
+    assert(rows.toSeq === plain.collect().toSeq)
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the finalized plan,
     // so execute first.

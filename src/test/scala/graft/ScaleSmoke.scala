@@ -83,7 +83,7 @@ object ScaleSmoke {
         "q73_streaming_session_window", "q74_streaming_stream_join",
         "q57_iqr_outliers", "q11_rank_topk", "v04_top_content",
         "v05_content_trends", "q03_user_activity_5min", "q36_gold_daily_user",
-        "q77_bloom_prune", "q78_dpp_weekend_rollup",
+        "q77_bloom_prune", "q78_dpp_weekend_rollup", "q80_aqe_skew_join",
         "l50_heavy_trigrams", "l51_lm_familiarity", "l15_media_decode")
     val registry = SparkEntry.queries
 

@@ -110,4 +110,54 @@ object PropertySpec extends Properties("graft") {
           s.getAs[Long]("session_end_s") - s.getAs[Long]("session_start_s") >= 7200L
         }
     }
+
+  // ---- MGState (the Misra–Gries buffer behind misra_gries) ---------------
+  // Pure-JVM properties, no Spark jobs: random streams, random capacities,
+  // random partition/merge trees — the three MG guarantees the engine
+  // builds on. Zipfian-ish key draw so heavy hitters actually exist.
+
+  private val genStream: Gen[(List[String], Int)] = for {
+    n <- Gen.choose(50, 4000)
+    cap <- Gen.choose(2, 40)
+    keys <- Gen.listOfN(n, Gen.frequency(
+      (8, Gen.oneOf("H0", "H1")),
+      (3, Gen.oneOf("w0", "w1", "w2", "w3", "w4")),
+      (3, Gen.choose(0, 100000).map("t" + _))))
+  } yield (keys, cap)
+
+  private def mgOf(keys: Seq[String], cap: Int): graft.plans.MGState = {
+    val s = new graft.plans.MGState(cap)
+    keys.foreach(s.add(_, 1L))
+    s
+  }
+  private def live(s: graft.plans.MGState): Map[String, Long] =
+    (0 until s.size).map(i => s.keys(i) -> s.vals(i)).toMap
+
+  property("MG: superset guarantee + lower bounds, any single-pass stream") =
+    Prop.forAll(genStream) { case (keys, cap) =>
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = keys.size.toLong
+      val sk = live(mgOf(keys, cap))
+      val heavy = truth.filter { case (_, c) => c * cap > n }.keySet
+      heavy.subsetOf(sk.keySet) &&
+        sk.forall { case (k, lower) => lower >= 1L && lower <= truth(k) } &&
+        sk.size <= cap - 1
+    }
+
+  property("MG: guarantees survive arbitrary partitioning + merge trees") =
+    Prop.forAll(genStream, Gen.choose(2, 9)) { case ((keys, cap), parts) =>
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = keys.size.toLong
+      // split round-robin into `parts` partial summaries, merge left-fold
+      val partials = keys.zipWithIndex.groupBy(_._2 % parts).values
+        .map(chunk => mgOf(chunk.map(_._1), cap)).toList
+      val merged = partials.reduce { (a, b) =>
+        (0 until b.size).foreach(i => a.add(b.keys(i), b.vals(i))); a
+      }
+      val sk = live(merged)
+      val heavy = truth.filter { case (_, c) => c * cap > n }.keySet
+      heavy.subsetOf(sk.keySet) &&
+        sk.forall { case (k, lower) => lower >= 1L && lower <= truth(k) } &&
+        sk.size <= cap - 1
+    }
 }

@@ -80,10 +80,20 @@ object Tables {
       // Older fixture generations stored events.ts as TIMESTAMP(NANOS),
       // surfaced as a long under nanosAsLong; newer ones store micros and
       // arrive as TimestampType already (see the object Scaladoc).
+      // LongType alone doesn't prove nanos: a future fixture storing ts
+      // as a PLAIN INT64 of micros (no logical annotation) surfaces
+      // identically, and dividing it by 1000 would silently shift every
+      // timestamp 1000×. Probe one non-null value (one column chunk, not
+      // a scan) and dispatch on magnitude — 2024-era stamps are ~1.7e18
+      // as nanos vs ~1.7e15 as micros, a 1000× gap no fixture drift can
+      // blur.
       if (name == "events" &&
-          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        val probe = df.select("ts").where("ts IS NOT NULL").head(1)
+        val isNanos = probe.isEmpty || probe(0).getLong(0) > 100000000000000000L // 1e17
+        if (isNanos) df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else df.withColumn("ts", expr("timestamp_micros(ts)"))
+      } else df
     })
   }
 

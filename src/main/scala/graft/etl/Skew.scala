@@ -101,23 +101,14 @@ object Skew {
   // fixture (production defaults are 256 MB partitions — harness
   // sizing, not semantics; at 100 TB you keep the defaults). The
   // caller's session never sees these knobs.
-  private val skewSessions =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
   private def skewSession(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
-    skewSessions.computeIfAbsent(spark, { _ =>
-      val s = spark.newSession()
-      spark.conf.getAll.foreach { case (k, v) =>
-        try s.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
-      }
+    graft.SessionClones.cloned("aqe-skew-gate", spark) { s =>
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
       s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2048")
       s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
-      s
-    })
+    }
 
   /** q80 — the SAME hot-key join problem as q50, solved by AQE's
     * `OptimizeSkewedJoin` instead of manual salting: four of the five

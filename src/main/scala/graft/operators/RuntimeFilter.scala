@@ -48,12 +48,22 @@ object RuntimeFilter {
     * exposed so specs can measure the prune rate the join never sees. */
   private[graft] def prunedFact(spark: SparkSession, sfDir: String): DataFrame = {
     val sel = buildSide(spark, sfDir)
+    // Size the bloom from the build side's ACTUAL key count — one extra
+    // aggregation over the already-filtered small side (~2% of orders),
+    // noise next to the fact scan it prunes. A default-sized filter
+    // silently saturates past ~1M distinct keys: still correct, but the
+    // prune rate decays with no signal. numBits = 8·n is the ~3%-fpp
+    // optimum, clamped to Spark's runtime-filter ceilings.
+    val n = sel.count()
+    val items = math.min(math.max(n, 4096L), 4000000L)
+    val bits = math.min(math.max(items * 8L, 1L << 16), 67108864L)
     // Distributed bloom build over the build-side keys (XxHash64-keyed,
     // like InjectRuntimeFilter's); head() is the scalar-subquery
     // materialization — one ~MB binary to the driver, not data rows.
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
-        new XxHash64(Seq(ColumnBridge.expression(col("o_orderkey")))))
+        new XxHash64(Seq(ColumnBridge.expression(col("o_orderkey")))),
+        Literal(items), Literal(bits))
         .toAggregateExpression())
     val bloom = sel.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
 
@@ -89,22 +99,14 @@ object RuntimeFilter {
       .orderBy("l_returnflag")
 
   // q79 runs on a memoized session CLONE with the rule's conf flag set
-  // (the StreamingOracle gate-session pattern): independent SQLConf and
-  // ExperimentalMethods, shared context/catalog — the caller's session
-  // never observes the flag, and every other query's plan stays
-  // byte-identical.
-  private val ruleSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // (the weak-keyed gate-session pattern — graft.SessionClones):
+  // independent SQLConf and ExperimentalMethods, shared context/catalog —
+  // the caller's session never observes the flag, and every other
+  // query's plan stays byte-identical.
   private def ruleSession(spark: SparkSession): SparkSession =
-    ruleSessions.computeIfAbsent(spark, { _ =>
-      val s = spark.newSession()
-      spark.conf.getAll.foreach { case (k, v) =>
-        try s.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
-      }
+    graft.SessionClones.cloned("auto-bloom-prune", spark) { s =>
       s.conf.set(graft.plans.AutoBloomPrune.Flag, "true")
-      s
-    })
+    }
 
   /** q79 — the [[graft.plans.AutoBloomPrune]] OPTIMIZER RULE applied to
     * the plain join: same result as q77 (and the same oracle SQL), but

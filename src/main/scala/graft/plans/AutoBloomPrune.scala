@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BloomFilterMightContain, EqualTo, Expression, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BloomFilterMightContain, EqualTo, Expression, IsNotNull, Literal, PredicateHelper, ScalarSubquery, XxHash64}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -24,6 +24,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * results are bit-identical with the rule on or off — the rule changes
   * WORK, never RESULTS (PlanSpec pins both).
   *
+  * Safety and sizing (hardened in round 10):
+  *  - Equi-pairs are read from TOP-LEVEL CONJUNCTS only
+  *    (`splitConjunctivePredicates`, like `InjectRuntimeFilter`). An
+  *    `EqualTo` nested under `Or`/`Not` is NOT a key constraint — a
+  *    condition like `(l.a = r.b) OR (l.c = r.d)` admits rows through
+  *    either disjunct, so pruning on one would silently drop results.
+  *  - `selective` ignores `Filter`s that are only `IsNotNull` conjuncts:
+  *    `InferFiltersFromConstraints` puts those on every inner equi-join
+  *    side, so "any Filter" would make the gate vacuous and build
+  *    useless blooms over unfiltered dims.
+  *  - Orientation is symmetric: whichever side is selective and smaller
+  *    becomes the build side; the other side gets the probe. If both
+  *    qualify, the smaller side builds.
+  *  - The bloom is sized from the build side's logical stats (rowCount
+  *    under CBO, else `sizeInBytes / row-width`) instead of the default
+  *    `expectedNumItems`: a ≫1M-key build side would silently saturate
+  *    a default-sized filter — still correct, but the prune rate decays
+  *    with no signal. `numBits` is the textbook optimum for ~3% fpp,
+  *    clamped to Spark's runtime-filter ceiling.
+  *
   * Fires only when `spark.graft.autoBloomPrune=true`: the rule is
   * registered globally (GraftExtensions + the runtime
   * `experimental.extraOptimizations` path), and the conf gate keeps
@@ -34,27 +54,58 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Idempotent under the optimizer's fixed-point batch: a probe side
   * already carrying a `might_contain` filter is ineligible.
   */
-object AutoBloomPrune extends Rule[LogicalPlan] {
+object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
 
   val Flag = "spark.graft.autoBloomPrune"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(Flag, "false").toBoolean) return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), _)
-          if !alreadyPruned(left) && selective(right) && smaller(right, left) =>
-        equiKeys(cond, left, right) match {
-          case Some((lKey, rKey)) =>
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        // Candidate orientations: (build, probe, inject). Smaller build
+        // side wins when both qualify.
+        val candidates = Seq(
+          (right, left, (f: Expression) => j.copy(left = Filter(f, left))),
+          (left, right, (f: Expression) => j.copy(right = Filter(f, right))))
+          .filter { case (build, probe, _) =>
+            !alreadyPruned(probe) && selective(build) && smaller(build, probe)
+          }
+          .sortBy { case (build, _, _) => build.stats.sizeInBytes }
+        candidates.iterator.flatMap { case (build, probe, inject) =>
+          equiKeys(cond, probe, build).map { case (probeKey, buildKey) =>
             val bloomAgg = Aggregate(Nil, Seq(
-              Alias(new BloomFilterAggregate(new XxHash64(Seq(rKey)))
-                .toAggregateExpression(), "graft_bloom")()), right)
-            val probe = BloomFilterMightContain(
-              ScalarSubquery(bloomAgg), new XxHash64(Seq(lKey)))
-            j.copy(left = Filter(probe, left))
-          case None => j
-        }
+              Alias(sizedBloom(buildKey, build).toAggregateExpression(),
+                "graft_bloom")()), build)
+            inject(BloomFilterMightContain(
+              ScalarSubquery(bloomAgg), new XxHash64(Seq(probeKey))))
+          }
+        }.nextOption().getOrElse(j)
     }
   }
+
+  /** Bloom sized from the build side's logical stats — `rowCount` when
+    * CBO provides one, else bytes over the declared row width. Without
+    * CBO a `Filter`'s sizeInBytes equals its child's, so this
+    * OVER-estimates a filtered build side — the safe direction for a
+    * bloom (more bits, same prune rate) and the same signal
+    * `InjectRuntimeFilter` reads. */
+  private def sizedBloom(key: Expression, build: LogicalPlan): BloomFilterAggregate = {
+    val st = build.stats
+    val rowWidth = math.max(1L, build.output.map(_.dataType.defaultSize.toLong).sum)
+    val estimated = st.rowCount.map(_.toLong)
+      .getOrElse(st.sizeInBytes.toLong / rowWidth)
+    val items = math.min(math.max(estimated, 4096L), MaxNumItems)
+    // optimal bits for fpp≈3%: n * ln(0.03) / -ln(2)^2 ≈ n * 7.3
+    val bits = math.min(math.max(items * 8L, 1L << 16), MaxNumBits)
+    new BloomFilterAggregate(new XxHash64(Seq(key)),
+      Literal(items), Literal(bits))
+  }
+
+  // Spark's own runtime-filter ceilings (spark.sql.optimizer.runtime.
+  // bloomFilter.{maxNumItems,maxNumBits} defaults) — beyond these the
+  // filter stops being "a ~MB broadcast to every scan task".
+  private val MaxNumItems = 4000000L
+  private val MaxNumBits = 67108864L
 
   private def alreadyPruned(p: LogicalPlan): Boolean = p.exists {
     case f: Filter => f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
@@ -62,9 +113,16 @@ object AutoBloomPrune extends Rule[LogicalPlan] {
   }
 
   /** The build side must carry a real predicate — an unfiltered dim
-    * would bloom-admit every key and prune nothing. */
+    * would bloom-admit every key and prune nothing. `IsNotNull`-only
+    * filters don't count: `InferFiltersFromConstraints` has already
+    * stamped those on both sides of every inner equi-join, so they
+    * carry no selectivity signal. */
   private def selective(p: LogicalPlan): Boolean = p.exists {
-    case _: Filter => true
+    case f: Filter =>
+      splitConjunctivePredicates(f.condition).exists {
+        case _: IsNotNull => false
+        case _ => true
+      }
     case _ => false
   }
 
@@ -73,16 +131,18 @@ object AutoBloomPrune extends Rule[LogicalPlan] {
   private def smaller(build: LogicalPlan, probe: LogicalPlan): Boolean =
     build.stats.sizeInBytes <= probe.stats.sizeInBytes
 
-  /** First plain attribute-to-attribute equi-pair of the condition,
-    * oriented (probeKey, buildKey). */
-  private def equiKeys(cond: Expression, left: LogicalPlan,
-                       right: LogicalPlan): Option[(Expression, Expression)] = {
-    val pairs = cond.collect {
+  /** First attribute-to-attribute equi-pair among the condition's
+    * TOP-LEVEL conjuncts, oriented (probeKey, buildKey). Nested
+    * `EqualTo`s (under Or/Not) are not key constraints and must not
+    * prune — rows may join through the other disjunct. */
+  private def equiKeys(cond: Expression, probe: LogicalPlan,
+                       build: LogicalPlan): Option[(Expression, Expression)] = {
+    val pairs = splitConjunctivePredicates(cond).collect {
       case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
     }
     pairs.collectFirst {
-      case (a, b) if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
-      case (a, b) if left.outputSet.contains(b) && right.outputSet.contains(a) => (b, a)
+      case (a, b) if probe.outputSet.contains(a) && build.outputSet.contains(b) => (a, b)
+      case (a, b) if probe.outputSet.contains(b) && build.outputSet.contains(a) => (b, a)
     }
   }
 }

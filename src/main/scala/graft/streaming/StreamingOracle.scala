@@ -106,16 +106,9 @@ object StreamingOracle {
     * conf, so the caller's runtime conf (time zone, parquet nanos
     * handling, ANSI flags, …) is folded in first; only the two gate
     * knobs diverge. */
-  private val gateSessions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]()
   private def gateSession(spark: SparkSession,
                           partitions: String = GatePartitions): SparkSession =
-    gateSessions.computeIfAbsent((spark, partitions), { _ =>
-      val s = spark.newSession()
-      spark.conf.getAll.foreach { case (k, v) =>
-        try s.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
-      }
+    graft.SessionClones.cloned(s"stream-gate-$partitions", spark) { s =>
       s.conf.set("spark.sql.shuffle.partitions", partitions)
       s.conf.set(ProviderKey, RocksDbProvider)
       // changelog checkpointing is RocksDB's production posture at scale
@@ -123,8 +116,7 @@ object StreamingOracle {
       // batch's delta instead of a full snapshot (measured ~20% off
       // every gate's wall here); recovery replays the changelog
       s.conf.set(ChangelogKey, "true")
-      s
-    })
+    }
 
   /** Start the gate's stream, drain it, stop it. */
   private def drain(start: => StreamingQuery): StreamingQuery = {

@@ -350,6 +350,66 @@ class PlanSpec extends SparkSuite {
       "the conf-gated rule must not fire on sessions that never opted in")
   }
 
+  // a session with the AutoBloomPrune flag on (the q79 gate-session
+  // pattern) — the caller's `spark` never sees the flag
+  private def abpSession = graft.SessionClones.cloned("plan-spec-abp", spark) { s =>
+    s.conf.set(graft.plans.AutoBloomPrune.Flag, "true")
+  }
+
+  test("AutoBloomPrune never fires on an EqualTo nested under Or (disjunctive join)") {
+    val s = abpSession
+    val li = Tables.lineitem(s, sf).select("l_orderkey", "l_suppkey", "l_returnflag")
+    val sel = Tables.orders(s, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+      .select("o_orderkey", "o_custkey")
+    // rows may join through EITHER disjunct — pruning on one equi-pair
+    // would silently drop rows that only match the other (the round-9
+    // ADVICE correctness flag)
+    val disjunctive = li.join(sel,
+      col("l_orderkey") === col("o_orderkey") || col("l_suppkey") === col("o_custkey"))
+    assert(!disjunctive.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "no bloom probe may be injected for a disjunctive condition")
+    // and the result equals the no-flag session's, row for row
+    val plain = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_returnflag")
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey") || col("l_suppkey") === col("o_custkey"))
+    assert(disjunctive.count() === plain.count())
+  }
+
+  test("AutoBloomPrune skips an unfiltered build side (IsNotNull-only filters don't count)") {
+    val s = abpSession
+    // orders is smaller than lineitem but carries no user predicate —
+    // only the IsNotNull constraints InferFiltersFromConstraints injects.
+    // A bloom over ALL its keys would admit everything and prune nothing.
+    val joined = Tables.lineitem(s, sf)
+      .join(Tables.orders(s, sf).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "no bloom may be built for an unfiltered dim")
+  }
+
+  test("AutoBloomPrune mirrors orientation: a selective smaller LEFT side prunes the right") {
+    val s = abpSession
+    val sel = Tables.orders(s, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+      .select("o_orderkey")
+    // build side on the LEFT this time — the round-9 rule only pruned
+    // when the build side sat on the right
+    val joined = sel.join(Tables.lineitem(s, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"the flipped-orientation join must still get the scan-side probe:\n$opt")
+    // bit-identical to the hand-written q77 rollup
+    val manual = graft.operators.RuntimeFilter.bloomPrunedRollup(spark, sf)
+    assert(joined.collect().toSeq === manual.collect().toSeq)
+  }
+
   test("q80: AQE splits the skewed join partition at runtime (skew=true)") {
     val df = graft.etl.Skew.aqeSkewJoinStats(spark, sf)
     val rows = df.collect() // materialize so the AQE final plan exists

@@ -21,6 +21,26 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("q39 driver gate stays in its ±10% band on the current fixture (re-validate on drift)") {
+    // The driver pins q39's approx_ok column to literal `true`, so a
+    // fixture whose realized HLL error drifts past 10% would surface as
+    // an opaque hash mismatch in CORRECTNESS. This check fails FIRST,
+    // with the instruction: the band is ≳6σ at lgConfigK=12 (see
+    // hllRollupAudit's Scaladoc), so an out-of-band estimate on a fresh
+    // fixture means a real regression in the sketch pipeline — not a
+    // band to widen. Re-validate by re-running this suite against the
+    // regenerated fixtures before touching the 0.10 constant.
+    for (sf <- Seq("0.001", "0.01")) {
+      val bad = SurfaceQueries.hllRollupAudit(graft.Tables.events(spark, sfDir(sf)))
+        .filter(!col("approx_ok")).collect()
+      assert(bad.isEmpty,
+        s"q39 HLL estimate out of the ±10% driver band at sf$sf for days " +
+          s"${bad.map(_.get(0)).mkString(", ")} — the CORRECTNESS q39 row will " +
+          "hash-mismatch; investigate the sketch pipeline (hllRollupAudit Scaladoc) " +
+          "rather than widening the band")
+    }
+  }
+
   test("HLL estimates are partition-layout invariant (q39's oracle rests on this determinism)") {
     val ev = graft.Tables.events(spark, sfDir("0.01"))
     def rollup(df: org.apache.spark.sql.DataFrame) =

@@ -570,6 +570,64 @@ object TextDedup {
        |FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
        |WHERE cast($sqlMatches as double)/$NumHashes >= cast($FastTierMinEst as double)""".stripMargin
 
+  /** l52 — simhash FAST-TIER fingerprint agreement audit, under the
+    * oracle: the l47 pattern applied to l03's xxhash64 simhash tier,
+    * closing the last rows-only surface without a driver-visible tether.
+    * Universe = the portable md5 pipeline's HIGH-CONFIDENCE near-dup
+    * pairs (est. Jaccard ≥ [[FastTierMinEst]] — n_high is oracle-exact,
+    * DuckDB reproduces the portable chain bit-for-bit, the same count
+    * l47 publishes). For each such pair the FAST fingerprints' hamming
+    * distance must be small: `agree_ok` = at least
+    * [[SimhashAgreeMinRatio]] of the pairs land within
+    * [[SimhashAgreeMaxHamming]] of 64 bits, which the oracle pins to
+    * `true`. Gating the fingerprint DISTANCE (the quantity l03 ranks by)
+    * instead of band collisions keeps the statistical banding lottery
+    * out of a hash-exact driver row: measured across all three fixture
+    * scales the worst high-confidence pair sits at hamming 12, so the
+    * ≤16 bound is far above realized error while a real fingerprint
+    * regression (hash change, vote-sign bug) drives hamming to ~32
+    * (random) and fails the row. Cost: the capped portable candidate
+    * tier + two doc_id equi-joins against the fingerprint store —
+    * nothing quadratic, and both frames are [[SigStore]]-shared. */
+  def simhashFastAgreement(documents: DataFrame,
+                           maxBucket: Int = MaxBucketDefault,
+                           sigsOpt: Option[DataFrame] = None,
+                           fpOpt: Option[DataFrame] = None,
+                           candsOpt: Option[DataFrame] = None): DataFrame = {
+    require(candsOpt.isEmpty || maxBucket == MaxBucketDefault,
+      "candsOpt carries candidates capped at MaxBucketDefault; a custom maxBucket needs candsOpt=None")
+    val high = candsOpt.getOrElse(scoredCandidates(
+        sigsOpt.getOrElse(graft.CacheScope.manage(withPortableSignatures(documents).persist())),
+        portableBandKey, maxBucket))
+      .filter(col("est_jaccard") >= FastTierMinEst)
+      .select("id_a", "id_b")
+    val fp = fpOpt.getOrElse(graft.CacheScope.manage(nativeSimhashFp(documents).persist()))
+    high
+      .join(fp.select(col("doc_id").as("id_a"), col("simhash").as("sim_a")), Seq("id_a"))
+      .join(fp.select(col("doc_id").as("id_b"), col("simhash").as("sim_b")), Seq("id_b"))
+      .withColumn("ham", expr("bit_count(sim_a ^ sim_b)"))
+      .agg(
+        count(lit(1)).as("n_high"),
+        // coalesce: an empty high set is vacuously ok (0 ≥ 0)
+        (coalesce(sum(when(col("ham") <= SimhashAgreeMaxHamming, 1).otherwise(0)), lit(0))
+          .cast("double") >=
+          count(lit(1)).cast("double") * lit(SimhashAgreeMinRatio)).as("agree_ok"))
+  }
+
+  /** Fast-fingerprint hamming bound for [[simhashFastAgreement]] —
+    * worst measured high-confidence pair is 12/64 across sf0.001–0.1;
+    * a broken fingerprint sits at ~32 (random). */
+  private val SimhashAgreeMaxHamming = 16
+
+  /** Required in-bound ratio — observed 100%; far above any real
+    * regression, below the statistical tail of a fresh fixture. */
+  private val SimhashAgreeMinRatio = 0.95
+
+  private lazy val l52Sql = pairsCtesSql + "\n" +
+    s"""SELECT count(*) AS n_high, true AS agree_ok
+       |FROM cands JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
+       |WHERE cast($sqlMatches as double)/$NumHashes >= cast($FastTierMinEst as double)""".stripMargin
+
   /** l45 — cross-source duplication matrix: near-dup pairs (portable
     * est. Jaccard ≥ 0.5) bucketed by the UNORDERED source pair of their
     * two docs. The curation question this answers: which crawls/dumps
@@ -1019,5 +1077,9 @@ object TextDedup {
     Q("l47_fast_tier_agreement", (s, d) =>
       fastTierAgreement(Tables.documents(s, d), sigsOpt = Some(SigStore.portable(s, d)),
         fastSigsOpt = Some(SigStore.native(s, d)),
-        candsOpt = Some(SigStore.portableCands(s, d))), Some(l47Sql)))
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l47Sql)),
+    Q("l52_simhash_fast_agreement", (s, d) =>
+      simhashFastAgreement(Tables.documents(s, d),
+        fpOpt = Some(SigStore.nativeSimhash(s, d)),
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l52Sql)))
 }

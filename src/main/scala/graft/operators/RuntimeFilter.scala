@@ -44,35 +44,40 @@ object RuntimeFilter {
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
       .select(col("o_orderkey"))
 
-  /** The fact relation with only the bloom prune applied (pre-join) —
-    * exposed so specs can measure the prune rate the join never sees. */
-  private[graft] def prunedFact(spark: SparkSession, sfDir: String): DataFrame = {
-    val sel = buildSide(spark, sfDir)
-    // Size the bloom from the build side's ACTUAL key count — one extra
-    // aggregation over the already-filtered small side (~2% of orders),
-    // noise next to the fact scan it prunes. A default-sized filter
-    // silently saturates past ~1M distinct keys: still correct, but the
-    // prune rate decays with no signal. numBits = 8·n is the ~3%-fpp
-    // optimum, clamped to Spark's runtime-filter ceilings.
+  /** A `might_contain(xxhash64(probeKey))` Column over a bloom built
+    * from `sel`'s `buildKey` values — shared by q77 and q81.
+    *
+    * The bloom is sized from the build side's ACTUAL key count — one
+    * extra aggregation over the already-filtered small side, noise next
+    * to the fact scan it prunes. A default-sized filter silently
+    * saturates past ~1M distinct keys: still correct, but the prune rate
+    * decays with no signal. numBits = 8·n is the ~3%-fpp optimum,
+    * clamped to Spark's runtime-filter ceilings. The build itself is
+    * distributed (XxHash64-keyed map-side partials, bitwise-OR merge,
+    * like InjectRuntimeFilter's); head() is the scalar-subquery
+    * materialization — one ~MB binary to the driver, not data rows. */
+  private def bloomProbe(sel: DataFrame, buildKey: String, probeKey: String)
+      : org.apache.spark.sql.Column = {
     val n = sel.count()
     val items = math.min(math.max(n, 4096L), 4000000L)
     val bits = math.min(math.max(items * 8L, 1L << 16), 67108864L)
-    // Distributed bloom build over the build-side keys (XxHash64-keyed,
-    // like InjectRuntimeFilter's); head() is the scalar-subquery
-    // materialization — one ~MB binary to the driver, not data rows.
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
-        new XxHash64(Seq(ColumnBridge.expression(col("o_orderkey")))),
+        new XxHash64(Seq(ColumnBridge.expression(col(buildKey)))),
         Literal(items), Literal(bits))
         .toAggregateExpression())
     val bloom = sel.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-
-    val prune = ColumnBridge.column(
+    ColumnBridge.column(
       new BloomFilterMightContain(
         Literal.create(bloom, BinaryType),
-        new XxHash64(Seq(ColumnBridge.expression(col("l_orderkey"))))))
-    Tables.lineitem(spark, sfDir).filter(prune)
+        new XxHash64(Seq(ColumnBridge.expression(col(probeKey))))))
   }
+
+  /** The fact relation with only the bloom prune applied (pre-join) —
+    * exposed so specs can measure the prune rate the join never sees. */
+  private[graft] def prunedFact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(bloomProbe(buildSide(spark, sfDir), "o_orderkey", "l_orderkey"))
 
   /** Per-returnflag revenue rollup of lineitems belonging to urgent,
     * high-value orders, with the fact scan bloom-pruned before the join. */
@@ -116,6 +121,48 @@ object RuntimeFilter {
   def autoBloomPrunedRollup(spark: SparkSession, sfDir: String): DataFrame =
     plainRollup(ruleSession(spark), sfDir)
 
+  /** The q81 build side: users with a high-value purchase (~8% of the
+    * user dimension at every fixture scale). */
+  private[graft] def highValueUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value") > 250.0)
+      .select(col("user_id")).distinct()
+
+  /** The day-sliced partitioned scan with the bloom probe applied —
+    * exposed so PlanSpec can pin BOTH prunes on one scan. */
+  private[graft] def prunedPartitionedFact(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day").between(10, 20))
+      .filter(bloomProbe(highValueUsers(spark, sfDir), "user_id", "user_id"))
+
+  /** q81 — the q77 bloom prune COMPOSED with the partitioned layout: at
+    * 100 TB the fact is never a flat directory, so the scan-side
+    * `might_contain` probe has to coexist with partition pruning. The
+    * static day-range lands in the scan's `PartitionFilters` (11 of 30
+    * day-directories listed — directory-level pruning first, the
+    * cheapest filter there is), and the bloom probe drops non-qualifying
+    * survivors inside the scan stage before the join shuffle — the two
+    * prunes compose multiplicatively on one scan (PlanSpec pins both in
+    * a single node's receipt). Exact under the oracle's plain JOIN over
+    * the flat fixture: both prunes affect WORK, never RESULTS. */
+  def bloomPrunedPartitionedRollup(spark: SparkSession, sfDir: String): DataFrame =
+    prunedPartitionedFact(spark, sfDir)
+      .join(highValueUsers(spark, sfDir), Seq("user_id")) // exact: kills false positives
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("day")
+
+  private val q81Sql =
+    s"""WITH sel AS (SELECT DISTINCT user_id FROM events
+       |            WHERE event_type = 'purchase' AND value > cast(250 as double))
+       |SELECT day(ts) AS day, cast(count(*) as bigint) AS n,
+       |       ${sqlDsum("value")} AS total_value
+       |FROM events JOIN sel USING (user_id)
+       |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 20
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q77Sql =
     s"""SELECT l_returnflag,
        | cast(count(*) as bigint) AS n_rows,
@@ -126,5 +173,6 @@ object RuntimeFilter {
 
   val all: Seq[Q] = Seq(
     Q("q77_bloom_prune", (s, d) => bloomPrunedRollup(s, d), Some(q77Sql)),
-    Q("q79_auto_bloom_prune", (s, d) => autoBloomPrunedRollup(s, d), Some(q77Sql)))
+    Q("q79_auto_bloom_prune", (s, d) => autoBloomPrunedRollup(s, d), Some(q77Sql)),
+    Q("q81_bloom_partition_prune", (s, d) => bloomPrunedPartitionedRollup(s, d), Some(q81Sql)))
 }

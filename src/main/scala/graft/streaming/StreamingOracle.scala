@@ -130,19 +130,38 @@ object StreamingOracle {
     q
   }
 
+  // Per-directory (schema, fileCount) memo: the gate layouts are
+  // written once per JVM and never change, so the batch reads that
+  // mftFor and sourceOver need (a footer for the schema, a listing for
+  // the file count) happen once per dir instead of twice per gate
+  // invocation — part of the shared fixed block all six gates pay.
+  private val dirMeta = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, Int)]()
+  private def metaOf(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.types.StructType, Int) =
+    dirMeta.computeIfAbsent(dir, { _ =>
+      val df = spark.read.parquet(dir)
+      (df.schema, df.inputFiles.length)
+    })
+
   /** Files-per-trigger that slices `dir` into ~`targetBatches`
-    * micro-batches whatever the layout's file count is. */
+    * micro-batches whatever the layout's file count is. Two batches by
+    * default: every multi-batch exactness property the gates prove
+    * (state carried ACROSS batches) needs ≥2 data-carrying triggers and
+    * nothing needs three — each extra trigger costs a full
+    * per-partition RocksDB open/commit round, the dominant term of the
+    * gates' fixed block (the order-sensitive gates q72–q74 pin their
+    * own explicit mft=1 slicing instead). */
   private[streaming] def mftFor(spark: SparkSession, dir: String,
-                                targetBatches: Int = 3): Int = {
-    val n = spark.read.parquet(dir).inputFiles.length
+                                targetBatches: Int = 2): Int = {
+    val n = metaOf(spark, dir)._2
     math.max(1, math.ceil(n.toDouble / targetBatches).toInt)
   }
 
   private def sourceOver(spark: SparkSession, dir: String, mft: Int,
                          fileGlob: Option[String] = None): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
     val reader = spark.readStream
-      .schema(schema)
+      .schema(metaOf(spark, dir)._1)
       .option("maxFilesPerTrigger", mft.toString)
       .option("basePath", dir)
     fileGlob.foreach(g => reader.option("pathGlobFilter", g))

@@ -350,6 +350,82 @@ class PlanSpec extends SparkSuite {
       "the conf-gated rule must not fire on sessions that never opted in")
   }
 
+  test("q78 beyond broadcast: default conf skips DPP, duplicated subquery restores it; rows never change") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case qs: QueryStageExec => walk(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(walk)
+    }
+    // the hint-free q78 shape on a session whose dim cannot broadcast —
+    // what q78 degrades to at 100 TB when the dim outgrows the threshold
+    def rollup(s: org.apache.spark.sql.SparkSession) = {
+      val dim = graft.analytics.Calendar.dimTime(s)
+        .filter(col("is_weekend") && col("year") === 2024 && col("month") === 1)
+        .select(col("year"), col("month"), col("day"), col("day_name"))
+      graft.sources.PartitionedLayout.partitionedEvents(s, sf)
+        .join(dim, Seq("year", "month", "day"))
+        .groupBy("day", "day_name")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      walk(df.queryExecution.executedPlan)
+        .filter(_.toString.contains("graft_layout"))
+        .map(_.metrics("numFiles").value).sum
+    }
+    val total = graft.sources.PartitionedLayout.partitionedEvents(spark, sf).inputFiles.length
+    // (a) Spark's default beyond-broadcast posture: the SMJ plan keeps a
+    // dynamicpruning PartitionFilter but it is a runtime NO-OP — every
+    // partition is read (the silent scan-cost cliff the receipt pins)
+    val defSess = graft.SessionClones.cloned("dpp-nobcast-default", spark) { s =>
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    }
+    val noOp = rollup(defSess)
+    assert(filesRead(noOp) === total.toLong,
+      s"reuseBroadcastOnly=true must read every partition under a shuffle join")
+    // (b) reuseBroadcastOnly=false: the dim subquery is DUPLICATED as a
+    // real partition filter — pruning equivalent to the broadcast path
+    val dupSess = graft.SessionClones.cloned("dpp-nobcast-dup", spark) { s =>
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    }
+    val dup = rollup(dupSess)
+    val dupFiles = filesRead(dup)
+    assert(dupFiles < total.toLong,
+      s"the duplicated dim subquery must prune the scan: read $dupFiles of $total")
+    // (c) results are identical in all three postures — DPP is pure I/O
+    val viaBroadcast = graft.sources.PartitionedLayout.dppWeekendRollup(spark, sf)
+      .select("day", "day_name").collect().toSeq
+    assert(noOp.select("day", "day_name").collect().toSeq === viaBroadcast)
+    assert(dup.select("day", "day_name").collect().toSeq === viaBroadcast)
+  }
+
+  test("q81 composes partition pruning and the bloom probe on one scan") {
+    val df = graft.operators.RuntimeFilter.bloomPrunedPartitionedRollup(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // the static day range must land in PartitionFilters (directory
+    // pruning), the bloom probe in a Filter over the SAME scan — the
+    // two prunes compose, neither displaces the other
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findFirstIn(p)
+    assert(pf.exists(s => s.contains("day") && s.length > "PartitionFilters: []".length),
+      s"expected a non-empty PartitionFilters on day in:\n$p")
+    assert(p.contains("might_contain"), s"bloom probe must reach the scan side:\n$p")
+    // the probe genuinely shrinks the join input beyond the partition cut
+    val sliced = graft.sources.PartitionedLayout.partitionedEvents(spark, sf)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day").between(10, 20))
+    val survivors = graft.operators.RuntimeFilter.prunedPartitionedFact(spark, sf).count()
+    val matches = sliced.join(
+      graft.operators.RuntimeFilter.highValueUsers(spark, sf), Seq("user_id")).count()
+    assert(survivors >= matches, "bloom filters never drop true matches")
+    assert(survivors < sliced.count(),
+      s"the probe must cut the day-sliced scan: $survivors of ${sliced.count()}")
+  }
+
   // a session with the AutoBloomPrune flag on (the q79 gate-session
   // pattern) — the caller's `spark` never sees the flag
   private def abpSession = graft.SessionClones.cloned("plan-spec-abp", spark) { s =>

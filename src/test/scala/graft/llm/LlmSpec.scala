@@ -680,6 +680,29 @@ class LlmSpec extends SparkSuite {
     } finally { tru.unpersist(); graft.CacheScope.releaseAll() }
   }
 
+  test("l52 simhash fast agreement: in-band on the fixture, vacuously ok when empty") {
+    val dir = sfDir("0.01")
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+      val r = TextDedup.simhashFastAgreement(docs,
+        fpOpt = Some(SigStore.nativeSimhash(spark, dir)),
+        candsOpt = Some(SigStore.portableCands(spark, dir))).head()
+      assert(r.getAs[Boolean]("agree_ok"),
+        s"fast simhash fingerprints drifted out of the hamming band on ${r.getAs[Long]("n_high")} high pairs")
+      // same universe as l47: the two audits must publish the same n_high
+      val l47 = TextDedup.fastTierAgreement(docs,
+        sigsOpt = Some(SigStore.portable(spark, dir)),
+        fastSigsOpt = Some(SigStore.native(spark, dir)),
+        candsOpt = Some(SigStore.portableCands(spark, dir))).head()
+      assert(r.getAs[Long]("n_high") === l47.getAs[Long]("n_high"))
+      // no high-confidence pairs → 0 ≥ 0, vacuously ok (not null/false)
+      val lone = Seq((1L, "just one tiny document here", "en", "s", 27L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val empty = TextDedup.simhashFastAgreement(lone).head()
+      assert(empty.getAs[Long]("n_high") === 0L && empty.getAs[Boolean]("agree_ok"))
+    } finally graft.CacheScope.releaseAll()
+  }
+
   test("embedding dup clusters group identical vectors transitively") {
     // identical vectors share every hyperplane sign (same bucket) and
     // have cosine exactly 1 — {1,2,3} and {10,11} must form two clusters

@@ -51,15 +51,29 @@ object ScaleSmoke {
     }))
     amplifyEvents(spark, base).write.parquet(s"$out/events.parquet")
     amplifyLineitem(spark, base).write.parquet(s"$out/lineitem.parquet")
+    // orders shift WITH lineitem (same key offset), so every order keeps
+    // its copy's lineitems and join selectivity is preserved; o_custkey
+    // stays unshifted — the fixed customer dim simply owns 10× orders,
+    // the fact-grows-dims-don't posture of a warehouse scale-up
+    val rawOrders = spark.read.parquet(s"$base/orders.parquet")
+    (0 until Copies).map { k =>
+      rawOrders.withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _).write.parquet(s"$out/orders.parquet")
     // documents: duplicate the corpus with shifted ids — a 10× crawl re-
     // ingesting the same pages, which is exactly the dedup-era workload
     val rawDocs = spark.read.parquet(s"$base/documents.parquet")
     (0 until Copies).map { k =>
       rawDocs.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
     }.reduce(_ unionByName _).write.parquet(s"$out/documents.parquet")
-    // dims and untouched facts: 1× copies keep every query runnable
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "embeddings").foreach { t =>
+    // embeddings: shifted vec ids with vectors kept — 10× the ANN corpus
+    // (duplicated vectors are the adversarial case for the near-dup
+    // tiers: every bucket fills, the caps have to hold)
+    val rawEmb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until Copies).map { k =>
+      rawEmb.withColumn("vec_id", col("vec_id") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _).write.parquet(s"$out/embeddings.parquet")
+    // dims: 1× copies — at 100 TB the facts grow, the dims don't
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet").write.parquet(s"$out/$t.parquet")
     }
     out.toString
@@ -77,15 +91,12 @@ object ScaleSmoke {
     Tables.configure(spark)
 
     val x10 = build10x(spark, base)
+    // Default: the ENTIRE registry — every operator's ×10 cost ratio is
+    // a measured row, not a design argument. Pass names to subset.
+    val registry = SparkEntry.queries
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q68_streaming_window_rollup", "q72_streaming_late_data",
-        "q73_streaming_session_window", "q74_streaming_stream_join",
-        "q57_iqr_outliers", "q11_rank_topk", "v04_top_content",
-        "v05_content_trends", "q03_user_activity_5min", "q36_gold_daily_user",
-        "q77_bloom_prune", "q78_dpp_weekend_rollup", "q80_aqe_skew_join",
-        "l50_heavy_trigrams", "l51_lm_familiarity", "l15_media_decode")
-    val registry = SparkEntry.queries
+      else registry.keys.toSeq.sorted
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -96,16 +107,20 @@ object ScaleSmoke {
 
     // per (query, dir): one warm-up pass (JVM/codegen/layout build), one
     // timed pass — the steady-state per-query cost, matching Bench's
-    // best-of protocol
-    val rows = names.map { n =>
-      val pairs = Seq(base, x10).map { dir =>
-        time(n, dir); time(n, dir)
-      }
-      (n, pairs.head, pairs.last)
-    }
+    // best-of protocol. Rows stream out as they complete so an
+    // interrupted sweep still yields its finished measurements.
     println("query,base_sec,x10_sec,ratio")
-    rows.foreach { case (n, a, b) =>
-      println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f")
+    names.foreach { n =>
+      try {
+        val pairs = Seq(base, x10).map { dir =>
+          time(n, dir); time(n, dir)
+        }
+        println(f"$n,${pairs.head}%.2f,${pairs.last}%.2f,${pairs.last / pairs.head}%.1f")
+      } catch {
+        case e: Throwable =>
+          println(s"$n,ERR,ERR,${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}")
+      }
+      Console.flush()
     }
     spark.stop()
   }

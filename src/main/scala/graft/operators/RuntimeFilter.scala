@@ -121,6 +121,39 @@ object RuntimeFilter {
   def autoBloomPrunedRollup(spark: SparkSession, sfDir: String): DataFrame =
     plainRollup(ruleSession(spark), sfDir)
 
+  /** q82 — MULTI-DIM auto-prune: a fact joining TWO selective dims
+    * (urgent high-value orders on `l_orderkey`, small parts on
+    * `l_partkey`), written as plain joins on the rule session. The
+    * per-key idempotence guard lets the rule inject BOTH probes on the
+    * fact scan — the semi-join-reduction program a multi-dim star query
+    * wants at 100 TB, where each dim alone leaves the fact's shuffle too
+    * big (PlanSpec pins two `might_contain`s and no duplicate-key
+    * stacking). Oracle: the plain two-join rollup — both probes change
+    * WORK, never RESULTS. */
+  def multiDimAutoPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = ruleSession(spark)
+    Tables.lineitem(s, sfDir)
+      .join(buildSide(s, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(s, sfDir).filter(col("p_size") <= 5).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q82Sql =
+    s"""SELECT l_returnflag,
+       | cast(count(*) as bigint) AS n_rows,
+       | ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > cast(450000 as double)
+       |  AND p_size <= 5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The q81 build side: users with a high-value purchase (~8% of the
     * user dimension at every fixture scale). */
   private[graft] def highValueUsers(spark: SparkSession, sfDir: String): DataFrame =
@@ -174,5 +207,6 @@ object RuntimeFilter {
   val all: Seq[Q] = Seq(
     Q("q77_bloom_prune", (s, d) => bloomPrunedRollup(s, d), Some(q77Sql)),
     Q("q79_auto_bloom_prune", (s, d) => autoBloomPrunedRollup(s, d), Some(q77Sql)),
-    Q("q81_bloom_partition_prune", (s, d) => bloomPrunedPartitionedRollup(s, d), Some(q81Sql)))
+    Q("q81_bloom_partition_prune", (s, d) => bloomPrunedPartitionedRollup(s, d), Some(q81Sql)),
+    Q("q82_multi_dim_bloom_prune", (s, d) => multiDimAutoPruned(s, d), Some(q82Sql)))
 }

@@ -52,7 +52,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (the StreamingOracle gate-session pattern).
   *
   * Idempotent under the optimizer's fixed-point batch: a probe side
-  * already carrying a `might_contain` filter is ineligible.
+  * already carrying a `might_contain` filter ON THE SAME KEY is
+  * ineligible; probes on different keys compose, so a fact joining two
+  * selective dims carries both prunes on its scan.
   */
 object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -68,16 +70,17 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
           (right, left, (f: Expression) => j.copy(left = Filter(f, left))),
           (left, right, (f: Expression) => j.copy(right = Filter(f, right))))
           .filter { case (build, probe, _) =>
-            !alreadyPruned(probe) && selective(build) && smaller(build, probe)
+            selective(build) && smaller(build, probe)
           }
           .sortBy { case (build, _, _) => build.stats.sizeInBytes }
         candidates.iterator.flatMap { case (build, probe, inject) =>
-          equiKeys(cond, probe, build).map { case (probeKey, buildKey) =>
-            val bloomAgg = Aggregate(Nil, Seq(
-              Alias(sizedBloom(buildKey, build).toAggregateExpression(),
-                "graft_bloom")()), build)
-            inject(BloomFilterMightContain(
-              ScalarSubquery(bloomAgg), new XxHash64(Seq(probeKey))))
+          equiKeys(cond, probe, build).collect {
+            case (probeKey, buildKey) if !alreadyPruned(probe, probeKey) =>
+              val bloomAgg = Aggregate(Nil, Seq(
+                Alias(sizedBloom(buildKey, build).toAggregateExpression(),
+                  "graft_bloom")()), build)
+              inject(BloomFilterMightContain(
+                ScalarSubquery(bloomAgg), new XxHash64(Seq(probeKey))))
           }
         }.nextOption().getOrElse(j)
     }
@@ -107,8 +110,18 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
   private val MaxNumItems = 4000000L
   private val MaxNumBits = 67108864L
 
-  private def alreadyPruned(p: LogicalPlan): Boolean = p.exists {
-    case f: Filter => f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
+  /** Idempotence/composition guard, PER KEY: a probe side already
+    * carrying a `might_contain` on THIS key is ineligible (the
+    * fixed-point batch must not stack duplicate probes), but a probe on
+    * a DIFFERENT key does not block — a fact joining two selective dims
+    * gets both prunes on its scan (the semi-join-reduction shape a
+    * multi-dim star query wants at 100 TB). */
+  private def alreadyPruned(p: LogicalPlan, probeKey: Expression): Boolean = p.exists {
+    case f: Filter => f.condition.exists {
+      case BloomFilterMightContain(_, x: XxHash64) =>
+        x.children.exists(_.semanticEquals(probeKey))
+      case _ => false
+    }
     case _ => false
   }
 

@@ -486,6 +486,41 @@ class PlanSpec extends SparkSuite {
     assert(joined.collect().toSeq === manual.collect().toSeq)
   }
 
+  test("AutoBloomPrune composes: two selective dims put two probes on the fact scan") {
+    val s = abpSession
+    val selOrders = Tables.orders(s, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+      .select("o_orderkey")
+    val selPart = Tables.part(s, sf)
+      .filter(col("p_size") <= 5).select("p_partkey")
+    val joined = Tables.lineitem(s, sf)
+      .join(selOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(selPart, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    val opt = joined.queryExecution.optimizedPlan.toString
+    // per-key idempotence guard: the l_orderkey probe must not block
+    // the l_partkey probe — the fact scan carries BOTH (the semi-join-
+    // reduction shape of a multi-dim star query)
+    assert("might_contain".r.findAllIn(opt).length >= 2,
+      s"both dims must prune the fact side:\n$opt")
+    // and never stacks a duplicate probe on the SAME key
+    assert(opt.split("xxhash64\\(l_orderkey").length - 1 <= 2, // probe + its bloom build ref
+      s"the fixed point must not stack duplicate l_orderkey probes:\n$opt")
+    // bit-identical to the no-flag session
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+        .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sf).filter(col("p_size") <= 5).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(joined.collect().toSeq === plain.collect().toSeq)
+  }
+
   test("q80: AQE splits the skewed join partition at runtime (skew=true)") {
     val df = graft.etl.Skew.aqeSkewJoinStats(spark, sf)
     val rows = df.collect() // materialize so the AQE final plan exists

@@ -45,6 +45,9 @@ object Tables {
       if (!spark.experimental.extraOptimizations.contains(graft.plans.AutoBloomPrune))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.AutoBloomPrune
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     }
     spark
   }

@@ -8,11 +8,17 @@ import org.apache.spark.sql.functions._
   * `rightTs <= leftTs` on the same key. Spark has no built-in; the naive
   * formulation (non-equi join + max) is a BroadcastNestedLoop trap.
   *
-  * This implementation is the scalable composition (brief preference (a)):
-  * union both sides with a side marker, then one `last_value(...,
-  * ignoreNulls)` window over (key, ts, marker) — a single hash shuffle on
-  * the key, linear in total rows, ties resolved right-before-left so a
-  * right row at exactly leftTs matches (DuckDB ASOF semantics).
+  * Two implementations, same semantics (AsOfJoinPlanSpec pins them
+  * row-for-row, q48/q83/q84 pin all three shapes under ONE oracle SQL):
+  *  - [[asofJoin]] — the scalable composition (brief preference (a)):
+  *    union both sides with a side marker, then one `last_value(...,
+  *    ignoreNulls)` window over (key, ts, marker) — a single hash shuffle
+  *    on the key, linear in total rows, ties resolved right-before-left
+  *    so a right row at exactly leftTs matches (DuckDB ASOF semantics).
+  *  - [[asofJoinNative]] — the whole-operator path (brief preference
+  *    (c), [[graft.plans.AsOfJoinNode]]): narrow per-side shuffles +
+  *    streaming merge, or a broadcast index that never moves the fact
+  *    side at all; the strategy picks like Spark's own JoinSelection.
   */
 object AsOfJoin {
 
@@ -50,27 +56,74 @@ object AsOfJoin {
         valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** The same as-of semantics through the native whole-operator path —
+    * [[graft.plans.AsOfJoinNode]] planned by `AsOfJoinStrategy` into the
+    * ordered-merge [[graft.plans.AsOfJoinExec]]. Versus the union-window
+    * composition above: each side shuffles at its own row width (no
+    * null-padded union schema), and the exec re-exposes the left side's
+    * partitioning/ordering so a downstream `groupBy(key)` plans no
+    * further exchange. Same contract: `right` unique per (key, ts) or
+    * disambiguated by `tieBreak` (greatest wins); null-key / null-ts
+    * right rows never match; a left row with a null key or ts gets a
+    * null payload (SQL comparison semantics). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                     valueCols: Seq[String], tieBreak: Option[String] = None,
+                     broadcast: Option[Boolean] = None): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val spark = graft.Tables.configure(left.sparkSession)
+    // Align right key/ts types to the left side's (the union-window path
+    // gets the same coercion implicitly from unionByName resolution).
+    val rightProj = right
+      .filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .select(Seq(
+        col(key).cast(left.schema(key).dataType).as("__asof_k"),
+        col(tsCol).cast(left.schema(tsCol).dataType).as("__asof_t")) ++
+        valueCols.map(c => col(c).as(s"asof_$c")): _*)
+    val lp = PlanBridge.analyzed(left)
+    val rp = PlanBridge.analyzed(rightProj)
+    def lAttr(n: String) = lp.output.find(_.name == n).getOrElse(
+      sys.error(s"asofJoinNative: no column $n on the left side"))
+    def rAttr(n: String) = rp.output.find(_.name == n).get
+    val node = graft.plans.AsOfJoinNode(
+      Seq(lAttr(key)), Seq(rAttr("__asof_k")),
+      lAttr(tsCol), rAttr("__asof_t"),
+      tieBreak.map(c => rAttr(s"asof_$c")).toSeq,
+      lp, rp, broadcastHint = broadcast)
+    PlanBridge.ofRows(spark, node).drop("__asof_k", "__asof_t")
+  }
+
   /** Events enriched with each user's most recent ORDER at event time —
     * the cross-table as-of (q37 is the events-only self variant). Left
     * rows keep a null payload when no order precedes them; same-date
-    * orders resolve to the greatest order key. */
-  def asofEnrich(events: DataFrame, orders: DataFrame): DataFrame = {
+    * orders resolve to the greatest order key. `native` picks the
+    * merge-exec path over the union-window composition. */
+  /** `native = None` → union-window composition; `Some(bcast)` → the
+    * native exec with the broadcast decision pinned (`Some(false)` =
+    * shuffle-merge, `Some(true)` = broadcast index) or left to the
+    * strategy's stats when the hint inside is None. */
+  def asofEnrich(events: DataFrame, orders: DataFrame,
+                 native: Option[Option[Boolean]] = None): DataFrame = {
     val right = orders.select(
       col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
       col("o_orderkey").as("okey"), col("o_totalprice").as("oprice"))
-    asofJoin(events.select("event_id", "event_type", "user_id", "ts"), right,
-        "user_id", "ts", Seq("okey", "oprice"), tieBreak = Some("okey"))
-      .select(col("event_id"), col("event_type"),
-        col("asof_okey").as("asof_orderkey"),
-        col("asof_oprice").as("asof_price"))
+    val ev = events.select("event_id", "event_type", "user_id", "ts")
+    val joinedDf = native match {
+      case None => asofJoin(ev, right, "user_id", "ts", Seq("okey", "oprice"), Some("okey"))
+      case Some(b) => asofJoinNative(ev, right, "user_id", "ts",
+        Seq("okey", "oprice"), Some("okey"), broadcast = b)
+    }
+    joinedDf.select(col("event_id"), col("event_type"),
+      col("asof_okey").as("asof_orderkey"),
+      col("asof_oprice").as("asof_price"))
   }
 
   /** q48 — as-of rollup per event type: match rate and matched-price
     * mass. The oracle states the same semantics as the inequality join +
     * rank DuckDB can afford at fixture scale — agreeing outputs prove
     * the union-window shape implements the declarative as-of exactly. */
-  def asofRollup(events: DataFrame, orders: DataFrame): DataFrame =
-    asofEnrich(events, orders)
+  def asofRollup(events: DataFrame, orders: DataFrame,
+                 native: Option[Option[Boolean]] = None): DataFrame =
+    asofEnrich(events, orders, native)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
@@ -94,5 +147,15 @@ object AsOfJoin {
 
   def all: Seq[graft.Q] = Seq(
     graft.Q("q48_asof_join", (s, d) =>
-      asofRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)), Some(q48Sql)))
+      asofRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)), Some(q48Sql)),
+    // Same oracle SQL as q48 on purpose: all three physical shapes —
+    // union-window composition (q48), shuffle-merge exec (q83), and the
+    // stats-selected broadcast-index exec (q84, orders is dim-sized at
+    // fixture scale) — must state the SAME declarative as-of.
+    graft.Q("q83_asof_native", (s, d) =>
+      asofRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d),
+        native = Some(Some(false))), Some(q48Sql)),
+    graft.Q("q84_asof_broadcast", (s, d) =>
+      asofRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d),
+        native = Some(None)), Some(q48Sql)))
 }

@@ -140,5 +140,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // conf-gated (spark.graft.autoBloomPrune); a no-op for every session
     // that does not opt in, so global injection is plan-preserving
     ext.injectOptimizerRule(_ => AutoBloomPrune)
+    // fires only on AsOfJoinNode (which only asofJoinNative constructs),
+    // so global injection never touches another query's plan
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -246,8 +246,11 @@ case class BroadcastAsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
-      // key → rows sorted by (ts, tieBreak); built once per partition
-      val index: java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]] = {
+      // key → rows sorted by (ts, tieBreak). Built ONCE PER EXECUTOR JVM
+      // and shared across this exec's partitions (keyed by broadcast id,
+      // like Spark builds one HashedRelation per broadcast) — without the
+      // cache every partition would redo the group+sort of the whole dim.
+      val index = BroadcastAsOfJoinExec.indexFor(bcast.id, () => {
         val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
         bcast.value.foreach { row =>
           val k = rKeyProj(row).copy()
@@ -267,7 +270,7 @@ case class BroadcastAsOfJoinExec(
           })
         grouped.forEach { (k, buf) => built.put(k, buf.sortInPlace()(byOrder).toArray) }
         built
-      }
+      })
 
       lIter.map { lRow =>
         val rows = index.get(lKeyProj(lRow))
@@ -287,4 +290,28 @@ case class BroadcastAsOfJoinExec(
       }
     }
   }
+}
+
+object BroadcastAsOfJoinExec {
+  type AsOfIndex = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
+
+  // broadcast.id → built index; a small LRU bounded per executor. The
+  // index is read-only after construction, so sharing across partitions
+  // and queries is safe; eviction only costs a rebuild, never
+  // correctness. Keyed by the broadcast id (unique per broadcast
+  // variable), NOT the plan — re-executions reuse, new broadcasts don't.
+  private val cache = new java.util.LinkedHashMap[Long, AsOfIndex](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Long, AsOfIndex]): Boolean =
+      size() > 4
+  }
+
+  /** Build-once-per-JVM: the first partition to arrive builds (holding
+    * the lock, so concurrent partitions block instead of duplicating the
+    * group+sort), the rest just read. */
+  private[plans] def indexFor(id: Long, build: () => AsOfIndex): AsOfIndex =
+    cache.synchronized {
+      var v = cache.get(id)
+      if (v == null) { v = build(); cache.put(id, v) }
+      v
+    }
 }

@@ -91,6 +91,31 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(p.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$p")
   }
 
+  test("bucketed fact: merge-mode as-of elides the fact-side exchange") {
+    // The 100 TB posture behind AsOfJoinExec's declarative requirements:
+    // a fact already bucketed on the key satisfies ClusteredDistribution
+    // straight off the scan, so the ONLY exchange in the whole plan is
+    // the dim side shuffling to co-partition. (q62 proves the same for
+    // the built-in SMJ; this pins it for the custom exec.)
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    graft.sources.Writers.writeBucketed(ev, "b_events_asof", "user_id", 8)
+    val bev = spark.table("b_events_asof")
+    val od = Tables.orders(spark, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"))
+    val out = AsOfJoin.asofJoinNative(bev, od, "user_id", "ts", Seq("okey"),
+      tieBreak = Some("okey"), broadcast = Some(false))
+    val p = finalPlan(out)
+    assert(p.contains("AsOfJoin ["), s"expected the merge exec in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"only the dim side may shuffle over a bucketed fact:\n$p")
+    assert(p.contains("Bucketed: true"), s"fact must read as bucketed:\n$p")
+    // and the bucketed run returns exactly the composition's answer
+    val expect = AsOfJoin.asofJoin(ev, od, "user_id", "ts", Seq("okey"),
+      Some("okey")).orderBy("event_id").collect()
+    assert(out.orderBy("event_id").collect().toSeq === expect.toSeq)
+  }
+
   for ((mode, label) <- Seq(Some(false) -> "shuffle-merge", Some(true) -> "broadcast")) {
 
     test(s"[$label] tie-break: equal (key, ts) resolves to the greatest; exact-ts matches") {

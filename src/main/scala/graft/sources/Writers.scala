@@ -36,9 +36,24 @@ object Writers {
     * once at write time, reuse it every query). */
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
                     numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    writeBucketedSorted(df, tableName, bucketCol, numBuckets, Seq(bucketCol))
+
+  /** Bucketed table with a declared IN-BUCKET sort order beyond the key
+    * (e.g. (user_id, ts) for as-of/sessionization reads). Spark's scan
+    * only trusts bucket sort metadata when each bucket holds EXACTLY ONE
+    * file, so the frame is pre-shuffled to one task per bucket on the
+    * bucket key — same hash function (`HashPartitioning` on the column),
+    * so every row still lands in its declared bucket, and the write-side
+    * sort is a per-task (= per-bucket) sort, not a global one. Readers
+    * clustered AND ordered on these columns (merge as-of, SMJ,
+    * sessionization windows) then plan ZERO exchanges and ZERO sorts on
+    * this side. */
+  def writeBucketedSorted(df: DataFrame, tableName: String, bucketCol: String,
+                          numBuckets: Int, sortCols: Seq[String]): Unit =
+    df.repartition(numBuckets, df(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
 }

@@ -116,6 +116,36 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(out.orderBy("event_id").collect().toSeq === expect.toSeq)
   }
 
+  test("sorted-bucketed fact: merge as-of elides the fact-side exchange AND sort") {
+    // One file per bucket + declared (user_id, ts) sort order → the scan
+    // itself satisfies both of AsOfJoinExec's fact-side requirements.
+    // This is the full pay-the-shuffle-once-at-write-time posture: the
+    // fact is read in as-of-ready form, forever.
+    // Spark only REPORTS bucket sort order when the legacy conf opts into
+    // planning-time file listing (one-file-per-bucket proof); clone so the
+    // shared session keeps default planning costs.
+    val s2 = graft.SessionClones.cloned("asof-bucket-sort", spark) { s =>
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true") }
+    val ev = Tables.events(s2, sf).select("event_id", "user_id", "ts")
+    graft.sources.Writers.writeBucketedSorted(
+      ev, "b_events_asof_sorted", "user_id", 8, Seq("user_id", "ts"))
+    val bev = s2.table("b_events_asof_sorted")
+    val od = Tables.orders(s2, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"))
+    val out = AsOfJoin.asofJoinNative(bev, od, "user_id", "ts", Seq("okey"),
+      tieBreak = Some("okey"), broadcast = Some(false))
+    val p = finalPlan(out)
+    assert(p.contains("AsOfJoin ["), s"expected the merge exec in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"only the dim side may shuffle over a bucketed fact:\n$p")
+    assert("Sort \\[".r.findAllIn(p).length === 1,
+      s"only the dim side may sort over a sorted-bucketed fact:\n$p")
+    val expect = AsOfJoin.asofJoin(ev, od, "user_id", "ts", Seq("okey"),
+      Some("okey")).orderBy("event_id").collect()
+    assert(out.orderBy("event_id").collect().toSeq === expect.toSeq)
+  }
+
   for ((mode, label) <- Seq(Some(false) -> "shuffle-merge", Some(true) -> "broadcast")) {
 
     test(s"[$label] tie-break: equal (key, ts) resolves to the greatest; exact-ts matches") {

@@ -66,14 +66,28 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
-  property("as-of join matches the brute-force reference on random data") =
+  // All three physical shapes — union-window composition, shuffle-merge
+  // exec, broadcast-index exec — against one brute-force reference, on
+  // the same random frames (duplicate (key, ts) groups, tie-breaks, and
+  // no-match lefts all arise at these generator ranges).
+  for ((label, joinFn) <- Seq[(String,
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame)](
+    "composition" -> ((l, r) => graft.operators.AsOfJoin
+      .asofJoin(l, r, "user_id", "ts", Seq("rid", "rv"), tieBreak = Some("rid"))),
+    "merge-exec" -> ((l, r) => graft.operators.AsOfJoin
+      .asofJoinNative(l, r, "user_id", "ts", Seq("rid", "rv"),
+        tieBreak = Some("rid"), broadcast = Some(false))),
+    "broadcast-exec" -> ((l, r) => graft.operators.AsOfJoin
+      .asofJoinNative(l, r, "user_id", "ts", Seq("rid", "rv"),
+        tieBreak = Some("rid"), broadcast = Some(true)))))
+  property(s"as-of join [$label] matches the brute-force reference on random data") =
     Prop.forAll(genEvents, genEvents) { (l, r) =>
       val left = toDF(l)
       // right side: (key=user_id, ts, payload=value); tie-break on event_id
       val right = toDF(r).select(
         col("user_id"), col("ts"), col("event_id").as("rid"), col("value").as("rv"))
-      val got = graft.operators.AsOfJoin
-        .asofJoin(left, right, "user_id", "ts", Seq("rid", "rv"), tieBreak = Some("rid"))
+      val got = joinFn(left, right)
         .select("event_id", "ts", "user_id", "asof_rid").collect()
         .map(x => (x.getAs[Long]("event_id"), x.getAs[Timestamp]("ts"), x.getAs[Long]("user_id")) ->
           Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap

@@ -132,7 +132,7 @@ object AsOfJoin {
       // nulls-last to match the oracle engine's ORDER BY default
       .orderBy(col("event_type").asc_nulls_last)
 
-  private val q48Sql =
+  private[graft] val q48Sql =
     s"""WITH m AS (
        |  SELECT e.event_id, e.event_type, o.o_orderkey, o.o_totalprice,
        |         row_number() OVER (PARTITION BY e.event_id

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Native as-of join — the engine's §7.4(c) whole-operator extension:
   * a custom `LogicalPlan` + `SparkStrategy` + physical `SparkPlan`,
@@ -118,6 +119,10 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -128,6 +133,8 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -174,6 +181,8 @@ case class AsOfJoinExec(
               advancing = false
             }
           }
+          numOutputRows += 1
+          if (cand != null) numMatched += 1
           outProj(joined(lRow, if (cand != null) cand else nullRight))
         }
       }
@@ -218,6 +227,10 @@ case class BroadcastAsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -230,6 +243,8 @@ case class BroadcastAsOfJoinExec(
     val tieTypes = rightTieBreak.map(_.dataType)
     val outAttrs = output
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().mapPartitions { lIter =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -286,6 +301,8 @@ case class BroadcastAsOfJoinExec(
             else hi = mid - 1
           }
         }
+        numOutputRows += 1
+        if (cand != null) numMatched += 1
         outProj(joined(lRow, if (cand != null) cand else nullRight))
       }
     }

@@ -515,6 +515,47 @@ object StreamingOracle {
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
       |ORDER BY view_id, click_id""".stripMargin
 
+  // ---- q85: stream-static broadcast as-of enrichment ----------------------
+
+  /** q85 — the round-10 native operator INSIDE the streaming engine:
+    * events arrive in real micro-batches while the `orders` dim stays
+    * static, and every batch's plan runs `BroadcastAsOfJoinExec` — the
+    * custom strategy is consulted by the incremental planner exactly
+    * like Spark's own. Zero stream-side shuffles, zero state store:
+    * as-of enrichment is per-row against a static dim, so micro-batch
+    * slicing CANNOT change results — proven by appending each batch's
+    * enriched rows to a checkpointed parquet sink, rolling up FROM
+    * STORAGE to q48's summary, and hash-matching the same batch oracle
+    * (q48Sql) all three batch shapes already share. */
+  def streamingAsOfEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
+    val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sfDir)
+    val gs = gateSession(spark)
+    val run = freshRunDir("q85")
+    val result = run.resolve("result").toString
+    val src = sourceOver(gs, dir, mftFor(gs, dir))
+      .select("event_id", "event_type", "user_id", "ts")
+    val dim = graft.Tables.orders(gs, sfDir).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"), col("o_totalprice").as("oprice"))
+    val enriched = graft.operators.AsOfJoin.asofJoinNative(
+      src, dim, "user_id", "ts", Seq("okey", "oprice"),
+      tieBreak = Some("okey"), broadcast = Some(true))
+    drain {
+      enriched.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .format("parquet").option("path", result)
+        .start()
+    }
+    spark.read.parquet(result)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("asof_okey").isNotNull, 1).otherwise(0)).as("matched_events"),
+        dsum(col("asof_oprice")).as("asof_price_sum"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),
     graft.Q("q69_streaming_funnel", (s, d) => streamingFunnelSummary(s, d),
@@ -524,5 +565,7 @@ object StreamingOracle {
     graft.Q("q73_streaming_session_window", (s, d) => streamingSessionRollup(s, d),
       Some(graft.operators.SurfaceQueries.q35Sql)),
     graft.Q("q74_streaming_stream_join", (s, d) => streamingClickAttribution(s, d),
-      Some(q74Sql)))
+      Some(q74Sql)),
+    graft.Q("q85_streaming_asof_enrich", (s, d) => streamingAsOfEnrich(s, d),
+      Some(graft.operators.AsOfJoin.q48Sql)))
 }

@@ -190,6 +190,28 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  test("self as-of (same table both sides) resolves — the wrapper's aliases keep exprIds distinct") {
+    // events as-of its own purchase history: for each event, the user's
+    // most recent prior 'purchase' event. Same underlying relation on
+    // both sides is the classic duplicate-exprId trap; the wrapper's
+    // right-side projection aliases every column to fresh exprIds.
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    for (mode <- Seq(Some(false), Some(true))) {
+      val nat = AsOfJoin.asofJoinNative(ev, purchases, "user_id", "ts",
+        Seq("pid"), tieBreak = Some("pid"), broadcast = mode)
+        .orderBy("event_id").collect()
+      val comp = AsOfJoin.asofJoin(ev, purchases, "user_id", "ts",
+        Seq("pid"), tieBreak = Some("pid"))
+        .orderBy("event_id").collect()
+      assert(nat.toSeq === comp.toSeq, s"self as-of mismatch for broadcast=$mode")
+      assert(comp.exists(r => !r.isNullAt(3)) && comp.exists(r => r.isNullAt(3)),
+        "fixture must exercise both matched and unmatched self as-of rows")
+    }
+  }
+
   test("q83/q84 (native) and q48 (composition) rollups agree exactly") {
     val a = AsOfJoin.asofRollup(Tables.events(spark, sf), Tables.orders(spark, sf)).collect()
     val b = AsOfJoin.asofRollup(Tables.events(spark, sf), Tables.orders(spark, sf),

@@ -363,4 +363,46 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSeq === want.toSeq,
       "inner stream-stream join must surface every qualifying pair exactly once")
   }
+
+  test("q85: the custom broadcast as-of exec plans inside micro-batches and equals q48") {
+    import org.apache.spark.sql.functions._
+    val sf = sfDir("0.001")
+    // the gate itself (multi-batch source, checkpointed sink, rollup)
+    val got = StreamingOracle.streamingAsOfEnrich(spark, sf).collect()
+    val want = graft.operators.AsOfJoin.asofRollup(
+      graft.Tables.events(spark, sf), graft.Tables.orders(spark, sf)).collect()
+    assert(got.toSeq === want.toSeq,
+      "micro-batched as-of enrichment must equal the batch rollup exactly")
+
+    // and the per-batch physical plan really runs BroadcastAsOfJoinExec
+    // with no stream-side exchange (memory sink; same source shape)
+    graft.sources.PartitionedLayout.partitionedEvents(spark, sf)
+    val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sf)
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", StreamingOracle.mftFor(spark, dir).toString)
+      .option("basePath", dir).parquet(dir)
+      .select("event_id", "event_type", "user_id", "ts")
+    val dim = graft.Tables.orders(spark, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"))
+    val enriched = graft.operators.AsOfJoin.asofJoinNative(
+      src, dim, "user_id", "ts", Seq("okey"), tieBreak = Some("okey"),
+      broadcast = Some(true))
+    val q = enriched.writeStream.format("memory").queryName("asof_stream_plan")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos)) { q.explain() }
+      val p = baos.toString
+      assert(p.contains("BroadcastAsOfJoin"),
+        s"expected the broadcast as-of exec in the micro-batch plan:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"the stream side must not shuffle:\n$p")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2,
+        s"as-of enrichment must be proven across >1 micro-batch, got $dataBatches")
+    } finally q.stop()
+  }
 }

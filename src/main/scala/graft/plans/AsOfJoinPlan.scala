@@ -53,6 +53,19 @@ case class AsOfJoinNode(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** Exactly one output row per left row — so downstream planning must
+    * NOT see the stats visitor's default for unknown binary nodes (the
+    * join-like PRODUCT of child sizes), which would stop every
+    * subsequent small-dim join from broadcasting. Additive is a sound
+    * upper bound: |out| = |left| rows at left-width + one right payload
+    * each ≤ left bytes + right bytes. */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+      rowCount = left.stats.rowCount)
+
+  override def maxRows: Option[Long] = left.maxRows
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)

@@ -212,6 +212,25 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  test("as-of output stats stay additive, so a downstream small-dim join still broadcasts") {
+    // The stats visitor's default for unknown binary nodes is the
+    // join-like PRODUCT of child sizes; AsOfJoinNode overrides to the
+    // additive bound (one output row per left row). Pinned two ways:
+    // the node's own sizeInBytes, and the planned shape of a dim join
+    // sitting ON TOP of the as-of output.
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val od = Tables.orders(spark, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"), col("o_custkey").as("ocust"))
+    val asof = AsOfJoin.asofJoinNative(ev, od, "user_id", "ts",
+      Seq("okey", "ocust"), tieBreak = Some("okey"), broadcast = Some(false))
+    val joined = asof.join(Tables.customer(spark, sf),
+      asof("asof_ocust") === col("c_custkey"))
+    val p = finalPlan(joined)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast above the as-of output:\n$p")
+  }
+
   test("q83/q84 (native) and q48 (composition) rollups agree exactly") {
     val a = AsOfJoin.asofRollup(Tables.events(spark, sf), Tables.orders(spark, sf)).collect()
     val b = AsOfJoin.asofRollup(Tables.events(spark, sf), Tables.orders(spark, sf),

@@ -231,6 +231,23 @@ class AsOfJoinPlanSpec extends SparkSuite {
       s"the customer dim must broadcast above the as-of output:\n$p")
   }
 
+  test("non-long key types: string keys order and match correctly in both modes") {
+    import spark.implicits._
+    val left = Seq(("b", 10L, 1), ("a", 10L, 2), ("aa", 3L, 3), ("", 9L, 4))
+      .toDF("k", "t", "tag")
+    val right = Seq(("a", 9L, 100L), ("aa", 3L, 200L), ("b", 11L, 300L), ("", 1L, 400L))
+      .toDF("k", "t", "pay")
+    for (mode <- Seq(Some(false), Some(true))) {
+      val out = AsOfJoin.asofJoinNative(left, right, "k", "t", Seq("pay"),
+          broadcast = mode)
+        .orderBy("tag").collect()
+      assert(out(0).isNullAt(3))          // tag 1: "b"@10 — b@11 is in the future
+      assert(out(1).getLong(3) === 100L)  // tag 2: "a"@10 → a@9
+      assert(out(2).getLong(3) === 200L)  // tag 3: "aa"@3 → exact-ts match
+      assert(out(3).getLong(3) === 400L)  // tag 4: empty-string key is a real key
+    }
+  }
+
   test("q83/q84 (native) and q48 (composition) rollups agree exactly") {
     val a = AsOfJoin.asofRollup(Tables.events(spark, sf), Tables.orders(spark, sf)).collect()
     val b = AsOfJoin.asofRollup(Tables.events(spark, sf), Tables.orders(spark, sf),

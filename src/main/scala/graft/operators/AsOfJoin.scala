@@ -66,9 +66,16 @@ object AsOfJoin {
     * disambiguated by `tieBreak` (greatest wins); null-key / null-ts
     * right rows never match; a left row with a null key or ts gets a
     * null payload (SQL comparison semantics). */
+  /** `direction`: "backward" (default; last right row at-or-before the
+    * left ts — DuckDB ASOF) or "forward" (first right row at-or-after,
+    * pandas `merge_asof(direction="forward")`; equal-(key, ts) rows
+    * resolve to the SMALLEST tie-break — the earliest next). */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                      valueCols: Seq[String], tieBreak: Option[String] = None,
-                     broadcast: Option[Boolean] = None): DataFrame = {
+                     broadcast: Option[Boolean] = None,
+                     direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoinNative: unknown direction '$direction'")
     import org.apache.spark.sql.graft.PlanBridge
     val spark = graft.Tables.configure(left.sparkSession)
     // Align right key/ts types to the left side's (the union-window path
@@ -88,7 +95,7 @@ object AsOfJoin {
       Seq(lAttr(key)), Seq(rAttr("__asof_k")),
       lAttr(tsCol), rAttr("__asof_t"),
       tieBreak.map(c => rAttr(s"asof_$c")).toSeq,
-      lp, rp, broadcastHint = broadcast)
+      lp, rp, broadcastHint = broadcast, forward = direction == "forward")
     PlanBridge.ofRows(spark, node).drop("__asof_k", "__asof_t")
   }
 
@@ -157,5 +164,41 @@ object AsOfJoin {
         native = Some(Some(false))), Some(q48Sql)),
     graft.Q("q84_asof_broadcast", (s, d) =>
       asofRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d),
-        native = Some(None)), Some(q48Sql)))
+        native = Some(None)), Some(q48Sql)),
+    graft.Q("q86_asof_forward", (s, d) =>
+      forwardRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)),
+      Some(q86Sql)))
+
+  /** q86 — FORWARD as-of: each event matched to the user's FIRST order
+    * at-or-after the event (next-purchase attribution); equal-date
+    * orders resolve to the smallest order key. Same rollup shape as
+    * q48, declared independently in the oracle via `>=` + ascending
+    * rank. */
+  def forwardRollup(events: DataFrame, orders: DataFrame): DataFrame = {
+    val right = orders.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"), col("o_totalprice").as("oprice"))
+    asofJoinNative(events.select("event_id", "event_type", "user_id", "ts"),
+        right, "user_id", "ts", Seq("okey", "oprice"), tieBreak = Some("okey"),
+        direction = "forward")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("asof_okey").isNotNull, 1).otherwise(0)).as("matched_events"),
+        graft.functions.Det.dsum(col("asof_oprice")).as("asof_price_sum"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  private[graft] val q86Sql =
+    s"""WITH m AS (
+       |  SELECT e.event_id, e.event_type, o.o_orderkey, o.o_totalprice,
+       |         row_number() OVER (PARTITION BY e.event_id
+       |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+       |  FROM events e LEFT JOIN orders o
+       |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+       |SELECT event_type, count(*) AS n_events,
+       |  cast(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS matched_events,
+       |  ${graft.functions.Det.sqlDsum("o_totalprice")} AS asof_price_sum
+       |FROM m WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

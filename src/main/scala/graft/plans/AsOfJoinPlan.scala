@@ -46,7 +46,8 @@ case class AsOfJoinNode(
     rightTieBreak: Seq[Expression],
     left: LogicalPlan,
     right: LogicalPlan,
-    broadcastHint: Option[Boolean] = None) extends BinaryNode {
+    broadcastHint: Option[Boolean] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   /** Left columns as-is, then the whole right row as a nullable payload
     * (callers pre-project the right side to key, ts, payload). */
@@ -82,14 +83,14 @@ case class AsOfJoinNode(
   * twin in `Tables.configure`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case n @ AsOfJoinNode(lk, rk, lts, rts, tb, l, r, hint) =>
+    case n @ AsOfJoinNode(lk, rk, lts, rts, tb, l, r, hint, fwd) =>
       val threshold = n.conf.autoBroadcastJoinThreshold
       val broadcast = hint.getOrElse(
         threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
       if (broadcast)
-        BroadcastAsOfJoinExec(lk, rk, lts, rts, tb, planLater(l), planLater(r)) :: Nil
+        BroadcastAsOfJoinExec(lk, rk, lts, rts, tb, fwd, planLater(l), planLater(r)) :: Nil
       else
-        AsOfJoinExec(lk, rk, lts, rts, tb, planLater(l), planLater(r)) :: Nil
+        AsOfJoinExec(lk, rk, lts, rts, tb, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -105,6 +106,7 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTieBreak: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -115,8 +117,9 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   /** Right side additionally orders by the tie-break columns so "last
-    * qualifying row wins" resolves equal-(key, ts) rows to the greatest
-    * tie-break, deterministically. */
+    * qualifying row wins" (backward; greatest tie-break) / "first
+    * qualifying row wins" (forward; smallest tie-break) resolves
+    * equal-(key, ts) rows deterministically. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
     (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending)) ++
@@ -163,11 +166,17 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
+      val fwd = forward
       new Iterator[InternalRow] {
         // One un-consumed right row (copied — the child iterator reuses
-        // its UnsafeRow buffer), and the current candidate payload with
-        // its copied key. Left keys ascend, so a right row whose key
-        // falls behind the left cursor can never match again: drop it.
+        // its UnsafeRow buffer), and (backward mode) the current
+        // candidate payload with its copied key. Left keys ascend, so a
+        // right row whose key falls behind the left cursor can never
+        // match again: drop it. In FORWARD mode the first remaining
+        // right row at (key, ts >= leftTs) IS the match, and it is never
+        // consumed on match — later left rows (ts only grows) may match
+        // it again; a right row with ts < leftTs can serve no later left
+        // either, so it is dropped.
         private var pending: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
         private var cand: InternalRow = null
         private var candKey: UnsafeRow = null
@@ -177,8 +186,11 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow) // valid until the next lKeyProj call
-          // Invalidate a candidate left over from a previous key group.
-          if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
+          // Backward carries the candidate across left rows of one key
+          // group — invalidate it on key change. Forward recomputes the
+          // match from `pending` for every left row.
+          if (fwd) { cand = null }
+          else if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
             cand = null; candKey = null
           }
           var advancing = true
@@ -186,13 +198,24 @@ case class AsOfJoinExec(
             val c = keyOrd.compare(rKeyProj(pending), lKey)
             if (c < 0) {
               pending = if (rIter.hasNext) rIter.next().copy() else null
-            } else if (c == 0 && tsOrd.compare(rTsProj(pending), lTsProj(lRow)) <= 0) {
+            } else if (!fwd && c == 0 &&
+                tsOrd.compare(rTsProj(pending), lTsProj(lRow)) <= 0) {
               cand = pending
               candKey = rKeyProj(pending).copy()
+              pending = if (rIter.hasNext) rIter.next().copy() else null
+            } else if (fwd && c == 0 &&
+                tsOrd.compare(rTsProj(pending), lTsProj(lRow)) < 0) {
               pending = if (rIter.hasNext) rIter.next().copy() else null
             } else {
               advancing = false
             }
+          }
+          if (fwd) {
+            // NOT(rts < lts) is only ">= lts" when lts is non-null — a
+            // null left ts must match nothing (SQL comparison semantics)
+            cand = if (!lTsProj(lRow).isNullAt(0) && pending != null &&
+                keyOrd.compare(rKeyProj(pending), lKey) == 0)
+              pending else null
           }
           numOutputRows += 1
           if (cand != null) numMatched += 1
@@ -223,6 +246,7 @@ case class BroadcastAsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTieBreak: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -300,18 +324,33 @@ case class BroadcastAsOfJoinExec(
         built
       })
 
+      val fwd = forward
       lIter.map { lRow =>
         val rows = index.get(lKeyProj(lRow))
         var cand: InternalRow = null
         if (rows != null) {
           val lTs = lTsOnly(lRow)
-          // rightmost idx with rows(idx).ts <= lTs
-          var lo = 0
-          var hi = rows.length - 1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (tsOrd.compare(rows(mid)._1, lTs) <= 0) { cand = rows(mid)._2; lo = mid + 1 }
-            else hi = mid - 1
+          // backward: rightmost idx with ts <= lTs; forward: leftmost idx
+          // with ts >= lTs (a null left ts matches nothing either way —
+          // backward fails every <=; forward must guard explicitly, the
+          // natural null-first ordering would otherwise put null below
+          // every real ts and "match" the whole array)
+          if (!fwd) {
+            var lo = 0
+            var hi = rows.length - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (tsOrd.compare(rows(mid)._1, lTs) <= 0) { cand = rows(mid)._2; lo = mid + 1 }
+              else hi = mid - 1
+            }
+          } else if (!lTs.isNullAt(0)) {
+            var lo = 0
+            var hi = rows.length - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (tsOrd.compare(rows(mid)._1, lTs) >= 0) { cand = rows(mid)._2; hi = mid - 1 }
+              else lo = mid + 1
+            }
           }
         }
         numOutputRows += 1

@@ -100,6 +100,28 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // Forward direction: FIRST right row at-or-after, smallest tie-break.
+  for ((label, mode) <- Seq("merge-exec" -> Some(false), "broadcast-exec" -> Some(true)))
+  property(s"forward as-of [$label] matches the brute-force reference on random data") =
+    Prop.forAll(genEvents, genEvents) { (l, r) =>
+      val left = toDF(l)
+      val right = toDF(r).select(
+        col("user_id"), col("ts"), col("event_id").as("rid"), col("value").as("rv"))
+      val got = graft.operators.AsOfJoin
+        .asofJoinNative(left, right, "user_id", "ts", Seq("rid", "rv"),
+          tieBreak = Some("rid"), broadcast = mode, direction = "forward")
+        .select("event_id", "ts", "user_id", "asof_rid").collect()
+        .map(x => (x.getAs[Long]("event_id"), x.getAs[Timestamp]("ts"), x.getAs[Long]("user_id")) ->
+          Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+      val rightRows = r.map(t => (t._3, t._2.getTime, t._1)) // (key, ts, rid)
+      l.forall { e =>
+        val expected = rightRows
+          .filter(x => x._1 == e._3 && x._2 >= e._2.getTime)
+          .sortBy(x => (x._2, x._3)).headOption.map(_._3)
+        got((e._1, e._2, e._3)) == expected
+      }
+    }
+
   property("CDF quartile selection ≡ built-in exact percentile, bit-for-bit") =
     Prop.forAll(Gen.nonEmptyListOf(for {
       g <- Gen.oneOf("a", "b", "c")

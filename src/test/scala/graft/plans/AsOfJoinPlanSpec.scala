@@ -248,6 +248,27 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  for ((mode, label) <- Seq(Some(false) -> "shuffle-merge", Some(true) -> "broadcast")) {
+    test(s"[$label] forward direction: first at-or-after wins, smallest tie-break, null ts matches nothing") {
+      import spark.implicits._
+      val left = Seq((1L, Some(10L), "a"), (1L, Some(5L), "b"), (2L, Some(9L), "c"),
+        (1L, None: Option[Long], "nt")).toDF("k", "t", "tag")
+      val right = Seq(
+        (1L, 10L, 100L), (1L, 10L, 50L),  // tie at t=10 → smallest (50) wins
+        (1L, 7L, 25L),
+        (2L, 8L, 300L))                   // before left ts → no forward match
+        .toDF("k", "t", "pay")
+      val out = AsOfJoin.asofJoinNative(left, right, "k", "t", Seq("pay"),
+          tieBreak = Some("pay"), broadcast = mode, direction = "forward")
+        .orderBy("tag").collect()
+      val byTag = out.map(r => r.getString(2) -> r).toMap
+      assert(byTag("a").getLong(3) === 50L)   // exact-ts tie → smallest pay
+      assert(byTag("b").getLong(3) === 25L)   // next at-or-after 5 is 7
+      assert(byTag("c").isNullAt(3))          // only past rows for key 2
+      assert(byTag("nt").isNullAt(3))         // null left ts matches nothing
+    }
+  }
+
   test("q83/q84 (native) and q48 (composition) rollups agree exactly") {
     val a = AsOfJoin.asofRollup(Tables.events(spark, sf), Tables.orders(spark, sf)).collect()
     val b = AsOfJoin.asofRollup(Tables.events(spark, sf), Tables.orders(spark, sf),

@@ -186,6 +186,7 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow) // valid until the next lKeyProj call
+          val lTs = lTsProj(lRow)   // ditto — hoisted out of the advance loop
           // Backward carries the candidate across left rows of one key
           // group — invalidate it on key change. Forward recomputes the
           // match from `pending` for every left row.
@@ -199,12 +200,12 @@ case class AsOfJoinExec(
             if (c < 0) {
               pending = if (rIter.hasNext) rIter.next().copy() else null
             } else if (!fwd && c == 0 &&
-                tsOrd.compare(rTsProj(pending), lTsProj(lRow)) <= 0) {
+                tsOrd.compare(rTsProj(pending), lTs) <= 0) {
               cand = pending
               candKey = rKeyProj(pending).copy()
               pending = if (rIter.hasNext) rIter.next().copy() else null
             } else if (fwd && c == 0 &&
-                tsOrd.compare(rTsProj(pending), lTsProj(lRow)) < 0) {
+                tsOrd.compare(rTsProj(pending), lTs) < 0) {
               pending = if (rIter.hasNext) rIter.next().copy() else null
             } else {
               advancing = false
@@ -213,7 +214,7 @@ case class AsOfJoinExec(
           if (fwd) {
             // NOT(rts < lts) is only ">= lts" when lts is non-null — a
             // null left ts must match nothing (SQL comparison semantics)
-            cand = if (!lTsProj(lRow).isNullAt(0) && pending != null &&
+            cand = if (!lTs.isNullAt(0) && pending != null &&
                 keyOrd.compare(rKeyProj(pending), lKey) == 0)
               pending else null
           }

@@ -91,6 +91,24 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(p.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$p")
   }
 
+  test("broadcast as-of passes an upstream hash partitioning through to a downstream groupBy") {
+    // outputPartitioning is the left child's verbatim: one explicit
+    // repartition(user_id) upstream is the ONLY exchange in
+    // repartition → broadcast-as-of → groupBy(user_id).
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+      .repartition(8, col("user_id"))
+    val od = Tables.orders(spark, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"))
+    val agg = AsOfJoin.asofJoinNative(ev, od, "user_id", "ts", Seq("okey"),
+        tieBreak = Some("okey"), broadcast = Some(true))
+      .groupBy("user_id").agg(count(lit(1)).as("n"), max("asof_okey").as("mx"))
+    val p = finalPlan(agg)
+    assert(p.contains("BroadcastAsOfJoin"), s"expected the broadcast exec in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"only the explicit upstream repartition may exchange:\n$p")
+  }
+
   test("bucketed fact: merge-mode as-of elides the fact-side exchange") {
     // The 100 TB posture behind AsOfJoinExec's declarative requirements:
     // a fact already bucketed on the key satisfies ClusteredDistribution

@@ -1,12 +1,16 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, GenerateUnsafeProjection, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.DataType
 
 /** Native as-of join — the engine's §7.4(c) whole-operator extension:
   * a custom `LogicalPlan` + `SparkStrategy` + physical `SparkPlan`,
@@ -249,7 +253,7 @@ case class BroadcastAsOfJoinExec(
     rightTieBreak: Seq[Expression],
     forward: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    right: SparkPlan) extends SparkPlan with BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -269,116 +273,214 @@ case class BroadcastAsOfJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
 
+  /** The shared lookup (broadcast + per-JVM index + binary search) used
+    * by BOTH execution paths — interpreted `doExecute` and the generated
+    * `doConsume` code — so codegen on/off cannot diverge semantically. */
+  private def makeLookup(): AsOfBroadcastLookup =
+    new AsOfBroadcastLookup(
+      right.executeBroadcast[Array[InternalRow]](),
+      right.output, rightKeys, rightTs +: rightTieBreak,
+      leftTs.dataType, rightTieBreak.map(_.dataType), forward)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
     val lTsExpr = leftTs
-    val rTsExpr = rightTs
-    val tieExprs = rightTieBreak
-    val tsType = leftTs.dataType
-    val tieTypes = rightTieBreak.map(_.dataType)
     val outAttrs = output
-    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val lookup = makeLookup()
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
 
     left.execute().mapPartitions { lIter =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
-      // (ts, tieBreak...) as one row so the sort and the search share
-      // one ordering; search compares the ts prefix only
-      val rOrderProj = UnsafeProjection.create(rTsExpr +: tieExprs, rOut)
-      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
-      val sortOrd = RowOrdering.createNaturalAscendingOrdering(tsType +: tieTypes)
-      val lTsOnly = UnsafeProjection.create(Seq(lTsExpr), lOut)
       val outProj = UnsafeProjection.create(
         outAttrs, lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
-
-      // key → rows sorted by (ts, tieBreak). Built ONCE PER EXECUTOR JVM
-      // and shared across this exec's partitions (keyed by broadcast id,
-      // like Spark builds one HashedRelation per broadcast) — without the
-      // cache every partition would redo the group+sort of the whole dim.
-      val index = BroadcastAsOfJoinExec.indexFor(bcast.id, () => {
-        val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
-        bcast.value.foreach { row =>
-          val k = rKeyProj(row).copy()
-          var buf = grouped.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty
-            grouped.put(k, buf)
-          }
-          buf += ((rOrderProj(row).copy(), row))
-        }
-        val built = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
-        val byOrder = Ordering.comparatorToOrdering(
-          new java.util.Comparator[(UnsafeRow, InternalRow)] {
-            override def compare(a: (UnsafeRow, InternalRow),
-                                 b: (UnsafeRow, InternalRow)): Int =
-              sortOrd.compare(a._1, b._1)
-          })
-        grouped.forEach { (k, buf) => built.put(k, buf.sortInPlace()(byOrder).toArray) }
-        built
-      })
-
-      val fwd = forward
       lIter.map { lRow =>
-        val rows = index.get(lKeyProj(lRow))
-        var cand: InternalRow = null
-        if (rows != null) {
-          val lTs = lTsOnly(lRow)
-          // backward: rightmost idx with ts <= lTs; forward: leftmost idx
-          // with ts >= lTs (a null left ts matches nothing either way —
-          // backward fails every <=; forward must guard explicitly, the
-          // natural null-first ordering would otherwise put null below
-          // every real ts and "match" the whole array)
-          if (!fwd) {
-            var lo = 0
-            var hi = rows.length - 1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (tsOrd.compare(rows(mid)._1, lTs) <= 0) { cand = rows(mid)._2; lo = mid + 1 }
-              else hi = mid - 1
-            }
-          } else if (!lTs.isNullAt(0)) {
-            var lo = 0
-            var hi = rows.length - 1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (tsOrd.compare(rows(mid)._1, lTs) >= 0) { cand = rows(mid)._2; hi = mid - 1 }
-              else lo = mid + 1
-            }
-          }
-        }
+        val cand = lookup.find(lKeyProj(lRow), lTsProj(lRow))
         numOutputRows += 1
         if (cand != null) numMatched += 1
         outProj(joined(lRow, if (cand != null) cand else nullRight))
       }
     }
   }
+
+  // ---- whole-stage codegen (the BroadcastHashJoin streamed-side
+  // pattern): the fact side stays inside one WholeStageCodegen span —
+  // scan → as-of probe → downstream project/agg — with the index lookup
+  // as the only virtual call per row. Without this the exec is a span
+  // break: the scan's generated loop drains into an iterator, and every
+  // downstream operator pays row-at-a-time InputAdapter overhead.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // One output row per input row, emitted inline — copy semantics are
+  // whatever the streamed side requires (exactly BHJ's unique-key case).
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    // Driver-side: trigger the broadcast and ship the lookup into the
+    // generated class through the references array (BHJ's
+    // prepareBroadcast does the same with its HashedRelation).
+    val lookupRef = ctx.addReferenceObj(
+      "asofLookup", makeLookup(), classOf[AsOfBroadcastLookup].getName)
+    // Left key and ts as UnsafeRows, built from the streamed side's
+    // column variables (no row materialization).
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      BindReferences.bindReferences(leftKeys, AttributeSeq(left.output)))
+    val tsEv = GenerateUnsafeProjection.createCode(ctx,
+      Seq(BindReferences.bindReference(leftTs, AttributeSeq(left.output))))
+    val matched = ctx.freshName("asofMatched")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatchedM = metricTerm(ctx, "numMatched")
+    // Right-side payload columns read out of the matched row with the
+    // null-fill guard inline (BHJ's genOneSideJoinVars outer shape: the
+    // declared-nullable BoundReference handles null FIELDS, the
+    // `$matched != null` wrapper handles the no-match row).
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val code =
+        code"""
+           |boolean $isNull = true;
+           |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+           |if ($matched != null) {
+           |  ${ev.code}
+           |  $isNull = ${ev.isNull};
+           |  $value = ${ev.value};
+           |}
+         """.stripMargin
+      ExprCode(code, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+    s"""
+       |${keyEv.code}
+       |${tsEv.code}
+       |InternalRow $matched = $lookupRef.find(${keyEv.value}, ${tsEv.value});
+       |$numOutputRows.add(1);
+       |if ($matched != null) $numMatchedM.add(1);
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
+  }
+}
+
+/** The broadcast as-of's executor-side engine, shared by the interpreted
+  * and generated paths: builds (once per JVM, via
+  * [[BroadcastAsOfJoinExec.indexFor]]) the key → (ts, tieBreak)-sorted
+  * row-array index over the broadcast rows, and resolves each left
+  * (key, ts) by hash lookup + binary search — rightmost `ts <= leftTs`
+  * backward, leftmost `ts >= leftTs` forward. Serializable so
+  * `ctx.addReferenceObj` can ship it inside the generated class's
+  * references; all executor-only machinery (projections, orderings,
+  * the index) is transient-lazy. */
+final class AsOfBroadcastLookup(
+    bcast: Broadcast[Array[InternalRow]],
+    rOut: Seq[Attribute],
+    rKeyExprs: Seq[Expression],
+    rOrderExprs: Seq[Expression], // rightTs +: tieBreaks — sort and search share the row
+    tsType: DataType,
+    tieTypes: Seq[DataType],
+    forward: Boolean) extends Serializable {
+
+  @transient private lazy val tsOrd =
+    RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
+
+  // key → rows sorted by (ts, tieBreak). Built ONCE PER EXECUTOR JVM and
+  // shared across partitions and threads (keyed by broadcast id, like
+  // Spark builds one HashedRelation per broadcast) — without the cache
+  // every partition would redo the group+sort of the whole dim.
+  // Cache key carries the projection signature, not just the broadcast
+  // id: ReuseExchange can hand the SAME broadcast to two as-of joins
+  // with different key/order expressions (e.g. different tie-breaks over
+  // one dim), and an id-only key would serve the first join's index to
+  // the second.
+  @transient private lazy val index: BroadcastAsOfJoinExec.AsOfIndex =
+    BroadcastAsOfJoinExec.indexFor(
+      s"${bcast.id}:${rKeyExprs.mkString(",")}|${rOrderExprs.mkString(",")}", () => {
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rOrderProj = UnsafeProjection.create(rOrderExprs, rOut)
+      val sortOrd = RowOrdering.createNaturalAscendingOrdering(tsType +: tieTypes)
+      val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
+      bcast.value.foreach { row =>
+        val k = rKeyProj(row).copy()
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty
+          grouped.put(k, buf)
+        }
+        buf += ((rOrderProj(row).copy(), row))
+      }
+      val built = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
+      val byOrder = Ordering.comparatorToOrdering(
+        new java.util.Comparator[(UnsafeRow, InternalRow)] {
+          override def compare(a: (UnsafeRow, InternalRow),
+                               b: (UnsafeRow, InternalRow)): Int =
+            sortOrd.compare(a._1, b._1)
+        })
+      grouped.forEach { (k, buf) => built.put(k, buf.sortInPlace()(byOrder).toArray) }
+      built
+    })
+
+  /** The matched right row for (key, lTs), or null. Backward: rightmost
+    * idx with ts <= lTs; forward: leftmost idx with ts >= lTs. A null
+    * left ts matches nothing either way — backward fails every `<=`
+    * under null-first natural ordering; forward must guard explicitly,
+    * null-first would otherwise "match" the whole array. */
+  def find(key: UnsafeRow, lTs: UnsafeRow): InternalRow = {
+    val rows = index.get(key)
+    var cand: InternalRow = null
+    if (rows != null) {
+      if (!forward) {
+        var lo = 0
+        var hi = rows.length - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (tsOrd.compare(rows(mid)._1, lTs) <= 0) { cand = rows(mid)._2; lo = mid + 1 }
+          else hi = mid - 1
+        }
+      } else if (!lTs.isNullAt(0)) {
+        var lo = 0
+        var hi = rows.length - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (tsOrd.compare(rows(mid)._1, lTs) >= 0) { cand = rows(mid)._2; hi = mid - 1 }
+          else lo = mid + 1
+        }
+      }
+    }
+    cand
+  }
 }
 
 object BroadcastAsOfJoinExec {
   type AsOfIndex = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
 
-  // broadcast.id → built index; a small LRU bounded per executor. The
-  // index is read-only after construction, so sharing across partitions
-  // and queries is safe; eviction only costs a rebuild, never
-  // correctness. Keyed by the broadcast id (unique per broadcast
-  // variable), NOT the plan — re-executions reuse, new broadcasts don't.
-  private val cache = new java.util.LinkedHashMap[Long, AsOfIndex](8, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Long, AsOfIndex]): Boolean =
+  // (broadcast.id + projection signature) → built index; a small LRU
+  // bounded per executor. The index is read-only after construction, so
+  // sharing across partitions and queries is safe; eviction only costs a
+  // rebuild, never correctness. The signature part matters because
+  // ReuseExchange can hand one broadcast to two as-of execs with
+  // different key/order expressions.
+  private val cache = new java.util.LinkedHashMap[String, AsOfIndex](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, AsOfIndex]): Boolean =
       size() > 4
   }
 
   /** Build-once-per-JVM: the first partition to arrive builds (holding
     * the lock, so concurrent partitions block instead of duplicating the
     * group+sort), the rest just read. */
-  private[plans] def indexFor(id: Long, build: () => AsOfIndex): AsOfIndex =
+  private[plans] def indexFor(id: String, build: () => AsOfIndex): AsOfIndex =
     cache.synchronized {
       var v = cache.get(id)
       if (v == null) { v = build(); cache.put(id, v) }

@@ -109,6 +109,34 @@ class AsOfJoinPlanSpec extends SparkSuite {
       s"only the explicit upstream repartition may exchange:\n$p")
   }
 
+  test("broadcast as-of fuses into the whole-stage codegen span (scan → probe → agg)") {
+    // CodegenSupport on BroadcastAsOfJoinExec: the fact side's generated
+    // loop carries the probe inline — the node renders with codegen's
+    // `*(id)` star instead of breaking the span behind an InputAdapter.
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val od = Tables.orders(spark, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"))
+    val agg = AsOfJoin.asofJoinNative(ev, od, "user_id", "ts", Seq("okey"),
+        tieBreak = Some("okey"), broadcast = Some(true))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val p = finalPlan(agg)
+    assert("\\*\\(\\d+\\) BroadcastAsOfJoin".r.findFirstIn(p).isDefined,
+      s"BroadcastAsOfJoin must carry a WholeStageCodegen star:\n$p")
+  }
+
+  test("codegen on/off parity: generated and interpreted broadcast paths agree row-for-row") {
+    val s2 = graft.SessionClones.cloned("asof-no-codegen", spark) { s =>
+      s.conf.set("spark.sql.codegen.wholeStage", "false") }
+    def run(s: org.apache.spark.sql.SparkSession) =
+      AsOfJoin.asofEnrich(Tables.events(s, sf), Tables.orders(s, sf),
+        native = Some(Some(true))).orderBy("event_id").collect()
+    val gen = run(spark)
+    val interp = run(s2)
+    assert(gen.length === interp.length && gen.nonEmpty)
+    gen.zip(interp).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("bucketed fact: merge-mode as-of elides the fact-side exchange") {
     // The 100 TB posture behind AsOfJoinExec's declarative requirements:
     // a fact already bucketed on the key satisfies ClusteredDistribution

@@ -112,7 +112,7 @@ case class AsOfJoinExec(
     rightTieBreak: Seq[Expression],
     forward: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    right: SparkPlan) extends SparkPlan with BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -143,91 +143,198 @@ case class AsOfJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
 
+  /** Per-partition merge-cursor factory shared by the interpreted and
+    * generated paths — one implementation of the advance semantics. */
+  private def mergerFactory: AsOfMergerFactory =
+    new AsOfMergerFactory(right.output, rightKeys, rightTs,
+      leftKeys.map(_.dataType), leftTs.dataType, forward)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
     val lTsExpr = leftTs
-    val rTsExpr = rightTs
-    val keyTypes = leftKeys.map(_.dataType)
-    val tsType = leftTs.dataType
     val outAttrs = output
+    val factory = mergerFactory
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val merger = factory.create(rIter)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTsExpr), rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
       // Bind against nullable right attrs: the null-fill row must be read
       // with null checks even when the right child declared non-null.
       val outProj = UnsafeProjection.create(
         outAttrs, lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
-
-      val fwd = forward
-      new Iterator[InternalRow] {
-        // One un-consumed right row (copied — the child iterator reuses
-        // its UnsafeRow buffer), and (backward mode) the current
-        // candidate payload with its copied key. Left keys ascend, so a
-        // right row whose key falls behind the left cursor can never
-        // match again: drop it. In FORWARD mode the first remaining
-        // right row at (key, ts >= leftTs) IS the match, and it is never
-        // consumed on match — later left rows (ts only grows) may match
-        // it again; a right row with ts < leftTs can serve no later left
-        // either, so it is dropped.
-        private var pending: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
-        private var cand: InternalRow = null
-        private var candKey: UnsafeRow = null
-
-        override def hasNext: Boolean = lIter.hasNext
-
-        override def next(): InternalRow = {
-          val lRow = lIter.next()
-          val lKey = lKeyProj(lRow) // valid until the next lKeyProj call
-          val lTs = lTsProj(lRow)   // ditto — hoisted out of the advance loop
-          // Backward carries the candidate across left rows of one key
-          // group — invalidate it on key change. Forward recomputes the
-          // match from `pending` for every left row.
-          if (fwd) { cand = null }
-          else if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
-            cand = null; candKey = null
-          }
-          var advancing = true
-          while (advancing && pending != null) {
-            val c = keyOrd.compare(rKeyProj(pending), lKey)
-            if (c < 0) {
-              pending = if (rIter.hasNext) rIter.next().copy() else null
-            } else if (!fwd && c == 0 &&
-                tsOrd.compare(rTsProj(pending), lTs) <= 0) {
-              cand = pending
-              candKey = rKeyProj(pending).copy()
-              pending = if (rIter.hasNext) rIter.next().copy() else null
-            } else if (fwd && c == 0 &&
-                tsOrd.compare(rTsProj(pending), lTs) < 0) {
-              pending = if (rIter.hasNext) rIter.next().copy() else null
-            } else {
-              advancing = false
-            }
-          }
-          if (fwd) {
-            // NOT(rts < lts) is only ">= lts" when lts is non-null — a
-            // null left ts must match nothing (SQL comparison semantics)
-            cand = if (!lTs.isNullAt(0) && pending != null &&
-                keyOrd.compare(rKeyProj(pending), lKey) == 0)
-              pending else null
-          }
-          numOutputRows += 1
-          if (cand != null) numMatched += 1
-          outProj(joined(lRow, if (cand != null) cand else nullRight))
-        }
+      lIter.map { lRow =>
+        val cand = merger.advance(lKeyProj(lRow), lTsProj(lRow))
+        numOutputRows += 1
+        if (cand != null) numMatched += 1
+        outProj(joined(lRow, if (cand != null) cand else nullRight))
       }
     }
+  }
+
+  // ---- whole-stage codegen, the SortMergeJoin two-iterator pattern:
+  // the stage's processNext() drives the LEFT iterator in generated
+  // code, each row's (key, ts) probes the per-partition merge cursor,
+  // and the output columns flow straight into the downstream consume —
+  // no JoinedRow, no output projection, no InputAdapter boundary.
+  // Unlike SMJ, our children are NOT wrapped by CollapseCodegenStages'
+  // class-keyed special case, so inputRDDs executes them directly: the
+  // scan-side stages below each exchange keep their own codegen spans
+  // (they are separate query stages under AQE); only the Sorts' trivial
+  // input-consumption fusion is forgone.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // Output vars point into the children's reused row buffers, so a
+  // buffering parent must copy (exactly SMJ's posture).
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    throw new UnsupportedOperationException(
+      "AsOfJoinExec drives its own produce loop; nothing consumes into it")
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    val factoryRef = ctx.addReferenceObj("asofMergerFactory", mergerFactory,
+      classOf[AsOfMergerFactory].getName)
+    val merger = ctx.addMutableState(classOf[AsOfMergeState].getName, "asofMerger",
+      v => s"$v = $factoryRef.create((scala.collection.Iterator) $rightInput);")
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      BindReferences.bindReferences(leftKeys, AttributeSeq(left.output)))
+    val tsEv = GenerateUnsafeProjection.createCode(ctx,
+      Seq(BindReferences.bindReference(leftTs, AttributeSeq(left.output))))
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matched = ctx.freshName("asofMatched")
+    ctx.INPUT_ROW = matched
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val code =
+        code"""
+           |boolean $isNull = true;
+           |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+           |if ($matched != null) {
+           |  ${ev.code}
+           |  $isNull = ${ev.isNull};
+           |  $value = ${ev.value};
+           |}
+         """.stripMargin
+      ExprCode(code, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatchedM = metricTerm(ctx, "numMatched")
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${keyEv.code}
+       |  ${tsEv.code}
+       |  InternalRow $matched = $merger.advance(${keyEv.value}, ${tsEv.value});
+       |  $numOutputRows.add(1);
+       |  if ($matched != null) $numMatchedM.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+}
+
+/** Builds per-partition [[AsOfMergeState]] cursors — serializable so the
+  * interpreted closure and the generated class's references can both
+  * carry it; the projections and orderings are constructed per cursor
+  * (they are single-threaded mutable state). */
+final class AsOfMergerFactory(
+    rOut: Seq[Attribute],
+    rKeyExprs: Seq[Expression],
+    rTsExpr: Expression,
+    keyTypes: Seq[DataType],
+    tsType: DataType,
+    forward: Boolean) extends Serializable {
+  def create(rIter: Iterator[InternalRow]): AsOfMergeState =
+    new AsOfMergeState(rIter,
+      UnsafeProjection.create(rKeyExprs, rOut),
+      UnsafeProjection.create(Seq(rTsExpr), rOut),
+      RowOrdering.createNaturalAscendingOrdering(keyTypes),
+      RowOrdering.createNaturalAscendingOrdering(Seq(tsType)),
+      forward)
+}
+
+/** One partition's as-of merge cursor over the (key, ts[, tie])-sorted
+  * right iterator: holds one un-consumed right row (copied — the child
+  * iterator reuses its UnsafeRow buffer) and, in backward mode, the
+  * current candidate payload with its copied key. Left keys ascend, so
+  * a right row whose key falls behind the left cursor can never match
+  * again: drop it. In FORWARD mode the first remaining right row at
+  * (key, ts >= leftTs) IS the match, and it is never consumed on match —
+  * later left rows (ts only grows) may match it again; a right row with
+  * ts < leftTs can serve no later left either, so it is dropped. */
+final class AsOfMergeState(
+    rIter: Iterator[InternalRow],
+    rKeyProj: UnsafeProjection,
+    rTsProj: UnsafeProjection,
+    keyOrd: Ordering[InternalRow],
+    tsOrd: Ordering[InternalRow],
+    forward: Boolean) {
+
+  private var pending: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+  private var cand: InternalRow = null
+  private var candKey: UnsafeRow = null
+
+  private def nextOrNull(): InternalRow =
+    if (rIter.hasNext) rIter.next().copy() else null
+
+  /** The matched right row for the next left (key, ts), or null. `lKey`
+    * and `lTs` may live in reused projection buffers — never retained.
+    * LEFT ROWS MUST ARRIVE (key, ts)-ASCENDING (the exec's required
+    * ordering). */
+  def advance(lKey: UnsafeRow, lTs: UnsafeRow): InternalRow = {
+    // Backward carries the candidate across left rows of one key group —
+    // invalidate it on key change. Forward recomputes the match from
+    // `pending` for every left row.
+    if (forward) { cand = null }
+    else if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
+      cand = null; candKey = null
+    }
+    var advancing = true
+    while (advancing && pending != null) {
+      val c = keyOrd.compare(rKeyProj(pending), lKey)
+      if (c < 0) {
+        pending = nextOrNull()
+      } else if (!forward && c == 0 &&
+          tsOrd.compare(rTsProj(pending), lTs) <= 0) {
+        cand = pending
+        candKey = rKeyProj(pending).copy()
+        pending = nextOrNull()
+      } else if (forward && c == 0 &&
+          tsOrd.compare(rTsProj(pending), lTs) < 0) {
+        pending = nextOrNull()
+      } else {
+        advancing = false
+      }
+    }
+    if (forward) {
+      // NOT(rts < lts) is only ">= lts" when lts is non-null — a null
+      // left ts must match nothing (SQL comparison semantics)
+      cand = if (!lTs.isNullAt(0) && pending != null &&
+          keyOrd.compare(rKeyProj(pending), lKey) == 0)
+        pending else null
+    }
+    cand
   }
 }
 

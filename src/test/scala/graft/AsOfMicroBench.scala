@@ -17,20 +17,23 @@ object AsOfMicroBench {
     val off = SessionClones.cloned("asof-codegen-off", spark) { s =>
       s.conf.set("spark.sql.codegen.wholeStage", "false") }
 
-    def run(s: SparkSession): Long =
+    def run(s: SparkSession, bcast: Boolean): Long =
       operators.AsOfJoin.asofRollup(
         Tables.events(s, sfDir), Tables.orders(s, sfDir),
-        native = Some(Some(true))).count()
+        native = Some(Some(bcast))).count()
 
-    def timed(s: SparkSession): Double = {
-      val t0 = System.nanoTime(); run(s); (System.nanoTime() - t0) / 1e9
+    def timed(s: SparkSession, bcast: Boolean): Double = {
+      val t0 = System.nanoTime(); run(s, bcast); (System.nanoTime() - t0) / 1e9
     }
-    // interleaved best-of-10 so box drift hits both sessions equally
-    run(spark); run(spark); run(off); run(off)
-    val pairs = (1 to 10).map(_ => (timed(spark), timed(off)))
-    val on = pairs.map(_._1).min
-    val noGen = pairs.map(_._2).min
-    println(f"asof-broadcast rollup sf0.1: codegen=on $on%.3f s  codegen=off $noGen%.3f s")
+    for (bcast <- Seq(true, false)) {
+      val label = if (bcast) "broadcast" else "merge"
+      // interleaved best-of-10 so box drift hits both sessions equally
+      run(spark, bcast); run(spark, bcast); run(off, bcast); run(off, bcast)
+      val pairs = (1 to 10).map(_ => (timed(spark, bcast), timed(off, bcast)))
+      val on = pairs.map(_._1).min
+      val noGen = pairs.map(_._2).min
+      println(f"asof-$label%s rollup sf0.1: codegen=on $on%.3f s  codegen=off $noGen%.3f s")
+    }
     spark.stop()
   }
 }

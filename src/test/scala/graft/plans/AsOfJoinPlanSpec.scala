@@ -125,16 +125,43 @@ class AsOfJoinPlanSpec extends SparkSuite {
       s"BroadcastAsOfJoin must carry a WholeStageCodegen star:\n$p")
   }
 
-  test("codegen on/off parity: generated and interpreted broadcast paths agree row-for-row") {
-    val s2 = graft.SessionClones.cloned("asof-no-codegen", spark) { s =>
-      s.conf.set("spark.sql.codegen.wholeStage", "false") }
-    def run(s: org.apache.spark.sql.SparkSession) =
-      AsOfJoin.asofEnrich(Tables.events(s, sf), Tables.orders(s, sf),
-        native = Some(Some(true))).orderBy("event_id").collect()
-    val gen = run(spark)
-    val interp = run(s2)
-    assert(gen.length === interp.length && gen.nonEmpty)
-    gen.zip(interp).foreach { case (a, b) => assert(a === b) }
+  test("merge as-of drives its own whole-stage codegen span (SMJ two-iterator pattern)") {
+    // AsOfJoinExec's doProduce loops the sorted left iterator in
+    // generated code and probes the per-partition merge cursor — the
+    // span covers merge → project → aggregate in ONE generated class.
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val od = Tables.orders(spark, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"))
+    val agg = AsOfJoin.asofJoinNative(ev, od, "user_id", "ts", Seq("okey"),
+        tieBreak = Some("okey"), broadcast = Some(false))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val p = finalPlan(agg)
+    val star = "\\*\\((\\d+)\\) AsOfJoin \\[".r.findFirstMatchIn(p)
+    assert(star.isDefined, s"AsOfJoin must carry a WholeStageCodegen star:\n$p")
+    // the downstream aggregate shares the SAME generated class
+    val stage = star.get.group(1)
+    assert(p.contains(s"*($stage) HashAggregate"),
+      s"downstream aggregate must fuse into stage $stage:\n$p")
+  }
+
+  for ((label, mode) <- Seq("shuffle-merge" -> false, "broadcast" -> true)) {
+    test(s"[$label] codegen on/off parity, with fallback disabled so generation must succeed") {
+      // fallback=false: a Janino compile error in our generated code
+      // throws instead of silently degrading to the interpreted path —
+      // this test proves the code GENERATES, not merely that plans match.
+      val gen = graft.SessionClones.cloned("asof-codegen-strict", spark) { s =>
+        s.conf.set("spark.sql.codegen.fallback", "false") }
+      val off = graft.SessionClones.cloned("asof-no-codegen", spark) { s =>
+        s.conf.set("spark.sql.codegen.wholeStage", "false") }
+      def run(s: org.apache.spark.sql.SparkSession) =
+        AsOfJoin.asofEnrich(Tables.events(s, sf), Tables.orders(s, sf),
+          native = Some(Some(mode))).orderBy("event_id").collect()
+      val g = run(gen)
+      val i = run(off)
+      assert(g.length === i.length && g.nonEmpty)
+      g.zip(i).foreach { case (a, b) => assert(a === b) }
+    }
   }
 
   test("bucketed fact: merge-mode as-of elides the fact-side exchange") {

@@ -99,6 +99,51 @@ object AsOfJoin {
     PlanBridge.ofRows(spark, node).drop("__asof_k", "__asof_t")
   }
 
+  /** NEAREST as-of (pandas `merge_asof(direction="nearest")`): for each
+    * left row, the right row with the same key minimizing |rightTs −
+    * leftTs|; an equal-distance tie prefers the at-or-before (backward)
+    * row; within equal (key, ts) right rows the backward candidate
+    * resolves to the greatest tie-break, the forward one to the
+    * smallest. Null left key/ts → null payload.
+    *
+    * Composed from the two native directions (the brief's preference
+    * (a) — no third physical operator): a backward pass enriches the
+    * left, a forward pass runs over the enriched frame, and a
+    * per-row `when` picks the closer side. Both passes are the
+    * codegen'd execs, so the composition is two narrow ordered merges
+    * (or two broadcast probes) — each linear in |L|+|R|; at 100 TB the
+    * two merge passes share the same key clustering, so the second
+    * pass's left side arrives pre-partitioned and AQE elides its
+    * exchange. The matched right ts rides along as a value column to
+    * make the distance computable; it is dropped from the output unless
+    * requested in `valueCols`. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                      valueCols: Seq[String], tieBreak: Option[String] = None,
+                      broadcast: Option[Boolean] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val vcols = (valueCols :+ tsCol).distinct
+    val bw = asofJoinNative(left, right, key, tsCol, vcols, tieBreak, broadcast, "backward")
+    val bwTagged = vcols.foldLeft(bw)((df, c) => df.withColumnRenamed(s"asof_$c", s"__bw_$c"))
+    val both = asofJoinNative(bwTagged, right, key, tsCol, vcols, tieBreak, broadcast, "forward")
+    // distances in the ts domain: timestamps in microseconds, dates in
+    // days, numerics as-is (the right ts was cast to the left's type)
+    def asLong(c: org.apache.spark.sql.Column) = left.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(c)
+      case DateType => datediff(c, to_date(lit("1970-01-01")))
+      case _ => c.cast("long")
+    }
+    val lts = asLong(col(tsCol))
+    val bts = asLong(col(s"__bw_$tsCol"))
+    val fts = asLong(col(s"asof_$tsCol"))
+    // backward wins when forward is absent, or both exist and it is at
+    // least as close (ties prefer backward — the pandas convention)
+    val pickBw = col(s"asof_$tsCol").isNull ||
+      (col(s"__bw_$tsCol").isNotNull && (lts - bts) <= (fts - lts))
+    val sel = left.columns.toSeq.map(col) ++ valueCols.map(c =>
+      when(pickBw, col(s"__bw_$c")).otherwise(col(s"asof_$c")).as(s"asof_$c"))
+    both.select(sel: _*)
+  }
+
   /** Events enriched with each user's most recent ORDER at event time —
     * the cross-table as-of (q37 is the events-only self variant). Left
     * rows keep a null payload when no order precedes them; same-date
@@ -167,7 +212,47 @@ object AsOfJoin {
         native = Some(None)), Some(q48Sql)),
     graft.Q("q86_asof_forward", (s, d) =>
       forwardRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)),
-      Some(q86Sql)))
+      Some(q86Sql)),
+    graft.Q("q87_asof_nearest", (s, d) =>
+      nearestRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)),
+      Some(q87Sql)))
+
+  /** q87 — NEAREST as-of: each event matched to the user's closest
+    * order in time, either side (sensor/label time-alignment); distance
+    * ties prefer the at-or-before order, equal-date duplicates resolve
+    * per-direction (greatest key backward, smallest forward). The
+    * oracle declares the same choice as a rank over ALL the user's
+    * orders: |distance| asc, backward-before-forward, then the
+    * per-direction key order via a sign flip. */
+  def nearestRollup(events: DataFrame, orders: DataFrame): DataFrame = {
+    val right = orders.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"), col("o_totalprice").as("oprice"))
+    asofJoinNearest(events.select("event_id", "event_type", "user_id", "ts"),
+        right, "user_id", "ts", Seq("okey", "oprice"), tieBreak = Some("okey"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("asof_okey").isNotNull, 1).otherwise(0)).as("matched_events"),
+        graft.functions.Det.dsum(col("asof_oprice")).as("asof_price_sum"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  private[graft] val q87Sql =
+    s"""WITH m AS (
+       |  SELECT e.event_id, e.event_type, o.o_orderkey, o.o_totalprice,
+       |         row_number() OVER (PARTITION BY e.event_id
+       |            ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC,
+       |                     CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+       |                     CASE WHEN o.o_orderdate <= e.ts
+       |                          THEN -o.o_orderkey ELSE o.o_orderkey END ASC) AS rn
+       |  FROM events e LEFT JOIN orders o
+       |    ON o.o_custkey = e.user_id AND e.ts IS NOT NULL)
+       |SELECT event_type, count(*) AS n_events,
+       |  cast(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS matched_events,
+       |  ${graft.functions.Det.sqlDsum("o_totalprice")} AS asof_price_sum
+       |FROM m WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q86 — FORWARD as-of: each event matched to the user's FIRST order
     * at-or-after the event (next-purchase attribution); equal-date

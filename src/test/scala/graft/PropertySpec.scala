@@ -122,6 +122,37 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // Nearest direction: minimal |rts - lts|, ties prefer backward; the
+  // per-direction tie-breaks (greatest rid backward, smallest forward)
+  // inherited from the two composed passes.
+  for ((label, mode) <- Seq("merge-exec" -> Some(false), "broadcast-exec" -> Some(true)))
+  property(s"nearest as-of [$label] matches the brute-force reference on random data") =
+    Prop.forAll(genEvents, genEvents) { (l, r) =>
+      val left = toDF(l)
+      val right = toDF(r).select(
+        col("user_id"), col("ts"), col("event_id").as("rid"), col("value").as("rv"))
+      val got = graft.operators.AsOfJoin
+        .asofJoinNearest(left, right, "user_id", "ts", Seq("rid", "rv"),
+          tieBreak = Some("rid"), broadcast = mode)
+        .select("event_id", "ts", "user_id", "asof_rid").collect()
+        .map(x => (x.getAs[Long]("event_id"), x.getAs[Timestamp]("ts"), x.getAs[Long]("user_id")) ->
+          Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+      val rightRows = r.map(t => (t._3, t._2.getTime, t._1)) // (key, ts, rid)
+      l.forall { e =>
+        val cands = rightRows.filter(_._1 == e._3)
+        val bw = cands.filter(_._2 <= e._2.getTime).sortBy(x => (x._2, x._3)).lastOption
+        val fw = cands.filter(_._2 >= e._2.getTime).sortBy(x => (x._2, x._3)).headOption
+        val expected = (bw, fw) match {
+          case (Some(b), Some(f)) =>
+            if (e._2.getTime - b._2 <= f._2 - e._2.getTime) Some(b._3) else Some(f._3)
+          case (Some(b), None) => Some(b._3)
+          case (None, Some(f)) => Some(f._3)
+          case _ => None
+        }
+        got((e._1, e._2, e._3)) == expected
+      }
+    }
+
   property("CDF quartile selection ≡ built-in exact percentile, bit-for-bit") =
     Prop.forAll(Gen.nonEmptyListOf(for {
       g <- Gen.oneOf("a", "b", "c")

@@ -164,6 +164,46 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  for ((label, mode) <- Seq("shuffle-merge" -> false, "broadcast" -> true)) {
+    test(s"[$label] nearest direction: closer side wins, distance tie prefers backward, null ts matches nothing") {
+      import spark.implicits._
+      val left = Seq((Some(1L), Some(10L), "fw"), (Some(2L), Some(9L), "bw"),
+        (Some(3L), Some(10L), "tie"), (Some(1L), None, "nt")).toDF("k", "t", "tag")
+      val right = Seq(
+        (1L, 7L, 100L), (1L, 12L, 200L),   // k=1: dist 3 back vs 2 fwd → fwd
+        (2L, 7L, 300L), (2L, 12L, 400L),   // k=2 at t=9: 2 back vs 3 fwd → back
+        (3L, 8L, 500L), (3L, 12L, 600L))   // k=3 at t=10: 2 vs 2 → backward
+        .toDF("k", "t", "pay")
+      val out = graft.operators.AsOfJoin.asofJoinNearest(
+          left, right, "k", "t", Seq("pay"), broadcast = Some(mode))
+        .orderBy("tag").collect()
+      val byTag = out.map(r => r.getString(2) -> r).toMap
+      assert(byTag("fw").getLong(3) === 200L)
+      assert(byTag("bw").getLong(3) === 300L)
+      assert(byTag("tie").getLong(3) === 500L) // tie → at-or-before
+      assert(byTag("nt").isNullAt(3))
+    }
+  }
+
+  test("nearest (merge mode): the second pass rides the first's clustering and ordering") {
+    // asofJoinNearest = backward merge + forward merge; the first exec's
+    // outputPartitioning/outputOrdering satisfy the second's left-side
+    // requirements, and the identical right subplans reuse one exchange —
+    // so the whole two-pass composition pays ONE left shuffle+sort.
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val od = Tables.orders(spark, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"))
+    val df = graft.operators.AsOfJoin.asofJoinNearest(
+      ev, od, "user_id", "ts", Seq("okey"), tieBreak = Some("okey"),
+      broadcast = Some(false))
+    val p = finalPlan(df)
+    assert("AsOfJoin \\[".r.findAllIn(p).length === 2,
+      s"expected the two directional execs in:\n$p")
+    val exch = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exch <= 3, s"two merge passes must not re-shuffle the left ($exch exchanges):\n$p")
+  }
+
   test("bucketed fact: merge-mode as-of elides the fact-side exchange") {
     // The 100 TB posture behind AsOfJoinExec's declarative requirements:
     // a fact already bucketed on the key satisfies ClusteredDistribution

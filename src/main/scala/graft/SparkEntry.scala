@@ -11,6 +11,7 @@ object SparkEntry {
       operators.SurfaceQueries.all ++
       operators.FunnelQueries.all ++
       operators.AsOfJoin.all ++
+      operators.RangeJoin.all ++
       operators.RuntimeFilter.all ++
       analytics.Views.all ++
       analytics.Calendar.all ++

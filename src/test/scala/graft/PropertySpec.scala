@@ -153,6 +153,46 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // Binned range join: pair sets must equal the brute-force predicate
+  // evaluation at any bin width (1 s here — far smaller than interval
+  // lengths, maximizing multi-bin replication and the dedup risk).
+  property("binned point-in-interval == brute force at a stress bin width") =
+    Prop.forAll(genEvents, genEvents) { (p, iv) =>
+      val pts = toDF(p).select(col("event_id").as("pid"), col("ts").as("pt"))
+      val ivs = toDF(iv).select(col("event_id").as("iid"), col("ts").as("s"),
+        (col("ts") + expr("make_dt_interval(0, 0, cast(event_id % 5 as int), 0)")).as("e"))
+      val got = graft.operators.RangeJoin
+        .pointInInterval(pts, "pt", ivs, "s", "e", binMicros = 1000000L)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        pr <- p
+        ir <- iv
+        s = ir._2.getTime
+        e = s + (ir._1 % 5) * 60000L
+        if pr._2.getTime >= s && pr._2.getTime < e
+      } yield (pr._1, ir._1)).toSet
+      got == expected
+    }
+
+  property("binned interval overlap == brute force at a stress bin width") =
+    Prop.forAll(genEvents, genEvents) { (a, b) =>
+      def ivs(rows: List[(Long, Timestamp, Long, String, Double)], m: Int, idc: String) =
+        toDF(rows).select(col("event_id").as(idc), col("ts").as(s"${idc}_s"),
+          (col("ts") + expr(s"make_dt_interval(0, 0, cast(event_id % $m + 1 as int), 0)"))
+            .as(s"${idc}_e"))
+      val got = graft.operators.RangeJoin
+        .intervalOverlap(ivs(a, 5, "aid"), "aid_s", "aid_e",
+          ivs(b, 7, "bid"), "bid_s", "bid_e", binMicros = 1000000L)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        ar <- a; br <- b
+        as = ar._2.getTime; ae = as + (ar._1 % 5 + 1) * 60000L
+        bs = br._2.getTime; be = bs + (br._1 % 7 + 1) * 60000L
+        if as < be && bs < ae
+      } yield (ar._1, br._1)).toSet
+      got == expected
+    }
+
   property("CDF quartile selection ≡ built-in exact percentile, bit-for-bit") =
     Prop.forAll(Gen.nonEmptyListOf(for {
       g <- Gen.oneOf("a", "b", "c")

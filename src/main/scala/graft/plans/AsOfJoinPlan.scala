@@ -515,27 +515,47 @@ final class AsOfBroadcastLookup(
   @transient private lazy val index: BroadcastAsOfJoinExec.AsOfIndex =
     BroadcastAsOfJoinExec.indexFor(
       s"${bcast.id}:${rKeyExprs.mkString(",")}|${rOrderExprs.mkString(",")}", () => {
+      // The build happens ONCE per JVM under the cache lock while every
+      // other partition's task waits on it — at a dim just under the
+      // broadcast threshold (millions of rows) a naive per-key
+      // buffer+sort build costs seconds of single-threaded time per
+      // executor. Shape it for the idle cores instead: one serial
+      // projection pass (projections are single-threaded mutable state),
+      // then ONE global parallelSort by (key, ts, tie) on the common
+      // pool (the generated orderings are stateless — thread-safe), then
+      // a linear walk slicing contiguous key runs into the per-key
+      // arrays the binary search expects.
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val rOrderProj = UnsafeProjection.create(rOrderExprs, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(rKeyExprs.map(_.dataType))
       val sortOrd = RowOrdering.createNaturalAscendingOrdering(tsType +: tieTypes)
-      val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
-      bcast.value.foreach { row =>
-        val k = rKeyProj(row).copy()
-        var buf = grouped.get(k)
-        if (buf == null) {
-          buf = scala.collection.mutable.ArrayBuffer.empty
-          grouped.put(k, buf)
-        }
-        buf += ((rOrderProj(row).copy(), row))
+      val rows = bcast.value
+      val ents = new Array[BroadcastAsOfJoinExec.Ent](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        ents(i) = new BroadcastAsOfJoinExec.Ent(
+          rKeyProj(rows(i)).copy(), rOrderProj(rows(i)).copy(), rows(i))
+        i += 1
       }
-      val built = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
-      val byOrder = Ordering.comparatorToOrdering(
-        new java.util.Comparator[(UnsafeRow, InternalRow)] {
-          override def compare(a: (UnsafeRow, InternalRow),
-                               b: (UnsafeRow, InternalRow)): Int =
-            sortOrd.compare(a._1, b._1)
+      if (ents.length > 1) java.util.Arrays.parallelSort(ents,
+        new java.util.Comparator[BroadcastAsOfJoinExec.Ent] {
+          override def compare(a: BroadcastAsOfJoinExec.Ent,
+                               b: BroadcastAsOfJoinExec.Ent): Int = {
+            val c = keyOrd.compare(a.key, b.key)
+            if (c != 0) c else sortOrd.compare(a.ord, b.ord)
+          }
         })
-      grouped.forEach { (k, buf) => built.put(k, buf.sortInPlace()(byOrder).toArray) }
+      val built = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
+      var start = 0
+      while (start < ents.length) {
+        var end = start + 1
+        while (end < ents.length && keyOrd.compare(ents(end).key, ents(start).key) == 0) end += 1
+        val run = new Array[(UnsafeRow, InternalRow)](end - start)
+        var j = start
+        while (j < end) { run(j - start) = (ents(j).ord, ents(j).row); j += 1 }
+        built.put(ents(start).key, run)
+        start = end
+      }
       built
     })
 
@@ -572,6 +592,12 @@ final class AsOfBroadcastLookup(
 
 object BroadcastAsOfJoinExec {
   type AsOfIndex = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
+
+  /** One broadcast row's (copied key, copied order row, payload) — a
+    * flat final class so the build's global parallelSort moves one
+    * pointer per row instead of tuple cells. */
+  private[plans] final class Ent(
+      val key: UnsafeRow, val ord: UnsafeRow, val row: InternalRow)
 
   // (broadcast.id + projection signature) → built index; a small LRU
   // bounded per executor. The index is read-only after construction, so

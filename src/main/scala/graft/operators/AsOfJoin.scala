@@ -117,21 +117,52 @@ object AsOfJoin {
     * exchange. The matched right ts rides along as a value column to
     * make the distance computable; it is dropped from the output unless
     * requested in `valueCols`. */
-  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-                      valueCols: Seq[String], tieBreak: Option[String] = None,
-                      broadcast: Option[Boolean] = None): DataFrame = {
+  /** Ts-domain magnitude for distance arithmetic: timestamps in
+    * microseconds, dates in days, numerics as-is (the right ts was cast
+    * to the left's type by [[asofJoinNative]]). */
+  private def tsMagnitude(tsType: org.apache.spark.sql.types.DataType)(
+      c: Column): Column = {
     import org.apache.spark.sql.types.{DateType, TimestampType}
-    val vcols = (valueCols :+ tsCol).distinct
-    val bw = asofJoinNative(left, right, key, tsCol, vcols, tieBreak, broadcast, "backward")
-    val bwTagged = vcols.foldLeft(bw)((df, c) => df.withColumnRenamed(s"asof_$c", s"__bw_$c"))
-    val both = asofJoinNative(bwTagged, right, key, tsCol, vcols, tieBreak, broadcast, "forward")
-    // distances in the ts domain: timestamps in microseconds, dates in
-    // days, numerics as-is (the right ts was cast to the left's type)
-    def asLong(c: org.apache.spark.sql.Column) = left.schema(tsCol).dataType match {
+    tsType match {
       case TimestampType => unix_micros(c)
       case DateType => datediff(c, to_date(lit("1970-01-01")))
       case _ => c.cast("long")
     }
+  }
+
+  /** As-of with a TOLERANCE bound (pandas `merge_asof(tolerance=...)`):
+    * the directional match is kept only when its distance is within
+    * `tolerance` units of the ts domain (µs for timestamps, days for
+    * dates); a match beyond it becomes a null payload — it does NOT
+    * fall back to an earlier/later row (any other candidate is farther
+    * by the direction's monotonicity, so none can qualify either; this
+    * is a post-pick null-out, which is why it composes with both
+    * physical execs unchanged). */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                        valueCols: Seq[String], tolerance: Long,
+                        tieBreak: Option[String] = None,
+                        broadcast: Option[Boolean] = None,
+                        direction: String = "backward"): DataFrame = {
+    val vcols = (valueCols :+ tsCol).distinct
+    val j = asofJoinNative(left, right, key, tsCol, vcols, tieBreak, broadcast, direction)
+    val mag = tsMagnitude(left.schema(tsCol).dataType) _
+    val dist =
+      if (direction == "forward") mag(col(s"asof_$tsCol")) - mag(col(tsCol))
+      else mag(col(tsCol)) - mag(col(s"asof_$tsCol"))
+    val keep = col(s"asof_$tsCol").isNotNull && dist <= tolerance
+    val sel = left.columns.toSeq.map(col) ++ valueCols.map(c =>
+      when(keep, col(s"asof_$c")).as(s"asof_$c"))
+    j.select(sel: _*)
+  }
+
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                      valueCols: Seq[String], tieBreak: Option[String] = None,
+                      broadcast: Option[Boolean] = None): DataFrame = {
+    val vcols = (valueCols :+ tsCol).distinct
+    val bw = asofJoinNative(left, right, key, tsCol, vcols, tieBreak, broadcast, "backward")
+    val bwTagged = vcols.foldLeft(bw)((df, c) => df.withColumnRenamed(s"asof_$c", s"__bw_$c"))
+    val both = asofJoinNative(bwTagged, right, key, tsCol, vcols, tieBreak, broadcast, "forward")
+    val asLong = tsMagnitude(left.schema(tsCol).dataType) _
     val lts = asLong(col(tsCol))
     val bts = asLong(col(s"__bw_$tsCol"))
     val fts = asLong(col(s"asof_$tsCol"))
@@ -215,7 +246,49 @@ object AsOfJoin {
       Some(q86Sql)),
     graft.Q("q87_asof_nearest", (s, d) =>
       nearestRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)),
-      Some(q87Sql)))
+      Some(q87Sql)),
+    graft.Q("q90_asof_tolerance", (s, d) =>
+      toleranceRollup(graft.Tables.events(s, d)), Some(q90Sql)))
+
+  /** q90 — backward as-of with a 30-MINUTE TOLERANCE, events self
+    * as-of: each event attributed to the same user's most recent
+    * PURCHASE, but only when it happened within the last 30 minutes —
+    * a stale purchase becomes a null payload, not a fallback (the
+    * nearest-prior row IS the only candidate; anything else is
+    * farther). The oracle states the same program as a bounded BETWEEN
+    * join + rank: any other prior row is even farther back, so
+    * bounding the join and null-ing the pick are identical. */
+  def toleranceRollup(events: DataFrame): DataFrame = {
+    val right = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value").as("pval"))
+    asofJoinTolerance(events.select("event_id", "event_type", "user_id", "ts"),
+        right, "user_id", "ts", Seq("pid", "pval"),
+        tolerance = 30L * 60 * 1000000L, tieBreak = Some("pid"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("asof_pid").isNotNull, 1).otherwise(0)).as("attributed_events"),
+        graft.functions.Det.dsum(col("asof_pval")).as("attributed_value"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  private[graft] val q90Sql =
+    s"""WITH p AS (
+       |  SELECT user_id, ts, event_id AS pid, value AS pval
+       |  FROM events WHERE event_type = 'purchase'),
+       |m AS (
+       |  SELECT e.event_id, e.event_type, p.pid, p.pval,
+       |         row_number() OVER (PARTITION BY e.event_id
+       |                            ORDER BY p.ts DESC, p.pid DESC) AS rn
+       |  FROM events e LEFT JOIN p
+       |    ON p.user_id = e.user_id AND p.ts <= e.ts
+       |   AND p.ts >= e.ts - INTERVAL 30 MINUTE)
+       |SELECT event_type, count(*) AS n_events,
+       |  cast(sum(CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS attributed_events,
+       |  ${graft.functions.Det.sqlDsum("pval")} AS attributed_value
+       |FROM m WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q87 — NEAREST as-of: each event matched to the user's closest
     * order in time, either side (sensor/label time-alignment); distance

@@ -185,6 +185,33 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  for ((label, mode) <- Seq("shuffle-merge" -> false, "broadcast" -> true)) {
+    test(s"[$label] tolerance: within-bound keeps (boundary inclusive), beyond-bound nulls, no fallback") {
+      import spark.implicits._
+      val left = Seq((1L, 100L, "near"), (2L, 100L, "far"), (3L, 100L, "edge"))
+        .toDF("k", "t", "tag")
+      val right = Seq(
+        (1L, 10L, 111L), (1L, 95L, 222L), // near: dist 5 <= 10 → 222
+        (2L, 80L, 333L),                  // far: dist 20 > 10 → null (no fallback to nothing else)
+        (3L, 90L, 444L))                  // edge: dist == 10 → kept
+        .toDF("k", "t", "pay")
+      val out = graft.operators.AsOfJoin.asofJoinTolerance(
+          left, right, "k", "t", Seq("pay"), tolerance = 10L,
+          broadcast = Some(mode))
+        .orderBy("tag").collect()
+      val byTag = out.map(r => r.getString(2) -> r).toMap
+      assert(byTag("near").getLong(3) === 222L)
+      assert(byTag("far").isNullAt(3))
+      assert(byTag("edge").getLong(3) === 444L)
+      // forward: right at t=105 (dist 5) vs tolerance 4 → null
+      val fwd = graft.operators.AsOfJoin.asofJoinTolerance(
+          left.filter(col("tag") === "near"), Seq((1L, 105L, 555L)).toDF("k", "t", "pay"),
+          "k", "t", Seq("pay"), tolerance = 4L, broadcast = Some(mode),
+          direction = "forward").collect()
+      assert(fwd.length === 1 && fwd(0).isNullAt(3))
+    }
+  }
+
   test("nearest (merge mode): the second pass rides the first's clustering and ordering") {
     // asofJoinNearest = backward merge + forward merge; the first exec's
     // outputPartitioning/outputOrdering satisfy the second's left-side

@@ -128,7 +128,7 @@ object RangeJoin {
         dsum(col("value")).as("value_sum"))
       .orderBy("w_len")
 
-  private val q88Sql =
+  private[graft] val q88Sql =
     s"""WITH w AS (
        |  SELECT event_id AS w_id, cast(event_id % 7 + 1 as int) AS w_len,
        |         ts AS w_start,

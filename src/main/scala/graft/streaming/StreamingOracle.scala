@@ -556,6 +556,46 @@ object StreamingOracle {
       .orderBy(col("event_type").asc_nulls_last)
   }
 
+  // ---- q91: stream-static binned range join ------------------------------
+
+  /** q91 — the keyless RANGE JOIN inside the streaming engine: events
+    * stream in micro-batches and land in any purchase window that
+    * contains them. The naive range predicate would be a per-batch
+    * nested loop; [[graft.operators.RangeJoin.pointInInterval]] makes
+    * it a stream-static EQUI join on the time bin (static side carries
+    * the exploded bins), with the exact containment residual inside the
+    * batch plan. Per-row against a static interval set — no state, no
+    * watermark — so micro-batch slicing cannot change results: each
+    * batch's matches append to a checkpointed parquet sink and the
+    * rollup runs FROM STORAGE under q88's oracle. */
+  def streamingRangeAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
+    val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sfDir)
+    val gs = gateSession(spark)
+    val run = freshRunDir("q91")
+    val result = run.resolve("result").toString
+    val src = sourceOver(gs, dir, mftFor(gs, dir))
+      .select("event_id", "ts", "value")
+    val wins = graft.operators.RangeJoin.purchaseWindows(
+      graft.Tables.events(gs, sfDir))
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      src, "ts", wins, "w_start", "w_end")
+    drain {
+      joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .format("parquet").option("path", result)
+        .start()
+    }
+    spark.read.parquet(result)
+      .groupBy("w_len")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct(col("w_id")).as("windows_hit"),
+        dsum(col("value")).as("value_sum"))
+      .orderBy("w_len")
+  }
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),
     graft.Q("q69_streaming_funnel", (s, d) => streamingFunnelSummary(s, d),
@@ -567,5 +607,7 @@ object StreamingOracle {
     graft.Q("q74_streaming_stream_join", (s, d) => streamingClickAttribution(s, d),
       Some(q74Sql)),
     graft.Q("q85_streaming_asof_enrich", (s, d) => streamingAsOfEnrich(s, d),
-      Some(graft.operators.AsOfJoin.q48Sql)))
+      Some(graft.operators.AsOfJoin.q48Sql)),
+    graft.Q("q91_streaming_range_join", (s, d) => streamingRangeAttribution(s, d),
+      Some(graft.operators.RangeJoin.q88Sql)))
 }

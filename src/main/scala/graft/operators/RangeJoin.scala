@@ -46,16 +46,45 @@ object RangeJoin {
     * queries' 1–11 minute windows, so each interval lands in ≤ 2 bins. */
   val DefaultBinMicros: Long = 10L * 60 * 1000 * 1000
 
-  /** Exact bin index of a microsecond epoch column. */
-  private def binIdx(micros: Column, w: Long): Column =
-    ((micros - pmod(micros, lit(w))) / lit(w)).cast("long")
+  /** Exact bin index of a long-domain magnitude column. */
+  private def binIdx(mag: Column, w: Long): Column =
+    ((mag - pmod(mag, lit(w))) / lit(w)).cast("long")
+
+  /** The column's long-domain magnitude — the join works over ANY
+    * totally-ordered domain with a long embedding: timestamps bin in
+    * microseconds, dates in days, integral/floating domains as their
+    * floor (IP-as-long blocks, value bands, id ranges). Bin width is in
+    * the SAME units. */
+  private def magnitude(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
+      case _ => floor(col(c)).cast("long")
+    }
+  }
 
   /** All bins [start, end) touches, as one exploded column. Empty and
-    * inverted intervals are dropped (they can contain nothing). */
-  private def intervalBins(startCol: String, endCol: String, w: Long): Column =
-    explode(sequence(
-      binIdx(unix_micros(col(startCol)), w),
-      binIdx(unix_micros(col(endCol)) - 1, w)))
+    * inverted intervals are dropped (they can contain nothing).
+    *
+    * The last touched bin: for EXACTLY-embedded domains (timestamps,
+    * dates, integrals — magnitude is lossless) the largest contained
+    * value is `end − 1`, so its bin is tight. For FRACTIONAL domains
+    * the magnitude floors, and `floor(end) − 1` can fall BELOW the last
+    * touched bin (e.g. [2.5, 3.2) touches bin 3, but floor(3.2)−1 = 2)
+    * — there the last bin is `floor(end)`'s, over-covering by one bin
+    * only when `end` sits exactly on a boundary; the extra candidates
+    * die in the residual, trading a sliver of work for correctness. */
+  private def intervalBins(iv: DataFrame, startCol: String, endCol: String,
+                           w: Long): Column = {
+    val endMag = magnitude(iv, endCol)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val lastMag = iv.schema(endCol).dataType match {
+      case DoubleType | FloatType | _: DecimalType => endMag
+      case _ => endMag - 1
+    }
+    explode(sequence(binIdx(magnitude(iv, startCol), w), binIdx(lastMag, w)))
+  }
 
   /** Point-in-interval join: rows of `points` × rows of `intervals`
     * with `start <= pt < end` (half-open), no key required. Output =
@@ -63,11 +92,11 @@ object RangeJoin {
     * names. Each matched pair appears exactly once. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
-                      binMicros: Long = DefaultBinMicros): DataFrame = {
-    val pts = points.withColumn("__bin", binIdx(unix_micros(col(pointCol)), binMicros))
+                      binWidth: Long = DefaultBinMicros): DataFrame = {
+    val pts = points.withColumn("__bin", binIdx(magnitude(points, pointCol), binWidth))
     val ivs = intervals
       .filter(col(startCol) < col(endCol))
-      .withColumn("__bin", intervalBins(startCol, endCol, binMicros))
+      .withColumn("__bin", intervalBins(intervals, startCol, endCol, binWidth))
     pts.join(ivs, Seq("__bin"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
@@ -80,15 +109,15 @@ object RangeJoin {
     * several bins still appears exactly once, with no distinct. */
   def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
                       right: DataFrame, rStart: String, rEnd: String,
-                      binMicros: Long = DefaultBinMicros): DataFrame = {
+                      binWidth: Long = DefaultBinMicros): DataFrame = {
     val l = left.filter(col(lStart) < col(lEnd))
-      .withColumn("__bin", intervalBins(lStart, lEnd, binMicros))
+      .withColumn("__bin", intervalBins(left, lStart, lEnd, binWidth))
     val r = right.filter(col(rStart) < col(rEnd))
-      .withColumn("__bin", intervalBins(rStart, rEnd, binMicros))
+      .withColumn("__bin", intervalBins(right, rStart, rEnd, binWidth))
     l.join(r, Seq("__bin"))
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .filter(binIdx(greatest(unix_micros(col(lStart)), unix_micros(col(rStart))),
-        binMicros) === col("__bin"))
+      .filter(binIdx(greatest(magnitude(left, lStart), magnitude(right, rStart)),
+        binWidth) === col("__bin"))
       .drop("__bin")
   }
 

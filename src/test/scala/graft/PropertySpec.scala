@@ -162,7 +162,7 @@ object PropertySpec extends Properties("graft") {
       val ivs = toDF(iv).select(col("event_id").as("iid"), col("ts").as("s"),
         (col("ts") + expr("make_dt_interval(0, 0, cast(event_id % 5 as int), 0)")).as("e"))
       val got = graft.operators.RangeJoin
-        .pointInInterval(pts, "pt", ivs, "s", "e", binMicros = 1000000L)
+        .pointInInterval(pts, "pt", ivs, "s", "e", binWidth = 1000000L)
         .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val expected = (for {
         pr <- p
@@ -182,7 +182,7 @@ object PropertySpec extends Properties("graft") {
             .as(s"${idc}_e"))
       val got = graft.operators.RangeJoin
         .intervalOverlap(ivs(a, 5, "aid"), "aid_s", "aid_e",
-          ivs(b, 7, "bid"), "bid_s", "bid_e", binMicros = 1000000L)
+          ivs(b, 7, "bid"), "bid_s", "bid_e", binWidth = 1000000L)
         .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val expected = (for {
         ar <- a; br <- b

@@ -85,6 +85,41 @@ class RangeJoinSpec extends SparkSuite {
     assert(overlaps(24 * 60 * minute) === obase)
   }
 
+  test("numeric domain: long points in long ranges (the IP-block shape)") {
+    import spark.implicits._
+    // CIDR-like blocks over an IP-as-long space; bin width smaller,
+    // equal to, and larger than block sizes must all agree
+    val pts = Seq(167772161L, 167772415L, 167772416L, 3232235777L, 42L)
+      .toDF("ip").withColumn("pid", col("ip"))
+    val blocks = Seq(
+      (1L, 167772160L, 167772416L),   // 10.0.0.0/24 → [.0, .256)
+      (2L, 3232235776L, 3232236032L), // 192.168.1.0/24
+      (3L, 167772416L, 167772672L))   // 10.0.1.0/24
+      .toDF("net", "lo", "hi")
+    def run(w: Long) = RangeJoin.pointInInterval(pts, "ip", blocks, "lo", "hi", w)
+      .select("pid", "net").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expect = Seq((167772161L, 1L), (167772415L, 1L), (167772416L, 3L), (3232235777L, 2L))
+    assert(run(64) === expect)
+    assert(run(256) === expect)
+    assert(run(100000) === expect)
+  }
+
+  test("fractional domain: the last touched bin is covered (sub-unit and boundary-crossing ends)") {
+    import spark.implicits._
+    // [2.5, 3.2) touches bin 3 at width 1 — the tight integer-domain
+    // bound (floor(end)-1 = 2) would miss point 3.1
+    val pts = Seq(2.6, 3.1, 3.2, 2.4).toDF("v").withColumn("pid", col("v"))
+    val ivs = Seq((1L, 2.5, 3.2), (2L, 7.0, 8.0), (3L, 4.25, 4.75))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", 1L)
+      .select("pid", "iid").collect().map(r => (r.getDouble(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((2.6, 1L), (3.1, 1L))) // 3.2 excluded (half-open), 2.4 below
+    // sub-unit interval entirely inside one bin still matches its points
+    val got2 = RangeJoin.pointInInterval(Seq(4.5).toDF("v"), "v", ivs, "lo", "hi", 1L)
+      .select("iid").collect().map(_.getLong(0)).toSeq
+    assert(got2 === Seq(3L))
+  }
+
   test("empty and inverted intervals match nothing instead of erroring") {
     import spark.implicits._
     val pts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))

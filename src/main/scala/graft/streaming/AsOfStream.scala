@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Watermark-exact STREAM-STREAM backward as-of — both sides arrive as
+  * streams, and each left row is matched to the last right row with the
+  * same key and `rightTs <= leftTs` (ties at equal ts resolve to the
+  * greatest right id, the batch operator's contract).
+  *
+  * Spark's stream-stream joins cover equi and interval conditions but
+  * not "the LATEST right at-or-before" — that needs ordered state, so
+  * this is the `flatMapGroupsWithState` tier (the q69 funnel's
+  * machinery) applied to the as-of contract. Both sides ride ONE
+  * union-tagged keyed stream ([[AsOfInput]]); per key the state holds:
+  *
+  *  - buffered LEFT rows not yet finalizable: a left at `lts` may still
+  *    see a better right while `lts >= watermark` (a future right with
+  *    `rts <= lts` is only impossible once the watermark passes `lts` —
+  *    any such arrival would itself be late and dropped). Once the
+  *    watermark passes, the match is FINAL: emitted exactly once,
+  *    append-mode.
+  *  - RIGHT history, dominance-pruned: among right rows at-or-below
+  *    `floor = min(watermark, oldest buffered left ts)`, only the
+  *    greatest (ts, id) can ever win for any future left (every future
+  *    left's ts is ≥ floor, and a nearer right is preferred), so one
+  *    row is kept and the rest drop. Rights above the floor stay. State
+  *    is thereby bounded by the watermark horizon — the same bound
+  *    Spark's own stream-stream join state carries.
+  *
+  * An event-time timeout re-fires the group when the watermark passes
+  * its oldest buffered left, so finalization never waits for new data
+  * on that key. Exactness under the late-data contract is the q72/q69
+  * argument: dropped-late lefts are the watermark's contract, and no
+  * admissible future input can change an emitted match.
+  *
+  * At 100 TB: state is per-key O(horizon); the stream shuffles once on
+  * the key, exactly like the batch merge exec's clustering; a skewed
+  * key salts upstream the same way.
+  */
+object AsOfStream {
+
+  /** Union-tag encoding: `isRight = false` rows are the probe side
+    * (id = left row id), `isRight = true` rows carry the payload. */
+  final case class AsOfInput(
+      key: Long, ts: java.sql.Timestamp, isRight: Boolean, id: Long, payload: Double)
+
+  final case class LeftRow(tsUs: Long, id: Long)
+  final case class RightRow(tsUs: Long, id: Long, payload: Double)
+  final case class AsOfBuf(lefts: List[LeftRow], rights: List[RightRow])
+
+  /** One finalized left row with its as-of match (null when no right at
+    * or before it survives). */
+  final case class AsOfMatch(
+      key: Long, left_id: Long, left_ts_us: Long,
+      asof_id: Option[Long], asof_payload: Option[Double])
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+
+  /** `delay` is the watermark delay (e.g. "30 seconds"); results are
+    * exact for every left row at-or-above the watermark at its arrival. */
+  def asofStream(in: Dataset[AsOfInput], delay: String): Dataset[AsOfMatch] = {
+    import in.sparkSession.implicits._
+    in.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(resolve)
+  }
+
+  private[streaming] def resolve(
+      key: Long, rows: Iterator[AsOfInput],
+      state: GroupState[AsOfBuf]): Iterator[AsOfMatch] = {
+    val buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+    var lefts = buf.lefts
+    var rights = buf.rights
+    rows.foreach { r =>
+      if (r.isRight) rights ::= RightRow(micros(r.ts), r.id, r.payload)
+      else lefts ::= LeftRow(micros(r.ts), r.id)
+    }
+    // watermark in µs; 0 means "none yet" — nothing finalizes
+    val wmUs =
+      if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() * 1000L
+      else Long.MinValue
+    // a left strictly below the watermark can never see another right
+    // with rts <= lts (it would be late) — final
+    val (ready, still) = lefts.partition(_.tsUs < wmUs)
+    val rSorted = rights.sortBy(r => (r.tsUs, r.id))
+    val out = ready.sortBy(l => (l.tsUs, l.id)).map { l =>
+      // last right at-or-before: rSorted ascending → the final element
+      // of the prefix; equal (ts) duplicates resolve to greatest id by
+      // the (ts, id) sort
+      var m: RightRow = null
+      var i = 0
+      while (i < rSorted.length && rSorted(i).tsUs <= l.tsUs) { m = rSorted(i); i += 1 }
+      AsOfMatch(key, l.id, l.tsUs,
+        Option(m).map(_.id), Option(m).map(_.payload))
+    }
+    // dominance-prune the right history: below the floor only the
+    // greatest (ts, id) row can ever win again
+    val floorUs = math.min(wmUs, still.map(_.tsUs).minOption.getOrElse(Long.MaxValue))
+    val (below, above) = rSorted.partition(_.tsUs <= floorUs)
+    val kept = below.lastOption.toList ++ above
+    if (still.isEmpty && kept.isEmpty) {
+      state.remove()
+    } else {
+      state.update(AsOfBuf(still, kept))
+      // re-fire when the watermark passes the oldest buffered left (ms
+      // grain, +1 so "passes" is strict) — registered from the FIRST
+      // batch, else a key that never sees data again would never
+      // finalize its buffered lefts
+      if (still.nonEmpty)
+        state.setTimeoutTimestamp(still.map(_.tsUs).min / 1000L + 1L)
+    }
+    out.iterator
+  }
+}

@@ -596,6 +596,72 @@ object StreamingOracle {
       .orderBy("w_len")
   }
 
+  // ---- q92: stream-stream as-of (flatMapGroupsWithState) -----------------
+
+  /** q92 — STREAM-STREAM backward as-of through the engine: every
+    * non-purchase event (left side) matched to the same user's latest
+    * purchase at-or-before it (right side), BOTH sides arriving in the
+    * same micro-batches as one union-tagged keyed stream resolved by
+    * [[AsOfStream]]'s watermark-exact `flatMapGroupsWithState` state
+    * machine — buffered lefts finalize exactly once when the watermark
+    * passes them, right history is dominance-pruned to the watermark
+    * horizon. The in-day-order layout (q73/q74's) makes arrival
+    * deterministic and drop-free; its sentinel pushes the final
+    * watermark past every real event, so ALL real lefts finalize (the
+    * sentinel itself structurally cannot and is absent from the sink).
+    * Matches append to a checkpointed parquet sink; the rollup runs
+    * FROM STORAGE and hash-matches DuckDB's declarative as-of — the
+    * stream-stream twin of q85's stream-static enrichment. */
+  def streamingStreamAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val gs = gateSession(spark)
+    val dir = inOrderEventsDir(gs, sfDir)
+    val run = freshRunDir("q92")
+    val result = run.resolve("result").toString
+    import gs.implicits._
+    val tagged = sourceOver(gs, dir, 1)
+      .select(
+        col("user_id").as("key"), col("ts"),
+        (col("event_type") === "purchase").as("isRight"),
+        col("event_id").as("id"),
+        coalesce(col("value"), lit(0.0)).as("payload"))
+      .as[AsOfStream.AsOfInput]
+    val matches = AsOfStream.asofStream(tagged, "30 seconds")
+    drain {
+      matches.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .format("parquet").option("path", result)
+        .start()
+    }
+    spark.read.parquet(result)
+      .groupBy((col("key") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("asof_id").isNotNull, 1).otherwise(0)).as("matched"),
+        dsum(col("asof_payload")).as("payload_sum"))
+      .orderBy("bucket")
+  }
+
+  private val q92Sql =
+    s"""WITH p AS (
+       |  SELECT user_id, ts, event_id AS rid, value AS rv
+       |  FROM events WHERE event_type = 'purchase'),
+       |l AS (
+       |  SELECT user_id, ts, event_id AS lid
+       |  FROM events WHERE event_type <> 'purchase'),
+       |m AS (
+       |  SELECT l.user_id, l.lid, p.rid, p.rv,
+       |         row_number() OVER (PARTITION BY l.lid
+       |                            ORDER BY p.ts DESC, p.rid DESC) AS rn
+       |  FROM l LEFT JOIN p
+       |    ON p.user_id = l.user_id AND p.ts <= l.ts)
+       |SELECT cast(user_id % 10 as bigint) AS bucket,
+       |  count(*) AS n_events,
+       |  cast(sum(CASE WHEN rid IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS matched,
+       |  ${graft.functions.Det.sqlDsum("rv")} AS payload_sum
+       |FROM m WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),
     graft.Q("q69_streaming_funnel", (s, d) => streamingFunnelSummary(s, d),
@@ -609,5 +675,7 @@ object StreamingOracle {
     graft.Q("q85_streaming_asof_enrich", (s, d) => streamingAsOfEnrich(s, d),
       Some(graft.operators.AsOfJoin.q48Sql)),
     graft.Q("q91_streaming_range_join", (s, d) => streamingRangeAttribution(s, d),
-      Some(graft.operators.RangeJoin.q88Sql)))
+      Some(graft.operators.RangeJoin.q88Sql)),
+    graft.Q("q92_streaming_stream_asof", (s, d) => streamingStreamAsOf(s, d),
+      Some(q92Sql)))
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSuite
+import AsOfStream._
+
+/** Stream-stream backward as-of: watermark-exact finalization, pinned
+  * against the batch as-of operator on the same rows. */
+class AsOfStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1704067200000L + s * 1000)
+  private def l(k: Long, s: Long, id: Long) = AsOfInput(k, ts(s), isRight = false, id, 0.0)
+  private def r(k: Long, s: Long, id: Long, pay: Double) = AsOfInput(k, ts(s), isRight = true, id, pay)
+
+  private def run(batches: Seq[Seq[AsOfInput]], delay: String = "30 seconds"): Seq[AsOfMatch] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsOfInput]
+    val out = AsOfStream.asofStream(input.toDS(), delay)
+    val name = s"asof_stream_${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      spark.table(name).as[AsOfMatch].collect().toSeq
+    } finally query.stop()
+  }
+
+  test("lefts finalize only when the watermark passes them; late rights cannot change an emitted match") {
+    val out = run(Seq(
+      // batch 1: two rights and a left at t=50 — watermark still unset, nothing emits
+      Seq(r(1, 10, 1, 1.0), r(1, 40, 2, 2.0), l(1, 50, 100)),
+      // batch 2: a left at t=35 (above wm=20) buffers; the sentinel right
+      // at t=200 will advance the watermark to 170 NEXT batch
+      Seq(l(1, 35, 101), r(1, 200, 9, 9.0)),
+      // batch 3: watermark=170 → both lefts finalize
+      Seq(r(2, 500, 99, 0.0))))
+    val byId = out.map(m => m.left_id -> m).toMap
+    assert(byId(100L).asof_id === Some(2L)) // last right <= 50 is t=40
+    assert(byId(101L).asof_id === Some(1L)) // cross-batch: right from batch 1, left from batch 2
+    assert(out.length === 2)
+  }
+
+  test("equal-timestamp rights resolve to the greatest id; no prior right gives a null match") {
+    val out = run(Seq(
+      Seq(r(1, 30, 5, 5.0), r(1, 30, 7, 7.0), l(1, 30, 100), l(2, 30, 200)),
+      Seq(r(9, 500, 1, 0.0)), // sentinel advances the watermark
+      Seq(r(9, 501, 2, 0.0))))
+    val byId = out.map(m => m.left_id -> m).toMap
+    assert(byId(100L).asof_id === Some(7L) && byId(100L).asof_payload === Some(7.0))
+    assert(byId(200L).asof_id === None && byId(200L).asof_payload === None)
+  }
+
+  test("a left below the watermark at arrival is dropped, not mis-matched (the late-data contract)") {
+    val out = run(Seq(
+      Seq(r(1, 10, 1, 1.0), r(1, 900, 2, 2.0)), // watermark jumps to 870 after this batch
+      Seq(l(1, 100, 100)),                      // arrives below wm=870 → late, dropped
+      Seq(r(9, 2000, 3, 0.0))))
+    assert(!out.exists(_.left_id == 100L), s"late left must be dropped: $out")
+  }
+
+  test("right-history dominance pruning keeps results exact across many batches") {
+    // rights arrive far apart; lefts interleave so the floor moves and
+    // old rights prune — every match must still equal the batch operator
+    val batches = Seq(
+      Seq(r(1, 10, 1, 1.0), r(1, 20, 2, 2.0), l(1, 25, 100)),
+      Seq(r(1, 100, 3, 3.0), l(1, 110, 101)),
+      Seq(r(1, 300, 4, 4.0), l(1, 290, 102), l(1, 310, 103)),
+      Seq(r(1, 900, 9, 9.0)),  // advances watermark past everything real
+      Seq(r(2, 2000, 99, 0.0)))
+    val out = run(batches)
+    val all = batches.flatten
+    val lefts = all.filter(a => !a.isRight && a.key == 1)
+    val rights = all.filter(a => a.isRight && a.key == 1)
+    val lDf = lefts.map(a => (a.key, a.ts, a.id)).toDF("user_id", "ts", "lid")
+    val rDf = rights.map(a => (a.key, a.ts, a.id, a.payload)).toDF("user_id", "ts", "rid", "rv")
+    val batch = graft.operators.AsOfJoin
+      .asofJoin(lDf, rDf, "user_id", "ts", Seq("rid", "rv"), tieBreak = Some("rid"))
+      .collect().map(x => x.getAs[Long]("lid") ->
+        Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+    val streamed = out.filter(_.key == 1).map(m => m.left_id -> m.asof_id).toMap
+    assert(streamed === batch.filter { case (lid, _) => streamed.contains(lid) })
+    // every real left except any in the final un-finalized tail emitted
+    assert(streamed.keySet === Set(100L, 101L, 102L, 103L))
+  }
+}

@@ -120,6 +120,17 @@ class RangeJoinSpec extends SparkSuite {
     assert(got2 === Seq(3L))
   }
 
+  test("negative numeric domain: bins floor correctly below zero") {
+    import spark.implicits._
+    // pmod keeps bin ids floor-consistent across zero: [-250, -50) at
+    // width 100 spans bins -3..-1; a point at -100 is inside
+    val pts = Seq(-100L, -250L, -50L, 0L, -51L).toDF("v").withColumn("pid", col("v"))
+    val ivs = Seq((1L, -250L, -50L), (2L, -25L, 25L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", 100L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((-250L, 1L), (-100L, 1L), (-51L, 1L), (0L, 2L)))
+  }
+
   test("empty and inverted intervals match nothing instead of erroring") {
     import spark.implicits._
     val pts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))

@@ -60,6 +60,88 @@ class AsOfStreamSpec extends SparkSuite {
     assert(!out.exists(_.left_id == 100L), s"late left must be dropped: $out")
   }
 
+  test("random-batching invariance: 300 simulated batchings match brute force exactly-once") {
+    // The q69-funnel treatment for the as-of state machine: drive the
+    // extracted transition (`AsOfStream.resolve`) through a stubbed
+    // GroupState under randomized arrival batchings with simulated
+    // Spark watermark semantics (pre-batch watermark, strict late
+    // filter), and require emissions == brute-force as-of over the
+    // SURVIVING rows below the final watermark — each left exactly
+    // once, never twice, never early.
+    import org.apache.spark.sql.streaming.GroupState
+    final class Stub(var value: Option[AsOfBuf], wmMs: Long) extends GroupState[AsOfBuf] {
+      override def exists: Boolean = value.isDefined
+      override def get: AsOfBuf = value.get
+      override def getOption: Option[AsOfBuf] = value
+      override def update(s: AsOfBuf): Unit = value = Some(s)
+      override def remove(): Unit = value = None
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(ms: Long): Unit = throw new UnsupportedOperationException
+      override def setTimeoutDuration(s: String): Unit = throw new UnsupportedOperationException
+      var timeoutMs: Option[Long] = None
+      override def setTimeoutTimestamp(ms: Long): Unit = timeoutMs = Some(ms)
+      override def setTimeoutTimestamp(ms: Long, d: String): Unit = throw new UnsupportedOperationException
+      override def setTimeoutTimestamp(d: java.sql.Date): Unit = throw new UnsupportedOperationException
+      override def setTimeoutTimestamp(d: java.sql.Date, s: String): Unit = throw new UnsupportedOperationException
+      override def getCurrentWatermarkMs: Long = wmMs
+      override def getCurrentProcessingTimeMs: Long = 0L
+    }
+    val delayMs = 10000L
+    val rnd = new scala.util.Random(42)
+    for (caseNo <- 1 to 300) {
+      // random rows over two keys, ids unique, second granularity
+      val rows = (1 to (5 + rnd.nextInt(35))).map { i =>
+        AsOfInput(1L + rnd.nextInt(2), ts(rnd.nextInt(100).toLong),
+          isRight = rnd.nextBoolean(), 1000L + i, (1000 + i).toDouble)
+      }
+      // random batching preserving nothing (arrival order is the shuffle)
+      val shuffled = rnd.shuffle(rows)
+      val nBatches = 1 + rnd.nextInt(6)
+      val batches = shuffled.grouped(math.max(1, math.ceil(shuffled.size.toDouble / nBatches).toInt)).toSeq
+      val states = scala.collection.mutable.Map[Long, Stub]()
+      val emitted = scala.collection.mutable.ArrayBuffer[AsOfMatch]()
+      val survivors = scala.collection.mutable.ArrayBuffer[AsOfInput]()
+      var wmMs = 0L
+      var maxSeenMs = 0L
+      def stepKey(k: Long, data: Seq[AsOfInput]): Unit = {
+        val st = states.getOrElseUpdate(k, new Stub(None, wmMs))
+        val fresh = new Stub(st.value, wmMs)
+        emitted ++= AsOfStream.resolve(k, data.iterator, fresh)
+        fresh.timeoutMs = fresh.timeoutMs.orElse(st.timeoutMs)
+        states(k) = fresh
+      }
+      batches.foreach { b =>
+        val live = b.filter(_.ts.getTime >= wmMs) // strict late filter
+        survivors ++= live
+        live.groupBy(_.key).foreach { case (k, data) => stepKey(k, data) }
+        // fire pending event-time timeouts for data-less keys
+        // (snapshot — stepKey mutates the map)
+        states.toSeq.foreach { case (k, st) =>
+          if (!live.exists(_.key == k) && st.value.isDefined &&
+              st.timeoutMs.exists(_ < wmMs)) stepKey(k, Nil)
+        }
+        maxSeenMs = math.max(maxSeenMs, b.map(_.ts.getTime).max)
+        wmMs = math.max(wmMs, maxSeenMs - delayMs) // watermark advances between batches
+      }
+      // the engine's no-data batch at the final watermark
+      states.keys.toSeq.foreach(k => if (states(k).value.isDefined) stepKey(k, Nil))
+      // brute-force truth over survivors below the final watermark
+      val finalWmUs = wmMs * 1000L
+      val lefts = survivors.filter(a => !a.isRight)
+      val rights = survivors.filter(_.isRight)
+      val expected = lefts
+        .filter(_.ts.getTime * 1000 < finalWmUs)
+        .map { l =>
+          val m = rights.filter(r => r.key == l.key && !r.ts.after(l.ts))
+            .sortBy(r => (r.ts.getTime, r.id)).lastOption
+          l.id -> m.map(_.id)
+        }.toMap
+      val got = emitted.map(m => m.left_id -> m.asof_id).toMap
+      assert(emitted.size === got.size, s"case $caseNo: a left emitted twice: $emitted")
+      assert(got === expected, s"case $caseNo: batching ${batches.map(_.size)} diverged")
+    }
+  }
+
   test("right-history dominance pruning keeps results exact across many batches") {
     // rights arrive far apart; lefts interleave so the floor moves and
     // old rights prune — every match must still equal the batch operator

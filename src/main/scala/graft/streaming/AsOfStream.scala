@@ -67,6 +67,63 @@ object AsOfStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(resolve)
   }
 
+  /** FORWARD stream-stream as-of, tolerance-bounded: each left row
+    * matched to the FIRST right with `lts <= rts <= lts + tolerance`
+    * (equal-ts ties to the smallest id — the batch forward contract;
+    * null when none inside the bound). The bound is what makes forward
+    * streaming finite-state at all: an UNBOUNDED forward match can
+    * arrive arbitrarily far in the future, so no watermark ever
+    * finalizes a miss — with the bound, a left finalizes exactly when
+    * the watermark passes `lts + tolerance` (any admissible right
+    * arriving later would be late). Right history prunes harder than
+    * backward: a right below `min(watermark, oldest buffered left)` can
+    * match no present or future left (forward needs `rts >= lts`), so
+    * it drops entirely — no dominant-row carry. This is the streaming
+    * next-event-within-T attribution shape (q74's interval join picks
+    * ALL pairs in the window; this picks the FIRST). */
+  def asofStreamForward(in: Dataset[AsOfInput], delay: String,
+                        toleranceUs: Long): Dataset[AsOfMatch] = {
+    import in.sparkSession.implicits._
+    in.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        resolveForward(toleranceUs) _)
+  }
+
+  private[streaming] def resolveForward(tolUs: Long)(
+      key: Long, rows: Iterator[AsOfInput],
+      state: GroupState[AsOfBuf]): Iterator[AsOfMatch] = {
+    val buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+    var lefts = buf.lefts
+    var rights = buf.rights
+    rows.foreach { r =>
+      if (r.isRight) rights ::= RightRow(micros(r.ts), r.id, r.payload)
+      else lefts ::= LeftRow(micros(r.ts), r.id)
+    }
+    val wmUs =
+      if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() * 1000L
+      else Long.MinValue
+    // final once the watermark passes the whole admissible window
+    val (ready, still) = lefts.partition(l => l.tsUs + tolUs < wmUs)
+    val rSorted = rights.sortBy(r => (r.tsUs, r.id))
+    val out = ready.sortBy(l => (l.tsUs, l.id)).map { l =>
+      val m = rSorted.find(r => r.tsUs >= l.tsUs && r.tsUs <= l.tsUs + tolUs)
+      AsOfMatch(key, l.id, l.tsUs, m.map(_.id), m.map(_.payload))
+    }
+    // forward needs rts >= lts: rights below every present AND future
+    // left are dead weight
+    val floorUs = math.min(wmUs, still.map(_.tsUs).minOption.getOrElse(Long.MaxValue))
+    val kept = rSorted.filter(_.tsUs >= floorUs)
+    if (still.isEmpty && kept.isEmpty) {
+      state.remove()
+    } else {
+      state.update(AsOfBuf(still, kept))
+      if (still.nonEmpty)
+        state.setTimeoutTimestamp((still.map(_.tsUs).min + tolUs) / 1000L + 1L)
+    }
+    out.iterator
+  }
+
   private[streaming] def resolve(
       key: Long, rows: Iterator[AsOfInput],
       state: GroupState[AsOfBuf]): Iterator[AsOfMatch] = {

@@ -642,6 +642,66 @@ object StreamingOracle {
       .orderBy("bucket")
   }
 
+  /** q93 — FORWARD stream-stream as-of with a 30-minute tolerance:
+    * every non-purchase event attributed to the same user's FIRST
+    * purchase within the next 30 minutes (q74's interval join keeps ALL
+    * pairs in the window; this keeps the first). The tolerance is what
+    * makes forward streaming finite-state: a left finalizes exactly
+    * when the watermark passes `lts + 30min`, and the right history
+    * drops everything below the oldest buffered left. Same layout,
+    * sink, and from-storage rollup protocol as q92. */
+  def streamingStreamAsOfForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val gs = gateSession(spark)
+    val dir = inOrderEventsDir(gs, sfDir)
+    val run = freshRunDir("q93")
+    val result = run.resolve("result").toString
+    import gs.implicits._
+    val tagged = sourceOver(gs, dir, 1)
+      .select(
+        col("user_id").as("key"), col("ts"),
+        (col("event_type") === "purchase").as("isRight"),
+        col("event_id").as("id"),
+        coalesce(col("value"), lit(0.0)).as("payload"))
+      .as[AsOfStream.AsOfInput]
+    val matches = AsOfStream.asofStreamForward(tagged, "30 seconds",
+      toleranceUs = 30L * 60 * 1000000L)
+    drain {
+      matches.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .format("parquet").option("path", result)
+        .start()
+    }
+    spark.read.parquet(result)
+      .groupBy((col("key") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("asof_id").isNotNull, 1).otherwise(0)).as("matched"),
+        dsum(col("asof_payload")).as("payload_sum"))
+      .orderBy("bucket")
+  }
+
+  private val q93Sql =
+    s"""WITH p AS (
+       |  SELECT user_id, ts, event_id AS rid, value AS rv
+       |  FROM events WHERE event_type = 'purchase'),
+       |l AS (
+       |  SELECT user_id, ts, event_id AS lid
+       |  FROM events WHERE event_type <> 'purchase'),
+       |m AS (
+       |  SELECT l.user_id, l.lid, p.rid, p.rv,
+       |         row_number() OVER (PARTITION BY l.lid
+       |                            ORDER BY p.ts ASC, p.rid ASC) AS rn
+       |  FROM l LEFT JOIN p
+       |    ON p.user_id = l.user_id AND p.ts >= l.ts
+       |   AND p.ts <= l.ts + INTERVAL 30 MINUTE)
+       |SELECT cast(user_id % 10 as bigint) AS bucket,
+       |  count(*) AS n_events,
+       |  cast(sum(CASE WHEN rid IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS matched,
+       |  ${graft.functions.Det.sqlDsum("rv")} AS payload_sum
+       |FROM m WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q92Sql =
     s"""WITH p AS (
        |  SELECT user_id, ts, event_id AS rid, value AS rv
@@ -677,5 +737,7 @@ object StreamingOracle {
     graft.Q("q91_streaming_range_join", (s, d) => streamingRangeAttribution(s, d),
       Some(graft.operators.RangeJoin.q88Sql)),
     graft.Q("q92_streaming_stream_asof", (s, d) => streamingStreamAsOf(s, d),
-      Some(q92Sql)))
+      Some(q92Sql)),
+    graft.Q("q93_streaming_forward_asof", (s, d) => streamingStreamAsOfForward(s, d),
+      Some(q93Sql)))
 }

@@ -142,6 +142,102 @@ class AsOfStreamSpec extends SparkSuite {
     }
   }
 
+  test("forward with tolerance: first-within wins, beyond-bound nulls, equal-ts takes smallest id") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsOfInput]
+    val out = AsOfStream.asofStreamForward(input.toDS(), "30 seconds", toleranceUs = 60L * 1000000L)
+    val name = s"asof_fwd_${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        l(1, 100, 100), r(1, 130, 1, 1.0), r(1, 150, 2, 2.0), // first within 60s → id 1
+        l(2, 100, 200), r(2, 170, 3, 3.0),                    // beyond 60s → null
+        l(3, 100, 300), r(3, 100, 5, 5.0), r(3, 100, 4, 4.0)) // equal ts → smallest id 4
+      query.processAllAvailable()
+      input.addData(r(9, 900, 9, 0.0)) // watermark past every window
+      query.processAllAvailable()
+      input.addData(r(9, 901, 9, 0.0))
+      query.processAllAvailable()
+      val byId = spark.table(name).as[AsOfMatch].collect().map(m => m.left_id -> m.asof_id).toMap
+      assert(byId(100L) === Some(1L))
+      assert(byId(200L) === None)
+      assert(byId(300L) === Some(4L))
+    } finally query.stop()
+  }
+
+  test("forward random-batching invariance: 300 simulated batchings match brute force exactly-once") {
+    import org.apache.spark.sql.streaming.GroupState
+    final class Stub(var value: Option[AsOfBuf], wmMs: Long) extends GroupState[AsOfBuf] {
+      override def exists: Boolean = value.isDefined
+      override def get: AsOfBuf = value.get
+      override def getOption: Option[AsOfBuf] = value
+      override def update(s: AsOfBuf): Unit = value = Some(s)
+      override def remove(): Unit = value = None
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(ms: Long): Unit = throw new UnsupportedOperationException
+      override def setTimeoutDuration(s: String): Unit = throw new UnsupportedOperationException
+      var timeoutMs: Option[Long] = None
+      override def setTimeoutTimestamp(ms: Long): Unit = timeoutMs = Some(ms)
+      override def setTimeoutTimestamp(ms: Long, d: String): Unit = throw new UnsupportedOperationException
+      override def setTimeoutTimestamp(d: java.sql.Date): Unit = throw new UnsupportedOperationException
+      override def setTimeoutTimestamp(d: java.sql.Date, s: String): Unit = throw new UnsupportedOperationException
+      override def getCurrentWatermarkMs: Long = wmMs
+      override def getCurrentProcessingTimeMs: Long = 0L
+    }
+    val delayMs = 10000L
+    val tolUs = 20L * 1000000L
+    val rnd = new scala.util.Random(7)
+    for (caseNo <- 1 to 300) {
+      val rows = (1 to (5 + rnd.nextInt(35))).map { i =>
+        AsOfInput(1L + rnd.nextInt(2), ts(rnd.nextInt(100).toLong),
+          isRight = rnd.nextBoolean(), 1000L + i, (1000 + i).toDouble)
+      }
+      val shuffled = rnd.shuffle(rows)
+      val nBatches = 1 + rnd.nextInt(6)
+      val batches = shuffled.grouped(math.max(1, math.ceil(shuffled.size.toDouble / nBatches).toInt)).toSeq
+      val states = scala.collection.mutable.Map[Long, Stub]()
+      val emitted = scala.collection.mutable.ArrayBuffer[AsOfMatch]()
+      val survivors = scala.collection.mutable.ArrayBuffer[AsOfInput]()
+      var wmMs = 0L
+      var maxSeenMs = 0L
+      def stepKey(k: Long, data: Seq[AsOfInput]): Unit = {
+        val st = states.getOrElseUpdate(k, new Stub(None, wmMs))
+        val fresh = new Stub(st.value, wmMs)
+        emitted ++= AsOfStream.resolveForward(tolUs)(k, data.iterator, fresh)
+        fresh.timeoutMs = fresh.timeoutMs.orElse(st.timeoutMs)
+        states(k) = fresh
+      }
+      batches.foreach { b =>
+        val live = b.filter(_.ts.getTime >= wmMs)
+        survivors ++= live
+        live.groupBy(_.key).foreach { case (k, data) => stepKey(k, data) }
+        states.toSeq.foreach { case (k, st) =>
+          if (!live.exists(_.key == k) && st.value.isDefined &&
+              st.timeoutMs.exists(_ < wmMs)) stepKey(k, Nil)
+        }
+        maxSeenMs = math.max(maxSeenMs, b.map(_.ts.getTime).max)
+        wmMs = math.max(wmMs, maxSeenMs - delayMs)
+      }
+      states.keys.toSeq.foreach(k => if (states(k).value.isDefined) stepKey(k, Nil))
+      val finalWmUs = wmMs * 1000L
+      val lefts = survivors.filter(a => !a.isRight)
+      val rights = survivors.filter(_.isRight)
+      val expected = lefts
+        .filter(l => l.ts.getTime * 1000 + tolUs < finalWmUs)
+        .map { l =>
+          val lUs = l.ts.getTime * 1000
+          val m = rights.filter(r => r.key == l.key &&
+              r.ts.getTime * 1000 >= lUs && r.ts.getTime * 1000 <= lUs + tolUs)
+            .sortBy(r => (r.ts.getTime, r.id)).headOption
+          l.id -> m.map(_.id)
+        }.toMap
+      val got = emitted.map(m => m.left_id -> m.asof_id).toMap
+      assert(emitted.size === got.size, s"case $caseNo: a left emitted twice")
+      assert(got === expected, s"case $caseNo: batching ${batches.map(_.size)} diverged")
+    }
+  }
+
   test("right-history dominance pruning keeps results exact across many batches") {
     // rights arrive far apart; lefts interleave so the floor moves and
     // old rights prune — every match must still equal the batch operator

@@ -67,15 +67,17 @@ object AsOfJoin {
     * right rows never match; a left row with a null key or ts gets a
     * null payload (SQL comparison semantics). */
   /** `direction`: "backward" (default; last right row at-or-before the
-    * left ts — DuckDB ASOF) or "forward" (first right row at-or-after,
+    * left ts — DuckDB ASOF), "forward" (first right row at-or-after,
     * pandas `merge_asof(direction="forward")`; equal-(key, ts) rows
-    * resolve to the SMALLEST tie-break — the earliest next). */
+    * resolve to the SMALLEST tie-break — the earliest next), or
+    * "nearest" (closer of the two in ts distance, equal distance
+    * preferring backward — the pandas convention; needs a
+    * datetime/numeric ts domain). */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                      valueCols: Seq[String], tieBreak: Option[String] = None,
                      broadcast: Option[Boolean] = None,
                      direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asofJoinNative: unknown direction '$direction'")
+    val dir = graft.plans.AsOfDir.of(direction)
     import org.apache.spark.sql.graft.PlanBridge
     val spark = graft.Tables.configure(left.sparkSession)
     // Align right key/ts types to the left side's (the union-window path
@@ -95,28 +97,10 @@ object AsOfJoin {
       Seq(lAttr(key)), Seq(rAttr("__asof_k")),
       lAttr(tsCol), rAttr("__asof_t"),
       tieBreak.map(c => rAttr(s"asof_$c")).toSeq,
-      lp, rp, broadcastHint = broadcast, forward = direction == "forward")
+      lp, rp, broadcastHint = broadcast, direction = dir)
     PlanBridge.ofRows(spark, node).drop("__asof_k", "__asof_t")
   }
 
-  /** NEAREST as-of (pandas `merge_asof(direction="nearest")`): for each
-    * left row, the right row with the same key minimizing |rightTs −
-    * leftTs|; an equal-distance tie prefers the at-or-before (backward)
-    * row; within equal (key, ts) right rows the backward candidate
-    * resolves to the greatest tie-break, the forward one to the
-    * smallest. Null left key/ts → null payload.
-    *
-    * Composed from the two native directions (the brief's preference
-    * (a) — no third physical operator): a backward pass enriches the
-    * left, a forward pass runs over the enriched frame, and a
-    * per-row `when` picks the closer side. Both passes are the
-    * codegen'd execs, so the composition is two narrow ordered merges
-    * (or two broadcast probes) — each linear in |L|+|R|; at 100 TB the
-    * two merge passes share the same key clustering, so the second
-    * pass's left side arrives pre-partitioned and AQE elides its
-    * exchange. The matched right ts rides along as a value column to
-    * make the distance computable; it is dropped from the output unless
-    * requested in `valueCols`. */
   /** Ts-domain magnitude for distance arithmetic: timestamps in
     * microseconds, dates in days, numerics as-is (the right ts was cast
     * to the left's type by [[asofJoinNative]]). */
@@ -155,25 +139,24 @@ object AsOfJoin {
     j.select(sel: _*)
   }
 
+  /** NEAREST as-of (pandas `merge_asof(direction="nearest")`): for each
+    * left row, the right row with the same key minimizing |rightTs −
+    * leftTs|; an equal-distance tie prefers the at-or-before (backward)
+    * row; within equal (key, ts) right rows the backward candidate
+    * resolves to the greatest tie-break, the forward one to the
+    * smallest. Null left key/ts → null payload.
+    *
+    * Native since round 11: ONE pass of the physical exec —
+    * [[graft.plans.AsOfMergeState]] tracks the backward candidate and
+    * reads its un-consumed cursor as the forward candidate, so the
+    * ordered merge resolves nearest at the same O(|L|+|R|) cost as a
+    * single directional pass ([[graft.plans.AsOfBroadcastLookup]] does
+    * two binary probes per row); the previous backward-then-forward
+    * two-exec composition paid the shuffle/probe machinery twice. */
   def asofJoinNearest(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                       valueCols: Seq[String], tieBreak: Option[String] = None,
-                      broadcast: Option[Boolean] = None): DataFrame = {
-    val vcols = (valueCols :+ tsCol).distinct
-    val bw = asofJoinNative(left, right, key, tsCol, vcols, tieBreak, broadcast, "backward")
-    val bwTagged = vcols.foldLeft(bw)((df, c) => df.withColumnRenamed(s"asof_$c", s"__bw_$c"))
-    val both = asofJoinNative(bwTagged, right, key, tsCol, vcols, tieBreak, broadcast, "forward")
-    val asLong = tsMagnitude(left.schema(tsCol).dataType) _
-    val lts = asLong(col(tsCol))
-    val bts = asLong(col(s"__bw_$tsCol"))
-    val fts = asLong(col(s"asof_$tsCol"))
-    // backward wins when forward is absent, or both exist and it is at
-    // least as close (ties prefer backward — the pandas convention)
-    val pickBw = col(s"asof_$tsCol").isNull ||
-      (col(s"__bw_$tsCol").isNotNull && (lts - bts) <= (fts - lts))
-    val sel = left.columns.toSeq.map(col) ++ valueCols.map(c =>
-      when(pickBw, col(s"__bw_$c")).otherwise(col(s"asof_$c")).as(s"asof_$c"))
-    both.select(sel: _*)
-  }
+                      broadcast: Option[Boolean] = None): DataFrame =
+    asofJoinNative(left, right, key, tsCol, valueCols, tieBreak, broadcast, "nearest")
 
   /** Events enriched with each user's most recent ORDER at event time —
     * the cross-table as-of (q37 is the events-only self variant). Left

@@ -42,6 +42,28 @@ import org.apache.spark.sql.types.DataType
   * shuffles, but each at minimal row width, and zero driver state. A
   * skewed key salts upstream exactly as for any clustered join.
   */
+/** Match direction, pandas `merge_asof` taxonomy: BACKWARD = last right
+  * at-or-before (DuckDB ASOF; equal-(key, ts) ties to the GREATEST
+  * tie-break), FORWARD = first right at-or-after (ties to the SMALLEST
+  * tie-break), NEAREST = whichever of the two is closer in time, equal
+  * distance preferring backward (the pandas convention). Nearest needs
+  * distance ARITHMETIC, not just ordering, so it requires a
+  * numeric/datetime ts domain ([[TsMagnitude]]); backward/forward work
+  * over any ordered type. */
+sealed abstract class AsOfDir(val name: String) extends Serializable
+object AsOfDir {
+  case object Backward extends AsOfDir("backward")
+  case object Forward extends AsOfDir("forward")
+  case object Nearest extends AsOfDir("nearest")
+  def of(s: String): AsOfDir = s match {
+    case Backward.name => Backward
+    case Forward.name => Forward
+    case Nearest.name => Nearest
+    case other => throw new IllegalArgumentException(
+      s"asof direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 case class AsOfJoinNode(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
@@ -51,7 +73,7 @@ case class AsOfJoinNode(
     left: LogicalPlan,
     right: LogicalPlan,
     broadcastHint: Option[Boolean] = None,
-    forward: Boolean = false) extends BinaryNode {
+    direction: AsOfDir = AsOfDir.Backward) extends BinaryNode {
 
   /** Left columns as-is, then the whole right row as a nullable payload
     * (callers pre-project the right side to key, ts, payload). */
@@ -87,16 +109,53 @@ case class AsOfJoinNode(
   * twin in `Tables.configure`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case n @ AsOfJoinNode(lk, rk, lts, rts, tb, l, r, hint, fwd) =>
+    case n @ AsOfJoinNode(lk, rk, lts, rts, tb, l, r, hint, dir) =>
       val threshold = n.conf.autoBroadcastJoinThreshold
       val broadcast = hint.getOrElse(
         threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
       if (broadcast)
-        BroadcastAsOfJoinExec(lk, rk, lts, rts, tb, fwd, planLater(l), planLater(r)) :: Nil
+        BroadcastAsOfJoinExec(lk, rk, lts, rts, tb, dir, planLater(l), planLater(r)) :: Nil
       else
-        AsOfJoinExec(lk, rk, lts, rts, tb, fwd, planLater(l), planLater(r)) :: Nil
+        AsOfJoinExec(lk, rk, lts, rts, tb, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
+}
+
+/** Single-field magnitude reader for nearest-distance arithmetic over
+  * the ts domain: long path (EXACT) for datetime/integral types, double
+  * path for fractional ones. Resolved once at construction — per-row
+  * reads are a monomorphic getter call. Unsupported (non-arithmetic)
+  * ts types fail here, at planning, with an actionable message. */
+private[plans] final class TsMagnitude(t: DataType) extends Serializable {
+  import org.apache.spark.sql.types._
+  val fractional: Boolean = t match {
+    case DoubleType | FloatType => true
+    case TimestampType | TimestampNTZType | LongType | DateType |
+         IntegerType | ShortType | ByteType => false
+    case other => throw new IllegalArgumentException(
+      s"asof direction=nearest needs a datetime or numeric ts domain " +
+        s"(distance arithmetic); got $other — use backward/forward, which " +
+        "only need an ordering")
+  }
+  private val getLong: InternalRow => Long = t match {
+    case TimestampType | TimestampNTZType | LongType => _.getLong(0)
+    case DateType | IntegerType => _.getInt(0).toLong
+    case ShortType => _.getShort(0).toLong
+    case ByteType => _.getByte(0).toLong
+    case _ => _ => 0L
+  }
+  def long(r: InternalRow): Long = getLong(r)
+  def dbl(r: InternalRow): Double = t match {
+    case DoubleType => r.getDouble(0)
+    case FloatType => r.getFloat(0).toDouble
+    case _ => getLong(r).toDouble
+  }
+  /** `|l − b| ≤ |f − l|` given `b ≤ l ≤ f` (the candidates' invariant),
+    * as magnitudes already extracted — extraction happens BEFORE the
+    * next projection call because the single-field rows share a reused
+    * buffer. */
+  def backwardWinsL(l: Long, b: Long, f: Long): Boolean = l - b <= f - l
+  def backwardWinsD(l: Double, b: Double, f: Double): Boolean = l - b <= f - l
 }
 
 /** Per-partition ordered as-of merge. Requirements below make Catalyst
@@ -110,7 +169,7 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTieBreak: Seq[Expression],
-    forward: Boolean,
+    direction: AsOfDir,
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode with CodegenSupport {
 
@@ -147,7 +206,7 @@ case class AsOfJoinExec(
     * generated paths — one implementation of the advance semantics. */
   private def mergerFactory: AsOfMergerFactory =
     new AsOfMergerFactory(right.output, rightKeys, rightTs,
-      leftKeys.map(_.dataType), leftTs.dataType, forward)
+      leftKeys.map(_.dataType), leftTs.dataType, direction)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -264,14 +323,18 @@ final class AsOfMergerFactory(
     rTsExpr: Expression,
     keyTypes: Seq[DataType],
     tsType: DataType,
-    forward: Boolean) extends Serializable {
+    direction: AsOfDir) extends Serializable {
+  // constructed eagerly so an unsupported nearest ts domain fails at
+  // PLAN time on the driver, not per-task on executors
+  private val mag: TsMagnitude =
+    if (direction == AsOfDir.Nearest) new TsMagnitude(tsType) else null
   def create(rIter: Iterator[InternalRow]): AsOfMergeState =
     new AsOfMergeState(rIter,
       UnsafeProjection.create(rKeyExprs, rOut),
       UnsafeProjection.create(Seq(rTsExpr), rOut),
       RowOrdering.createNaturalAscendingOrdering(keyTypes),
       RowOrdering.createNaturalAscendingOrdering(Seq(tsType)),
-      forward)
+      direction, mag)
 }
 
 /** One partition's as-of merge cursor over the (key, ts[, tie])-sorted
@@ -289,7 +352,11 @@ final class AsOfMergeState(
     rTsProj: UnsafeProjection,
     keyOrd: Ordering[InternalRow],
     tsOrd: Ordering[InternalRow],
-    forward: Boolean) {
+    direction: AsOfDir,
+    mag: TsMagnitude) {
+
+  private val forward = direction == AsOfDir.Forward
+  private val nearest = direction == AsOfDir.Nearest
 
   private var pending: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
   private var cand: InternalRow = null
@@ -301,11 +368,18 @@ final class AsOfMergeState(
   /** The matched right row for the next left (key, ts), or null. `lKey`
     * and `lTs` may live in reused projection buffers — never retained.
     * LEFT ROWS MUST ARRIVE (key, ts)-ASCENDING (the exec's required
-    * ordering). */
+    * ordering).
+    *
+    * NEAREST runs the backward consume (so `cand` = last right with
+    * `rts <= lts`, greatest tie-break) and reads the un-consumed
+    * `pending` as the forward candidate (first right with `rts > lts`,
+    * smallest tie-break — an equal-ts right was consumed into `cand`,
+    * where it wins the distance tie anyway); the closer of the two
+    * wins, equal distance preferring backward (pandas). */
   def advance(lKey: UnsafeRow, lTs: UnsafeRow): InternalRow = {
-    // Backward carries the candidate across left rows of one key group —
-    // invalidate it on key change. Forward recomputes the match from
-    // `pending` for every left row.
+    // Backward/nearest carry the candidate across left rows of one key
+    // group — invalidate it on key change. Forward recomputes the match
+    // from `pending` for every left row.
     if (forward) { cand = null }
     else if (cand != null && keyOrd.compare(candKey, lKey) != 0) {
       cand = null; candKey = null
@@ -334,7 +408,30 @@ final class AsOfMergeState(
           keyOrd.compare(rKeyProj(pending), lKey) == 0)
         pending else null
     }
-    cand
+    if (nearest) pickNearest(lKey, lTs) else cand
+  }
+
+  /** Closer of backward `cand` / forward `pending`; ties → backward.
+    * Magnitudes are extracted before each subsequent projection call —
+    * the single-field rows share one reused buffer per projection. */
+  private def pickNearest(lKey: UnsafeRow, lTs: UnsafeRow): InternalRow = {
+    if (lTs.isNullAt(0)) return null // no distance to a null instant
+    val fCand =
+      if (pending != null && keyOrd.compare(rKeyProj(pending), lKey) == 0) pending
+      else null
+    if (cand == null) fCand
+    else if (fCand == null) cand
+    else if (mag.fractional) {
+      val l = mag.dbl(lTs)
+      val b = mag.dbl(rTsProj(cand))
+      val f = mag.dbl(rTsProj(fCand))
+      if (mag.backwardWinsD(l, b, f)) cand else fCand
+    } else {
+      val l = mag.long(lTs)
+      val b = mag.long(rTsProj(cand))
+      val f = mag.long(rTsProj(fCand))
+      if (mag.backwardWinsL(l, b, f)) cand else fCand
+    }
   }
 }
 
@@ -358,7 +455,7 @@ case class BroadcastAsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTieBreak: Seq[Expression],
-    forward: Boolean,
+    direction: AsOfDir,
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode with CodegenSupport {
 
@@ -387,7 +484,7 @@ case class BroadcastAsOfJoinExec(
     new AsOfBroadcastLookup(
       right.executeBroadcast[Array[InternalRow]](),
       right.output, rightKeys, rightTs +: rightTieBreak,
-      leftTs.dataType, rightTieBreak.map(_.dataType), forward)
+      leftTs.dataType, rightTieBreak.map(_.dataType), direction)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -498,7 +595,11 @@ final class AsOfBroadcastLookup(
     rOrderExprs: Seq[Expression], // rightTs +: tieBreaks — sort and search share the row
     tsType: DataType,
     tieTypes: Seq[DataType],
-    forward: Boolean) extends Serializable {
+    direction: AsOfDir) extends Serializable {
+
+  // eager: an unsupported nearest ts domain fails at plan time
+  private val mag: TsMagnitude =
+    if (direction == AsOfDir.Nearest) new TsMagnitude(tsType) else null
 
   @transient private lazy val tsOrd =
     RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
@@ -514,7 +615,8 @@ final class AsOfBroadcastLookup(
   // the second.
   @transient private lazy val index: BroadcastAsOfJoinExec.AsOfIndex =
     BroadcastAsOfJoinExec.indexFor(
-      s"${bcast.id}:${rKeyExprs.mkString(",")}|${rOrderExprs.mkString(",")}", () => {
+      s"${bcast.id}:${rKeyExprs.mkString(",")}|${rOrderExprs.mkString(",")}",
+      bcast.value, (rows: Array[InternalRow]) => {
       // The build happens ONCE per JVM under the cache lock while every
       // other partition's task waits on it — at a dim just under the
       // broadcast threshold (millions of rows) a naive per-key
@@ -529,7 +631,6 @@ final class AsOfBroadcastLookup(
       val rOrderProj = UnsafeProjection.create(rOrderExprs, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(rKeyExprs.map(_.dataType))
       val sortOrd = RowOrdering.createNaturalAscendingOrdering(tsType +: tieTypes)
-      val rows = bcast.value
       val ents = new Array[BroadcastAsOfJoinExec.Ent](rows.length)
       var i = 0
       while (i < rows.length) {
@@ -559,34 +660,67 @@ final class AsOfBroadcastLookup(
       built
     })
 
+  /** Rightmost index with `ts <= lTs`, or −1. A null lTs returns −1:
+    * every comparison fails under null-first natural ordering. */
+  private def backIdx(rows: Array[(UnsafeRow, InternalRow)], lTs: UnsafeRow): Int = {
+    var res = -1
+    var lo = 0
+    var hi = rows.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tsOrd.compare(rows(mid)._1, lTs) <= 0) { res = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    res
+  }
+
+  /** Leftmost index with `ts >= lTs`, or −1. Callers guard null lTs —
+    * null-first ordering would otherwise "match" the whole array. */
+  private def fwdIdx(rows: Array[(UnsafeRow, InternalRow)], lTs: UnsafeRow): Int = {
+    var res = -1
+    var lo = 0
+    var hi = rows.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tsOrd.compare(rows(mid)._1, lTs) >= 0) { res = mid; hi = mid - 1 }
+      else lo = mid + 1
+    }
+    res
+  }
+
   /** The matched right row for (key, lTs), or null. Backward: rightmost
-    * idx with ts <= lTs; forward: leftmost idx with ts >= lTs. A null
-    * left ts matches nothing either way — backward fails every `<=`
-    * under null-first natural ordering; forward must guard explicitly,
-    * null-first would otherwise "match" the whole array. */
+    * `ts <= lTs` (greatest tie-break via the (ts, tie) sort); forward:
+    * leftmost `ts >= lTs` (smallest tie-break); nearest: the closer of
+    * the two, equal distance preferring backward (pandas). A null left
+    * ts matches nothing in any direction. */
   def find(key: UnsafeRow, lTs: UnsafeRow): InternalRow = {
     val rows = index.get(key)
-    var cand: InternalRow = null
-    if (rows != null) {
-      if (!forward) {
-        var lo = 0
-        var hi = rows.length - 1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (tsOrd.compare(rows(mid)._1, lTs) <= 0) { cand = rows(mid)._2; lo = mid + 1 }
-          else hi = mid - 1
+    if (rows == null) return null
+    direction match {
+      case AsOfDir.Backward =>
+        val i = backIdx(rows, lTs)
+        if (i < 0) null else rows(i)._2
+      case AsOfDir.Forward =>
+        if (lTs.isNullAt(0)) return null
+        val i = fwdIdx(rows, lTs)
+        if (i < 0) null else rows(i)._2
+      case AsOfDir.Nearest =>
+        if (lTs.isNullAt(0)) return null
+        val bi = backIdx(rows, lTs)
+        val fi = fwdIdx(rows, lTs)
+        if (bi < 0 && fi < 0) null
+        else if (fi < 0) rows(bi)._2
+        else if (bi < 0) rows(fi)._2
+        else if (mag.fractional) {
+          val l = mag.dbl(lTs)
+          if (mag.backwardWinsD(l, mag.dbl(rows(bi)._1), mag.dbl(rows(fi)._1)))
+            rows(bi)._2 else rows(fi)._2
+        } else {
+          val l = mag.long(lTs)
+          if (mag.backwardWinsL(l, mag.long(rows(bi)._1), mag.long(rows(fi)._1)))
+            rows(bi)._2 else rows(fi)._2
         }
-      } else if (!lTs.isNullAt(0)) {
-        var lo = 0
-        var hi = rows.length - 1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (tsOrd.compare(rows(mid)._1, lTs) >= 0) { cand = rows(mid)._2; hi = mid - 1 }
-          else lo = mid + 1
-        }
-      }
     }
-    cand
   }
 }
 
@@ -599,24 +733,82 @@ object BroadcastAsOfJoinExec {
   private[plans] final class Ent(
       val key: UnsafeRow, val ord: UnsafeRow, val row: InternalRow)
 
+  /** A built index plus the EXACT rows array it was built over — the
+    * content identity the cross-broadcast reuse check compares. */
+  private[plans] final class Built(
+      val rows: Array[InternalRow], val index: AsOfIndex)
+
+  /** Receipts, executor-JVM-global: how many times the group+sort build
+    * actually ran vs. how many times an index was served by CONTENT
+    * reuse across distinct broadcasts (the stream-static per-micro-batch
+    * re-broadcast case). StreamingSpec reads the deltas to pin that N
+    * triggers over an unchanged static dim build once. */
+  val indexBuilds = new java.util.concurrent.atomic.AtomicLong()
+  val indexContentReuses = new java.util.concurrent.atomic.AtomicLong()
+
   // (broadcast.id + projection signature) → built index; a small LRU
   // bounded per executor. The index is read-only after construction, so
   // sharing across partitions and queries is safe; eviction only costs a
   // rebuild, never correctness. The signature part matters because
   // ReuseExchange can hand one broadcast to two as-of execs with
   // different key/order expressions.
-  private val cache = new java.util.LinkedHashMap[String, AsOfIndex](8, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, AsOfIndex]): Boolean =
+  private val cache = new java.util.LinkedHashMap[String, Built](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Built]): Boolean =
       size() > 4
+  }
+
+  /** Bytewise content equality (UnsafeRow.equals is a memcmp); rows the
+    * rare non-Unsafe representation could smuggle in compare by
+    * REFERENCE — false negatives cost a rebuild, never correctness. */
+  private def sameContent(a: Array[InternalRow], b: Array[InternalRow]): Boolean = {
+    if (a eq b) return true
+    if (a.length != b.length) return false
+    var i = 0
+    while (i < a.length) {
+      val same = (a(i), b(i)) match {
+        case (x: UnsafeRow, y: UnsafeRow) => x.equals(y)
+        case (x, y) => x eq y
+      }
+      if (!same) return false
+      i += 1
+    }
+    true
   }
 
   /** Build-once-per-JVM: the first partition to arrive builds (holding
     * the lock, so concurrent partitions block instead of duplicating the
-    * group+sort), the rest just read. */
-  private[plans] def indexFor(id: String, build: () => AsOfIndex): AsOfIndex =
+    * group+sort), the rest just read.
+    *
+    * On an id miss, entries with the SAME projection signature are
+    * checked for CONTENT equality before building: Spark re-plans a
+    * stream-static join every micro-batch and re-broadcasts the
+    * unchanged static side under a fresh broadcast id, which an id-only
+    * cache would treat as 4-per-LRU distinct indexes rebuilt every
+    * trigger. The O(n) memcmp is orders cheaper than the O(n log n)
+    * sort + per-row copies it saves; a content hit aliases the new id
+    * to the existing index (exact reuse — no hashing, no false
+    * positives). */
+  private[plans] def indexFor(id: String, rows: Array[InternalRow],
+                              build: Array[InternalRow] => AsOfIndex): AsOfIndex =
     cache.synchronized {
       var v = cache.get(id)
-      if (v == null) { v = build(); cache.put(id, v) }
-      v
+      if (v == null) {
+        val sig = id.substring(id.indexOf(':') + 1)
+        val it = cache.entrySet().iterator()
+        while (v == null && it.hasNext) {
+          val e = it.next()
+          if (e.getKey.substring(e.getKey.indexOf(':') + 1) == sig &&
+              sameContent(e.getValue.rows, rows)) {
+            indexContentReuses.incrementAndGet()
+            v = e.getValue
+          }
+        }
+        if (v == null) {
+          indexBuilds.incrementAndGet()
+          v = new Built(rows, build(rows))
+        }
+        cache.put(id, v)
+      }
+      v.index
     }
 }

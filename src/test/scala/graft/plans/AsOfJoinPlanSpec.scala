@@ -212,11 +212,11 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
-  test("nearest (merge mode): the second pass rides the first's clustering and ordering") {
-    // asofJoinNearest = backward merge + forward merge; the first exec's
-    // outputPartitioning/outputOrdering satisfy the second's left-side
-    // requirements, and the identical right subplans reuse one exchange —
-    // so the whole two-pass composition pays ONE left shuffle+sort.
+  test("nearest (merge mode) is ONE exec and one shuffle per side — not the two-pass composition") {
+    // Native since round 11: AsOfMergeState resolves nearest inside the
+    // single ordered merge (the backward candidate + the un-consumed
+    // cursor), so the plan carries exactly one AsOfJoin and pays the
+    // directional pass's cost once.
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
     val od = Tables.orders(spark, sf).select(
       col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
@@ -225,10 +225,38 @@ class AsOfJoinPlanSpec extends SparkSuite {
       ev, od, "user_id", "ts", Seq("okey"), tieBreak = Some("okey"),
       broadcast = Some(false))
     val p = finalPlan(df)
-    assert("AsOfJoin \\[".r.findAllIn(p).length === 2,
-      s"expected the two directional execs in:\n$p")
+    assert("AsOfJoin \\[".r.findAllIn(p).length === 1,
+      s"nearest must plan a single native exec:\n$p")
     val exch = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exch <= 3, s"two merge passes must not re-shuffle the left ($exch exchanges):\n$p")
+    assert(exch <= 2, s"one shuffle per side at most ($exch exchanges):\n$p")
+  }
+
+  test("nearest == the backward/forward two-pass composition, row for row (events × orders)") {
+    // the retired composition re-stated inline as the semantic oracle
+    // for the native single-pass operator, over real fixture data
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val od = Tables.orders(spark, sf).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"))
+    val vcols = Seq("okey", "ts")
+    val bw = AsOfJoin.asofJoinNative(ev, od, "user_id", "ts", vcols,
+      tieBreak = Some("okey"), direction = "backward")
+    val bwTagged = vcols.foldLeft(bw)((df, c) => df.withColumnRenamed(s"asof_$c", s"__bw_$c"))
+    val both = AsOfJoin.asofJoinNative(bwTagged, od, "user_id", "ts", vcols,
+      tieBreak = Some("okey"), direction = "forward")
+    val lts = unix_micros(col("ts"))
+    val bts = unix_micros(col("__bw_ts"))
+    val fts = unix_micros(col("asof_ts"))
+    val pickBw = col("asof_ts").isNull ||
+      (col("__bw_ts").isNotNull && (lts - bts) <= (fts - lts))
+    val composed = both.select(col("event_id"),
+        when(pickBw, col("__bw_okey")).otherwise(col("asof_okey")).as("asof_okey"))
+      .orderBy("event_id").collect()
+    val native = AsOfJoin.asofJoinNearest(ev, od, "user_id", "ts", Seq("okey"),
+        tieBreak = Some("okey"))
+      .select("event_id", "asof_okey").orderBy("event_id").collect()
+    assert(native.length === composed.length && native.nonEmpty)
+    native.zip(composed).foreach { case (n, c) => assert(n === c) }
   }
 
   test("bucketed fact: merge-mode as-of elides the fact-side exchange") {

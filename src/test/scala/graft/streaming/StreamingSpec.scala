@@ -389,6 +389,14 @@ class StreamingSpec extends SparkSuite {
     val enriched = graft.operators.AsOfJoin.asofJoinNative(
       src, dim, "user_id", "ts", Seq("okey"), tieBreak = Some("okey"),
       broadcast = Some(true))
+    // receipt for the constant-term claim (SCALING_r10's fixed-dim
+    // control): across N micro-batches over an UNCHANGED static dim,
+    // the executor-side index is built at most once — Spark re-plans
+    // and re-broadcasts the static side each batch (fresh broadcast
+    // id), and the content-reuse path must serve the existing index
+    // instead of re-sorting the dim per trigger
+    val builds0 = graft.plans.BroadcastAsOfJoinExec.indexBuilds.get()
+    val reuses0 = graft.plans.BroadcastAsOfJoinExec.indexContentReuses.get()
     val q = enriched.writeStream.format("memory").queryName("asof_stream_plan")
       .outputMode("append").start()
     try {
@@ -403,6 +411,14 @@ class StreamingSpec extends SparkSuite {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       assert(dataBatches >= 2,
         s"as-of enrichment must be proven across >1 micro-batch, got $dataBatches")
+      val builds = graft.plans.BroadcastAsOfJoinExec.indexBuilds.get() - builds0
+      val reuses = graft.plans.BroadcastAsOfJoinExec.indexContentReuses.get() - reuses0
+      assert(builds <= 1,
+        s"static dim unchanged across $dataBatches batches must build the index ≤1 time, built $builds")
+      // ≥1, not ==dataBatches: if a future Spark reuses the broadcast
+      // itself across batches, the id-keyed fast path absorbs the rest
+      assert(builds + reuses >= 1,
+        s"the run must resolve an index (builds=$builds reuses=$reuses batches=$dataBatches)")
     } finally q.stop()
   }
 }

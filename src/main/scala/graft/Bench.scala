@@ -18,7 +18,14 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    val registry = SparkEntry.queries
+    // Dev-only knobs (unset on the driver's path): GRAFT_BENCH_ONLY
+    // limits to comma-separated name prefixes; GRAFT_BENCH_PASSES sets
+    // the number of timing passes for the per-query min (default 2).
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val passes = sys.env.get("GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
+    val registry = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
     // q01 warms the relational codegen path; l02 warms the janino compile
     // of the LSH signature expressions so the first timed l-query doesn't
     // carry the compile constant.
@@ -35,15 +42,17 @@ object Bench {
       CacheScope.releaseAll()
       name -> elapsed
     }
-    // best-of-2: two full timing passes, per-query min — box contention
-    // (another JVM stealing cores mid-pass) inflated two rounds of
-    // artifacts by 1.5-2× while the code was unchanged; the min of two
-    // spaced passes is a far better estimator of the achievable time
-    val pass1 = timeAll()
-    val pass2 = timeAll()
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
+    // best-of-N (default 2): full timing passes, per-query min — box
+    // contention (another JVM stealing cores mid-pass) inflated two
+    // rounds of artifacts by 1.5-2× while the code was unchanged; the
+    // min of spaced passes is a far better estimator of the achievable
+    // time
+    val allPasses = (1 to math.max(1, passes)).map(_ => timeAll())
+    val results = allPasses.head.indices.map { i =>
+      val name = allPasses.head(i)._1
+      val vs = allPasses.map(_(i)._2)
+      name -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }.toSeq
     // Locale.ROOT: a comma-decimal default locale would render 62,588
     // and break every JSON consumer of these lines.
     def fmt(v: Double): String =

@@ -23,7 +23,14 @@ object Verify {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated name prefixes): lets a
+    // local iteration loop verify just the touched queries. Unset — the
+    // driver's path — runs the full registry, unchanged.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter { case (n, _) => selected(n) }.foreach { case (name, fn) =>
       // pre-delete so a failed query can never leave a stale previous
       // result for the driver to greenwash as a PASS
       deleteOut(name)
@@ -48,6 +55,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -46,6 +46,17 @@ object RangeJoin {
     * queries' 1–11 minute windows, so each interval lands in ≤ 2 bins. */
   val DefaultBinMicros: Long = 10L * 60 * 1000 * 1000
 
+  /** Hard cap on bins per interval. The bin trick replicates an interval
+    * once per touched bin, so an interval long relative to `binWidth` —
+    * or a caller-chosen tiny width — multiplies rows by k = length/width;
+    * unguarded, a single pathological interval could exceed Spark's max
+    * array length inside `sequence()` and fail the whole query. The API
+    * contract is k ≲ 2 (pick the width near the p95 interval length);
+    * 65 536 is ~4 orders of magnitude of headroom beyond that, and past
+    * it the query is mis-configured, so the guard fails FAST with an
+    * actionable message instead of an opaque codegen/array error. */
+  val MaxBinsPerInterval: Long = 65536L
+
   /** Exact bin index of a long-domain magnitude column. */
   private def binIdx(mag: Column, w: Long): Column =
     ((mag - pmod(mag, lit(w))) / lit(w)).cast("long")
@@ -83,7 +94,17 @@ object RangeJoin {
       case DoubleType | FloatType | _: DecimalType => endMag
       case _ => endMag - 1
     }
-    explode(sequence(binIdx(magnitude(iv, startCol), w), binIdx(lastMag, w)))
+    val firstBin = binIdx(magnitude(iv, startCol), w)
+    val lastBin = binIdx(lastMag, w)
+    // guard the replication factor BEFORE sequence() materializes it —
+    // see MaxBinsPerInterval
+    val guardedLast = when(lastBin - firstBin < lit(MaxBinsPerInterval), lastBin)
+      .otherwise(raise_error(concat(
+        lit(s"graft.RangeJoin: interval spans more than $MaxBinsPerInterval bins "),
+        lit("(length "), (lastMag - magnitude(iv, startCol) + 1).cast("string"),
+        lit(s" over binWidth $w) — widen binWidth toward the p95 interval length")))
+        .cast("long"))
+    explode(sequence(firstBin, guardedLast))
   }
 
   /** Point-in-interval join: rows of `points` × rows of `intervals`

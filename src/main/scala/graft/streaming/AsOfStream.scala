@@ -59,12 +59,27 @@ object AsOfStream {
     ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
 
   /** `delay` is the watermark delay (e.g. "30 seconds"); results are
-    * exact for every left row at-or-above the watermark at its arrival. */
-  def asofStream(in: Dataset[AsOfInput], delay: String): Dataset[AsOfMatch] = {
+    * exact for every left row at-or-above the watermark at its arrival.
+    *
+    * `horizonUs` bounds how long a key's RIGHT history outlives its last
+    * left: the dominance-pruned candidate is semantically valid forever
+    * (a backward as-of probe arriving years later still matches it), but
+    * keeping it forever means an idle key's state never drops — unlike
+    * Spark's own stream-stream join, whose condition-derived bound
+    * evicts. With a finite horizon, rights more than `horizonUs` behind
+    * the watermark are evicted and a rights-only key registers an
+    * event-time timeout at `newestRight + horizon`, after which its
+    * state is REMOVED. Results equal the batch as-of for every left
+    * whose match gap is ≤ horizon; a left probing further back than the
+    * horizon sees null — the documented eviction contract. The default
+    * `Long.MaxValue` keeps batch-exact unbounded retention. */
+  def asofStream(in: Dataset[AsOfInput], delay: String,
+                 horizonUs: Long = Long.MaxValue): Dataset[AsOfMatch] = {
     import in.sparkSession.implicits._
     in.withWatermark("ts", delay)
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(resolve)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        resolve(horizonUs) _)
   }
 
   /** FORWARD stream-stream as-of, tolerance-bounded: each left row
@@ -100,9 +115,7 @@ object AsOfStream {
       if (r.isRight) rights ::= RightRow(micros(r.ts), r.id, r.payload)
       else lefts ::= LeftRow(micros(r.ts), r.id)
     }
-    val wmUs =
-      if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() * 1000L
-      else Long.MinValue
+    val wmUs = watermarkUs(state)
     // final once the watermark passes the whole admissible window
     val (ready, still) = lefts.partition(l => l.tsUs + tolUs < wmUs)
     val rSorted = rights.sortBy(r => (r.tsUs, r.id))
@@ -120,11 +133,29 @@ object AsOfStream {
       state.update(AsOfBuf(still, kept))
       if (still.nonEmpty)
         state.setTimeoutTimestamp((still.map(_.tsUs).min + tolUs) / 1000L + 1L)
+      else
+        // rights-only state is naturally watermark-bounded in forward
+        // mode (a right below the watermark can match no future left) —
+        // re-fire when the watermark passes the newest kept right so an
+        // idle key's state is removed instead of lingering forever
+        state.setTimeoutTimestamp(kept.map(_.tsUs).max / 1000L + 1L)
     }
     out.iterator
   }
 
-  private[streaming] def resolve(
+  /** The group's event-time watermark in µs. Spark's global watermark
+    * starts at 0 and only ever advances (`WatermarkTracker` clamps at
+    * ≥ 0), so 0 is BOTH "none yet" and the genuine floor — there is no
+    * distinct no-watermark signal to read. Treating 0 as a real
+    * watermark is exact for both: post-epoch rows (the only rows whose
+    * watermark can ever pass them) finalize identically, and a
+    * pre-epoch row — which Spark's clamped watermark can never admit as
+    * on-time — finalizes immediately under the late-data contract
+    * instead of buffering forever. */
+  private def watermarkUs(state: GroupState[AsOfBuf]): Long =
+    state.getCurrentWatermarkMs() * 1000L
+
+  private[streaming] def resolve(horizonUs: Long)(
       key: Long, rows: Iterator[AsOfInput],
       state: GroupState[AsOfBuf]): Iterator[AsOfMatch] = {
     val buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
@@ -134,10 +165,7 @@ object AsOfStream {
       if (r.isRight) rights ::= RightRow(micros(r.ts), r.id, r.payload)
       else lefts ::= LeftRow(micros(r.ts), r.id)
     }
-    // watermark in µs; 0 means "none yet" — nothing finalizes
-    val wmUs =
-      if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() * 1000L
-      else Long.MinValue
+    val wmUs = watermarkUs(state)
     // a left strictly below the watermark can never see another right
     // with rts <= lts (it would be late) — final
     val (ready, still) = lefts.partition(_.tsUs < wmUs)
@@ -156,7 +184,12 @@ object AsOfStream {
     // greatest (ts, id) row can ever win again
     val floorUs = math.min(wmUs, still.map(_.tsUs).minOption.getOrElse(Long.MaxValue))
     val (below, above) = rSorted.partition(_.tsUs <= floorUs)
-    val kept = below.lastOption.toList ++ above
+    // horizon eviction: a right more than `horizonUs` behind the
+    // watermark drops even if dominant — the retention contract that
+    // keeps idle keys' state from living forever
+    val evictBelowUs =
+      if (horizonUs == Long.MaxValue) Long.MinValue else wmUs - horizonUs
+    val kept = (below.lastOption.toList ++ above).filter(_.tsUs >= evictBelowUs)
     if (still.isEmpty && kept.isEmpty) {
       state.remove()
     } else {
@@ -167,6 +200,14 @@ object AsOfStream {
       // finalize its buffered lefts
       if (still.nonEmpty)
         state.setTimeoutTimestamp(still.map(_.tsUs).min / 1000L + 1L)
+      else if (horizonUs != Long.MaxValue) {
+        // rights-only state: re-fire once the horizon passes the newest
+        // kept right, at which point every right evicts and the state
+        // is removed (idle-key cleanup, Spark-join-style)
+        val newest = kept.map(_.tsUs).max
+        if (newest < Long.MaxValue - horizonUs)
+          state.setTimeoutTimestamp((newest + horizonUs) / 1000L + 1L)
+      }
     }
     out.iterator
   }

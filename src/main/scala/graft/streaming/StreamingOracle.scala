@@ -32,27 +32,28 @@ import graft.functions.Det.{dsum, sqlDsum}
   *    exactly (see [[streamingSessionRollup]]).
   *
   * Every gate runs the full production machinery: file-stream source,
-  * trigger-bounded micro-batches, stateful operators on the ROCKSDB
-  * state store (the 100 TB state backend — state must spill to disk at
-  * scale, so the gates prove the operators are provider-agnostic), and a
-  * CHECKPOINTED FILE SINK (reference: real_time_streaming.py:203-211's
-  * checkpointed file output). Complete/Update-mode results go through
+  * trigger-bounded micro-batches, stateful operators on a checkpointed
+  * state store (q72 on ROCKSDB — the 100 TB backend where state must
+  * spill to disk; the rest on the in-memory provider, see
+  * [[gateSession]]'s provider-split rationale), and a CHECKPOINTED FILE
+  * SINK (reference: real_time_streaming.py:203-211's checkpointed file
+  * output). Complete/Update-mode results go through
   * `foreachBatch` parquet writes (the documented pattern for those modes
   * — the parquet sink itself is append-only); append-mode results go
   * through the production S5 sink ([[Streams.parquetSink]]). No result
   * ever materializes driver-side.
   *
   * Harness sizing: `maxFilesPerTrigger` is derived from the source's
-  * actual file count so each gate runs ~3 micro-batches (the multi-batch
-  * proof needs >1; more just multiplies per-batch state-commit overhead),
-  * and the gates run with 4 shuffle/state partitions instead of the
-  * session's 32 — at fixture scale the state per partition is tiny and
-  * per-batch cost is dominated by the per-partition state-store commit.
-  * Both are run-time configs, not semantics: at production scale you
-  * raise them (more state partitions = more parallelism, smaller
-  * per-store footprint). The sizing lives on a cloned gate session
-  * ([[gateSession]]), never on the caller's — see the method doc.
-  */
+  * actual file count so each gate runs ~2 micro-batches (the multi-batch
+  * proof needs >1; more just multiplies the per-trigger round), and the
+  * gates run with 2 shuffle/state partitions instead of the session's
+  * 32 — at fixture scale per-batch cost is the per-trigger fixed round
+  * (job scheduling + offset/commit logs + sink commit), not state
+  * volume. Both are run-time configs, not semantics: at production
+  * scale you raise them (more state partitions = more parallelism,
+  * smaller per-store footprint). The sizing lives on a cloned gate
+  * session ([[gateSession]]), never on the caller's — see the method
+  * doc. */
 object StreamingOracle {
 
   private val runId = new AtomicInteger(0)
@@ -91,31 +92,46 @@ object StreamingOracle {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private val ChangelogKey =
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-  private val GatePartitions = "4"
+  private val GatePartitions = "2"
 
   /** The session a gate's stream runs on: a memoized per-(caller,
     * sizing) CLONE. `SparkSession.newSession` shares the SparkContext,
     * catalog, and cache but owns an independent SQLConf, so the gate
-    * sizing (4 shuffle/state partitions — 2 for the stream-stream join,
-    * whose four state-store families per partition would otherwise
-    * quadruple the per-batch RocksDB open/commit count) and the RocksDB
+    * sizing (2 shuffle/state partitions) and the state
     * provider are set ONCE on the clone and never touch the caller's
     * session — nothing to save/restore, nothing a concurrent query on
     * the caller's session can observe, and concurrent gates cannot race
     * on shared conf. The clone starts from the context's INITIAL SQL
     * conf, so the caller's runtime conf (time zone, parquet nanos
-    * handling, ANSI flags, …) is folded in first; only the two gate
-    * knobs diverge. */
+    * handling, ANSI flags, …) is folded in first; only the gate knobs
+    * diverge.
+    *
+    * State provider split (round 11, attacking the measured
+    * ~0.7–1.0 s/trigger commit floor): q72 — the gate whose PROPERTY is
+    * watermark lateness/eviction through the production state backend —
+    * stays on RocksDB with changelog checkpointing, and StreamingSpec
+    * keeps asserting the provider from its run's metrics. The other
+    * stateful gates prove OPERATOR semantics (agg/funnel/dedup/session/
+    * join state machines), which are provider-agnostic by Spark's
+    * StateStore contract; they run the default in-memory
+    * HDFS-backed provider, whose per-batch commit is a delta-file write
+    * instead of a RocksDB open+changelog round — the floor's dominant
+    * term at fixture scale. At production scale every gate's conf is a
+    * run-time knob; nothing in the operators changes. */
   private def gateSession(spark: SparkSession,
-                          partitions: String = GatePartitions): SparkSession =
-    graft.SessionClones.cloned(s"stream-gate-$partitions", spark) { s =>
+                          partitions: String = GatePartitions,
+                          rocksDb: Boolean = false): SparkSession =
+    graft.SessionClones.cloned(
+      s"stream-gate-$partitions-${if (rocksDb) "rocks" else "mem"}", spark) { s =>
       s.conf.set("spark.sql.shuffle.partitions", partitions)
-      s.conf.set(ProviderKey, RocksDbProvider)
-      // changelog checkpointing is RocksDB's production posture at scale
-      // AND the cheap one at fixture scale: each commit uploads the
-      // batch's delta instead of a full snapshot (measured ~20% off
-      // every gate's wall here); recovery replays the changelog
-      s.conf.set(ChangelogKey, "true")
+      if (rocksDb) {
+        s.conf.set(ProviderKey, RocksDbProvider)
+        // changelog checkpointing is RocksDB's production posture at
+        // scale AND the cheap one at fixture scale: each commit uploads
+        // the batch's delta instead of a full snapshot (measured ~20%
+        // off the gate's wall here); recovery replays the changelog
+        s.conf.set(ChangelogKey, "true")
+      }
     }
 
   /** Start the gate's stream, drain it, stop it. */
@@ -348,13 +364,25 @@ object StreamingOracle {
       lit("view").as("event_type"), lit(0.0).as("value"),
       to_timestamp(lit("2024-03-01 00:00:00")).as("ts"))
 
-  /** The fully in-day-order layout (days 1–15 / 16–30 / sentinel)
-    * shared by q73 and q74 — both exactness arguments rest on in-order
-    * arrival, and the memo writes it once per (JVM, sfDir). */
+  /** The fully in-day-order layout (days 1–15 / days 16–30 + sentinel)
+    * shared by q73, q74, q92 and q93 — the exactness arguments rest on
+    * in-order arrival, and the memo writes it once per (JVM, sfDir).
+    *
+    * TWO files, not three (round 11, trigger-floor cut): the sentinel
+    * rides at the END of the second slice instead of its own file. Every
+    * in-order argument is about DATA order, and the sentinel (2024-03-01)
+    * is beyond day 30, so the slice stays internally ordered; each gate
+    * still proves ≥2 data-carrying micro-batches with cross-batch state
+    * (batch 1's rights/sessions meet batch 2's rows), and the engine's
+    * final no-data batch still does watermark finalization — one fewer
+    * ~0.4 s trigger round per gate on three gates. q74's inner join
+    * ignores the sentinel by construction (user −1 is partnerless), so
+    * it no longer needs a file-glob to exclude it. */
   private def inOrderEventsDir(spark: SparkSession, sfDir: String): String = {
     val ev = eventCols(spark, sfDir)
-    orderedSliceDir(spark, "inorder", sfDir, Seq(
-      daySlice(ev, 1, 15), daySlice(ev, 16, 31), sentinel(spark, -1L)))
+    orderedSliceDir(spark, "inorder2", sfDir, Seq(
+      daySlice(ev, 1, 15),
+      daySlice(ev, 16, 31).unionByName(sentinel(spark, -1L))))
   }
 
   /** Per-run stats of the last q72 execution, read by StreamingSpec to
@@ -390,10 +418,19 @@ object StreamingOracle {
     * the drop deterministic under the lag. */
   def streamingLateWindowRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = eventCols(spark, sfDir)
-    val dir = orderedSliceDir(spark, "q72", sfDir, Seq(
+    // late tail + sentinel share the third file (round 11): the drop
+    // decision is per-row against the previous batch's watermark — the
+    // day-30 watermark planned after batch 1 — so co-arrival with the
+    // sentinel changes nothing about which rows are late, and one
+    // RocksDB trigger round drops out; the two on-time batches ahead of
+    // the tail (the load-bearing lag protection) keep their own files
+    val dir = orderedSliceDir(spark, "q72v2", sfDir, Seq(
       daySlice(ev, 6, 15), daySlice(ev, 16, 31),
-      daySlice(ev, 1, 5), sentinel(spark, -1L)))
-    val gs = gateSession(spark)
+      daySlice(ev, 1, 5).unionByName(sentinel(spark, -1L))))
+    // q72 is THE production-state-backend gate: RocksDB + changelog
+    // checkpointing stay on, and StreamingSpec asserts the provider
+    // from this run's own metrics (see gateSession's provider split)
+    val gs = gateSession(spark, rocksDb = true)
     val run = freshRunDir("q72")
     val result = run.resolve("result").toString
     val agg = sourceOver(gs, dir, mft = 1)
@@ -435,7 +472,7 @@ object StreamingOracle {
 
   /** q73 — `session_window` aggregation EXECUTED BY THE STREAMING ENGINE
     * in append mode, under q35's batch oracle. The fixture streams in
-    * day order (days 1–15, 16–30, sentinel), which makes the
+    * day order (days 1–15, then 16–30 + sentinel), which makes the
     * incremental session merge provably exact: a session is evicted and
     * emitted only when the watermark passes its end, and at that point
     * no in-order future row can extend it — any such row's timestamp
@@ -477,22 +514,17 @@ object StreamingOracle {
     * interval self-join over the flat fixture (exact to the microsecond:
     * the fixture's timestamps are µs-aligned, so the ns→µs read path
     * cannot flip a boundary comparison). The shared layout's sentinel
-    * file is excluded from both sources — an inner join needs no
-    * watermark flush, and the sentinel user (−1) is partnerless by
-    * construction — so the gate runs only the two data batches. */
+    * row (riding at the end of the second slice) is harmless here: an
+    * inner join needs no watermark flush, and the sentinel user (−1) is
+    * partnerless by construction, so it joins to nothing. */
   def streamingClickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = inOrderEventsDir(spark, sfDir)
     val gs = gateSession(spark, partitions = "2")
     val run = freshRunDir("q74")
     val result = run.resolve("result").toString
-    // the shared layout's sentinel file (002) exists for q73's append-mode
-    // flush; an INNER stream-stream join emits pairs as legs arrive and
-    // needs no watermark flush, and the sentinel user (−1) is partnerless
-    // by construction — so both sources exclude it and the gate runs one
-    // micro-batch fewer for the identical pair set
-    val views = sourceOver(gs, dir, mft = 1, fileGlob = Some("00[01].parquet"))
+    val views = sourceOver(gs, dir, mft = 1)
       .filter(col("event_type") === "view")
-    val clicks = sourceOver(gs, dir, mft = 1, fileGlob = Some("00[01].parquet"))
+    val clicks = sourceOver(gs, dir, mft = 1)
       .filter(col("event_type") === "click")
     val joined = Streams.clickAttribution(views, clicks)
       .select(col("user_id"), col("view_id"), col("click_id"),
@@ -618,14 +650,23 @@ object StreamingOracle {
     val run = freshRunDir("q92")
     val result = run.resolve("result").toString
     import gs.implicits._
+    // null key/ts rows are excluded SYMMETRICALLY here and in q92Sql's
+    // CTEs: AsOfInput encodes key as a primitive Long (a null would
+    // throw at encode time) and the in-order layout's day slicing drops
+    // null-ts rows — the explicit filter makes the exclusion the
+    // operator's contract instead of a fixture accident
     val tagged = sourceOver(gs, dir, 1)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(
         col("user_id").as("key"), col("ts"),
         (col("event_type") === "purchase").as("isRight"),
         col("event_id").as("id"),
         coalesce(col("value"), lit(0.0)).as("payload"))
       .as[AsOfStream.AsOfInput]
-    val matches = AsOfStream.asofStream(tagged, "30 seconds")
+    // 45-day horizon: finite (idle keys evict, the production posture)
+    // yet past the fixture's 30-day span, so results stay batch-exact
+    val matches = AsOfStream.asofStream(tagged, "30 seconds",
+      horizonUs = 45L * 86400 * 1000000L)
     drain {
       matches.toDF().writeStream
         .outputMode("append")
@@ -656,7 +697,9 @@ object StreamingOracle {
     val run = freshRunDir("q93")
     val result = run.resolve("result").toString
     import gs.implicits._
+    // same symmetric null-exclusion contract as q92 (see there)
     val tagged = sourceOver(gs, dir, 1)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(
         col("user_id").as("key"), col("ts"),
         (col("event_type") === "purchase").as("isRight"),
@@ -684,10 +727,12 @@ object StreamingOracle {
   private val q93Sql =
     s"""WITH p AS (
        |  SELECT user_id, ts, event_id AS rid, value AS rv
-       |  FROM events WHERE event_type = 'purchase'),
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
        |l AS (
        |  SELECT user_id, ts, event_id AS lid
-       |  FROM events WHERE event_type <> 'purchase'),
+       |  FROM events
+       |  WHERE event_type <> 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
        |m AS (
        |  SELECT l.user_id, l.lid, p.rid, p.rv,
        |         row_number() OVER (PARTITION BY l.lid
@@ -705,10 +750,12 @@ object StreamingOracle {
   private val q92Sql =
     s"""WITH p AS (
        |  SELECT user_id, ts, event_id AS rid, value AS rv
-       |  FROM events WHERE event_type = 'purchase'),
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
        |l AS (
        |  SELECT user_id, ts, event_id AS lid
-       |  FROM events WHERE event_type <> 'purchase'),
+       |  FROM events
+       |  WHERE event_type <> 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
        |m AS (
        |  SELECT l.user_id, l.lid, p.rid, p.rv,
        |         row_number() OVER (PARTITION BY l.lid

@@ -131,6 +131,27 @@ class RangeJoinSpec extends SparkSuite {
     assert(got === Seq((-250L, 1L), (-100L, 1L), (-51L, 1L), (0L, 2L)))
   }
 
+  test("an interval spanning more than MaxBinsPerInterval bins fails fast with an actionable message") {
+    import spark.implicits._
+    // one year at 1 µs bins ≈ 3e13 bins — unguarded this would try to
+    // materialize an array beyond Spark's limit; the guard must raise
+    // the configuration error instead
+    val pts = Seq(5L).toDF("v").withColumn("pid", col("v"))
+    val ivs = Seq((1L, 0L, RangeJoin.MaxBinsPerInterval * 10)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", binWidth = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("widen binWidth")),
+      s"expected the actionable bin-cap error, got: $ex")
+    // just under the cap still works (a wide-but-legal interval)
+    val ok = RangeJoin.pointInInterval(pts, "v",
+      Seq((1L, 0L, 1000L)).toDF("iid", "lo", "hi"), "lo", "hi", binWidth = 1L)
+      .select("iid").collect().map(_.getLong(0)).toSeq
+    assert(ok === Seq(1L))
+  }
+
   test("empty and inverted intervals match nothing instead of erroring") {
     import spark.implicits._
     val pts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))

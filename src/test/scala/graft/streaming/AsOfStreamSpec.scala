@@ -106,7 +106,7 @@ class AsOfStreamSpec extends SparkSuite {
       def stepKey(k: Long, data: Seq[AsOfInput]): Unit = {
         val st = states.getOrElseUpdate(k, new Stub(None, wmMs))
         val fresh = new Stub(st.value, wmMs)
-        emitted ++= AsOfStream.resolve(k, data.iterator, fresh)
+        emitted ++= AsOfStream.resolve(Long.MaxValue)(k, data.iterator, fresh)
         fresh.timeoutMs = fresh.timeoutMs.orElse(st.timeoutMs)
         states(k) = fresh
       }
@@ -236,6 +236,86 @@ class AsOfStreamSpec extends SparkSuite {
       assert(emitted.size === got.size, s"case $caseNo: a left emitted twice")
       assert(got === expected, s"case $caseNo: batching ${batches.map(_.size)} diverged")
     }
+  }
+
+  // minimal GroupState stub shared by the transition-level tests below
+  private final class StubState(var value: Option[AsOfBuf], wmMs: Long)
+      extends org.apache.spark.sql.streaming.GroupState[AsOfBuf] {
+    override def exists: Boolean = value.isDefined
+    override def get: AsOfBuf = value.get
+    override def getOption: Option[AsOfBuf] = value
+    override def update(s: AsOfBuf): Unit = value = Some(s)
+    override def remove(): Unit = value = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(ms: Long): Unit = throw new UnsupportedOperationException
+    override def setTimeoutDuration(s: String): Unit = throw new UnsupportedOperationException
+    var timeoutMs: Option[Long] = None
+    override def setTimeoutTimestamp(ms: Long): Unit = timeoutMs = Some(ms)
+    override def setTimeoutTimestamp(ms: Long, d: String): Unit = throw new UnsupportedOperationException
+    override def setTimeoutTimestamp(d: java.sql.Date): Unit = throw new UnsupportedOperationException
+    override def setTimeoutTimestamp(d: java.sql.Date, s: String): Unit = throw new UnsupportedOperationException
+    override def getCurrentWatermarkMs: Long = wmMs
+    override def getCurrentProcessingTimeMs: Long = 0L
+  }
+
+  test("finite horizon: rights-only state registers a timeout and is removed once idle past the horizon") {
+    val horizonUs = 60L * 1000000L // 60 s
+    // batch 1: one right at t=100s, no lefts, watermark 0
+    val s1 = new StubState(None, 0L)
+    AsOfStream.resolve(horizonUs)(1L, Iterator(r(1, 100, 1, 1.0)), s1).toList
+    assert(s1.value.exists(_.rights.nonEmpty), "right history retained")
+    val rightUs = s1.value.get.rights.head.tsUs
+    assert(s1.timeoutMs === Some((rightUs + horizonUs) / 1000L + 1L),
+      "rights-only state must register an event-time timeout at newest+horizon")
+    // timeout fires: watermark has passed newest + horizon → state removed
+    val wmPast = (rightUs + horizonUs) / 1000L + 2L
+    val s2 = new StubState(s1.value, wmPast)
+    AsOfStream.resolve(horizonUs)(1L, Iterator.empty, s2).toList
+    assert(s2.value === None, "idle rights-only state must be removed past the horizon")
+    // and a left probing beyond the horizon sees null (eviction contract)
+    val s3 = new StubState(None, wmPast)
+    AsOfStream.resolve(horizonUs)(1L, Iterator(l(1, 100 + 3600, 500)), s3).toList
+    val s4 = new StubState(s3.value, wmPast + 7200L * 1000L)
+    val out = AsOfStream.resolve(horizonUs)(1L, Iterator.empty, s4).toList
+    assert(out.map(m => m.left_id -> m.asof_id) === List(500L -> None))
+  }
+
+  test("infinite horizon (default) keeps the dominant right for arbitrarily late lefts") {
+    val s1 = new StubState(None, 0L)
+    AsOfStream.resolve(Long.MaxValue)(1L, Iterator(r(1, 10, 1, 1.0)), s1).toList
+    assert(s1.timeoutMs === None, "no timeout for rights-only state at infinite horizon")
+    val lateWmMs = ts(0).getTime + 365L * 86400 * 1000 // a year later
+    val s2 = new StubState(s1.value, lateWmMs)
+    AsOfStream.resolve(Long.MaxValue)(1L, Iterator(l(1, 366L * 86400, 500)), s2).toList
+    val s3 = new StubState(s2.value, lateWmMs + 367L * 86400 * 1000)
+    val out = AsOfStream.resolve(Long.MaxValue)(1L, Iterator.empty, s3).toList
+    assert(out.map(m => m.left_id -> m.asof_id) === List(500L -> Some(1L)))
+  }
+
+  test("forward rights-only state registers a watermark timeout and removes when it passes") {
+    val tolUs = 30L * 1000000L
+    val s1 = new StubState(None, 0L)
+    AsOfStream.resolveForward(tolUs)(1L, Iterator(r(1, 100, 1, 1.0)), s1).toList
+    val rightUs = s1.value.get.rights.head.tsUs
+    assert(s1.timeoutMs === Some(rightUs / 1000L + 1L),
+      "forward rights-only state must re-fire when the watermark passes the newest right")
+    val s2 = new StubState(s1.value, rightUs / 1000L + 2L)
+    AsOfStream.resolveForward(tolUs)(1L, Iterator.empty, s2).toList
+    assert(s2.value === None, "forward rights below the watermark must drop entirely")
+  }
+
+  test("pre-epoch event times finalize under the clamped watermark instead of buffering forever") {
+    // Spark's global watermark is clamped at ≥ 0, so a pre-epoch left can
+    // never be passed by it; the late-data contract finalizes it at once.
+    val preEpoch = AsOfInput(1L, new Timestamp(-86400000L), isRight = false, 42L, 0.0)
+    val rPre = AsOfInput(1L, new Timestamp(-172800000L), isRight = true, 7L, 7.0)
+    val s1 = new StubState(None, 0L)
+    val out = AsOfStream.resolve(Long.MaxValue)(1L, Iterator(rPre, preEpoch), s1).toList
+    assert(out.map(m => m.left_id -> m.asof_id) === List(42L -> Some(7L)),
+      "pre-epoch left must finalize against the watermark-0 floor, not hang")
+    val s2 = new StubState(None, 0L)
+    val outF = AsOfStream.resolveForward(1000000L)(1L, Iterator(preEpoch), s2).toList
+    assert(outF.map(m => m.left_id -> m.asof_id) === List(42L -> None))
   }
 
   test("right-history dominance pruning keeps results exact across many batches") {

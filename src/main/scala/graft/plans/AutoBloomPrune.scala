@@ -30,6 +30,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    `EqualTo` nested under `Or`/`Not` is NOT a key constraint — a
   *    condition like `(l.a = r.b) OR (l.c = r.d)` admits rows through
   *    either disjunct, so pruning on one would silently drop results.
+  *  - ALL conjunct equi-pairs feed ONE combined-key bloom (round 11):
+  *    a two-key join probes `might_contain(xxhash64(k1, k2))`, pruning
+  *    to rows matching both keys — strictly tighter than any single
+  *    key, matching the multi-fact two-key star shape.
   *  - `selective` ignores `Filter`s that are only `IsNotNull` conjuncts:
   *    `InferFiltersFromConstraints` puts those on every inner equi-join
   *    side, so "any Filter" would make the gate vacuous and build
@@ -74,13 +78,22 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
           }
           .sortBy { case (build, _, _) => build.stats.sizeInBytes }
         candidates.iterator.flatMap { case (build, probe, inject) =>
-          equiKeys(cond, probe, build).collect {
-            case (probeKey, buildKey) if !alreadyPruned(probe, probeKey) =>
-              val bloomAgg = Aggregate(Nil, Seq(
-                Alias(sizedBloom(buildKey, build).toAggregateExpression(),
-                  "graft_bloom")()), build)
-              inject(BloomFilterMightContain(
-                ScalarSubquery(bloomAgg), new XxHash64(Seq(probeKey))))
+          val pairs = equiKeys(cond, probe, build)
+          if (pairs.isEmpty || alreadyPruned(probe, pairs.map(_._1))) None
+          else {
+            // ALL equi pairs feed one combined-key bloom: a two-key join
+            // (the multi-fact user_key AND time_key shape) probes
+            // xxhash64(k1, k2), which prunes to rows matching BOTH keys
+            // — strictly tighter than any single key. Sound because a
+            // probe row matching the join has exactly the build row's
+            // key tuple, so its combined hash is in the bloom; false
+            // positives (including null-key hash collisions — XxHash64
+            // skips null children) still die at the join itself.
+            val bloomAgg = Aggregate(Nil, Seq(
+              Alias(sizedBloom(pairs.map(_._2), build).toAggregateExpression(),
+                "graft_bloom")()), build)
+            Some(inject(BloomFilterMightContain(
+              ScalarSubquery(bloomAgg), new XxHash64(pairs.map(_._1)))))
           }
         }.nextOption().getOrElse(j)
     }
@@ -92,7 +105,7 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
     * OVER-estimates a filtered build side — the safe direction for a
     * bloom (more bits, same prune rate) and the same signal
     * `InjectRuntimeFilter` reads. */
-  private def sizedBloom(key: Expression, build: LogicalPlan): BloomFilterAggregate = {
+  private def sizedBloom(keys: Seq[Expression], build: LogicalPlan): BloomFilterAggregate = {
     val st = build.stats
     val rowWidth = math.max(1L, build.output.map(_.dataType.defaultSize.toLong).sum)
     val estimated = st.rowCount.map(_.toLong)
@@ -100,7 +113,7 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
     val items = math.min(math.max(estimated, 4096L), MaxNumItems)
     // optimal bits for fpp≈3%: n * ln(0.03) / -ln(2)^2 ≈ n * 7.3
     val bits = math.min(math.max(items * 8L, 1L << 16), MaxNumBits)
-    new BloomFilterAggregate(new XxHash64(Seq(key)),
+    new BloomFilterAggregate(new XxHash64(keys),
       Literal(items), Literal(bits))
   }
 
@@ -110,16 +123,19 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
   private val MaxNumItems = 4000000L
   private val MaxNumBits = 67108864L
 
-  /** Idempotence/composition guard, PER KEY: a probe side already
-    * carrying a `might_contain` on THIS key is ineligible (the
+  /** Idempotence/composition guard, PER KEY SET: a probe side already
+    * carrying a `might_contain` on THIS key tuple is ineligible (the
     * fixed-point batch must not stack duplicate probes), but a probe on
-    * a DIFFERENT key does not block — a fact joining two selective dims
-    * gets both prunes on its scan (the semi-join-reduction shape a
-    * multi-dim star query wants at 100 TB). */
-  private def alreadyPruned(p: LogicalPlan, probeKey: Expression): Boolean = p.exists {
+    * a DIFFERENT key set does not block — a fact joining two selective
+    * dims gets both prunes on its scan (the semi-join-reduction shape a
+    * multi-dim star query wants at 100 TB). The tuple is derived from
+    * conjunct order, which is stable across fixed-point iterations, so
+    * ordered comparison is exact. */
+  private def alreadyPruned(p: LogicalPlan, probeKeys: Seq[Expression]): Boolean = p.exists {
     case f: Filter => f.condition.exists {
       case BloomFilterMightContain(_, x: XxHash64) =>
-        x.children.exists(_.semanticEquals(probeKey))
+        x.children.length == probeKeys.length &&
+          x.children.zip(probeKeys).forall { case (a, b) => a.semanticEquals(b) }
       case _ => false
     }
     case _ => false
@@ -144,18 +160,16 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
   private def smaller(build: LogicalPlan, probe: LogicalPlan): Boolean =
     build.stats.sizeInBytes <= probe.stats.sizeInBytes
 
-  /** First attribute-to-attribute equi-pair among the condition's
-    * TOP-LEVEL conjuncts, oriented (probeKey, buildKey). Nested
+  /** ALL attribute-to-attribute equi-pairs among the condition's
+    * TOP-LEVEL conjuncts, each oriented (probeKey, buildKey). Nested
     * `EqualTo`s (under Or/Not) are not key constraints and must not
     * prune — rows may join through the other disjunct. */
   private def equiKeys(cond: Expression, probe: LogicalPlan,
-                       build: LogicalPlan): Option[(Expression, Expression)] = {
-    val pairs = splitConjunctivePredicates(cond).collect {
+                       build: LogicalPlan): Seq[(Expression, Expression)] =
+    splitConjunctivePredicates(cond).collect {
       case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
-    }
-    pairs.collectFirst {
+    }.collect {
       case (a, b) if probe.outputSet.contains(a) && build.outputSet.contains(b) => (a, b)
       case (a, b) if probe.outputSet.contains(b) && build.outputSet.contains(a) => (b, a)
     }
-  }
 }

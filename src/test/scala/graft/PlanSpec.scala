@@ -486,6 +486,41 @@ class PlanSpec extends SparkSuite {
     assert(joined.collect().toSeq === manual.collect().toSeq)
   }
 
+  test("AutoBloomPrune combines a two-key join into ONE combined-key probe") {
+    val s = abpSession
+    // the multi-fact two-key shape (user_key AND time_key): both equi
+    // conjuncts span the same two sides, so the rule must inject a
+    // single probe over xxhash64(k1, k2) — tighter than either key alone
+    val sel = Tables.orders(s, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+      .select("o_orderkey", "o_custkey")
+    val joined = Tables.lineitem(s, sf)
+      .select("l_orderkey", "l_suppkey", "l_returnflag", "l_extendedprice")
+      .join(sel, col("l_orderkey") === col("o_orderkey") &&
+        col("l_suppkey") === col("o_custkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert("might_contain".r.findAllIn(opt).length === 1,
+      s"exactly one (combined) probe expected:\n$opt")
+    assert("xxhash64\\(l_orderkey#\\d+L?, l_suppkey#\\d+L?".r.findFirstIn(opt).isDefined,
+      s"the probe must hash BOTH fact keys together:\n$opt")
+    assert("xxhash64\\(o_orderkey#\\d+L?, o_custkey#\\d+L?".r.findFirstIn(opt).isDefined,
+      s"the bloom must be built over BOTH build keys together:\n$opt")
+    // bit-identical to the no-flag session
+    val plain = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_returnflag", "l_extendedprice")
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey") && col("l_suppkey") === col("o_custkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(joined.collect().toSeq === plain.collect().toSeq)
+  }
+
   test("AutoBloomPrune composes: two selective dims put two probes on the fact scan") {
     val s = abpSession
     val selOrders = Tables.orders(s, sf)

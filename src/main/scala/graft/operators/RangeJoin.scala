@@ -123,6 +123,39 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** [[pointInInterval]] with SALTED bin keys — the skew recipe (q49/q50's
+    * composition proven on the range join): a bursty workload can
+    * concentrate half the intervals in ONE time bin (an incident window,
+    * a flash sale), and the bin equi-join then ships that entire bin to
+    * one shuffle partition — the straggler task that decides the job's
+    * wall clock at 100 TB. Salting splits each bin's INTERVALS into
+    * `saltBuckets` deterministic groups (hash of the whole interval row,
+    * so equal-start duplicates still spread) and replicates each POINT
+    * across all groups, turning the hot bin into `saltBuckets` evenly
+    * sized join partitions. Each matched pair still appears exactly
+    * once: an interval holds one salt, a point meets every salt once.
+    *
+    * Cost: point-side rows × saltBuckets extra shuffle volume — pick a
+    * small S (8 here) and, at production scale, salt only bins a stats
+    * pass flags as hot; correctness is salt-invariant either way
+    * (RangeJoinSpec pins salted == unsalted row-for-row). */
+  def pointInIntervalSalted(points: DataFrame, pointCol: String,
+                            intervals: DataFrame, startCol: String, endCol: String,
+                            binWidth: Long = DefaultBinMicros,
+                            saltBuckets: Int = 8): DataFrame = {
+    val pts = points
+      .withColumn("__bin", binIdx(magnitude(points, pointCol), binWidth))
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val ivs = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn("__bin", intervalBins(intervals, startCol, endCol, binWidth))
+      .withColumn("__salt",
+        pmod(xxhash64(intervals.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+    pts.join(ivs, Seq("__bin", "__salt"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin", "__salt")
+  }
+
   /** Interval-overlap join: pairs with a POSITIVE overlap between
     * half-open [lStart, lEnd) and [rStart, rEnd). The residual keeps a
     * pair only in the bin holding `greatest(lStart, rStart)` — the
@@ -220,9 +253,54 @@ object RangeJoin {
        |FROM w JOIN er ON w.w_start < er.e_end AND er.e_start < w.w_end
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Skewed window set: HALF the purchase windows start at one fixed
+    * instant (an incident burst), so their bins concentrate in one
+    * shuffle partition under the plain bin join — the q94 fixture. */
+  private[graft] def skewedWindows(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("w_id"),
+        ((col("event_id") % 7) + 1).cast("int").as("w_len"),
+        when(col("event_id") % 2 === 0, to_timestamp(lit("2024-01-15 12:00:00")))
+          .otherwise(col("ts")).as("w_start"))
+      .withColumn("w_end",
+        col("w_start") + expr("make_dt_interval(0, 0, w_len, 0)"))
+
+  /** q94 — the q88 rollup over the BURSTY window set through the SALTED
+    * bin join: one 10-minute bin carries ~half of all windows, the
+    * shape where the plain bin equi-join degrades to one straggler
+    * partition; the salt splits that bin's windows into 8 even groups
+    * (RangeJoinSpec pins salted ≡ unsalted rows and the composite join
+    * key). */
+  def skewedPointInWindowRollup(events: DataFrame): DataFrame =
+    pointInIntervalSalted(
+      events.select(col("event_id"), col("ts"), col("value")), "ts",
+      skewedWindows(events), "w_start", "w_end")
+      .groupBy("w_len")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct(col("w_id")).as("windows_hit"),
+        dsum(col("value")).as("value_sum"))
+      .orderBy("w_len")
+
+  private val q94Sql =
+    s"""WITH w AS (
+       |  SELECT event_id AS w_id, cast(event_id % 7 + 1 as int) AS w_len,
+       |         CASE WHEN event_id % 2 = 0 THEN TIMESTAMP '2024-01-15 12:00:00'
+       |              ELSE ts END AS w_start
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT w_len, cast(count(*) as bigint) AS n_hits,
+       |  cast(count(DISTINCT w_id) as bigint) AS windows_hit,
+       |  ${sqlDsum("value")} AS value_sum
+       |FROM events e JOIN w
+       |  ON e.ts >= w.w_start AND e.ts < w.w_start + w_len * INTERVAL 1 MINUTE
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q88_range_bin_join", (s, d) =>
       pointInWindowRollup(graft.Tables.events(s, d)), Some(q88Sql)),
     Q("q89_interval_overlap", (s, d) =>
-      windowOverlapRollup(graft.Tables.events(s, d)), Some(q89Sql)))
+      windowOverlapRollup(graft.Tables.events(s, d)), Some(q89Sql)),
+    Q("q94_range_join_skew_salted", (s, d) =>
+      skewedPointInWindowRollup(graft.Tables.events(s, d)), Some(q94Sql)))
 }

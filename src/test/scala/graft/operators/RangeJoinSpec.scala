@@ -131,6 +131,36 @@ class RangeJoinSpec extends SparkSuite {
     assert(got === Seq((-250L, 1L), (-100L, 1L), (-51L, 1L), (0L, 2L)))
   }
 
+  test("q94 salted bin join == unsalted, row for row, on the bursty window set") {
+    val ev = Tables.events(spark, sf)
+    val pts = ev.select(col("event_id"), col("ts"), col("value"))
+    val wins = RangeJoin.skewedWindows(ev)
+    // the fixture IS skewed: the hot bin carries ~half the windows
+    val binCounts = wins
+      .select((unix_micros(col("w_start")) / RangeJoin.DefaultBinMicros).cast("long").as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    assert(binCounts.max.toDouble / binCounts.sum >= 0.4,
+      s"hot bin must carry ~half the windows (got ${binCounts.max} of ${binCounts.sum})")
+    val salted = RangeJoin.pointInIntervalSalted(pts, "ts", wins, "w_start", "w_end")
+      .select("event_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.pointInInterval(pts, "ts", wins, "w_start", "w_end")
+      .select("event_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted === plain, "salting must never change the pair set")
+    assert(salted.nonEmpty, "fixture must exercise hot-bin matches")
+    // plan: the join key is the composite (__bin, __salt)
+    val p = finalPlan(RangeJoin.pointInIntervalSalted(pts, "ts", wins, "w_start", "w_end"))
+    assert(p.contains("__salt"), s"expected the salt in the join key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted rewrite must stay an equi-join:\n$p")
+    // and the salt genuinely splits the hot bin's intervals into >1 group
+    val saltSpread = wins
+      .withColumn("__salt", pmod(xxhash64(wins.columns.map(col): _*), lit(8)))
+      .filter(unix_micros(col("w_start")) / RangeJoin.DefaultBinMicros ===
+        unix_micros(to_timestamp(lit("2024-01-15 12:00:00"))) / RangeJoin.DefaultBinMicros)
+      .select("__salt").distinct().count()
+    assert(saltSpread >= 6, s"hot bin must spread across salts, got $saltSpread of 8")
+  }
+
   test("an interval spanning more than MaxBinsPerInterval bins fails fast with an actionable message") {
     import spark.implicits._
     // one year at 1 µs bins ≈ 3e13 bins — unguarded this would try to

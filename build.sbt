@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on this 128 GiB box: the full 159-query bench at sf0.1
+  // holds the session-scoped signature stores plus per-query caches, and
+  // an 8g heap put the tail l-queries under GC pressure in full runs
+  // (driver BENCH rows 2-10x their controlled numbers) — headroom is
+  // cheaper than recomputation
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

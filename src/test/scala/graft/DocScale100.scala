@@ -3,19 +3,28 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 100× document-corpus stress for the fixed-state tier (dev harness,
-  * test scope — the ScaleSmoke twin for VERDICT r9 item 7): the
-  * heavy-hitter (l50, Misra-Gries) and LM-familiarity (l51, bigram
-  * model) operators carry state bounded by the SKETCH (127 counters) or
-  * the VOCABULARY (model tables), not the corpus — so at 100× documents
-  * their cost must stay ~linear in scan work and their OUTPUT must stay
-  * the same size (the same heavy trigrams, the same model arity). The
-  * dedup family got its 10× pass in SCALING_r07; this probes the two
-  * operators whose 100 TB argument is "state cannot grow".
+/** 100× document-corpus stress (dev harness, test scope — the
+  * ScaleSmoke twin for VERDICT r9 item 7 and r10 item 7):
   *
-  * Amplification: shifted doc_id copies with text kept (the ScaleSmoke
-  * recipe) — repeated text is exactly the regime a heavy-hitter sketch
-  * and an n-gram LM see in a crawl.
+  *  - FIXED-STATE tier: heavy-hitter (l50, Misra-Gries) and
+  *    LM-familiarity (l51, bigram model) carry state bounded by the
+  *    SKETCH or the VOCABULARY, not the corpus — at 100× documents their
+  *    cost must stay ~linear in scan work and their output size flat.
+  *  - DEDUP/SIMILARITY tier (round 11): MinHash-LSH (l02), SimHash
+  *    (l03), exact n-gram verify (l04), dup components (l26), embedding
+  *    dup clusters (l36), image dHash (l42). 100× duplication is the
+  *    adversarial regime — every doc becomes a 100-clone cluster, so
+  *    TRUE pairs grow ~100× faster than the corpus (C(100,2)/C(10,2) ≈
+  *    110 per cluster); the claim under test is that COST tracks
+  *    found-pairs + scan, never corpus² — the per-bucket caps bound
+  *    every candidate path. Interpret sec against out_rows: a ratio
+  *    near the pair growth is the operator working, not degrading.
+  *
+  * Amplification: shifted doc_id/vec_id copies with text/vector kept
+  * (the ScaleSmoke recipe) — repeated content is exactly the regime a
+  * crawl re-ingest produces. Offsets are multiples of 10⁹ ≡ 0 (mod 50),
+  * so l42's synthesized image classes (doc_id % 50) duplicate across
+  * copies exactly like the text does.
   *
   * Run: sbt "Test/runMain graft.DocScale100"
   */
@@ -27,6 +36,10 @@ object DocScale100 {
     (0 until copies).map { k =>
       raw.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
     }.reduce(_ unionByName _).write.parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until copies).map { k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _).write.parquet(s"$out/embeddings.parquet")
     out
   }
 
@@ -64,9 +77,17 @@ object DocScale100 {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // GRAFT_DOCSCALE_ONLY narrows the probed set (comma prefixes)
+    val wanted = sys.env.get("GRAFT_DOCSCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val probes = Seq(
+      "l50_heavy_trigrams", "l51_lm_familiarity",       // fixed-state tier
+      "l02_dedup_minhash_lsh", "l03_dedup_simhash",     // dedup tier
+      "l04_ngram_jaccard", "l26_dedup_components",
+      "l36_embed_dup_clusters", "l42_image_neardup")
+      .filter(n => wanted.forall(_.exists(n.startsWith)))
     println("query,copies,sec,out_rows")
-    for (name <- Seq("l50_heavy_trigrams", "l51_lm_familiarity");
-         (c, dir) <- rungs) {
+    for (name <- probes; (c, dir) <- rungs) {
       run(name, dir) // warm-up (codegen, shared-frame build)
       val (sec, rows) = run(name, dir)
       println(f"$name,$c,$sec%.2f,$rows")

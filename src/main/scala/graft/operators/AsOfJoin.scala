@@ -115,13 +115,15 @@ object AsOfJoin {
   }
 
   /** As-of with a TOLERANCE bound (pandas `merge_asof(tolerance=...)`):
-    * the directional match is kept only when its distance is within
-    * `tolerance` units of the ts domain (µs for timestamps, days for
-    * dates); a match beyond it becomes a null payload — it does NOT
-    * fall back to an earlier/later row (any other candidate is farther
-    * by the direction's monotonicity, so none can qualify either; this
-    * is a post-pick null-out, which is why it composes with both
-    * physical execs unchanged). */
+    * the match is kept only when its distance is within `tolerance`
+    * units of the ts domain (µs for timestamps, days for dates); a
+    * match beyond it becomes a null payload — it does NOT fall back to
+    * another row. Sound for all three directions as a post-pick
+    * null-out, which is why it composes with the physical execs
+    * unchanged: backward/forward by monotonicity (any other candidate
+    * is farther), and NEAREST because the pick MINIMIZES |distance| —
+    * if even the minimum exceeds the bound, no row on either side can
+    * be inside it. */
   def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                         valueCols: Seq[String], tolerance: Long,
                         tieBreak: Option[String] = None,
@@ -130,9 +132,11 @@ object AsOfJoin {
     val vcols = (valueCols :+ tsCol).distinct
     val j = asofJoinNative(left, right, key, tsCol, vcols, tieBreak, broadcast, direction)
     val mag = tsMagnitude(left.schema(tsCol).dataType) _
-    val dist =
-      if (direction == "forward") mag(col(s"asof_$tsCol")) - mag(col(tsCol))
-      else mag(col(tsCol)) - mag(col(s"asof_$tsCol"))
+    val dist = direction match {
+      case "forward" => mag(col(s"asof_$tsCol")) - mag(col(tsCol))
+      case "nearest" => abs(mag(col(s"asof_$tsCol")) - mag(col(tsCol)))
+      case _ => mag(col(tsCol)) - mag(col(s"asof_$tsCol"))
+    }
     val keep = col(s"asof_$tsCol").isNotNull && dist <= tolerance
     val sel = left.columns.toSeq.map(col) ++ valueCols.map(c =>
       when(keep, col(s"asof_$c")).as(s"asof_$c"))

@@ -105,6 +105,70 @@ object AsOfStream {
         resolveForward(toleranceUs) _)
   }
 
+  /** NEAREST stream-stream as-of, tolerance-bounded: each left matched
+    * to the same-key right minimizing `|rts − lts|` subject to the
+    * bound (ties prefer the at-or-before side; within equal ts the
+    * backward side takes the greatest id, the forward side the
+    * smallest — the batch nearest contract). The bound makes BOTH
+    * directions finite: a left finalizes exactly when the watermark
+    * passes `lts + tolerance` (a nearer right arriving later would be
+    * late — same argument as forward), and right history below
+    * `min(watermark, oldest buffered left) − tolerance` can be inside
+    * no present or future left's window, so it drops. No dominance
+    * carry: the winner can sit on either side of the left. */
+  def asofStreamNearest(in: Dataset[AsOfInput], delay: String,
+                        toleranceUs: Long): Dataset[AsOfMatch] = {
+    import in.sparkSession.implicits._
+    in.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        resolveNearest(toleranceUs) _)
+  }
+
+  private[streaming] def resolveNearest(tolUs: Long)(
+      key: Long, rows: Iterator[AsOfInput],
+      state: GroupState[AsOfBuf]): Iterator[AsOfMatch] = {
+    val buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+    var lefts = buf.lefts
+    var rights = buf.rights
+    rows.foreach { r =>
+      if (r.isRight) rights ::= RightRow(micros(r.ts), r.id, r.payload)
+      else lefts ::= LeftRow(micros(r.ts), r.id)
+    }
+    val wmUs = watermarkUs(state)
+    // final once the watermark passes the whole two-sided window
+    val (ready, still) = lefts.partition(l => l.tsUs + tolUs < wmUs)
+    val rSorted = rights.sortBy(r => (r.tsUs, r.id))
+    val out = ready.sortBy(l => (l.tsUs, l.id)).map { l =>
+      val inWin = rSorted.filter(r =>
+        r.tsUs >= l.tsUs - tolUs && r.tsUs <= l.tsUs + tolUs)
+      val bw = inWin.filter(_.tsUs <= l.tsUs).lastOption  // greatest (ts, id) at-or-before
+      val fw = inWin.find(_.tsUs > l.tsUs)                // smallest (ts, id) strictly after
+      val m = (bw, fw) match {
+        case (Some(b), Some(f)) =>
+          if (l.tsUs - b.tsUs <= f.tsUs - l.tsUs) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+      AsOfMatch(key, l.id, l.tsUs, m.map(_.id), m.map(_.payload))
+    }
+    // a right below every present AND future left's window is dead:
+    // future lefts have ts >= min(watermark, oldest buffered left)
+    val floorUs = math.min(wmUs, still.map(_.tsUs).minOption.getOrElse(Long.MaxValue))
+    val kept = rSorted.filter(r => r.tsUs >= floorUs - tolUs)
+    if (still.isEmpty && kept.isEmpty) {
+      state.remove()
+    } else {
+      state.update(AsOfBuf(still, kept))
+      if (still.nonEmpty)
+        state.setTimeoutTimestamp((still.map(_.tsUs).min + tolUs) / 1000L + 1L)
+      else
+        // rights-only: all kept rights are droppable once the watermark
+        // passes newest + tolerance — re-fire there so idle keys remove
+        state.setTimeoutTimestamp((kept.map(_.tsUs).max + tolUs) / 1000L + 1L)
+    }
+    out.iterator
+  }
+
   private[streaming] def resolveForward(tolUs: Long)(
       key: Long, rows: Iterator[AsOfInput],
       state: GroupState[AsOfBuf]): Iterator[AsOfMatch] = {

@@ -724,6 +724,72 @@ object StreamingOracle {
       .orderBy("bucket")
   }
 
+  /** q95 — NEAREST stream-stream as-of, 30-minute tolerance: every
+    * non-purchase event matched to the same user's closest purchase in
+    * EITHER direction within the bound (q92 looks only back, q93 only
+    * forward; this takes whichever is nearer, ties to the at-or-before
+    * side). Two-sided bounded state — rights below
+    * `min(watermark, oldest left) − tolerance` drop, lefts finalize
+    * when the watermark passes `lts + tolerance`. Same layout, sink,
+    * and from-storage rollup protocol as q92/q93. */
+  def streamingStreamAsOfNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val gs = gateSession(spark)
+    val dir = inOrderEventsDir(gs, sfDir)
+    val run = freshRunDir("q95")
+    val result = run.resolve("result").toString
+    import gs.implicits._
+    val tagged = sourceOver(gs, dir, 1)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(
+        col("user_id").as("key"), col("ts"),
+        (col("event_type") === "purchase").as("isRight"),
+        col("event_id").as("id"),
+        coalesce(col("value"), lit(0.0)).as("payload"))
+      .as[AsOfStream.AsOfInput]
+    val matches = AsOfStream.asofStreamNearest(tagged, "30 seconds",
+      toleranceUs = 30L * 60 * 1000000L)
+    drain {
+      matches.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .format("parquet").option("path", result)
+        .start()
+    }
+    spark.read.parquet(result)
+      .groupBy((col("key") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("asof_id").isNotNull, 1).otherwise(0)).as("matched"),
+        dsum(col("asof_payload")).as("payload_sum"))
+      .orderBy("bucket")
+  }
+
+  private val q95Sql =
+    s"""WITH p AS (
+       |  SELECT user_id, ts, event_id AS rid, value AS rv
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+       |l AS (
+       |  SELECT user_id, ts, event_id AS lid
+       |  FROM events
+       |  WHERE event_type <> 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+       |m AS (
+       |  SELECT l.user_id, l.lid, p.rid, p.rv,
+       |         row_number() OVER (PARTITION BY l.lid
+       |            ORDER BY abs(epoch_us(p.ts) - epoch_us(l.ts)) ASC,
+       |                     CASE WHEN p.ts <= l.ts THEN 0 ELSE 1 END ASC,
+       |                     CASE WHEN p.ts <= l.ts THEN -p.rid ELSE p.rid END ASC) AS rn
+       |  FROM l LEFT JOIN p
+       |    ON p.user_id = l.user_id
+       |   AND p.ts >= l.ts - INTERVAL 30 MINUTE
+       |   AND p.ts <= l.ts + INTERVAL 30 MINUTE)
+       |SELECT cast(user_id % 10 as bigint) AS bucket,
+       |  count(*) AS n_events,
+       |  cast(sum(CASE WHEN rid IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS matched,
+       |  ${graft.functions.Det.sqlDsum("rv")} AS payload_sum
+       |FROM m WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q93Sql =
     s"""WITH p AS (
        |  SELECT user_id, ts, event_id AS rid, value AS rv
@@ -786,5 +852,7 @@ object StreamingOracle {
     graft.Q("q92_streaming_stream_asof", (s, d) => streamingStreamAsOf(s, d),
       Some(q92Sql)),
     graft.Q("q93_streaming_forward_asof", (s, d) => streamingStreamAsOfForward(s, d),
-      Some(q93Sql)))
+      Some(q93Sql)),
+    graft.Q("q95_streaming_nearest_asof", (s, d) => streamingStreamAsOfNearest(s, d),
+      Some(q95Sql)))
 }

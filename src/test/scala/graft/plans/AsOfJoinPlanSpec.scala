@@ -209,6 +209,20 @@ class AsOfJoinPlanSpec extends SparkSuite {
           "k", "t", Seq("pay"), tolerance = 4L, broadcast = Some(mode),
           direction = "forward").collect()
       assert(fwd.length === 1 && fwd(0).isNullAt(3))
+      // nearest: |dist| bound — back at 93 (7) vs fwd at 104 (4) picks
+      // fwd within tol 5; tol 3 nulls (the MINIMUM distance exceeds it,
+      // so no candidate on either side can be inside the bound)
+      val nearRight = Seq((1L, 93L, 666L), (1L, 104L, 777L)).toDF("k", "t", "pay")
+      val nr5 = graft.operators.AsOfJoin.asofJoinTolerance(
+          left.filter(col("tag") === "near"), nearRight,
+          "k", "t", Seq("pay"), tolerance = 5L, broadcast = Some(mode),
+          direction = "nearest").collect()
+      assert(nr5.length === 1 && nr5(0).getLong(3) === 777L)
+      val nr3 = graft.operators.AsOfJoin.asofJoinTolerance(
+          left.filter(col("tag") === "near"), nearRight,
+          "k", "t", Seq("pay"), tolerance = 3L, broadcast = Some(mode),
+          direction = "nearest").collect()
+      assert(nr3.length === 1 && nr3(0).isNullAt(3))
     }
   }
 

@@ -238,6 +238,33 @@ class AsOfStreamSpec extends SparkSuite {
     }
   }
 
+  test("nearest with tolerance: closer side wins, tie prefers backward, beyond-bound nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsOfInput]
+    val out = AsOfStream.asofStreamNearest(input.toDS(), "30 seconds",
+      toleranceUs = 60L * 1000000L)
+    val name = s"asof_near_${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        l(1, 100, 100), r(1, 95, 1, 1.0), r(1, 103, 2, 2.0),  // 5 back vs 3 fwd → fwd id 2
+        l(2, 100, 200), r(2, 95, 3, 3.0), r(2, 105, 4, 4.0),  // 5 vs 5 tie → backward id 3
+        l(3, 100, 300), r(3, 200, 5, 5.0),                    // 100 > 60 → null
+        l(4, 100, 400), r(4, 50, 6, 6.0), r(4, 45, 7, 7.0))   // only back in bound → id 6
+      query.processAllAvailable()
+      input.addData(r(9, 900, 9, 0.0))
+      query.processAllAvailable()
+      input.addData(r(9, 901, 9, 0.0))
+      query.processAllAvailable()
+      val byId = spark.table(name).as[AsOfMatch].collect().map(m => m.left_id -> m.asof_id).toMap
+      assert(byId(100L) === Some(2L))
+      assert(byId(200L) === Some(3L))
+      assert(byId(300L) === None)
+      assert(byId(400L) === Some(6L))
+    } finally query.stop()
+  }
+
   // minimal GroupState stub shared by the transition-level tests below
   private final class StubState(var value: Option[AsOfBuf], wmMs: Long)
       extends org.apache.spark.sql.streaming.GroupState[AsOfBuf] {
@@ -316,6 +343,68 @@ class AsOfStreamSpec extends SparkSuite {
     val s2 = new StubState(None, 0L)
     val outF = AsOfStream.resolveForward(1000000L)(1L, Iterator(preEpoch), s2).toList
     assert(outF.map(m => m.left_id -> m.asof_id) === List(42L -> None))
+  }
+
+  test("nearest random-batching invariance: 300 simulated batchings match brute force exactly-once") {
+    val delayMs = 10000L
+    val tolUs = 20L * 1000000L
+    val rnd = new scala.util.Random(13)
+    for (caseNo <- 1 to 300) {
+      val rows = (1 to (5 + rnd.nextInt(35))).map { i =>
+        AsOfInput(1L + rnd.nextInt(2), ts(rnd.nextInt(100).toLong),
+          isRight = rnd.nextBoolean(), 1000L + i, (1000 + i).toDouble)
+      }
+      val shuffled = rnd.shuffle(rows)
+      val nBatches = 1 + rnd.nextInt(6)
+      val batches = shuffled.grouped(math.max(1, math.ceil(shuffled.size.toDouble / nBatches).toInt)).toSeq
+      val states = scala.collection.mutable.Map[Long, StubState]()
+      val emitted = scala.collection.mutable.ArrayBuffer[AsOfMatch]()
+      val survivors = scala.collection.mutable.ArrayBuffer[AsOfInput]()
+      var wmMs = 0L
+      var maxSeenMs = 0L
+      def stepKey(k: Long, data: Seq[AsOfInput]): Unit = {
+        val st = states.getOrElseUpdate(k, new StubState(None, wmMs))
+        val fresh = new StubState(st.value, wmMs)
+        emitted ++= AsOfStream.resolveNearest(tolUs)(k, data.iterator, fresh)
+        fresh.timeoutMs = fresh.timeoutMs.orElse(st.timeoutMs)
+        states(k) = fresh
+      }
+      batches.foreach { b =>
+        val live = b.filter(_.ts.getTime >= wmMs)
+        survivors ++= live
+        live.groupBy(_.key).foreach { case (k, data) => stepKey(k, data) }
+        states.toSeq.foreach { case (k, st) =>
+          if (!live.exists(_.key == k) && st.value.isDefined &&
+              st.timeoutMs.exists(_ < wmMs)) stepKey(k, Nil)
+        }
+        maxSeenMs = math.max(maxSeenMs, b.map(_.ts.getTime).max)
+        wmMs = math.max(wmMs, maxSeenMs - delayMs)
+      }
+      states.keys.toSeq.foreach(k => if (states(k).value.isDefined) stepKey(k, Nil))
+      val finalWmUs = wmMs * 1000L
+      val lefts = survivors.filter(a => !a.isRight)
+      val rights = survivors.filter(_.isRight)
+      val expected = lefts
+        .filter(l => l.ts.getTime * 1000 + tolUs < finalWmUs)
+        .map { l =>
+          val lUs = l.ts.getTime * 1000
+          val inWin = rights.filter(r => r.key == l.key &&
+            math.abs(r.ts.getTime * 1000 - lUs) <= tolUs)
+          val bw = inWin.filter(_.ts.getTime * 1000 <= lUs)
+            .sortBy(r => (r.ts.getTime, r.id)).lastOption
+          val fw = inWin.filter(_.ts.getTime * 1000 > lUs)
+            .sortBy(r => (r.ts.getTime, r.id)).headOption
+          val m = (bw, fw) match {
+            case (Some(b), Some(f)) =>
+              if (lUs - b.ts.getTime * 1000 <= f.ts.getTime * 1000 - lUs) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+          l.id -> m.map(_.id)
+        }.toMap
+      val got = emitted.map(m => m.left_id -> m.asof_id).toMap
+      assert(emitted.size === got.size, s"case $caseNo: a left emitted twice")
+      assert(got === expected, s"case $caseNo: batching ${batches.map(_.size)} diverged")
+    }
   }
 
   test("right-history dominance pruning keeps results exact across many batches") {

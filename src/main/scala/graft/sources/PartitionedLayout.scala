@@ -269,7 +269,84 @@ object PartitionedLayout {
        |WHERE year(ts) = 2024 AND month(ts) = 1 AND dayofweek(ts) IN (0, 6)
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  private val sketchWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q96 — the PERSISTED mergeable-sketch table (SURVEY §7.4's optional
+    * sketch tier, realized with Spark's DataSketches built-ins, never a
+    * custom aggregate): per-day HLL sketches over `user_id` are written
+    * ONCE into a parquet pre-aggregate table `(day, sketch BINARY,
+    * exact_dau)`, and the registered query answers a two-week
+    * distinct-users-per-week question by MERGING the STORED sketches
+    * (`hll_union_agg` over the binary column read back from parquet) —
+    * the fact table is not rescanned on the approximate path.
+    *
+    * This is THE 100 TB distinct-count pattern: touch each day's facts
+    * once at ingest, persist a kilobyte sketch per day, and answer any
+    * later range/rollup by re-aggregating sketches — associativity plus
+    * the storage round-trip are exactly what this gate proves. Oracle:
+    * the q39/l47 agreement contract — the exact weekly distinct
+    * (recomputed declaratively from the fact table, also by DuckDB) plus
+    * `approx_ok` = the merged-sketch estimate within ±10%, pinned true.
+    * Week boundaries are day-index floor((day − 2024-01-01)/7) on both
+    * sides, so no engine WEEK() semantics are involved. Deterministic:
+    * HLL register state is a pure function of the value SET (max per
+    * register), invariant to partition order and merge shape. */
+  def sketchTableRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = sketchWritten.computeIfAbsent(graft.PathKey(sfDir), { _ =>
+      val out = scratchDir("sketch") + "/dau_" + graft.PathKey(sfDir)
+      graft.Tables.events(spark, sfDir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+          countDistinct(col("user_id")).as("exact_dau"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      out
+    })
+    val approx = mergedWeeklyEstimates(spark, dir)
+    val lo = to_date(lit("2024-01-08"))
+    val hi = to_date(lit("2024-01-21"))
+    def weekOf(day: org.apache.spark.sql.Column) =
+      floor(datediff(day, to_date(lit("2024-01-01"))) / 7).cast("long")
+    val exact = graft.Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("day").between(lo, hi))
+      .groupBy(weekOf(col("day")).as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_wau"))
+    exact.join(approx, Seq("week"))
+      .select(col("week"), col("exact_wau"),
+        (abs(col("approx_wau").cast("double") - col("exact_wau").cast("double")) <=
+          col("exact_wau").cast("double") * 0.10).as("approx_ok"))
+      .orderBy("week")
+  }
+
+  /** The merged path's RAW weekly estimates over the persisted sketch
+    * table — split out so PlanSpec can assert storage-round-trip
+    * associativity (merged == direct, exactly) against the values the
+    * registered surface reduces to `approx_ok`. */
+  private[graft] def mergedWeeklyEstimates(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("day").between(to_date(lit("2024-01-08")), to_date(lit("2024-01-21"))))
+      .groupBy(floor(datediff(col("day"), to_date(lit("2024-01-01"))) / 7)
+        .cast("long").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_wau"))
+
+  /** The persisted sketch-table path for `sfDir` — valid after
+    * [[sketchTableRollup]] materialized it. */
+  private[graft] def sketchTableDir(sfDir: String): String = {
+    val dir = sketchWritten.get(graft.PathKey(sfDir))
+    require(dir != null, s"sketchTableRollup($sfDir) has not been materialized yet")
+    dir
+  }
+
+  private val q96Sql =
+    """SELECT cast(floor(datediff('day', DATE '2024-01-01', cast(ts as date)) / 7) as bigint) AS week,
+      |       count(DISTINCT user_id) AS exact_wau, true AS approx_ok
+      |FROM events
+      |WHERE cast(ts as date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("q96_sketch_table_rollup", (s, d) => sketchTableRollup(s, d), Some(q96Sql)),
     graft.Q("q60_partition_pruned_rollup", (s, d) => prunedDailyRollup(s, d), Some(q60Sql)),
     graft.Q("q78_dpp_weekend_rollup", (s, d) => dppWeekendRollup(s, d), Some(q78Sql)),
     graft.Q("q62_bucketed_join_rollup", (s, d) => bucketedOrderRollup(s, d), Some(q62Sql)),

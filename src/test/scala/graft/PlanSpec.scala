@@ -426,6 +426,32 @@ class PlanSpec extends SparkSuite {
       s"the probe must cut the day-sliced scan: $survivors of ${sliced.count()}")
   }
 
+  test("q96: sketches merged THROUGH STORAGE equal the direct sketch exactly (associativity)") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    // the estimate from per-day persisted sketches unioned back together
+    // must EQUAL (not merely approximate) the estimate of one sketch
+    // built directly over the same range: HLL register state is an
+    // elementwise max, so grouping + parquet round-trip + union is the
+    // identity — the property that makes a persisted sketch table sound
+    val out = graft.sources.PartitionedLayout.sketchTableRollup(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(2)), s"approx_ok must hold: ${out.mkString}")
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("day").between(to_date(lit("2024-01-08")), to_date(lit("2024-01-21"))))
+      .withColumn("week",
+        floor(datediff(col("day"), to_date(lit("2024-01-01"))) / 7).cast("long"))
+    val direct = ev.groupBy("week")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the merged path's RAW estimates over the persisted table — must
+    // EQUAL the direct estimates, not merely approximate them
+    val merged = graft.sources.PartitionedLayout
+      .mergedWeeklyEstimates(spark, graft.sources.PartitionedLayout.sketchTableDir(sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === direct,
+      s"storage round-trip + union must be the identity on HLL state: $merged vs $direct")
+  }
+
   // a session with the AutoBloomPrune flag on (the q79 gate-session
   // pattern) — the caller's `spark` never sees the flag
   private def abpSession = graft.SessionClones.cloned("plan-spec-abp", spark) { s =>

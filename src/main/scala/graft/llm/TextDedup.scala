@@ -190,6 +190,16 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** First band index (0–3) on which two fingerprints agree — defined
+    * whenever the pair co-occurs in SOME band bucket, i.e. on every
+    * band-join output row. */
+  private def firstAgreeingBand(simA: Column, simB: Column): Column =
+    (0 until 4).foldRight(lit(3): Column) { (k, rest) =>
+      if (k == 3) rest
+      else when((shiftright(simA, 16 * k).bitwiseAND(lit(65535L))) ===
+        (shiftright(simB, 16 * k).bitwiseAND(lit(65535L))), lit(k)).otherwise(rest)
+    }
+
   def simhashNearDup(documents: DataFrame,
                      maxBucket: Int = MaxBucketDefault,
                      fpOpt: Option[DataFrame] = None): DataFrame = {
@@ -199,9 +209,21 @@ object TextDedup {
       col("band_id"), col("band_val"))
     val b = capped.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
       col("band_id"), col("band_val"))
+    // A pair sharing several bands would surface once per shared band;
+    // instead of a DISTINCT — a full shuffle of the candidate-pair
+    // stream, the dominant cost once a popular band value piles up —
+    // keep the pair only in its FIRST agreeing band, computed per-row
+    // from the two fingerprints (the RangeJoin overlap-start residual
+    // applied to LSH): exact dedup for free inside the join stage, and
+    // the top-k reduces map-side via TakeOrdered. Under an ACTIVE
+    // bucket cap the residual is slightly stricter than the old
+    // distinct (a pair whose first agreeing band was capped away no
+    // longer resurfaces through a later band — the cap is an explicit
+    // recall trade either way, and LlmSpec pins equality on uncapped
+    // corpora).
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .filter(col("band_id") === firstAgreeingBand(col("sim_a"), col("sim_b")))
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .select("id_a", "id_b", "hamming")
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
@@ -848,19 +870,31 @@ object TextDedup {
         (0 until 4).map(k => col("bands").getItem(k).as(s"b_$k")): _*)
 
   /** Banded candidate pairs scored by hamming over a persisted portable
-    * fingerprint frame — unlimited (l24 ranks + limits; l48 thresholds). */
+    * fingerprint frame — unlimited (l24 ranks + limits; l48 thresholds).
+    *
+    * Round 11: the band columns ride THROUGH the band join, so a pair
+    * sharing several bands dedups by the first-agreeing-band residual
+    * (see [[simhashNearDup]] — exact on uncapped corpora, LlmSpec pins
+    * pair-set equality with the retired DISTINCT) and the hamming is
+    * computed inline from the carried bands. That removes the
+    * candidate-stream DISTINCT shuffle AND the two fingerprint
+    * re-joins the old shape paid — at 100 TB those were both
+    * proportional to the candidate-pair stream, the pipeline's largest
+    * intermediate. */
   private[llm] def portableSimhashPairs(fp: DataFrame, maxBucket: Int): DataFrame = {
-    val exploded = fp.select(col("doc_id"),
-      posexplode(array((0 until 4).map(k => col(s"b_$k")): _*)).as(Seq("band_id", "band_val")))
+    val exploded = fp.select(col("doc_id") +:
+      (0 until 4).map(k => col(s"b_$k")) :+
+      posexplode(array((0 until 4).map(k => col(s"b_$k")): _*)).as(Seq("band_id", "band_val")): _*)
     val banded = capBuckets(exploded, Seq("band_id", "band_val"), maxBucket)
-    val a = banded.select(col("doc_id").as("id_a"), col("band_id"), col("band_val"))
-    val b = banded.select(col("doc_id").as("id_b"), col("band_id"), col("band_val"))
-    val cands = a.join(b, Seq("band_id", "band_val"))
+    def side(s: String) = banded.select(
+      Seq(col("doc_id").as(s"id_$s"), col("band_id"), col("band_val")) ++
+        (0 until 4).map(k => col(s"b_$k").as(s"${s}_b_$k")): _*)
+    val firstAgree = (0 until 3).foldRight(lit(3): Column) { (k, rest) =>
+      when(col(s"a_b_$k") === col(s"b_b_$k"), lit(k)).otherwise(rest)
+    }
+    side("a").join(side("b"), Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    def fpAs(side: String) = fp.select(
-      col("doc_id").as(s"id_$side") +: (0 until 4).map(k => col(s"b_$k").as(s"${side}_b_$k")): _*)
-    cands.join(fpAs("a"), Seq("id_a")).join(fpAs("b"), Seq("id_b"))
+      .filter(col("band_id") === firstAgree)
       .withColumn("hamming", expr(
         (0 until 4).map(k => s"bit_count(a_b_$k ^ b_b_$k)").mkString(" + ")).cast("int"))
       .select("id_a", "id_b", "hamming")

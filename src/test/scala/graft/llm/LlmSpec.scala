@@ -47,6 +47,37 @@ class LlmSpec extends SparkSuite {
     assert(pairs((1L, 2L)) < 20)
   }
 
+  test("simhash first-agreeing-band residual == the distinct formulation on an uncapped corpus") {
+    // the l03 dedup rewrite (round 11): keeping a pair only in its first
+    // agreeing band must equal the old DISTINCT over all shared bands —
+    // per-pair, on the real fixture, where no bucket hits the cap
+    import org.apache.spark.sql.functions._
+    val documents = graft.Tables.documents(spark, sfDir("0.001"))
+    val fp = TextDedup.nativeSimhashFp(documents)
+    val got = TextDedup.simhashNearDup(documents, fpOpt = Some(fp)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // the retired formulation, restated inline
+    val banded = fp
+      .withColumn("bands", array((0 until 4).map(k =>
+        expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    val a = banded.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
+      col("band_id"), col("band_val"))
+    val b = banded.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
+      col("band_id"), col("band_val"))
+    val want = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .select("id_a", "id_b", "hamming")
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === want, "residual dedup must equal the distinct formulation")
+    assert(got.nonEmpty)
+  }
+
   test("cosine: identity is 1, orthogonal is 0") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),

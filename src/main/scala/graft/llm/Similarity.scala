@@ -222,11 +222,14 @@ object Similarity {
       .withColumn("bucket", VectorOps.lshBucket("embedding", Planes, Dims))
     val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    // no distinct: each vector lives in exactly ONE hyperplane bucket,
+    // so a pair can surface at most once — the dedup shuffle the
+    // multi-band text tiers need has nothing to do here
     val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", VectorOps.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= minCos)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
     TextDedup.propagateMinLabels(pairs)
       .groupBy("comp").agg(count(lit(1)).as("n_vecs"))
       .select(col("comp").as("cluster_id"), col("n_vecs"),

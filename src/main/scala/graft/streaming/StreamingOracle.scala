@@ -310,6 +310,47 @@ object StreamingOracle {
     """SELECT lang, count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS kept_docs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q97 — BOUNDED-STATE streaming dedup: `dropDuplicatesWithinWatermark`
+    * keeps first-seen (user_id, event_type) rows while their state lives
+    * only until the watermark passes `eventTime + delay` — the operator
+    * that fixes q70's honest 100 TB weakness (plain `dropDuplicates`
+    * state grows forever). Under the oracle the gate runs a 60-day
+    * window — beyond the fixture's 30-day span, so no state can expire
+    * and the kept set provably equals plain distinct-first (the
+    * order-invariant surface: distinct users per event type, which
+    * DuckDB recomputes declaratively). The BOUNDED behavior itself —
+    * expired keys re-admitting and `numRowsRemoved > 0` eviction — is
+    * pinned by StreamingSpec with a short-window MemoryStream where
+    * arrival is fully controlled (an expiry boundary inside this
+    * layout's day-file batches would make results depend on batch
+    * geometry, which is exactly what an oracle row must not do). */
+  def streamingDedupTtl(spark: SparkSession, sfDir: String): DataFrame = {
+    val gs = gateSession(spark)
+    val dir = inOrderEventsDir(gs, sfDir)
+    val run = freshRunDir("q97")
+    val result = run.resolve("result").toString
+    // user_id >= 0 excludes the layout's sentinel flush row (user −1) —
+    // a layout artifact, not fixture data the oracle sees
+    val deduped = sourceOver(gs, dir, mft = 1)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("user_id") >= 0)
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    drain {
+      Streams.parquetSink(deduped, result,
+        run.resolve("checkpoint").toString, triggerMs = 0).start()
+    }
+    spark.read.parquet(result)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("first_seen_users"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  private val q97Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS first_seen_users
+      |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- ordered event layouts (q72/q73) ------------------------------------
 
   // Arbitrary fixed epoch for the slice modification times — only the
@@ -854,5 +895,7 @@ object StreamingOracle {
     graft.Q("q93_streaming_forward_asof", (s, d) => streamingStreamAsOfForward(s, d),
       Some(q93Sql)),
     graft.Q("q95_streaming_nearest_asof", (s, d) => streamingStreamAsOfNearest(s, d),
-      Some(q95Sql)))
+      Some(q95Sql)),
+    graft.Q("q97_streaming_dedup_ttl", (s, d) => streamingDedupTtl(s, d),
+      Some(q97Sql)))
 }

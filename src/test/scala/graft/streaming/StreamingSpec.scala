@@ -421,4 +421,38 @@ class StreamingSpec extends SparkSuite {
         s"the run must resolve an index (builds=$builds reuses=$reuses batches=$dataBatches)")
     } finally q.stop()
   }
+
+  test("q97's operator: dropDuplicatesWithinWatermark bounds state — expired keys re-admit") {
+    // the receipt the oracle row cannot carry: with a SHORT window, a
+    // duplicate inside the window drops, the state row EVICTS once the
+    // watermark passes eventTime + delay (numRowsRemoved > 0), and a
+    // re-occurrence after expiry is KEPT AGAIN — bounded state, unlike
+    // plain dropDuplicates whose keys live forever
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+    val name = s"ttl_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:00:05")))
+      q.processAllAvailable() // first kept, in-window dup dropped
+      input.addData((2L, ts("2024-01-01 00:10:00"))) // watermark leaps past expiry
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 00:11:00"))) // k=1 state expired -> re-admitted
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString)).sorted.toSeq
+      assert(rows.count(_._1 == 1L) === 2,
+        s"k=1 must be kept once per expiry window, got $rows")
+      assert(!rows.exists(_ == (1L, "2024-01-01 00:00:05.0")),
+        s"the in-window duplicate must drop: $rows")
+      val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "expired dedup state must be evicted, not retained forever")
+    } finally q.stop()
+  }
 }

@@ -880,7 +880,18 @@ object TextDedup {
     * candidate-stream DISTINCT shuffle AND the two fingerprint
     * re-joins the old shape paid — at 100 TB those were both
     * proportional to the candidate-pair stream, the pipeline's largest
-    * intermediate. */
+    * intermediate.
+    *
+    * Capped-regime semantics, mirrored EXACTLY by the oracle CTE
+    * ([[simhashCtesSql]] applies the same first-agreeing-band CASE over
+    * the capped band rows): when a bucket overflows the cap, a pair
+    * whose first agreeing band was capped away no longer resurfaces
+    * through a later shared band — measured on sf0.1's pile-up fixture
+    * as l48 recall 0.584 vs 0.618 under the old any-surviving-band
+    * DISTINCT. The cap is an explicit recall-for-boundedness trade in
+    * either shape (a pair agreeing only on capped bands was already
+    * lost); the residual moves a sliver more recall into that trade
+    * and removes the pair-stream shuffle in exchange. */
   private[llm] def portableSimhashPairs(fp: DataFrame, maxBucket: Int): DataFrame = {
     val exploded = fp.select(col("doc_id") +:
       (0 until 4).map(k => col(s"b_$k")) :+
@@ -936,9 +947,14 @@ object TextDedup {
        |  SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
        |  FROM ${p}banded0) WHERE rn <= $MaxBucketDefault),
        |${p}cands AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM ${p}banded a JOIN ${p}banded b USING (band_id, band_val)
-       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+       |  JOIN ${p}fp fa ON fa.doc_id = a.doc_id
+       |  JOIN ${p}fp fb ON fb.doc_id = b.doc_id
+       |  WHERE a.doc_id < b.doc_id
+       |    AND band_id = (CASE WHEN fa.b_0 = fb.b_0 THEN 0
+       |                        WHEN fa.b_1 = fb.b_1 THEN 1
+       |                        WHEN fa.b_2 = fb.b_2 THEN 2 ELSE 3 END))""".stripMargin
   }
 
   private lazy val l24Sql = {

@@ -58,6 +58,11 @@ object AsOfStream {
   private def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
 
+  /** Saturating add for timeout arithmetic — a ts near the domain edge
+    * must clamp, not wrap into the past. */
+  private def satAddUs(a: Long, b: Long): Long =
+    if (a > 0 && b > Long.MaxValue - a) Long.MaxValue else a + b
+
   /** `delay` is the watermark delay (e.g. "30 seconds"); results are
     * exact for every left row at-or-above the watermark at its arrival.
     *
@@ -137,7 +142,7 @@ object AsOfStream {
     }
     val wmUs = watermarkUs(state)
     // final once the watermark passes the whole two-sided window
-    val (ready, still) = lefts.partition(l => l.tsUs + tolUs < wmUs)
+    val (ready, still) = lefts.partition(l => satAddUs(l.tsUs, tolUs) < wmUs)
     val rSorted = rights.sortBy(r => (r.tsUs, r.id))
     val out = ready.sortBy(l => (l.tsUs, l.id)).map { l =>
       val inWin = rSorted.filter(r =>
@@ -160,11 +165,11 @@ object AsOfStream {
     } else {
       state.update(AsOfBuf(still, kept))
       if (still.nonEmpty)
-        state.setTimeoutTimestamp((still.map(_.tsUs).min + tolUs) / 1000L + 1L)
+        state.setTimeoutTimestamp(satAddUs(still.map(_.tsUs).min, tolUs) / 1000L + 1L)
       else
         // rights-only: all kept rights are droppable once the watermark
         // passes newest + tolerance — re-fire there so idle keys remove
-        state.setTimeoutTimestamp((kept.map(_.tsUs).max + tolUs) / 1000L + 1L)
+        state.setTimeoutTimestamp(satAddUs(kept.map(_.tsUs).max, tolUs) / 1000L + 1L)
     }
     out.iterator
   }
@@ -181,7 +186,7 @@ object AsOfStream {
     }
     val wmUs = watermarkUs(state)
     // final once the watermark passes the whole admissible window
-    val (ready, still) = lefts.partition(l => l.tsUs + tolUs < wmUs)
+    val (ready, still) = lefts.partition(l => satAddUs(l.tsUs, tolUs) < wmUs)
     val rSorted = rights.sortBy(r => (r.tsUs, r.id))
     val out = ready.sortBy(l => (l.tsUs, l.id)).map { l =>
       val m = rSorted.find(r => r.tsUs >= l.tsUs && r.tsUs <= l.tsUs + tolUs)
@@ -196,7 +201,7 @@ object AsOfStream {
     } else {
       state.update(AsOfBuf(still, kept))
       if (still.nonEmpty)
-        state.setTimeoutTimestamp((still.map(_.tsUs).min + tolUs) / 1000L + 1L)
+        state.setTimeoutTimestamp(satAddUs(still.map(_.tsUs).min, tolUs) / 1000L + 1L)
       else
         // rights-only state is naturally watermark-bounded in forward
         // mode (a right below the watermark can match no future left) —

@@ -153,6 +153,28 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // Salting must be invisible to results on ANY data, not just the q94
+  // fixture: the salted pair set equals the brute-force predicate
+  // evaluation (hence the unsalted join) at a stress bin width.
+  property("salted point-in-interval == brute force on random data") =
+    Prop.forAll(genEvents, genEvents) { (p, iv) =>
+      val pts = toDF(p).select(col("event_id").as("pid"), col("ts").as("pt"))
+      val ivs = toDF(iv).select(col("event_id").as("iid"), col("ts").as("s"),
+        (col("ts") + expr("make_dt_interval(0, 0, cast(event_id % 5 as int), 0)")).as("e"))
+      val got = graft.operators.RangeJoin
+        .pointInIntervalSalted(pts, "pt", ivs, "s", "e", binWidth = 1000000L, saltBuckets = 4)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (for {
+        pr <- p
+        ir <- iv
+        s = ir._2.getTime
+        e = s + (ir._1 % 5) * 60000L
+        if pr._2.getTime >= s && pr._2.getTime < e
+      } yield (pr._1, ir._1))
+      // exact multiset equality: salting must not duplicate a pair either
+      got.sorted.toSeq == expected.sorted.toSeq
+    }
+
   // Binned range join: pair sets must equal the brute-force predicate
   // evaluation at any bin width (1 s here — far smaller than interval
   // lengths, maximizing multi-bin replication and the dedup risk).

@@ -226,6 +226,24 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  test("nearest over a non-arithmetic ts domain fails at plan time with an actionable message") {
+    import spark.implicits._
+    val left = Seq((1L, "b", "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, "a", 1L)).toDF("k", "t", "pay")
+    val ex = intercept[Exception] {
+      graft.operators.AsOfJoin.asofJoinNearest(left, right, "k", "t", Seq("pay"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("nearest") && m.contains("backward/forward")),
+      s"expected the TsMagnitude plan-time error, got: $ex")
+    // and the ordering-only directions still accept string ts domains
+    val bw = graft.operators.AsOfJoin.asofJoinNative(
+      left, right, "k", "t", Seq("pay")).collect()
+    assert(bw.length === 1 && bw(0).getLong(3) === 1L)
+  }
+
   test("nearest (merge mode) is ONE exec and one shuffle per side — not the two-pass composition") {
     // Native since round 11: AsOfMergeState resolves nearest inside the
     // single ordered merge (the backward candidate + the un-consumed

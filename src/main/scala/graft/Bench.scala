@@ -76,9 +76,12 @@ object Bench {
     // completed run's stdout results), and end with a short line (top-15
     // slowest queries) that always fits whole inside the tail window.
     println(fullLine)
-    scala.util.Try(java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // a GRAFT_BENCH_ONLY-filtered dev run must not clobber the full
+    // artifact the driver archives
+    if (only.isEmpty)
+      scala.util.Try(java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(top)},"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

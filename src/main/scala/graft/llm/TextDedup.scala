@@ -845,6 +845,63 @@ object TextDedup {
       |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** l53 — quality-aware CANONICAL selection: one representative per
+    * near-dup component, chosen as the HIGHEST-quality member (l12's
+    * length×diversity score; ties to the smallest doc_id) instead of
+    * l17's greedy-first survivor — the pipeline op that decides which
+    * copy of a crawl duplicate actually enters the training mix.
+    * Singletons are their own canonical. Rolled up per language
+    * (canonical count + decimal-routed mean score). The oracle replays
+    * the same choice declaratively: the portable closure (l26's
+    * component CTE) + the l12 score formula + the same rank — every
+    * stage already oracle-proven on its own, composed here.
+    *
+    * At 100 TB: the rank is a window over components — the same key
+    * clustering the label-propagation output already carries — and the
+    * score is a map-side scalar; nothing new shuffles beyond l26's
+    * machinery. */
+  def canonicalSelection(documents: DataFrame,
+                         sigsOpt: Option[DataFrame] = None,
+                         candsOpt: Option[DataFrame] = None,
+                         labelsOpt: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = labelsOpt.getOrElse(componentLabels(
+      documents, 0.5, MaxBucketDefault, sigsOpt, candsOpt))
+    val lenScore = least(lit(1.0), col("n_chars").cast("double") / lit(500.0))
+    val words = split(col("text"), " ")
+    val diversity = size(array_distinct(words)).cast("double") / size(words)
+    val scored = documents.select(col("doc_id"), col("lang"),
+      (lenScore * lit(0.5) + diversity * lit(0.5)).as("score"))
+    val withComp = scored
+      .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left_outer")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val w = Window.partitionBy("comp").orderBy(col("score").desc, col("doc_id").asc)
+    withComp.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("canonical_docs"),
+        graft.functions.Det.davg(col("score")).as("avg_canonical_score"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  private lazy val l53Sql = reachCtesSql + ",\n" +
+    s"""scored AS (
+       |  SELECT doc_id, lang,
+       |         least(cast(1.0 as double), n_chars/cast(500.0 as double))*cast(0.5 as double)
+       |       + (cast(len(list_distinct(string_split(text, ' '))) as double)
+       |          / len(string_split(text, ' ')))*cast(0.5 as double) AS score
+       |  FROM documents),
+       |comps AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY 1),
+       |canon AS (
+       |  SELECT lang, score,
+       |         row_number() OVER (PARTITION BY comp
+       |                            ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM (SELECT s.doc_id, s.lang, s.score, coalesce(c.comp, s.doc_id) AS comp
+       |        FROM scored s LEFT JOIN comps c ON c.doc_id = s.doc_id))
+       |SELECT lang, count(*) AS canonical_docs,
+       |  ${graft.functions.Det.sqlDavg("score")} AS avg_canonical_score
+       |FROM canon WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** l24 — engine-portable SimHash twin of l03: each distinct token's 64
     * fingerprint bits come from the first 16 hex nibbles of its md5,
     * votes decide each bit's sign, bands are four 16-bit ints rebuilt
@@ -1131,5 +1188,8 @@ object TextDedup {
     Q("l52_simhash_fast_agreement", (s, d) =>
       simhashFastAgreement(Tables.documents(s, d),
         fpOpt = Some(SigStore.nativeSimhash(s, d)),
-        candsOpt = Some(SigStore.portableCands(s, d))), Some(l52Sql)))
+        candsOpt = Some(SigStore.portableCands(s, d))), Some(l52Sql)),
+    Q("l53_canonical_selection", (s, d) =>
+      canonicalSelection(Tables.documents(s, d),
+        labelsOpt = Some(SigStore.compLabels(s, d))), Some(l53Sql)))
 }

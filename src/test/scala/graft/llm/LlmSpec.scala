@@ -22,6 +22,27 @@ class LlmSpec extends SparkSuite {
     assert(r.getAs[Long]("removable_dups") === 1)
   }
 
+  test("canonical selection keeps the highest-quality member per cluster; singletons stand alone") {
+    // docs 1/2/4 form one near-dup component (est-jaccard >= 0.5 links
+    // 1-4 exact and 1-2 near); doc 3 is a singleton. Quality is the l12
+    // score: all texts are short (length term equal at 43-48 chars), so
+    // token diversity decides — doc 3 trivially survives as a
+    // singleton, and within the cluster all members tie on score shape,
+    // so the smallest doc_id (1) wins the tie.
+    val out = TextDedup.canonicalSelection(docs).collect()
+    assert(out.length === 1 && out(0).getString(0) === "en")
+    assert(out(0).getLong(1) === 2, s"one canonical per cluster + singleton: ${out.mkString}")
+    // the per-row choice: rebuild with labels to check WHICH doc survived
+    import org.apache.spark.sql.expressions.Window
+    val labels = TextDedup.componentLabels(docs, 0.5, TextDedup.MaxBucketDefault)
+    val chosen = docs
+      .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left_outer")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .select("doc_id", "comp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chosen(1L) === chosen(2L) && chosen(2L) === chosen(4L), "1/2/4 one cluster")
+    assert(chosen(3L) === 3L, "doc 3 is its own component")
+  }
+
   test("minhash LSH surfaces the near-dup pair with high estimated jaccard") {
     val pairs = TextDedup.minhashNearDup(docs).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("est_jaccard")))

@@ -76,17 +76,31 @@ object AsOfJoin {
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                      valueCols: Seq[String], tieBreak: Option[String] = None,
                      broadcast: Option[Boolean] = None,
-                     direction: String = "backward"): DataFrame = {
+                     direction: String = "backward"): DataFrame =
+    asofJoinNativeKeys(left, right, Seq(key), tsCol, valueCols, tieBreak,
+      broadcast, direction)
+
+  /** Multi-key native as-of — the COMPOSITE-key form ([[AsOfJoinNode]]
+    * carries Seq keys natively): a match requires equality on EVERY
+    * key. Used directly for multi-attribute as-of (entity + region,
+    * user + device) and by [[asofJoinSalted]], whose second key is the
+    * skew salt. */
+  def asofJoinNativeKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         tsCol: String, valueCols: Seq[String],
+                         tieBreak: Option[String] = None,
+                         broadcast: Option[Boolean] = None,
+                         direction: String = "backward"): DataFrame = {
     val dir = graft.plans.AsOfDir.of(direction)
     import org.apache.spark.sql.graft.PlanBridge
     val spark = graft.Tables.configure(left.sparkSession)
     // Align right key/ts types to the left side's (the union-window path
     // gets the same coercion implicitly from unionByName resolution).
+    val keyAliases = keys.zipWithIndex.map { case (k, i) => k -> s"__asof_k$i" }
     val rightProj = right
-      .filter(col(key).isNotNull && col(tsCol).isNotNull)
-      .select(Seq(
-        col(key).cast(left.schema(key).dataType).as("__asof_k"),
-        col(tsCol).cast(left.schema(tsCol).dataType).as("__asof_t")) ++
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .select(keyAliases.map { case (k, a) =>
+        col(k).cast(left.schema(k).dataType).as(a) } ++
+        Seq(col(tsCol).cast(left.schema(tsCol).dataType).as("__asof_t")) ++
         valueCols.map(c => col(c).as(s"asof_$c")): _*)
     val lp = PlanBridge.analyzed(left)
     val rp = PlanBridge.analyzed(rightProj)
@@ -94,11 +108,39 @@ object AsOfJoin {
       sys.error(s"asofJoinNative: no column $n on the left side"))
     def rAttr(n: String) = rp.output.find(_.name == n).get
     val node = graft.plans.AsOfJoinNode(
-      Seq(lAttr(key)), Seq(rAttr("__asof_k")),
+      keys.map(lAttr), keyAliases.map { case (_, a) => rAttr(a) },
       lAttr(tsCol), rAttr("__asof_t"),
       tieBreak.map(c => rAttr(s"asof_$c")).toSeq,
       lp, rp, broadcastHint = broadcast, direction = dir)
-    PlanBridge.ofRows(spark, node).drop("__asof_k", "__asof_t")
+    PlanBridge.ofRows(spark, node)
+      .drop(keyAliases.map(_._2) :+ "__asof_t": _*)
+  }
+
+  /** SALTED as-of for a skewed key — the q49/q50 recipe applied to the
+    * merge exec, which AQE's skew-join splitting does NOT cover (it
+    * rewrites only Spark's own SMJ/SHJ): one hot key would otherwise
+    * land its entire fact slice on one merge partition. Each left row
+    * takes a deterministic salt (hash of the whole row), the right side
+    * replicates onto every salt, and the native as-of runs on the
+    * composite (key, salt) — a left with salt s still sees ALL of its
+    * key's right rows (they exist at every salt), so results are
+    * salt-invariant (AsOfJoinPlanSpec pins equality) while the hot
+    * key's lefts spread across `saltBuckets` merge partitions. Cost:
+    * right side ×saltBuckets in the shuffle — the standard
+    * replicated-dim trade, sized like q50. */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                     valueCols: Seq[String], tieBreak: Option[String] = None,
+                     saltBuckets: Int = 8,
+                     direction: String = "backward"): DataFrame = {
+    val lS = left.withColumn("__asof_salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+    val rS = right.withColumn("__asof_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    // broadcast=false pinned: salting exists for the shuffle-merge path
+    // (a broadcast as-of has no skew problem — the fact never moves)
+    asofJoinNativeKeys(lS, rS, Seq(key, "__asof_salt"), tsCol, valueCols,
+        tieBreak, broadcast = Some(false), direction)
+      .drop("__asof_salt")
   }
 
   /** Ts-domain magnitude for distance arithmetic: timestamps in
@@ -215,7 +257,68 @@ object AsOfJoin {
        |FROM m WHERE rn = 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q98 fixture shape: half of all user ids remapped to ONE hot
+    * key — the bursty-entity regime where a plain merge as-of lands
+    * half the fact on one partition. */
+  private def skewedEvents(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
+      when(col("user_id") % 2 === 0, lit(1234567L))
+        .otherwise(col("user_id")).as("user_id"),
+      col("ts"), col("value"))
+
+  /** q98 — SALTED as-of on the hot-key fixture: each event attributed
+    * to the hot-or-normal user's most recent purchase within 30
+    * minutes, through [[asofJoinSalted]]'s composite (key, salt) merge.
+    * The tolerance bound keeps the declarative oracle's join finite on
+    * the hot key (a purchase more than 30 min back attributes nothing,
+    * exactly like q90); results are salt-invariant
+    * (AsOfJoinPlanSpec pins salted ≡ unsalted row-for-row here). */
+  def skewedAsOfRollup(events: DataFrame): DataFrame = {
+    val ev = skewedEvents(events)
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value").as("pval"))
+    val j = asofJoinSalted(ev.select("event_id", "event_type", "user_id", "ts"),
+      right, "user_id", "ts", Seq("pid", "pval", "ts"), tieBreak = Some("pid"))
+    // the q90 post-pick tolerance null-out, inline over the salted pick
+    val keep = col("asof_ts").isNotNull &&
+      (unix_micros(col("ts")) - unix_micros(col("asof_ts"))) <= 30L * 60 * 1000000L
+    j.select(col("event_type"),
+        when(keep, col("asof_pid")).as("asof_pid"),
+        when(keep, col("asof_pval")).as("asof_pval"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("asof_pid").isNotNull, 1).otherwise(0)).as("attributed_events"),
+        graft.functions.Det.dsum(col("asof_pval")).as("attributed_value"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  private val q98Sql =
+    s"""WITH e2 AS (
+       |  SELECT event_id, event_type,
+       |         CASE WHEN user_id % 2 = 0 THEN 1234567 ELSE user_id END AS user_id,
+       |         ts, value
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, ts, event_id AS pid, value AS pval
+       |  FROM e2 WHERE event_type = 'purchase'),
+       |m AS (
+       |  SELECT e.event_id, e.event_type, p.pid, p.pval,
+       |         row_number() OVER (PARTITION BY e.event_id
+       |                            ORDER BY p.ts DESC, p.pid DESC) AS rn
+       |  FROM e2 e LEFT JOIN p
+       |    ON p.user_id = e.user_id AND p.ts <= e.ts
+       |   AND p.ts >= e.ts - INTERVAL 30 MINUTE)
+       |SELECT event_type, count(*) AS n_events,
+       |  cast(sum(CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS attributed_events,
+       |  ${graft.functions.Det.sqlDsum("pval")} AS attributed_value
+       |FROM m WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("q98_asof_skew_salted", (s, d) =>
+      skewedAsOfRollup(graft.Tables.events(s, d)), Some(q98Sql)),
     graft.Q("q48_asof_join", (s, d) =>
       asofRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)), Some(q48Sql)),
     // Same oracle SQL as q48 on purpose: all three physical shapes —

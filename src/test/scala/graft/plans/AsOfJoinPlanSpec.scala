@@ -226,6 +226,40 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  test("salted as-of == unsalted, row for row, on the hot-key fixture; composite key in the plan") {
+    // AQE's skew-join splitting rewrites only Spark's own SMJ/SHJ, so a
+    // hot as-of key must salt upstream — and salting must be invisible
+    // to results: the right side replicates onto every salt, so a left
+    // at salt s still sees all of its key's rights.
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(
+        when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("event_id").as("pid"))
+    val salted = AsOfJoin.asofJoinSalted(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"), broadcast = Some(false))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(salted.length === plain.length && salted.nonEmpty)
+    salted.zip(plain).foreach { case (a, b) => assert(a === b) }
+    // plan: ONE native exec keyed on the composite (user_id, salt)
+    val df = AsOfJoin.asofJoinSalted(ev, right, "user_id", "ts", Seq("pid"),
+      tieBreak = Some("pid"))
+    val p = finalPlan(df)
+    assert("AsOfJoin \\[".r.findAllIn(p).length === 1, s"one salted exec:\n$p")
+    assert(p.contains("__asof_salt"), s"composite key must carry the salt:\n$p")
+    // and the hot key genuinely spreads: its lefts land on >1 salt
+    val spread = ev.filter(col("user_id") === 1234567L)
+      .withColumn("__s", pmod(xxhash64(ev.columns.map(col): _*), lit(8)))
+      .select("__s").distinct().count()
+    assert(spread >= 6, s"hot key must spread across salts, got $spread of 8")
+  }
+
   test("nearest over a non-arithmetic ts domain fails at plan time with an actionable message") {
     import spark.implicits._
     val left = Seq((1L, "b", "x")).toDF("k", "t", "tag")

@@ -83,7 +83,7 @@ object DocScale100 {
     val probes = Seq(
       "l50_heavy_trigrams", "l51_lm_familiarity",       // fixed-state tier
       "l02_dedup_minhash_lsh", "l03_dedup_simhash",     // dedup tier
-      "l04_ngram_jaccard", "l26_dedup_components",
+      "l04_ngram_jaccard", "l26_dedup_components", "l53_canonical_selection",
       "l36_embed_dup_clusters", "l42_image_neardup")
       .filter(n => wanted.forall(_.exists(n.startsWith)))
     println("query,copies,sec,out_rows")

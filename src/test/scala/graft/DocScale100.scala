@@ -61,8 +61,8 @@ object DocScale100 {
         Files.walk(scratch).sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(f => Files.deleteIfExists(f))
     }))
-    // the 1×/10×/100× rungs; each dir carries only documents — the two
-    // probed queries read nothing else
+    // the 1×/10×/100× rungs; each dir carries documents + embeddings —
+    // everything the probed tier reads
     val rungs: Seq[(Int, String)] = Seq(1, 10, 100).map { c =>
       val d = scratch.resolve(s"x$c").toString
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))

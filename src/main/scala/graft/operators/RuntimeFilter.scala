@@ -204,9 +204,41 @@ object RuntimeFilter {
        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > cast(450000 as double)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q99 — SEMI-JOIN auto-prune: the EXISTS shape (lineitem rows whose
+    * order is urgent high-value — no order columns in the output)
+    * written as a plain `left_semi` join on the rule session; round 11
+    * extended [[graft.plans.AutoBloomPrune]] to LeftSemi, the textbook
+    * semi-join-reduction case, so the fact scan carries the
+    * `might_contain` probe before the shuffle. LeftAnti is pinned
+    * rule-EXEMPT by PlanSpec — a bloom prunes "might match" rows,
+    * which are exactly an anti join's keepers. Oracle: the declarative
+    * EXISTS — the probe changes WORK, never RESULTS. */
+  def semiJoinAutoPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = ruleSession(spark)
+    Tables.lineitem(s, sfDir)
+      .join(buildSide(s, sfDir), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q99Sql =
+    s"""SELECT l_returnflag,
+       | cast(count(*) as bigint) AS n_rows,
+       | ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem l
+       |WHERE EXISTS (SELECT 1 FROM orders o
+       |              WHERE o.o_orderkey = l.l_orderkey
+       |                AND o.o_orderpriority = '1-URGENT'
+       |                AND o.o_totalprice > cast(450000 as double))
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q77_bloom_prune", (s, d) => bloomPrunedRollup(s, d), Some(q77Sql)),
     Q("q79_auto_bloom_prune", (s, d) => autoBloomPrunedRollup(s, d), Some(q77Sql)),
     Q("q81_bloom_partition_prune", (s, d) => bloomPrunedPartitionedRollup(s, d), Some(q81Sql)),
-    Q("q82_multi_dim_bloom_prune", (s, d) => multiDimAutoPruned(s, d), Some(q82Sql)))
+    Q("q82_multi_dim_bloom_prune", (s, d) => multiDimAutoPruned(s, d), Some(q82Sql)),
+    Q("q99_semi_join_bloom_prune", (s, d) => semiJoinAutoPruned(s, d), Some(q99Sql)))
 }

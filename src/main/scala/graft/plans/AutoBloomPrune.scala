@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BloomFilterMightContain, EqualTo, Expression, IsNotNull, Literal, PredicateHelper, ScalarSubquery, XxHash64}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -67,6 +67,19 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(Flag, "false").toBoolean) return plan
     plan.transformUp {
+      // LEFT SEMI (the EXISTS/IN shape) is the textbook semi-join
+      // reduction: output is left rows only, so only the right side can
+      // build and only the left can probe. LEFT ANTI must NEVER fire —
+      // the bloom admits rows that MIGHT match, i.e. it would prune
+      // exactly the non-matching rows an anti join exists to KEEP
+      // (PlanSpec pins the negative).
+      case j @ Join(left, right, LeftSemi, Some(cond), _) =>
+        val candidates = Seq(
+          (right, left, (f: Expression) => j.copy(left = Filter(f, left))))
+          .filter { case (build, probe, _) =>
+            selective(build) && smaller(build, probe)
+          }
+        injectFirst(candidates, cond).getOrElse(j)
       case j @ Join(left, right, Inner, Some(cond), _) =>
         // Candidate orientations: (build, probe, inject). Smaller build
         // side wins when both qualify.
@@ -77,27 +90,32 @@ object AutoBloomPrune extends Rule[LogicalPlan] with PredicateHelper {
             selective(build) && smaller(build, probe)
           }
           .sortBy { case (build, _, _) => build.stats.sizeInBytes }
-        candidates.iterator.flatMap { case (build, probe, inject) =>
-          val pairs = equiKeys(cond, probe, build)
-          if (pairs.isEmpty || alreadyPruned(probe, pairs.map(_._1))) None
-          else {
-            // ALL equi pairs feed one combined-key bloom: a two-key join
-            // (the multi-fact user_key AND time_key shape) probes
-            // xxhash64(k1, k2), which prunes to rows matching BOTH keys
-            // — strictly tighter than any single key. Sound because a
-            // probe row matching the join has exactly the build row's
-            // key tuple, so its combined hash is in the bloom; false
-            // positives (including null-key hash collisions — XxHash64
-            // skips null children) still die at the join itself.
-            val bloomAgg = Aggregate(Nil, Seq(
-              Alias(sizedBloom(pairs.map(_._2), build).toAggregateExpression(),
-                "graft_bloom")()), build)
-            Some(inject(BloomFilterMightContain(
-              ScalarSubquery(bloomAgg), new XxHash64(pairs.map(_._1)))))
-          }
-        }.nextOption().getOrElse(j)
+        injectFirst(candidates, cond).getOrElse(j)
     }
   }
+
+  /** Inject the probe for the first qualifying (build, probe)
+    * orientation. ALL equi pairs feed one combined-key bloom: a two-key
+    * join probes xxhash64(k1, k2), which prunes to rows matching BOTH
+    * keys — strictly tighter than any single key. Sound because a probe
+    * row matching the join has exactly the build row's key tuple, so
+    * its combined hash is in the bloom; false positives (including
+    * null-key hash collisions — XxHash64 skips null children) still die
+    * at the join itself. */
+  private def injectFirst(
+      candidates: Seq[(LogicalPlan, LogicalPlan, Expression => LogicalPlan)],
+      cond: Expression): Option[LogicalPlan] =
+    candidates.iterator.flatMap { case (build, probe, inject) =>
+      val pairs = equiKeys(cond, probe, build)
+      if (pairs.isEmpty || alreadyPruned(probe, pairs.map(_._1))) None
+      else {
+        val bloomAgg = Aggregate(Nil, Seq(
+          Alias(sizedBloom(pairs.map(_._2), build).toAggregateExpression(),
+            "graft_bloom")()), build)
+        Some(inject(BloomFilterMightContain(
+          ScalarSubquery(bloomAgg), new XxHash64(pairs.map(_._1)))))
+      }
+    }.nextOption()
 
   /** Bloom sized from the build side's logical stats — `rowCount` when
     * CBO provides one, else bytes over the declared row width. Without

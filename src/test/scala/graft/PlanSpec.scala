@@ -512,6 +512,36 @@ class PlanSpec extends SparkSuite {
     assert(joined.collect().toSeq === manual.collect().toSeq)
   }
 
+  test("AutoBloomPrune fires on LEFT SEMI (EXISTS) and NEVER on LEFT ANTI") {
+    val s = abpSession
+    import org.apache.spark.sql.functions.{col => c}
+    val sel = Tables.orders(s, sf)
+      .filter(c("o_orderpriority") === "1-URGENT" && c("o_totalprice") > 450000.0)
+      .select("o_orderkey")
+    val fact = Tables.lineitem(s, sf).select("l_orderkey", "l_returnflag")
+    val semi = fact.join(sel, c("l_orderkey") === c("o_orderkey"), "left_semi")
+    val semiOpt = semi.queryExecution.optimizedPlan.toString
+    assert(semiOpt.contains("might_contain"),
+      s"the EXISTS shape must get the semi-join-reduction probe:\n$semiOpt")
+    // row parity with the rule off
+    val plain = Tables.lineitem(spark, sf).select("l_orderkey", "l_returnflag")
+      .join(Tables.orders(spark, sf)
+        .filter(c("o_orderpriority") === "1-URGENT" && c("o_totalprice") > 450000.0)
+        .select("o_orderkey"), c("l_orderkey") === c("o_orderkey"), "left_semi")
+    assert(semi.count() === plain.count())
+    // LEFT ANTI: pruning "might match" rows would drop exactly the rows
+    // the anti join exists to KEEP — the rule must not touch it
+    val anti = fact.join(sel, c("l_orderkey") === c("o_orderkey"), "left_anti")
+    val antiOpt = anti.queryExecution.optimizedPlan.toString
+    assert(!antiOpt.contains("might_contain"),
+      s"a bloom probe on an anti join would drop its keepers:\n$antiOpt")
+    val plainAnti = Tables.lineitem(spark, sf).select("l_orderkey", "l_returnflag")
+      .join(Tables.orders(spark, sf)
+        .filter(c("o_orderpriority") === "1-URGENT" && c("o_totalprice") > 450000.0)
+        .select("o_orderkey"), c("l_orderkey") === c("o_orderkey"), "left_anti")
+    assert(anti.count() === plainAnti.count())
+  }
+
   test("AutoBloomPrune combines a two-key join into ONE combined-key probe") {
     val s = abpSession
     // the multi-fact two-key shape (user_key AND time_key): both equi

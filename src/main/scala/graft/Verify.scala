@@ -57,7 +57,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A GRAFT_VERIFY_ONLY dev run writes its subset map to a suffixed
+    // path so it can never clobber the driver's full oracle_sql.json
+    // (the same guard Bench.scala applies to BENCH_FULL.json).
+    val oracleOut =
+      if (only.isDefined) "oracle_sql.dev.json" else "oracle_sql.json"
+    if (only.isEmpty) // a full run clears any stale dev-subset map
+      Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.dev.json"))
+    Files.writeString(Paths.get(s"$outDir/$oracleOut"), json)
     spark.stop()
   }
 }

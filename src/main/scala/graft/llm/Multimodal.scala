@@ -456,8 +456,11 @@ object Multimodal {
     imageNearDup(spark, media)
   }
 
-  private val l42Sql =
-    """WITH h AS (
+  // The closed-form dHash chain shared by l42 (pair audit) and l54
+  // (cluster rollup). RECURSIVE prefix is harmless for l42 and lets l54
+  // append TextDedup's reachability closure over the `pairs` CTE.
+  private val dhashCtesSql =
+    """WITH RECURSIVE h AS (
       |  SELECT doc_id,
       |    xor((doc_id % 50 * 40503 + 1229) % 65536
       |        + ((doc_id % 50 * 12345 + 6789) % 65536) * 65536
@@ -479,15 +482,47 @@ object Multimodal {
       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
       |         a.dhash AS h_a, b2.dhash AS h_b
       |  FROM b a JOIN b b2 ON a.band_id = b2.band_id AND a.band_val = b2.band_val
-      |  WHERE a.doc_id < b2.doc_id)
-      |SELECT id_a, id_b, cast(bit_count(xor(h_a, h_b)) as int) AS hamming
+      |  WHERE a.doc_id < b2.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand WHERE bit_count(xor(h_a, h_b)) <= 10)""".stripMargin
+
+  private val l42Sql = dhashCtesSql + "\n" +
+    """SELECT id_a, id_b, cast(bit_count(xor(h_a, h_b)) as int) AS hamming
       |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 10
       |ORDER BY hamming, id_a, id_b""".stripMargin
+
+  /** l54 — image near-dup CLUSTER rollup (l26's shape for images): the
+    * l42 pair list is the AUDIT surface, but at 100× duplication it
+    * materializes pairs quadratically in cluster size (DocScale100's 25 M
+    * rows at the 100× rung — Θ(answer), but the answer itself is huge).
+    * A 100 TB pipeline wants the BOUNDED output: connected components
+    * over the same dHash candidate pairs ([[TextDedup.propagateMinLabels]]
+    * — min-label propagation + pointer jumping, one doc-keyed shuffle
+    * per round), rolled up to one row per cluster. Output rows track
+    * CLUSTER COUNT (flat in duplication factor), not pair count. The
+    * oracle replays the identical closure over the closed-form hash
+    * chain (the l26 recursive-CTE pattern on the l42 CTEs). */
+  def synthImageDupClusters(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val pairs = synthImageNearDup(spark, documents).select("id_a", "id_b")
+    TextDedup.propagateMinLabels(pairs)
+      .groupBy("comp").agg(count(lit(1)).as("n_imgs"))
+      .select(col("comp").as("cluster_id"), col("n_imgs"),
+        (col("n_imgs") - 1).as("removable"))
+      .orderBy("cluster_id")
+  }
+
+  private val l54Sql = dhashCtesSql + ",\n" + TextDedup.closureCtesSql + "\n" +
+    """SELECT comp AS cluster_id, count(*) AS n_imgs,
+      |       cast(count(*) - 1 as bigint) AS removable
+      |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("l14_media_meta", (s, d) => mediaMeta(Tables.documents(s, d)), Some(l14Sql)),
     Q("l15_media_decode", (s, d) => synthImageDecode(s, Tables.documents(s, d)), Some(l15Sql)),
     Q("l23_frame_sample_plan", (s, d) => frameSamplePlan(Tables.documents(s, d)), Some(l23Sql)),
     Q("l39_audio_probe", (s, d) => synthAudioProbe(s, Tables.documents(s, d)), Some(l39Sql)),
-    Q("l42_image_neardup", (s, d) => synthImageNearDup(s, Tables.documents(s, d)), Some(l42Sql)))
+    Q("l42_image_neardup", (s, d) => synthImageNearDup(s, Tables.documents(s, d)), Some(l42Sql)),
+    Q("l54_image_dup_clusters", (s, d) =>
+      synthImageDupClusters(s, Tables.documents(s, d)), Some(l54Sql)))
 }

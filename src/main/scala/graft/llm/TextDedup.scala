@@ -42,6 +42,29 @@ object TextDedup {
       .filter(col("__rn") <= maxBucket).drop("__rn")
   }
 
+  /** Per-doc SURVIVAL BITMAP over the capped band rows (round 12): bit k
+    * set iff the doc's band-k row survived [[capBuckets]]. Attached by a
+    * window keyed on doc_id — one shuffle of the ≤4N band rows, bounded
+    * by corpus size, never by the candidate-pair stream. The bitmap lets
+    * the first-agreeing-band residual skip bands where either doc was
+    * capped away, restoring the pre-residual (any-co-surviving-band)
+    * recall without reintroducing the pair DISTINCT: a pair's kept row
+    * is its first band where BOTH survive and the bands agree — exactly
+    * the bands on which the join emits the pair, so exactly one row per
+    * pair survives. */
+  private def withSurvivalMask(capped: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    capped.withColumn("__surv",
+      bit_or(expr("shiftleft(1, band_id)")).over(Window.partitionBy("doc_id")))
+  }
+
+  /** The residual condition: band k is ELIGIBLE for a pair when the
+    * band values agree and both docs' survival bits are set at k. */
+  private def survEligible(k: Int, agree: Column): Column =
+    agree &&
+      (col("a_surv").bitwiseAND(lit(1 << k)) =!= 0) &&
+      (col("b_surv").bitwiseAND(lit(1 << k)) =!= 0)
+
   /** Exact dedup: whitespace-collapse + lowercase + md5. */
   def exactDedupStats(documents: DataFrame): DataFrame = {
     val norm = md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
@@ -190,40 +213,34 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** First band index (0–3) on which two fingerprints agree — defined
-    * whenever the pair co-occurs in SOME band bucket, i.e. on every
-    * band-join output row. */
-  private def firstAgreeingBand(simA: Column, simB: Column): Column =
-    (0 until 4).foldRight(lit(3): Column) { (k, rest) =>
-      if (k == 3) rest
-      else when((shiftright(simA, 16 * k).bitwiseAND(lit(65535L))) ===
-        (shiftright(simB, 16 * k).bitwiseAND(lit(65535L))), lit(k)).otherwise(rest)
-    }
-
   def simhashNearDup(documents: DataFrame,
                      maxBucket: Int = MaxBucketDefault,
                      fpOpt: Option[DataFrame] = None): DataFrame = {
-    val capped = nativeSimhashBanded(
-      fpOpt.getOrElse(graft.CacheScope.manage(nativeSimhashFp(documents).persist())), maxBucket)
+    val capped = withSurvivalMask(nativeSimhashBanded(
+      fpOpt.getOrElse(graft.CacheScope.manage(nativeSimhashFp(documents).persist())), maxBucket))
     val a = capped.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
-      col("band_id"), col("band_val"))
+      col("band_id"), col("band_val"), col("__surv").as("a_surv"))
     val b = capped.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
-      col("band_id"), col("band_val"))
+      col("band_id"), col("band_val"), col("__surv").as("b_surv"))
     // A pair sharing several bands would surface once per shared band;
     // instead of a DISTINCT — a full shuffle of the candidate-pair
     // stream, the dominant cost once a popular band value piles up —
-    // keep the pair only in its FIRST agreeing band, computed per-row
-    // from the two fingerprints (the RangeJoin overlap-start residual
-    // applied to LSH): exact dedup for free inside the join stage, and
-    // the top-k reduces map-side via TakeOrdered. Under an ACTIVE
-    // bucket cap the residual is slightly stricter than the old
-    // distinct (a pair whose first agreeing band was capped away no
-    // longer resurfaces through a later band — the cap is an explicit
-    // recall trade either way, and LlmSpec pins equality on uncapped
-    // corpora).
+    // keep the pair only in its FIRST ELIGIBLE band (bands agree AND
+    // both docs co-survive the bucket cap there — the survival bitmap,
+    // see [[withSurvivalMask]]): exact dedup for free inside the join
+    // stage, the top-k reduces map-side via TakeOrdered, and (round 12)
+    // capped-regime recall equals the retired any-surviving-band
+    // DISTINCT exactly — LlmSpec pins the equality on capped AND
+    // uncapped corpora.
+    def agree(k: Int): Column =
+      (shiftright(col("sim_a"), 16 * k).bitwiseAND(lit(65535L))) ===
+        (shiftright(col("sim_b"), 16 * k).bitwiseAND(lit(65535L)))
+    val firstEligible = (0 until 3).foldRight(lit(3): Column) { (k, rest) =>
+      when(survEligible(k, agree(k)), lit(k)).otherwise(rest)
+    }
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("band_id") === firstAgreeingBand(col("sim_a"), col("sim_b")))
+      .filter(col("band_id") === firstEligible)
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .select("id_a", "id_b", "hamming")
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
@@ -939,30 +956,32 @@ object TextDedup {
     * proportional to the candidate-pair stream, the pipeline's largest
     * intermediate.
     *
-    * Capped-regime semantics, mirrored EXACTLY by the oracle CTE
-    * ([[simhashCtesSql]] applies the same first-agreeing-band CASE over
-    * the capped band rows): when a bucket overflows the cap, a pair
-    * whose first agreeing band was capped away no longer resurfaces
-    * through a later shared band — measured on sf0.1's pile-up fixture
-    * as l48 recall 0.584 vs 0.618 under the old any-surviving-band
-    * DISTINCT. The cap is an explicit recall-for-boundedness trade in
-    * either shape (a pair agreeing only on capped bands was already
-    * lost); the residual moves a sliver more recall into that trade
-    * and removes the pair-stream shuffle in exchange. */
+    * Capped-regime semantics (round 12, mirrored EXACTLY by the oracle
+    * CTE — [[simhashCtesSql]] applies the same survival-bitmap CASE over
+    * the capped band rows): the residual keeps a pair at its first band
+    * where the bands agree AND both docs co-survive the bucket cap
+    * ([[withSurvivalMask]]), so a pair whose first agreeing band was
+    * capped away resurfaces at its first UNCAPPED agreeing band. That
+    * restores the retired DISTINCT's recall EXACTLY (same pair set:
+    * "some co-surviving agreeing band exists"), recovering round 11's
+    * measured sliver (l48 recall 0.584 → 0.618 at sf0.1) while keeping
+    * the pair-stream shuffle deleted — the bitmap costs one corpus-
+    * bounded window over the ≤4N band rows, never a pair-stream pass. */
   private[llm] def portableSimhashPairs(fp: DataFrame, maxBucket: Int): DataFrame = {
     val exploded = fp.select(col("doc_id") +:
       (0 until 4).map(k => col(s"b_$k")) :+
       posexplode(array((0 until 4).map(k => col(s"b_$k")): _*)).as(Seq("band_id", "band_val")): _*)
-    val banded = capBuckets(exploded, Seq("band_id", "band_val"), maxBucket)
+    val banded = withSurvivalMask(capBuckets(exploded, Seq("band_id", "band_val"), maxBucket))
     def side(s: String) = banded.select(
-      Seq(col("doc_id").as(s"id_$s"), col("band_id"), col("band_val")) ++
+      Seq(col("doc_id").as(s"id_$s"), col("band_id"), col("band_val"),
+        col("__surv").as(s"${s}_surv")) ++
         (0 until 4).map(k => col(s"b_$k").as(s"${s}_b_$k")): _*)
-    val firstAgree = (0 until 3).foldRight(lit(3): Column) { (k, rest) =>
-      when(col(s"a_b_$k") === col(s"b_b_$k"), lit(k)).otherwise(rest)
+    val firstEligible = (0 until 3).foldRight(lit(3): Column) { (k, rest) =>
+      when(survEligible(k, col(s"a_b_$k") === col(s"b_b_$k")), lit(k)).otherwise(rest)
     }
     side("a").join(side("b"), Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("band_id") === firstAgree)
+      .filter(col("band_id") === firstEligible)
       .withColumn("hamming", expr(
         (0 until 4).map(k => s"bit_count(a_b_$k ^ b_b_$k)").mkString(" + ")).cast("int"))
       .select("id_a", "id_b", "hamming")
@@ -1003,15 +1022,21 @@ object TextDedup {
        |${p}banded AS (SELECT doc_id, band_id, band_val FROM (
        |  SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
        |  FROM ${p}banded0) WHERE rn <= $MaxBucketDefault),
+       |${p}mask AS (SELECT doc_id, bit_or(1 << band_id) AS surv
+       |            FROM ${p}banded GROUP BY doc_id),
        |${p}cands AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM ${p}banded a JOIN ${p}banded b USING (band_id, band_val)
        |  JOIN ${p}fp fa ON fa.doc_id = a.doc_id
        |  JOIN ${p}fp fb ON fb.doc_id = b.doc_id
+       |  JOIN ${p}mask ma ON ma.doc_id = a.doc_id
+       |  JOIN ${p}mask mb ON mb.doc_id = b.doc_id
        |  WHERE a.doc_id < b.doc_id
-       |    AND band_id = (CASE WHEN fa.b_0 = fb.b_0 THEN 0
-       |                        WHEN fa.b_1 = fb.b_1 THEN 1
-       |                        WHEN fa.b_2 = fb.b_2 THEN 2 ELSE 3 END))""".stripMargin
+       |    AND band_id = (CASE
+       |      WHEN fa.b_0 = fb.b_0 AND (ma.surv & 1) != 0 AND (mb.surv & 1) != 0 THEN 0
+       |      WHEN fa.b_1 = fb.b_1 AND (ma.surv & 2) != 0 AND (mb.surv & 2) != 0 THEN 1
+       |      WHEN fa.b_2 = fb.b_2 AND (ma.surv & 4) != 0 AND (mb.surv & 4) != 0 THEN 2
+       |      ELSE 3 END))""".stripMargin
   }
 
   private lazy val l24Sql = {

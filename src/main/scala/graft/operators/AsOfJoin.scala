@@ -131,9 +131,14 @@ object AsOfJoin {
   def asofJoinSalted(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                      valueCols: Seq[String], tieBreak: Option[String] = None,
                      saltBuckets: Int = 8,
-                     direction: String = "backward"): DataFrame = {
+                     direction: String = "backward",
+                     saltCols: Seq[String] = Nil): DataFrame = {
+    // hash only hash-able columns (maps excluded) or the caller's pick —
+    // see RangeJoin.saltHashCols; the salt just needs even spread, and a
+    // (key, ts, unique-id) pick is cheaper than a wide payload hash
     val lS = left.withColumn("__asof_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(RangeJoin.saltHashCols(left, saltCols): _*),
+        lit(saltBuckets)).cast("int"))
     val rS = right.withColumn("__asof_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     // broadcast=false pinned: salting exists for the shuffle-merge path
@@ -141,6 +146,37 @@ object AsOfJoin {
     asofJoinNativeKeys(lS, rS, Seq(key, "__asof_salt"), tsCol, valueCols,
         tieBreak, broadcast = Some(false), direction)
       .drop("__asof_salt")
+  }
+
+  /** Receipts of the last [[asofJoinAuto]] decision. */
+  final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean)
+  @volatile var lastAutoAsOf: Option[AutoAsOfStats] = None
+
+  /** ENGINE-SELECTED skew handling for the native as-of (round 12,
+    * closing q98's "caller must know their key is hot" gap): a sampled
+    * histogram over the left side's key column measures the hottest
+    * key's share, and the salted composite-(key, salt) merge
+    * ([[asofJoinSalted]]) is applied only when it crosses
+    * `hotShareThreshold` — uniform keys keep the plain native path with
+    * the strategy free to pick broadcast vs merge from its own stats.
+    * Results are identical either way (AsOfJoinPlanSpec pins salted ≡
+    * unsalted); the decision is recorded in [[lastAutoAsOf]]. The stats
+    * pass reads ONE pruned column of the left side — the q08-watermark
+    * scalar-collect pattern, never data. */
+  def asofJoinAuto(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                   valueCols: Seq[String], tieBreak: Option[String] = None,
+                   saltBuckets: Int = 8,
+                   direction: String = "backward",
+                   hotShareThreshold: Double = RangeJoin.HotShareThreshold,
+                   sampleFraction: Double = RangeJoin.StatsSampleFraction): DataFrame = {
+    val share = RangeJoin.hotShare(left, col(key), sampleFraction)
+    val salted = share >= hotShareThreshold
+    lastAutoAsOf = Some(AutoAsOfStats(share, salted))
+    if (salted)
+      asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak, saltBuckets, direction)
+    else
+      asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
+        broadcast = None, direction)
   }
 
   /** Ts-domain magnitude for distance arithmetic: timestamps in
@@ -273,13 +309,20 @@ object AsOfJoin {
     * the hot key (a purchase more than 30 min back attributes nothing,
     * exactly like q90); results are salt-invariant
     * (AsOfJoinPlanSpec pins salted ≡ unsalted row-for-row here). */
-  def skewedAsOfRollup(events: DataFrame): DataFrame = {
+  def skewedAsOfRollup(events: DataFrame, auto: Boolean = false): DataFrame = {
     val ev = skewedEvents(events)
     val right = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),
         col("event_id").as("pid"), col("value").as("pval"))
-    val j = asofJoinSalted(ev.select("event_id", "event_type", "user_id", "ts"),
-      right, "user_id", "ts", Seq("pid", "pval", "ts"), tieBreak = Some("pid"))
+    val lhs = ev.select("event_id", "event_type", "user_id", "ts")
+    // q98 pins the hand-picked salted merge (the measured baseline);
+    // q101 routes through the stats pass, which measures the ~50% hot
+    // key and selects the same salted plan itself
+    val j =
+      if (auto) asofJoinAuto(lhs, right, "user_id", "ts",
+        Seq("pid", "pval", "ts"), tieBreak = Some("pid"))
+      else asofJoinSalted(lhs, right, "user_id", "ts",
+        Seq("pid", "pval", "ts"), tieBreak = Some("pid"))
     // the q90 post-pick tolerance null-out, inline over the salted pick
     val keep = col("asof_ts").isNotNull &&
       (unix_micros(col("ts")) - unix_micros(col("asof_ts"))) <= 30L * 60 * 1000000L
@@ -319,6 +362,8 @@ object AsOfJoin {
   def all: Seq[graft.Q] = Seq(
     graft.Q("q98_asof_skew_salted", (s, d) =>
       skewedAsOfRollup(graft.Tables.events(s, d)), Some(q98Sql)),
+    graft.Q("q101_asof_auto_salt", (s, d) =>
+      skewedAsOfRollup(graft.Tables.events(s, d), auto = true), Some(q98Sql)),
     graft.Q("q48_asof_join", (s, d) =>
       asofRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)), Some(q48Sql)),
     // Same oracle SQL as q48 on purpose: all three physical shapes —

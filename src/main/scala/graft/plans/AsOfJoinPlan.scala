@@ -475,16 +475,25 @@ case class BroadcastAsOfJoinExec(
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"),
+    "indexBuilds" -> SQLMetrics.createMetric(sparkContext,
+      "as-of index builds (group+sort over the broadcast)"),
+    "indexContentReuses" -> SQLMetrics.createMetric(sparkContext,
+      "as-of index content reuses (re-broadcast, same dim bytes)"))
 
   /** The shared lookup (broadcast + per-JVM index + binary search) used
     * by BOTH execution paths — interpreted `doExecute` and the generated
-    * `doConsume` code — so codegen on/off cannot diverge semantically. */
+    * `doConsume` code — so codegen on/off cannot diverge semantically.
+    * Cache size is read from the session conf at plan time
+    * ([[BroadcastAsOfJoinExec.CacheSizeConfKey]], default 4) and the
+    * build/reuse outcomes flow back through the exec's SQL metrics. */
   private def makeLookup(): AsOfBroadcastLookup =
     new AsOfBroadcastLookup(
       right.executeBroadcast[Array[InternalRow]](),
       right.output, rightKeys, rightTs +: rightTieBreak,
-      leftTs.dataType, rightTieBreak.map(_.dataType), direction)
+      leftTs.dataType, rightTieBreak.map(_.dataType), direction,
+      conf.getConfString(BroadcastAsOfJoinExec.CacheSizeConfKey, "4").toInt,
+      longMetric("indexBuilds"), longMetric("indexContentReuses"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -595,7 +604,10 @@ final class AsOfBroadcastLookup(
     rOrderExprs: Seq[Expression], // rightTs +: tieBreaks — sort and search share the row
     tsType: DataType,
     tieTypes: Seq[DataType],
-    direction: AsOfDir) extends Serializable {
+    direction: AsOfDir,
+    cacheSize: Int,
+    buildsMetric: org.apache.spark.sql.execution.metric.SQLMetric,
+    reusesMetric: org.apache.spark.sql.execution.metric.SQLMetric) extends Serializable {
 
   // eager: an unsupported nearest ts domain fails at plan time
   private val mag: TsMagnitude =
@@ -613,10 +625,10 @@ final class AsOfBroadcastLookup(
   // with different key/order expressions (e.g. different tie-breaks over
   // one dim), and an id-only key would serve the first join's index to
   // the second.
-  @transient private lazy val index: BroadcastAsOfJoinExec.AsOfIndex =
-    BroadcastAsOfJoinExec.indexFor(
+  @transient private lazy val index: BroadcastAsOfJoinExec.AsOfIndex = {
+    val (idx, outcome) = BroadcastAsOfJoinExec.indexFor(
       s"${bcast.id}:${rKeyExprs.mkString(",")}|${rOrderExprs.mkString(",")}",
-      bcast.value, (rows: Array[InternalRow]) => {
+      bcast.value, cacheSize, (rows: Array[InternalRow]) => {
       // The build happens ONCE per JVM under the cache lock while every
       // other partition's task waits on it — at a dim just under the
       // broadcast threshold (millions of rows) a naive per-key
@@ -659,6 +671,17 @@ final class AsOfBroadcastLookup(
       }
       built
     })
+    // surface the outcome as SQL metrics on the exec (the JVM-global
+    // AtomicLongs above stay the spec-facing receipts): thrash — an
+    // undersized cache rebuilding per trigger — shows up in the UI as a
+    // growing `indexBuilds` instead of silent wall-clock.
+    outcome match {
+      case BroadcastAsOfJoinExec.BuiltNow => buildsMetric.add(1)
+      case BroadcastAsOfJoinExec.ReusedByContent => reusesMetric.add(1)
+      case _ => ()
+    }
+    idx
+  }
 
   /** Rightmost index with `ts <= lTs`, or −1. A null lTs returns −1:
     * every comparison fails under null-first natural ordering. */
@@ -746,15 +769,31 @@ object BroadcastAsOfJoinExec {
   val indexBuilds = new java.util.concurrent.atomic.AtomicLong()
   val indexContentReuses = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-[[indexFor]] outcomes, reported back so the calling exec can
+    * surface builds/reuses as SQL metrics in the UI/plan receipts. */
+  private[plans] final val HitById = 0
+  private[plans] final val BuiltNow = 1
+  private[plans] final val ReusedByContent = 2
+
+  /** Conf key sizing the per-JVM index cache (round 12 — previously a
+    * hardcoded 4): raise it when >4 distinct as-of broadcasts are live
+    * concurrently, or thrash shows up in the `indexBuilds` metric.
+    * Eviction costs a rebuild, never correctness. */
+  val CacheSizeConfKey = "spark.graft.asof.broadcastIndexCacheSize"
+
+  @volatile private var maxEntries: Int = 4
+  private[plans] def currentMaxEntries: Int = maxEntries
+
   // (broadcast.id + projection signature) → built index; a small LRU
-  // bounded per executor. The index is read-only after construction, so
-  // sharing across partitions and queries is safe; eviction only costs a
-  // rebuild, never correctness. The signature part matters because
-  // ReuseExchange can hand one broadcast to two as-of execs with
-  // different key/order expressions.
+  // bounded per executor (size from CacheSizeConfKey, captured at plan
+  // time and applied on first use). The index is read-only after
+  // construction, so sharing across partitions and queries is safe;
+  // eviction only costs a rebuild, never correctness. The signature part
+  // matters because ReuseExchange can hand one broadcast to two as-of
+  // execs with different key/order expressions.
   private val cache = new java.util.LinkedHashMap[String, Built](8, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, Built]): Boolean =
-      size() > 4
+      size() > maxEntries
   }
 
   /** Bytewise content equality (UnsafeRow.equals is a memcmp); rows the
@@ -789,8 +828,11 @@ object BroadcastAsOfJoinExec {
     * to the existing index (exact reuse — no hashing, no false
     * positives). */
   private[plans] def indexFor(id: String, rows: Array[InternalRow],
-                              build: Array[InternalRow] => AsOfIndex): AsOfIndex =
+                              cacheSize: Int,
+                              build: Array[InternalRow] => AsOfIndex): (AsOfIndex, Int) =
     cache.synchronized {
+      if (cacheSize > 0 && cacheSize != maxEntries) maxEntries = cacheSize
+      var outcome = HitById
       var v = cache.get(id)
       if (v == null) {
         val sig = id.substring(id.indexOf(':') + 1)
@@ -800,15 +842,17 @@ object BroadcastAsOfJoinExec {
           if (e.getKey.substring(e.getKey.indexOf(':') + 1) == sig &&
               sameContent(e.getValue.rows, rows)) {
             indexContentReuses.incrementAndGet()
+            outcome = ReusedByContent
             v = e.getValue
           }
         }
         if (v == null) {
           indexBuilds.incrementAndGet()
+          outcome = BuiltNow
           v = new Built(rows, build(rows))
         }
         cache.put(id, v)
       }
-      v.index
+      (v.index, outcome)
     }
 }

@@ -272,10 +272,12 @@ object AsOfStream {
       else if (horizonUs != Long.MaxValue) {
         // rights-only state: re-fire once the horizon passes the newest
         // kept right, at which point every right evicts and the state
-        // is removed (idle-key cleanup, Spark-join-style)
+        // is removed (idle-key cleanup, Spark-join-style). satAddUs
+        // saturates, so a pathological near-MaxValue right still
+        // registers a (never-firing) timeout instead of silently
+        // skipping the retention contract.
         val newest = kept.map(_.tsUs).max
-        if (newest < Long.MaxValue - horizonUs)
-          state.setTimeoutTimestamp((newest + horizonUs) / 1000L + 1L)
+        state.setTimeoutTimestamp(satAddUs(newest, horizonUs) / 1000L + 1L)
       }
     }
     out.iterator

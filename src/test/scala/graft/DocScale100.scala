@@ -84,7 +84,7 @@ object DocScale100 {
       "l50_heavy_trigrams", "l51_lm_familiarity",       // fixed-state tier
       "l02_dedup_minhash_lsh", "l03_dedup_simhash",     // dedup tier
       "l04_ngram_jaccard", "l26_dedup_components", "l53_canonical_selection",
-      "l36_embed_dup_clusters", "l42_image_neardup")
+      "l36_embed_dup_clusters", "l42_image_neardup", "l54_image_dup_clusters")
       .filter(n => wanted.forall(_.exists(n.startsWith)))
     println("query,copies,sec,out_rows")
     for (name <- probes; (c, dir) <- rungs) {

@@ -452,6 +452,27 @@ class PlanSpec extends SparkSuite {
       s"storage round-trip + union must be the identity on HLL state: $merged vs $direct")
   }
 
+  test("q102: the STREAM-maintained sketch store equals the batch-built one, estimate for estimate") {
+    // the incremental path — per-batch partial sketches merged into the
+    // stored table by day across real micro-batches — must land on the
+    // SAME register state as the batch build (HLL union is an
+    // elementwise max, invariant to slicing), so the weekly estimates
+    // from both stores must be EQUAL, not merely both within ±10%
+    val out = graft.streaming.StreamingOracle.streamingSketchMaintain(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(2)),
+      s"approx_ok must hold on the stream-maintained store: ${out.mkString}")
+    graft.sources.PartitionedLayout.sketchTableRollup(spark, sf).collect()
+    val streamed = graft.sources.PartitionedLayout
+      .mergedWeeklyEstimates(spark,
+        graft.streaming.StreamingOracle.lastSketchStoreDir.get)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.sources.PartitionedLayout
+      .mergedWeeklyEstimates(spark, graft.sources.PartitionedLayout.sketchTableDir(sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      s"stream-maintained store must equal the batch build: $streamed vs $batch")
+  }
+
   // a session with the AutoBloomPrune flag on (the q79 gate-session
   // pattern) — the caller's `spark` never sees the flag
   private def abpSession = graft.SessionClones.cloned("plan-spec-abp", spark) { s =>

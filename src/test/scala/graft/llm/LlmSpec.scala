@@ -99,6 +99,51 @@ class LlmSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("capped regime: survival-bitmap residual == the capped DISTINCT pair set (recall restored)") {
+    // round 12: under an ACTIVE bucket cap the first-ELIGIBLE-band
+    // residual (bands agree + both docs co-survive, via the survival
+    // bitmap) must equal the any-co-surviving-band DISTINCT exactly —
+    // the recall round 11's plain first-agreeing-band residual traded
+    // away. Tiny cap on the real fixture so the cap genuinely bites.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val documents = graft.Tables.documents(spark, sfDir("0.001"))
+    val fp = TextDedup.nativeSimhashFp(documents)
+    val cap = 2
+    val banded0 = fp
+      .withColumn("bands", array((0 until 4).map(k =>
+        expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    // the cap must actually cut rows, or this test proves nothing
+    val cut = banded0.withColumn("rn", row_number().over(
+        Window.partitionBy("band_id", "band_val").orderBy("doc_id")))
+      .filter(col("rn") > cap).count()
+    assert(cut > 0, s"fixture must overflow the cap=$cap buckets")
+
+    val got = TextDedup.simhashNearDup(documents, maxBucket = cap, fpOpt = Some(fp))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // reference: capped band rows, DISTINCT over all co-surviving pairs
+    val capped = banded0.withColumn("rn", row_number().over(
+        Window.partitionBy("band_id", "band_val").orderBy("doc_id")))
+      .filter(col("rn") <= cap).drop("rn")
+    val a = capped.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
+      col("band_id"), col("band_val"))
+    val b = capped.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
+      col("band_id"), col("band_val"))
+    val want = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .select("id_a", "id_b", "hamming")
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === want,
+      "capped survival-bitmap residual must equal the capped DISTINCT pair set")
+    assert(got.nonEmpty)
+  }
+
   test("cosine: identity is 1, orthogonal is 0") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),

@@ -161,6 +161,46 @@ class RangeJoinSpec extends SparkSuite {
     assert(saltSpread >= 6, s"hot bin must spread across salts, got $saltSpread of 8")
   }
 
+  test("q100 auto path: salt APPLIED on the bursty fixture, ABSENT on the uniform one, width from the p95") {
+    val ev = Tables.events(spark, sf)
+    val pts = ev.select(col("event_id"), col("ts"), col("value"))
+
+    // bursty windows (the q94 fixture): the stats pass must measure the
+    // hot bin and pick the salted plan — and the rows must equal the
+    // hand-picked salted variant's
+    val skew = RangeJoin.skewedWindows(ev)
+    val auto = RangeJoin.pointInIntervalAuto(pts, "ts", skew, "w_start", "w_end")
+    val autoRows = auto.select("event_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dec = RangeJoin.lastAutoRange.get
+    assert(dec.salted, s"auto must select the salted plan on the bursty fixture ($dec)")
+    assert(dec.hotBinShare >= 0.4, s"measured hot-bin share must reflect the burst ($dec)")
+    val hand = RangeJoin.pointInIntervalSalted(pts, "ts", skew, "w_start", "w_end")
+      .select("event_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(autoRows === hand, "auto-salted rows must equal the hand-picked salted variant")
+
+    // uniform windows (the q88 fixture): no salt, width near the p95
+    // window length (1–7 min windows → p95 within [6, 7] minutes)
+    val uni = RangeJoin.purchaseWindows(ev)
+    val auto2 = RangeJoin.pointInIntervalAuto(pts, "ts", uni, "w_start", "w_end")
+    val auto2Rows = auto2.select("event_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dec2 = RangeJoin.lastAutoRange.get
+    assert(!dec2.salted, s"auto must keep the plain plan on uniform windows ($dec2)")
+    val minute = 60L * 1000 * 1000
+    assert(dec2.binWidth >= 6 * minute && dec2.binWidth <= 7 * minute,
+      s"auto width must track the p95 window length, got ${dec2.binWidth}")
+    val plain = RangeJoin.pointInInterval(pts, "ts", uni, "w_start", "w_end")
+      .select("event_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(auto2Rows === plain, "auto-unsalted rows must equal the plain variant")
+
+    // plan receipts: the chosen width appears literally in the plan
+    assert(auto2.queryExecution.optimizedPlan.toString.contains(dec2.binWidth.toString),
+      "the chosen width must be visible in the plan")
+  }
+
   test("an interval spanning more than MaxBinsPerInterval bins fails fast with an actionable message") {
     import spark.implicits._
     // one year at 1 µs bins ≈ 3e13 bins — unguarded this would try to

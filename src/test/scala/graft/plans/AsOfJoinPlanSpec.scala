@@ -260,6 +260,84 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(spread >= 6, s"hot key must spread across salts, got $spread of 8")
   }
 
+  test("broadcast-index cache honors its size conf and reports builds/reuses as SQL metrics") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val s = graft.SessionClones.cloned("asof-cache-conf", spark) { c =>
+      c.conf.set(BroadcastAsOfJoinExec.CacheSizeConfKey, "7")
+    }
+    // fresh, content-unique dim (the nanoTime payload can match no prior
+    // cached index) → this run must record exactly one BUILD on the exec
+    val salt = System.nanoTime()
+    val left = s.createDataFrame(Seq((1L, 10L), (2L, 20L))).toDF("k", "t")
+    val right = s.createDataFrame(Seq((1L, 5L, salt), (2L, 15L, salt + 1)))
+      .toDF("k", "t", "pay")
+    val df = graft.operators.AsOfJoin.asofJoinNative(
+      left, right, "k", "t", Seq("pay"), broadcast = Some(true))
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // QueryStageExec nodes are leaves to TreeNode.collect — descend into
+    // their materialized plans explicitly
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: deep(q.plan)
+      case _ => p +: p.children.flatMap(deep)
+    }
+    val execs = deep(plan).collect { case b: BroadcastAsOfJoinExec => b }
+    assert(execs.nonEmpty, s"expected BroadcastAsOfJoinExec in:\n$plan")
+    val m = execs.head.metrics
+    assert(m.contains("indexBuilds") && m.contains("indexContentReuses"),
+      "the exec must expose the cache receipts as SQL metrics")
+    assert(m("indexBuilds").value === 1L,
+      s"a content-unique dim must build exactly once, got ${m("indexBuilds").value}")
+    assert(BroadcastAsOfJoinExec.currentMaxEntries === 7,
+      s"cache size conf must be honored, got ${BroadcastAsOfJoinExec.currentMaxEntries}")
+  }
+
+  test("q101 auto as-of: salt APPLIED on the hot-key fixture, ABSENT on uniform keys, rows invariant") {
+    // hot-key fixture (q98's shape): half the users remapped to one key
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(
+        when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("event_id").as("pid"))
+    val auto = AsOfJoin.asofJoinAuto(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    val dec = AsOfJoin.lastAutoAsOf.get
+    assert(dec.salted, s"auto must salt the hot-key fixture ($dec)")
+    assert(dec.hotKeyShare >= 0.4, s"measured share must reflect the hot key ($dec)")
+    val hand = AsOfJoin.asofJoinSalted(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(auto.length === hand.length && auto.nonEmpty)
+    auto.zip(hand).foreach { case (a, b) => assert(a === b) }
+
+    // uniform keys (the raw fixture): the stats pass must keep the
+    // plain native path — no salt exec, no right-side replication
+    val evU = Tables.events(spark, sf).select("event_id", "event_type", "user_id", "ts")
+    val rightU = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val autoU = AsOfJoin.asofJoinAuto(evU, rightU, "user_id", "ts", Seq("pid"),
+      tieBreak = Some("pid"))
+    val decU = AsOfJoin.lastAutoAsOf.get
+    assert(!decU.salted, s"auto must not salt uniform keys ($decU)")
+    assert(!finalPlan(autoU).contains("__asof_salt"),
+      "the uniform plan must carry no salt machinery")
+    val plainU = AsOfJoin.asofJoinNative(evU, rightU, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    val autoURows = autoU
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(autoURows.length === plainU.length && autoURows.nonEmpty)
+    autoURows.zip(plainU).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("nearest over a non-arithmetic ts domain fails at plan time with an actionable message") {
     import spark.implicits._
     val left = Seq((1L, "b", "x")).toDF("k", "t", "tag")

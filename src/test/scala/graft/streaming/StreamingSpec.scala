@@ -455,4 +455,50 @@ class StreamingSpec extends SparkSuite {
       assert(removed > 0, "expired dedup state must be evicted, not retained forever")
     } finally q.stop()
   }
+
+  test("trigger budget: every streaming gate stays within its pinned micro-batch count") {
+    // The streaming block's cost is ~linear in trigger count (~0.48 s
+    // start + ~0.25 s/trigger commit bookkeeping, measured round 11), so
+    // the budget below IS the block's floor contract: a gate or refactor
+    // that quietly adds triggers fails here instead of silently
+    // regrowing the bench block. Budgets are the measured round-12
+    // counts (distinct batch ids from each run's own progress metrics),
+    // scale-invariant by construction (mftFor targets 2 data batches
+    // whatever the layout's file count; the ordered layouts pin their
+    // slicing explicitly).
+    val sf = sfDir("0.001")
+    val budget = Map(
+      "q68" -> 2, "q69" -> 2, "q70" -> 2, "q72" -> 4, "q73" -> 3,
+      "q74" -> 3, "q85" -> 2, "q91" -> 2, "q92" -> 3, "q93" -> 3,
+      "q95" -> 3, "q97" -> 3, "q102" -> 2)
+    val run: Map[String, () => Unit] = Map(
+      "q68" -> (() => StreamingOracle.streamingWindowRollup(spark, sf)),
+      "q69" -> (() => StreamingOracle.streamingFunnelSummary(spark, sf)),
+      "q70" -> (() => StreamingOracle.streamingDedupStats(spark, sf)),
+      "q72" -> (() => StreamingOracle.streamingLateWindowRollup(spark, sf)),
+      "q73" -> (() => StreamingOracle.streamingSessionRollup(spark, sf)),
+      "q74" -> (() => StreamingOracle.streamingClickAttribution(spark, sf)),
+      "q85" -> (() => StreamingOracle.streamingAsOfEnrich(spark, sf)),
+      "q91" -> (() => StreamingOracle.streamingRangeAttribution(spark, sf)),
+      "q92" -> (() => StreamingOracle.streamingStreamAsOf(spark, sf)),
+      "q93" -> (() => StreamingOracle.streamingStreamAsOfForward(spark, sf)),
+      "q95" -> (() => StreamingOracle.streamingStreamAsOfNearest(spark, sf)),
+      "q97" -> (() => StreamingOracle.streamingDedupTtl(spark, sf)),
+      "q102" -> (() => StreamingOracle.streamingSketchMaintain(spark, sf)))
+    // the stream executes inside each gate function (drain records the
+    // count); earlier tests may have populated some gates already
+    budget.keys.toSeq.sorted.foreach { g =>
+      if (!StreamingOracle.triggerCounts.containsKey(g)) run(g)()
+    }
+    budget.toSeq.sortBy(_._1).foreach { case (g, b) =>
+      val got = StreamingOracle.triggerCounts.get(g)
+      assert(got <= b,
+        s"$g ran $got triggers against a budget of $b - each extra trigger " +
+          "regrows the streaming block by ~0.25 s; if intentional, re-measure " +
+          "and move the budget WITH a PLANS note")
+    }
+    val total = budget.keys.map(StreamingOracle.triggerCounts.get(_)).sum
+    assert(total <= budget.values.sum,
+      s"streaming block total $total exceeds the ${budget.values.sum}-trigger budget")
+  }
 }

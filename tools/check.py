@@ -40,7 +40,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # A GRAFT_VERIFY_ONLY dev run writes its subset to oracle_sql.dev.json
+    # (full runs delete it), so prefer that when present.
+    dev = Path(out_dir) / "oracle_sql.dev.json"
+    oracle_path = dev if dev.exists() else Path(out_dir) / "oracle_sql.json"
+    oracle = json.loads(oracle_path.read_text())
     n_pass = n_fail = 0
     for name in sorted(oracle):
         spark_dir = Path(out_dir) / name
@@ -73,6 +77,13 @@ def main(sf_dir: str, out_dir: str) -> int:
                 n_fail += 1
     # queries with no oracle: rows-only
     all_out = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    if dev.exists():  # dev subset: ignore stale outputs outside the filter
+        import os
+        prefixes = [p for p in os.environ.get("GRAFT_VERIFY_ONLY", "").split(",")
+                    if p.strip()]
+        if prefixes:
+            all_out = {n for n in all_out
+                       if any(n.startswith(p.strip()) for p in prefixes)}
     for name in sorted(all_out - set(oracle)):
         n = len(con.execute(f"SELECT 1 FROM '{Path(out_dir)/name}/*.parquet'").df())
         status = "PASS" if n > 0 else "FAIL"

@@ -149,31 +149,60 @@ object AsOfJoin {
   }
 
   /** Receipts of the last [[asofJoinAuto]] decision. */
-  final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean)
+  final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean,
+                                 hotKeys: Seq[Any] = Nil)
   @volatile var lastAutoAsOf: Option[AutoAsOfStats] = None
+
+  /** [[asofJoinSalted]] applied ONLY to the listed hot keys — the
+    * per-key form, and the shape that matters at 100 TB: the global
+    * variant replicates the WHOLE right side `saltBuckets`×, where a
+    * hot entity only needs its own rights replicated (a handful of
+    * rows' keys out of millions). As-of is per-key independent, so
+    * splitting both sides by key membership and unioning the two joins
+    * is row-identical by construction: hot keys run the composite
+    * (key, salt) merge, everything else the plain native path. A left
+    * row with a NULL key routes to the cold branch, where the native
+    * exec gives it the null payload the contract requires. */
+  def asofJoinSaltedPartial(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                            valueCols: Seq[String], hotKeys: Seq[Any],
+                            tieBreak: Option[String] = None,
+                            saltBuckets: Int = 8,
+                            direction: String = "backward",
+                            saltCols: Seq[String] = Nil): DataFrame = {
+    require(hotKeys.nonEmpty, "partial salting needs a non-empty hot-key list")
+    val isHot = col(key).isin(hotKeys: _*)
+    val hotPart = asofJoinSalted(left.filter(isHot), right.filter(isHot),
+      key, tsCol, valueCols, tieBreak, saltBuckets, direction, saltCols)
+    val coldPart = asofJoinNative(
+      left.filter(col(key).isNull || !isHot), right.filter(!isHot),
+      key, tsCol, valueCols, tieBreak, broadcast = Some(false), direction)
+    hotPart.unionByName(coldPart)
+  }
+
 
   /** ENGINE-SELECTED skew handling for the native as-of (round 12,
     * closing q98's "caller must know their key is hot" gap): a sampled
-    * histogram over the left side's key column measures the hottest
-    * key's share, and the salted composite-(key, salt) merge
-    * ([[asofJoinSalted]]) is applied only when it crosses
-    * `hotShareThreshold` — uniform keys keep the plain native path with
-    * the strategy free to pick broadcast vs merge from its own stats.
-    * Results are identical either way (AsOfJoinPlanSpec pins salted ≡
+    * histogram over the left side's key column flags the keys whose
+    * share crosses `hotShareThreshold`, and ONLY those run the salted
+    * composite-(key, salt) merge ([[asofJoinSaltedPartial]]) — uniform
+    * keys keep the plain native path with the strategy free to pick
+    * broadcast vs merge from its own stats, and a skewed workload pays
+    * right-side replication only for its hot keys' rows. Results are
+    * identical in every regime (AsOfJoinPlanSpec pins auto ≡ salted ≡
     * unsalted); the decision is recorded in [[lastAutoAsOf]]. The stats
     * pass reads ONE pruned column of the left side — the q08-watermark
-    * scalar-collect pattern, never data. */
+    * scalar-collect pattern, bounded metadata, never data. */
   def asofJoinAuto(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                    valueCols: Seq[String], tieBreak: Option[String] = None,
                    saltBuckets: Int = 8,
                    direction: String = "backward",
                    hotShareThreshold: Double = RangeJoin.HotShareThreshold,
                    sampleFraction: Double = RangeJoin.StatsSampleFraction): DataFrame = {
-    val share = RangeJoin.hotShare(left, col(key), sampleFraction)
-    val salted = share >= hotShareThreshold
-    lastAutoAsOf = Some(AutoAsOfStats(share, salted))
-    if (salted)
-      asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak, saltBuckets, direction)
+    val (hot, share) = RangeJoin.hotValues(left, col(key), sampleFraction, hotShareThreshold)
+    lastAutoAsOf = Some(AutoAsOfStats(share, hot.nonEmpty, hot))
+    if (hot.nonEmpty)
+      asofJoinSaltedPartial(left, right, key, tsCol, valueCols, hot,
+        tieBreak, saltBuckets, direction)
     else
       asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
         broadcast = None, direction)

@@ -202,7 +202,8 @@ object RangeJoin {
   /** Receipts of the last [[pointInIntervalAuto]] /
     * [[intervalOverlapAuto]] decision — the chosen width also appears
     * verbatim in the plan (the `pmod(ts, width)` literal). */
-  final case class AutoRangeStats(binWidth: Long, hotBinShare: Double, salted: Boolean)
+  final case class AutoRangeStats(binWidth: Long, hotBinShare: Double,
+                                  salted: Boolean, hotBins: Seq[Any] = Nil)
   @volatile var lastAutoRange: Option[AutoRangeStats] = None
 
   /** Hottest-bin/key concentration above which the salted plan is
@@ -215,17 +216,28 @@ object RangeJoin {
     * is unmissable, a small multiple of the narrow column's scan cost. */
   val StatsSampleFraction: Double = 0.2
 
-  /** Sampled share of the hottest non-null value of `keyCol` in `df`
-    * (0.0 on an empty sample). Deterministic seed — reproducible plans. */
-  private[operators] def hotShare(df: DataFrame, keyCol: Column,
-                                  sampleFraction: Double): Double = {
+  /** Sampled hot-value histogram of `keyCol` in `df`: the values whose
+    * share crosses `threshold` (at most ⌈1/threshold⌉ of them — the
+    * collect is bounded metadata, like the q08 watermark scalar) plus
+    * the hottest single share. Deterministic seed — reproducible plans.
+    * Returns (Nil, 0.0) on an empty sample. */
+  private[operators] def hotValues(df: DataFrame, keyCol: Column,
+                                   sampleFraction: Double,
+                                   threshold: Double): (Seq[Any], Double) = {
     val base = df.select(keyCol.as("__k")).filter(col("__k").isNotNull)
     val s = if (sampleFraction >= 1.0) base
             else base.sample(withReplacement = false, sampleFraction, 42L)
-    val r = s.groupBy("__k").count()
-      .agg(max("count").as("mx"), sum("count").as("tot")).head()
-    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
-    else r.getLong(0).toDouble / r.getLong(1)
+    val counts = s.groupBy("__k").count().persist()
+    try {
+      val r = counts.agg(max("count").as("mx"), sum("count").as("tot")).head()
+      if (r.isNullAt(1) || r.getLong(1) == 0L) (Nil, 0.0)
+      else {
+        val tot = r.getLong(1)
+        val hot = counts.filter(col("count") >= lit(threshold * tot))
+          .select("__k").collect().map(_.get(0)).toSeq
+        (hot, r.getLong(0).toDouble / tot)
+      }
+    } finally { counts.unpersist(); () }
   }
 
   /** Engine-chosen bin width: the sampled p95 interval length (the
@@ -244,11 +256,49 @@ object RangeJoin {
     if (r.isNullAt(0)) DefaultBinMicros else math.max(1L, r.getLong(0))
   }
 
+  /** [[pointInInterval]] with the salt applied ONLY inside the listed
+    * hot bins — the per-bin form of [[pointInIntervalSalted]] and the
+    * shape a 100 TB burst actually wants: the global variant replicates
+    * EVERY point `saltBuckets`×, where the burst only needs the hot
+    * bins' points replicated (typically a sliver of the fact — one
+    * incident window out of months of data). Exactness: a (point,
+    * interval) pair meets in exactly ONE bin — the point's — so routing
+    * by that bin's hotness partitions the pair space between the two
+    * branches; the salted branch repeats the q94 argument per hot bin.
+    * Null-bin rows match nothing in either branch, exactly like the
+    * plain equi-join. */
+  def pointInIntervalSaltedPartial(points: DataFrame, pointCol: String,
+                                   intervals: DataFrame, startCol: String, endCol: String,
+                                   hotBins: Seq[Any],
+                                   binWidth: Long = DefaultBinMicros,
+                                   saltBuckets: Int = 8,
+                                   saltCols: Seq[String] = Nil): DataFrame = {
+    require(hotBins.nonEmpty, "partial salting needs a non-empty hot-bin list")
+    val pts = points.withColumn("__bin", binIdx(magnitude(points, pointCol), binWidth))
+    val ivs = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn("__bin", intervalBins(intervals, startCol, endCol, binWidth))
+    val hot = col("__bin").isin(hotBins: _*)
+    val plainPart = pts.filter(!hot).join(ivs.filter(!hot), Seq("__bin"))
+    val saltedPart = pts.filter(hot)
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .join(ivs.filter(hot).withColumn("__salt",
+        pmod(xxhash64(saltHashCols(intervals, saltCols): _*), lit(saltBuckets))
+          .cast("int")),
+        Seq("__bin", "__salt"))
+      .drop("__salt")
+    plainPart.unionByName(saltedPart)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+
   /** [[pointInInterval]] with BOTH knobs engine-selected: bin width from
-    * the sampled p95 interval length, and the salted plan applied only
-    * when the sampled hottest-bin share crosses `hotShareThreshold` —
-    * uniform data keeps the plain (cheaper) plan. Results are identical
-    * either way; the decision is recorded in [[lastAutoRange]]. */
+    * the sampled p95 interval length, and the salt applied only to the
+    * BINS the stats pass flags hot (share ≥ `hotShareThreshold`) —
+    * uniform data keeps the plain (cheaper) plan, a burst salts just
+    * its own bins ([[pointInIntervalSaltedPartial]]). Results are
+    * identical in all three regimes; the decision is recorded in
+    * [[lastAutoRange]]. */
   def pointInIntervalAuto(points: DataFrame, pointCol: String,
                           intervals: DataFrame, startCol: String, endCol: String,
                           binWidth: Option[Long] = None,
@@ -256,14 +306,16 @@ object RangeJoin {
                           hotShareThreshold: Double = HotShareThreshold,
                           sampleFraction: Double = StatsSampleFraction): DataFrame = {
     val w = binWidth.getOrElse(autoBinWidth(intervals, startCol, endCol, sampleFraction))
-    // the hot-bin histogram keys on the interval START's bin — the bin
-    // the whole burst shares when intervals pile on one instant
-    val share = hotShare(intervals.filter(col(startCol) < col(endCol)),
-      binIdx(magnitude(intervals, startCol), w), sampleFraction)
-    val salted = share >= hotShareThreshold
-    lastAutoRange = Some(AutoRangeStats(w, share, salted))
-    if (salted)
-      pointInIntervalSalted(points, pointCol, intervals, startCol, endCol, w, saltBuckets)
+    // the hot-bin histogram keys on the interval side's EXPLODED bins —
+    // the actual distribution of the equi-join key, so it catches both
+    // a pile-up of starts (the burst) and long intervals stacking over
+    // one bin; the sampled explode is ~k rows per sampled interval
+    val (hot, share) = hotValues(intervals.filter(col(startCol) < col(endCol)),
+      intervalBins(intervals, startCol, endCol, w), sampleFraction, hotShareThreshold)
+    lastAutoRange = Some(AutoRangeStats(w, share, hot.nonEmpty, hot))
+    if (hot.nonEmpty)
+      pointInIntervalSaltedPartial(points, pointCol, intervals, startCol, endCol,
+        hot, w, saltBuckets)
     else
       pointInInterval(points, pointCol, intervals, startCol, endCol, w)
   }

@@ -312,6 +312,10 @@ class AsOfJoinPlanSpec extends SparkSuite {
     val dec = AsOfJoin.lastAutoAsOf.get
     assert(dec.salted, s"auto must salt the hot-key fixture ($dec)")
     assert(dec.hotKeyShare >= 0.4, s"measured share must reflect the hot key ($dec)")
+    // PARTIAL salting: only the one hot key is flagged — its rights
+    // replicate, every other key rides the plain merge branch
+    assert(dec.hotKeys === Seq(1234567L),
+      s"exactly the hot key must be flagged for salting ($dec)")
     val hand = AsOfJoin.asofJoinSalted(ev, right, "user_id", "ts", Seq("pid"),
         tieBreak = Some("pid"))
       .select("event_id", "asof_pid").orderBy("event_id").collect()

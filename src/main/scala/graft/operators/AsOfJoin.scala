@@ -148,9 +148,11 @@ object AsOfJoin {
       .drop("__asof_salt")
   }
 
-  /** Receipts of the last [[asofJoinAuto]] decision. */
+  /** Receipts of the last [[asofJoinAuto]] decision; `mode` as in
+    * [[RangeJoin.AutoRangeStats]]. */
   final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean,
-                                 hotKeys: Seq[Any] = Nil)
+                                 hotKeys: Seq[Any] = Nil,
+                                 mode: String = "plain")
   @volatile var lastAutoAsOf: Option[AutoAsOfStats] = None
 
   /** [[asofJoinSalted]] applied ONLY to the listed hot keys — the
@@ -198,14 +200,26 @@ object AsOfJoin {
                    direction: String = "backward",
                    hotShareThreshold: Double = RangeJoin.HotShareThreshold,
                    sampleFraction: Double = RangeJoin.StatsSampleFraction): DataFrame = {
-    val (hot, share) = RangeJoin.hotValues(left, col(key), sampleFraction, hotShareThreshold)
-    lastAutoAsOf = Some(AutoAsOfStats(share, hot.nonEmpty, hot))
-    if (hot.nonEmpty)
-      asofJoinSaltedPartial(left, right, key, tsCol, valueCols, hot,
-        tieBreak, saltBuckets, direction)
-    else
-      asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
-        broadcast = None, direction)
+    val stats = RangeJoin.hotValues(left, col(key), sampleFraction, hotShareThreshold)
+    // the same three-way ladder as the range join: plain when uniform,
+    // per-key partial for a thin hot slice, one globally salted merge
+    // when the hot keys own most of the fact (the partial split's
+    // second exec then buys nothing — see RangeJoin.GlobalSaltCutover)
+    val mode =
+      if (stats.hot.isEmpty) "plain"
+      else if (stats.hotSumShare >= RangeJoin.GlobalSaltCutover) "global"
+      else "partial"
+    lastAutoAsOf = Some(AutoAsOfStats(stats.maxShare, mode != "plain", stats.hot, mode))
+    mode match {
+      case "global" =>
+        asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak, saltBuckets, direction)
+      case "partial" =>
+        asofJoinSaltedPartial(left, right, key, tsCol, valueCols, stats.hot,
+          tieBreak, saltBuckets, direction)
+      case _ =>
+        asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
+          broadcast = None, direction)
+    }
   }
 
   /** Ts-domain magnitude for distance arithmetic: timestamps in

@@ -202,8 +202,12 @@ object RangeJoin {
   /** Receipts of the last [[pointInIntervalAuto]] /
     * [[intervalOverlapAuto]] decision — the chosen width also appears
     * verbatim in the plan (the `pmod(ts, width)` literal). */
+  /** `mode`: "plain" (no hot bin), "partial" (only hot bins salted), or
+    * "global" (hot bins own ≥ [[GlobalSaltCutover]] of the join — one
+    * uniformly salted exec); `salted` = mode != plain. */
   final case class AutoRangeStats(binWidth: Long, hotBinShare: Double,
-                                  salted: Boolean, hotBins: Seq[Any] = Nil)
+                                  salted: Boolean, hotBins: Seq[Any] = Nil,
+                                  mode: String = "plain")
   @volatile var lastAutoRange: Option[AutoRangeStats] = None
 
   /** Hottest-bin/key concentration above which the salted plan is
@@ -213,8 +217,10 @@ object RangeJoin {
   val HotShareThreshold: Double = 0.2
 
   /** Stats-pass sample fraction: enough rows that a ≥20% concentration
-    * is unmissable, a small multiple of the narrow column's scan cost. */
-  val StatsSampleFraction: Double = 0.2
+    * is unmissable (a 10% sample of any realistic fixture leaves
+    * thousands of rows on the hot value), a small multiple of the
+    * narrow column's scan cost. */
+  val StatsSampleFraction: Double = 0.1
 
   /** Sampled hot-value histogram of `keyCol` in `df`: the values whose
     * share crosses `threshold` (at most ⌈1/threshold⌉ of them — the
@@ -223,19 +229,51 @@ object RangeJoin {
     * Returns (Nil, 0.0) on an empty sample. */
   private[operators] def hotValues(df: DataFrame, keyCol: Column,
                                    sampleFraction: Double,
-                                   threshold: Double): (Seq[Any], Double) = {
+                                   threshold: Double): HotStats = {
     val base = df.select(keyCol.as("__k")).filter(col("__k").isNotNull)
     val s = if (sampleFraction >= 1.0) base
             else base.sample(withReplacement = false, sampleFraction, 42L)
-    val counts = s.groupBy("__k").count().persist()
+    val stats = hotValuesFromKeys(s, threshold)
+    // tiny sample → noise-dominated estimate → redo on the full frame
+    if (sampleFraction < 1.0 && stats.sampledRows < MinStatsRows)
+      hotValuesFromKeys(base, threshold)
+    else stats
+  }
+
+  /** Combined-hot-share above which GLOBAL salting beats PARTIAL: when
+    * the hot values own this much of the join, nearly every row rides
+    * the salted branch anyway, so the partial split's second join
+    * (plan + shuffle fixed costs) buys little avoided replication —
+    * one uniformly-salted exec is the cheaper plan. Below it the hot
+    * slice is thin and partial's savings (only the sliver replicates)
+    * dominate. */
+  val GlobalSaltCutover: Double = 0.4
+
+  /** Sampled histogram receipts: the hot values (share ≥ threshold),
+    * the hottest single share, the hot values' COMBINED share (the
+    * number the plan ladder cuts over on), and how many sampled rows
+    * backed the estimate. */
+  private[operators] final case class HotStats(
+      hot: Seq[Any], maxShare: Double, hotSumShare: Double, sampledRows: Long)
+
+  /** Below this many sampled rows the share estimate is noise-dominated
+    * (a 10% sample of a tiny frame), so the stats pass re-runs on the
+    * FULL frame — which at that size costs next to nothing. */
+  val MinStatsRows: Long = 5000L
+
+  /** The histogram tail of [[hotValues]] over an already-sampled key
+    * frame (column `__k`). */
+  private def hotValuesFromKeys(keys: DataFrame, threshold: Double): HotStats = {
+    val counts = keys.filter(col("__k").isNotNull).groupBy("__k").count().persist()
     try {
       val r = counts.agg(max("count").as("mx"), sum("count").as("tot")).head()
-      if (r.isNullAt(1) || r.getLong(1) == 0L) (Nil, 0.0)
+      if (r.isNullAt(1) || r.getLong(1) == 0L) HotStats(Nil, 0.0, 0.0, 0L)
       else {
         val tot = r.getLong(1)
-        val hot = counts.filter(col("count") >= lit(threshold * tot))
-          .select("__k").collect().map(_.get(0)).toSeq
-        (hot, r.getLong(0).toDouble / tot)
+        val hotRows = counts.filter(col("count") >= lit(threshold * tot))
+          .select(col("__k"), col("count")).collect()
+        HotStats(hotRows.map(_.get(0)).toSeq, r.getLong(0).toDouble / tot,
+          hotRows.map(_.getLong(1)).sum.toDouble / tot, tot)
       }
     } finally { counts.unpersist(); () }
   }
@@ -305,19 +343,55 @@ object RangeJoin {
                           saltBuckets: Int = 8,
                           hotShareThreshold: Double = HotShareThreshold,
                           sampleFraction: Double = StatsSampleFraction): DataFrame = {
-    val w = binWidth.getOrElse(autoBinWidth(intervals, startCol, endCol, sampleFraction))
+    // ONE sampled pass over the interval side's two magnitude columns,
+    // cached: both the p95 width and the hot-bin histogram derive from
+    // this tiny frame — the stats cost is one pruned sampled scan plus
+    // kilobyte-scale jobs, not repeated full scans of the interval side
+    // (measured: 3 full scans → 1 sampled scan cut q88's auto overhead
+    // ~3×).
+    val mags0 = intervals.filter(col(startCol) < col(endCol))
+      .select(magnitude(intervals, startCol).as("__s"), magnitude(intervals, endCol).as("__e"))
+    val mags = graft.CacheScope.manage(
+      (if (sampleFraction >= 1.0) mags0
+       else mags0.sample(withReplacement = false, sampleFraction, 42L)).persist())
+    val w = binWidth.getOrElse {
+      val r = mags.agg(percentile_approx(col("__e") - col("__s"), lit(0.95), lit(10000))
+        .as("p95")).head()
+      if (r.isNullAt(0)) DefaultBinMicros else math.max(1L, r.getLong(0))
+    }
     // the hot-bin histogram keys on the interval side's EXPLODED bins —
     // the actual distribution of the equi-join key, so it catches both
     // a pile-up of starts (the burst) and long intervals stacking over
-    // one bin; the sampled explode is ~k rows per sampled interval
-    val (hot, share) = hotValues(intervals.filter(col(startCol) < col(endCol)),
-      intervalBins(intervals, startCol, endCol, w), sampleFraction, hotShareThreshold)
-    lastAutoRange = Some(AutoRangeStats(w, share, hot.nonEmpty, hot))
-    if (hot.nonEmpty)
-      pointInIntervalSaltedPartial(points, pointCol, intervals, startCol, endCol,
-        hot, w, saltBuckets)
-    else
-      pointInInterval(points, pointCol, intervals, startCol, endCol, w)
+    // one bin. Stats-only bin walk: truncated at 64 bins/interval (a
+    // longer tail cannot change which bin is ≥20% hot).
+    val firstBin = floor(col("__s") / w).cast("long")
+    val lastBin = floor((col("__e") - 1) / w).cast("long")
+    def binKeys(src: DataFrame) = src.select(explode(sequence(firstBin,
+      least(greatest(lastBin, firstBin), firstBin + 63))).as("__k"))
+    val stats0 = hotValuesFromKeys(binKeys(mags), hotShareThreshold)
+    // tiny sample → noise-dominated estimate → redo on the full frame
+    val stats =
+      if (sampleFraction < 1.0 && stats0.sampledRows < MinStatsRows)
+        hotValuesFromKeys(binKeys(mags0), hotShareThreshold)
+      else stats0
+    // the three-way plan ladder: no hot bin → plain; a thin hot sliver
+    // → salt just those bins; a burst owning most of the join → one
+    // globally salted exec (see GlobalSaltCutover)
+    val mode =
+      if (stats.hot.isEmpty) "plain"
+      else if (stats.hotSumShare >= GlobalSaltCutover) "global"
+      else "partial"
+    lastAutoRange = Some(AutoRangeStats(w, stats.maxShare, mode != "plain",
+      stats.hot, mode))
+    mode match {
+      case "global" =>
+        pointInIntervalSalted(points, pointCol, intervals, startCol, endCol, w, saltBuckets)
+      case "partial" =>
+        pointInIntervalSaltedPartial(points, pointCol, intervals, startCol, endCol,
+          stats.hot, w, saltBuckets)
+      case _ =>
+        pointInInterval(points, pointCol, intervals, startCol, endCol, w)
+    }
   }
 
   /** [[intervalOverlap]] on an engine-chosen width: the larger of the

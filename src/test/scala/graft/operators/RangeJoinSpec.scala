@@ -173,21 +173,22 @@ class RangeJoinSpec extends SparkSuite {
     val autoRows = auto.select("event_id", "w_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val dec = RangeJoin.lastAutoRange.get
-    assert(dec.salted, s"auto must select the salted plan on the bursty fixture ($dec)")
+    assert(dec.salted, s"auto must select a salted plan on the bursty fixture ($dec)")
     // measured on the EXPLODED join-key distribution (each window spans
     // ~1–2 bins at the auto width), so the burst's ~half-of-windows
     // reads as ~0.36 of exploded rows — still far above the threshold
     assert(dec.hotBinShare >= 0.3, s"measured hot-bin share must reflect the burst ($dec)")
-    // PARTIAL salting: the burst concentrates on ONE bin, and only that
-    // bin's points/intervals ride the salted branch — the receipts must
-    // name exactly it, not salt the whole join
-    assert(dec.hotBins.size === 1, s"the burst fixture has exactly one hot bin ($dec)")
+    // ~half the join is hot (start bin + spill-over) → past the
+    // cutover, so the ladder picks the GLOBAL salted exec — the partial
+    // split would pay a second join for almost no avoided replication
+    assert(dec.mode === "global", s"a burst owning ~half the join salts globally ($dec)")
+    assert(dec.hotBins.size <= 2, s"the burst must flag at most 2 bins ($dec)")
     val hotBinOfBurst = spark.range(1)
       .select(floor(unix_micros(to_timestamp(lit("2024-01-15 12:00:00"))) / dec.binWidth)
         .cast("long"))
       .head().getLong(0)
-    assert(dec.hotBins.head === hotBinOfBurst,
-      s"the flagged bin must be the burst instant's bin ($dec vs $hotBinOfBurst)")
+    assert(dec.hotBins.contains(hotBinOfBurst),
+      s"the flagged bins must include the burst instant's bin ($dec vs $hotBinOfBurst)")
     val hand = RangeJoin.pointInIntervalSalted(pts, "ts", skew, "w_start", "w_end")
       .select("event_id", "w_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -212,6 +213,42 @@ class RangeJoinSpec extends SparkSuite {
     // plan receipts: the chosen width appears literally in the plan
     assert(auto2.queryExecution.optimizedPlan.toString.contains(dec2.binWidth.toString),
       "the chosen width must be visible in the plan")
+  }
+
+  test("a THIN burst picks PARTIAL salting: only the hot bins' rows ride the salted branch") {
+    val ev = Tables.events(spark, sf)
+    val pts = ev.select(col("event_id"), col("ts"), col("value"))
+    // a third of the windows collapse onto one instant as SHORT 1-minute
+    // windows (single-bin at the ~7-min auto width): the hot bin's
+    // exploded share lands ~0.24 — above the hot threshold (0.2), below
+    // the global cutover (0.4) → partial
+    val thin = ev.filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("w_id"),
+        when(col("event_id") % 3 === 0, lit(1))
+          .otherwise((col("event_id") % 7) + 1).cast("int").as("w_len"),
+        when(col("event_id") % 3 === 0, to_timestamp(lit("2024-01-15 12:00:00")))
+          .otherwise(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("make_dt_interval(0, 0, w_len, 0)"))
+    // the sf0.001 fixture has only ~240 windows, so the 10% sample is
+    // ~24 rows — the MinStatsRows fallback must kick in and redo the
+    // histogram on the full frame (this test also covers that fallback)
+    val auto = RangeJoin.pointInIntervalAuto(pts, "ts", thin, "w_start", "w_end")
+    val autoRows = auto.select("event_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dec = RangeJoin.lastAutoRange.get
+    assert(dec.mode === "partial", s"a thin burst must salt only its own bins ($dec)")
+    assert(dec.hotBins.nonEmpty && dec.hotBins.size <= 2, s"thin burst flags 1-2 bins ($dec)")
+    // row-identical to the plain join at the same width
+    val plain = RangeJoin.pointInInterval(pts, "ts", thin, "w_start", "w_end", dec.binWidth)
+      .select("event_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(autoRows === plain, "partial salting must never change the pair set")
+    assert(autoRows.nonEmpty)
+    // the plan carries BOTH branches: a salted join and a plain one
+    val p = auto.queryExecution.optimizedPlan.toString
+    assert(p.contains("__salt"), s"expected the salted branch in:\n$p")
+    assert(p.contains("Union"), s"expected the two-branch union in:\n$p")
   }
 
   test("an interval spanning more than MaxBinsPerInterval bins fails fast with an actionable message") {

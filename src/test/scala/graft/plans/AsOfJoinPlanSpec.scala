@@ -312,10 +312,11 @@ class AsOfJoinPlanSpec extends SparkSuite {
     val dec = AsOfJoin.lastAutoAsOf.get
     assert(dec.salted, s"auto must salt the hot-key fixture ($dec)")
     assert(dec.hotKeyShare >= 0.4, s"measured share must reflect the hot key ($dec)")
-    // PARTIAL salting: only the one hot key is flagged — its rights
-    // replicate, every other key rides the plain merge branch
     assert(dec.hotKeys === Seq(1234567L),
       s"exactly the hot key must be flagged for salting ($dec)")
+    // half the fact is hot → past the cutover → ONE globally salted
+    // merge, not the partial two-exec split
+    assert(dec.mode === "global", s"a half-hot fact salts globally ($dec)")
     val hand = AsOfJoin.asofJoinSalted(ev, right, "user_id", "ts", Seq("pid"),
         tieBreak = Some("pid"))
       .select("event_id", "asof_pid").orderBy("event_id").collect()
@@ -340,6 +341,30 @@ class AsOfJoinPlanSpec extends SparkSuite {
       .select("event_id", "asof_pid").orderBy("event_id").collect()
     assert(autoURows.length === plainU.length && autoURows.nonEmpty)
     autoURows.zip(plainU).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("a THIN hot key picks PARTIAL salting: only that key's rights replicate") {
+    // a quarter of the fact on one key: above the 0.2 threshold, below
+    // the 0.4 global cutover → the per-key partial split
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("user_id") % 4 === 0, lit(7777777L)).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(
+        when(col("user_id") % 4 === 0, lit(7777777L)).otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("event_id").as("pid"))
+    val auto = AsOfJoin.asofJoinAuto(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    val dec = AsOfJoin.lastAutoAsOf.get
+    assert(dec.mode === "partial", s"a quarter-hot key must salt partially ($dec)")
+    assert(dec.hotKeys === Seq(7777777L), s"exactly the hot key flagged ($dec)")
+    val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"), broadcast = Some(false))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
   }
 
   test("nearest over a non-arithmetic ts domain fails at plan time with an actionable message") {

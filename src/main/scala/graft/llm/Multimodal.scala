@@ -456,10 +456,10 @@ object Multimodal {
     imageNearDup(spark, media)
   }
 
-  // The closed-form dHash chain shared by l42 (pair audit) and l54
+  // The closed-form dHash CTE shared by l42 (pair audit) and l54
   // (cluster rollup). RECURSIVE prefix is harmless for l42 and lets l54
-  // append TextDedup's reachability closure over the `pairs` CTE.
-  private val dhashCtesSql =
+  // append TextDedup's reachability closure over its `pairs` CTE.
+  private val hashCteSql =
     """WITH RECURSIVE h AS (
       |  SELECT doc_id,
       |    xor((doc_id % 50 * 40503 + 1229) % 65536
@@ -469,8 +469,10 @@ object Multimodal {
       |      CASE WHEN (doc_id // 50) % 3 = 1
       |           THEN (1::BIGINT << cast((doc_id // 50) % 16 + 16 as int))
       |           ELSE 0 END) AS dhash
-      |  FROM documents),
-      |b0 AS (
+      |  FROM documents)""".stripMargin
+
+  private val dhashCtesSql = hashCteSql + ",\n" +
+    """b0 AS (
       |  SELECT doc_id, dhash, band_id, (dhash >> (16 * band_id)) & 65535 AS band_val
       |  FROM h, (SELECT unnest(range(0, 4)) AS band_id)),
       |b AS (
@@ -503,15 +505,81 @@ object Multimodal {
     * oracle replays the identical closure over the closed-form hash
     * chain (the l26 recursive-CTE pattern on the l42 CTEs). */
   def synthImageDupClusters(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val pairs = synthImageNearDup(spark, documents).select("id_a", "id_b")
-    TextDedup.propagateMinLabels(pairs)
+    import spark.implicits._
+    val media = documents.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        imageioNoCache
+        ids.map(id => (id, "image/png", synthGradientPng(id)))
+      }
+      .toDF("doc_id", "mime", "media")
+      .withColumn("media_bytes", length(col("media")).cast("long"))
+    imageDupClusters(spark, media)
+  }
+
+  /** The clustering engine behind l54: EXACT-DUP COLLAPSE first — all
+    * docs sharing a dHash fold into star edges onto their min-doc_id
+    * representative (identical fingerprints are trivially mutual
+    * near-dups, no pair enumeration needed) — then the banded near-dup
+    * join runs over DISTINCT fingerprints only. At 100× duplication the
+    * full pair graph grows ~quadratically (every clone pairs with every
+    * clone — l42's audit surface measures exactly that); the collapsed
+    * edge list is N star edges + rep-level near-dup pairs, LINEAR in
+    * docs, and connectivity is preserved: members reach their rep by a
+    * star edge, reps reach near-dup reps by the banded pairs. */
+  def imageDupClusters(spark: SparkSession, media: DataFrame,
+                       maxHamming: Int = 10,
+                       maxBucket: Int = TextDedup.MaxBucketDefault): DataFrame = {
+    val hashes = graft.CacheScope.manage(
+      withDHash(spark, media).filter(col("dhash").isNotNull).persist())
+    val reps = hashes.groupBy("dhash").agg(min(col("doc_id")).as("rep"))
+    val starEdges = hashes.join(reps, Seq("dhash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    val repHashes = reps.select(col("rep").as("doc_id"), col("dhash"))
+    val banded = TextDedup.capBuckets(repHashes
+      .select(col("doc_id"), col("dhash"),
+        posexplode(array((0 until 4).map(k =>
+          expr(s"shiftright(dhash, ${16 * k}) & 65535")): _*)).as(Seq("band_id", "band_val"))),
+      Seq("band_id", "band_val"), maxBucket)
+    val a = banded.select(col("doc_id").as("id_a"), col("dhash").as("h_a"),
+      col("band_id"), col("band_val"))
+    val b = banded.select(col("doc_id").as("id_b"), col("dhash").as("h_b"),
+      col("band_id"), col("band_val"))
+    val repPairs = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .filter(expr("bit_count(h_a ^ h_b)") <= maxHamming)
+      .select("id_a", "id_b")
+    TextDedup.propagateMinLabels(starEdges.unionByName(repPairs))
       .groupBy("comp").agg(count(lit(1)).as("n_imgs"))
       .select(col("comp").as("cluster_id"), col("n_imgs"),
         (col("n_imgs") - 1).as("removable"))
       .orderBy("cluster_id")
   }
 
-  private val l54Sql = dhashCtesSql + ",\n" + TextDedup.closureCtesSql + "\n" +
+  // l54's reduced graph: exact-dup star edges + rep-level banded
+  // near-dup pairs (mirrors imageDupClusters term for term), then the
+  // shared reachability closure.
+  private val l54Sql = hashCteSql + ",\n" +
+    """reps AS (SELECT dhash, min(doc_id) AS rep FROM h GROUP BY dhash),
+      |star AS (SELECT h.doc_id AS id_a, r.rep AS id_b
+      |         FROM h JOIN reps r USING (dhash) WHERE h.doc_id != r.rep),
+      |rh AS (SELECT rep AS doc_id, dhash FROM reps),
+      |rb0 AS (
+      |  SELECT doc_id, dhash, band_id, (dhash >> (16 * band_id)) & 65535 AS band_val
+      |  FROM rh, (SELECT unnest(range(0, 4)) AS band_id)),
+      |rb AS (
+      |  SELECT doc_id, dhash, band_id, band_val FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
+      |    FROM rb0)
+      |  WHERE rn <= 1024),
+      |rpairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      |  FROM rb a JOIN rb b2 ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+      |  WHERE a.doc_id < b2.doc_id AND bit_count(xor(a.dhash, b2.dhash)) <= 10),
+      |pairs AS (SELECT id_a, id_b FROM star
+      |          UNION ALL SELECT id_a, id_b FROM rpairs),""".stripMargin + "\n" +
+    TextDedup.closureCtesSql + "\n" +
     """SELECT comp AS cluster_id, count(*) AS n_imgs,
       |       cast(count(*) - 1 as bigint) AS removable
       |FROM (SELECT src, min(dst) AS comp FROM reach GROUP BY 1)

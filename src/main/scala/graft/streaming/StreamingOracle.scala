@@ -954,7 +954,112 @@ object StreamingOracle {
     graft.sources.PartitionedLayout.weeklySketchContract(spark, sfDir, store)
   }
 
+  // ---- l55: streaming incremental near-dup dedup --------------------------
+
+  private val l55Cut = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val l55Seed = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** l55 — l35's PRODUCTION TWIN: incremental MinHash-LSH dedup
+    * maintained BY THE STREAMING ENGINE. The corpus side sits in a
+    * persisted signature + band store (the store l35 assumes
+    * precomputed, made durable as two parquet tables); the batch slice
+    * (doc_id % 10 = 7) arrives in doc_id-ordered micro-batches. Each
+    * trigger's `foreachBatch` computes the BATCH's signatures
+    * (`minhash_md5`, one map-side pass over just the batch), probes the
+    * store one-sidedly ([[graft.llm.TextDedup.incrementalStreamStep]] —
+    * corpus–corpus pairs are never generated), appends its dropped ids
+    * to the result store, and appends its own signatures + band rows to
+    * the index stores so later batches dedup against it.
+    *
+    * Registered under l35's OWN oracle: the union of per-batch drops
+    * equals the batch-at-once answer exactly — including under an
+    * active bucket cap — by the ordered-arrival rank argument at
+    * [[graft.llm.TextDedup.incrementalStreamStep]]; LlmSpec pins that
+    * equality at a cap tight enough to bind. Per-trigger cost tracks
+    * the batch and its touched buckets; at 100 TB the two index stores
+    * are bucketed on their join keys (the q62 layout) so the probe is a
+    * pruned read, and the appends here would be doc_id-keyed MERGEs
+    * (the S7 path) for replay idempotence — both store-layout choices,
+    * not semantics. */
+  def streamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def isBatchId(c: org.apache.spark.sql.Column) = c % 10 === 7
+    // the arriving slice, split in doc_id order across two files —
+    // within-file order is irrelevant (the within-batch rule is the
+    // pid < bid arithmetic, not arrival order inside a trigger)
+    val slice = docs.filter(isBatchId(col("doc_id"))).select("doc_id", "text")
+    val cut: Long = l55Cut.computeIfAbsent(graft.PathKey(sfDir), _ =>
+      slice.agg(max(col("doc_id"))).head().getLong(0) / 2)
+    val dir = orderedSliceDir(spark, "l55", sfDir, Seq(
+      slice.filter(col("doc_id") <= cut),
+      slice.filter(col("doc_id") > cut)))
+    val gs = gateSession(spark)
+    val run = freshRunDir("l55")
+    // The SEED store — the corpus side's signatures + band rows — is a
+    // pure function of the read-only fixture (it IS the "precomputed
+    // signature store" l35 assumes a production pipeline maintains), so
+    // it is written once per (JVM, sfDir) like the ordered layouts and
+    // NOT re-ingested per run: the gate times the streaming maintenance,
+    // not the store build — the same documented ingest-excluded timing
+    // as q96's sketch table. Per-run mutations go to OVERLAY dirs (the
+    // stream's appends), and every store read spans seed ∪ overlay.
+    val (seedSigs, seedBands) = l55Seed.computeIfAbsent(graft.PathKey(sfDir), { key =>
+      val base = scratchRoot.resolve(s"l55_seed_$key")
+      val sigD = base.resolve("sigs").toString
+      val bandD = base.resolve("bands").toString
+      val corpusSigs = graft.llm.SigStore.portable(spark, sfDir)
+        .filter(!isBatchId(col("doc_id")))
+      corpusSigs.write.parquet(sigD)
+      graft.llm.TextDedup.portableBandRows(corpusSigs).write.parquet(bandD)
+      (sigD, bandD)
+    })
+    val sigOverlay = run.resolve("sig_overlay").toString
+    val bandOverlay = run.resolve("band_overlay").toString
+    val droppedStore = run.resolve("dropped").toString
+    // schema-bearing empty inits: multi-path reads need every dir to
+    // carry the schema, and the final rollup reads the dropped store
+    // even if no batch dropped anything
+    spark.read.parquet(seedSigs).limit(0).write.parquet(sigOverlay)
+    spark.read.parquet(seedBands).limit(0).write.parquet(bandOverlay)
+    spark.range(0).select(col("id").as("doc_id")).write.parquet(droppedStore)
+    drain("l55") {
+      sourceOver(gs, dir, mftFor(gs, dir))
+        .writeStream
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          graft.plans.CosineSimilarity.register(sp)
+          val batchSigs = graft.llm.TextDedup.batchPortableSignatures(batch).persist()
+          val batchBands = graft.llm.TextDedup.portableBandRows(batchSigs).persist()
+          try {
+            graft.llm.TextDedup.incrementalStreamStep(
+                batchSigs, batchBands,
+                sp.read.parquet(seedSigs, sigOverlay),
+                sp.read.parquet(seedBands, bandOverlay))
+              .write.mode("append").parquet(droppedStore)
+            // overlay appends AFTER the probe has materialized: later
+            // batches see this batch; this batch never probes itself
+            // through the store
+            batchSigs.write.mode("append").parquet(sigOverlay)
+            batchBands.write.mode("append").parquet(bandOverlay)
+          } finally { batchSigs.unpersist(); batchBands.unpersist(); () }
+        }
+        .start()
+    }
+    val dropped = spark.read.parquet(droppedStore).withColumn("dr", lit(1))
+    docs.filter(isBatchId(col("doc_id")))
+      .join(dropped, Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("batch_docs"),
+        sum(coalesce(col("dr"), lit(0))).as("dropped_docs"))
+      .withColumn("kept_docs", col("batch_docs") - col("dropped_docs"))
+      .orderBy("lang")
+  }
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("l55_streaming_incremental_dedup", (s, d) => streamingIncrementalDedup(s, d),
+      Some(graft.llm.TextDedup.l35Sql)),
     graft.Q("q102_streaming_sketch_maintain", (s, d) => streamingSketchMaintain(s, d),
       Some(graft.sources.PartitionedLayout.q96Sql)),
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),

@@ -144,6 +144,57 @@ class LlmSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("l55 step: composed micro-batches == batch-at-once incremental dedup, capped regime included") {
+    // The streaming gate's exactness claim: doc_id-ordered micro-batch
+    // steps over a growing store reproduce l35's batch-at-once answer —
+    // INCLUDING under an active bucket cap, where the ordered-arrival
+    // rank argument (incrementalStreamStep's section comment) says the
+    // per-batch cap over (stored ∪ batch) equals the global cap for
+    // every usable pair. cap=2 genuinely bites on the fixture (asserted);
+    // the default cap re-runs the same composition uncapped-in-practice.
+    import org.apache.spark.sql.expressions.Window
+    val documents = graft.Tables.documents(spark, sfDir("0.001"))
+    def isBatch(c: org.apache.spark.sql.Column) = c % 10 === 7
+    val sigs = TextDedup.batchPortableSignatures(documents).persist()
+    try {
+      val allBands = TextDedup.portableBandRows(sigs)
+      Seq(2, TextDedup.MaxBucketDefault).foreach { cap =>
+        if (cap == 2) {
+          val cut = allBands.withColumn("rn", row_number().over(
+              Window.partitionBy("band_id", "band_hash").orderBy("doc_id")))
+            .filter(col("rn") > cap).count()
+          assert(cut > 0, s"fixture must overflow the cap=$cap buckets")
+        }
+        val corpus = sigs.filter(!isBatch(col("doc_id")))
+        val slice = sigs.filter(isBatch(col("doc_id")))
+        val mid = slice.agg(max("doc_id")).head().getLong(0) / 2
+        val b1 = slice.filter(col("doc_id") <= mid)
+        val b2 = slice.filter(col("doc_id") > mid)
+        val corpusBands = TextDedup.portableBandRows(corpus)
+        val d1 = TextDedup.incrementalStreamStep(
+          b1, TextDedup.portableBandRows(b1), corpus, corpusBands, cap)
+        val d2 = TextDedup.incrementalStreamStep(
+          b2, TextDedup.portableBandRows(b2),
+          corpus.unionByName(b1),
+          corpusBands.unionByName(TextDedup.portableBandRows(b1)), cap)
+        val dropped = d1.unionByName(d2).withColumn("dr", lit(1))
+        val streamed = documents.filter(isBatch(col("doc_id")))
+          .join(dropped, Seq("doc_id"), "left_outer")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("batch_docs"),
+            sum(coalesce(col("dr"), lit(0))).as("dropped_docs"))
+          .withColumn("kept_docs", col("batch_docs") - col("dropped_docs"))
+          .orderBy("lang").collect().toSeq
+        val batchAtOnce = TextDedup.incrementalDedup(documents, maxBucket = cap)
+          .collect().toSeq
+        assert(streamed === batchAtOnce, s"cap=$cap: micro-batch composition must " +
+          "equal the batch-at-once rollup")
+        assert(streamed.exists(_.getAs[Long]("dropped_docs") > 0),
+          s"cap=$cap: the fixture slice must actually drop something")
+      }
+    } finally { sigs.unpersist(); () }
+  }
+
   test("cosine: identity is 1, orthogonal is 0") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),

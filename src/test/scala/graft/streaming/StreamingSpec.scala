@@ -456,6 +456,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("l55: the streamed store-maintained dedup equals the l35 batch rollup") {
+    // end-to-end through the REAL gate (ordered file source, 2 triggers,
+    // store seed + per-batch probe/append): the final rollup must equal
+    // incrementalDedup's batch-at-once answer row for row. The capped
+    // and slicing-invariance arguments are pinned separately in LlmSpec;
+    // this is the full-machinery integration equality.
+    val sf = sfDir("0.001")
+    val streamed = StreamingOracle.streamingIncrementalDedup(spark, sf)
+      .collect().toSeq
+    val batch = graft.llm.TextDedup.incrementalDedup(
+      graft.Tables.documents(spark, sf)).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(_.getAs[Long]("dropped_docs") > 0),
+      "the fixture slice must actually drop something")
+  }
+
   test("trigger budget: every streaming gate stays within its pinned micro-batch count") {
     // The streaming block's cost is ~linear in trigger count (~0.48 s
     // start + ~0.25 s/trigger commit bookkeeping, measured round 11), so
@@ -470,7 +486,7 @@ class StreamingSpec extends SparkSuite {
     val budget = Map(
       "q68" -> 2, "q69" -> 2, "q70" -> 2, "q72" -> 4, "q73" -> 3,
       "q74" -> 3, "q85" -> 2, "q91" -> 2, "q92" -> 3, "q93" -> 3,
-      "q95" -> 3, "q97" -> 3, "q102" -> 2)
+      "q95" -> 3, "q97" -> 3, "q102" -> 2, "l55" -> 2)
     val run: Map[String, () => Unit] = Map(
       "q68" -> (() => StreamingOracle.streamingWindowRollup(spark, sf)),
       "q69" -> (() => StreamingOracle.streamingFunnelSummary(spark, sf)),
@@ -484,7 +500,8 @@ class StreamingSpec extends SparkSuite {
       "q93" -> (() => StreamingOracle.streamingStreamAsOfForward(spark, sf)),
       "q95" -> (() => StreamingOracle.streamingStreamAsOfNearest(spark, sf)),
       "q97" -> (() => StreamingOracle.streamingDedupTtl(spark, sf)),
-      "q102" -> (() => StreamingOracle.streamingSketchMaintain(spark, sf)))
+      "q102" -> (() => StreamingOracle.streamingSketchMaintain(spark, sf)),
+      "l55" -> (() => StreamingOracle.streamingIncrementalDedup(spark, sf)))
     // the stream executes inside each gate function (drain records the
     // count); earlier tests may have populated some gates already
     budget.keys.toSeq.sorted.foreach { g =>

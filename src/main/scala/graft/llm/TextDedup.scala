@@ -35,10 +35,17 @@ object TextDedup {
   /** Keep at most `maxBucket` members per (band, bucket), lowest doc_id
     * first. The row_number shuffles on the same key the candidate join
     * uses, so the guard adds no extra exchange pattern beyond one sort. */
-  private[llm] def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+  private[llm] def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    capBucketsBy(banded, keyCols, Seq(col("doc_id")), maxBucket)
+
+  /** [[capBuckets]] under an explicit keep order — the l55 streaming
+    * tier caps by ARRIVAL order (seed corpus first, then stream ids)
+    * instead of raw doc_id; see [[incrementalStreamStep]]. */
+  private[llm] def capBucketsBy(banded: DataFrame, keyCols: Seq[String],
+                                order: Seq[Column], maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     banded.withColumn("__rn", row_number().over(
-        Window.partitionBy(keyCols.map(col): _*).orderBy("doc_id")))
+        Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)))
       .filter(col("__rn") <= maxBucket).drop("__rn")
   }
 
@@ -106,16 +113,20 @@ object TextDedup {
   private def portableBandKey(b: Int): Column =
     concat(col("sig").getItem(2 * b), lit("|"), col("sig").getItem(2 * b + 1))
 
+  /** UNCAPPED (doc_id, band_id, band_hash) rows — the single band
+    * construction every consumer caps on top of ([[bandedSigs]] for the
+    * batch tiers, the l55 append-only band store for streaming). */
+  private[graft] def bandRows(sigs: DataFrame, bandKey: Int => Column): DataFrame =
+    sigs
+      .withColumn("bands", array((0 until NumBands).map(bandKey): _*))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+
   /** (doc_id, band_id, band_hash) rows with the bucket cap applied — the
     * "band index" both the self-join (full dedup) and the one-sided
     * incremental join probe. */
   private def bandedSigs(sigs: DataFrame, bandKey: Int => Column,
-                         maxBucket: Int): DataFrame = {
-    val exploded = sigs
-      .withColumn("bands", array((0 until NumBands).map(bandKey): _*))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
-    capBuckets(exploded, Seq("band_id", "band_hash"), maxBucket)
-  }
+                         maxBucket: Int): DataFrame =
+    capBuckets(bandRows(sigs, bandKey), Seq("band_id", "band_hash"), maxBucket)
 
   /** LSH candidate pairs (id_a, id_b): docs sharing any (band, band-hash)
     * bucket, with oversized buckets capped (see [[MaxBucketDefault]]).
@@ -280,7 +291,7 @@ object TextDedup {
     * hex-min ≡ uint32-min; LlmSpec pins the equivalence against exactly
     * that pipeline). Registered queries share one computation per
     * session via [[SigStore]]. */
-  private[llm] def withPortableSignatures(documents: DataFrame): DataFrame =
+  private[graft] def withPortableSignatures(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), expr("minhash_md5(split(text, ' '))").as("sig"))
       .where(col("sig").isNotNull)
@@ -812,7 +823,11 @@ object TextDedup {
   // pairs → est-Jaccard-thresholded `pairs`. (The WITH RECURSIVE prefix is
   // harmless for non-recursive consumers and lets [[reachCtesSql]] extend
   // the same text with the reachability closure.)
-  private[llm] lazy val pairsCtesSql: String = {
+  private[llm] lazy val pairsCtesSql: String = pairsCtes("doc_id")
+
+  /** The same chain under an explicit bucket-cap keep ORDER — l55's
+    * arrival-order contract forks only this one clause. */
+  private def pairsCtes(capOrderSql: String): String = {
     val mins = (for { j <- 0 until 4; w <- 0 until 4 } yield
       s"min(substr(md5('$j:' || sh), ${1 + 8 * w}, 8)) AS mh_${4 * j + w}").mkString(", ")
     val bands = (0 until NumBands).map(b =>
@@ -828,7 +843,7 @@ object TextDedup {
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |banded0 AS ($bands),
        |banded AS (SELECT doc_id, band_id, band_key FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key ORDER BY $capOrderSql) AS rn
        |  FROM banded0) WHERE rn <= $MaxBucketDefault),
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1079,11 +1094,19 @@ object TextDedup {
     * batch-touching pairs this plan is restricted to from the start. */
   def incrementalDedup(documents: DataFrame,
                        maxBucket: Int = MaxBucketDefault,
-                       sigsOpt: Option[DataFrame] = None): DataFrame = {
+                       sigsOpt: Option[DataFrame] = None,
+                       arrivalCap: Boolean = false): DataFrame = {
     val sigs = sigsOpt.getOrElse(
       graft.CacheScope.manage(withPortableSignatures(documents).persist()))
     val isBatch: Column => Column = c => c % 10 === 7
-    val banded = bandedSigs(sigs, portableBandKey, maxBucket)
+    // arrivalCap = the l55 streaming tier's batch-at-once REFERENCE:
+    // cap overflowing buckets by arrival order (corpus first, then the
+    // batch slice by id) instead of raw doc_id — identical whenever the
+    // cap doesn't bind (every fixture; graft.BucketCheck)
+    val banded =
+      if (arrivalCap) capBucketsBy(bandRows(sigs, portableBandKey),
+        Seq("band_id", "band_hash"), arrivalOrder, maxBucket)
+      else bandedSigs(sigs, portableBandKey, maxBucket)
     val probe = banded.filter(isBatch(col("doc_id")))
       .select(col("doc_id").as("bid"), col("band_id"), col("band_hash"))
     val index = banded.select(col("doc_id").as("pid"), col("band_id"), col("band_hash"))
@@ -1113,38 +1136,50 @@ object TextDedup {
   // slice (doc_id % 10 = 7) ARRIVES in doc_id-ordered micro-batches
   // while the corpus side sits in a persisted signature + band store
   // (the store l35 already assumes precomputed). Each micro-batch
-  // probes the store, appends itself, and emits its dropped ids; the
-  // union of per-batch drops equals l35's batch-at-once answer EXACTLY,
-  // including under an active bucket cap — the argument:
+  // probes the store, appends itself, and emits its dropped ids.
   //
-  //   [[capBuckets]] keeps the cap-SMALLEST doc_ids per bucket. Under
-  //   doc_id-ordered arrival, every not-yet-arrived id is larger than
-  //   every arrived batch id, so an arrived doc's rank within a bucket
-  //   over (corpus ∪ arrived) equals its rank over the FULL population
-  //   — later arrivals can never evict earlier ones from the kept set.
-  //   Hence the per-batch cap over (stored ∪ batch) reproduces the
-  //   global capped probe/index membership for every pair the drop rule
-  //   can use (partners with pid < bid or corpus pids, all of which
-  //   have arrived by bid's batch), and the gate's answer is invariant
-  //   to the micro-batch slicing.
+  // CAP SEMANTICS — the part that must be stated precisely. An
+  // overflowing band bucket keeps only `maxBucket` members, and WHICH
+  // members is a tie-break contract. l35's batch contract keeps the
+  // cap-smallest doc_ids — a choice that needs the whole population in
+  // hand, which a streaming system does not have: a future arrival
+  // with a small id could retroactively evict an already-probed store
+  // member. The streaming tier therefore caps by ARRIVAL order — seed
+  // (corpus) members first by id, then stream arrivals by id:
   //
-  // LlmSpec pins the equality against [[incrementalDedup]] at cap=2 (a
-  // cap tight enough to actually bind on the fixture) and the default.
-
-  /** Batch-side signatures for the l55 gate — the same one-pass native
-    * `minhash_md5` as [[withPortableSignatures]], graft-visible so the
-    * streaming harness can run it per micro-batch. */
-  private[graft] def batchPortableSignatures(docs: DataFrame): DataFrame =
-    withPortableSignatures(docs)
+  //   every not-yet-arrived doc is a stream doc with a larger id than
+  //   every arrived stream doc, so it ranks after ALL arrived rows
+  //   (seed rows rank first by construction). Hence each arrived row's
+  //   bucket rank over (seed ∪ arrived) is already its FINAL rank —
+  //   later arrivals can never evict earlier ones — and the per-batch
+  //   cap over (stored ∪ batch) equals the global arrival-order cap in
+  //   EVERY regime, making the union of per-batch drops invariant to
+  //   the micro-batch slicing.
+  //
+  // The arrival-order and id-order contracts coincide whenever no
+  // bucket overflows the cap — true of every test fixture by a wide
+  // margin (max portable-minhash bucket is 12 vs the 1024 cap at
+  // sf0.1; `graft.BucketCheck`) — so l55 agrees with l35 there; under
+  // a binding cap they differ only in which members represent an
+  // overflowing bucket, and l55's DuckDB oracle ([[l55Sql]]) states
+  // the arrival-order contract explicitly. LlmSpec pins composed
+  // steps ≡ batch-at-once under BOTH caps: the default (where it also
+  // equals plain l35) and cap=2 against [[incrementalDedup]]'s
+  // arrival-cap variant (a cap tight enough to actually bind).
 
   /** UNCAPPED portable band rows (doc_id, band_id, band_hash) — the
     * append-only band store the l55 gate maintains. The bucket cap is
     * NOT baked into the store: it is re-derived per micro-batch over
-    * (stored ∪ batch) by [[incrementalStreamStep]], which under ordered
-    * arrival equals the global cap (see the section comment above). */
+    * (stored ∪ batch) by [[incrementalStreamStep]] under the
+    * arrival-order contract above. */
   private[graft] def portableBandRows(sigs: DataFrame): DataFrame =
-    sigs.withColumn("bands", array((0 until NumBands).map(portableBandKey): _*))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    bandRows(sigs, portableBandKey)
+
+  /** The l55 arrival-order cap rank: seed (corpus) docs first by id,
+    * then stream (batch-slice) docs by id — the order in which the
+    * incremental system actually saw the rows. */
+  private def arrivalOrder: Seq[Column] =
+    Seq(col("doc_id") % 10 === 7, col("doc_id"))
 
   /** One l55 micro-batch: the batch's dropped doc_ids against the store
     * plus itself. ONE-SIDED like l35 — only batch bands probe, so the
@@ -1161,9 +1196,10 @@ object TextDedup {
     val touched = batchBands.select("band_id", "band_hash").distinct()
     val arrived = storedBands.join(touched, Seq("band_id", "band_hash"), "left_semi")
       .unionByName(batchBands)
-    // per-batch cap over (stored ∪ batch) ≡ the global cap for every
-    // usable pair — the ordered-arrival rank argument above
-    val capped = capBuckets(arrived, Seq("band_id", "band_hash"), maxBucket)
+    // per-batch ARRIVAL-ORDER cap over (stored ∪ batch) ≡ the global
+    // arrival-order cap — the rank-finality argument above
+    val capped = capBucketsBy(arrived, Seq("band_id", "band_hash"),
+      arrivalOrder, maxBucket)
     val probe = capped
       .join(batchSigs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("bid"), col("band_id"), col("band_hash"))
@@ -1182,7 +1218,7 @@ object TextDedup {
       .select(col("bid").as("doc_id")).distinct()
   }
 
-  private[graft] lazy val l35Sql = pairsCtesSql + ",\n" +
+  private lazy val incrementalTailSql =
     """bd AS (SELECT id_b AS bid, id_a AS pid FROM pairs
       |       UNION ALL SELECT id_a, id_b FROM pairs),
       |dropped AS (
@@ -1196,6 +1232,15 @@ object TextDedup {
       |  cast(sum(dr) as bigint) AS dropped_docs,
       |  cast(count(*) - sum(dr) as bigint) AS kept_docs
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private[graft] lazy val l35Sql = pairsCtesSql + ",\n" + incrementalTailSql
+
+  /** l55's oracle — l35's chain with the bucket cap's keep order stated
+    * as the ARRIVAL order (corpus members first by id, then the batch
+    * slice by id; see the l55 section comment). Identical to [[l35Sql]]
+    * whenever no bucket overflows the cap — every fixture. */
+  private[graft] lazy val l55Sql =
+    pairsCtes("(doc_id % 10 = 7), doc_id") + ",\n" + incrementalTailSql
 
   /** l41 — segment-level dedup stats: the line-level dedup of published
     * web-corpus pipelines, adapted to unstructured text as tumbling

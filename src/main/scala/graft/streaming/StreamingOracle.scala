@@ -971,11 +971,15 @@ object StreamingOracle {
     * to the result store, and appends its own signatures + band rows to
     * the index stores so later batches dedup against it.
     *
-    * Registered under l35's OWN oracle: the union of per-batch drops
-    * equals the batch-at-once answer exactly — including under an
-    * active bucket cap — by the ordered-arrival rank argument at
-    * [[graft.llm.TextDedup.incrementalStreamStep]]; LlmSpec pins that
-    * equality at a cap tight enough to bind. Per-trigger cost tracks
+    * Registered under the l55 oracle — l35's chain with the bucket cap
+    * stated in ARRIVAL order (the one tie-break an incremental system
+    * can honor without future knowledge; identical to l35's whenever no
+    * bucket overflows the cap, true of every fixture —
+    * `graft.BucketCheck`): the union of per-batch drops equals the
+    * batch-at-once answer exactly in EVERY regime by the rank-finality
+    * argument at [[graft.llm.TextDedup.incrementalStreamStep]]; LlmSpec
+    * pins that equality at a cap tight enough to bind. Per-trigger cost
+    * tracks
     * the batch and its touched buckets; at 100 TB the two index stores
     * are bucketed on their join keys (the q62 layout) so the probe is a
     * pruned read, and the appends here would be doc_id-keyed MERGEs
@@ -988,8 +992,11 @@ object StreamingOracle {
     // within-file order is irrelevant (the within-batch rule is the
     // pid < bid arithmetic, not arrival order inside a trigger)
     val slice = docs.filter(isBatchId(col("doc_id"))).select("doc_id", "text")
-    val cut: Long = l55Cut.computeIfAbsent(graft.PathKey(sfDir), _ =>
-      slice.agg(max(col("doc_id"))).head().getLong(0) / 2)
+    val cut: Long = l55Cut.computeIfAbsent(graft.PathKey(sfDir), { _ =>
+      val r = slice.agg(max(col("doc_id"))).head()
+      require(!r.isNullAt(0), s"l55: no doc_id % 10 = 7 slice in $sfDir documents")
+      r.getLong(0) / 2
+    })
     val dir = orderedSliceDir(spark, "l55", sfDir, Seq(
       slice.filter(col("doc_id") <= cut),
       slice.filter(col("doc_id") > cut)))
@@ -1029,7 +1036,7 @@ object StreamingOracle {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
           graft.plans.CosineSimilarity.register(sp)
-          val batchSigs = graft.llm.TextDedup.batchPortableSignatures(batch).persist()
+          val batchSigs = graft.llm.TextDedup.withPortableSignatures(batch).persist()
           val batchBands = graft.llm.TextDedup.portableBandRows(batchSigs).persist()
           try {
             graft.llm.TextDedup.incrementalStreamStep(
@@ -1059,7 +1066,7 @@ object StreamingOracle {
 
   def all: Seq[graft.Q] = Seq(
     graft.Q("l55_streaming_incremental_dedup", (s, d) => streamingIncrementalDedup(s, d),
-      Some(graft.llm.TextDedup.l35Sql)),
+      Some(graft.llm.TextDedup.l55Sql)),
     graft.Q("q102_streaming_sketch_maintain", (s, d) => streamingSketchMaintain(s, d),
       Some(graft.sources.PartitionedLayout.q96Sql)),
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),

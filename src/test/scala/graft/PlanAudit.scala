@@ -44,9 +44,10 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      val q = SparkEntry.queries.get(n)
-      if (q.isEmpty) { println(s"## $n\nUNKNOWN QUERY"); return }
-      val df = q.get(spark, sfDir)
+      SparkEntry.queries.get(n) match {
+        case None => println(s"## $n\nUNKNOWN QUERY\n")
+        case Some(fn) =>
+      val df = fn(spark, sfDir)
       df.collect()
       val all = nodes(df.queryExecution.executedPlan)
       def count(pred: String => Boolean): Int =
@@ -70,6 +71,7 @@ object PlanAudit {
       scans.foreach(s => println(s"scan: $s"))
       println()
       CacheScope.releaseAll()
+      }
     }
     spark.stop()
   }

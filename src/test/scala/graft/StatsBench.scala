@@ -4,7 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only: decompose the auto-stats pass cost for q100/q101 at a
-  * given scale. `Test/runMain graft.StatsBench <sfDir>`. */
+  * given scale. `Test/runMain graft.StatsBench <sfDir>`.
+  *
+  * NOTE: the "stats:" phases below are a FROZEN round-12 snapshot of
+  * RangeJoin's internals (sample fraction 0.1 / seed 42, the 7-minute
+  * width literal, the +63 bin-walk span) kept verbatim so the
+  * decomposition cited in PLANS_r12 stays reproducible; if the engine's
+  * constants are retuned, re-derive these from RangeJoin before trusting
+  * new numbers. The "full" rows call the real registry paths and cannot
+  * drift. */
 object StatsBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

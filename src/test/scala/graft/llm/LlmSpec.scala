@@ -146,16 +146,19 @@ class LlmSpec extends SparkSuite {
 
   test("l55 step: composed micro-batches == batch-at-once incremental dedup, capped regime included") {
     // The streaming gate's exactness claim: doc_id-ordered micro-batch
-    // steps over a growing store reproduce l35's batch-at-once answer —
-    // INCLUDING under an active bucket cap, where the ordered-arrival
-    // rank argument (incrementalStreamStep's section comment) says the
-    // per-batch cap over (stored ∪ batch) equals the global cap for
-    // every usable pair. cap=2 genuinely bites on the fixture (asserted);
-    // the default cap re-runs the same composition uncapped-in-practice.
+    // steps over a growing store reproduce the batch-at-once answer
+    // under the ARRIVAL-ORDER cap contract — in EVERY regime, by the
+    // rank-finality argument at incrementalStreamStep (seed rows rank
+    // first, stream rows arrive in id order, so no arrival can evict an
+    // already-ranked row). cap=2 genuinely bites on the fixture
+    // (asserted) and compares against incrementalDedup's arrivalCap
+    // reference; the default cap never binds here (BucketCheck: max
+    // bucket 4 at sf0.001 vs 1024), so that rung must ALSO equal plain
+    // l35 — pinning the l55-agrees-with-l35-when-uncapped claim.
     import org.apache.spark.sql.expressions.Window
     val documents = graft.Tables.documents(spark, sfDir("0.001"))
     def isBatch(c: org.apache.spark.sql.Column) = c % 10 === 7
-    val sigs = TextDedup.batchPortableSignatures(documents).persist()
+    val sigs = TextDedup.withPortableSignatures(documents).persist()
     try {
       val allBands = TextDedup.portableBandRows(sigs)
       Seq(2, TextDedup.MaxBucketDefault).foreach { cap =>
@@ -185,10 +188,15 @@ class LlmSpec extends SparkSuite {
             sum(coalesce(col("dr"), lit(0))).as("dropped_docs"))
           .withColumn("kept_docs", col("batch_docs") - col("dropped_docs"))
           .orderBy("lang").collect().toSeq
-        val batchAtOnce = TextDedup.incrementalDedup(documents, maxBucket = cap)
-          .collect().toSeq
+        val batchAtOnce = TextDedup.incrementalDedup(documents, maxBucket = cap,
+          arrivalCap = true).collect().toSeq
         assert(streamed === batchAtOnce, s"cap=$cap: micro-batch composition must " +
-          "equal the batch-at-once rollup")
+          "equal the batch-at-once arrival-cap rollup")
+        if (cap == TextDedup.MaxBucketDefault) {
+          val l35 = TextDedup.incrementalDedup(documents).collect().toSeq
+          assert(streamed === l35,
+            "non-binding cap: the arrival-order contract must coincide with l35")
+        }
         assert(streamed.exists(_.getAs[Long]("dropped_docs") > 0),
           s"cap=$cap: the fixture slice must actually drop something")
       }

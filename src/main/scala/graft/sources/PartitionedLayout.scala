@@ -356,6 +356,93 @@ object PartitionedLayout {
     dir
   }
 
+  // ---- q103: the persisted QUANTILE-histogram store -----------------------
+
+  private val histWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Histogram grid: unit-width value buckets, clamped into [0, 1023]
+    * (the fixture's value domain is 0–560, so the clamp is headroom,
+    * not lossiness). The grid is the whole trick: a fixed-grid
+    * histogram is a MERGEABLE quantile sketch whose merge is exact
+    * elementwise addition — deterministic under any partition layout or
+    * merge shape, unlike randomized KLL/t-digest state — so the entire
+    * store-and-merge pipeline sits under a hash-exact oracle instead of
+    * q96's pinned `approx_ok` bound. */
+  private val HistBuckets = 1024
+  private def histBucket(value: org.apache.spark.sql.Column) =
+    least(greatest(floor(value).cast("long"), lit(0L)), lit(HistBuckets - 1L))
+
+  /** q103 — q96's pattern for PERCENTILES: per-day value histograms
+    * persisted at ingest (rows (day, bucket, cnt) — a few hundred rows
+    * per day regardless of fact volume), weekly p50/p95/p99 answered by
+    * re-aggregating the stored histograms, never rescanning facts. The
+    * quantile pick is pure integer arithmetic (smallest bucket whose
+    * cumulative count reaches ⌈q·total⌉, reported as the bucket's upper
+    * edge), so the estimate is exactly reproducible by the oracle from
+    * the raw table — merged-store ≡ direct is a sum associativity, and
+    * PlanSpec additionally pins the estimate within one bucket width of
+    * the true percentile. Store memoized per (JVM, sfDir) like q96's —
+    * the same documented ingest-excluded bench timing. */
+  def quantileHistogramRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = histWritten.computeIfAbsent(graft.PathKey(sfDir), { _ =>
+      val out = scratchDir("hist") + "/vhist_" + graft.PathKey(sfDir)
+      graft.Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"), histBucket(col("value")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      out
+    })
+    weeklyQuantilesFromStore(spark, dir)
+  }
+
+  /** The registered weekly-quantile surface over ANY (day, bucket, cnt)
+    * histogram store — the merge is `sum(cnt)` by (week, bucket). */
+  private[graft] def weeklyQuantilesFromStore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = spark.read.parquet(dir)
+      .filter(col("day").between(to_date(lit("2024-01-08")), to_date(lit("2024-01-21"))))
+      .groupBy(floor(datediff(col("day"), to_date(lit("2024-01-01"))) / 7)
+        .cast("long").as("week"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy("week")
+    val c = weekly
+      .withColumn("cum", sum(col("cnt")).over(w.orderBy("bucket")))
+      .withColumn("total", sum(col("cnt")).over(w))
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division where the
+    // oracle's `//` is integer — the ⌈q·total⌉ thresholds must be the
+    // same exact integers in both engines
+    def pick(thresh: org.apache.spark.sql.Column, as: String) =
+      (min(when(col("cum") >= thresh, col("bucket"))) + 1).cast("double").as(as)
+    c.groupBy("week")
+      .agg(
+        pick(expr("(total + 1) div 2"), "p50_est"),
+        pick(expr("(total * 95 + 99) div 100"), "p95_est"),
+        pick(expr("(total * 99 + 99) div 100"), "p99_est"))
+      .orderBy("week")
+  }
+
+  private[graft] val q103Sql =
+    """WITH h AS (
+      |  SELECT cast(floor(datediff('day', DATE '2024-01-01', cast(ts as date)) / 7) as bigint) AS week,
+      |         least(greatest(cast(floor(value) as bigint), 0), 1023) AS bucket,
+      |         count(*) AS cnt
+      |  FROM events
+      |  WHERE value IS NOT NULL
+      |    AND cast(ts as date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT week, bucket, cnt,
+      |         sum(cnt) OVER (PARTITION BY week ORDER BY bucket) AS cum,
+      |         sum(cnt) OVER (PARTITION BY week) AS total
+      |  FROM h)
+      |SELECT week,
+      |  cast(min(CASE WHEN cum >= (total + 1) // 2 THEN bucket END) + 1 as double) AS p50_est,
+      |  cast(min(CASE WHEN cum >= (total * 95 + 99) // 100 THEN bucket END) + 1 as double) AS p95_est,
+      |  cast(min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bucket END) + 1 as double) AS p99_est
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[graft] val q96Sql =
     """SELECT cast(floor(datediff('day', DATE '2024-01-01', cast(ts as date)) / 7) as bigint) AS week,
       |       count(DISTINCT user_id) AS exact_wau, true AS approx_ok
@@ -365,6 +452,8 @@ object PartitionedLayout {
 
   def all: Seq[graft.Q] = Seq(
     graft.Q("q96_sketch_table_rollup", (s, d) => sketchTableRollup(s, d), Some(q96Sql)),
+    graft.Q("q103_quantile_histogram_rollup", (s, d) => quantileHistogramRollup(s, d),
+      Some(q103Sql)),
     graft.Q("q60_partition_pruned_rollup", (s, d) => prunedDailyRollup(s, d), Some(q60Sql)),
     graft.Q("q78_dpp_weekend_rollup", (s, d) => dppWeekendRollup(s, d), Some(q78Sql)),
     graft.Q("q62_bucketed_join_rollup", (s, d) => bucketedOrderRollup(s, d), Some(q62Sql)),

@@ -452,6 +452,48 @@ class PlanSpec extends SparkSuite {
       s"storage round-trip + union must be the identity on HLL state: $merged vs $direct")
   }
 
+  test("q103: store-merged weekly quantiles bracket the exact order statistic within one bucket") {
+    // the histogram store's pick is "the bucket containing the
+    // ⌈q·total⌉-th order statistic, reported as its upper edge" — so
+    // for each quantile the TRUE ⌈q·n⌉-th value x_m (computed directly
+    // from the facts by rank) must satisfy est−1 ≤ x_m < est: the
+    // unit-width grid loses at most one bucket of precision, and the
+    // store-merge (exact integer addition over per-day rows) selects
+    // exactly the right bucket
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.sources.PartitionedLayout.quantileHistogramRollup(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("day").between(to_date(lit("2024-01-08")), to_date(lit("2024-01-21"))))
+      .withColumn("week",
+        floor(datediff(col("day"), to_date(lit("2024-01-01"))) / 7).cast("long"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(Window.partitionBy("week").orderBy("value")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("week")))
+    val orderStats = ranked
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(n * 95 + 99) div 100") ||
+        col("rn") === expr("(n * 99 + 99) div 100"))
+      .select(col("week"), col("rn"), col("n"), col("value"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (wk, rows) =>
+        val n = rows.head.getLong(2)
+        def at(m: Long) = rows.find(_.getInt(1) == m).get.getDouble(3)
+        wk -> Seq(at((n + 1) / 2), at((n * 95 + 99) / 100), at((n * 99 + 99) / 100))
+      }
+    out.foreach { r =>
+      val (week, ests) = (r.getLong(0), Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      ests.zip(orderStats(week)).zipWithIndex.foreach { case ((est, xm), i) =>
+        assert(xm >= est - 1.0 && xm < est,
+          s"week $week q#$i: order statistic $xm must lie in [${est - 1}, $est)")
+      }
+    }
+  }
+
   test("q102: the STREAM-maintained sketch store equals the batch-built one, estimate for estimate") {
     // the incremental path — per-batch partial sketches merged into the
     // stored table by day across real micro-batches — must land on the

@@ -369,7 +369,7 @@ object PartitionedLayout {
     * store-and-merge pipeline sits under a hash-exact oracle instead of
     * q96's pinned `approx_ok` bound. */
   private val HistBuckets = 1024
-  private def histBucket(value: org.apache.spark.sql.Column) =
+  private[graft] def histBucket(value: org.apache.spark.sql.Column) =
     least(greatest(floor(value).cast("long"), lit(0L)), lit(HistBuckets - 1L))
 
   /** q103 — q96's pattern for PERCENTILES: per-day value histograms
@@ -421,6 +421,14 @@ object PartitionedLayout {
         pick(expr("(total * 95 + 99) div 100"), "p95_est"),
         pick(expr("(total * 99 + 99) div 100"), "p99_est"))
       .orderBy("week")
+  }
+
+  /** The persisted histogram-store path for `sfDir` — valid after
+    * [[quantileHistogramRollup]] materialized it. */
+  private[graft] def histStoreDir(sfDir: String): String = {
+    val dir = histWritten.get(graft.PathKey(sfDir))
+    require(dir != null, s"quantileHistogramRollup($sfDir) has not been materialized yet")
+    dir
   }
 
   private[graft] val q103Sql =

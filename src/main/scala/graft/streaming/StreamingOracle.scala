@@ -954,6 +954,62 @@ object StreamingOracle {
     graft.sources.PartitionedLayout.weeklySketchContract(spark, sfDir, store)
   }
 
+  // ---- q104: streaming quantile-histogram maintenance ---------------------
+
+  /** The last q104 run's maintained store — read by PlanSpec to pin
+    * stream-maintained ≡ batch-built, ROW for ROW. */
+  @volatile private[graft] var lastHistStoreDir: Option[String] = None
+
+  /** q104 — q103's PRODUCTION TWIN, and the strongest contract in the
+    * maintenance family: events stream in real micro-batches; each
+    * trigger's `foreachBatch` computes the BATCH's per-day partial
+    * histograms (count per (day, bucket) over just the batch rows) and
+    * MERGEs them into the stored parquet table by day — existing days
+    * sum counts elementwise, new days insert — through the S7
+    * partition-pruned MERGE. Where q102's stream≡batch claim is
+    * estimate-for-estimate (HLL register max), here the merge is EXACT
+    * integer addition, so the stream-maintained store equals the batch
+    * build row for row under any slicing, and the registered surface
+    * answers q103's weekly quantiles FROM THE STREAM-MAINTAINED STORE
+    * under q103's own hash-exact oracle. */
+  def streamingHistogramMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.PartitionedLayout.partitionedEvents(spark, sfDir)
+    val dir = graft.sources.PartitionedLayout.partitionedEventsDir(sfDir)
+    val gs = gateSession(spark)
+    val run = freshRunDir("q104")
+    val store = run.resolve("hist_store").toString
+    lastHistStoreDir = Some(store)
+    val src = sourceOver(gs, dir, mftFor(gs, dir))
+      .filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("value"))
+    drain("q104") {
+      src.writeStream
+        .option("checkpointLocation", run.resolve("checkpoint").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val batchHist = batch
+            .groupBy(col("day"),
+              graft.sources.PartitionedLayout.histBucket(col("value")).as("bucket"))
+            .agg(count(lit(1)).as("cnt"))
+          if (!new java.io.File(store).exists()) {
+            batchHist.write.partitionBy("day").parquet(store)
+          } else {
+            // pre-merge the touched days' stored rows with the batch
+            // partials (elementwise count addition), then MERGE by day:
+            // a trigger touching k days rewrites k day-partitions
+            val existingTouched = sp.read.parquet(store)
+              .join(batchHist.select("day").distinct(), Seq("day"), "left_semi")
+            val merged = existingTouched.select(col("day"), col("bucket"), col("cnt"))
+              .unionByName(batchHist)
+              .groupBy("day", "bucket").agg(sum(col("cnt")).as("cnt"))
+            graft.etl.Merge.upsertIntoParquet(sp, store, merged, Seq("day"), "day")
+          }
+        }
+        .start()
+    }
+    graft.sources.PartitionedLayout.weeklyQuantilesFromStore(spark, store)
+  }
+
   // ---- l55: streaming incremental near-dup dedup --------------------------
 
   private val l55Cut = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -1069,6 +1125,8 @@ object StreamingOracle {
       Some(graft.llm.TextDedup.l55Sql)),
     graft.Q("q102_streaming_sketch_maintain", (s, d) => streamingSketchMaintain(s, d),
       Some(graft.sources.PartitionedLayout.q96Sql)),
+    graft.Q("q104_streaming_histogram_maintain", (s, d) => streamingHistogramMaintain(s, d),
+      Some(graft.sources.PartitionedLayout.q103Sql)),
     graft.Q("q68_streaming_window_rollup", (s, d) => streamingWindowRollup(s, d), Some(q68Sql)),
     graft.Q("q69_streaming_funnel", (s, d) => streamingFunnelSummary(s, d),
       Some(graft.operators.FunnelQueries.q58Sql)),

@@ -494,6 +494,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q104: the STREAM-maintained histogram store equals the batch-built one ROW FOR ROW") {
+    // stronger than q102's estimate-equality: histogram merge is exact
+    // integer addition, so the maintained store must be IDENTICAL as a
+    // (day, bucket, cnt) set to the batch build under any slicing
+    graft.streaming.StreamingOracle.streamingHistogramMaintain(spark, sf).collect()
+    graft.sources.PartitionedLayout.quantileHistogramRollup(spark, sf).collect()
+    def rowsOf(dir: String) = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("bucket"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rowsOf(graft.streaming.StreamingOracle.lastHistStoreDir.get)
+    val batch = rowsOf(graft.sources.PartitionedLayout.histStoreDir(sf))
+    assert(streamed === batch,
+      s"exact-addition merge must land on the identical store: ${
+        (streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("q102: the STREAM-maintained sketch store equals the batch-built one, estimate for estimate") {
     // the incremental path — per-batch partial sketches merged into the
     // stored table by day across real micro-batches — must land on the

@@ -318,16 +318,21 @@ object PartitionedLayout {
     * stream-maintained one (q102): exact weekly distinct recomputed
     * from the fact table, `approx_ok` = the merged stored sketches
     * within ±10%. */
+  // The q96/q102/q103/q104 analysis window and week formula, defined
+  // ONCE on the Scala side (the q96Sql/q103Sql oracle strings state the
+  // same constants in DuckDB dialect — changing the window means
+  // changing those two strings in lockstep).
+  private def winLo = to_date(lit("2024-01-08"))
+  private def winHi = to_date(lit("2024-01-21"))
+  private def weekOf(day: org.apache.spark.sql.Column) =
+    floor(datediff(day, to_date(lit("2024-01-01"))) / 7).cast("long")
+
   private[graft] def weeklySketchContract(spark: SparkSession, sfDir: String,
                                           sketchDir: String): DataFrame = {
     val approx = mergedWeeklyEstimates(spark, sketchDir)
-    val lo = to_date(lit("2024-01-08"))
-    val hi = to_date(lit("2024-01-21"))
-    def weekOf(day: org.apache.spark.sql.Column) =
-      floor(datediff(day, to_date(lit("2024-01-01"))) / 7).cast("long")
     val exact = graft.Tables.events(spark, sfDir)
       .withColumn("day", to_date(col("ts")))
-      .filter(col("day").between(lo, hi))
+      .filter(col("day").between(winLo, winHi))
       .groupBy(weekOf(col("day")).as("week"))
       .agg(countDistinct(col("user_id")).as("exact_wau"))
     exact.join(approx, Seq("week"))
@@ -343,9 +348,8 @@ object PartitionedLayout {
     * registered surface reduces to `approx_ok`. */
   private[graft] def mergedWeeklyEstimates(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
-      .filter(col("day").between(to_date(lit("2024-01-08")), to_date(lit("2024-01-21"))))
-      .groupBy(floor(datediff(col("day"), to_date(lit("2024-01-01"))) / 7)
-        .cast("long").as("week"))
+      .filter(col("day").between(winLo, winHi))
+      .groupBy(weekOf(col("day")).as("week"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_wau"))
 
   /** The persisted sketch-table path for `sfDir` — valid after
@@ -402,9 +406,8 @@ object PartitionedLayout {
   private[graft] def weeklyQuantilesFromStore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val weekly = spark.read.parquet(dir)
-      .filter(col("day").between(to_date(lit("2024-01-08")), to_date(lit("2024-01-21"))))
-      .groupBy(floor(datediff(col("day"), to_date(lit("2024-01-01"))) / 7)
-        .cast("long").as("week"), col("bucket"))
+      .filter(col("day").between(winLo, winHi))
+      .groupBy(weekOf(col("day")).as("week"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
     val w = Window.partitionBy("week")
     val c = weekly

@@ -985,29 +985,62 @@ object StreamingOracle {
     drain("q104") {
       src.writeStream
         .option("checkpointLocation", run.resolve("checkpoint").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val sp = batch.sparkSession
-          val batchHist = batch
-            .groupBy(col("day"),
-              graft.sources.PartitionedLayout.histBucket(col("value")).as("bucket"))
-            .agg(count(lit(1)).as("cnt"))
-          if (!new java.io.File(store).exists()) {
-            batchHist.write.partitionBy("day").parquet(store)
-          } else {
-            // pre-merge the touched days' stored rows with the batch
-            // partials (elementwise count addition), then MERGE by day:
-            // a trigger touching k days rewrites k day-partitions
-            val existingTouched = sp.read.parquet(store)
-              .join(batchHist.select("day").distinct(), Seq("day"), "left_semi")
-            val merged = existingTouched.select(col("day"), col("bucket"), col("cnt"))
-              .unionByName(batchHist)
-              .groupBy("day", "bucket").agg(sum(col("cnt")).as("cnt"))
-            graft.etl.Merge.upsertIntoParquet(sp, store, merged, Seq("day"), "day")
-          }
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          mergeHistogramBatch(batch, batchId, store)
         }
         .start()
     }
     graft.sources.PartitionedLayout.weeklyQuantilesFromStore(spark, store)
+  }
+
+  /** One q104 trigger's merge, REPLAY-IDEMPOTENT via the documented
+    * foreachBatch recipe: the batch id rides the store as a per-day
+    * transaction version (`src_batch` — after merging day d at batch N,
+    * every row of d carries N), and a replayed batch skips the days it
+    * already merged. Count addition is NOT idempotent on its own —
+    * unlike q102's HLL register-max, re-adding a replayed batch's
+    * partials would double-count — so the guard is load-bearing, and
+    * PlanSpec replays a batch through this method to pin the store
+    * byte-identical. The first write goes through Overwrite with the
+    * `_SUCCESS` marker as the completion test, so a partially-failed
+    * batch 0 re-runs the same overwrite instead of merging into
+    * half-written data. */
+  private[graft] def mergeHistogramBatch(batch: DataFrame, batchId: Long,
+                                         store: String): Unit = {
+    val sp = batch.sparkSession
+    val batchHist = batch
+      .groupBy(col("day"),
+        graft.sources.PartitionedLayout.histBucket(col("value")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("src_batch", lit(batchId))
+      .persist()
+    try {
+      if (!new java.io.File(store, "_SUCCESS").exists()) {
+        batchHist.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("day").parquet(store)
+      } else {
+        val stored = sp.read.parquet(store)
+        val touched = batchHist.select("day").distinct()
+        val existingTouched = stored.join(touched, Seq("day"), "left_semi")
+        // days this batch has NOT yet merged: existing days whose txn
+        // version is older, plus days new to the store
+        val unappliedDays = existingTouched.groupBy("day")
+          .agg(max(col("src_batch")).as("mx")).filter(col("mx") < batchId)
+          .select("day")
+          .unionByName(
+            touched.join(stored.select("day").distinct(), Seq("day"), "left_anti"))
+        // pre-merge the unapplied days' stored rows with the batch
+        // partials (elementwise count addition), then MERGE by day: a
+        // trigger touching k days rewrites k day-partitions
+        val merged = existingTouched
+          .join(unappliedDays, Seq("day"), "left_semi")
+          .select(col("day"), col("bucket"), col("cnt"), col("src_batch"))
+          .unionByName(batchHist.join(unappliedDays, Seq("day"), "left_semi"))
+          .groupBy("day", "bucket")
+          .agg(sum(col("cnt")).as("cnt"), max(col("src_batch")).as("src_batch"))
+        graft.etl.Merge.upsertIntoParquet(sp, store, merged, Seq("day"), "day")
+      }
+    } finally { batchHist.unpersist(); () }
   }
 
   // ---- l55: streaming incremental near-dup dedup --------------------------
@@ -1038,9 +1071,9 @@ object StreamingOracle {
     * tracks
     * the batch and its touched buckets; at 100 TB the two index stores
     * are bucketed on their join keys (the q62 layout) so the probe is a
-    * pruned read, and the appends here would be doc_id-keyed MERGEs
-    * (the S7 path) for replay idempotence — both store-layout choices,
-    * not semantics. */
+    * pruned read — a store-layout choice, not semantics. Trigger
+    * retries are safe by construction: see the per-batch-subdir comment
+    * on the foreachBatch below. */
   def streamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
     def isBatchId(c: org.apache.spark.sql.Column) = c % 10 === 7
@@ -1079,37 +1112,45 @@ object StreamingOracle {
     val sigOverlay = run.resolve("sig_overlay").toString
     val bandOverlay = run.resolve("band_overlay").toString
     val droppedStore = run.resolve("dropped").toString
-    // schema-bearing empty inits: multi-path reads need every dir to
-    // carry the schema, and the final rollup reads the dropped store
-    // even if no batch dropped anything
-    spark.read.parquet(seedSigs).limit(0).write.parquet(sigOverlay)
-    spark.read.parquet(seedBands).limit(0).write.parquet(bandOverlay)
-    spark.range(0).select(col("id").as("doc_id")).write.parquet(droppedStore)
+    // schema-bearing empty init: the final rollup reads the dropped
+    // store even if no batch dropped anything
+    spark.range(0).select(col("id").as("doc_id")).write.parquet(s"$droppedStore/init")
     drain("l55") {
       sourceOver(gs, dir, mftFor(gs, dir))
         .writeStream
         .option("checkpointLocation", run.resolve("checkpoint").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        // REPLAY-IDEMPOTENT without a transaction ledger: every write
+        // goes to a per-batch subdir in Overwrite mode, and every read
+        // spans the seed plus STRICTLY EARLIER batches' subdirs — so a
+        // retried trigger recomputes from exactly the inputs its first
+        // attempt saw and overwrites its own subdirs with identical
+        // content. Plain appends here would double rows under replay:
+        // duplicate dropped ids would inflate the rollup join, and
+        // duplicate band rows would shift the bucket-cap ranks.
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sp = batch.sparkSession
           graft.plans.CosineSimilarity.register(sp)
+          val priorSigs = seedSigs +: (0L until batchId).map(k => s"$sigOverlay/b$k")
+          val priorBands = seedBands +: (0L until batchId).map(k => s"$bandOverlay/b$k")
           val batchSigs = graft.llm.TextDedup.withPortableSignatures(batch).persist()
           val batchBands = graft.llm.TextDedup.portableBandRows(batchSigs).persist()
           try {
             graft.llm.TextDedup.incrementalStreamStep(
                 batchSigs, batchBands,
-                sp.read.parquet(seedSigs, sigOverlay),
-                sp.read.parquet(seedBands, bandOverlay))
-              .write.mode("append").parquet(droppedStore)
-            // overlay appends AFTER the probe has materialized: later
+                sp.read.parquet(priorSigs: _*),
+                sp.read.parquet(priorBands: _*))
+              .write.mode("overwrite").parquet(s"$droppedStore/b$batchId")
+            // overlay writes AFTER the probe has materialized: later
             // batches see this batch; this batch never probes itself
             // through the store
-            batchSigs.write.mode("append").parquet(sigOverlay)
-            batchBands.write.mode("append").parquet(bandOverlay)
+            batchSigs.write.mode("overwrite").parquet(s"$sigOverlay/b$batchId")
+            batchBands.write.mode("overwrite").parquet(s"$bandOverlay/b$batchId")
           } finally { batchSigs.unpersist(); batchBands.unpersist(); () }
         }
         .start()
     }
-    val dropped = spark.read.parquet(droppedStore).withColumn("dr", lit(1))
+    val dropped = spark.read.option("recursiveFileLookup", "true")
+      .parquet(droppedStore).withColumn("dr", lit(1))
     docs.filter(isBatchId(col("doc_id")))
       .join(dropped, Seq("doc_id"), "left_outer")
       .groupBy("lang")

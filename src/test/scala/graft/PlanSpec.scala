@@ -470,6 +470,13 @@ class PlanSpec extends SparkSuite {
       .filter(col("day").between(to_date(lit("2024-01-08")), to_date(lit("2024-01-21"))))
       .withColumn("week",
         floor(datediff(col("day"), to_date(lit("2024-01-01"))) / 7).cast("long"))
+    // the bracket form below assumes the UNCLAMPED grid regime (every
+    // value lands in its own unit bucket); on a fixture whose value
+    // domain leaves [0, 1024) the clamped buckets would need an
+    // edge-equality form instead — make that assumption explicit
+    val mm = ev.agg(min(col("value")), max(col("value"))).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) < 1024.0,
+      s"fixture values ${mm.getDouble(0)}..${mm.getDouble(1)} leave the unclamped grid")
     val ranked = ev
       .withColumn("rn", row_number().over(Window.partitionBy("week").orderBy("value")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("week")))
@@ -509,6 +516,38 @@ class PlanSpec extends SparkSuite {
       s"exact-addition merge must land on the identical store: ${
         (streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
     assert(streamed.nonEmpty)
+  }
+
+  test("q104 merge is replay-idempotent: re-merging an applied batch is a no-op") {
+    // simulate a foreachBatch retry (failure after the store merge but
+    // before the offset commit): apply two overlapping-day batches,
+    // snapshot, re-apply each with its original batchId — the
+    // src_batch txn-version guard must make both replays no-ops. Count
+    // addition is not idempotent on its own; without the guard the
+    // replay would double the touched days' counts.
+    val dir = java.nio.file.Files.createTempDirectory("q104_replay").toString + "/store"
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
+    val b0 = ev.filter(col("event_id") % 2 === 0).drop("event_id")
+    val b1 = ev.filter(col("event_id") % 2 === 1).drop("event_id")
+    graft.streaming.StreamingOracle.mergeHistogramBatch(b0, 0L, dir)
+    graft.streaming.StreamingOracle.mergeHistogramBatch(b1, 1L, dir)
+    def snap() = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("bucket"), col("cnt"), col("src_batch"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val before = snap()
+    assert(before.nonEmpty)
+    graft.streaming.StreamingOracle.mergeHistogramBatch(b1, 1L, dir) // the retry
+    assert(snap() === before, "replaying batch 1 must be a no-op")
+    graft.streaming.StreamingOracle.mergeHistogramBatch(b0, 0L, dir) // stale replay
+    assert(snap() === before, "replaying batch 0 after batch 1 must be a no-op")
+    // and the guarded store still aggregates to the single-pass truth
+    val direct = ev.groupBy(col("day"),
+        graft.sources.PartitionedLayout.histBucket(col("value")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("day").cast("string"), col("bucket"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(before.map(t => (t._1, t._2, t._3)) === direct)
   }
 
   test("q102: the STREAM-maintained sketch store equals the batch-built one, estimate for estimate") {

@@ -1020,25 +1020,37 @@ object StreamingOracle {
           .partitionBy("day").parquet(store)
       } else {
         val stored = sp.read.parquet(store)
-        val touched = batchHist.select("day").distinct()
-        val existingTouched = stored.join(touched, Seq("day"), "left_semi")
-        // days this batch has NOT yet merged: existing days whose txn
-        // version is older, plus days new to the store
-        val unappliedDays = existingTouched.groupBy("day")
-          .agg(max(col("src_batch")).as("mx")).filter(col("mx") < batchId)
-          .select("day")
-          .unionByName(
-            touched.join(stored.select("day").distinct(), Seq("day"), "left_anti"))
-        // pre-merge the unapplied days' stored rows with the batch
-        // partials (elementwise count addition), then MERGE by day: a
-        // trigger touching k days rewrites k day-partitions
-        val merged = existingTouched
-          .join(unappliedDays, Seq("day"), "left_semi")
-          .select(col("day"), col("bucket"), col("cnt"), col("src_batch"))
-          .unionByName(batchHist.join(unappliedDays, Seq("day"), "left_semi"))
-          .groupBy("day", "bucket")
-          .agg(sum(col("cnt")).as("cnt"), max(col("src_batch")).as("src_batch"))
-        graft.etl.Merge.upsertIntoParquet(sp, store, merged, Seq("day"), "day")
+        // days this batch has NOT yet merged: touched days minus those
+        // whose stored txn version already carries this batch id. Both
+        // lists are bounded METADATA (≤ the batch's distinct days — the
+        // same sanctioned class as Merge's touched-partition collect);
+        // materializing them as literals keeps the merge plan flat —
+        // the first cut threaded these sets through joins, and every
+        // action inside the upsert re-evaluated that tree with its
+        // full-store scans (~2 s/trigger, bench-measured). As literals,
+        // `day isin (...)` prunes the store read to the touched
+        // day-partitions — the read-side twin of the partition-pruned
+        // rewrite.
+        val touchedDays = batchHist.select("day").distinct()
+          .collect().map(_.getDate(0)).toSeq
+        val applied = stored
+          .filter(col("day").isin(touchedDays: _*))
+          .groupBy("day").agg(max(col("src_batch")).as("mx"))
+          .filter(col("mx") >= batchId)
+          .select("day").collect().map(_.getDate(0)).toSet
+        val unapplied = touchedDays.filterNot(applied)
+        if (unapplied.nonEmpty) {
+          val dayIn = col("day").isin(unapplied: _*)
+          // pre-merge the unapplied days' stored rows with the batch
+          // partials (elementwise count addition), then MERGE by day: a
+          // trigger touching k days rewrites k day-partitions
+          val merged = stored.filter(dayIn)
+            .select(col("day"), col("bucket"), col("cnt"), col("src_batch"))
+            .unionByName(batchHist.filter(dayIn))
+            .groupBy("day", "bucket")
+            .agg(sum(col("cnt")).as("cnt"), max(col("src_batch")).as("src_batch"))
+          graft.etl.Merge.upsertIntoParquet(sp, store, merged, Seq("day"), "day")
+        }
       }
     } finally { batchHist.unpersist(); () }
   }

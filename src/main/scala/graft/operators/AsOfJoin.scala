@@ -148,11 +148,19 @@ object AsOfJoin {
       .drop("__asof_salt")
   }
 
-  /** Receipts of the last [[asofJoinAuto]] decision; `mode` as in
-    * [[RangeJoin.AutoRangeStats]]. */
+  /** Receipts of an [[asofJoinAuto]] decision; `mode` as in
+    * [[RangeJoin.AutoRangeStats]] (incl. "tiny"). `hotKeyShare` /
+    * `rightHotShare` are the hottest single key's share of the LEFT /
+    * RIGHT side respectively; `hotKeys` is the union of both sides' hot
+    * lists. */
   final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean,
                                  hotKeys: Seq[Any] = Nil,
-                                 mode: String = "plain")
+                                 mode: String = "plain",
+                                 rightHotShare: Double = 0.0)
+
+  /** Mirror of the LAST auto decision in this JVM — debugging
+    * convenience only; concurrent auto joins clobber it. Use
+    * [[asofJoinAutoStats]] for the race-free per-call receipt. */
   @volatile var lastAutoAsOf: Option[AutoAsOfStats] = None
 
   /** [[asofJoinSalted]] applied ONLY to the listed hot keys — the
@@ -183,43 +191,104 @@ object AsOfJoin {
 
 
   /** ENGINE-SELECTED skew handling for the native as-of (round 12,
-    * closing q98's "caller must know their key is hot" gap): a sampled
-    * histogram over the left side's key column flags the keys whose
-    * share crosses `hotShareThreshold`, and ONLY those run the salted
-    * composite-(key, salt) merge ([[asofJoinSaltedPartial]]) — uniform
-    * keys keep the plain native path with the strategy free to pick
-    * broadcast vs merge from its own stats, and a skewed workload pays
-    * right-side replication only for its hot keys' rows. Results are
-    * identical in every regime (AsOfJoinPlanSpec pins auto ≡ salted ≡
-    * unsalted); the decision is recorded in [[lastAutoAsOf]]. The stats
-    * pass reads ONE pruned column of the left side — the q08-watermark
-    * scalar-collect pattern, bounded metadata, never data. */
+    * closing q98's "caller must know their key is hot" gap; round 13
+    * adds the RIGHT side's histogram and the tiny cutoff): sampled
+    * histograms over BOTH sides' key columns flag the keys whose share
+    * crosses `hotShareThreshold` on either side — a right-heavy key
+    * (millions of quotes for one symbol against uniform trades) skews
+    * the same merge partitions, and a left-only histogram cannot see it
+    * — and only the union of hot keys runs the salted composite-(key,
+    * salt) merge ([[asofJoinSaltedPartial]]). Uniform keys keep the
+    * plain native path with the strategy free to pick broadcast vs
+    * merge from its own stats; a fact side under
+    * [[RangeJoin.TinyFullRows]] skips the stats entirely (mode "tiny" —
+    * at that size the merge cannot straggle and the broadcast path is
+    * in play anyway). Results are identical in every regime
+    * (AsOfJoinPlanSpec pins auto ≡ salted ≡ unsalted); the decision is
+    * mirrored in [[lastAutoAsOf]] (use [[asofJoinAutoStats]] for the
+    * race-free per-call receipt). The stats passes read ONE pruned
+    * column per side — the q08-watermark scalar-collect pattern,
+    * bounded metadata, never data.
+    *
+    * Honest scale note on the right-heavy case: the composite-key salt
+    * spreads the hot key's LEFT rows across `saltBuckets` merge
+    * partitions while its right rows replicate onto each, so per-
+    * partition work falls from O(|L_k|+|R_k|) to O(|L_k|/S + |R_k|) —
+    * the win is real when the left pile is also large, and bounded when
+    * |R_k| alone dominates. Fully splitting a single key's right side
+    * takes time-slicing the key's axis with per-slice carry-in rows — a
+    * documented follow-up, not attempted here. */
   def asofJoinAuto(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                    valueCols: Seq[String], tieBreak: Option[String] = None,
                    saltBuckets: Int = 8,
                    direction: String = "backward",
                    hotShareThreshold: Double = RangeJoin.HotShareThreshold,
-                   sampleFraction: Double = RangeJoin.StatsSampleFraction): DataFrame = {
-    val stats = RangeJoin.hotValues(left, col(key), sampleFraction, hotShareThreshold)
+                   sampleFraction: Double = RangeJoin.StatsSampleFraction,
+                   minFullRows: Long = RangeJoin.TinyFullRows): DataFrame = {
+    val (df, stats) = asofJoinAutoStats(left, right, key, tsCol, valueCols,
+      tieBreak, saltBuckets, direction, hotShareThreshold, sampleFraction,
+      minFullRows)
+    lastAutoAsOf = Some(stats)
+    df
+  }
+
+  /** [[asofJoinAuto]] returning its per-call decision receipt. The
+    * global-vs-partial cutover reads the LEFT (fact) side's combined
+    * hot share: global salting replicates the WHOLE right side, which
+    * only pays when most of the fact rides the salted branch anyway; a
+    * key hot ONLY on the right therefore takes the partial split, where
+    * just that key's rights replicate. */
+  def asofJoinAutoStats(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                        valueCols: Seq[String], tieBreak: Option[String] = None,
+                        saltBuckets: Int = 8,
+                        direction: String = "backward",
+                        hotShareThreshold: Double = RangeJoin.HotShareThreshold,
+                        sampleFraction: Double = RangeJoin.StatsSampleFraction,
+                        minFullRows: Long = RangeJoin.TinyFullRows)
+      : (DataFrame, AutoAsOfStats) = {
+    // cached sampled key column of the fact side: the tiny-cutoff count
+    // and the hot-key histogram share one pruned sampled scan (and in
+    // tiny mode the count is the ENTIRE stats cost — one job)
+    val lBase = left.select(col(key).as("__k")).filter(col("__k").isNotNull)
+    val lSample = graft.CacheScope.manage(
+      (if (sampleFraction >= 1.0) lBase
+       else lBase.sample(withReplacement = false, sampleFraction, 42L)).persist())
+    val sampledN = lSample.count()
+    val estFull =
+      if (sampleFraction >= 1.0) sampledN
+      else math.round(sampledN / sampleFraction)
+    if (estFull < minFullRows)
+      return (asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
+        broadcast = None, direction),
+        AutoAsOfStats(0.0, salted = false, Nil, "tiny"))
+    val lStats0 = RangeJoin.hotValuesFromKeys(lSample, hotShareThreshold)
+    // tiny sample → noise-dominated estimate → redo on the full frame
+    val lStats =
+      if (sampleFraction < 1.0 && lStats0.sampledRows < RangeJoin.MinStatsRows)
+        RangeJoin.hotValuesFromKeys(lBase, hotShareThreshold)
+      else lStats0
+    val rStats = RangeJoin.hotValues(right, col(key), sampleFraction, hotShareThreshold)
+    val hot = (lStats.hot ++ rStats.hot).distinct
     // the same three-way ladder as the range join: plain when uniform,
-    // per-key partial for a thin hot slice, one globally salted merge
-    // when the hot keys own most of the fact (the partial split's
-    // second exec then buys nothing — see RangeJoin.GlobalSaltCutover)
+    // per-key partial for a thin hot slice (or a right-only-hot key),
+    // one globally salted merge when the hot keys own most of the fact
+    // (the partial split's second exec then buys nothing — see
+    // RangeJoin.GlobalSaltCutover)
     val mode =
-      if (stats.hot.isEmpty) "plain"
-      else if (stats.hotSumShare >= RangeJoin.GlobalSaltCutover) "global"
+      if (hot.isEmpty) "plain"
+      else if (lStats.hotSumShare >= RangeJoin.GlobalSaltCutover) "global"
       else "partial"
-    lastAutoAsOf = Some(AutoAsOfStats(stats.maxShare, mode != "plain", stats.hot, mode))
-    mode match {
+    val df = mode match {
       case "global" =>
         asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak, saltBuckets, direction)
       case "partial" =>
-        asofJoinSaltedPartial(left, right, key, tsCol, valueCols, stats.hot,
+        asofJoinSaltedPartial(left, right, key, tsCol, valueCols, hot,
           tieBreak, saltBuckets, direction)
       case _ =>
         asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
           broadcast = None, direction)
     }
+    (df, AutoAsOfStats(lStats.maxShare, mode != "plain", hot, mode, rStats.maxShare))
   }
 
   /** Ts-domain magnitude for distance arithmetic: timestamps in

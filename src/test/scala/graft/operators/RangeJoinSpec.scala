@@ -169,10 +169,14 @@ class RangeJoinSpec extends SparkSuite {
     // hot bin and pick the salted plan — and the rows must equal the
     // hand-picked salted variant's
     val skew = RangeJoin.skewedWindows(ev)
-    val auto = RangeJoin.pointInIntervalAuto(pts, "ts", skew, "w_start", "w_end")
+    // minFullRows = 0 disables the tiny cutoff: these pins exercise the
+    // LADDER on fixtures the cutoff would (correctly) wave through; the
+    // cutoff itself is pinned by its own test below. The per-call
+    // ...AutoStats receipt replaces the lastAutoRange read — race-free.
+    val (auto, dec) = RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", skew, "w_start", "w_end", minFullRows = 0L)
     val autoRows = auto.select("event_id", "w_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val dec = RangeJoin.lastAutoRange.get
     assert(dec.salted, s"auto must select a salted plan on the bursty fixture ($dec)")
     // measured on the EXPLODED join-key distribution (each window spans
     // ~1–2 bins at the auto width), so the burst's ~half-of-windows
@@ -197,10 +201,10 @@ class RangeJoinSpec extends SparkSuite {
     // uniform windows (the q88 fixture): no salt, width near the p95
     // window length (1–7 min windows → p95 within [6, 7] minutes)
     val uni = RangeJoin.purchaseWindows(ev)
-    val auto2 = RangeJoin.pointInIntervalAuto(pts, "ts", uni, "w_start", "w_end")
+    val (auto2, dec2) = RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", uni, "w_start", "w_end", minFullRows = 0L)
     val auto2Rows = auto2.select("event_id", "w_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val dec2 = RangeJoin.lastAutoRange.get
     assert(!dec2.salted, s"auto must keep the plain plan on uniform windows ($dec2)")
     val minute = 60L * 1000 * 1000
     assert(dec2.binWidth >= 6 * minute && dec2.binWidth <= 7 * minute,
@@ -233,10 +237,10 @@ class RangeJoinSpec extends SparkSuite {
     // the sf0.001 fixture has only ~240 windows, so the 10% sample is
     // ~24 rows — the MinStatsRows fallback must kick in and redo the
     // histogram on the full frame (this test also covers that fallback)
-    val auto = RangeJoin.pointInIntervalAuto(pts, "ts", thin, "w_start", "w_end")
+    val (auto, dec) = RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", thin, "w_start", "w_end", minFullRows = 0L)
     val autoRows = auto.select("event_id", "w_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val dec = RangeJoin.lastAutoRange.get
     assert(dec.mode === "partial", s"a thin burst must salt only its own bins ($dec)")
     assert(dec.hotBins.nonEmpty && dec.hotBins.size <= 2, s"thin burst flags 1-2 bins ($dec)")
     // row-identical to the plain join at the same width
@@ -284,5 +288,152 @@ class RangeJoinSpec extends SparkSuite {
       .select(col("iid"), col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
     val out = RangeJoin.pointInInterval(pts, "pt", ivs, "s", "e").collect()
     assert(out.map(_.getAs[Long]("iid")).toSeq === Seq(3L))
+  }
+
+  test("tiny cutoff: a small stats side skips the ladder, keeps the plain plan, and rows hold") {
+    val ev = Tables.events(spark, sf)
+    val pts = ev.select(col("event_id"), col("ts"), col("value"))
+    // DEFAULT params on the bursty fixture: the sf0.001 window set is a
+    // few hundred rows — far under TinyFullRows — so the engine's own
+    // decision must be the tiny plain plan even though the data is
+    // maximally skewed (at this size the skew cannot straggle; the
+    // exploded side is broadcast-range)
+    val skew = RangeJoin.skewedWindows(ev)
+    val (auto, dec) = RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", skew, "w_start", "w_end")
+    assert(dec.mode === "tiny", s"a sub-cutoff side must skip the ladder ($dec)")
+    assert(!dec.salted && dec.hotBins.isEmpty, s"tiny mode carries no salt state ($dec)")
+    val autoRows = auto.select("event_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.pointInInterval(pts, "ts", skew, "w_start", "w_end", dec.binWidth)
+      .select("event_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty,
+      "tiny mode must be row-identical to the plain join at the same width")
+    assert(!auto.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "tiny mode must plan no salt machinery")
+    // the overlap ladder applies the same cutoff on the combined sides
+    val (l, r) = RangeJoin.burstOverlapSides(ev)
+    val (autoOv, decOv) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end")
+    assert(decOv.mode === "tiny", s"sub-cutoff overlap sides must skip the ladder ($decOv)")
+    val ovRows = autoOv.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val ovPlain = RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", decOv.binWidth)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(ovRows === ovPlain && ovRows.nonEmpty)
+  }
+
+  test("grid-salted interval overlap == plain overlap, row for row, and joins on the (bin, a, b) key") {
+    val ev = Tables.events(spark, sf)
+    val (l, r) = RangeJoin.burstOverlapSides(ev)
+    val plain = RangeJoin.intervalOverlap(l, "w_start", "w_end", r, "e_start", "e_end")
+      .select("w_id", "e_id").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val grid = RangeJoin.intervalOverlapSalted(l, "w_start", "w_end", r, "e_start", "e_end")
+      .select("w_id", "e_id").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(grid === plain, "the grid salt must never change the pair set")
+    assert(grid.nonEmpty, "fixture must exercise overlaps (burst pairs at minimum)")
+    val gridDf = RangeJoin.intervalOverlapSalted(l, "w_start", "w_end", r, "e_start", "e_end")
+    val p = finalPlan(gridDf)
+    assert(p.contains("__salt_a") && p.contains("__salt_b"),
+      s"expected both grid axes in the join key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gridded rewrite must stay an equi-join:\n$p")
+    // the grid genuinely spreads BOTH sides of the hot bin: each side's
+    // hash axis lands its burst rows across >1 salt value
+    def spread(side: org.apache.spark.sql.DataFrame, startCol: String): Long = side
+      .withColumn("__sa", pmod(xxhash64(side.columns.map(col): _*),
+        lit(RangeJoin.GridSaltDefault)))
+      .filter(col(startCol) === to_timestamp(lit("2024-01-15 12:00:00")))
+      .select("__sa").distinct().count()
+    assert(spread(l, "w_start") >= 2, "left burst must spread across its hash axis")
+    assert(spread(r, "e_start") >= 2, "right burst must spread across its hash axis")
+  }
+
+  test("q105 overlap ladder: GLOBAL on the two-sided burst, PLAIN on uniform sides, and either side's burst is seen") {
+    val ev = Tables.events(spark, sf)
+    // two-sided burst (the q105 fixture): both sliced window sets stack
+    // half their rows on one instant → the hotter side's combined hot
+    // share crosses the cutover → one gridded exec
+    val (l, r) = RangeJoin.burstOverlapSides(ev)
+    val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L)
+    assert(dec.mode === "global", s"a two-sided burst must salt globally ($dec)")
+    assert(dec.hotBinShare >= 0.3, s"measured share must reflect the burst ($dec)")
+    val burstBin = spark.range(1)
+      .select(floor(unix_micros(to_timestamp(lit("2024-01-15 12:00:00"))) / dec.binWidth)
+        .cast("long")).head().getLong(0)
+    assert(dec.hotBins.contains(burstBin),
+      s"the flagged bins must include the burst instant's bin ($dec vs $burstBin)")
+    val autoRows = auto.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", dec.binWidth)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty,
+      "the gridded auto plan must be row-identical to the plain overlap")
+
+    // uniform sides (the q89 fixture): no hot bin → plain mode
+    val w = RangeJoin.purchaseWindows(ev)
+    val e = RangeJoin.errorWindows(ev)
+    val (autoU, decU) = RangeJoin.intervalOverlapAutoStats(
+      w, "w_start", "w_end", e, "e_start", "e_end", minFullRows = 0L)
+    assert(decU.mode === "plain", s"uniform sides must keep the plain plan ($decU)")
+    val uRows = autoU.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val uPlain = RangeJoin.intervalOverlap(
+        w, "w_start", "w_end", e, "e_start", "e_end", decU.binWidth)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(uRows === uPlain && uRows.nonEmpty)
+
+    // ONE-SIDED burst on the RIGHT only: the left histogram alone could
+    // never flag it — this is the two-sided-detection pin. The left
+    // keeps its natural timestamps; the right re-anchors its WHOLE
+    // slice onto the burst instant (all-burst, so the share is
+    // unambiguously hot whatever the slice size).
+    val rAll = ev.filter(col("event_type") === "error" && col("event_id") % 8 === 5)
+      .select(
+        col("event_id").as("e_id"),
+        ((col("event_id") % 11) + 1).cast("int").as("e_len"),
+        to_timestamp(lit("2024-01-15 12:00:00")).as("e_start"))
+      .withColumn("e_end", col("e_start") + expr("make_dt_interval(0, 0, e_len, 0)"))
+    val (autoR, decR) = RangeJoin.intervalOverlapAutoStats(
+      w, "w_start", "w_end", rAll, "e_start", "e_end", minFullRows = 0L)
+    assert(decR.mode !== "plain",
+      s"a burst on the right side alone must engage the ladder ($decR)")
+    assert(decR.hotBins.contains(burstBin), s"the right burst's bin must be flagged ($decR)")
+    val rRows = autoR.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val rPlain = RangeJoin.intervalOverlap(
+        w, "w_start", "w_end", rAll, "e_start", "e_end", decR.binWidth)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(rRows === rPlain, "right-burst routing must never change the pair set")
+  }
+
+  test("concurrent auto joins return independent per-call receipts (no clobber)") {
+    // two auto calls with OPPOSITE expected decisions run concurrently;
+    // each returned receipt must describe its own fixture — the
+    // JVM-global lastAutoRange mirror cannot make this guarantee, which
+    // is exactly why the specs read the per-call receipts
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val ev = Tables.events(spark, sf)
+    val pts = ev.select(col("event_id"), col("ts"), col("value"))
+    val skew = RangeJoin.skewedWindows(ev)
+    val uni = RangeJoin.purchaseWindows(ev)
+    val fSkew = Future(RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", skew, "w_start", "w_end", minFullRows = 0L))
+    val fUni = Future(RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", uni, "w_start", "w_end", minFullRows = 0L))
+    val (_, decSkew) = Await.result(fSkew, 120.seconds)
+    val (_, decUni) = Await.result(fUni, 120.seconds)
+    assert(decSkew.mode === "global", s"the bursty call's receipt must salt ($decSkew)")
+    assert(decUni.mode === "plain", s"the uniform call's receipt must not ($decUni)")
   }
 }

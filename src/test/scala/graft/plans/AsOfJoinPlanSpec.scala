@@ -306,10 +306,12 @@ class AsOfJoinPlanSpec extends SparkSuite {
       .select(
         when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
         col("ts"), col("event_id").as("pid"))
-    val auto = AsOfJoin.asofJoinAuto(ev, right, "user_id", "ts", Seq("pid"),
-        tieBreak = Some("pid"))
-      .select("event_id", "asof_pid").orderBy("event_id").collect()
-    val dec = AsOfJoin.lastAutoAsOf.get
+    // minFullRows = 0 disables the tiny cutoff so these ladder pins run
+    // on the small fixture; the per-call ...AutoStats receipt replaces
+    // the lastAutoAsOf read — race-free under concurrent auto joins
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+    val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
     assert(dec.salted, s"auto must salt the hot-key fixture ($dec)")
     assert(dec.hotKeyShare >= 0.4, s"measured share must reflect the hot key ($dec)")
     assert(dec.hotKeys === Seq(1234567L),
@@ -328,10 +330,10 @@ class AsOfJoinPlanSpec extends SparkSuite {
     val evU = Tables.events(spark, sf).select("event_id", "event_type", "user_id", "ts")
     val rightU = Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("pid"))
-    val autoU = AsOfJoin.asofJoinAuto(evU, rightU, "user_id", "ts", Seq("pid"),
-      tieBreak = Some("pid"))
-    val decU = AsOfJoin.lastAutoAsOf.get
+    val (autoU, decU) = AsOfJoin.asofJoinAutoStats(evU, rightU, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
     assert(!decU.salted, s"auto must not salt uniform keys ($decU)")
+    assert(decU.mode === "plain", s"uniform keys must read as plain, not tiny ($decU)")
     assert(!finalPlan(autoU).contains("__asof_salt"),
       "the uniform plan must carry no salt machinery")
     val plainU = AsOfJoin.asofJoinNative(evU, rightU, "user_id", "ts", Seq("pid"),
@@ -354,10 +356,9 @@ class AsOfJoinPlanSpec extends SparkSuite {
       .select(
         when(col("user_id") % 4 === 0, lit(7777777L)).otherwise(col("user_id")).as("user_id"),
         col("ts"), col("event_id").as("pid"))
-    val auto = AsOfJoin.asofJoinAuto(ev, right, "user_id", "ts", Seq("pid"),
-        tieBreak = Some("pid"))
-      .select("event_id", "asof_pid").orderBy("event_id").collect()
-    val dec = AsOfJoin.lastAutoAsOf.get
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+    val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
     assert(dec.mode === "partial", s"a quarter-hot key must salt partially ($dec)")
     assert(dec.hotKeys === Seq(7777777L), s"exactly the hot key flagged ($dec)")
     val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
@@ -365,6 +366,90 @@ class AsOfJoinPlanSpec extends SparkSuite {
       .select("event_id", "asof_pid").orderBy("event_id").collect()
     assert(auto.length === plain.length && auto.nonEmpty)
     auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("a RIGHT-heavy key engages the ladder: the left histogram alone could never see it") {
+    // the round-12 verdict's blind spot: millions of quotes for one
+    // symbol against UNIFORM trades — the left keys stay uniform, so a
+    // left-only histogram keeps the plain merge and that key's right
+    // pile lands on one partition. The fixture concentrates the RIGHT
+    // side (every purchase row remapped to one key) while the left keys
+    // keep their natural spread.
+    // 5% of left rows carry the heavy key — matches exist, but the left
+    // share stays far under the hot threshold
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("event_id") % 20 === 0, lit(4242424L)).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(lit(4242424L).as("user_id"), col("ts"), col("event_id").as("pid"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+    assert(dec.mode === "partial",
+      s"a right-only-hot key must take the partial split, not global ($dec)")
+    assert(dec.hotKeys === Seq(4242424L), s"the right-hot key must be flagged ($dec)")
+    assert(dec.rightHotShare >= 0.9, s"the receipt must carry the right side's share ($dec)")
+    assert(dec.hotKeyShare < 0.2, s"the left side must read uniform ($dec)")
+    // routing is row-identical to the plain merge
+    val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
+    val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"), broadcast = Some(false))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    assert(auto.exists(!_.isNullAt(1)), "the heavy key's lefts must actually match")
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("tiny cutoff: a sub-cutoff fact side skips the as-of stats ladder entirely") {
+    // DEFAULT params on the maximally hot-keyed fixture: the sf0.001
+    // fact is ~1k rows — far under TinyFullRows — so the engine's own
+    // decision must be the plain native path (mode "tiny"; at this size
+    // the merge cannot straggle), and the rows must still hold
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(
+        when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("event_id").as("pid"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"))
+    assert(dec.mode === "tiny", s"a sub-cutoff fact must skip the ladder ($dec)")
+    assert(!dec.salted && dec.hotKeys.isEmpty, s"tiny mode carries no salt state ($dec)")
+    assert(!finalPlan(autoDf).contains("__asof_salt"),
+      "tiny mode must plan no salt machinery")
+    val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
+    val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("concurrent auto as-ofs return independent per-call receipts (no clobber)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val evHot = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val rightHot = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(
+        when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("event_id").as("pid"))
+    val evU = Tables.events(spark, sf).select("event_id", "event_type", "user_id", "ts")
+    val rightU = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val fHot = Future(AsOfJoin.asofJoinAutoStats(evHot, rightHot, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L))
+    val fUni = Future(AsOfJoin.asofJoinAutoStats(evU, rightU, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L))
+    val (_, decHot) = Await.result(fHot, 120.seconds)
+    val (_, decUni) = Await.result(fUni, 120.seconds)
+    assert(decHot.mode === "global", s"the hot-key call's receipt must salt ($decHot)")
+    assert(decUni.mode === "plain", s"the uniform call's receipt must not ($decUni)")
   }
 
   test("nearest over a non-arithmetic ts domain fails at plan time with an actionable message") {

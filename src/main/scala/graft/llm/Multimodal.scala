@@ -471,15 +471,18 @@ object Multimodal {
       |           ELSE 0 END) AS dhash
       |  FROM documents)""".stripMargin
 
+  // the bucket cap is interpolated from the Scala-side constant (the
+  // TextDedup.pairsCtes pattern) so a future cap change cannot desync
+  // implementation and oracle silently
   private val dhashCtesSql = hashCteSql + ",\n" +
-    """b0 AS (
+    s"""b0 AS (
       |  SELECT doc_id, dhash, band_id, (dhash >> (16 * band_id)) & 65535 AS band_val
       |  FROM h, (SELECT unnest(range(0, 4)) AS band_id)),
       |b AS (
       |  SELECT doc_id, dhash, band_id, band_val FROM (
       |    SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
       |    FROM b0)
-      |  WHERE rn <= 1024),
+      |  WHERE rn <= ${TextDedup.MaxBucketDefault}),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
       |         a.dhash AS h_a, b2.dhash AS h_b
@@ -561,7 +564,7 @@ object Multimodal {
   // near-dup pairs (mirrors imageDupClusters term for term), then the
   // shared reachability closure.
   private val l54Sql = hashCteSql + ",\n" +
-    """reps AS (SELECT dhash, min(doc_id) AS rep FROM h GROUP BY dhash),
+    s"""reps AS (SELECT dhash, min(doc_id) AS rep FROM h GROUP BY dhash),
       |star AS (SELECT h.doc_id AS id_a, r.rep AS id_b
       |         FROM h JOIN reps r USING (dhash) WHERE h.doc_id != r.rep),
       |rh AS (SELECT rep AS doc_id, dhash FROM reps),
@@ -572,7 +575,7 @@ object Multimodal {
       |  SELECT doc_id, dhash, band_id, band_val FROM (
       |    SELECT *, row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
       |    FROM rb0)
-      |  WHERE rn <= 1024),
+      |  WHERE rn <= ${TextDedup.MaxBucketDefault}),
       |rpairs AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
       |  FROM rb a JOIN rb b2 ON a.band_id = b2.band_id AND a.band_val = b2.band_val

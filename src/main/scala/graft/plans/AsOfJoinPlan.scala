@@ -778,7 +778,15 @@ object BroadcastAsOfJoinExec {
   /** Conf key sizing the per-JVM index cache (round 12 — previously a
     * hardcoded 4): raise it when >4 distinct as-of broadcasts are live
     * concurrently, or thrash shows up in the `indexBuilds` metric.
-    * Eviction costs a rebuild, never correctness. */
+    * Eviction costs a rebuild, never correctness.
+    *
+    * Scope note: the conf is session-named but the cache is JVM-global
+    * (indexes are shared across queries on purpose), so concurrent
+    * sessions with different values meet one bound. The update is
+    * MONOTONIC — the cache grows to the largest requested size and a
+    * smaller concurrent setting never shrinks a peer's working set;
+    * shrinking takes a JVM restart (an executor-lifetime knob, like
+    * Spark's own memory fractions). */
   val CacheSizeConfKey = "spark.graft.asof.broadcastIndexCacheSize"
 
   @volatile private var maxEntries: Int = 4
@@ -831,7 +839,8 @@ object BroadcastAsOfJoinExec {
                               cacheSize: Int,
                               build: Array[InternalRow] => AsOfIndex): (AsOfIndex, Int) =
     cache.synchronized {
-      if (cacheSize > 0 && cacheSize != maxEntries) maxEntries = cacheSize
+      // monotonic max — see CacheSizeConfKey's scope note
+      if (cacheSize > maxEntries) maxEntries = cacheSize
       var outcome = HitById
       var v = cache.get(id)
       if (v == null) {

@@ -550,6 +550,34 @@ class PlanSpec extends SparkSuite {
     assert(before.map(t => (t._1, t._2, t._3)) === direct)
   }
 
+  test("q102 first write is replay-safe: a half-written batch 0 re-runs the Overwrite, not a merge") {
+    // the ADVICE r12 scenario: trigger 0 fails after creating the store
+    // directory but before the commit marker. A bare directory probe
+    // would take the merge branch and read the partial store; the
+    // _SUCCESS gate must instead re-run the first-write Overwrite, and
+    // a replay AFTER a committed batch must merge idempotently (HLL
+    // union is a per-register max).
+    val dir = java.nio.file.Files.createTempDirectory("q102_replay").toString + "/store"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), to_date(col("ts")).as("day"), col("user_id"))
+    val b0 = ev.filter(col("event_id") % 2 === 0).drop("event_id")
+    // simulate the partial first trigger: directory present, junk file
+    // inside, NO _SUCCESS marker
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    graft.streaming.StreamingOracle.mergeSketchBatch(b0, dir) // the retry of batch 0
+    def snap() = spark.read.parquet(dir)
+      .select(col("day").cast("string"), hll_sketch_estimate(col("sketch")).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val after = snap()
+    assert(after.nonEmpty, "the retried Overwrite must land a readable store")
+    // replaying the SAME batch against the now-committed store must be
+    // a no-op estimate-wise (register max absorbs the duplicate)
+    graft.streaming.StreamingOracle.mergeSketchBatch(b0, dir)
+    assert(snap() === after, "re-merging a replayed batch must not move any estimate")
+  }
+
   test("q102: the STREAM-maintained sketch store equals the batch-built one, estimate for estimate") {
     // the incremental path — per-batch partial sketches merged into the
     // stored table by day across real micro-batches — must land on the

@@ -483,10 +483,13 @@ class StreamingSpec extends SparkSuite {
     // whatever the layout's file count; the ordered layouts pin their
     // slicing explicitly).
     val sf = sfDir("0.001")
+    // q102+q104 share ONE maintenance stream since round 13 (both
+    // stores merge per trigger — see StreamingOracle.maintainedStores),
+    // so the pair's budget is one stream's 2 triggers, not 2×2
     val budget = Map(
       "q68" -> 2, "q69" -> 2, "q70" -> 2, "q72" -> 4, "q73" -> 3,
       "q74" -> 3, "q85" -> 2, "q91" -> 2, "q92" -> 3, "q93" -> 3,
-      "q95" -> 3, "q97" -> 3, "q102" -> 2, "q104" -> 2, "l55" -> 2)
+      "q95" -> 3, "q97" -> 3, "q102+q104" -> 2, "l55" -> 2)
     val run: Map[String, () => Unit] = Map(
       "q68" -> (() => StreamingOracle.streamingWindowRollup(spark, sf)),
       "q69" -> (() => StreamingOracle.streamingFunnelSummary(spark, sf)),
@@ -500,8 +503,7 @@ class StreamingSpec extends SparkSuite {
       "q93" -> (() => StreamingOracle.streamingStreamAsOfForward(spark, sf)),
       "q95" -> (() => StreamingOracle.streamingStreamAsOfNearest(spark, sf)),
       "q97" -> (() => StreamingOracle.streamingDedupTtl(spark, sf)),
-      "q102" -> (() => StreamingOracle.streamingSketchMaintain(spark, sf)),
-      "q104" -> (() => StreamingOracle.streamingHistogramMaintain(spark, sf)),
+      "q102+q104" -> (() => StreamingOracle.streamingSketchMaintain(spark, sf)),
       "l55" -> (() => StreamingOracle.streamingIncrementalDedup(spark, sf)))
     // the stream executes inside each gate function (drain records the
     // count); earlier tests may have populated some gates already

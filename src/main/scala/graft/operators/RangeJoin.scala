@@ -800,27 +800,32 @@ object RangeJoin {
        |  ON e.ts >= w.w_start AND e.ts < w.w_start + w_len * INTERVAL 1 MINUTE
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** The q105 fixture: a TWO-SIDED burst — a 1-in-8 slice of purchase
-    * windows and a disjoint 1-in-8 slice of error windows, with HALF of
-    * each slice's windows re-anchored to the same fixed instant (one
+  /** The q105 fixture: a TWO-SIDED burst — a 1-in-16 slice of purchase
+    * windows and a disjoint 1-in-16 slice of error windows, with HALF
+    * of each slice's windows re-anchored to the same fixed instant (one
     * incident, both window sets stacking on it). Every burst×burst pair
-    * overlaps, so the hot bin's pair count is quadratic in the burst —
+    * overlaps, so the hot bin's pair count is QUADRATIC in the burst —
     * exactly the shape whose shuffle partition the plain bin join would
-    * serialize, and the fixture stays DuckDB-oracle-sized because the
-    * slices bound the quadratic term (~1.5 M pairs at sf0.1). */
+    * serialize. The slice width is deliberate: it bounds the quadratic
+    * term to oracle size (~390k pairs at sf0.1, ~39M at the 10× smoke
+    * rung — a documented Θ(answer) row there, like l42), and it keeps
+    * the tiny-cutoff decision DECISIVE at every measured scale (the
+    * sides sum to ~2.5k rows at sf0.1 and ~25k at 10×, both ≥2× clear
+    * of TinyFullRows) instead of parking the estimate on the boundary
+    * where sampling jitter would flip the receipt run to run. */
   private[graft] def burstOverlapSides(events: DataFrame): (DataFrame, DataFrame) = {
     val burstInstant = to_timestamp(lit("2024-01-15 12:00:00"))
-    val l = events.filter(col("event_type") === "purchase" && col("event_id") % 8 === 3)
+    val l = events.filter(col("event_type") === "purchase" && col("event_id") % 16 === 3)
       .select(
         col("event_id").as("w_id"),
         ((col("event_id") % 7) + 1).cast("int").as("w_len"),
-        when(col("event_id") % 16 === 3, burstInstant).otherwise(col("ts")).as("w_start"))
+        when(col("event_id") % 32 === 3, burstInstant).otherwise(col("ts")).as("w_start"))
       .withColumn("w_end", col("w_start") + expr("make_dt_interval(0, 0, w_len, 0)"))
-    val r = events.filter(col("event_type") === "error" && col("event_id") % 8 === 5)
+    val r = events.filter(col("event_type") === "error" && col("event_id") % 16 === 5)
       .select(
         col("event_id").as("e_id"),
         ((col("event_id") % 11) + 1).cast("int").as("e_len"),
-        when(col("event_id") % 16 === 5, burstInstant).otherwise(col("ts")).as("e_start"))
+        when(col("event_id") % 32 === 5, burstInstant).otherwise(col("ts")).as("e_start"))
       .withColumn("e_end", col("e_start") + expr("make_dt_interval(0, 0, e_len, 0)"))
     (l, r)
   }
@@ -849,14 +854,14 @@ object RangeJoin {
   private val q105Sql =
     s"""WITH w AS (
        |  SELECT event_id AS w_id, cast(event_id % 7 + 1 as int) AS w_len,
-       |         CASE WHEN event_id % 16 = 3 THEN TIMESTAMP '2024-01-15 12:00:00'
+       |         CASE WHEN event_id % 32 = 3 THEN TIMESTAMP '2024-01-15 12:00:00'
        |              ELSE ts END AS w_start
-       |  FROM events WHERE event_type = 'purchase' AND event_id % 8 = 3),
+       |  FROM events WHERE event_type = 'purchase' AND event_id % 16 = 3),
        |er AS (
        |  SELECT event_id AS e_id, cast(event_id % 11 + 1 as int) AS e_len,
-       |         CASE WHEN event_id % 16 = 5 THEN TIMESTAMP '2024-01-15 12:00:00'
+       |         CASE WHEN event_id % 32 = 5 THEN TIMESTAMP '2024-01-15 12:00:00'
        |              ELSE ts END AS e_start
-       |  FROM events WHERE event_type = 'error' AND event_id % 8 = 5)
+       |  FROM events WHERE event_type = 'error' AND event_id % 16 = 5)
        |SELECT w_len, cast(count(*) as bigint) AS n_pairs,
        |  cast(sum(epoch_us(least(w_start + w_len * INTERVAL 1 MINUTE,
        |                          e_start + e_len * INTERVAL 1 MINUTE))

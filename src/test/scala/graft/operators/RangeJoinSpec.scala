@@ -395,7 +395,7 @@ class RangeJoinSpec extends SparkSuite {
     // keeps its natural timestamps; the right re-anchors its WHOLE
     // slice onto the burst instant (all-burst, so the share is
     // unambiguously hot whatever the slice size).
-    val rAll = ev.filter(col("event_type") === "error" && col("event_id") % 8 === 5)
+    val rAll = ev.filter(col("event_type") === "error" && col("event_id") % 16 === 5)
       .select(
         col("event_id").as("e_id"),
         ((col("event_id") % 11) + 1).cast("int").as("e_len"),

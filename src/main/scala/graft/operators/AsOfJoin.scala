@@ -152,7 +152,9 @@ object AsOfJoin {
     * [[RangeJoin.AutoRangeStats]] (incl. "tiny"). `hotKeyShare` /
     * `rightHotShare` are the hottest single key's share of the LEFT /
     * RIGHT side respectively; `hotKeys` is the union of both sides' hot
-    * lists. */
+    * lists. `rightHotShare` is 0.0 when the right was never sampled —
+    * tiny mode, or the left-global short-circuit (see
+    * [[asofJoinAutoStats]]). */
   final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean,
                                  hotKeys: Seq[Any] = Nil,
                                  mode: String = "plain",
@@ -247,27 +249,43 @@ object AsOfJoin {
                         minFullRows: Long = RangeJoin.TinyFullRows)
       : (DataFrame, AutoAsOfStats) = {
     // cached sampled key column of the fact side: the tiny-cutoff count
-    // and the hot-key histogram share one pruned sampled scan (and in
-    // tiny mode the count is the ENTIRE stats cost — one job)
+    // and the hot-key histogram share one pruned sampled scan, and the
+    // count rides the histogram's FIRST aggregate (earlyExitBelow), so
+    // in tiny mode that one job is the entire stats cost
     val lBase = left.select(col(key).as("__k")).filter(col("__k").isNotNull)
     val lSample = graft.CacheScope.manage(
       (if (sampleFraction >= 1.0) lBase
        else lBase.sample(withReplacement = false, sampleFraction, 42L)).persist())
-    val sampledN = lSample.count()
+    // the cutoff translated into the sample's row domain
+    val cutoffSampled =
+      if (sampleFraction >= 1.0) minFullRows
+      else math.round(minFullRows * sampleFraction)
+    val lStats0 = RangeJoin.hotValuesFromKeys(lSample, hotShareThreshold,
+      earlyExitBelow = cutoffSampled)
     val estFull =
-      if (sampleFraction >= 1.0) sampledN
-      else math.round(sampledN / sampleFraction)
+      if (sampleFraction >= 1.0) lStats0.sampledRows
+      else math.round(lStats0.sampledRows / sampleFraction)
     if (estFull < minFullRows)
       return (asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
         broadcast = None, direction),
         AutoAsOfStats(0.0, salted = false, Nil, "tiny"))
-    val lStats0 = RangeJoin.hotValuesFromKeys(lSample, hotShareThreshold)
     // tiny sample → noise-dominated estimate → redo on the full frame
     val lStats =
       if (sampleFraction < 1.0 && lStats0.sampledRows < RangeJoin.MinStatsRows)
         RangeJoin.hotValuesFromKeys(lBase, hotShareThreshold)
       else lStats0
-    val rStats = RangeJoin.hotValues(right, col(key), sampleFraction, hotShareThreshold)
+    // the RIGHT side's histogram runs only when it can change the
+    // routing: once the left's combined hot share crosses the global
+    // cutover the plan is one uniformly salted merge whatever the right
+    // adds (the hot list is unused in global mode), so the extra
+    // sampled scan is skipped — the q101 shape pays the same stats bill
+    // as round 12, and uniform-left workloads (where a right-heavy key
+    // IS the risk) pay for exactly the scan that protects them
+    val leftGlobal = lStats.hot.nonEmpty &&
+      lStats.hotSumShare >= RangeJoin.GlobalSaltCutover
+    val rStats =
+      if (leftGlobal) RangeJoin.HotStats(Nil, 0.0, 0.0, 0L)
+      else RangeJoin.hotValues(right, col(key), sampleFraction, hotShareThreshold)
     val hot = (lStats.hot ++ rStats.hot).distinct
     // the same three-way ladder as the range join: plain when uniform,
     // per-key partial for a thin hot slice (or a right-only-hot key),
@@ -276,7 +294,7 @@ object AsOfJoin {
     // RangeJoin.GlobalSaltCutover)
     val mode =
       if (hot.isEmpty) "plain"
-      else if (lStats.hotSumShare >= RangeJoin.GlobalSaltCutover) "global"
+      else if (leftGlobal) "global"
       else "partial"
     val df = mode match {
       case "global" =>

@@ -290,18 +290,29 @@ object RangeJoin {
     else math.round(sampled / sampleFraction)
 
   /** The histogram tail of [[hotValues]] over an already-sampled key
-    * frame (column `__k`). */
-  private[operators] def hotValuesFromKeys(keys: DataFrame, threshold: Double): HotStats = {
+    * frame (column `__k`).
+    *
+    * `earlyExitBelow`: when the frame's total lands under this row
+    * count, the hot-value collect (the second job) is skipped and an
+    * empty hot list returns with the total — the caller is about to
+    * take its tiny cutoff anyway, so the first aggregate IS the entire
+    * stats cost. 0 (the default) disables the early exit. */
+  private[operators] def hotValuesFromKeys(keys: DataFrame, threshold: Double,
+                                           earlyExitBelow: Long = 0L): HotStats = {
     val counts = keys.filter(col("__k").isNotNull).groupBy("__k").count().persist()
     try {
       val r = counts.agg(max("count").as("mx"), sum("count").as("tot")).head()
       if (r.isNullAt(1) || r.getLong(1) == 0L) HotStats(Nil, 0.0, 0.0, 0L)
       else {
         val tot = r.getLong(1)
-        val hotRows = counts.filter(col("count") >= lit(threshold * tot))
-          .select(col("__k"), col("count")).collect()
-        HotStats(hotRows.map(_.get(0)).toSeq, r.getLong(0).toDouble / tot,
-          hotRows.map(_.getLong(1)).sum.toDouble / tot, tot)
+        if (tot < earlyExitBelow)
+          HotStats(Nil, r.getLong(0).toDouble / tot, 0.0, tot)
+        else {
+          val hotRows = counts.filter(col("count") >= lit(threshold * tot))
+            .select(col("__k"), col("count")).collect()
+          HotStats(hotRows.map(_.get(0)).toSeq, r.getLong(0).toDouble / tot,
+            hotRows.map(_.getLong(1)).sum.toDouble / tot, tot)
+        }
       }
     } finally { counts.unpersist(); () }
   }
@@ -490,11 +501,13 @@ object RangeJoin {
 
   /** [[intervalOverlapAuto]] returning its per-call decision receipt.
     * `hotBinShare` is the hotter of the two sides' max-bin shares;
-    * `hotBins` is the union of the sides' hot lists. The global-vs-
-    * partial cutover reads the hotter side's COMBINED hot share — when
-    * either side funnels ≥ [[GlobalSaltCutover]] of its rows through
-    * hot bins, most of the join rides the salted branch anyway and the
-    * partial split's second join buys nothing. */
+    * `hotBins` is the union of the sides' hot lists. GLOBAL is chosen
+    * only for a TWO-SIDED pile-up (a bin hot on both sides) that also
+    * carries ≥ [[GlobalSaltCutover]] of the hotter side — then most of
+    * the join rides the grid anyway and the partial split's extra
+    * branches buy nothing; any one-sided pile routes to the partial
+    * form's hash-the-hot-side orientation, where the pile splits with
+    * ZERO replication of itself. */
   def intervalOverlapAutoStats(left: DataFrame, lStart: String, lEnd: String,
                                right: DataFrame, rStart: String, rEnd: String,
                                sampleFraction: Double = StatsSampleFraction,
@@ -541,16 +554,23 @@ object RangeJoin {
     val rs = sideStats(rm, rm0)
     val hot = (ls.hot ++ rs.hot).distinct
     val maxShare = math.max(ls.maxShare, rs.maxShare)
+    // GLOBAL (uniform grid over every bin) only pays when a SHARED hot
+    // bin — both sides piling up together — carries most of the join;
+    // a one-sided pile, however large its share, is served strictly
+    // better by the partial form's hash-the-hot-side orientation, whose
+    // replication cost is the SMALL side's rows in the hot bins only.
+    val bothSided = ls.hot.toSet.intersect(rs.hot.toSet).nonEmpty
     val mode =
       if (hot.isEmpty) "plain"
-      else if (math.max(ls.hotSumShare, rs.hotSumShare) >= GlobalSaltCutover) "global"
+      else if (bothSided &&
+        math.max(ls.hotSumShare, rs.hotSumShare) >= GlobalSaltCutover) "global"
       else "partial"
     val df = mode match {
       case "global" =>
         intervalOverlapSalted(left, lStart, lEnd, right, rStart, rEnd, w, saltA, saltB)
       case "partial" =>
         intervalOverlapSaltedPartial(left, lStart, lEnd, right, rStart, rEnd,
-          hot, w, saltA, saltB)
+          ls.hot, rs.hot, w, saltA, saltB)
       case _ =>
         intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w)
     }
@@ -624,45 +644,69 @@ object RangeJoin {
       .drop("__bin", "__salt_a", "__salt_b")
   }
 
-  /** [[intervalOverlap]] with the grid salt applied ONLY inside the
-    * listed hot bins — the partial form: cold bins keep the plain
-    * single-key join, hot bins ride the grid. Exactness: the bin sets
-    * of the two branches are disjoint, each branch preserves per-bin
-    * pair multiplicity (plain trivially, the grid by the one-cell
-    * argument on [[intervalOverlapSalted]]), and the overlap-start
-    * residual — applied AFTER the union — keeps each pair only in the
-    * single bin holding `greatest(lStart, rStart)`, which lives in
-    * exactly one branch. Null-bin rows match nothing in either branch,
-    * exactly like the plain equi-join. */
+  /** [[intervalOverlap]] with ORIENTATION-AWARE salting applied only
+    * inside the hot bins, routed per bin by WHICH side is hot there —
+    * the cost shape that matters: replication should be paid on the
+    * SMALL side of a pile-up, and only a two-sided pile-up forces
+    * paying it on both.
+    *
+    *  - bins hot on the LEFT only: lefts take a hash salt (split ÷S,
+    *    zero replication of the pile), rights replicate ×S — the small
+    *    side pays;
+    *  - bins hot on the RIGHT only: the mirror image;
+    *  - bins hot on BOTH sides: the two-axis grid
+    *    ([[intervalOverlapSalted]]) — each side splits ÷4 for a ×4
+    *    replication of its own pile, the unavoidable price when both
+    *    piles are large;
+    *  - cold bins: the plain single-key join.
+    *
+    * The routing lives in the SALT EXPRESSIONS, not in branch unions:
+    * each side computes, per exploded row, a (salt_a, salt_b) pair that
+    * degenerates to (0, 0) in cold bins, to hash-vs-replicate in
+    * one-sided bins, and to the full grid in both-hot bins — ONE
+    * equi-join on (bin, salt_a, salt_b), one scan per side, whatever
+    * the mix of bin classes (a branch-union form would re-scan both
+    * sides once per class — measured 2× the whole join's cost on the
+    * LadderScale synth rung).
+    *
+    * Exactness per bin class: a hashed row holds one salt value and a
+    * replicated row exists at every value, so a (left, right) pair
+    * meets exactly once per shared bin in every class (cold: (0,0);
+    * one-sided: the hashed side's value; both: the grid's one-cell
+    * argument) — per-bin multiplicity is unchanged, and the
+    * overlap-start residual dedups multi-bin pairs exactly as in the
+    * plain join. Null-bin rows match nothing (null equi-key), exactly
+    * like the plain join. */
   def intervalOverlapSaltedPartial(left: DataFrame, lStart: String, lEnd: String,
                                    right: DataFrame, rStart: String, rEnd: String,
-                                   hotBins: Seq[Any],
+                                   lHotBins: Seq[Any], rHotBins: Seq[Any],
                                    binWidth: Long = DefaultBinMicros,
                                    saltA: Int = GridSaltDefault, saltB: Int = GridSaltDefault,
                                    saltColsL: Seq[String] = Nil,
                                    saltColsR: Seq[String] = Nil): DataFrame = {
-    require(hotBins.nonEmpty, "partial salting needs a non-empty hot-bin list")
+    require(lHotBins.nonEmpty || rHotBins.nonEmpty,
+      "partial salting needs a non-empty hot-bin list")
     val l = left.filter(col(lStart) < col(lEnd))
       .withColumn("__bin", intervalBins(left, lStart, lEnd, binWidth))
     val r = right.filter(col(rStart) < col(rEnd))
       .withColumn("__bin", intervalBins(right, rStart, rEnd, binWidth))
-    val hot = col("__bin").isin(hotBins: _*)
-    val plainPart = l.filter(!hot).join(r.filter(!hot), Seq("__bin"))
-    val griddedPart = l.filter(hot)
-      .withColumn("__salt_a",
-        pmod(xxhash64(saltHashCols(left, saltColsL): _*), lit(saltA)).cast("int"))
-      .withColumn("__salt_b", explode(sequence(lit(0), lit(saltB - 1))))
-      .join(r.filter(hot)
-        .withColumn("__salt_a", explode(sequence(lit(0), lit(saltA - 1))))
-        .withColumn("__salt_b",
-          pmod(xxhash64(saltHashCols(right, saltColsR): _*), lit(saltB)).cast("int")),
-        Seq("__bin", "__salt_a", "__salt_b"))
-      .drop("__salt_a", "__salt_b")
-    plainPart.unionByName(griddedPart)
+    def in(bins: Seq[Any]) =
+      if (bins.isEmpty) lit(false) else col("__bin").isin(bins: _*)
+    val lHash = pmod(xxhash64(saltHashCols(left, saltColsL): _*), lit(saltA)).cast("int")
+    val rHash = pmod(xxhash64(saltHashCols(right, saltColsR): _*), lit(saltB)).cast("int")
+    def spread(n: Int) = sequence(lit(0), lit(n - 1))
+    val one = array(lit(0))
+    val l2 = l
+      .withColumn("__salt_a", when(in(lHotBins), lHash).otherwise(lit(0)))
+      .withColumn("__salt_b", explode(when(in(rHotBins), spread(saltB)).otherwise(one)))
+    val r2 = r
+      .withColumn("__salt_a", explode(when(in(lHotBins), spread(saltA)).otherwise(one)))
+      .withColumn("__salt_b", when(in(rHotBins), rHash).otherwise(lit(0)))
+    l2.join(r2, Seq("__bin", "__salt_a", "__salt_b"))
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(binIdx(greatest(magnitude(left, lStart), magnitude(right, rStart)),
         binWidth) === col("__bin"))
-      .drop("__bin")
+      .drop("__bin", "__salt_a", "__salt_b")
   }
 
   // ---- registry queries over the events fixture -----------------------

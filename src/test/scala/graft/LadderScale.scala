@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Auto-ladder scale receipts (dev harness, test scope — the r13 twin of
+  * ScaleSmoke/DocScale100, for VERDICT r12 item 7): the engine-selected
+  * skew ladder's value claim is that its per-run stats premium buys
+  * straggler insurance AT SCALE — so this harness measures, at 1× and
+  * 10× amplified events, each auto path against its hand-picked
+  * baseline, and prints the engine's own mode receipt next to the
+  * timings:
+  *
+  *  - below the tiny cutoff the auto path must report mode=tiny and
+  *    track the PLAIN cost (the r12 q88 stats toll erased);
+  *  - once the stats side crosses the cutoff, the ladder must engage on
+  *    the skewed fixtures (mode=global) and track the hand-salted
+  *    baseline's cost — the premium amortized;
+  *  - rows are compared auto-vs-baseline at every rung (count equality
+  *    here; full row equality is RangeJoinSpec/AsOfJoinPlanSpec's job).
+  *
+  * The overlap ladder's 10× rung additionally forces the stats pass
+  * (minFullRows = 0) on the burst fixture to exercise the grid-salted
+  * global plan against the plain join at the same width — the regime
+  * where both interval sets pile onto one bin and the one-key equi-join
+  * would serialize the quadratic pair term on one partition.
+  *
+  * Amplification is ScaleSmoke's shifted-copy recipe on events only
+  * (offsets ≡ 0 mod 32, so every event_id-derived fixture — q94's
+  * burst halves, q105's slices — duplicates across copies exactly).
+  *
+  * Run: sbt "Test/runMain graft.LadderScale"   → tools/ladderscale CSV
+  */
+object LadderScale {
+
+  private val Copies = 10
+
+  private def amplifyEvents(spark: SparkSession, base: String, out: String): String = {
+    val raw = spark.read.parquet(s"$base/events.parquet")
+    (0 until Copies).map { k =>
+      raw.select(
+        (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _).write.parquet(s"$out/events.parquet")
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ladder10x")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(scratch))
+        Files.walk(scratch).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }))
+    val x10 = amplifyEvents(spark, base, scratch.toString)
+    val rungs = Seq(1 -> base, Copies -> x10)
+
+    // warm-up + timed pass, Bench's steady-state protocol
+    def time(f: => DataFrame): (Double, Long) = {
+      f.count(); CacheScope.releaseAll()
+      val t0 = System.nanoTime()
+      val n = f.count()
+      CacheScope.releaseAll()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    println("family,copies,baseline_sec,auto_sec,auto_mode,rows_match")
+    def row(family: String, copies: Int, baseline: => DataFrame,
+            auto: => DataFrame, mode: => String): Unit = {
+      val (bSec, bN) = time(baseline)
+      val (aSec, aN) = time(auto)
+      println(f"$family,$copies,$bSec%.2f,$aSec%.2f,$mode,${bN == aN}")
+      Console.flush()
+    }
+
+    for ((c, dir) <- rungs) {
+      val ev = Tables.events(spark, dir)
+      // q94 (hand 1D salt) vs q100 (auto): the point-in-interval ladder
+      row("range_q94_vs_q100", c,
+        RangeJoin.skewedPointInWindowRollup(ev),
+        RangeJoin.autoSkewedPointInWindowRollup(ev),
+        RangeJoin.lastAutoRange.map(_.mode).getOrElse("?"))
+      // q98 (hand salt) vs q101 (auto): the as-of ladder
+      row("asof_q98_vs_q101", c,
+        AsOfJoin.skewedAsOfRollup(ev),
+        AsOfJoin.skewedAsOfRollup(ev, auto = true),
+        AsOfJoin.lastAutoAsOf.map(_.mode).getOrElse("?"))
+      // q105's registered shape: plain overlap at the default width vs
+      // the auto path — the engine must report tiny at BOTH rungs here
+      // (the sliced sides stay under the cutoff through 10×)
+      val (l, r) = RangeJoin.burstOverlapSides(ev)
+      row("overlap_q105_registered", c,
+        RangeJoin.intervalOverlap(l, "w_start", "w_end", r, "e_start", "e_end"),
+        RangeJoin.intervalOverlapAuto(l, "w_start", "w_end", r, "e_start", "e_end"),
+        RangeJoin.lastAutoRange.map(_.mode).getOrElse("?"))
+    }
+    // forced overlap ladder at 10×: stats on (minFullRows = 0) over the
+    // burst fixture — the grid-salted global plan vs the plain join at
+    // the engine-chosen width, on the ~39M-pair quadratic regime
+    {
+      val ev = Tables.events(spark, x10)
+      val (l, r) = RangeJoin.burstOverlapSides(ev)
+      var mode = "?"
+      var width = RangeJoin.DefaultBinMicros
+      def auto: DataFrame = {
+        val (df, st) = RangeJoin.intervalOverlapAutoStats(
+          l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L)
+        mode = st.mode; width = st.binWidth
+        df
+      }
+      val (aSec, aN) = time(auto)
+      val (pSec, pN) = time(RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", width))
+      println(f"overlap_forced_stats,${Copies},$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
+      Console.flush()
+    }
+    // SYNTHESIZED at-scale overlap: the regime the tiny cutoff exists
+    // to distinguish from the fixtures — 8M windows per side, written
+    // to parquet (the production shape: the stats pass reads a sampled
+    // PRUNED scan, not a recompute), far past broadcast range so the
+    // bin equi-join genuinely shuffles. Each side piles 3/4 of its rows
+    // onto its own burst instant (left at 12:00 Jan 15, right at 06:00
+    // Jan 20 — separate instants keep the output linear while the
+    // shuffle piles stay quadratic-shaped). Under the plain single-key
+    // join each burst bin lands ~6M rows on ONE shuffle partition — the
+    // straggler that owns the job's critical path; the engine must pick
+    // the ladder itself (est ~16M rows >> cutoff), route each
+    // one-sided pile to its hash-the-hot-side orientation, and cap the
+    // per-task pile at ~|burst|/4. Rows compared auto-vs-plain as
+    // everywhere else.
+    {
+      val minute = 60L * 1000000L
+      def side(burstTs: String, n: Long, idCol: String, sCol: String,
+               eCol: String): DataFrame = {
+        val base = spark.range(n).select(
+          col("id").as(idCol),
+          // natural spread: one window start per 100 s — sparse enough
+          // that any instant is covered by only a few natural windows,
+          // keeping the burst×natural output linear in the burst while
+          // the burst bin's SHUFFLE pile stays ~|burst|
+          when(col("id") % 4 =!= 3,
+            to_timestamp(lit(burstTs)))
+            .otherwise(timestamp_micros(
+              unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))) +
+                col("id") * 100000000L)).as(sCol))
+        base.withColumn(eCol, timestamp_micros(
+          unix_micros(col(sCol)) + (col(idCol) % 7 + 1) * minute))
+      }
+      val n = 8000000L
+      side("2024-01-15 12:00:00", n, "w_id", "w_start", "w_end")
+        .write.parquet(s"$scratch/synth_l.parquet")
+      side("2024-01-20 06:00:00", n, "e_id", "e_start", "e_end")
+        .write.parquet(s"$scratch/synth_r.parquet")
+      val l = spark.read.parquet(s"$scratch/synth_l.parquet")
+      val r = spark.read.parquet(s"$scratch/synth_r.parquet")
+      var mode = "?"
+      var width = RangeJoin.DefaultBinMicros
+      def auto: DataFrame = {
+        val (df, st) = RangeJoin.intervalOverlapAutoStats(
+          l, "w_start", "w_end", r, "e_start", "e_end")
+        mode = st.mode; width = st.binWidth
+        df
+      }
+      val (aSec, aN) = time(auto)
+      val (pSec, pN) = time(RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", width))
+      println(f"overlap_synth_8Mx2,1,$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
+    }
+    spark.stop()
+  }
+}

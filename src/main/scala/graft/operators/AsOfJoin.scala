@@ -148,17 +148,21 @@ object AsOfJoin {
       .drop("__asof_salt")
   }
 
-  /** Receipts of an [[asofJoinAuto]] decision; `mode` as in
-    * [[RangeJoin.AutoRangeStats]] (incl. "tiny"). `hotKeyShare` /
-    * `rightHotShare` are the hottest single key's share of the LEFT /
-    * RIGHT side respectively; `hotKeys` is the union of both sides' hot
-    * lists. `rightHotShare` is 0.0 when the right was never sampled —
-    * tiny mode, or the left-global short-circuit (see
-    * [[asofJoinAutoStats]]). */
+  /** Receipts of an [[asofJoinAuto]] decision. `mode`: "tiny" / "plain"
+    * / "global" as in [[RangeJoin.AutoRangeStats]]; "partial" = only
+    * left-hot keys (salted split); "rslice" = only right-only-hot keys
+    * (time-sliced split); "mixed" = both branch kinds live in one
+    * routed plan. `hotKeyShare` / `rightHotShare` are the hottest
+    * single key's share of the LEFT / RIGHT side respectively;
+    * `hotKeys` is the union of both sides' hot lists and `slicedKeys`
+    * the subset routed to the time-sliced branch. `rightHotShare` is
+    * 0.0 when the right was never sampled — tiny mode, or the
+    * left-global short-circuit (see [[asofJoinAutoStats]]). */
   final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean,
                                  hotKeys: Seq[Any] = Nil,
                                  mode: String = "plain",
-                                 rightHotShare: Double = 0.0)
+                                 rightHotShare: Double = 0.0,
+                                 slicedKeys: Seq[Any] = Nil)
 
   /** Mirror of the LAST auto decision in this JVM — debugging
     * convenience only; concurrent auto joins clobber it. Use
@@ -182,44 +186,170 @@ object AsOfJoin {
                             direction: String = "backward",
                             saltCols: Seq[String] = Nil): DataFrame = {
     require(hotKeys.nonEmpty, "partial salting needs a non-empty hot-key list")
-    val isHot = col(key).isin(hotKeys: _*)
-    val hotPart = asofJoinSalted(left.filter(isHot), right.filter(isHot),
-      key, tsCol, valueCols, tieBreak, saltBuckets, direction, saltCols)
+    asofJoinPartialRouted(left, right, key, tsCol, valueCols,
+      saltedKeys = hotKeys, slicedKeys = Nil, tieBreak, saltBuckets, direction,
+      saltCols)
+  }
+
+  /** TIME-SLICED as-of for a RIGHT-heavy key — the skew shape salting
+    * cannot fix. [[asofJoinSalted]] splits the LEFT pile and replicates
+    * the right, so when the right side alone dominates (millions of
+    * quotes for one symbol against sparse trades) every salted merge
+    * partition still sorts the whole right pile — ×saltBuckets the
+    * total work for no straggler relief. Slicing splits the axis the
+    * pile actually lives on: each key's TIME DOMAIN divides into
+    * `slices` ranges at the key's own right-side quantiles (so the
+    * right pile splits ~evenly by construction), both sides route to
+    * the slice holding their timestamp, and the native as-of runs on
+    * the composite (key, slice) — per-partition work falls from
+    * O(|L_k| + |R_k|) to O(|L_k in slice| + |R_k|/slices).
+    *
+    * Exactness needs only BOUNDARY CARRY rows. slice(x) = #boundaries
+    * ≤ x is monotone in x, so relative to a left row's slice every
+    * right row in an earlier slice is strictly before its ts and every
+    * right row in a later slice strictly after it. Hence:
+    *
+    *  - backward: a right row from an EARLIER slice can win only as
+    *    that slice's LATEST row (all of an earlier slice's rows are
+    *    candidates, and the exec picks the max) — each (key, slice)'s
+    *    max-(ts, tieBreak) row therefore replicates into every later
+    *    slice, and the true match is always present in the left row's
+    *    group;
+    *  - forward: the mirror — each slice's min-(ts, tieBreak) row
+    *    replicates into every earlier slice;
+    *  - nearest: both carries (the nearest pick is either the backward
+    *    or the forward candidate, each covered by its own carry set).
+    *
+    * Carry volume is < slices² rows per key — metadata-scale against
+    * the pile's ÷slices split. Replicating every slice maximum (not
+    * just into the adjacent slice) also makes EMPTY slices harmless:
+    * approximate quantile boundaries and duplicate-timestamp pile-ups
+    * only move where the axis splits, never which rows are candidates
+    * (AsOfJoinPlanSpec pins sliced ≡ plain on a duplicate-heavy fixture
+    * in all three directions). A non-arithmetic ts domain (string) has
+    * no magnitude: every row lands in slice 0 and the join degenerates
+    * to the plain composite merge — correct, just unsplit. */
+  def asofJoinTimeSliced(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                         valueCols: Seq[String], tieBreak: Option[String] = None,
+                         slices: Int = 8,
+                         direction: String = "backward"): DataFrame = {
+    require(slices >= 2, "time slicing needs at least 2 slices")
+    val ltype = left.schema(tsCol).dataType
+    def magOf(c: Column) = tsMagnitude(ltype)(c.cast(ltype))
+    val rBase = right
+      .filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .withColumn(key, col(key).cast(left.schema(key).dataType))
+    // per-key boundaries at the RIGHT side's own quantiles — the pile
+    // being split decides where it splits. One grouped aggregate over
+    // the (caller-pre-filtered hot) keys' rows; the result is one row
+    // per key, broadcast to both sides.
+    val probs = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
+    val bounds = rBase
+      .groupBy(col(key).as("__bk"))
+      .agg(percentile_approx(magOf(col(tsCol)), probs, lit(10000)).as("__bnds"))
+    def sliceOf(m: Column): Column =
+      aggregate(col("__bnds"), lit(0),
+        (acc, b) => acc + when(m >= b, 1).otherwise(0))
+    // left joins so a key with no right rows (or a null-ts left) still
+    // routes somewhere — slice 0, where the exec hands it the same
+    // null payload the plain path would
+    val l2 = left.join(broadcast(bounds), col(key) === col("__bk"), "left")
+      .withColumn("__slice", coalesce(sliceOf(magOf(col(tsCol))), lit(0)))
+      .drop("__bk", "__bnds")
+    val rS = rBase.join(broadcast(bounds), col(key) === col("__bk"))
+      .withColumn("__slice", coalesce(sliceOf(magOf(col(tsCol))), lit(0)))
+      .drop("__bk", "__bnds")
+    val needBack = direction != "forward"
+    val needFwd = direction != "backward"
+    def carry(back: Boolean): DataFrame = {
+      val ord =
+        if (back) col(tsCol).desc +: tieBreak.map(c => col(c).desc).toSeq
+        else col(tsCol).asc +: tieBreak.map(c => col(c).asc).toSeq
+      val w = Window.partitionBy(col(key), col("__slice")).orderBy(ord: _*)
+      val tops = rS.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      if (back)
+        tops.filter(col("__slice") < slices - 1)
+          .withColumn("__slice", explode(sequence(col("__slice") + 1, lit(slices - 1))))
+      else
+        tops.filter(col("__slice") > 0)
+          .withColumn("__slice", explode(sequence(lit(0), col("__slice") - 1)))
+    }
+    val rAll = (Seq(rS) ++
+      (if (needBack) Seq(carry(back = true)) else Nil) ++
+      (if (needFwd) Seq(carry(back = false)) else Nil)).reduce(_ unionByName _)
+    asofJoinNativeKeys(l2, rAll, Seq(key, "__slice"), tsCol, valueCols,
+        tieBreak, broadcast = Some(false), direction)
+      .drop("__slice")
+  }
+
+  /** The PARTIAL split with per-key ROUTING by which side is hot — the
+    * as-of mirror of [[RangeJoin.intervalOverlapSaltedPartial]]'s
+    * orientation argument: splitting must act on the side the pile
+    * actually lives on.
+    *
+    *  - `saltedKeys` (hot on the LEFT): composite (key, salt) merge —
+    *    the key's lefts split ÷saltBuckets, its rights replicate;
+    *  - `slicedKeys` (hot ONLY on the right): composite (key, slice)
+    *    merge over the key's time axis ([[asofJoinTimeSliced]]) — the
+    *    right pile splits ÷slices with boundary carry rows only, the
+    *    one form that shrinks a right-dominated sort;
+    *  - everything else: the plain native path (null-key lefts ride
+    *    here for their contractual null payload).
+    *
+    * The three branches partition the key space, and as-of is per-key
+    * independent, so the union is row-identical to the plain join. */
+  def asofJoinPartialRouted(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                            valueCols: Seq[String],
+                            saltedKeys: Seq[Any], slicedKeys: Seq[Any],
+                            tieBreak: Option[String] = None,
+                            saltBuckets: Int = 8,
+                            direction: String = "backward",
+                            saltCols: Seq[String] = Nil): DataFrame = {
+    require(saltedKeys.nonEmpty || slicedKeys.nonEmpty,
+      "partial routing needs at least one hot-key list")
+    val isSalt = if (saltedKeys.isEmpty) lit(false) else col(key).isin(saltedKeys: _*)
+    val isSlice = if (slicedKeys.isEmpty) lit(false) else col(key).isin(slicedKeys: _*)
+    val saltPart =
+      if (saltedKeys.isEmpty) Nil
+      else Seq(asofJoinSalted(left.filter(isSalt), right.filter(isSalt),
+        key, tsCol, valueCols, tieBreak, saltBuckets, direction, saltCols))
+    val slicePart =
+      if (slicedKeys.isEmpty) Nil
+      else Seq(asofJoinTimeSliced(left.filter(isSlice), right.filter(isSlice),
+        key, tsCol, valueCols, tieBreak, saltBuckets, direction))
     val coldPart = asofJoinNative(
-      left.filter(col(key).isNull || !isHot), right.filter(!isHot),
+      left.filter(col(key).isNull || (!isSalt && !isSlice)),
+      right.filter(!isSalt && !isSlice),
       key, tsCol, valueCols, tieBreak, broadcast = Some(false), direction)
-    hotPart.unionByName(coldPart)
+    (saltPart ++ slicePart :+ coldPart).reduce(_ unionByName _)
   }
 
 
   /** ENGINE-SELECTED skew handling for the native as-of (round 12,
     * closing q98's "caller must know their key is hot" gap; round 13
-    * adds the RIGHT side's histogram and the tiny cutoff): sampled
-    * histograms over BOTH sides' key columns flag the keys whose share
-    * crosses `hotShareThreshold` on either side — a right-heavy key
-    * (millions of quotes for one symbol against uniform trades) skews
-    * the same merge partitions, and a left-only histogram cannot see it
-    * — and only the union of hot keys runs the salted composite-(key,
-    * salt) merge ([[asofJoinSaltedPartial]]). Uniform keys keep the
-    * plain native path with the strategy free to pick broadcast vs
-    * merge from its own stats; a fact side under
+    * adds the RIGHT side's histogram, the tiny cutoff, and the
+    * orientation-routed split): sampled histograms over BOTH sides'
+    * key columns flag the keys whose share crosses `hotShareThreshold`
+    * on either side — a right-heavy key (millions of quotes for one
+    * symbol against uniform trades) skews the same merge partitions,
+    * and a left-only histogram cannot see it. Hot keys then route BY
+    * ORIENTATION ([[asofJoinPartialRouted]]): left-hot keys take the
+    * salted composite-(key, salt) merge (splits the left pile);
+    * right-ONLY-hot keys take the time-sliced composite-(key, slice)
+    * merge ([[asofJoinTimeSliced]] — splits the right pile, the form
+    * salting cannot provide: a salt would replicate a right-dominated
+    * pile ×saltBuckets with every partition still sorting all of it).
+    * Uniform keys keep the plain native path with the strategy free to
+    * pick broadcast vs merge from its own stats; a fact side under
     * [[RangeJoin.TinyFullRows]] skips the stats entirely (mode "tiny" —
     * at that size the merge cannot straggle and the broadcast path is
     * in play anyway). Results are identical in every regime
-    * (AsOfJoinPlanSpec pins auto ≡ salted ≡ unsalted); the decision is
-    * mirrored in [[lastAutoAsOf]] (use [[asofJoinAutoStats]] for the
-    * race-free per-call receipt). The stats passes read ONE pruned
-    * column per side — the q08-watermark scalar-collect pattern,
-    * bounded metadata, never data.
-    *
-    * Honest scale note on the right-heavy case: the composite-key salt
-    * spreads the hot key's LEFT rows across `saltBuckets` merge
-    * partitions while its right rows replicate onto each, so per-
-    * partition work falls from O(|L_k|+|R_k|) to O(|L_k|/S + |R_k|) —
-    * the win is real when the left pile is also large, and bounded when
-    * |R_k| alone dominates. Fully splitting a single key's right side
-    * takes time-slicing the key's axis with per-slice carry-in rows — a
-    * documented follow-up, not attempted here. */
+    * (AsOfJoinPlanSpec pins auto ≡ salted ≡ sliced ≡ unsalted); the
+    * decision is mirrored in [[lastAutoAsOf]] (use
+    * [[asofJoinAutoStats]] for the race-free per-call receipt). The
+    * stats passes read ONE pruned column per side — the q08-watermark
+    * scalar-collect pattern, bounded metadata, never data. */
   def asofJoinAuto(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                    valueCols: Seq[String], tieBreak: Option[String] = None,
                    saltBuckets: Int = 8,
@@ -248,14 +378,16 @@ object AsOfJoin {
                         sampleFraction: Double = RangeJoin.StatsSampleFraction,
                         minFullRows: Long = RangeJoin.TinyFullRows)
       : (DataFrame, AutoAsOfStats) = {
-    // cached sampled key column of the fact side: the tiny-cutoff count
-    // and the hot-key histogram share one pruned sampled scan, and the
+    // sampled key column of the fact side: the tiny-cutoff count and
+    // the hot-key histogram share one pruned sampled scan, and the
     // count rides the histogram's FIRST aggregate (earlyExitBelow), so
-    // in tiny mode that one job is the entire stats cost
+    // in tiny mode that one job is the entire stats cost. No persist:
+    // hotValuesFromKeys scans this frame exactly once (its per-key
+    // counts are what it caches), so a cache here would be write-only.
     val lBase = left.select(col(key).as("__k")).filter(col("__k").isNotNull)
-    val lSample = graft.CacheScope.manage(
-      (if (sampleFraction >= 1.0) lBase
-       else lBase.sample(withReplacement = false, sampleFraction, 42L)).persist())
+    val lSample =
+      if (sampleFraction >= 1.0) lBase
+      else lBase.sample(withReplacement = false, sampleFraction, 42L)
     // the cutoff translated into the sample's row domain
     val cutoffSampled =
       if (sampleFraction >= 1.0) minFullRows
@@ -287,26 +419,38 @@ object AsOfJoin {
       if (leftGlobal) RangeJoin.HotStats(Nil, 0.0, 0.0, 0L)
       else RangeJoin.hotValues(right, col(key), sampleFraction, hotShareThreshold)
     val hot = (lStats.hot ++ rStats.hot).distinct
-    // the same three-way ladder as the range join: plain when uniform,
-    // per-key partial for a thin hot slice (or a right-only-hot key),
-    // one globally salted merge when the hot keys own most of the fact
-    // (the partial split's second exec then buys nothing — see
-    // RangeJoin.GlobalSaltCutover)
+    // ORIENTATION-ROUTED ladder: plain when uniform; one globally
+    // salted merge when the left's hot keys own most of the fact (the
+    // partial split's second exec then buys nothing — see
+    // RangeJoin.GlobalSaltCutover); otherwise a per-key routed split —
+    // LEFT-hot keys take the salt (splits the left pile), keys hot
+    // ONLY on the right take the time-sliced form (splits the right
+    // pile — salting a right-dominated key would replicate the pile
+    // ×saltBuckets for zero straggler relief). A key hot on BOTH sides
+    // routes to the salt: the hash spreads its left pile even under a
+    // timestamp point-mass, where slicing would collapse to one slice
+    // — robustness over the typical-case edge; a 2-D (salt × slice)
+    // grid for the both-hot case is the documented non-goal.
+    val leftHotKeys = lStats.hot
+    val rightOnlyKeys = rStats.hot.filterNot(lStats.hot.toSet)
     val mode =
       if (hot.isEmpty) "plain"
       else if (leftGlobal) "global"
-      else "partial"
+      else if (leftHotKeys.isEmpty) "rslice"
+      else if (rightOnlyKeys.isEmpty) "partial"
+      else "mixed"
     val df = mode match {
       case "global" =>
         asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak, saltBuckets, direction)
-      case "partial" =>
-        asofJoinSaltedPartial(left, right, key, tsCol, valueCols, hot,
-          tieBreak, saltBuckets, direction)
-      case _ =>
+      case "plain" =>
         asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
           broadcast = None, direction)
+      case _ =>
+        asofJoinPartialRouted(left, right, key, tsCol, valueCols,
+          leftHotKeys, rightOnlyKeys, tieBreak, saltBuckets, direction)
     }
-    (df, AutoAsOfStats(lStats.maxShare, mode != "plain", hot, mode, rStats.maxShare))
+    (df, AutoAsOfStats(lStats.maxShare, mode != "plain", hot, mode,
+      rStats.maxShare, rightOnlyKeys))
   }
 
   /** Ts-domain magnitude for distance arithmetic: timestamps in
@@ -489,11 +633,71 @@ object AsOfJoin {
        |FROM m WHERE rn = 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q106 fixture: a RIGHT-heavy key — half of all PURCHASES (the
+    * right side) remapped onto one key while the left keeps its natural
+    * key spread, with a thin 1-in-211 left slice remapped so the hot
+    * pile has real consumers (the million-quotes-one-symbol shape). The
+    * left histogram reads uniform (~0.5% max share), the right reads
+    * ~50% on the hot key, so [[asofJoinAuto]] routes the key to the
+    * TIME-SLICED branch (mode "rslice" — AsOfJoinPlanSpec pins the
+    * receipt): the right pile splits ÷slices at its own quantiles
+    * instead of replicating ×saltBuckets onto every salted partition.
+    * Same post-pick 30-minute tolerance null-out and rollup as q98; the
+    * oracle states the identical program declaratively. */
+  def rightHeavyAsOfRollup(events: DataFrame): DataFrame = {
+    val hotKey = lit(1234567L)
+    val lhs = events.select(col("event_id"), col("event_type"),
+      when(col("user_id") % 211 === 0, hotKey).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = events.filter(col("event_type") === "purchase")
+      .select(
+        when(col("user_id") % 2 === 0, hotKey).otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("event_id").as("pid"), col("value").as("pval"))
+    val j = asofJoinAuto(lhs, right, "user_id", "ts", Seq("pid", "pval", "ts"),
+      tieBreak = Some("pid"), minFullRows = 0L)
+    val keep = col("asof_ts").isNotNull &&
+      (unix_micros(col("ts")) - unix_micros(col("asof_ts"))) <= 30L * 60 * 1000000L
+    j.select(col("event_type"),
+        when(keep, col("asof_pid")).as("asof_pid"),
+        when(keep, col("asof_pval")).as("asof_pval"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("asof_pid").isNotNull, 1).otherwise(0)).as("attributed_events"),
+        graft.functions.Det.dsum(col("asof_pval")).as("attributed_value"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  private val q106Sql =
+    s"""WITH e2 AS (
+       |  SELECT event_id, event_type,
+       |         CASE WHEN user_id % 211 = 0 THEN 1234567 ELSE user_id END AS user_id,
+       |         ts
+       |  FROM events),
+       |p AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 1234567 ELSE user_id END AS user_id,
+       |         ts, event_id AS pid, value AS pval
+       |  FROM events WHERE event_type = 'purchase'),
+       |m AS (
+       |  SELECT e.event_id, e.event_type, p.pid, p.pval,
+       |         row_number() OVER (PARTITION BY e.event_id
+       |                            ORDER BY p.ts DESC, p.pid DESC) AS rn
+       |  FROM e2 e LEFT JOIN p
+       |    ON p.user_id = e.user_id AND p.ts <= e.ts
+       |   AND p.ts >= e.ts - INTERVAL 30 MINUTE)
+       |SELECT event_type, count(*) AS n_events,
+       |  cast(sum(CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS attributed_events,
+       |  ${graft.functions.Det.sqlDsum("pval")} AS attributed_value
+       |FROM m WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q98_asof_skew_salted", (s, d) =>
       skewedAsOfRollup(graft.Tables.events(s, d)), Some(q98Sql)),
     graft.Q("q101_asof_auto_salt", (s, d) =>
       skewedAsOfRollup(graft.Tables.events(s, d), auto = true), Some(q98Sql)),
+    graft.Q("q106_asof_rslice_auto", (s, d) =>
+      rightHeavyAsOfRollup(graft.Tables.events(s, d)), Some(q106Sql)),
     graft.Q("q48_asof_join", (s, d) =>
       asofRollup(graft.Tables.events(s, d), graft.Tables.orders(s, d)), Some(q48Sql)),
     // Same oracle SQL as q48 on purpose: all three physical shapes —

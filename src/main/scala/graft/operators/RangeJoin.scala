@@ -259,10 +259,17 @@ object RangeJoin {
 
   /** Sampled histogram receipts: the hot values (share ≥ threshold),
     * the hottest single share, the hot values' COMBINED share (the
-    * number the plan ladder cuts over on), and how many sampled rows
-    * backed the estimate. */
+    * number the one-sided ladders cut over on), how many sampled rows
+    * backed the estimate, and each hot value's OWN share (parallel to
+    * `hot` — the overlap ladder's global gate sums just the SHARED
+    * bins' shares from it, see [[intervalOverlapAutoStats]]). */
   private[operators] final case class HotStats(
-      hot: Seq[Any], maxShare: Double, hotSumShare: Double, sampledRows: Long)
+      hot: Seq[Any], maxShare: Double, hotSumShare: Double, sampledRows: Long,
+      hotShares: Seq[Double] = Nil) {
+    /** Combined share of the hot values in `keep`. */
+    def shareOf(keep: Set[Any]): Double =
+      hot.zip(hotShares).collect { case (k, s) if keep.contains(k) => s }.sum
+  }
 
   /** Below this many sampled rows the share estimate is noise-dominated
     * (a 10% sample of a tiny frame), so the stats pass re-runs on the
@@ -311,27 +318,19 @@ object RangeJoin {
           val hotRows = counts.filter(col("count") >= lit(threshold * tot))
             .select(col("__k"), col("count")).collect()
           HotStats(hotRows.map(_.get(0)).toSeq, r.getLong(0).toDouble / tot,
-            hotRows.map(_.getLong(1)).sum.toDouble / tot, tot)
+            hotRows.map(_.getLong(1)).sum.toDouble / tot, tot,
+            hotRows.map(_.getLong(1).toDouble / tot).toSeq)
         }
       }
     } finally { counts.unpersist(); () }
   }
 
-  /** Engine-chosen bin width: the sampled p95 interval length (the
-    * robust pick the [[MaxBinsPerInterval]] cap error has always told
-    * users to make — now computed instead of hand-tuned), clamped to
-    * ≥1 unit; falls back to [[DefaultBinMicros]] when no valid
-    * intervals exist. At width = p95, 95% of intervals replicate onto
-    * ≤2 bins and the long tail is bounded by the cap guard. */
-  def autoBinWidth(intervals: DataFrame, startCol: String, endCol: String,
-                   sampleFraction: Double = StatsSampleFraction): Long = {
-    val base = intervals.filter(col(startCol) < col(endCol))
-      .select((magnitude(intervals, endCol) - magnitude(intervals, startCol)).as("__len"))
-    val s = if (sampleFraction >= 1.0) base
-            else base.sample(withReplacement = false, sampleFraction, 42L)
-    val r = s.agg(percentile_approx(col("__len"), lit(0.95), lit(10000)).as("p95")).head()
-    if (r.isNullAt(0)) DefaultBinMicros else math.max(1L, r.getLong(0))
-  }
+  // Engine-chosen bin width lives INSIDE the auto stats passes (the
+  // sampled p95 interval length, clamped ≥1, DefaultBinMicros when no
+  // valid interval exists): each pass fuses the p95 with its row count
+  // in ONE aggregate over its already-cached sample, so a standalone
+  // width helper would either re-scan or force the caches public —
+  // the r12 standalone form was deleted once both callers inlined it.
 
   /** [[pointInInterval]] with the salt applied ONLY inside the listed
     * hot bins — the per-bin form of [[pointInIntervalSalted]] and the
@@ -559,11 +558,15 @@ object RangeJoin {
     // a one-sided pile, however large its share, is served strictly
     // better by the partial form's hash-the-hot-side orientation, whose
     // replication cost is the SMALL side's rows in the hot bins only.
-    val bothSided = ls.hot.toSet.intersect(rs.hot.toSet).nonEmpty
+    // The cutover therefore reads the SHARED bins' combined share on
+    // each side — not the side's whole hot-sum, which would let
+    // disjoint one-sided piles (left-hot A + right-hot B) escalate a
+    // workload partial serves strictly better.
+    val shared = ls.hot.toSet.intersect(rs.hot.toSet)
     val mode =
       if (hot.isEmpty) "plain"
-      else if (bothSided &&
-        math.max(ls.hotSumShare, rs.hotSumShare) >= GlobalSaltCutover) "global"
+      else if (shared.nonEmpty &&
+        math.max(ls.shareOf(shared), rs.shareOf(shared)) >= GlobalSaltCutover) "global"
       else "partial"
     val df = mode match {
       case "global" =>
@@ -743,8 +746,8 @@ object RangeJoin {
     * time correlation), rolled up by window length. The naive form is a
     * BroadcastNestedLoopJoin; the binned form is an equi-join on the
     * time bin (RangeJoinSpec pins both plans and row equality). Round
-    * 12: the width comes from [[autoBinWidth]] (sampled p95 window
-    * length) and the stats pass leaves this UNIFORM window set on the
+    * 12: the width comes from the stats pass's sampled p95 window
+    * length and the same pass leaves this UNIFORM window set on the
     * plain unsalted plan — both knobs engine-selected. */
   def pointInWindowRollup(events: DataFrame): DataFrame =
     windowHitRollup(pointInIntervalAuto(

@@ -898,16 +898,42 @@ object StreamingOracle {
 
   // ---- q102 + q104: consolidated store-maintenance stream -----------------
 
-  /** `_SUCCESS`-gated store readiness, through the Hadoop FileSystem
-    * API: the maintenance stores' replay guards are production-posture
-    * features, and at 100 TB the store is an object store a
-    * `java.io.File` probe silently reports as "missing" — every restart
-    * would then re-run the first-write Overwrite over merged state. The
-    * FileSystem resolved from the path's own scheme answers correctly
-    * on local disk, HDFS, and object-store connectors alike. */
+  /** The maintenance stores' OWN commit marker, written by
+    * [[markStoreCommitted]] after a successful first-write Overwrite.
+    * Gating on `_SUCCESS` alone would couple the replay guard to the
+    * committer's configuration: under
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` (a
+    * standard object-store tuning) no `_SUCCESS` ever lands, so every
+    * later trigger would re-take the first-write branch and Overwrite
+    * the merged store down to its own partials. */
+  private val StoreCommitMarker = "_GRAFT_COMMITTED"
+
+  /** Store readiness — `_SUCCESS` (when the committer writes one) OR
+    * the engine's own marker — through the Hadoop FileSystem API: the
+    * maintenance stores' replay guards are production-posture features,
+    * and at 100 TB the store is an object store a `java.io.File` probe
+    * silently reports as "missing" — every restart would then re-run
+    * the first-write Overwrite over merged state. The FileSystem
+    * resolved from the path's own scheme answers correctly on local
+    * disk, HDFS, and object-store connectors alike. A half-written
+    * batch 0 has NEITHER file (the marker is written strictly after the
+    * Overwrite returns), so its retry re-runs the same Overwrite. */
   private[graft] def storeCommitted(spark: SparkSession, store: String): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(store, "_SUCCESS")
-    marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker)
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("_SUCCESS", StoreCommitMarker).exists { m =>
+      val p = new org.apache.hadoop.fs.Path(store, m)
+      p.getFileSystem(conf).exists(p)
+    }
+  }
+
+  /** Stamp the engine's own commit marker (committer-independent; see
+    * [[StoreCommitMarker]]). Called after the first-write Overwrite —
+    * the merge branch never needs it (it only runs once committed, and
+    * [[graft.etl.Merge.upsertIntoParquet]] rewrites day partitions, not
+    * the store root, so the root marker survives). */
+  private[graft] def markStoreCommitted(spark: SparkSession, store: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(store, StoreCommitMarker)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true).close()
   }
 
   /** ONE stream maintains BOTH maintenance stores — q102's per-day HLL
@@ -997,6 +1023,7 @@ object StreamingOracle {
     if (!storeCommitted(sp, store)) {
       batchSketches.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("day").parquet(store)
+      markStoreCommitted(sp, store)
     } else {
       // pre-merge the touched days' stored sketches with the
       // batch partials, then MERGE by day: upsert replaces
@@ -1059,6 +1086,7 @@ object StreamingOracle {
       if (!storeCommitted(sp, store)) {
         batchHist.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("day").parquet(store)
+        markStoreCommitted(sp, store)
       } else {
         val stored = sp.read.parquet(store)
         // days this batch has NOT yet merged: touched days minus those

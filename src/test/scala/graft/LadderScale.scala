@@ -27,9 +27,13 @@ import graft.operators.{AsOfJoin, RangeJoin}
   * where both interval sets pile onto one bin and the one-key equi-join
   * would serialize the quadratic pair term on one partition.
   *
-  * Amplification is ScaleSmoke's shifted-copy recipe on events only
-  * (offsets ≡ 0 mod 32, so every event_id-derived fixture — q94's
-  * burst halves, q105's slices — duplicates across copies exactly).
+  * Amplification is ScaleSmoke's shifted-copy recipe on events only.
+  * The copy offset is ≡ 0 mod lcm(32, 7, 11) = 2464, so EVERY
+  * event_id-derived fixture column — q94's burst halves, q105's %16
+  * slices and %32 burst flags, AND the %7 / %11 window lengths —
+  * duplicates across copies exactly (a mod-32-only offset would keep
+  * burst membership but shift the length distributions between
+  * copies).
   *
   * Run: sbt "Test/runMain graft.LadderScale"   → tools/ladderscale CSV
   */
@@ -39,11 +43,13 @@ object LadderScale {
 
   private def amplifyEvents(spark: SparkSession, base: String, out: String): String = {
     val raw = spark.read.parquet(s"$base/events.parquet")
+    // 999_999_616 = 2464 × 405_844 — ≡ 0 mod 32, 7, and 11 (see the
+    // scaladoc's exact-duplication argument)
     (0 until Copies).map { k =>
       raw.select(
-        (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+        (col("event_id") + lit(k * 999999616L)).as("event_id"),
         col("ts"),
-        (col("user_id") + lit(k * 1000000000L)).as("user_id"),
+        (col("user_id") + lit(k * 999999616L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _).write.parquet(s"$out/events.parquet")
     out

@@ -578,6 +578,32 @@ class PlanSpec extends SparkSuite {
     assert(snap() === after, "re-merging a replayed batch must not move any estimate")
   }
 
+  test("store gate survives a committer that writes no _SUCCESS (marksuccessfuljobs=false posture)") {
+    // the object-store tuning the stores' design targets: the committer
+    // never writes _SUCCESS. Gating on _SUCCESS alone would make every
+    // later trigger re-take the first-write Overwrite and wipe merged
+    // state down to its own partials; the engine's own commit marker
+    // must keep the merge branch engaged.
+    val dir = java.nio.file.Files.createTempDirectory("q102_nosuccess").toString + "/store"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), to_date(col("ts")).as("day"), col("user_id"))
+    val b0 = ev.filter(col("event_id") % 2 === 0).drop("event_id")
+    val b1 = ev.filter(col("event_id") % 2 === 1).drop("event_id")
+    graft.streaming.StreamingOracle.mergeSketchBatch(b0, dir)
+    // simulate marksuccessfuljobs=false: remove the committer's marker
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    graft.streaming.StreamingOracle.mergeSketchBatch(b1, dir) // MUST merge, not Overwrite
+    val merged = spark.read.parquet(dir)
+      .select(col("day").cast("string"), hll_sketch_estimate(col("sketch")).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = ev.groupBy(to_date(col("day")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(col("d").cast("string"), hll_sketch_estimate(col("sk")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged === direct,
+      s"without _SUCCESS the second batch must still MERGE (got $merged vs $direct)")
+  }
+
   test("q102: the STREAM-maintained sketch store equals the batch-built one, estimate for estimate") {
     // the incremental path — per-batch partial sketches merged into the
     // stored table by day across real micro-batches — must land on the

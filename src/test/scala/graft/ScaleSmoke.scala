@@ -25,11 +25,14 @@ object ScaleSmoke {
 
   private def amplifyEvents(spark: SparkSession, base: String): DataFrame = {
     val raw = spark.read.parquet(s"$base/events.parquet") // ts stays a ns long
+    // offset ≡ 0 mod lcm(32, 7, 11) = 2464 so every event_id-derived
+    // fixture column (burst halves, %16 slices, %7/%11 window lengths)
+    // duplicates across copies exactly — same as LadderScale
     (0 until Copies).map { k =>
       raw.select(
-        (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+        (col("event_id") + lit(k * 999999616L)).as("event_id"),
         col("ts"),
-        (col("user_id") + lit(k * 1000000000L)).as("user_id"),
+        (col("user_id") + lit(k * 999999616L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
   }

@@ -415,6 +415,51 @@ class RangeJoinSpec extends SparkSuite {
     assert(rRows === rPlain, "right-burst routing must never change the pair set")
   }
 
+  test("overlap global gate reads the SHARED bins' share: disjoint one-sided piles stay PARTIAL") {
+    // left piles a third of its windows on instant X and a third on a
+    // DISJOINT instant Z; right piles a third on X only. Every hot bin
+    // crosses the 0.2 flag, the left's hot SUM (~0.6) crosses the 0.4
+    // cutover — but the SHARED bin (X) carries only ~a third of either
+    // side, so global (which would grid Z's left-only pile and every
+    // cold bin too) must NOT fire: Z is served by the partial form's
+    // hash-the-left orientation with ZERO replication of the pile
+    // itself. A per-side hot-sum gate — the pre-r13 form — would
+    // escalate exactly this shape.
+    val ev = Tables.events(spark, sf)
+    val x = to_timestamp(lit("2024-01-15 12:00:00"))
+    val z = to_timestamp(lit("2024-02-20 06:00:00"))
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("w_id"),
+        ((col("event_id") % 7) + 1).cast("int").as("w_len"),
+        when(col("event_id") % 3 === 0, x)
+          .when(col("event_id") % 3 === 1, z)
+          .otherwise(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("make_dt_interval(0, 0, w_len, 0)"))
+    val r = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"),
+        ((col("event_id") % 11) + 1).cast("int").as("e_len"),
+        when(col("event_id") % 3 === 0, x).otherwise(col("ts")).as("e_start"))
+      .withColumn("e_end", col("e_start") + expr("make_dt_interval(0, 0, e_len, 0)"))
+    val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L)
+    assert(dec.mode === "partial",
+      s"disjoint one-sided piles with a sub-cutover shared bin must stay partial ($dec)")
+    def binOf(t: String) = spark.range(1)
+      .select(floor(unix_micros(to_timestamp(lit(t))) / dec.binWidth).cast("long"))
+      .head().getLong(0)
+    assert(dec.hotBins.contains(binOf("2024-01-15 12:00:00")) &&
+      dec.hotBins.contains(binOf("2024-02-20 06:00:00")),
+      s"both piles' bins must be flagged ($dec)")
+    val autoRows = auto.select("w_id", "e_id").collect()
+      .map(p => (p.getLong(0), p.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", dec.binWidth)
+      .select("w_id", "e_id").collect()
+      .map(p => (p.getLong(0), p.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty,
+      "partial routing must be row-identical to the plain overlap")
+  }
+
   test("concurrent auto joins return independent per-call receipts (no clobber)") {
     // two auto calls with OPPOSITE expected decisions run concurrently;
     // each returned receipt must describe its own fixture — the

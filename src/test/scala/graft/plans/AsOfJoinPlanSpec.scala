@@ -385,11 +385,20 @@ class AsOfJoinPlanSpec extends SparkSuite {
       .select(lit(4242424L).as("user_id"), col("ts"), col("event_id").as("pid"))
     val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
       Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
-    assert(dec.mode === "partial",
-      s"a right-only-hot key must take the partial split, not global ($dec)")
+    assert(dec.mode === "rslice",
+      s"a right-only-hot key must take the TIME-SLICED split — salting it would " +
+        s"replicate the dominant pile for zero straggler relief ($dec)")
     assert(dec.hotKeys === Seq(4242424L), s"the right-hot key must be flagged ($dec)")
+    assert(dec.slicedKeys === Seq(4242424L),
+      s"the right-only-hot key must be the one routed to slicing ($dec)")
     assert(dec.rightHotShare >= 0.9, s"the receipt must carry the right side's share ($dec)")
     assert(dec.hotKeyShare < 0.2, s"the left side must read uniform ($dec)")
+    // the sliced plan carries slice machinery, never the salt's
+    // replicate-the-right explode
+    assert(finalPlan(autoDf).contains("__slice"),
+      "the rslice plan must join on the composite (key, slice)")
+    assert(!finalPlan(autoDf).contains("__asof_salt"),
+      "the rslice plan must not salt")
     // routing is row-identical to the plain merge
     val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
     val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
@@ -398,6 +407,65 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(auto.length === plain.length && auto.nonEmpty)
     assert(auto.exists(!_.isNullAt(1)), "the heavy key's lefts must actually match")
     auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("MIXED routing: a left-hot key salts while a right-only-hot key slices, in ONE plan") {
+    // key A: a quarter of the LEFT remapped (salted split); key B: all
+    // purchases' rights remapped onto it but only a thin left slice
+    // (time-sliced split); the rest keep their natural keys (cold).
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("user_id") % 4 === 0, lit(7777777L))
+        .when(col("event_id") % 20 === 0, lit(4242424L))
+        .otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(
+        when(col("user_id") % 4 === 0, lit(7777777L)).otherwise(lit(4242424L)).as("user_id"),
+        col("ts"), col("event_id").as("pid"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+    assert(dec.mode === "mixed", s"both branch kinds must engage ($dec)")
+    assert(dec.hotKeys.toSet === Set(7777777L, 4242424L), s"both keys flagged ($dec)")
+    assert(dec.slicedKeys === Seq(4242424L),
+      s"only the right-only-hot key slices; the left-hot key salts ($dec)")
+    val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
+    val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"), broadcast = Some(false))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("time-sliced as-of ≡ plain, all three directions, under duplicate-timestamp pile-ups") {
+    import spark.implicits._
+    // one heavy key whose rights pile onto FEW distinct timestamps (so
+    // approximate quantile boundaries coincide and slices go EMPTY),
+    // plus a sparse key, plus null-key/null-ts rows on both sides —
+    // every carry edge case at once. 400 rights over 5 distinct ts.
+    val right = ((0 until 400).map { i =>
+      (Some(1L), Some((i % 5) * 10L + 3L), i.toLong, s"r$i")
+    } ++ Seq((Some(2L), Some(17L), 9001L, "sparse"),
+             (None: Option[Long], Some(5L), 9002L, "nullkey"),
+             (Some(1L), None: Option[Long], 9003L, "nullts")))
+      .toDF("k", "t", "pid", "tag")
+    val left = ((0 until 60).map(i => (Some(1L), Some(i.toLong))) ++
+      Seq((Some(2L), Some(20L)), (Some(2L), Some(10L)),
+          (None: Option[Long], Some(25L)), (Some(1L), None: Option[Long])))
+      .zipWithIndex.map { case ((k, t), id) => (id.toLong, k, t) }
+      .toDF("lid", "k", "t")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val sliced = AsOfJoin.asofJoinTimeSliced(left, right, "k", "t",
+          Seq("pid"), tieBreak = Some("pid"), slices = 8, direction = dir)
+        .select("lid", "asof_pid").orderBy("lid").collect()
+      val plain = AsOfJoin.asofJoinNative(left, right, "k", "t",
+          Seq("pid"), tieBreak = Some("pid"), broadcast = Some(false), direction = dir)
+        .select("lid", "asof_pid").orderBy("lid").collect()
+      assert(sliced.length === plain.length && sliced.nonEmpty, s"[$dir]")
+      assert(sliced.exists(!_.isNullAt(1)), s"[$dir] matches must exist")
+      assert(sliced.exists(_.isNullAt(1)), s"[$dir] null payloads must exist")
+      sliced.zip(plain).foreach { case (a, b) => assert(a === b, s"[$dir] $a vs $b") }
+    }
   }
 
   test("tiny cutoff: a sub-cutoff fact side skips the as-of stats ladder entirely") {

@@ -232,42 +232,73 @@ object AsOfJoin {
   def asofJoinTimeSliced(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                          valueCols: Seq[String], tieBreak: Option[String] = None,
                          slices: Int = 8,
-                         direction: String = "backward"): DataFrame = {
+                         direction: String = "backward",
+                         boundsSampleFraction: Double = RangeJoin.StatsSampleFraction): DataFrame = {
     require(slices >= 2, "time slicing needs at least 2 slices")
     val ltype = left.schema(tsCol).dataType
     def magOf(c: Column) = tsMagnitude(ltype)(c.cast(ltype))
     val rBase = right
       .filter(col(key).isNotNull && col(tsCol).isNotNull)
       .withColumn(key, col(key).cast(left.schema(key).dataType))
-    // per-key boundaries at the RIGHT side's own quantiles — the pile
-    // being split decides where it splits. One grouped aggregate over
-    // the (caller-pre-filtered hot) keys' rows; the result is one row
-    // per key, broadcast to both sides.
+    // Per-key boundaries at the RIGHT side's own quantiles — the pile
+    // being split decides where it splits. The quantiles come from a
+    // SAMPLED scan (boundaries only steer load balance; exactness is
+    // the carry argument below — a skewed estimate costs evenness,
+    // never rows), with the usual full-frame redo when the sample is
+    // noise-dominated. The result is bounded METADATA — ≤ the caller's
+    // hot-key count × (slices−1) values — so it is collected and
+    // COMPILED INTO the slice expression as a literal when-chain:
+    // slice(x) = #boundaries ≤ x as a codegen'd sum of comparisons. The
+    // first cut computed slices via a boundary-array broadcast join +
+    // `aggregate()` lambda; higher-order functions are CodegenFallback,
+    // and the interpreted per-row lambda dominated the whole join on
+    // the 16M-row LadderScale rung.
+    // accuracy 1000: a 0.1%-of-rank boundary error moves ~0.1% of the
+    // pile between adjacent slices — irrelevant to balance, and the
+    // sketch is ~3× cheaper to update than the oracle-grade 10000 the
+    // stats passes use elsewhere (measured on the 64M-row probe)
     val probs = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
-    val bounds = rBase
+    def quantiles(src: DataFrame) = src
       .groupBy(col(key).as("__bk"))
-      .agg(percentile_approx(magOf(col(tsCol)), probs, lit(10000)).as("__bnds"))
-    def sliceOf(m: Column): Column =
-      aggregate(col("__bnds"), lit(0),
-        (acc, b) => acc + when(m >= b, 1).otherwise(0))
-    // left joins so a key with no right rows (or a null-ts left) still
-    // routes somewhere — slice 0, where the exec hands it the same
-    // null payload the plain path would
-    val l2 = left.join(broadcast(bounds), col(key) === col("__bk"), "left")
-      .withColumn("__slice", coalesce(sliceOf(magOf(col(tsCol))), lit(0)))
-      .drop("__bk", "__bnds")
-    val rS = rBase.join(broadcast(bounds), col(key) === col("__bk"))
-      .withColumn("__slice", coalesce(sliceOf(magOf(col(tsCol))), lit(0)))
-      .drop("__bk", "__bnds")
+      .agg(percentile_approx(magOf(col(tsCol)), probs, lit(1000)).as("__bnds"),
+        count(lit(1)).as("__n"))
+      .collect()
+    val sampled = quantiles(
+      if (boundsSampleFraction >= 1.0) rBase
+      else rBase.sample(withReplacement = false, boundsSampleFraction, 42L))
+    val boundRows =
+      if (boundsSampleFraction < 1.0 &&
+          sampled.map(_.getLong(2)).sum < RangeJoin.MinStatsRows) quantiles(rBase)
+      else sampled
+    def sliceExpr(keyCol: Column, m: Column): Column =
+      boundRows.foldLeft(lit(0)) { (acc, row) =>
+        val bs = row.getSeq[Any](1)
+        when(keyCol === lit(row.get(0)),
+          bs.map(b => when(m >= lit(b), 1).otherwise(0))
+            .reduceOption(_ + _).getOrElse(lit(0))).otherwise(acc)
+      }
+    // a key with no sampled right rows (or a null-ts left) routes to
+    // slice 0, where the exec hands it the same null payload the plain
+    // path would
+    val l2 = left.withColumn("__slice", sliceExpr(col(key), magOf(col(tsCol))))
+    val rS = rBase.withColumn("__slice", sliceExpr(col(key), magOf(col(tsCol))))
     val needBack = direction != "forward"
     val needFwd = direction != "backward"
     def carry(back: Boolean): DataFrame = {
-      val ord =
-        if (back) col(tsCol).desc +: tieBreak.map(c => col(c).desc).toSeq
-        else col(tsCol).asc +: tieBreak.map(c => col(c).asc).toSeq
-      val w = Window.partitionBy(col(key), col("__slice")).orderBy(ord: _*)
-      val tops = rS.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      // per-(key, slice) extreme row via max_by/min_by over the whole
+      // row, ordered by a (ts, tieBreak) struct — a PARTIAL aggregate
+      // (map-side combine), deliberately not a window: the window form
+      // shuffles and sorts the entire hot pile a second time just to
+      // keep one row per slice (the 16M-row LadderScale rung measured
+      // that extra shuffle costing more than the straggler it saves).
+      // Struct comparison is lexicographic and Spark orders a null
+      // field lowest, so a null tie-break loses to any value — the
+      // same resolution as the exec's greatest-tieBreak backward rule.
+      val ordS = struct(col(tsCol) +: tieBreak.map(col).toSeq: _*)
+      val rowS = struct(rS.columns.map(col): _*)
+      val tops = rS.groupBy(col(key), col("__slice"))
+        .agg((if (back) max_by(rowS, ordS) else min_by(rowS, ordS)).as("__top"))
+        .select(rS.columns.map(c => col(s"__top.$c")): _*)
       if (back)
         tops.filter(col("__slice") < slices - 1)
           .withColumn("__slice", explode(sequence(col("__slice") + 1, lit(slices - 1))))
@@ -644,7 +675,7 @@ object AsOfJoin {
     * instead of replicating ×saltBuckets onto every salted partition.
     * Same post-pick 30-minute tolerance null-out and rollup as q98; the
     * oracle states the identical program declaratively. */
-  def rightHeavyAsOfRollup(events: DataFrame): DataFrame = {
+  def rightHeavyAsOfRollup(events: DataFrame, auto: Boolean = true): DataFrame = {
     val hotKey = lit(1234567L)
     val lhs = events.select(col("event_id"), col("event_type"),
       when(col("user_id") % 211 === 0, hotKey).otherwise(col("user_id")).as("user_id"),
@@ -653,8 +684,14 @@ object AsOfJoin {
       .select(
         when(col("user_id") % 2 === 0, hotKey).otherwise(col("user_id")).as("user_id"),
         col("ts"), col("event_id").as("pid"), col("value").as("pval"))
-    val j = asofJoinAuto(lhs, right, "user_id", "ts", Seq("pid", "pval", "ts"),
-      tieBreak = Some("pid"), minFullRows = 0L)
+    // auto = false is the LadderScale baseline: the plain native merge
+    // on the identical fixture, so the rslice premium/win is a measured
+    // number at every rung
+    val j =
+      if (auto) asofJoinAuto(lhs, right, "user_id", "ts", Seq("pid", "pval", "ts"),
+        tieBreak = Some("pid"), minFullRows = 0L)
+      else asofJoinNative(lhs, right, "user_id", "ts", Seq("pid", "pval", "ts"),
+        tieBreak = Some("pid"), broadcast = Some(false))
     val keep = col("asof_ts").isNotNull &&
       (unix_micros(col("ts")) - unix_micros(col("asof_ts"))) <= 30L * 60 * 1000000L
     j.select(col("event_type"),

@@ -85,9 +85,13 @@ object LadderScale {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // dev-only substring filter over family names (unset → all rungs)
+    val onlyFam = sys.env.get("GRAFT_LADDER_ONLY")
+    def enabled(family: String): Boolean = onlyFam.forall(family.contains)
+
     println("family,copies,baseline_sec,auto_sec,auto_mode,rows_match")
     def row(family: String, copies: Int, baseline: => DataFrame,
-            auto: => DataFrame, mode: => String): Unit = {
+            auto: => DataFrame, mode: => String): Unit = if (enabled(family)) {
       val (bSec, bN) = time(baseline)
       val (aSec, aN) = time(auto)
       println(f"$family,$copies,$bSec%.2f,$aSec%.2f,$mode,${bN == aN}")
@@ -106,6 +110,14 @@ object LadderScale {
         AsOfJoin.skewedAsOfRollup(ev),
         AsOfJoin.skewedAsOfRollup(ev, auto = true),
         AsOfJoin.lastAutoAsOf.map(_.mode).getOrElse("?"))
+      // q106 (auto → rslice) vs the plain native merge on the same
+      // right-heavy fixture: the router must report rslice and track
+      // the plain cost (the fixture's hot pile is modest at local[32];
+      // the straggler case is the synthesized rung below)
+      row("asof_q106_rslice", c,
+        AsOfJoin.rightHeavyAsOfRollup(ev, auto = false),
+        AsOfJoin.rightHeavyAsOfRollup(ev),
+        AsOfJoin.lastAutoAsOf.map(_.mode).getOrElse("?"))
       // q105's registered shape: plain overlap at the default width vs
       // the auto path — the engine must report tiny at BOTH rungs here
       // (the sliced sides stay under the cutoff through 10×)
@@ -118,7 +130,7 @@ object LadderScale {
     // forced overlap ladder at 10×: stats on (minFullRows = 0) over the
     // burst fixture — the grid-salted global plan vs the plain join at
     // the engine-chosen width, on the ~39M-pair quadratic regime
-    {
+    if (enabled("overlap_forced_stats")) {
       val ev = Tables.events(spark, x10)
       val (l, r) = RangeJoin.burstOverlapSides(ev)
       var mode = "?"
@@ -149,7 +161,7 @@ object LadderScale {
     // one-sided pile to its hash-the-hot-side orientation, and cap the
     // per-task pile at ~|burst|/4. Rows compared auto-vs-plain as
     // everywhere else.
-    {
+    if (enabled("overlap_synth_8Mx2")) {
       val minute = 60L * 1000000L
       def side(burstTs: String, n: Long, idCol: String, sCol: String,
                eCol: String): DataFrame = {
@@ -186,6 +198,50 @@ object LadderScale {
       val (pSec, pN) = time(RangeJoin.intervalOverlap(
         l, "w_start", "w_end", r, "e_start", "e_end", width))
       println(f"overlap_synth_8Mx2,1,$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
+      Console.flush()
+    }
+    // SYNTHESIZED right-heavy as-of: ONE key owns half of 16M right
+    // rows (the million-quotes-one-symbol regime) against a 1M-row left
+    // that touches the key sparsely — under the plain merge the hot
+    // key's ENTIRE right pile shuffles to and sorts on ONE partition;
+    // salting could only replicate that pile. The router must pick
+    // rslice from the right histogram alone (the left reads uniform)
+    // and split the pile ÷8 at its own time quantiles. Honest local
+    // note: at local[32] Tungsten's radix sort makes even the one-task
+    // 8M sort cheap, so the receipt's claim is wall-clock PARITY plus
+    // the per-task pile bound (8M → ~1M rows/task) — the bound is what
+    // survives at 100 TB, where a single-task multi-GB sort hits
+    // executor memory and the 2 GB shuffle-block ceiling long before
+    // CPU matters. Sides go through parquet like the overlap synth —
+    // the stats pass reads a sampled pruned scan, the production shape.
+    if (enabled("asof_synth_righthot_16M")) {
+      val hot = 777L
+      val epoch = "to_timestamp('2024-01-01 00:00:00')"
+      spark.range(16000000L).select(
+          when(col("id") % 2 === 0, lit(hot))
+            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
+          expr(s"timestamp_micros(unix_micros($epoch) + id * 1000000)").as("t"),
+          col("id").as("pid"))
+        .write.parquet(s"$scratch/synth_asof_r.parquet")
+      spark.range(1000000L).select(
+          col("id").as("lid"),
+          when(col("id") % 200 === 0, lit(hot))
+            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
+          expr(s"timestamp_micros(unix_micros($epoch) + id * 16000000)").as("t"))
+        .write.parquet(s"$scratch/synth_asof_l.parquet")
+      val lSyn = spark.read.parquet(s"$scratch/synth_asof_l.parquet")
+      val rSyn = spark.read.parquet(s"$scratch/synth_asof_r.parquet")
+      var mode = "?"
+      def auto: DataFrame = {
+        val (df, st) = AsOfJoin.asofJoinAutoStats(lSyn, rSyn, "k", "t",
+          Seq("pid"), tieBreak = Some("pid"))
+        mode = st.mode
+        df
+      }
+      val (aSec, aN) = time(auto)
+      val (pSec, pN) = time(AsOfJoin.asofJoinNative(lSyn, rSyn, "k", "t",
+        Seq("pid"), tieBreak = Some("pid"), broadcast = Some(false)))
+      println(f"asof_synth_righthot_16M,1,$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
     }
     spark.stop()
   }

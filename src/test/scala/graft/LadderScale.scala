@@ -76,13 +76,22 @@ object LadderScale {
     val x10 = amplifyEvents(spark, base, scratch.toString)
     val rungs = Seq(1 -> base, Copies -> x10)
 
-    // warm-up + timed pass, Bench's steady-state protocol
+    // warm-up + min-of-N timed passes (GRAFT_LADDER_PASSES, default 1),
+    // Bench's steady-state protocol — the synth rungs measure 10-second
+    // joins inside a long-lived JVM where GC/page-cache state swings
+    // single passes severalfold; the min is the reproducible number
+    val passes = sys.env.get("GRAFT_LADDER_PASSES").map(_.toInt).getOrElse(1)
     def time(f: => DataFrame): (Double, Long) = {
       f.count(); CacheScope.releaseAll()
-      val t0 = System.nanoTime()
-      val n = f.count()
-      CacheScope.releaseAll()
-      ((System.nanoTime() - t0) / 1e9, n)
+      var best = Double.MaxValue
+      var n = 0L
+      for (_ <- 1 to passes) {
+        val t0 = System.nanoTime()
+        n = f.count()
+        CacheScope.releaseAll()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, n)
     }
 
     // dev-only substring filter over family names (unset → all rungs)

@@ -153,6 +153,42 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // Time slicing must be invisible to results on ANY data — random
+  // frames carry duplicate timestamps, keys present on only one side,
+  // and (at slices=4 over ≤6 keys × ≤ a handful of rows each) empty
+  // slices galore, so the boundary-carry construction is exercised at
+  // every edge; the sliced pick must equal the brute-force reference
+  // in all three directions.
+  for (dir <- Seq("backward", "forward", "nearest"))
+  property(s"time-sliced as-of [$dir] matches the brute-force reference on random data") =
+    Prop.forAll(genEvents, genEvents) { (l, r) =>
+      val left = toDF(l)
+      val right = toDF(r).select(
+        col("user_id"), col("ts"), col("event_id").as("rid"), col("value").as("rv"))
+      val got = graft.operators.AsOfJoin
+        .asofJoinTimeSliced(left, right, "user_id", "ts", Seq("rid", "rv"),
+          tieBreak = Some("rid"), slices = 4, direction = dir)
+        .select("event_id", "ts", "user_id", "asof_rid").collect()
+        .map(x => (x.getAs[Long]("event_id"), x.getAs[Timestamp]("ts"), x.getAs[Long]("user_id")) ->
+          Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+      val rightRows = r.map(t => (t._3, t._2.getTime, t._1)) // (key, ts, rid)
+      l.forall { e =>
+        val cands = rightRows.filter(_._1 == e._3)
+        val bw = cands.filter(_._2 <= e._2.getTime).sortBy(x => (x._2, x._3)).lastOption
+        val fw = cands.filter(_._2 >= e._2.getTime).sortBy(x => (x._2, x._3)).headOption
+        val expected = dir match {
+          case "backward" => bw.map(_._3)
+          case "forward" => fw.map(_._3)
+          case _ => (bw, fw) match {
+            case (Some(b), Some(f)) =>
+              if (e._2.getTime - b._2 <= f._2 - e._2.getTime) Some(b._3) else Some(f._3)
+            case (b, f) => b.map(_._3).orElse(f.map(_._3))
+          }
+        }
+        got((e._1, e._2, e._3)) == expected
+      }
+    }
+
   // Salting must be invisible to results on ANY data, not just the q94
   // fixture: the salted pair set equals the brute-force predicate
   // evaluation (hence the unsalted join) at a stress bin width.

@@ -150,19 +150,22 @@ object AsOfJoin {
 
   /** Receipts of an [[asofJoinAuto]] decision. `mode`: "tiny" / "plain"
     * / "global" as in [[RangeJoin.AutoRangeStats]]; "partial" = only
-    * left-hot keys (salted split); "rslice" = only right-only-hot keys
-    * (time-sliced split); "mixed" = both branch kinds live in one
-    * routed plan. `hotKeyShare` / `rightHotShare` are the hottest
+    * left-only-hot keys (salted split); "rslice" = only
+    * right-only-hot keys (time-sliced split); "grid" = only both-hot
+    * keys (2-D salt × slice); "mixed" = more than one branch kind in
+    * one routed plan. `hotKeyShare` / `rightHotShare` are the hottest
     * single key's share of the LEFT / RIGHT side respectively;
-    * `hotKeys` is the union of both sides' hot lists and `slicedKeys`
-    * the subset routed to the time-sliced branch. `rightHotShare` is
-    * 0.0 when the right was never sampled — tiny mode, or the
-    * left-global short-circuit (see [[asofJoinAutoStats]]). */
+    * `hotKeys` is the union of both sides' hot lists, `slicedKeys` the
+    * subset routed to the time-sliced branch, `griddedKeys` the subset
+    * routed to the grid. `rightHotShare` is 0.0 when the right was
+    * never sampled — tiny mode, or the left-global short-circuit (see
+    * [[asofJoinAutoStats]]). */
   final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean,
                                  hotKeys: Seq[Any] = Nil,
                                  mode: String = "plain",
                                  rightHotShare: Double = 0.0,
-                                 slicedKeys: Seq[Any] = Nil)
+                                 slicedKeys: Seq[Any] = Nil,
+                                 griddedKeys: Seq[Any] = Nil)
 
   /** Mirror of the LAST auto decision in this JVM — debugging
     * convenience only; concurrent auto joins clobber it. Use
@@ -228,13 +231,29 @@ object AsOfJoin {
     * (AsOfJoinPlanSpec pins sliced ≡ plain on a duplicate-heavy fixture
     * in all three directions). A non-arithmetic ts domain (string) has
     * no magnitude: every row lands in slice 0 and the join degenerates
-    * to the plain composite merge — correct, just unsplit. */
+    * to the plain composite merge — correct, just unsplit.
+    *
+    * `saltBuckets > 1` adds the SALT AXIS for a key hot on BOTH sides —
+    * the 2-D (salt × slice) grid, the as-of analog of
+    * [[RangeJoin.intervalOverlapSalted]]'s grid: the left additionally
+    * hash-splits across `saltBuckets` (robust even when the left pile
+    * is a timestamp point-mass that slicing alone cannot spread), the
+    * sliced right (carries included) replicates onto every salt — the
+    * same replication [[asofJoinSalted]] already pays, now composed
+    * with the ÷slices split of the pile itself — and the exec runs on
+    * (key, salt, slice). Per-partition work falls to O(|L_k|/(A·S) +
+    * |R_k|/S). Exactness composes the two arguments: within one salt
+    * value the right side is the COMPLETE sliced-correct set (rights
+    * exist at every salt), and the slice carries repeat per salt. */
   def asofJoinTimeSliced(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                          valueCols: Seq[String], tieBreak: Option[String] = None,
                          slices: Int = 8,
                          direction: String = "backward",
-                         boundsSampleFraction: Double = RangeJoin.StatsSampleFraction): DataFrame = {
+                         boundsSampleFraction: Double = RangeJoin.StatsSampleFraction,
+                         saltBuckets: Int = 1,
+                         saltCols: Seq[String] = Nil): DataFrame = {
     require(slices >= 2, "time slicing needs at least 2 slices")
+    require(saltBuckets >= 1, "saltBuckets must be positive")
     val ltype = left.schema(tsCol).dataType
     def magOf(c: Column) = tsMagnitude(ltype)(c.cast(ltype))
     val rBase = right
@@ -309,26 +328,43 @@ object AsOfJoin {
     val rAll = (Seq(rS) ++
       (if (needBack) Seq(carry(back = true)) else Nil) ++
       (if (needFwd) Seq(carry(back = false)) else Nil)).reduce(_ unionByName _)
-    asofJoinNativeKeys(l2, rAll, Seq(key, "__slice"), tsCol, valueCols,
-        tieBreak, broadcast = Some(false), direction)
-      .drop("__slice")
+    if (saltBuckets <= 1)
+      asofJoinNativeKeys(l2, rAll, Seq(key, "__slice"), tsCol, valueCols,
+          tieBreak, broadcast = Some(false), direction)
+        .drop("__slice")
+    else {
+      val lG = l2.withColumn("__asof_salt",
+        pmod(xxhash64(RangeJoin.saltHashCols(left, saltCols): _*),
+          lit(saltBuckets)).cast("int"))
+      val rG = rAll.withColumn("__asof_salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+      asofJoinNativeKeys(lG, rG, Seq(key, "__asof_salt", "__slice"), tsCol,
+          valueCols, tieBreak, broadcast = Some(false), direction)
+        .drop("__slice", "__asof_salt")
+    }
   }
 
   /** The PARTIAL split with per-key ROUTING by which side is hot — the
     * as-of mirror of [[RangeJoin.intervalOverlapSaltedPartial]]'s
-    * orientation argument: splitting must act on the side the pile
+    * orientation argument: splitting must act on the side(s) the pile
     * actually lives on.
     *
-    *  - `saltedKeys` (hot on the LEFT): composite (key, salt) merge —
-    *    the key's lefts split ÷saltBuckets, its rights replicate;
+    *  - `saltedKeys` (hot on the LEFT only): composite (key, salt)
+    *    merge — the key's lefts split ÷saltBuckets, its rights
+    *    replicate (cheap: a left-only-hot key's right side is small);
     *  - `slicedKeys` (hot ONLY on the right): composite (key, slice)
     *    merge over the key's time axis ([[asofJoinTimeSliced]]) — the
     *    right pile splits ÷slices with boundary carry rows only, the
     *    one form that shrinks a right-dominated sort;
+    *  - `griddedKeys` (hot on BOTH sides): the 2-D (salt × slice) grid
+    *    ([[asofJoinTimeSliced]] with `saltBuckets > 1`) — the left
+    *    pile hash-splits ÷salt (point-mass-proof), the right pile
+    *    slices ÷slices, per-partition work O(|L_k|/(A·S) + |R_k|/S)
+    *    for the same ×A right replication the salt already paid;
     *  - everything else: the plain native path (null-key lefts ride
     *    here for their contractual null payload).
     *
-    * The three branches partition the key space, and as-of is per-key
+    * The branches partition the key space, and as-of is per-key
     * independent, so the union is row-identical to the plain join. */
   def asofJoinPartialRouted(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                             valueCols: Seq[String],
@@ -336,11 +372,13 @@ object AsOfJoin {
                             tieBreak: Option[String] = None,
                             saltBuckets: Int = 8,
                             direction: String = "backward",
-                            saltCols: Seq[String] = Nil): DataFrame = {
-    require(saltedKeys.nonEmpty || slicedKeys.nonEmpty,
+                            saltCols: Seq[String] = Nil,
+                            griddedKeys: Seq[Any] = Nil): DataFrame = {
+    require(saltedKeys.nonEmpty || slicedKeys.nonEmpty || griddedKeys.nonEmpty,
       "partial routing needs at least one hot-key list")
-    val isSalt = if (saltedKeys.isEmpty) lit(false) else col(key).isin(saltedKeys: _*)
-    val isSlice = if (slicedKeys.isEmpty) lit(false) else col(key).isin(slicedKeys: _*)
+    def isIn(keys: Seq[Any]) =
+      if (keys.isEmpty) lit(false) else col(key).isin(keys: _*)
+    val (isSalt, isSlice, isGrid) = (isIn(saltedKeys), isIn(slicedKeys), isIn(griddedKeys))
     val saltPart =
       if (saltedKeys.isEmpty) Nil
       else Seq(asofJoinSalted(left.filter(isSalt), right.filter(isSalt),
@@ -349,11 +387,16 @@ object AsOfJoin {
       if (slicedKeys.isEmpty) Nil
       else Seq(asofJoinTimeSliced(left.filter(isSlice), right.filter(isSlice),
         key, tsCol, valueCols, tieBreak, saltBuckets, direction))
+    val gridPart =
+      if (griddedKeys.isEmpty) Nil
+      else Seq(asofJoinTimeSliced(left.filter(isGrid), right.filter(isGrid),
+        key, tsCol, valueCols, tieBreak, saltBuckets, direction,
+        saltBuckets = RangeJoin.GridSaltDefault, saltCols = saltCols))
     val coldPart = asofJoinNative(
-      left.filter(col(key).isNull || (!isSalt && !isSlice)),
-      right.filter(!isSalt && !isSlice),
+      left.filter(col(key).isNull || (!isSalt && !isSlice && !isGrid)),
+      right.filter(!isSalt && !isSlice && !isGrid),
       key, tsCol, valueCols, tieBreak, broadcast = Some(false), direction)
-    (saltPart ++ slicePart :+ coldPart).reduce(_ unionByName _)
+    (saltPart ++ slicePart ++ gridPart :+ coldPart).reduce(_ unionByName _)
   }
 
 
@@ -365,12 +408,14 @@ object AsOfJoin {
     * on either side — a right-heavy key (millions of quotes for one
     * symbol against uniform trades) skews the same merge partitions,
     * and a left-only histogram cannot see it. Hot keys then route BY
-    * ORIENTATION ([[asofJoinPartialRouted]]): left-hot keys take the
-    * salted composite-(key, salt) merge (splits the left pile);
-    * right-ONLY-hot keys take the time-sliced composite-(key, slice)
+    * ORIENTATION ([[asofJoinPartialRouted]]): left-only-hot keys take
+    * the salted composite-(key, salt) merge (splits the left pile);
+    * right-only-hot keys take the time-sliced composite-(key, slice)
     * merge ([[asofJoinTimeSliced]] — splits the right pile, the form
     * salting cannot provide: a salt would replicate a right-dominated
-    * pile ×saltBuckets with every partition still sorting all of it).
+    * pile ×saltBuckets with every partition still sorting all of it);
+    * keys hot on BOTH sides take the 2-D (salt × slice) grid, which
+    * splits both piles at the salt's existing replication budget.
     * Uniform keys keep the plain native path with the strategy free to
     * pick broadcast vs merge from its own stats; a fact side under
     * [[RangeJoin.TinyFullRows]] skips the stats entirely (mode "tiny" —
@@ -453,23 +498,32 @@ object AsOfJoin {
     // ORIENTATION-ROUTED ladder: plain when uniform; one globally
     // salted merge when the left's hot keys own most of the fact (the
     // partial split's second exec then buys nothing — see
-    // RangeJoin.GlobalSaltCutover); otherwise a per-key routed split —
-    // LEFT-hot keys take the salt (splits the left pile), keys hot
-    // ONLY on the right take the time-sliced form (splits the right
-    // pile — salting a right-dominated key would replicate the pile
-    // ×saltBuckets for zero straggler relief). A key hot on BOTH sides
-    // routes to the salt: the hash spreads its left pile even under a
-    // timestamp point-mass, where slicing would collapse to one slice
-    // — robustness over the typical-case edge; a 2-D (salt × slice)
-    // grid for the both-hot case is the documented non-goal.
-    val leftHotKeys = lStats.hot
-    val rightOnlyKeys = rStats.hot.filterNot(lStats.hot.toSet)
+    // RangeJoin.GlobalSaltCutover); otherwise a per-key routed split
+    // by WHERE each key's pile lives — LEFT-only-hot keys take the
+    // salt (splits the left pile; the right side of such a key is
+    // small, so its ×salt replication is cheap), keys hot ONLY on the
+    // right take the time-sliced form (splits the right pile — salting
+    // a right-dominated key would replicate the pile ×saltBuckets for
+    // zero straggler relief), and keys hot on BOTH sides take the 2-D
+    // (salt × slice) grid (both piles split; the left by hash, so a
+    // timestamp point-mass — where slicing alone collapses to one
+    // slice — still spreads).
+    val rHotSet = rStats.hot.toSet
+    val lHotSet = lStats.hot.toSet
+    val saltOnlyKeys = lStats.hot.filterNot(rHotSet)
+    val sliceOnlyKeys = rStats.hot.filterNot(lHotSet)
+    val gridKeys = lStats.hot.filter(rHotSet)
     val mode =
       if (hot.isEmpty) "plain"
       else if (leftGlobal) "global"
-      else if (leftHotKeys.isEmpty) "rslice"
-      else if (rightOnlyKeys.isEmpty) "partial"
-      else "mixed"
+      else {
+        val kinds = Seq(saltOnlyKeys.nonEmpty, sliceOnlyKeys.nonEmpty,
+          gridKeys.nonEmpty).count(identity)
+        if (kinds > 1) "mixed"
+        else if (sliceOnlyKeys.nonEmpty) "rslice"
+        else if (gridKeys.nonEmpty) "grid"
+        else "partial"
+      }
     val df = mode match {
       case "global" =>
         asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak, saltBuckets, direction)
@@ -478,10 +532,11 @@ object AsOfJoin {
           broadcast = None, direction)
       case _ =>
         asofJoinPartialRouted(left, right, key, tsCol, valueCols,
-          leftHotKeys, rightOnlyKeys, tieBreak, saltBuckets, direction)
+          saltOnlyKeys, sliceOnlyKeys, tieBreak, saltBuckets, direction,
+          griddedKeys = gridKeys)
     }
     (df, AutoAsOfStats(lStats.maxShare, mode != "plain", hot, mode,
-      rStats.maxShare, rightOnlyKeys))
+      rStats.maxShare, sliceOnlyKeys, gridKeys))
   }
 
   /** Ts-domain magnitude for distance arithmetic: timestamps in

@@ -158,16 +158,18 @@ object PropertySpec extends Properties("graft") {
   // and (at slices=4 over ≤6 keys × ≤ a handful of rows each) empty
   // slices galore, so the boundary-carry construction is exercised at
   // every edge; the sliced pick must equal the brute-force reference
-  // in all three directions.
-  for (dir <- Seq("backward", "forward", "nearest"))
-  property(s"time-sliced as-of [$dir] matches the brute-force reference on random data") =
+  // in all three directions, with and without the 2-D grid's salt axis.
+  for {
+    dir <- Seq("backward", "forward", "nearest")
+    (form, salt) <- Seq("sliced" -> 1, "grid" -> 2)
+  } property(s"time-$form as-of [$dir] matches the brute-force reference on random data") =
     Prop.forAll(genEvents, genEvents) { (l, r) =>
       val left = toDF(l)
       val right = toDF(r).select(
         col("user_id"), col("ts"), col("event_id").as("rid"), col("value").as("rv"))
       val got = graft.operators.AsOfJoin
         .asofJoinTimeSliced(left, right, "user_id", "ts", Seq("rid", "rv"),
-          tieBreak = Some("rid"), slices = 4, direction = dir)
+          tieBreak = Some("rid"), slices = 4, direction = dir, saltBuckets = salt)
         .select("event_id", "ts", "user_id", "asof_rid").collect()
         .map(x => (x.getAs[Long]("event_id"), x.getAs[Timestamp]("ts"), x.getAs[Long]("user_id")) ->
           Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap

@@ -345,9 +345,36 @@ class AsOfJoinPlanSpec extends SparkSuite {
     autoURows.zip(plainU).foreach { case (a, b) => assert(a === b) }
   }
 
-  test("a THIN hot key picks PARTIAL salting: only that key's rights replicate") {
-    // a quarter of the fact on one key: above the 0.2 threshold, below
-    // the 0.4 global cutover → the per-key partial split
+  test("a LEFT-only-hot key picks PARTIAL salting: only that key's (small) right side replicates") {
+    // a quarter of the FACT on one key while the right keeps its
+    // natural spread: above the 0.2 threshold on the left, invisible
+    // on the right → the per-key salted split (the orientation where
+    // hashing the left is exactly right and the replicated right side
+    // is small by construction)
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("user_id") % 4 === 0, lit(7777777L)).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+    val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(dec.mode === "partial", s"a left-only-hot key must salt partially ($dec)")
+    assert(dec.hotKeys === Seq(7777777L), s"exactly the hot key flagged ($dec)")
+    assert(dec.slicedKeys.isEmpty && dec.griddedKeys.isEmpty,
+      s"a left-only pile needs no slicing ($dec)")
+    val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"), broadcast = Some(false))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("a key hot on BOTH sides picks the 2-D (salt × slice) GRID") {
+    // a quarter of BOTH sides on one key: the left pile wants a hash
+    // split (point-mass-proof), the right pile wants a time split —
+    // the grid composes both at the salt's existing replication budget
     val ev = Tables.events(spark, sf).select(
       col("event_id"), col("event_type"),
       when(col("user_id") % 4 === 0, lit(7777777L)).otherwise(col("user_id")).as("user_id"),
@@ -358,9 +385,13 @@ class AsOfJoinPlanSpec extends SparkSuite {
         col("ts"), col("event_id").as("pid"))
     val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
       Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+    assert(dec.mode === "grid", s"a both-hot key must take the grid ($dec)")
+    assert(dec.griddedKeys === Seq(7777777L), s"the both-hot key routes to the grid ($dec)")
+    assert(dec.slicedKeys.isEmpty, s"nothing is right-ONLY-hot here ($dec)")
+    val p = finalPlan(autoDf)
+    assert(p.contains("__slice") && p.contains("__asof_salt"),
+      "the grid plan must join on (key, salt, slice)")
     val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
-    assert(dec.mode === "partial", s"a quarter-hot key must salt partially ($dec)")
-    assert(dec.hotKeys === Seq(7777777L), s"exactly the hot key flagged ($dec)")
     val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
         tieBreak = Some("pid"), broadcast = Some(false))
       .select("event_id", "asof_pid").orderBy("event_id").collect()
@@ -409,10 +440,11 @@ class AsOfJoinPlanSpec extends SparkSuite {
     auto.zip(plain).foreach { case (a, b) => assert(a === b) }
   }
 
-  test("MIXED routing: a left-hot key salts while a right-only-hot key slices, in ONE plan") {
-    // key A: a quarter of the LEFT remapped (salted split); key B: all
-    // purchases' rights remapped onto it but only a thin left slice
-    // (time-sliced split); the rest keep their natural keys (cold).
+  test("MIXED routing: a both-hot key grids while a right-only-hot key slices, in ONE plan") {
+    // key A: a quarter of the LEFT remapped AND those users' purchases
+    // with it (both-hot → grid); key B: the remaining purchases
+    // remapped onto it against only a thin left slice (right-only-hot
+    // → time-sliced); the rest keep their natural keys (cold).
     val ev = Tables.events(spark, sf).select(
       col("event_id"), col("event_type"),
       when(col("user_id") % 4 === 0, lit(7777777L))
@@ -428,7 +460,9 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(dec.mode === "mixed", s"both branch kinds must engage ($dec)")
     assert(dec.hotKeys.toSet === Set(7777777L, 4242424L), s"both keys flagged ($dec)")
     assert(dec.slicedKeys === Seq(4242424L),
-      s"only the right-only-hot key slices; the left-hot key salts ($dec)")
+      s"only the right-only-hot key slices ($dec)")
+    assert(dec.griddedKeys === Seq(7777777L),
+      s"the both-hot key takes the grid ($dec)")
     val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
     val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
         tieBreak = Some("pid"), broadcast = Some(false))

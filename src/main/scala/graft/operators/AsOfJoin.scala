@@ -172,6 +172,14 @@ object AsOfJoin {
     * [[asofJoinAutoStats]] for the race-free per-call receipt. */
   @volatile var lastAutoAsOf: Option[AutoAsOfStats] = None
 
+  /** Ceiling on the distinct right keys one [[asofJoinTimeSliced]] call
+    * will compile boundary routing for — the boundary collect is one
+    * row per key and the slice expression one when-branch per key, so
+    * the bound keeps both driver-side metadata-sized. ⌈1/0.2⌉ = 5 keys
+    * can be hot at once under the router's threshold; 64 leaves direct
+    * callers generous headroom. */
+  val MaxSliceKeys: Int = 64
+
   /** [[asofJoinSalted]] applied ONLY to the listed hot keys — the
     * per-key form, and the shape that matters at 100 TB: the global
     * variant replicates the WHOLE right side `saltBuckets`×, where a
@@ -255,7 +263,16 @@ object AsOfJoin {
     require(slices >= 2, "time slicing needs at least 2 slices")
     require(saltBuckets >= 1, "saltBuckets must be positive")
     val ltype = left.schema(tsCol).dataType
-    def magOf(c: Column) = tsMagnitude(ltype)(c.cast(ltype))
+    // try_cast (not cast) in the non-datetime fallback: under ANSI a
+    // string ts would THROW mid-aggregate, where the documented
+    // degenerate contract is null magnitude → slice 0 → plain merge
+    def magOf(c: Column) = {
+      import org.apache.spark.sql.types.{DateType, TimestampType}
+      ltype match {
+        case TimestampType | DateType => tsMagnitude(ltype)(c.cast(ltype))
+        case _ => c.cast(ltype).try_cast(org.apache.spark.sql.types.LongType)
+      }
+    }
     val rBase = right
       .filter(col(key).isNotNull && col(tsCol).isNotNull)
       .withColumn(key, col(key).cast(left.schema(key).dataType))
@@ -277,10 +294,17 @@ object AsOfJoin {
     // sketch is ~3× cheaper to update than the oracle-grade 10000 the
     // stats passes use elsewhere (measured on the 64M-row probe)
     val probs = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
+    // the limit bounds the collect AND the compiled when-chain: one row
+    // per distinct key is only metadata when the caller pre-filtered to
+    // a hot-key set (the auto router's contract, ≤ ⌈1/threshold⌉ keys);
+    // a direct call on an un-prefiltered frame fails fast below instead
+    // of pulling every key's boundaries to the driver and compiling an
+    // arbitrarily deep CaseWhen
     def quantiles(src: DataFrame) = src
       .groupBy(col(key).as("__bk"))
       .agg(percentile_approx(magOf(col(tsCol)), probs, lit(1000)).as("__bnds"),
         count(lit(1)).as("__n"))
+      .limit(MaxSliceKeys + 1)
       .collect()
     val sampled = quantiles(
       if (boundsSampleFraction >= 1.0) rBase
@@ -289,9 +313,16 @@ object AsOfJoin {
       if (boundsSampleFraction < 1.0 &&
           sampled.map(_.getLong(2)).sum < RangeJoin.MinStatsRows) quantiles(rBase)
       else sampled
+    require(boundRows.length <= MaxSliceKeys,
+      s"asofJoinTimeSliced saw more than $MaxSliceKeys distinct right keys — " +
+        "it compiles per-key boundary routing, so pre-filter both sides to " +
+        "the hot keys (asofJoinAuto's router does this) or raise MaxSliceKeys")
+    // a null boundary array (every magnitude in the key's group cast
+    // to null — e.g. a string ts domain) degenerates that key to slice
+    // 0, the documented unsplit-but-correct fallback
     def sliceExpr(keyCol: Column, m: Column): Column =
       boundRows.foldLeft(lit(0)) { (acc, row) =>
-        val bs = row.getSeq[Any](1)
+        val bs = Option(row.getSeq[Any](1)).getOrElse(Seq.empty).filter(_ != null)
         when(keyCol === lit(row.get(0)),
           bs.map(b => when(m >= lit(b), 1).otherwise(0))
             .reduceOption(_ + _).getOrElse(lit(0))).otherwise(acc)
@@ -373,12 +404,20 @@ object AsOfJoin {
                             saltBuckets: Int = 8,
                             direction: String = "backward",
                             saltCols: Seq[String] = Nil,
-                            griddedKeys: Seq[Any] = Nil): DataFrame = {
+                            griddedKeys: Seq[Any] = Nil,
+                            slices: Int = 8): DataFrame = {
     require(saltedKeys.nonEmpty || slicedKeys.nonEmpty || griddedKeys.nonEmpty,
       "partial routing needs at least one hot-key list")
     def isIn(keys: Seq[Any]) =
       if (keys.isEmpty) lit(false) else col(key).isin(keys: _*)
     val (isSalt, isSlice, isGrid) = (isIn(saltedKeys), isIn(slicedKeys), isIn(griddedKeys))
+    // `slices` and `saltBuckets` are DISTINCT knobs on purpose: the
+    // first sizes the time axis (sliced + grid branches), the second
+    // the hash axis (salted branch; the grid's own hash axis is the
+    // overlap ladder's GridSaltDefault, trading fan-out for the ×axis
+    // replication budget) — so tuning the salt never changes the slice
+    // count, and saltBuckets = 1 (a legal "don't split the left")
+    // cannot crash the sliced branch's ≥2-slice requirement.
     val saltPart =
       if (saltedKeys.isEmpty) Nil
       else Seq(asofJoinSalted(left.filter(isSalt), right.filter(isSalt),
@@ -386,11 +425,11 @@ object AsOfJoin {
     val slicePart =
       if (slicedKeys.isEmpty) Nil
       else Seq(asofJoinTimeSliced(left.filter(isSlice), right.filter(isSlice),
-        key, tsCol, valueCols, tieBreak, saltBuckets, direction))
+        key, tsCol, valueCols, tieBreak, slices, direction))
     val gridPart =
       if (griddedKeys.isEmpty) Nil
       else Seq(asofJoinTimeSliced(left.filter(isGrid), right.filter(isGrid),
-        key, tsCol, valueCols, tieBreak, saltBuckets, direction,
+        key, tsCol, valueCols, tieBreak, slices, direction,
         saltBuckets = RangeJoin.GridSaltDefault, saltCols = saltCols))
     val coldPart = asofJoinNative(
       left.filter(col(key).isNull || (!isSalt && !isSlice && !isGrid)),

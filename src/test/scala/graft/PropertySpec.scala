@@ -30,6 +30,24 @@ object PropertySpec extends Properties("graft") {
   private def toDF(rows: List[(Long, Timestamp, Long, String, Double)]) =
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  /** ONE brute-force as-of reference for every property below:
+    * `cands` = (ts-millis, rid) of the left row's key; backward = last
+    * at-or-before (greatest rid on ties), forward = first at-or-after
+    * (smallest rid), nearest = closer side, distance ties backward. */
+  private def bruteAsOfPick(dir: String, cands: Seq[(Long, Long)], t: Long): Option[Long] = {
+    val bw = cands.filter(_._1 <= t).sorted.lastOption
+    val fw = cands.filter(_._1 >= t).sorted.headOption
+    dir match {
+      case "backward" => bw.map(_._2)
+      case "forward" => fw.map(_._2)
+      case _ => (bw, fw) match {
+        case (Some(b), Some(f)) =>
+          if (t - b._1 <= f._1 - t) Some(b._2) else Some(f._2)
+        case (b, f) => b.map(_._2).orElse(f.map(_._2))
+      }
+    }
+  }
+
   property("dedup is idempotent and keys become unique") =
     Prop.forAll(genEvents) { rows =>
       val df = toDF(rows)
@@ -93,9 +111,8 @@ object PropertySpec extends Properties("graft") {
           Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
       val rightRows = r.map(t => (t._3, t._2.getTime, t._1)) // (key, ts, rid)
       l.forall { e =>
-        val expected = rightRows
-          .filter(x => x._1 == e._3 && x._2 <= e._2.getTime)
-          .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+        val expected = bruteAsOfPick("backward",
+          rightRows.filter(_._1 == e._3).map(x => (x._2, x._3)), e._2.getTime)
         got((e._1, e._2, e._3)) == expected
       }
     }
@@ -115,9 +132,8 @@ object PropertySpec extends Properties("graft") {
           Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
       val rightRows = r.map(t => (t._3, t._2.getTime, t._1)) // (key, ts, rid)
       l.forall { e =>
-        val expected = rightRows
-          .filter(x => x._1 == e._3 && x._2 >= e._2.getTime)
-          .sortBy(x => (x._2, x._3)).headOption.map(_._3)
+        val expected = bruteAsOfPick("forward",
+          rightRows.filter(_._1 == e._3).map(x => (x._2, x._3)), e._2.getTime)
         got((e._1, e._2, e._3)) == expected
       }
     }
@@ -139,16 +155,8 @@ object PropertySpec extends Properties("graft") {
           Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
       val rightRows = r.map(t => (t._3, t._2.getTime, t._1)) // (key, ts, rid)
       l.forall { e =>
-        val cands = rightRows.filter(_._1 == e._3)
-        val bw = cands.filter(_._2 <= e._2.getTime).sortBy(x => (x._2, x._3)).lastOption
-        val fw = cands.filter(_._2 >= e._2.getTime).sortBy(x => (x._2, x._3)).headOption
-        val expected = (bw, fw) match {
-          case (Some(b), Some(f)) =>
-            if (e._2.getTime - b._2 <= f._2 - e._2.getTime) Some(b._3) else Some(f._3)
-          case (Some(b), None) => Some(b._3)
-          case (None, Some(f)) => Some(f._3)
-          case _ => None
-        }
+        val expected = bruteAsOfPick("nearest",
+          rightRows.filter(_._1 == e._3).map(x => (x._2, x._3)), e._2.getTime)
         got((e._1, e._2, e._3)) == expected
       }
     }
@@ -175,18 +183,8 @@ object PropertySpec extends Properties("graft") {
           Option(x.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
       val rightRows = r.map(t => (t._3, t._2.getTime, t._1)) // (key, ts, rid)
       l.forall { e =>
-        val cands = rightRows.filter(_._1 == e._3)
-        val bw = cands.filter(_._2 <= e._2.getTime).sortBy(x => (x._2, x._3)).lastOption
-        val fw = cands.filter(_._2 >= e._2.getTime).sortBy(x => (x._2, x._3)).headOption
-        val expected = dir match {
-          case "backward" => bw.map(_._3)
-          case "forward" => fw.map(_._3)
-          case _ => (bw, fw) match {
-            case (Some(b), Some(f)) =>
-              if (e._2.getTime - b._2 <= f._2 - e._2.getTime) Some(b._3) else Some(f._3)
-            case (b, f) => b.map(_._3).orElse(f.map(_._3))
-          }
-        }
+        val expected = bruteAsOfPick(dir,
+          rightRows.filter(_._1 == e._3).map(x => (x._2, x._3)), e._2.getTime)
         got((e._1, e._2, e._3)) == expected
       }
     }

@@ -502,6 +502,28 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  test("time-sliced as-of over a non-arithmetic ts domain degenerates to slice 0 — correct, just unsplit") {
+    // a string ts has no magnitude: every boundary percentile comes
+    // back null, the scaladoc's promise is that each key lands whole
+    // in slice 0 and the join is simply the plain composite merge
+    // (ordering-only directions still work over strings)
+    import spark.implicits._
+    val left = Seq((1L, 1L, "b"), (2L, 1L, "d"), (3L, 2L, "a"), (4L, 9L, "z"))
+      .toDF("lid", "k", "t")
+    val right = Seq((1L, "a", 10L), (1L, "c", 11L), (2L, "b", 20L))
+      .toDF("k", "t", "pay")
+    for (dirn <- Seq("backward", "forward")) {
+      val sliced = AsOfJoin.asofJoinTimeSliced(left, right, "k", "t",
+          Seq("pay"), tieBreak = Some("pay"), slices = 4, direction = dirn)
+        .select("lid", "asof_pay").orderBy("lid").collect()
+      val plain = AsOfJoin.asofJoinNative(left, right, "k", "t",
+          Seq("pay"), tieBreak = Some("pay"), broadcast = Some(false), direction = dirn)
+        .select("lid", "asof_pay").orderBy("lid").collect()
+      assert(sliced.toSeq === plain.toSeq, s"[$dirn]")
+      assert(sliced.exists(!_.isNullAt(1)) && sliced.exists(_.isNullAt(1)), s"[$dirn]")
+    }
+  }
+
   test("tiny cutoff: a sub-cutoff fact side skips the as-of stats ladder entirely") {
     // DEFAULT params on the maximally hot-keyed fixture: the sf0.001
     // fact is ~1k rows — far under TinyFullRows — so the engine's own

@@ -251,6 +251,45 @@ object LadderScale {
       val (pSec, pN) = time(AsOfJoin.asofJoinNative(lSyn, rSyn, "k", "t",
         Seq("pid"), tieBreak = Some("pid"), broadcast = Some(false)))
       println(f"asof_synth_righthot_16M,1,$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
+      Console.flush()
+    }
+    // SYNTHESIZED both-hot as-of: ONE key carries 30% of an 8M left
+    // AND 50% of a 16M right — under the plain merge that partition
+    // sorts ~10.4M rows. The left share sits in [0.2, 0.4) so the
+    // router lands in the routed split (not the left-global
+    // short-circuit) and must pick the 2-D (salt × slice) GRID for the
+    // both-hot key: left ÷(4 salts × 8 slices), right ÷8 slices at ×4
+    // replication. Same honest local note as the 16M rung — the
+    // receipt is parity-or-better wall-clock plus the per-task pile
+    // bound that is the actual 100 TB claim.
+    if (enabled("asof_synth_bothhot")) {
+      val hot = 777L
+      val epoch = "to_timestamp('2024-01-01 00:00:00')"
+      spark.range(16000000L).select(
+          when(col("id") % 2 === 0, lit(hot))
+            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
+          expr(s"timestamp_micros(unix_micros($epoch) + id * 1000000)").as("t"),
+          col("id").as("pid"))
+        .write.parquet(s"$scratch/synth_bh_r.parquet")
+      spark.range(8000000L).select(
+          col("id").as("lid"),
+          when(col("id") % 10 < 3, lit(hot))
+            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
+          expr(s"timestamp_micros(unix_micros($epoch) + id * 2000000)").as("t"))
+        .write.parquet(s"$scratch/synth_bh_l.parquet")
+      val lSyn = spark.read.parquet(s"$scratch/synth_bh_l.parquet")
+      val rSyn = spark.read.parquet(s"$scratch/synth_bh_r.parquet")
+      var mode = "?"
+      def auto: DataFrame = {
+        val (df, st) = AsOfJoin.asofJoinAutoStats(lSyn, rSyn, "k", "t",
+          Seq("pid"), tieBreak = Some("pid"))
+        mode = st.mode
+        df
+      }
+      val (aSec, aN) = time(auto)
+      val (pSec, pN) = time(AsOfJoin.asofJoinNative(lSyn, rSyn, "k", "t",
+        Seq("pid"), tieBreak = Some("pid"), broadcast = Some(false)))
+      println(f"asof_synth_bothhot_24M,1,$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
     }
     spark.stop()
   }

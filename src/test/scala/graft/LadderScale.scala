@@ -39,7 +39,12 @@ import graft.operators.{AsOfJoin, RangeJoin}
   */
 object LadderScale {
 
-  private val Copies = 10
+  // GRAFT_LADDER_COPIES (default 10): the amplification factor — the
+  // DocScale100 protocol runs the fixture rungs at base sf0.001 with
+  // copies=100 (100× duplication of every burst at sf0.1's absolute
+  // volume), the standard receipts at base sf0.1 with copies=10
+  private val Copies =
+    sys.env.get("GRAFT_LADDER_COPIES").map(_.toInt).getOrElse(10)
 
   private def amplifyEvents(spark: SparkSession, base: String, out: String): String = {
     val raw = spark.read.parquet(s"$base/events.parquet")

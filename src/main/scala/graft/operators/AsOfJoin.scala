@@ -160,12 +160,17 @@ object AsOfJoin {
     * routed to the grid. `rightHotShare` is 0.0 when the right was
     * never sampled — tiny mode, or the left-global short-circuit (see
     * [[asofJoinAutoStats]]). */
+  /** `demotedKeys` (round 14): keys flagged hot by SHARE whose
+    * projected pile fit the task budget, so the router kept them on
+    * the plain branch — the absolute-volume gate's receipt (empty when
+    * `taskAbsorbBytes = 0` disables the gate). */
   final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean,
                                  hotKeys: Seq[Any] = Nil,
                                  mode: String = "plain",
                                  rightHotShare: Double = 0.0,
                                  slicedKeys: Seq[Any] = Nil,
-                                 griddedKeys: Seq[Any] = Nil)
+                                 griddedKeys: Seq[Any] = Nil,
+                                 demotedKeys: Seq[Any] = Nil)
 
   /** Mirror of the LAST auto decision in this JVM — debugging
     * convenience only; concurrent auto joins clobber it. Use
@@ -179,6 +184,11 @@ object AsOfJoin {
     * can be hot at once under the router's threshold; 64 leaves direct
     * callers generous headroom. */
   val MaxSliceKeys: Int = 64
+
+  /** Slice count of the auto router's time-sliced branches — shared
+    * between the routed split and the fused boundary-quantile pass
+    * (the boundaries are per-slice quantiles, so the two must agree). */
+  val SlicesDefault: Int = 8
 
   /** [[asofJoinSalted]] applied ONLY to the listed hot keys — the
     * per-key form, and the shape that matters at 100 TB: the global
@@ -253,26 +263,49 @@ object AsOfJoin {
     * |R_k|/S). Exactness composes the two arguments: within one salt
     * value the right side is the COMPLETE sliced-correct set (rights
     * exist at every salt), and the slice carries repeat per salt. */
+  /** Slice magnitude of a ts column in the LEFT side's domain `ltype` —
+    * the magnitude whose ordering must AGREE with the exec's ordering
+    * of the ts column: the boundary-carry argument routes a row by
+    * "#boundaries ≤ x", which is only sound when ≤ on the magnitude
+    * matches ≤ on the column. Datetime domains embed exactly; numeric
+    * domains truncate to long, which is monotone (x ≤ y ⇒ trunc(x) ≤
+    * trunc(y)), so a coarser magnitude only merges adjacent slices,
+    * never mis-routes across a boundary. Any OTHER domain (StringType
+    * above all) orders lexicographically while a cast-to-long would
+    * order numerically — a right row '88' sorts AFTER '9' in the exec
+    * but lands in a LATER slice than it numerically, so its carry never
+    * reaches '9''s slice and the true match silently vanishes (r13
+    * ADVICE). Those domains get a null magnitude: every row degenerates
+    * to slice 0 — the documented unsplit-but-correct contract. */
+  private def sliceMagOf(ltype: org.apache.spark.sql.types.DataType)(c: Column): Column = {
+    import org.apache.spark.sql.types.{DateType, LongType, NumericType, TimestampType}
+    ltype match {
+      case TimestampType | DateType => tsMagnitude(ltype)(c.cast(ltype))
+      // try_cast (not cast): under ANSI an overflowing decimal would
+      // THROW mid-aggregate, where the contract is null → slice 0
+      case _: NumericType => c.cast(ltype).try_cast(LongType)
+      case _ => lit(null).cast(LongType)
+    }
+  }
+
+  /** `precomputedBounds`: per-key slice boundaries (slice magnitudes,
+    * ascending) already measured by the caller — the auto router passes
+    * the quantiles it computed on its own cached right-side sample, so
+    * the sliced join adds NO extra stats job (r13 verdict #5: the
+    * boundary-quantile job previously re-sampled the right side the
+    * histogram had just scanned). Empty → this call samples for itself. */
   def asofJoinTimeSliced(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                          valueCols: Seq[String], tieBreak: Option[String] = None,
                          slices: Int = 8,
                          direction: String = "backward",
                          boundsSampleFraction: Double = RangeJoin.StatsSampleFraction,
                          saltBuckets: Int = 1,
-                         saltCols: Seq[String] = Nil): DataFrame = {
+                         saltCols: Seq[String] = Nil,
+                         precomputedBounds: Seq[(Any, Seq[Any])] = Nil): DataFrame = {
     require(slices >= 2, "time slicing needs at least 2 slices")
     require(saltBuckets >= 1, "saltBuckets must be positive")
     val ltype = left.schema(tsCol).dataType
-    // try_cast (not cast) in the non-datetime fallback: under ANSI a
-    // string ts would THROW mid-aggregate, where the documented
-    // degenerate contract is null magnitude → slice 0 → plain merge
-    def magOf(c: Column) = {
-      import org.apache.spark.sql.types.{DateType, TimestampType}
-      ltype match {
-        case TimestampType | DateType => tsMagnitude(ltype)(c.cast(ltype))
-        case _ => c.cast(ltype).try_cast(org.apache.spark.sql.types.LongType)
-      }
-    }
+    def magOf(c: Column) = sliceMagOf(ltype)(c)
     val rBase = right
       .filter(col(key).isNotNull && col(tsCol).isNotNull)
       .withColumn(key, col(key).cast(left.schema(key).dataType))
@@ -293,26 +326,31 @@ object AsOfJoin {
     // pile between adjacent slices — irrelevant to balance, and the
     // sketch is ~3× cheaper to update than the oracle-grade 10000 the
     // stats passes use elsewhere (measured on the 64M-row probe)
-    val probs = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
     // the limit bounds the collect AND the compiled when-chain: one row
     // per distinct key is only metadata when the caller pre-filtered to
     // a hot-key set (the auto router's contract, ≤ ⌈1/threshold⌉ keys);
     // a direct call on an un-prefiltered frame fails fast below instead
     // of pulling every key's boundaries to the driver and compiling an
     // arbitrarily deep CaseWhen
-    def quantiles(src: DataFrame) = src
-      .groupBy(col(key).as("__bk"))
-      .agg(percentile_approx(magOf(col(tsCol)), probs, lit(1000)).as("__bnds"),
-        count(lit(1)).as("__n"))
-      .limit(MaxSliceKeys + 1)
-      .collect()
-    val sampled = quantiles(
-      if (boundsSampleFraction >= 1.0) rBase
-      else rBase.sample(withReplacement = false, boundsSampleFraction, 42L))
-    val boundRows =
-      if (boundsSampleFraction < 1.0 &&
-          sampled.map(_.getLong(2)).sum < RangeJoin.MinStatsRows) quantiles(rBase)
-      else sampled
+    val boundRows: Seq[(Any, Seq[Any])] =
+      if (precomputedBounds.nonEmpty) precomputedBounds
+      else {
+        val probs = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
+        def quantiles(src: DataFrame) = src
+          .groupBy(col(key).as("__bk"))
+          .agg(percentile_approx(magOf(col(tsCol)), probs, lit(1000)).as("__bnds"),
+            count(lit(1)).as("__n"))
+          .limit(MaxSliceKeys + 1)
+          .collect()
+        val sampled = quantiles(
+          if (boundsSampleFraction >= 1.0) rBase
+          else rBase.sample(withReplacement = false, boundsSampleFraction, 42L))
+        val rows =
+          if (boundsSampleFraction < 1.0 &&
+              sampled.map(_.getLong(2)).sum < RangeJoin.MinStatsRows) quantiles(rBase)
+          else sampled
+        rows.toSeq.map(r => (r.get(0), Option(r.getSeq[Any](1)).map(_.toSeq).orNull))
+      }
     require(boundRows.length <= MaxSliceKeys,
       s"asofJoinTimeSliced saw more than $MaxSliceKeys distinct right keys — " +
         "it compiles per-key boundary routing, so pre-filter both sides to " +
@@ -321,9 +359,9 @@ object AsOfJoin {
     // to null — e.g. a string ts domain) degenerates that key to slice
     // 0, the documented unsplit-but-correct fallback
     def sliceExpr(keyCol: Column, m: Column): Column =
-      boundRows.foldLeft(lit(0)) { (acc, row) =>
-        val bs = Option(row.getSeq[Any](1)).getOrElse(Seq.empty).filter(_ != null)
-        when(keyCol === lit(row.get(0)),
+      boundRows.foldLeft(lit(0)) { case (acc, (k, bsRaw)) =>
+        val bs = Option(bsRaw).getOrElse(Seq.empty).filter(_ != null)
+        when(keyCol === lit(k),
           bs.map(b => when(m >= lit(b), 1).otherwise(0))
             .reduceOption(_ + _).getOrElse(lit(0))).otherwise(acc)
       }
@@ -405,7 +443,8 @@ object AsOfJoin {
                             direction: String = "backward",
                             saltCols: Seq[String] = Nil,
                             griddedKeys: Seq[Any] = Nil,
-                            slices: Int = 8): DataFrame = {
+                            slices: Int = 8,
+                            precomputedBounds: Seq[(Any, Seq[Any])] = Nil): DataFrame = {
     require(saltedKeys.nonEmpty || slicedKeys.nonEmpty || griddedKeys.nonEmpty,
       "partial routing needs at least one hot-key list")
     def isIn(keys: Seq[Any]) =
@@ -422,15 +461,19 @@ object AsOfJoin {
       if (saltedKeys.isEmpty) Nil
       else Seq(asofJoinSalted(left.filter(isSalt), right.filter(isSalt),
         key, tsCol, valueCols, tieBreak, saltBuckets, direction, saltCols))
+    def boundsFor(keys: Seq[Any]) =
+      precomputedBounds.filter { case (k, _) => keys.contains(k) }
     val slicePart =
       if (slicedKeys.isEmpty) Nil
       else Seq(asofJoinTimeSliced(left.filter(isSlice), right.filter(isSlice),
-        key, tsCol, valueCols, tieBreak, slices, direction))
+        key, tsCol, valueCols, tieBreak, slices, direction,
+        precomputedBounds = boundsFor(slicedKeys)))
     val gridPart =
       if (griddedKeys.isEmpty) Nil
       else Seq(asofJoinTimeSliced(left.filter(isGrid), right.filter(isGrid),
         key, tsCol, valueCols, tieBreak, slices, direction,
-        saltBuckets = RangeJoin.GridSaltDefault, saltCols = saltCols))
+        saltBuckets = RangeJoin.GridSaltDefault, saltCols = saltCols,
+        precomputedBounds = boundsFor(griddedKeys)))
     val coldPart = asofJoinNative(
       left.filter(col(key).isNull || (!isSalt && !isSlice && !isGrid)),
       right.filter(!isSalt && !isSlice && !isGrid),
@@ -471,10 +514,11 @@ object AsOfJoin {
                    direction: String = "backward",
                    hotShareThreshold: Double = RangeJoin.HotShareThreshold,
                    sampleFraction: Double = RangeJoin.StatsSampleFraction,
-                   minFullRows: Long = RangeJoin.TinyFullRows): DataFrame = {
+                   minFullRows: Long = RangeJoin.TinyFullRows,
+                   taskAbsorbBytes: Long = RangeJoin.TaskAbsorbBytes): DataFrame = {
     val (df, stats) = asofJoinAutoStats(left, right, key, tsCol, valueCols,
       tieBreak, saltBuckets, direction, hotShareThreshold, sampleFraction,
-      minFullRows)
+      minFullRows, taskAbsorbBytes)
     lastAutoAsOf = Some(stats)
     df
   }
@@ -491,8 +535,10 @@ object AsOfJoin {
                         direction: String = "backward",
                         hotShareThreshold: Double = RangeJoin.HotShareThreshold,
                         sampleFraction: Double = RangeJoin.StatsSampleFraction,
-                        minFullRows: Long = RangeJoin.TinyFullRows)
+                        minFullRows: Long = RangeJoin.TinyFullRows,
+                        taskAbsorbBytes: Long = RangeJoin.TaskAbsorbBytes)
       : (DataFrame, AutoAsOfStats) = {
+    val ltype = left.schema(tsCol).dataType
     // sampled key column of the fact side: the tiny-cutoff count and
     // the hot-key histogram share one pruned sampled scan, and the
     // count rides the histogram's FIRST aggregate (earlyExitBelow), so
@@ -509,52 +555,130 @@ object AsOfJoin {
       else math.round(minFullRows * sampleFraction)
     val lStats0 = RangeJoin.hotValuesFromKeys(lSample, hotShareThreshold,
       earlyExitBelow = cutoffSampled)
-    val estFull =
-      if (sampleFraction >= 1.0) lStats0.sampledRows
-      else math.round(lStats0.sampledRows / sampleFraction)
-    if (estFull < minFullRows)
+    def estFullOf(sampled: Long, fraction: Double): Long =
+      if (fraction >= 1.0) sampled else math.round(sampled / fraction)
+    val estFull = estFullOf(lStats0.sampledRows, sampleFraction)
+    // ONE sampled (key, slice-magnitude) cache over the right side
+    // feeds the two-sided tiny cutoff's count, the right histogram, AND
+    // the sliced branches' boundary quantiles (r13 verdict #5: the
+    // boundary job previously re-sampled the right side the histogram
+    // had just scanned — q106 paid both). Built lazily: paths decided
+    // from the left alone (big-left tiny skip, the global
+    // short-circuit) never touch the right at all.
+    var rFraction = sampleFraction
+    var rCacheRef: Option[DataFrame] = None
+    def rCache(): DataFrame = rCacheRef.getOrElse {
+      val base = right
+        .select(col(key).cast(left.schema(key).dataType).as("__k"),
+          sliceMagOf(ltype)(col(tsCol)).as("__m"))
+        .filter(col("__k").isNotNull)
+      val s = if (rFraction >= 1.0) base
+              else base.sample(withReplacement = false, rFraction, 42L)
+      val c = graft.CacheScope.manage(s.persist())
+      rCacheRef = Some(c); c
+    }
+    // The cutoff reads BOTH sides (r13 ADVICE): the merge sorts each
+    // key's LEFT+RIGHT pile together, so a sub-cutoff fact against a
+    // huge right side with a right-hot key still straggles — exactly
+    // the shape the rslice branch exists for. The right count job runs
+    // ONLY when the left alone is sub-cutoff (otherwise the ladder runs
+    // anyway and the right histogram carries its own count), so the
+    // hot-path stats bill is unchanged.
+    lazy val estRight = estFullOf(rCache().count(), rFraction)
+    if (estFull < minFullRows && estFull + estRight < minFullRows)
       return (asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
         broadcast = None, direction),
         AutoAsOfStats(0.0, salted = false, Nil, "tiny"))
-    // tiny sample → noise-dominated estimate → redo on the full frame
-    val lStats =
+    // tiny sample → noise-dominated estimate → redo on the full frame;
+    // an early-exited pass (left sub-cutoff, right big) never collected
+    // hot values, so it redoes too — the left IS tiny there, so the
+    // full-frame pass costs next to nothing
+    val (lStats, lFraction) =
       if (sampleFraction < 1.0 && lStats0.sampledRows < RangeJoin.MinStatsRows)
-        RangeJoin.hotValuesFromKeys(lBase, hotShareThreshold)
-      else lStats0
-    // the RIGHT side's histogram runs only when it can change the
+        (RangeJoin.hotValuesFromKeys(lBase, hotShareThreshold), 1.0)
+      else if (estFull < minFullRows)
+        (RangeJoin.hotValuesFromKeys(lSample, hotShareThreshold), sampleFraction)
+      else (lStats0, sampleFraction)
+    val lTotal = estFullOf(lStats.sampledRows, lFraction)
+    val lWidth = RangeJoin.estRowBytes(left)
+    // only key + ts + payload survive the right side's projection into
+    // the exec ([[asofJoinNativeKeys]]) — width what actually shuffles
+    val rWidth = RangeJoin.estRowBytesOf(right,
+      (Seq(key, tsCol) ++ valueCols ++ tieBreak.toSeq).distinct)
+    def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
+    val lHotBytes = lStats.hotShares.map(s => math.round(s * lTotal) * lWidth)
+    // The RIGHT side's histogram runs only when it can change the
     // routing: once the left's combined hot share crosses the global
-    // cutover the plan is one uniformly salted merge whatever the right
-    // adds (the hot list is unused in global mode), so the extra
-    // sampled scan is skipped — the q101 shape pays the same stats bill
-    // as round 12, and uniform-left workloads (where a right-heavy key
-    // IS the risk) pay for exactly the scan that protects them
-    val leftGlobal = lStats.hot.nonEmpty &&
+    // cutover AND at least one left pile exceeds the task budget, the
+    // plan is one uniformly salted merge whatever the right adds (the
+    // hot list is unused in global mode), so the right-side scan is
+    // skipped — the q101 shape pays the same stats bill as round 12.
+    // When every left pile is absorbable (r13 verdict #1), share alone
+    // no longer justifies replicating the whole right ×salt: fall
+    // through to the per-key classification, which weighs actual
+    // bytes and may demote all the way to plain.
+    val leftGlobalShare = lStats.hot.nonEmpty &&
       lStats.hotSumShare >= RangeJoin.GlobalSaltCutover
-    val rStats =
-      if (leftGlobal) RangeJoin.HotStats(Nil, 0.0, 0.0, 0L)
-      else RangeJoin.hotValues(right, col(key), sampleFraction, hotShareThreshold)
+    if (leftGlobalShare &&
+        (taskAbsorbBytes <= 0L || lHotBytes.exists(_ > taskAbsorbBytes)))
+      return (asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak,
+        saltBuckets, direction),
+        AutoAsOfStats(lStats.maxShare, salted = true, lStats.hot, "global"))
+    // right histogram from the shared cache; noise-dominated sample →
+    // the cache swaps to the full frame, so the boundary quantiles
+    // below read the same rows the histogram decided on
+    val rStats = {
+      val s0 = RangeJoin.hotValuesFromKeys(rCache(), hotShareThreshold)
+      if (rFraction < 1.0 && s0.sampledRows < RangeJoin.MinStatsRows) {
+        rCacheRef.foreach(_.unpersist(false)); rCacheRef = None; rFraction = 1.0
+        RangeJoin.hotValuesFromKeys(rCache(), hotShareThreshold)
+      } else s0
+    }
+    val rTotal = estFullOf(rStats.sampledRows, rFraction)
     val hot = (lStats.hot ++ rStats.hot).distinct
-    // ORIENTATION-ROUTED ladder: plain when uniform; one globally
-    // salted merge when the left's hot keys own most of the fact (the
-    // partial split's second exec then buys nothing — see
-    // RangeJoin.GlobalSaltCutover); otherwise a per-key routed split
-    // by WHERE each key's pile lives — LEFT-only-hot keys take the
-    // salt (splits the left pile; the right side of such a key is
-    // small, so its ×salt replication is cheap), keys hot ONLY on the
-    // right take the time-sliced form (splits the right pile — salting
-    // a right-dominated key would replicate the pile ×saltBuckets for
-    // zero straggler relief), and keys hot on BOTH sides take the 2-D
-    // (salt × slice) grid (both piles split; the left by hash, so a
-    // timestamp point-mass — where slicing alone collapses to one
-    // slice — still spreads).
-    val rHotSet = rStats.hot.toSet
-    val lHotSet = lStats.hot.toSet
-    val saltOnlyKeys = lStats.hot.filterNot(rHotSet)
-    val sliceOnlyKeys = rStats.hot.filterNot(lHotSet)
-    val gridKeys = lStats.hot.filter(rHotSet)
+    // ORIENTATION + ABSOLUTE-VOLUME routed ladder (r13 verdict #1):
+    // share flags say WHICH keys to inspect; projected pile bytes
+    // (est rows × row width vs the task budget) decide what each key
+    // actually needs. Splitting acts on the side whose pile exceeds a
+    // task — LEFT pile → the salt (splits lefts, replicates the key's
+    // small rights), RIGHT pile → the time-sliced merge (splits the
+    // pile along its own time quantiles), BOTH → the 2-D (salt ×
+    // slice) grid, NEITHER → plain (demoted: one task absorbs the
+    // whole pile cheaper than any split's replication premium — the
+    // 24M both-hot rung paid 2.9× for the grid where plain's straggler
+    // sorts in ~2 s). For a key flagged on one side only, the other
+    // side's pile is bounded above by threshold × that side's total
+    // (it was NOT flagged), so the demote test stays conservative.
+    // taskAbsorbBytes = 0 disables the gate: classification is then
+    // share-only — both-hot → grid, left-only → salt, right-only →
+    // slice, the r13 behavior forced-mode pins rely on.
+    val lBytesOf = lStats.hot.zip(lStats.hotShares)
+      .map { case (k, s) => k -> math.round(s * lTotal) * lWidth }.toMap
+    val rBytesOf = rStats.hot.zip(rStats.hotShares)
+      .map { case (k, s) => k -> math.round(s * rTotal) * rWidth }.toMap
+    val lUpper = math.round(hotShareThreshold * lTotal) * lWidth
+    val rUpper = math.round(hotShareThreshold * rTotal) * rWidth
+    val saltB = Seq.newBuilder[Any]; val sliceB = Seq.newBuilder[Any]
+    val gridB = Seq.newBuilder[Any]; val demoteB = Seq.newBuilder[Any]
+    hot.foreach { k =>
+      (lBytesOf.get(k), rBytesOf.get(k)) match {
+        case (Some(lB), Some(rB)) =>
+          if (fits(lB + rB)) demoteB += k
+          else if (fits(rB)) saltB += k // only the left pile exceeds a task
+          else if (fits(lB)) sliceB += k // only the right pile does
+          else gridB += k
+        case (Some(lB), None) =>
+          if (fits(lB + rUpper)) demoteB += k else saltB += k
+        case (None, Some(rB)) =>
+          if (fits(rB + lUpper)) demoteB += k else sliceB += k
+        case _ => ()
+      }
+    }
+    val saltOnlyKeys = saltB.result(); val sliceOnlyKeys = sliceB.result()
+    val gridKeys = gridB.result(); val demotedKeys = demoteB.result()
     val mode =
-      if (hot.isEmpty) "plain"
-      else if (leftGlobal) "global"
+      if (hot.isEmpty || (saltOnlyKeys.isEmpty && sliceOnlyKeys.isEmpty &&
+        gridKeys.isEmpty)) "plain" // demotedKeys in the receipt tell why
       else {
         val kinds = Seq(saltOnlyKeys.nonEmpty, sliceOnlyKeys.nonEmpty,
           gridKeys.nonEmpty).count(identity)
@@ -563,19 +687,33 @@ object AsOfJoin {
         else if (gridKeys.nonEmpty) "grid"
         else "partial"
       }
+    // fused boundary quantiles for the right-splitting branches, from
+    // the SAME cached sample the histogram read — the sliced join then
+    // runs zero stats jobs of its own (r13 verdict #5)
+    val boundKeys = sliceOnlyKeys ++ gridKeys
+    val bounds: Seq[(Any, Seq[Any])] =
+      if (boundKeys.isEmpty) Nil
+      else {
+        val probs = array((1 until SlicesDefault)
+          .map(i => lit(i.toDouble / SlicesDefault)): _*)
+        rCache().filter(col("__k").isin(boundKeys: _*))
+          .groupBy("__k")
+          .agg(percentile_approx(col("__m"), probs, lit(1000)).as("__bnds"))
+          .collect().toSeq
+          .map(r => (r.get(0), Option(r.getSeq[Any](1)).map(_.toSeq).orNull))
+      }
     val df = mode match {
-      case "global" =>
-        asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak, saltBuckets, direction)
       case "plain" =>
         asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
           broadcast = None, direction)
       case _ =>
         asofJoinPartialRouted(left, right, key, tsCol, valueCols,
           saltOnlyKeys, sliceOnlyKeys, tieBreak, saltBuckets, direction,
-          griddedKeys = gridKeys)
+          griddedKeys = gridKeys, slices = SlicesDefault,
+          precomputedBounds = bounds)
     }
     (df, AutoAsOfStats(lStats.maxShare, mode != "plain", hot, mode,
-      rStats.maxShare, sliceOnlyKeys, gridKeys))
+      rStats.maxShare, sliceOnlyKeys, gridKeys, demotedKeys))
   }
 
   /** Ts-domain magnitude for distance arithmetic: timestamps in
@@ -716,10 +854,15 @@ object AsOfJoin {
     val lhs = ev.select("event_id", "event_type", "user_id", "ts")
     // q98 pins the hand-picked salted merge (the measured baseline);
     // q101 routes through the stats pass, which measures the ~50% hot
-    // key and selects the same salted plan itself
+    // key and selects the same salted plan itself. taskAbsorbBytes = 0
+    // pins the ENGAGED path at fixture scale (the registered query's
+    // job is to keep the salted plan under the driver's oracle; with
+    // the default budget the fixture's ~MB-scale pile would correctly
+    // demote to plain — the decision LadderScale's default-budget rungs
+    // receipt instead).
     val j =
       if (auto) asofJoinAuto(lhs, right, "user_id", "ts",
-        Seq("pid", "pval", "ts"), tieBreak = Some("pid"))
+        Seq("pid", "pval", "ts"), tieBreak = Some("pid"), taskAbsorbBytes = 0L)
       else asofJoinSalted(lhs, right, "user_id", "ts",
         Seq("pid", "pval", "ts"), tieBreak = Some("pid"))
     // the q90 post-pick tolerance null-out, inline over the salted pick
@@ -780,10 +923,14 @@ object AsOfJoin {
         col("ts"), col("event_id").as("pid"), col("value").as("pval"))
     // auto = false is the LadderScale baseline: the plain native merge
     // on the identical fixture, so the rslice premium/win is a measured
-    // number at every rung
+    // number at every rung. minFullRows = 0 and taskAbsorbBytes = 0
+    // pin the ENGAGED rslice path at fixture scale (same rationale as
+    // q101: the registered query keeps the sliced plan under the
+    // driver's oracle; the default budget would correctly demote the
+    // fixture's small pile to plain).
     val j =
       if (auto) asofJoinAuto(lhs, right, "user_id", "ts", Seq("pid", "pval", "ts"),
-        tieBreak = Some("pid"), minFullRows = 0L)
+        tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L)
       else asofJoinNative(lhs, right, "user_id", "ts", Seq("pid", "pval", "ts"),
         tieBreak = Some("pid"), broadcast = Some(false))
     val keep = col("asof_ts").isNotNull &&

@@ -107,14 +107,23 @@ object RangeJoin {
     * — there the last bin is `floor(end)`'s, over-covering by one bin
     * only when `end` sits exactly on a boundary; the extra candidates
     * die in the residual, trading a sliver of work for correctness. */
+  /** Fractional domains floor under [[magnitude]], so their last
+    * touched bin keeps the un-decremented end magnitude — shared by
+    * [[intervalBins]] (the join's own bin walk) and [[sampledBinKeys]]
+    * (the stats histogram), which must key the SAME bins or the
+    * histogram can under-flag a hot last bin (r13 ADVICE). */
+  private def fractionalEnd(iv: DataFrame, endCol: String): Boolean = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    iv.schema(endCol).dataType match {
+      case DoubleType | FloatType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
   private def intervalBins(iv: DataFrame, startCol: String, endCol: String,
                            w: Long): Column = {
     val endMag = magnitude(iv, endCol)
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
-    val lastMag = iv.schema(endCol).dataType match {
-      case DoubleType | FloatType | _: DecimalType => endMag
-      case _ => endMag - 1
-    }
+    val lastMag = if (fractionalEnd(iv, endCol)) endMag else endMag - 1
     val firstBin = binIdx(magnitude(iv, startCol), w)
     val lastBin = binIdx(lastMag, w)
     // guard the replication factor BEFORE sequence() materializes it —
@@ -204,12 +213,23 @@ object RangeJoin {
     * `pmod(ts, width)` literal). */
   /** `mode`: "tiny" (the stats side is below [[TinyFullRows]] — stats
     * and salting skipped, see the cutoff's rationale there), "plain"
-    * (no hot bin), "partial" (only hot bins salted), or "global" (hot
+    * (no hot bin, or every hot bin demoted by the absolute-volume
+    * gate), "partial" (only hot bins salted), or "global" (hot
     * bins own ≥ [[GlobalSaltCutover]] of the join — one uniformly
-    * salted exec); `salted` = mode is partial/global. */
+    * salted exec); `salted` = mode is partial/global.
+    *
+    * Round 14 detail fields: `hotBins` stays the union of every
+    * share-flagged bin (back-compat); `pointHotBins` the bins routed
+    * to the point-splitting orientation (point-in-interval only),
+    * `gridBins` the bins routed to the two-axis grid, `demoted` the
+    * share-flagged bins whose projected pile fit [[TaskAbsorbBytes]]
+    * and stayed on the plain branch. */
   final case class AutoRangeStats(binWidth: Long, hotBinShare: Double,
                                   salted: Boolean, hotBins: Seq[Any] = Nil,
-                                  mode: String = "plain")
+                                  mode: String = "plain",
+                                  pointHotBins: Seq[Any] = Nil,
+                                  gridBins: Seq[Any] = Nil,
+                                  demoted: Seq[Any] = Nil)
 
   /** Mirror of the LAST auto decision in this JVM — debugging
     * convenience only. Two concurrent auto joins clobber each other
@@ -291,6 +311,45 @@ object RangeJoin {
     * ladder specs pin their modes on small fixtures. */
   val TinyFullRows: Long = 50000L
 
+  /** Projected per-task pile size (bytes) below which ONE task absorbs
+    * a hot bin/key without becoming the job's straggler — the
+    * absolute-volume gate the r13 verdict asked for (its both-hot rung
+    * paid the grid's ×4 replication at 24M rows, 12.58 s vs plain
+    * 4.39 s, because Tungsten sorts a ~300 MB pile in ~2 s). Hot SHARE
+    * says a bin/key is disproportionate; only share × total × row-width
+    * says whether the pile actually exceeds a task. 256 MiB matches
+    * Spark's own AQE skew-partition threshold
+    * (`spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`) —
+    * the size Spark itself considers worth splitting. Set a router's
+    * `taskAbsorbBytes = 0` to disable the gate and route on share
+    * alone (the r13 behavior; registered engaged queries and
+    * forced-mode spec pins do this so the salted paths stay exercised
+    * at fixture scale). */
+  val TaskAbsorbBytes: Long = 256L << 20
+
+  /** Estimated shuffled bytes per row from the schema — defaultSize
+    * plus the UnsafeRow header word. Coarse on purpose (strings count
+    * 20 B regardless of content): the absolute-volume gate needs order
+    * of magnitude, and the decision it feeds only picks between
+    * row-identical plans, so an under-estimate costs a mis-premium,
+    * never rows. */
+  private[operators] def estRowBytes(df: DataFrame): Long =
+    8L + df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+
+  /** [[estRowBytes]] over the columns that actually survive a
+    * projection (the as-of right side ships only key+ts+payload). */
+  private[operators] def estRowBytesOf(df: DataFrame, cols: Seq[String]): Long =
+    8L + cols.map(c => df.schema(c).dataType.defaultSize.toLong).sum
+
+  /** Per-value sampled counts of `keys` (a `__k` frame) restricted to
+    * `values` — the absolute-volume gate's second ingredient: the
+    * OTHER side's actual pile in a flagged bin/key. Bounded collect
+    * (≤ the hot-list size) over an already-cached sample. */
+  private[operators] def keyCountsIn(keys: DataFrame, values: Seq[Any]): Map[Any, Long] =
+    if (values.isEmpty) Map.empty
+    else keys.filter(col("__k").isin(values: _*)).groupBy("__k").count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+
   /** Sampled-count → full-count estimate (exact when unsampled). */
   private def estimateFullRows(sampled: Long, sampleFraction: Double): Long =
     if (sampleFraction >= 1.0) sampled
@@ -368,15 +427,85 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** [[pointInInterval]] with ORIENTATION-AWARE salting routed per hot
+    * bin by WHICH side piles there — the point-in-interval port of the
+    * overlap ladder's grid kernel (r13 verdict #3: the one-sided salt
+    * provably cannot fix a point-hot bin, because it hash-splits the
+    * INTERVALS and replicates every point, so the point pile lands
+    * whole on every salted partition):
+    *
+    *  - `iHotBins` (intervals pile): intervals hash-split ÷`saltBuckets`
+    *    on axis B, points replicate across it — the
+    *    [[pointInIntervalSaltedPartial]] orientation;
+    *  - `pHotBins` (points pile): the mirror — points hash-split
+    *    ÷`saltBuckets` on axis A, intervals replicate across it; the
+    *    point pile spreads, which is the case the one-sided form
+    *    cannot serve;
+    *  - `gridBins` (both pile): the two-axis grid at `gridSalt` per
+    *    axis (4×4 default — the same ×4-per-side replication budget as
+    *    the overlap grid, spent where it spreads both piles);
+    *  - cold bins: the plain single-key join.
+    *
+    * Like [[intervalOverlapSaltedPartial]], the routing lives in the
+    * SALT EXPRESSIONS (one equi-join, one scan per side, whatever the
+    * bin-class mix). Exactness: a (point, interval) pair meets in
+    * exactly ONE bin — the point's — and within it at exactly one
+    * (salt_a, salt_b) cell (a hashed row owns one value, a replicated
+    * row exists at every value), so pair multiplicity is unchanged in
+    * every class; no dedup pass. The three bin lists must be disjoint
+    * (the auto router's classification guarantees it). */
+  def pointInIntervalSaltedRouted(points: DataFrame, pointCol: String,
+                                  intervals: DataFrame, startCol: String, endCol: String,
+                                  iHotBins: Seq[Any], pHotBins: Seq[Any],
+                                  gridBins: Seq[Any],
+                                  binWidth: Long = DefaultBinMicros,
+                                  saltBuckets: Int = 8,
+                                  gridSalt: Int = GridSaltDefault,
+                                  saltColsP: Seq[String] = Nil,
+                                  saltColsI: Seq[String] = Nil): DataFrame = {
+    require(iHotBins.nonEmpty || pHotBins.nonEmpty || gridBins.nonEmpty,
+      "routed salting needs a non-empty hot-bin list")
+    val pts = points.withColumn("__bin", binIdx(magnitude(points, pointCol), binWidth))
+    val ivs = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn("__bin", intervalBins(intervals, startCol, endCol, binWidth))
+    def in(bins: Seq[Any]) =
+      if (bins.isEmpty) lit(false) else col("__bin").isin(bins: _*)
+    val pHash = pmod(xxhash64(saltHashCols(points, saltColsP): _*), lit(saltBuckets)).cast("int")
+    val pHashG = pmod(xxhash64(saltHashCols(points, saltColsP): _*), lit(gridSalt)).cast("int")
+    val iHash = pmod(xxhash64(saltHashCols(intervals, saltColsI): _*), lit(saltBuckets)).cast("int")
+    val iHashG = pmod(xxhash64(saltHashCols(intervals, saltColsI): _*), lit(gridSalt)).cast("int")
+    def spread(n: Int) = sequence(lit(0), lit(n - 1))
+    val one = array(lit(0))
+    val p2 = pts
+      .withColumn("__salt_a",
+        when(in(pHotBins), pHash).when(in(gridBins), pHashG).otherwise(lit(0)))
+      .withColumn("__salt_b", explode(
+        when(in(iHotBins), spread(saltBuckets))
+          .when(in(gridBins), spread(gridSalt)).otherwise(one)))
+    val i2 = ivs
+      .withColumn("__salt_a", explode(
+        when(in(pHotBins), spread(saltBuckets))
+          .when(in(gridBins), spread(gridSalt)).otherwise(one)))
+      .withColumn("__salt_b",
+        when(in(iHotBins), iHash).when(in(gridBins), iHashG).otherwise(lit(0)))
+    p2.join(i2, Seq("__bin", "__salt_a", "__salt_b"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin", "__salt_a", "__salt_b")
+  }
+
   /** The exploded bin keys of a sampled magnitude frame (`__s`/`__e`
     * columns) at width `w` — the actual distribution of the bin
     * equi-join key, so it catches both a pile-up of starts (the burst)
     * and long intervals stacking over one bin. Stats-only bin walk:
     * truncated at 64 bins/interval (a longer tail cannot change which
     * bin is ≥20% hot). */
-  private def sampledBinKeys(mags: DataFrame, w: Long): DataFrame = {
+  private def sampledBinKeys(mags: DataFrame, w: Long,
+                             fracEnd: Boolean): DataFrame = {
     val firstBin = floor(col("__s") / w).cast("long")
-    val lastBin = floor((col("__e") - 1) / w).cast("long")
+    // fractional domains keep __e un-decremented, mirroring
+    // intervalBins — see fractionalEnd
+    val lastBin = floor((if (fracEnd) col("__e") else col("__e") - 1) / w).cast("long")
     mags.select(explode(sequence(firstBin,
       least(greatest(lastBin, firstBin), firstBin + 63))).as("__k"))
   }
@@ -407,10 +536,11 @@ object RangeJoin {
                           saltBuckets: Int = 8,
                           hotShareThreshold: Double = HotShareThreshold,
                           sampleFraction: Double = StatsSampleFraction,
-                          minFullRows: Long = TinyFullRows): DataFrame = {
+                          minFullRows: Long = TinyFullRows,
+                          taskAbsorbBytes: Long = TaskAbsorbBytes): DataFrame = {
     val (df, stats) = pointInIntervalAutoStats(points, pointCol, intervals,
       startCol, endCol, binWidth, saltBuckets, hotShareThreshold, sampleFraction,
-      minFullRows)
+      minFullRows, taskAbsorbBytes)
     lastAutoRange = Some(stats)
     df
   }
@@ -424,7 +554,8 @@ object RangeJoin {
                                saltBuckets: Int = 8,
                                hotShareThreshold: Double = HotShareThreshold,
                                sampleFraction: Double = StatsSampleFraction,
-                               minFullRows: Long = TinyFullRows)
+                               minFullRows: Long = TinyFullRows,
+                               taskAbsorbBytes: Long = TaskAbsorbBytes)
       : (DataFrame, AutoRangeStats) = {
     // ONE sampled pass over the interval side's two magnitude columns,
     // cached: the p95 width, the tiny-cutoff row estimate, and the
@@ -438,7 +569,12 @@ object RangeJoin {
       (if (sampleFraction >= 1.0) mags0
        else mags0.sample(withReplacement = false, sampleFraction, 42L)).persist())
     // p95 and sampled count in the SAME job — in tiny mode this one
-    // aggregate is the entire stats cost
+    // aggregate is the entire stats cost. The cutoff reads the
+    // INTERVAL side only, on purpose: a sub-cutoff interval side is
+    // broadcast-range, AQE plans the bin join as a broadcast hash join
+    // and the point side never shuffles — no partition can concentrate
+    // whatever the points do (unlike the as-of merge, which sorts both
+    // sides; its cutoff reads both).
     val r = mags.agg(
       percentile_approx(col("__e") - col("__s"), lit(0.95), lit(10000)).as("p95"),
       count(lit(1)).as("n")).head()
@@ -447,29 +583,93 @@ object RangeJoin {
     if (estimateFullRows(r.getLong(1), sampleFraction) < minFullRows)
       return (pointInInterval(points, pointCol, intervals, startCol, endCol, w),
         AutoRangeStats(w, 0.0, salted = false, Nil, "tiny"))
-    val stats0 = hotValuesFromKeys(sampledBinKeys(mags, w), hotShareThreshold)
-    // tiny sample → noise-dominated estimate → redo on the full frame
-    val stats =
-      if (sampleFraction < 1.0 && stats0.sampledRows < MinStatsRows)
-        hotValuesFromKeys(sampledBinKeys(mags0, w), hotShareThreshold)
-      else stats0
-    // the three-way plan ladder: no hot bin → plain; a thin hot sliver
-    // → salt just those bins; a burst owning most of the join → one
-    // globally salted exec (see GlobalSaltCutover)
+    val frac = fractionalEnd(intervals, endCol)
+    // interval-side histogram (tiny sample → redo on the full frame,
+    // tracking which frame backed the estimate so the per-bin counts
+    // below read the same rows)
+    val iStats0 = hotValuesFromKeys(sampledBinKeys(mags, w, frac), hotShareThreshold)
+    val (iStats, iKeys, iFraction) =
+      if (sampleFraction < 1.0 && iStats0.sampledRows < MinStatsRows)
+        (hotValuesFromKeys(sampledBinKeys(mags0, w, frac), hotShareThreshold),
+          sampledBinKeys(mags0, w, frac), 1.0)
+      else (iStats0, sampledBinKeys(mags, w, frac), sampleFraction)
+    // POINT-side histogram (r13 verdict #3 — the documented blind
+    // spot): a bin hot in POINTS but uniform in intervals skews the
+    // same shuffle partition, and the interval-side histogram cannot
+    // see it. One more pruned sampled scan, cached because the
+    // absolute-volume gate re-reads it for per-bin counts.
+    val pKeys0 = points
+      .select(binIdx(magnitude(points, pointCol), w).as("__k"))
+      .filter(col("__k").isNotNull)
+    val pCache = graft.CacheScope.manage(
+      (if (sampleFraction >= 1.0) pKeys0
+       else pKeys0.sample(withReplacement = false, sampleFraction, 42L)).persist())
+    val pStats0 = hotValuesFromKeys(pCache, hotShareThreshold)
+    val (pStats, pKeys, pFraction) =
+      if (sampleFraction < 1.0 && pStats0.sampledRows < MinStatsRows)
+        (hotValuesFromKeys(pKeys0, hotShareThreshold), pKeys0, 1.0)
+      else (pStats0, pCache, sampleFraction)
+    val union = (iStats.hot ++ pStats.hot).distinct
+    val maxShare = math.max(iStats.maxShare, pStats.maxShare)
+    if (union.isEmpty)
+      return (pointInInterval(points, pointCol, intervals, startCol, endCol, w),
+        AutoRangeStats(w, maxShare, salted = false, Nil, "plain"))
+    // ABSOLUTE-VOLUME classification (r13 verdict #1): share flags say
+    // which bins to inspect; actual per-bin sampled counts × row width
+    // vs the task budget say what each bin needs. A side whose pile
+    // exceeds a task must be hash-split; a bin where NEITHER side's
+    // pile exceeds a task is demoted to the plain branch — one task
+    // absorbs it cheaper than any split's replication premium.
+    // taskAbsorbBytes = 0 disables the gate: classification falls back
+    // to the share flags alone (interval-hot → interval-split,
+    // point-hot → point-split, both → grid — forced-mode pins).
+    val wI = estRowBytes(intervals)
+    val wP = estRowBytes(points)
+    def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
+    val (iCounts, pCounts) =
+      if (taskAbsorbBytes <= 0L) (Map.empty[Any, Long], Map.empty[Any, Long])
+      else (keyCountsIn(iKeys, union), keyCountsIn(pCache, union))
+    def estBytes(counts: Map[Any, Long], b: Any, fracUsed: Double, width: Long) =
+      math.round(counts.getOrElse(b, 0L) / math.min(1.0, fracUsed)) * width
+    val iB = Seq.newBuilder[Any]; val pB = Seq.newBuilder[Any]
+    val gB = Seq.newBuilder[Any]; val dB = Seq.newBuilder[Any]
+    union.foreach { b =>
+      if (taskAbsorbBytes <= 0L) {
+        val inI = iStats.hot.contains(b); val inP = pStats.hot.contains(b)
+        if (inI && inP) gB += b else if (inP) pB += b else iB += b
+      } else {
+        val ib = estBytes(iCounts, b, iFraction, wI)
+        val pb = estBytes(pCounts, b, pFraction, wP)
+        val iBig = !fits(ib); val pBig = !fits(pb)
+        if (fits(ib + pb)) dB += b
+        else if (iBig && pBig) gB += b
+        else if (pBig) pB += b
+        else iB += b
+      }
+    }
+    val (iOriented, pOriented, gridBins, demoted) =
+      (iB.result(), pB.result(), gB.result(), dB.result())
+    // plan ladder: all demoted → plain; an interval-only burst owning
+    // most of the join → ONE uniformly salted exec (the r12 global
+    // form — the per-bin isin routing buys nothing when nearly every
+    // row rides the salted branch anyway); any mix involving
+    // point-hot or both-hot bins → the orientation-routed single join
     val mode =
-      if (stats.hot.isEmpty) "plain"
-      else if (stats.hotSumShare >= GlobalSaltCutover) "global"
+      if (iOriented.isEmpty && pOriented.isEmpty && gridBins.isEmpty) "plain"
+      else if (pOriented.isEmpty && gridBins.isEmpty &&
+        iStats.shareOf(iOriented.toSet) >= GlobalSaltCutover) "global"
       else "partial"
     val df = mode match {
       case "global" =>
         pointInIntervalSalted(points, pointCol, intervals, startCol, endCol, w, saltBuckets)
       case "partial" =>
-        pointInIntervalSaltedPartial(points, pointCol, intervals, startCol, endCol,
-          stats.hot, w, saltBuckets)
+        pointInIntervalSaltedRouted(points, pointCol, intervals, startCol, endCol,
+          iOriented, pOriented, gridBins, w, saltBuckets)
       case _ =>
         pointInInterval(points, pointCol, intervals, startCol, endCol, w)
     }
-    (df, AutoRangeStats(w, stats.maxShare, mode != "plain", stats.hot, mode))
+    (df, AutoRangeStats(w, maxShare, mode != "plain", union, mode,
+      pOriented, gridBins, demoted))
   }
 
   /** [[intervalOverlap]] with the FULL engine-selected ladder (round 13,
@@ -490,10 +690,11 @@ object RangeJoin {
                           binWidth: Option[Long] = None,
                           saltA: Int = GridSaltDefault, saltB: Int = GridSaltDefault,
                           hotShareThreshold: Double = HotShareThreshold,
-                          minFullRows: Long = TinyFullRows): DataFrame = {
+                          minFullRows: Long = TinyFullRows,
+                          taskAbsorbBytes: Long = TaskAbsorbBytes): DataFrame = {
     val (df, stats) = intervalOverlapAutoStats(left, lStart, lEnd,
       right, rStart, rEnd, sampleFraction, binWidth, saltA, saltB,
-      hotShareThreshold, minFullRows)
+      hotShareThreshold, minFullRows, taskAbsorbBytes)
     lastAutoRange = Some(stats)
     df
   }
@@ -513,7 +714,8 @@ object RangeJoin {
                                binWidth: Option[Long] = None,
                                saltA: Int = GridSaltDefault, saltB: Int = GridSaltDefault,
                                hotShareThreshold: Double = HotShareThreshold,
-                               minFullRows: Long = TinyFullRows)
+                               minFullRows: Long = TinyFullRows,
+                               taskAbsorbBytes: Long = TaskAbsorbBytes)
       : (DataFrame, AutoRangeStats) = {
     // one cached sampled magnitude frame PER SIDE (the q88 recipe ×2):
     // p95 + row count in one job each, histograms from the same caches
@@ -543,41 +745,84 @@ object RangeJoin {
         estimateFullRows(rn, sampleFraction) < minFullRows)
       return (intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w),
         AutoRangeStats(w, 0.0, salted = false, Nil, "tiny"))
-    def sideStats(m: DataFrame, m0: DataFrame): HotStats = {
-      val s0 = hotValuesFromKeys(sampledBinKeys(m, w), hotShareThreshold)
+    def sideStats(m: DataFrame, m0: DataFrame, fracEnd: Boolean)
+        : (HotStats, DataFrame, Double) = {
+      val s0 = hotValuesFromKeys(sampledBinKeys(m, w, fracEnd), hotShareThreshold)
       if (sampleFraction < 1.0 && s0.sampledRows < MinStatsRows)
-        hotValuesFromKeys(sampledBinKeys(m0, w), hotShareThreshold)
-      else s0
+        (hotValuesFromKeys(sampledBinKeys(m0, w, fracEnd), hotShareThreshold),
+          sampledBinKeys(m0, w, fracEnd), 1.0)
+      else (s0, sampledBinKeys(m, w, fracEnd), sampleFraction)
     }
-    val ls = sideStats(lm, lm0)
-    val rs = sideStats(rm, rm0)
+    val (ls, lKeys, lFraction) = sideStats(lm, lm0, fractionalEnd(left, lEnd))
+    val (rs, rKeys, rFraction) = sideStats(rm, rm0, fractionalEnd(right, rEnd))
     val hot = (ls.hot ++ rs.hot).distinct
     val maxShare = math.max(ls.maxShare, rs.maxShare)
-    // GLOBAL (uniform grid over every bin) only pays when a SHARED hot
-    // bin — both sides piling up together — carries most of the join;
-    // a one-sided pile, however large its share, is served strictly
-    // better by the partial form's hash-the-hot-side orientation, whose
-    // replication cost is the SMALL side's rows in the hot bins only.
-    // The cutover therefore reads the SHARED bins' combined share on
-    // each side — not the side's whole hot-sum, which would let
-    // disjoint one-sided piles (left-hot A + right-hot B) escalate a
-    // workload partial serves strictly better.
-    val shared = ls.hot.toSet.intersect(rs.hot.toSet)
+    if (hot.isEmpty)
+      return (intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w),
+        AutoRangeStats(w, maxShare, salted = false, Nil, "plain"))
+    // ABSOLUTE-VOLUME classification (r13 verdict #1 — the both-hot
+    // rung paid the grid's ×4 replication, 12.58 s vs plain 4.39 s at
+    // 24M rows, where one task absorbs the straggler in ~2 s): share
+    // flags say which bins to inspect; actual per-bin sampled counts ×
+    // row width vs the task budget say what each bin needs. A side
+    // whose pile exceeds a task is hash-split; neither side over
+    // budget → the bin demotes to the plain branch. taskAbsorbBytes =
+    // 0 disables the gate — classification falls back to the share
+    // flags (left-hot / right-hot / both → grid), the r13 behavior
+    // forced-mode pins rely on.
+    val wL = estRowBytes(left)
+    val wR = estRowBytes(right)
+    def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
+    val (lCounts, rCounts) =
+      if (taskAbsorbBytes <= 0L) (Map.empty[Any, Long], Map.empty[Any, Long])
+      else (keyCountsIn(lKeys, hot), keyCountsIn(rKeys, hot))
+    def estBytes(counts: Map[Any, Long], b: Any, fracUsed: Double, width: Long) =
+      math.round(counts.getOrElse(b, 0L) / math.min(1.0, fracUsed)) * width
+    val lB = Seq.newBuilder[Any]; val rB = Seq.newBuilder[Any]
+    val gB = Seq.newBuilder[Any]; val dB = Seq.newBuilder[Any]
+    hot.foreach { b =>
+      if (taskAbsorbBytes <= 0L) {
+        val inL = ls.hot.contains(b); val inR = rs.hot.contains(b)
+        if (inL && inR) gB += b else if (inL) lB += b else rB += b
+      } else {
+        val lb = estBytes(lCounts, b, lFraction, wL)
+        val rb = estBytes(rCounts, b, rFraction, wR)
+        val lBig = !fits(lb); val rBig = !fits(rb)
+        if (fits(lb + rb)) dB += b
+        else if (lBig && rBig) gB += b
+        else if (lBig) lB += b
+        else rB += b
+      }
+    }
+    val (lOriented, rOriented, gridBins, demoted) =
+      (lB.result(), rB.result(), gB.result(), dB.result())
+    // GLOBAL (uniform grid over every bin) only pays when a BOTH-HOT
+    // bin — both sides piling up together, each past the task budget —
+    // carries most of the join; a one-sided pile, however large its
+    // share, is served strictly better by the partial form's
+    // hash-the-hot-side orientation, whose replication cost is the
+    // SMALL side's rows in the hot bins only. The cutover therefore
+    // reads the GRID-classified bins' combined share on each side.
+    val gridSet = gridBins.toSet
     val mode =
-      if (hot.isEmpty) "plain"
-      else if (shared.nonEmpty &&
-        math.max(ls.shareOf(shared), rs.shareOf(shared)) >= GlobalSaltCutover) "global"
+      if (lOriented.isEmpty && rOriented.isEmpty && gridBins.isEmpty) "plain"
+      else if (gridSet.nonEmpty &&
+        math.max(ls.shareOf(gridSet), rs.shareOf(gridSet)) >= GlobalSaltCutover) "global"
       else "partial"
     val df = mode match {
       case "global" =>
         intervalOverlapSalted(left, lStart, lEnd, right, rStart, rEnd, w, saltA, saltB)
       case "partial" =>
+        // membership drives the salt expressions' orientation: a bin in
+        // the LEFT list hash-splits lefts, in the RIGHT list rights, in
+        // both the 2-D grid — so grid-classified bins go on both lists
         intervalOverlapSaltedPartial(left, lStart, lEnd, right, rStart, rEnd,
-          ls.hot, rs.hot, w, saltA, saltB)
+          lOriented ++ gridBins, rOriented ++ gridBins, w, saltA, saltB)
       case _ =>
         intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w)
     }
-    (df, AutoRangeStats(w, maxShare, mode != "plain", hot, mode))
+    (df, AutoRangeStats(w, maxShare, mode != "plain", hot, mode,
+      Nil, gridBins, demoted))
   }
 
   /** Interval-overlap join: pairs with a POSITIVE overlap between
@@ -918,6 +1163,77 @@ object RangeJoin {
        | AND er.e_start < w.w_start + w.w_len * INTERVAL 1 MINUTE
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q107 fixture: a POINT-side burst — a 1-in-16 slice of events
+    * as the point set, with HALF of the slice's timestamps re-anchored
+    * to one instant (a replayed log segment, a clock-reset batch),
+    * against the full natural purchase-window set. The interval-side
+    * histogram reads uniform; the POINT-side histogram (r13 verdict #3)
+    * reads ~50% on the burst bin and routes it to the point-splitting
+    * orientation — the pile the one-sided interval salt provably
+    * cannot spread. The 1-in-16 slice bounds the burst×windows pair
+    * count to oracle scale (the q105 recipe) and the burst share stays
+    * decisively above the 20% threshold at every measured scale. */
+  private[graft] def burstPoints(events: DataFrame): DataFrame =
+    events.filter(col("event_id") % 16 === 7)
+      .select(
+        col("event_id"),
+        when(col("event_id") % 32 === 7, to_timestamp(lit("2024-01-15 12:00:00")))
+          .otherwise(col("ts")).as("ts"),
+        col("value"))
+
+  /** q107 — the q88 rollup with BURSTY POINTS through the engine's
+    * point-side detection: minFullRows = 0 and taskAbsorbBytes = 0 pin
+    * the ENGAGED routed plan at fixture scale (the registered query's
+    * job is to keep the point-split path under the driver's oracle;
+    * with the defaults the fixture's ~MB pile would correctly ride the
+    * tiny cutoff / demotion — LadderScale receipts that decision).
+    * RangeJoinSpec pins the receipt (pointHotBins non-empty) and
+    * rows ≡ plain. */
+  def pointBurstRollup(events: DataFrame): DataFrame =
+    windowHitRollup(pointInIntervalAuto(
+      burstPoints(events), "ts",
+      purchaseWindows(events), "w_start", "w_end",
+      minFullRows = 0L, taskAbsorbBytes = 0L))
+
+  private val q107Sql =
+    s"""WITH pt AS (
+       |  SELECT event_id,
+       |         CASE WHEN event_id % 32 = 7 THEN TIMESTAMP '2024-01-15 12:00:00'
+       |              ELSE ts END AS ts,
+       |         value
+       |  FROM events WHERE event_id % 16 = 7),
+       |w AS (
+       |  SELECT event_id AS w_id, cast(event_id % 7 + 1 as int) AS w_len,
+       |         ts AS w_start,
+       |         ts + (event_id % 7 + 1) * INTERVAL 1 MINUTE AS w_end
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT w_len, cast(count(*) as bigint) AS n_hits,
+       |  cast(count(DISTINCT w_id) as bigint) AS windows_hit,
+       |  ${sqlDsum("value")} AS value_sum
+       |FROM pt e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q108 — the q105 fixture with the overlap ladder ENGAGED under the
+    * driver's gate (r13 verdict #4: q105's registered receipt is
+    * mode=tiny at every measured scale, so no CORRECTNESS row
+    * exercised an engaged salted overlap end-to-end): minFullRows = 0
+    * and taskAbsorbBytes = 0 force the stats ladder and pin the
+    * share-routed decision — the two-sided burst reads hot on BOTH
+    * sides and the engine selects the grid-salted global plan itself
+    * (RangeJoinSpec pins mode=global on this exact shape). Same oracle
+    * family as q89/q105. */
+  def burstWindowOverlapRollupEngaged(events: DataFrame): DataFrame = {
+    val (l, r) = burstOverlapSides(events)
+    intervalOverlapAuto(l, "w_start", "w_end", r, "e_start", "e_end",
+      minFullRows = 0L, taskAbsorbBytes = 0L)
+      .groupBy("w_len")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(unix_micros(least(col("w_end"), col("e_end"))) -
+          unix_micros(greatest(col("w_start"), col("e_start")))).as("overlap_micros"))
+      .orderBy("w_len")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q88_range_bin_join", (s, d) =>
       pointInWindowRollup(graft.Tables.events(s, d)), Some(q88Sql)),
@@ -928,5 +1244,9 @@ object RangeJoin {
     Q("q100_range_join_auto_salt", (s, d) =>
       autoSkewedPointInWindowRollup(graft.Tables.events(s, d)), Some(q94Sql)),
     Q("q105_interval_overlap_auto_salt", (s, d) =>
-      burstWindowOverlapRollup(graft.Tables.events(s, d)), Some(q105Sql)))
+      burstWindowOverlapRollup(graft.Tables.events(s, d)), Some(q105Sql)),
+    Q("q107_range_point_burst", (s, d) =>
+      pointBurstRollup(graft.Tables.events(s, d)), Some(q107Sql)),
+    Q("q108_interval_overlap_engaged", (s, d) =>
+      burstWindowOverlapRollupEngaged(graft.Tables.events(s, d)), Some(q105Sql)))
 }

@@ -169,12 +169,13 @@ class RangeJoinSpec extends SparkSuite {
     // hot bin and pick the salted plan — and the rows must equal the
     // hand-picked salted variant's
     val skew = RangeJoin.skewedWindows(ev)
-    // minFullRows = 0 disables the tiny cutoff: these pins exercise the
-    // LADDER on fixtures the cutoff would (correctly) wave through; the
-    // cutoff itself is pinned by its own test below. The per-call
-    // ...AutoStats receipt replaces the lastAutoRange read — race-free.
+    // minFullRows = 0 disables the tiny cutoff and taskAbsorbBytes = 0
+    // the absolute-volume demotion: these pins exercise the LADDER on
+    // fixtures the cutoff/gate would (correctly) wave through; each
+    // gate is pinned by its own test. The per-call ...AutoStats receipt
+    // replaces the lastAutoRange read — race-free.
     val (auto, dec) = RangeJoin.pointInIntervalAutoStats(
-      pts, "ts", skew, "w_start", "w_end", minFullRows = 0L)
+      pts, "ts", skew, "w_start", "w_end", minFullRows = 0L, taskAbsorbBytes = 0L)
     val autoRows = auto.select("event_id", "w_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(dec.salted, s"auto must select a salted plan on the bursty fixture ($dec)")
@@ -202,7 +203,7 @@ class RangeJoinSpec extends SparkSuite {
     // window length (1–7 min windows → p95 within [6, 7] minutes)
     val uni = RangeJoin.purchaseWindows(ev)
     val (auto2, dec2) = RangeJoin.pointInIntervalAutoStats(
-      pts, "ts", uni, "w_start", "w_end", minFullRows = 0L)
+      pts, "ts", uni, "w_start", "w_end", minFullRows = 0L, taskAbsorbBytes = 0L)
     val auto2Rows = auto2.select("event_id", "w_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(!dec2.salted, s"auto must keep the plain plan on uniform windows ($dec2)")
@@ -238,7 +239,7 @@ class RangeJoinSpec extends SparkSuite {
     // ~24 rows — the MinStatsRows fallback must kick in and redo the
     // histogram on the full frame (this test also covers that fallback)
     val (auto, dec) = RangeJoin.pointInIntervalAutoStats(
-      pts, "ts", thin, "w_start", "w_end", minFullRows = 0L)
+      pts, "ts", thin, "w_start", "w_end", minFullRows = 0L, taskAbsorbBytes = 0L)
     val autoRows = auto.select("event_id", "w_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(dec.mode === "partial", s"a thin burst must salt only its own bins ($dec)")
@@ -249,10 +250,12 @@ class RangeJoinSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(autoRows === plain, "partial salting must never change the pair set")
     assert(autoRows.nonEmpty)
-    // the plan carries BOTH branches: a salted join and a plain one
+    // round 14: partial is the ORIENTATION-ROUTED single join (the
+    // routing lives in the salt expressions — cold bins ride (0, 0)),
+    // not the old two-branch union that re-scanned both sides
     val p = auto.queryExecution.optimizedPlan.toString
-    assert(p.contains("__salt"), s"expected the salted branch in:\n$p")
-    assert(p.contains("Union"), s"expected the two-branch union in:\n$p")
+    assert(p.contains("__salt"), s"expected the salted routing in:\n$p")
+    assert(!p.contains("Union"), s"routed partial must be ONE join, not a union:\n$p")
   }
 
   test("an interval spanning more than MaxBinsPerInterval bins fails fast with an actionable message") {
@@ -359,7 +362,8 @@ class RangeJoinSpec extends SparkSuite {
     // share crosses the cutover → one gridded exec
     val (l, r) = RangeJoin.burstOverlapSides(ev)
     val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
-      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L)
+      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L,
+      taskAbsorbBytes = 0L)
     assert(dec.mode === "global", s"a two-sided burst must salt globally ($dec)")
     assert(dec.hotBinShare >= 0.3, s"measured share must reflect the burst ($dec)")
     val burstBin = spark.range(1)
@@ -380,7 +384,8 @@ class RangeJoinSpec extends SparkSuite {
     val w = RangeJoin.purchaseWindows(ev)
     val e = RangeJoin.errorWindows(ev)
     val (autoU, decU) = RangeJoin.intervalOverlapAutoStats(
-      w, "w_start", "w_end", e, "e_start", "e_end", minFullRows = 0L)
+      w, "w_start", "w_end", e, "e_start", "e_end", minFullRows = 0L,
+      taskAbsorbBytes = 0L)
     assert(decU.mode === "plain", s"uniform sides must keep the plain plan ($decU)")
     val uRows = autoU.select("w_id", "e_id").collect()
       .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
@@ -402,7 +407,8 @@ class RangeJoinSpec extends SparkSuite {
         to_timestamp(lit("2024-01-15 12:00:00")).as("e_start"))
       .withColumn("e_end", col("e_start") + expr("make_dt_interval(0, 0, e_len, 0)"))
     val (autoR, decR) = RangeJoin.intervalOverlapAutoStats(
-      w, "w_start", "w_end", rAll, "e_start", "e_end", minFullRows = 0L)
+      w, "w_start", "w_end", rAll, "e_start", "e_end", minFullRows = 0L,
+      taskAbsorbBytes = 0L)
     assert(decR.mode !== "plain",
       s"a burst on the right side alone must engage the ladder ($decR)")
     assert(decR.hotBins.contains(burstBin), s"the right burst's bin must be flagged ($decR)")
@@ -441,7 +447,8 @@ class RangeJoinSpec extends SparkSuite {
         when(col("event_id") % 3 === 0, x).otherwise(col("ts")).as("e_start"))
       .withColumn("e_end", col("e_start") + expr("make_dt_interval(0, 0, e_len, 0)"))
     val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
-      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L)
+      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L,
+      taskAbsorbBytes = 0L)
     assert(dec.mode === "partial",
       s"disjoint one-sided piles with a sub-cutover shared bin must stay partial ($dec)")
     def binOf(t: String) = spark.range(1)
@@ -460,6 +467,89 @@ class RangeJoinSpec extends SparkSuite {
       "partial routing must be row-identical to the plain overlap")
   }
 
+  test("absolute-volume gate: a share-hot overlap bin whose pile fits one task DEMOTES to plain, receipted") {
+    // the q105 two-sided burst with the stats ladder forced on but the
+    // DEFAULT task budget active: the burst bins are unambiguously hot
+    // by share, yet the whole fixture is kilobytes — the r13 both-hot
+    // rung's lesson is that any split here is pure replication premium.
+    // The router must keep the plain plan and say why (demoted bins).
+    val ev = Tables.events(spark, sf)
+    val (l, r) = RangeJoin.burstOverlapSides(ev)
+    val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L)
+    assert(dec.mode === "plain", s"an absorbable pile must not salt ($dec)")
+    assert(dec.demoted.nonEmpty, s"the demotion must be receipted ($dec)")
+    assert(dec.hotBins.nonEmpty, s"the share flags must still be visible ($dec)")
+    val autoRows = auto.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", dec.binWidth)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty)
+    assert(!auto.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "a demoted plan must carry no salt machinery")
+  }
+
+  test("point-side histogram: a POINT burst routes to the point-splitting orientation (r13 verdict #3)") {
+    // the q107 fixture: bursty points against uniform windows — the
+    // interval-side histogram is blind here, and the one-sided interval
+    // salt provably cannot spread a point pile (it replicates every
+    // point across the salts). The router must flag the bin from the
+    // POINT side and hash-split the points.
+    val ev = Tables.events(spark, sf)
+    val pts = RangeJoin.burstPoints(ev)
+    val wins = RangeJoin.purchaseWindows(ev)
+    val (auto, dec) = RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", wins, "w_start", "w_end", minFullRows = 0L, taskAbsorbBytes = 0L)
+    assert(dec.mode === "partial", s"the point burst must engage the routed partial ($dec)")
+    assert(dec.pointHotBins.nonEmpty,
+      s"the burst bin must be flagged from the POINT side ($dec)")
+    assert(dec.gridBins.isEmpty, s"the interval side is uniform — no grid ($dec)")
+    val burstBin = spark.range(1)
+      .select(floor(unix_micros(to_timestamp(lit("2024-01-15 12:00:00"))) / dec.binWidth)
+        .cast("long")).head().getLong(0)
+    assert(dec.pointHotBins.contains(burstBin),
+      s"the flagged point bin must be the burst instant's ($dec vs $burstBin)")
+    val autoRows = auto.select("event_id", "w_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.pointInInterval(pts, "ts", wins, "w_start", "w_end", dec.binWidth)
+      .select("event_id", "w_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty,
+      "point-side routing must never change the pair set")
+    // the plan hash-splits the POINTS (salt_a) — the axis the one-sided
+    // interval salt does not have
+    val p = auto.queryExecution.optimizedPlan.toString
+    assert(p.contains("__salt_a"), s"expected the point-hash axis in:\n$p")
+  }
+
+  test("routed point-in-interval: grid bins spread BOTH sides; all three classes agree with plain") {
+    // direct kernel pin: one bin hot in points only, one in intervals
+    // only, one in both, plus cold bins — the routed single join must
+    // be row-identical to the plain join in every class mix
+    import spark.implicits._
+    def t(m: Long) = m * 60000000L // minutes → µs as raw longs
+    val pts = ((0 until 300).map(i => (i.toLong, t(10) + i % 3)) ++ // grid bin 1: many points
+      (300 until 340).map(i => (i.toLong, t(70) + i % 5)) ++        // interval-hot bin 7: few points
+      (400 until 600).map(i => (i.toLong, t(30) + i % 7)) ++        // point-hot bin 3: many points
+      (340 until 400).map(i => (i.toLong, t(i % 200)))).toDF("pid", "v")
+    val ivs = ((0 until 200).map(i => (1000L + i, t(10), t(12))) ++  // grid bin 1: many intervals
+      (200 until 500).map(i => (1000L + i, t(70), t(71))) ++         // interval-hot bin 7
+      (500 until 505).map(i => (1000L + i, t(30), t(32))) ++         // point-hot bin 3: few intervals
+      (505 until 565).map(i => (1000L + i, t(i % 150), t(i % 150) + t(2)))).toDF("iid", "lo", "hi")
+    val w = t(10)
+    def bin(m: Long) = t(m) / w
+    val routed = RangeJoin.pointInIntervalSaltedRouted(pts, "v", ivs, "lo", "hi",
+        iHotBins = Seq(bin(70)), pHotBins = Seq(bin(30)), gridBins = Seq(bin(10)),
+        binWidth = w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(routed === plain && routed.nonEmpty,
+      "orientation routing must never change the pair set")
+  }
+
   test("concurrent auto joins return independent per-call receipts (no clobber)") {
     // two auto calls with OPPOSITE expected decisions run concurrently;
     // each returned receipt must describe its own fixture — the
@@ -473,9 +563,9 @@ class RangeJoinSpec extends SparkSuite {
     val skew = RangeJoin.skewedWindows(ev)
     val uni = RangeJoin.purchaseWindows(ev)
     val fSkew = Future(RangeJoin.pointInIntervalAutoStats(
-      pts, "ts", skew, "w_start", "w_end", minFullRows = 0L))
+      pts, "ts", skew, "w_start", "w_end", minFullRows = 0L, taskAbsorbBytes = 0L))
     val fUni = Future(RangeJoin.pointInIntervalAutoStats(
-      pts, "ts", uni, "w_start", "w_end", minFullRows = 0L))
+      pts, "ts", uni, "w_start", "w_end", minFullRows = 0L, taskAbsorbBytes = 0L))
     val (_, decSkew) = Await.result(fSkew, 120.seconds)
     val (_, decUni) = Await.result(fUni, 120.seconds)
     assert(decSkew.mode === "global", s"the bursty call's receipt must salt ($decSkew)")

@@ -306,11 +306,12 @@ class AsOfJoinPlanSpec extends SparkSuite {
       .select(
         when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
         col("ts"), col("event_id").as("pid"))
-    // minFullRows = 0 disables the tiny cutoff so these ladder pins run
-    // on the small fixture; the per-call ...AutoStats receipt replaces
-    // the lastAutoAsOf read — race-free under concurrent auto joins
+    // minFullRows = 0 disables the tiny cutoff and taskAbsorbBytes = 0
+    // the absolute-volume demotion, so these ladder pins run on the
+    // small fixture; the per-call ...AutoStats receipt replaces the
+    // lastAutoAsOf read — race-free under concurrent auto joins
     val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
-      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L)
     val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
     assert(dec.salted, s"auto must salt the hot-key fixture ($dec)")
     assert(dec.hotKeyShare >= 0.4, s"measured share must reflect the hot key ($dec)")
@@ -331,7 +332,7 @@ class AsOfJoinPlanSpec extends SparkSuite {
     val rightU = Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("pid"))
     val (autoU, decU) = AsOfJoin.asofJoinAutoStats(evU, rightU, "user_id", "ts",
-      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L)
     assert(!decU.salted, s"auto must not salt uniform keys ($decU)")
     assert(decU.mode === "plain", s"uniform keys must read as plain, not tiny ($decU)")
     assert(!finalPlan(autoU).contains("__asof_salt"),
@@ -358,7 +359,7 @@ class AsOfJoinPlanSpec extends SparkSuite {
     val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("pid"))
     val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
-      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L)
     val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
     assert(dec.mode === "partial", s"a left-only-hot key must salt partially ($dec)")
     assert(dec.hotKeys === Seq(7777777L), s"exactly the hot key flagged ($dec)")
@@ -384,7 +385,7 @@ class AsOfJoinPlanSpec extends SparkSuite {
         when(col("user_id") % 4 === 0, lit(7777777L)).otherwise(col("user_id")).as("user_id"),
         col("ts"), col("event_id").as("pid"))
     val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
-      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L)
     assert(dec.mode === "grid", s"a both-hot key must take the grid ($dec)")
     assert(dec.griddedKeys === Seq(7777777L), s"the both-hot key routes to the grid ($dec)")
     assert(dec.slicedKeys.isEmpty, s"nothing is right-ONLY-hot here ($dec)")
@@ -415,7 +416,7 @@ class AsOfJoinPlanSpec extends SparkSuite {
     val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select(lit(4242424L).as("user_id"), col("ts"), col("event_id").as("pid"))
     val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
-      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L)
     assert(dec.mode === "rslice",
       s"a right-only-hot key must take the TIME-SLICED split — salting it would " +
         s"replicate the dominant pile for zero straggler relief ($dec)")
@@ -456,7 +457,7 @@ class AsOfJoinPlanSpec extends SparkSuite {
         when(col("user_id") % 4 === 0, lit(7777777L)).otherwise(lit(4242424L)).as("user_id"),
         col("ts"), col("event_id").as("pid"))
     val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
-      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L)
     assert(dec.mode === "mixed", s"both branch kinds must engage ($dec)")
     assert(dec.hotKeys.toSet === Set(7777777L, 4242424L), s"both keys flagged ($dec)")
     assert(dec.slicedKeys === Seq(4242424L),
@@ -524,6 +525,78 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
   }
 
+  test("time-sliced as-of over NUMERIC-CONTENT string ts still degenerates to slice 0 (r13 ADVICE)") {
+    // The trap: '7' < '88' numerically but '88' < '9' lexicographically.
+    // A cast-to-long magnitude would hand numeric-content strings
+    // numeric slices, so the exec's lexicographic backward match ('88'
+    // for a left at '9') lands in a LATER numeric slice and its carry
+    // never reaches the left row — a silent wrong answer. The contract
+    // is: ANY non-datetime, non-numeric domain → null magnitude →
+    // slice 0 → plain (unsplit) merge.
+    import spark.implicits._
+    val left = Seq((1L, 1L, "9"), (2L, 1L, "7"), (3L, 1L, "100"))
+      .toDF("lid", "k", "t")
+    val right = Seq((1L, "7", 70L), (1L, "88", 88L))
+      .toDF("k", "t", "pay")
+    for (dirn <- Seq("backward", "forward")) {
+      val sliced = AsOfJoin.asofJoinTimeSliced(left, right, "k", "t",
+          Seq("pay"), tieBreak = Some("pay"), slices = 4, direction = dirn)
+        .select("lid", "asof_pay").orderBy("lid").collect()
+      val plain = AsOfJoin.asofJoinNative(left, right, "k", "t",
+          Seq("pay"), tieBreak = Some("pay"), broadcast = Some(false), direction = dirn)
+        .select("lid", "asof_pay").orderBy("lid").collect()
+      assert(sliced.toSeq === plain.toSeq, s"[$dirn]")
+    }
+    // pin the lexicographic backward semantics the slices must preserve:
+    // left '9' ≥ both rights ('7' < '88' < '9' lexicographically) and
+    // the LATEST is '88' — exactly the row a numeric slicing strands in
+    // a later slice; left '100' precedes every right → null payload.
+    val bw = AsOfJoin.asofJoinTimeSliced(left, right, "k", "t",
+        Seq("pay"), tieBreak = Some("pay"), slices = 4)
+      .select("lid", "asof_pay").orderBy("lid").collect()
+    assert(bw(0).getLong(1) === 88L, s"left '9' must match right '88': ${bw.toSeq}")
+    assert(bw(1).getLong(1) === 70L, s"left '7' must match right '7': ${bw.toSeq}")
+    assert(bw(2).isNullAt(1), s"left '100' precedes every right lexicographically: ${bw.toSeq}")
+  }
+
+  test("tiny cutoff reads BOTH sides: a sub-cutoff fact against a huge right-hot pile still routes (r13 ADVICE)") {
+    // left alone (~2k rows) is far under TinyFullRows, but the right
+    // carries 60k rows with one key owning half — the million-quotes-
+    // one-symbol shape. A left-only cutoff would skip the ladder and
+    // hand the hot key's whole right pile to one merge partition; the
+    // two-sided cutoff proceeds to the histograms, which route the key
+    // to the time-sliced branch.
+    import spark.implicits._
+    val left = spark.range(2000).select(
+      col("id").as("lid"), (col("id") % 500).as("k"),
+      (col("id") * 1000L).as("t"))
+    val right = spark.range(60000).select(
+      when(col("id") % 2 === 0, lit(77L)).otherwise(col("id") % 500).as("k"),
+      (col("id") * 37L % 2000000L).as("t"), col("id").as("pay"))
+    // (a) default budget: the cutoff must NOT read "tiny" (the two-sided
+    // fix), and the ~1.4 MB hot pile must then DEMOTE — the router saw
+    // the key with open eyes and measured that one task absorbs it
+    val (_, decDef) = AsOfJoin.asofJoinAutoStats(
+      left, right, "k", "t", Seq("pay"), tieBreak = Some("pay"))
+    assert(decDef.mode !== "tiny", s"a huge right side must defeat the tiny cutoff ($decDef)")
+    assert(decDef.mode === "plain" && decDef.demotedKeys.contains(77L),
+      s"at this absolute scale the hot key must demote, receipted ($decDef)")
+    // (b) budget disabled: the share-routed split engages — the shape
+    // that matters when the pile is GBs, pinned here for rows
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(
+      left, right, "k", "t", Seq("pay"), tieBreak = Some("pay"),
+      taskAbsorbBytes = 0L)
+    assert(dec.mode !== "tiny", s"a huge right side must defeat the tiny cutoff ($dec)")
+    assert(dec.slicedKeys.contains(77L) || dec.griddedKeys.contains(77L),
+      s"the right-hot key must route to a right-splitting branch ($dec)")
+    val auto = autoDf.select("lid", "asof_pay").orderBy("lid").collect()
+    val plain = AsOfJoin.asofJoinNative(left, right, "k", "t", Seq("pay"),
+        tieBreak = Some("pay"), broadcast = Some(false))
+      .select("lid", "asof_pay").orderBy("lid").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("tiny cutoff: a sub-cutoff fact side skips the as-of stats ladder entirely") {
     // DEFAULT params on the maximally hot-keyed fixture: the sf0.001
     // fact is ~1k rows — far under TinyFullRows — so the engine's own
@@ -551,6 +624,37 @@ class AsOfJoinPlanSpec extends SparkSuite {
     auto.zip(plain).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("absolute-volume gate: an absorbable both-hot key DEMOTES to plain through the global fall-through, receipted") {
+    // the q98 hot-key fixture with the ladder forced on but the DEFAULT
+    // task budget active: the key owns ~half of BOTH sides (share says
+    // global/grid), yet the whole fixture is kilobytes. The left-global
+    // short-circuit must NOT fire (no left pile exceeds the budget),
+    // the right histogram must run, and the per-key classification must
+    // demote — plain plan, no salt machinery, receipt says why.
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("event_type"),
+      when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+      col("ts"))
+    val right = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(
+        when(col("user_id") % 2 === 0, lit(1234567L)).otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("event_id").as("pid"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(ev, right, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L)
+    assert(dec.mode === "plain", s"an absorbable pile must not salt ($dec)")
+    assert(dec.demotedKeys === Seq(1234567L), s"the demotion must be receipted ($dec)")
+    assert(dec.hotKeys === Seq(1234567L), s"the share flag must still be visible ($dec)")
+    assert(!finalPlan(autoDf).contains("__asof_salt") &&
+      !finalPlan(autoDf).contains("__slice"),
+      "a demoted plan must carry no salt or slice machinery")
+    val auto = autoDf.select("event_id", "asof_pid").orderBy("event_id").collect()
+    val plain = AsOfJoin.asofJoinNative(ev, right, "user_id", "ts", Seq("pid"),
+        tieBreak = Some("pid"))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("concurrent auto as-ofs return independent per-call receipts (no clobber)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -567,9 +671,9 @@ class AsOfJoinPlanSpec extends SparkSuite {
     val rightU = Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("pid"))
     val fHot = Future(AsOfJoin.asofJoinAutoStats(evHot, rightHot, "user_id", "ts",
-      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L))
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L))
     val fUni = Future(AsOfJoin.asofJoinAutoStats(evU, rightU, "user_id", "ts",
-      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L))
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L, taskAbsorbBytes = 0L))
     val (_, decHot) = Await.result(fHot, 120.seconds)
     val (_, decUni) = Await.result(fUni, 120.seconds)
     assert(decHot.mode === "global", s"the hot-key call's receipt must salt ($decHot)")

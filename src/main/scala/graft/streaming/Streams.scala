@@ -174,7 +174,16 @@ object Streams {
     * partition-pruned batch merge. Re-running a batch after a crash
     * re-applies the same upsert — idempotent per key, which is what
     * makes foreachBatch exactly-once-per-key under at-least-once
-    * delivery. The first batch bootstraps the table. */
+    * delivery. The first batch bootstraps the table.
+    *
+    * Bootstrap-vs-merge is decided by [[graft.sources.CommitMarker]]
+    * (round 14, r13 verdict #2): the previous `java.io.File` probe
+    * silently answers "missing" on any non-local filesystem, so a
+    * restart against an object store would re-Overwrite merged state;
+    * the marker — stamped strictly after the bootstrap write — answers
+    * through the path's own FileSystem and is committer-independent
+    * (no `_SUCCESS` required). A half-written bootstrap has no marker,
+    * so its retry re-runs the same Overwrite. */
   def mergeSink(stream: DataFrame, targetDir: String, checkpoint: String,
                 keys: Seq[String], tsCol: String,
                 partitionCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -182,13 +191,13 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
         val latest = graft.etl.Dedup.keepLatest(batch, keys, Seq(col(tsCol)))
-        val dir = new java.io.File(targetDir)
-        val bootstrap = !dir.exists() || Option(dir.list()).forall(_.isEmpty)
-        if (bootstrap)
+        if (!graft.sources.CommitMarker.committed(spark, targetDir)) {
           latest.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
-        else
+          graft.sources.CommitMarker.mark(spark, targetDir)
+        } else
           graft.etl.Merge.upsertIntoParquet(
-            batch.sparkSession, targetDir, latest, keys, partitionCol)
+            spark, targetDir, latest, keys, partitionCol)
       }
 }

@@ -261,6 +261,65 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("merge sink bootstrap guard: half-written retries Overwrite, replay merges idempotently, no _SUCCESS still merges") {
+    // the CommitMarker contract (r13 verdict #2), pinned in the same
+    // three scenarios as the maintenance stores' gates:
+    //  (a) a HALF-WRITTEN bootstrap — data files but no _SUCCESS and no
+    //      marker — must be treated as uncommitted: the next batch
+    //      re-runs the Overwrite and the partials vanish (the old
+    //      java.io.File probe saw "non-empty dir" and MERGED over them);
+    //  (b) after the commit, losing _SUCCESS (the object-store
+    //      committer tuning writes none) must NOT re-trigger the
+    //      bootstrap: the engine's own marker keeps the merge branch;
+    //  (c) replaying a batch after the commit is idempotent per key.
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mergemark").toString
+    val table = s"$tmp/table"
+    // (a) simulate the half-written bootstrap: real data files, commit
+    // evidence stripped
+    Seq((99L, ts("2023-12-31 00:00:00"), 9L, "junk", 9.9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(table)
+    def rmAll(name: String): Unit = {
+      import java.nio.file.{Files, Path}
+      Files.walk(Path.of(table)).filter(_.getFileName.toString == name)
+        .forEach(p => { Files.delete(p); () })
+    }
+    rmAll("_SUCCESS")
+    assert(!graft.sources.CommitMarker.committed(spark, table),
+      "stripped commit evidence must read as uncommitted")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("day", to_date(col("ts")))
+    val query = Streams.mergeSink(events, table, s"$tmp/chk",
+      keys = Seq("event_id"), tsCol = "ts", partitionCol = "day").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2L, "view", 2.0))
+      query.processAllAvailable()
+      val t1 = spark.read.parquet(table)
+      assert(t1.count() === 2 && t1.filter(col("event_id") === 99L).count() === 0,
+        "the retried bootstrap must Overwrite the half-written partials")
+      assert(graft.sources.CommitMarker.committed(spark, table),
+        "the bootstrap must stamp the engine marker")
+      // (b) committer-independence: strip _SUCCESS, keep the marker
+      rmAll("_SUCCESS")
+      input.addData((3L, ts("2024-01-02 09:00:00"), 3L, "view", 3.0))
+      query.processAllAvailable()
+      val t2 = spark.read.parquet(table)
+      assert(t2.count() === 3 &&
+        t2.filter(col("event_id") === 1L).count() === 1,
+        "without _SUCCESS the marker must keep the MERGE branch (no wipe)")
+      // (c) replay idempotence: the same rows upsert to the same state
+      input.addData((3L, ts("2024-01-02 09:00:00"), 3L, "view", 3.0))
+      query.processAllAvailable()
+      val t3 = spark.read.parquet(table)
+      assert(t3.count() === 3, "replaying a committed batch must change nothing")
+    } finally query.stop()
+  }
+
   test("file-stream source → checkpointed parquet sink round-trips all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val chk = s"$tmp/chk"

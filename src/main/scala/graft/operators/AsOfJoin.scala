@@ -539,10 +539,49 @@ object AsOfJoin {
                         taskAbsorbBytes: Long = RangeJoin.TaskAbsorbBytes)
       : (DataFrame, AutoAsOfStats) = {
     val ltype = left.schema(tsCol).dataType
-    // sampled key column of the fact side: the tiny-cutoff count and
-    // the hot-key histogram share one pruned sampled scan, and the
-    // count rides the histogram's FIRST aggregate (earlyExitBelow), so
-    // in tiny mode that one job is the entire stats cost. No persist:
+    // RIGHT-side stats pipeline — ONE sampled (key, slice-magnitude)
+    // cache feeds the two-sided tiny cutoff's count, the right
+    // histogram, AND the sliced branches' boundary quantiles (r13
+    // verdict #5: the boundary job previously re-sampled the right
+    // side the histogram had just scanned — q106 paid both). Launched
+    // as a Future BEFORE the left histogram runs on this thread: the
+    // sides' sampled scans are independent until classification, so
+    // the stats phase costs max(sides), not sum — on q106's fixture
+    // the five sequential kilobyte-scale jobs were pure scheduling
+    // floor. The one regime where the right scan is wasted work is the
+    // left-global short-circuit (the r13 skip) — there the wall clock
+    // is unchanged (the scan ran in parallel) and the uniformly salted
+    // join about to run dwarfs one sampled pruned scan.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rightSide: Future[(RangeJoin.HotStats, DataFrame, Double)] = Future {
+      def build(frac: Double): DataFrame = {
+        val base = right
+          .select(col(key).cast(left.schema(key).dataType).as("__k"),
+            sliceMagOf(ltype)(col(tsCol)).as("__m"))
+          .filter(col("__k").isNotNull)
+        val s = if (frac >= 1.0) base
+                else base.sample(withReplacement = false, frac, 42L)
+        graft.CacheScope.manage(s.persist())
+      }
+      val c0 = build(sampleFraction)
+      val s0 = RangeJoin.hotValuesFromKeys(c0, hotShareThreshold)
+      // noise-dominated sample → the cache swaps to the full frame, so
+      // the boundary quantiles below read the same rows the histogram
+      // decided on
+      if (sampleFraction < 1.0 && s0.sampledRows < RangeJoin.MinStatsRows) {
+        c0.unpersist(false)
+        val c1 = build(1.0)
+        (RangeJoin.hotValuesFromKeys(c1, hotShareThreshold), c1, 1.0)
+      } else (s0, c0, sampleFraction)
+    }
+    def awaitRight(): (RangeJoin.HotStats, DataFrame, Double) =
+      Await.result(rightSide, Duration.Inf)
+    // sampled key column of the fact side (on THIS thread, concurrent
+    // with the right pipeline): the tiny-cutoff count and the hot-key
+    // histogram share one pruned sampled scan, and the count rides the
+    // histogram's FIRST aggregate (earlyExitBelow). No persist:
     // hotValuesFromKeys scans this frame exactly once (its per-key
     // counts are what it caches), so a cache here would be write-only.
     val lBase = left.select(col(key).as("__k")).filter(col("__k").isNotNull)
@@ -558,34 +597,13 @@ object AsOfJoin {
     def estFullOf(sampled: Long, fraction: Double): Long =
       if (fraction >= 1.0) sampled else math.round(sampled / fraction)
     val estFull = estFullOf(lStats0.sampledRows, sampleFraction)
-    // ONE sampled (key, slice-magnitude) cache over the right side
-    // feeds the two-sided tiny cutoff's count, the right histogram, AND
-    // the sliced branches' boundary quantiles (r13 verdict #5: the
-    // boundary job previously re-sampled the right side the histogram
-    // had just scanned — q106 paid both). Built lazily: paths decided
-    // from the left alone (big-left tiny skip, the global
-    // short-circuit) never touch the right at all.
-    var rFraction = sampleFraction
-    var rCacheRef: Option[DataFrame] = None
-    def rCache(): DataFrame = rCacheRef.getOrElse {
-      val base = right
-        .select(col(key).cast(left.schema(key).dataType).as("__k"),
-          sliceMagOf(ltype)(col(tsCol)).as("__m"))
-        .filter(col("__k").isNotNull)
-      val s = if (rFraction >= 1.0) base
-              else base.sample(withReplacement = false, rFraction, 42L)
-      val c = graft.CacheScope.manage(s.persist())
-      rCacheRef = Some(c); c
-    }
     // The cutoff reads BOTH sides (r13 ADVICE): the merge sorts each
     // key's LEFT+RIGHT pile together, so a sub-cutoff fact against a
     // huge right side with a right-hot key still straggles — exactly
-    // the shape the rslice branch exists for. The right count job runs
-    // ONLY when the left alone is sub-cutoff (otherwise the ladder runs
-    // anyway and the right histogram carries its own count), so the
-    // hot-path stats bill is unchanged.
-    lazy val estRight = estFullOf(rCache().count(), rFraction)
-    if (estFull < minFullRows && estFull + estRight < minFullRows)
+    // the shape the rslice branch exists for. The right count rides
+    // the histogram pipeline's own sampledRows.
+    if (estFull < minFullRows &&
+        estFull + estFullOf(awaitRight()._1.sampledRows, awaitRight()._3) < minFullRows)
       return (asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
         broadcast = None, direction),
         AutoAsOfStats(0.0, salted = false, Nil, "tiny"))
@@ -607,33 +625,26 @@ object AsOfJoin {
       (Seq(key, tsCol) ++ valueCols ++ tieBreak.toSeq).distinct)
     def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
     val lHotBytes = lStats.hotShares.map(s => math.round(s * lTotal) * lWidth)
-    // The RIGHT side's histogram runs only when it can change the
-    // routing: once the left's combined hot share crosses the global
-    // cutover AND at least one left pile exceeds the task budget, the
-    // plan is one uniformly salted merge whatever the right adds (the
-    // hot list is unused in global mode), so the right-side scan is
-    // skipped — the q101 shape pays the same stats bill as round 12.
-    // When every left pile is absorbable (r13 verdict #1), share alone
-    // no longer justifies replicating the whole right ×salt: fall
-    // through to the per-key classification, which weighs actual
-    // bytes and may demote all the way to plain.
+    // GLOBAL short-circuit: once the left's combined hot share crosses
+    // the cutover AND at least one left pile exceeds the task budget,
+    // the plan is one uniformly salted merge whatever the right adds
+    // (the hot list is unused in global mode). When every left pile is
+    // absorbable (r13 verdict #1), share alone no longer justifies
+    // replicating the whole right ×salt: fall through to the per-key
+    // classification, which weighs actual bytes and may demote all the
+    // way to plain. awaitRight() before returning — the pipeline's
+    // jobs ran in parallel and must not be left in flight against a
+    // cache the caller is about to release.
     val leftGlobalShare = lStats.hot.nonEmpty &&
       lStats.hotSumShare >= RangeJoin.GlobalSaltCutover
     if (leftGlobalShare &&
-        (taskAbsorbBytes <= 0L || lHotBytes.exists(_ > taskAbsorbBytes)))
+        (taskAbsorbBytes <= 0L || lHotBytes.exists(_ > taskAbsorbBytes))) {
+      awaitRight()
       return (asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak,
         saltBuckets, direction),
         AutoAsOfStats(lStats.maxShare, salted = true, lStats.hot, "global"))
-    // right histogram from the shared cache; noise-dominated sample →
-    // the cache swaps to the full frame, so the boundary quantiles
-    // below read the same rows the histogram decided on
-    val rStats = {
-      val s0 = RangeJoin.hotValuesFromKeys(rCache(), hotShareThreshold)
-      if (rFraction < 1.0 && s0.sampledRows < RangeJoin.MinStatsRows) {
-        rCacheRef.foreach(_.unpersist(false)); rCacheRef = None; rFraction = 1.0
-        RangeJoin.hotValuesFromKeys(rCache(), hotShareThreshold)
-      } else s0
     }
+    val (rStats, rCached, rFraction) = awaitRight()
     val rTotal = estFullOf(rStats.sampledRows, rFraction)
     val hot = (lStats.hot ++ rStats.hot).distinct
     // ORIENTATION + ABSOLUTE-VOLUME routed ladder (r13 verdict #1):
@@ -663,10 +674,21 @@ object AsOfJoin {
     hot.foreach { k =>
       (lBytesOf.get(k), rBytesOf.get(k)) match {
         case (Some(lB), Some(rB)) =>
+          // split what exceeds a task; when NEITHER side alone does but
+          // the combined pile still overflows, split the BIGGER side —
+          // that orientation is the robust one on both axes: the slice
+          // always splits the right (quantiles of its own data), the
+          // salt always splits the left (random hash), and the premium
+          // paid is the SMALLER pile (the salt replicates the right
+          // ×buckets; the 24M both-hot rung's right pile alone nearly
+          // fills the budget, so salting it ×16 would cost more than
+          // the grid the gate exists to avoid)
           if (fits(lB + rB)) demoteB += k
-          else if (fits(rB)) saltB += k // only the left pile exceeds a task
-          else if (fits(lB)) sliceB += k // only the right pile does
-          else gridB += k
+          else if (!fits(lB) && !fits(rB)) gridB += k
+          else if (!fits(lB)) saltB += k // the left pile alone overflows
+          else if (!fits(rB)) sliceB += k // the right pile alone overflows
+          else if (rB >= lB) sliceB += k // ambiguous: split the bigger pile
+          else saltB += k
         case (Some(lB), None) =>
           if (fits(lB + rUpper)) demoteB += k else saltB += k
         case (None, Some(rB)) =>
@@ -696,7 +718,7 @@ object AsOfJoin {
       else {
         val probs = array((1 until SlicesDefault)
           .map(i => lit(i.toDouble / SlicesDefault)): _*)
-        rCache().filter(col("__k").isin(boundKeys: _*))
+        rCached.filter(col("__k").isin(boundKeys: _*))
           .groupBy("__k")
           .agg(percentile_approx(col("__m"), probs, lit(1000)).as("__bnds"))
           .collect().toSeq

@@ -295,6 +295,45 @@ object LadderScale {
       val (pSec, pN) = time(AsOfJoin.asofJoinNative(lSyn, rSyn, "k", "t",
         Seq("pid"), tieBreak = Some("pid"), broadcast = Some(false)))
       println(f"asof_synth_bothhot_24M,1,$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
+      Console.flush()
+    }
+    // SYNTHESIZED both-hot PAST the task budget on BOTH sides (r14):
+    // the 24M rung's piles (77 MB left / 256 MB right at 32 B/row) sit
+    // under the 256 MiB budget, so the absolute-volume gate must now
+    // demote it off the grid (ambiguous → split the bigger side →
+    // rslice). THIS rung scales the same shape to 32M×24M rows — hot
+    // piles 9.6M×32 B = 307 MB left and 12M×32 B = 384 MB right, each
+    // past what one task may absorb — so the router must still pick
+    // the 2-D grid: the regime where the grid's ×salt replication is
+    // insurance actually needed on both axes.
+    if (enabled("asof_synth_bothhot_big")) {
+      val hot = 777L
+      val epoch = "to_timestamp('2024-01-01 00:00:00')"
+      spark.range(24000000L).select(
+          when(col("id") % 2 === 0, lit(hot))
+            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
+          expr(s"timestamp_micros(unix_micros($epoch) + id * 1000000)").as("t"),
+          col("id").as("pid"))
+        .write.parquet(s"$scratch/synth_bhb_r.parquet")
+      spark.range(32000000L).select(
+          col("id").as("lid"),
+          when(col("id") % 10 < 3, lit(hot))
+            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
+          expr(s"timestamp_micros(unix_micros($epoch) + id * 2000000)").as("t"))
+        .write.parquet(s"$scratch/synth_bhb_l.parquet")
+      val lSyn = spark.read.parquet(s"$scratch/synth_bhb_l.parquet")
+      val rSyn = spark.read.parquet(s"$scratch/synth_bhb_r.parquet")
+      var mode = "?"
+      def auto: DataFrame = {
+        val (df, st) = AsOfJoin.asofJoinAutoStats(lSyn, rSyn, "k", "t",
+          Seq("pid"), tieBreak = Some("pid"))
+        mode = st.mode
+        df
+      }
+      val (aSec, aN) = time(auto)
+      val (pSec, pN) = time(AsOfJoin.asofJoinNative(lSyn, rSyn, "k", "t",
+        Seq("pid"), tieBreak = Some("pid"), broadcast = Some(false)))
+      println(f"asof_synth_bothhot_big_56M,1,$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
     }
     spark.stop()
   }

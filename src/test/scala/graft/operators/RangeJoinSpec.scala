@@ -524,6 +524,98 @@ class RangeJoinSpec extends SparkSuite {
     assert(p.contains("__salt_a"), s"expected the point-hash axis in:\n$p")
   }
 
+  test("absolute-volume gate: an ambiguous overlap bin splits the BIGGER side (r14)") {
+    // each side's pile alone fits the budget, together they overflow:
+    // the orientation must hash-split the BIGGER pile, because the
+    // partial form replicates the OTHER side's bin rows across the
+    // salts. Widths are 32 B/row on both sides; the 10% sample falls
+    // back to the full frame (fixture < MinStatsRows), so the byte
+    // arithmetic is exact.
+    val W = 60000000L
+    def winSide(idCol: String, sCol: String, eCol: String, hot: Int, cold: Int) = {
+      val base = spark.range(hot + cold).select(
+        col("id").as(idCol),
+        when(col("id") < hot, to_timestamp(lit("2024-01-15 12:00:00")))
+          .otherwise(timestamp_micros(
+            unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))) +
+              col("id") * 100000000L)).as(sCol))
+      base.withColumn(eCol, timestamp_micros(unix_micros(col(sCol)) + 1000000L))
+    }
+    def check(lHot: Int, lCold: Int, rHot: Int, rCold: Int): RangeJoin.AutoRangeStats = {
+      val l = winSide("w_id", "w_start", "w_end", lHot, lCold)
+      val r = winSide("e_id", "e_start", "e_end", rHot, rCold)
+      val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
+        l, "w_start", "w_end", r, "e_start", "e_end",
+        binWidth = Some(W), minFullRows = 0L, taskAbsorbBytes = 10000L)
+      val autoRows = auto.select("w_id", "e_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val plain = RangeJoin.intervalOverlap(
+          l, "w_start", "w_end", r, "e_start", "e_end", W)
+        .select("w_id", "e_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(autoRows === plain && autoRows.nonEmpty,
+        "ambiguous routing must never change the pair set")
+      dec
+    }
+    // right pile bigger (9.6 kB vs 3.2 kB, budget 10 kB): split rights
+    val rBig = check(lHot = 100, lCold = 200, rHot = 300, rCold = 500)
+    assert(rBig.mode === "partial" && rBig.pointHotBins.nonEmpty &&
+      rBig.gridBins.isEmpty,
+      s"the bigger RIGHT pile must be the hashed side ($rBig)")
+    // left pile bigger: split lefts (right-oriented list stays empty)
+    val lBig = check(lHot = 300, lCold = 500, rHot = 100, rCold = 200)
+    assert(lBig.mode === "partial" && lBig.pointHotBins.isEmpty &&
+      lBig.gridBins.isEmpty && lBig.hotBins.nonEmpty,
+      s"the bigger LEFT pile must be the hashed side ($lBig)")
+  }
+
+  test("absolute-volume gate: an ambiguous point-in-interval bin splits the BIGGER side (r14)") {
+    // same contract on the point ladder: the interval orientation
+    // replicates the bin's POINTS across the salts, the point
+    // orientation the bin's INTERVALS — split whichever pile is
+    // bigger. Point rows are 24 B, interval rows 32 B.
+    val W = 60000000L
+    def pts(hot: Int, cold: Int) = spark.range(hot + cold).select(
+      col("id").as("event_id"),
+      when(col("id") < hot, to_timestamp(lit("2024-01-15 12:00:00")))
+        .otherwise(timestamp_micros(
+          unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))) +
+            col("id") * 100000000L)).as("ts"))
+    def wins(hot: Int, cold: Int) = {
+      val base = spark.range(hot + cold).select(
+        col("id").as("w_id"),
+        when(col("id") < hot, to_timestamp(lit("2024-01-15 11:59:59")))
+          .otherwise(timestamp_micros(
+            unix_micros(to_timestamp(lit("2024-06-01 00:00:00"))) +
+              col("id") * 100000000L)).as("w_start"))
+      base.withColumn("w_end", timestamp_micros(unix_micros(col("w_start")) + 2000000L))
+    }
+    def check(pHot: Int, pCold: Int, iHot: Int, iCold: Int): RangeJoin.AutoRangeStats = {
+      val p = pts(pHot, pCold); val w = wins(iHot, iCold)
+      val (auto, dec) = RangeJoin.pointInIntervalAutoStats(
+        p, "ts", w, "w_start", "w_end", binWidth = Some(W),
+        minFullRows = 0L, taskAbsorbBytes = 10000L)
+      val autoRows = auto.select("event_id", "w_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val plain = RangeJoin.pointInInterval(p, "ts", w, "w_start", "w_end", W)
+        .select("event_id", "w_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(autoRows === plain && autoRows.nonEmpty,
+        "ambiguous routing must never change the pair set")
+      dec
+    }
+    // point pile bigger (400×24 = 9.6 kB vs 100×32 = 3.2 kB): split points
+    val pBig = check(pHot = 400, pCold = 400, iHot = 100, iCold = 200)
+    assert(pBig.mode === "partial" && pBig.pointHotBins.nonEmpty &&
+      pBig.gridBins.isEmpty,
+      s"the bigger POINT pile must be the hashed side ($pBig)")
+    // interval pile bigger (300×32 = 9.6 kB vs 100×24 = 2.4 kB)
+    val iBig = check(pHot = 100, pCold = 200, iHot = 300, iCold = 500)
+    assert(iBig.mode === "partial" && iBig.pointHotBins.isEmpty &&
+      iBig.gridBins.isEmpty && iBig.hotBins.nonEmpty,
+      s"the bigger INTERVAL pile must be the hashed side ($iBig)")
+  }
+
   test("routed point-in-interval: grid bins spread BOTH sides; all three classes agree with plain") {
     // direct kernel pin: one bin hot in points only, one in intervals
     // only, one in both, plus cold bins — the routed single join must

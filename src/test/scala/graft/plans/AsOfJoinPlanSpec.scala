@@ -655,6 +655,50 @@ class AsOfJoinPlanSpec extends SparkSuite {
     auto.zip(plain).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("absolute-volume gate: an ambiguous both-hot pile splits the BIGGER side (r14)") {
+    // each side's pile alone fits the task budget; together they
+    // overflow it. The split must shrink the BIGGER pile: the premium
+    // of either orientation is the OTHER side (the salt replicates the
+    // right pile ×buckets, the slice's carry scans the right pile
+    // once) — on the 24M both-hot rung the right pile alone nearly
+    // fills the budget, so salting it ×16 would out-cost the grid the
+    // gate exists to avoid. Byte arithmetic is exact here: widths are
+    // 32 B/row on both sides, the sampled pass falls back to the full
+    // frame (fixture < MinStatsRows at 10%).
+    def sides(lHot: Int, lCold: Int, rHot: Int, rCold: Int) = {
+      val left = spark.range(lHot + lCold).select(
+        col("id").as("lid"),
+        when(col("id") < lHot, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+        (col("id") * 1000L).as("t"))
+      val right = spark.range(rHot + rCold).select(
+        when(col("id") < rHot, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+        (col("id") * 37L % 2000000L).as("t"), col("id").as("pay"))
+      (left, right)
+    }
+    def check(lHot: Int, lCold: Int, rHot: Int, rCold: Int): AsOfJoin.AutoAsOfStats = {
+      val (left, right) = sides(lHot, lCold, rHot, rCold)
+      val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(left, right, "k", "t",
+        Seq("pay"), tieBreak = Some("pay"), minFullRows = 0L,
+        taskAbsorbBytes = 100000L)
+      val auto = autoDf.select("lid", "asof_pay").orderBy("lid").collect()
+      val plain = AsOfJoin.asofJoinNative(left, right, "k", "t", Seq("pay"),
+          tieBreak = Some("pay"), broadcast = Some(false))
+        .select("lid", "asof_pay").orderBy("lid").collect()
+      assert(auto.length === plain.length && auto.nonEmpty)
+      auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+      dec
+    }
+    // right pile bigger (96 kB vs 32 kB, budget 100 kB): slice it
+    val rBig = check(lHot = 1000, lCold = 2000, rHot = 3000, rCold = 5000)
+    assert(rBig.mode === "rslice" && rBig.slicedKeys === Seq(77L),
+      s"the bigger RIGHT pile must time-slice, not be replicated by a salt ($rBig)")
+    // left pile bigger (96 kB vs 32 kB): salt it
+    val lBig = check(lHot = 3000, lCold = 5000, rHot = 1000, rCold = 2000)
+    assert(lBig.mode === "partial" && lBig.slicedKeys.isEmpty &&
+      lBig.griddedKeys.isEmpty && lBig.hotKeys.contains(77L),
+      s"the bigger LEFT pile must hash-salt ($lBig)")
+  }
+
   test("concurrent auto as-ofs return independent per-call receipts (no clobber)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

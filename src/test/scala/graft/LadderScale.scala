@@ -142,8 +142,11 @@ object LadderScale {
         RangeJoin.lastAutoRange.map(_.mode).getOrElse("?"))
     }
     // forced overlap ladder at 10×: stats on (minFullRows = 0) over the
-    // burst fixture — the grid-salted global plan vs the plain join at
-    // the engine-chosen width, on the ~39M-pair quadratic regime
+    // burst fixture with the DEFAULT task budget — since r14 the
+    // absolute-volume gate DEMOTES the burst bins here (kilobyte piles)
+    // and the row measures the stats premium of a demoted decision;
+    // the engaged grid is pinned share-routed in RangeJoinSpec and
+    // measured at the synth rungs below
     if (enabled("overlap_forced_stats")) {
       val ev = Tables.events(spark, x10)
       val (l, r) = RangeJoin.burstOverlapSides(ev)
@@ -169,12 +172,14 @@ object LadderScale {
     // onto its own burst instant (left at 12:00 Jan 15, right at 06:00
     // Jan 20 — separate instants keep the output linear while the
     // shuffle piles stay quadratic-shaped). Under the plain single-key
-    // join each burst bin lands ~6M rows on ONE shuffle partition — the
-    // straggler that owns the job's critical path; the engine must pick
-    // the ladder itself (est ~16M rows >> cutoff), route each
-    // one-sided pile to its hash-the-hot-side orientation, and cap the
-    // per-task pile at ~|burst|/4. Rows compared auto-vs-plain as
-    // everywhere else.
+    // join each burst bin lands ~6M rows on ONE shuffle partition.
+    // The engine runs the stats itself (est ~16M rows >> cutoff); with
+    // the r14 absolute-volume gate the measured burst piles (~6M × 32 B
+    // = 192 MB) sit UNDER the 256 MiB task budget, so the receipt is
+    // mode=plain — the demotion is the decision being tested, and the
+    // row prices it against the same-width plain join (pure stats
+    // premium + run variance). Piles past the budget are the bothhot
+    // rungs' job. Rows compared auto-vs-plain as everywhere else.
     if (enabled("overlap_synth_8Mx2")) {
       val minute = 60L * 1000000L
       def side(burstTs: String, n: Long, idCol: String, sCol: String,
@@ -218,16 +223,16 @@ object LadderScale {
     // rows (the million-quotes-one-symbol regime) against a 1M-row left
     // that touches the key sparsely — under the plain merge the hot
     // key's ENTIRE right pile shuffles to and sorts on ONE partition;
-    // salting could only replicate that pile. The router must pick
-    // rslice from the right histogram alone (the left reads uniform)
-    // and split the pile ÷8 at its own time quantiles. Honest local
-    // note: at local[32] Tungsten's radix sort makes even the one-task
-    // 8M sort cheap, so the receipt's claim is wall-clock PARITY plus
-    // the per-task pile bound (8M → ~1M rows/task) — the bound is what
-    // survives at 100 TB, where a single-task multi-GB sort hits
-    // executor memory and the 2 GB shuffle-block ceiling long before
-    // CPU matters. Sides go through parquet like the overlap synth —
-    // the stats pass reads a sampled pruned scan, the production shape.
+    // salting could only replicate that pile. Since r14 the
+    // absolute-volume gate reads this pile as 8M × 32 B = 256 MB —
+    // just INSIDE the 256 MiB task budget — so the receipt is
+    // mode=plain (demoted, the borderline case priced honestly: at
+    // local[32] Tungsten radix-sorts the one-task pile in seconds, and
+    // the r13 rslice win over plain was ~0.8 s on a ~4.7 s join). One
+    // more doubling puts the pile past the budget and the router
+    // slices — the bothhot_big rung proves the escalation arm. Sides
+    // go through parquet like the overlap synth — the stats pass reads
+    // a sampled pruned scan, the production shape.
     if (enabled("asof_synth_righthot_16M")) {
       val hot = 777L
       val epoch = "to_timestamp('2024-01-01 00:00:00')"
@@ -262,11 +267,13 @@ object LadderScale {
     // AND 50% of a 16M right — under the plain merge that partition
     // sorts ~10.4M rows. The left share sits in [0.2, 0.4) so the
     // router lands in the routed split (not the left-global
-    // short-circuit) and must pick the 2-D (salt × slice) GRID for the
-    // both-hot key: left ÷(4 salts × 8 slices), right ÷8 slices at ×4
-    // replication. Same honest local note as the 16M rung — the
-    // receipt is parity-or-better wall-clock plus the per-task pile
-    // bound that is the actual 100 TB claim.
+    // short-circuit). In r13 the share flags sent this to the 2-D grid
+    // and paid its ×4 replication (12.58 s vs plain 4.39 s — the rung
+    // that motivated the absolute-volume gate); since r14 the measured
+    // piles (77 MB left / 256 MB right) put the key in the AMBIGUOUS
+    // class (each fits a task, together they overflow) and the router
+    // must split the BIGGER side — mode=rslice, no replication, the
+    // r14 receipt is at-or-under plain wall-clock.
     if (enabled("asof_synth_bothhot")) {
       val hot = 777L
       val epoch = "to_timestamp('2024-01-01 00:00:00')"

@@ -47,6 +47,11 @@ object PlanAudit {
       SparkEntry.queries.get(n) match {
         case None => println(s"## $n\nUNKNOWN QUERY\n")
         case Some(fn) =>
+      // reset the auto routers' debug mirrors so the receipt printed
+      // below is THIS query's decision (single-threaded here, so the
+      // JVM-global mirror is race-free)
+      operators.RangeJoin.lastAutoRange = None
+      operators.AsOfJoin.lastAutoAsOf = None
       val df = fn(spark, sfDir)
       df.collect()
       val all = nodes(df.queryExecution.executedPlan)
@@ -69,6 +74,20 @@ object PlanAudit {
         s"sorts=${count(_ == "SortExec")}")
       println(if (joins.isEmpty) "joins: none" else s"joins: ${joins.mkString(", ")}")
       scans.foreach(s => println(s"scan: $s"))
+      // the auto routers' own decision receipt, next to the plan facts
+      // (r13 verdict #7): what the engine decided and from what stats
+      operators.RangeJoin.lastAutoRange.foreach { r =>
+        println(f"auto_receipt: mode=${r.mode} binWidth=${r.binWidth} " +
+          f"hotBinShare=${r.hotBinShare}%.3f hotBins=${r.hotBins.size} " +
+          s"otherSideSplitBins=${r.pointHotBins.size} gridBins=${r.gridBins.size} " +
+          s"demoted=${r.demoted.size}")
+      }
+      operators.AsOfJoin.lastAutoAsOf.foreach { r =>
+        println(f"auto_receipt: mode=${r.mode} hotKeyShare=${r.hotKeyShare}%.3f " +
+          f"rightHotShare=${r.rightHotShare}%.3f hotKeys=${r.hotKeys.size} " +
+          s"slicedKeys=${r.slicedKeys.size} griddedKeys=${r.griddedKeys.size} " +
+          s"demotedKeys=${r.demotedKeys.size}")
+      }
       println()
       CacheScope.releaseAll()
       }

@@ -278,12 +278,25 @@ object AsOfJoin {
     * ADVICE). Those domains get a null magnitude: every row degenerates
     * to slice 0 — the documented unsplit-but-correct contract. */
   private def sliceMagOf(ltype: org.apache.spark.sql.types.DataType)(c: Column): Column = {
-    import org.apache.spark.sql.types.{DateType, LongType, NumericType, TimestampType}
+    import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, IntegerType,
+      LongType, ShortType, TimestampType}
     ltype match {
       case TimestampType | DateType => tsMagnitude(ltype)(c.cast(ltype))
-      // try_cast (not cast): under ANSI an overflowing decimal would
-      // THROW mid-aggregate, where the contract is null → slice 0
-      case _: NumericType => c.cast(ltype).try_cast(LongType)
+      // INTEGRAL numerics only (and decimals whose precision provably
+      // fits a long): the cast is total and monotone, so slice routing
+      // and the exec's ts ordering always agree. Fractional domains
+      // (double/float) and wide decimals are NOT sliced — a value past
+      // Long.MaxValue (or NaN) would null its OWN magnitude and strand
+      // the row in slice 0 while the key's other rows carry real
+      // boundaries, and backward carries only flow into later slices:
+      // silent wrong rows. Those domains degrade to the documented
+      // whole-key contract instead — every row slice 0, one unsplit
+      // merge per key, correct-just-unsplit. (Decimal→long truncation
+      // collapses fractional ties; truncation is monotone, so a
+      // right's slice never lands AFTER its consumer's and the carry
+      // covers the earlier-slice candidates.)
+      case ByteType | ShortType | IntegerType | LongType => c.cast(ltype).cast(LongType)
+      case d: DecimalType if d.precision <= 18 => c.cast(ltype).cast(LongType)
       case _ => lit(null).cast(LongType)
     }
   }
@@ -674,21 +687,21 @@ object AsOfJoin {
     hot.foreach { k =>
       (lBytesOf.get(k), rBytesOf.get(k)) match {
         case (Some(lB), Some(rB)) =>
-          // split what exceeds a task; when NEITHER side alone does but
-          // the combined pile still overflows, split the BIGGER side —
-          // that orientation is the robust one on both axes: the slice
-          // always splits the right (quantiles of its own data), the
-          // salt always splits the left (random hash), and the premium
-          // paid is the SMALLER pile (the salt replicates the right
-          // ×buckets; the 24M both-hot rung's right pile alone nearly
-          // fills the budget, so salting it ×16 would cost more than
-          // the grid the gate exists to avoid)
-          if (fits(lB + rB)) demoteB += k
-          else if (!fits(lB) && !fits(rB)) gridB += k
-          else if (!fits(lB)) saltB += k // the left pile alone overflows
-          else if (!fits(rB)) sliceB += k // the right pile alone overflows
-          else if (rB >= lB) sliceB += k // ambiguous: split the bigger pile
-          else saltB += k
+          // the shared decision rule ([[RangeJoin.classifyPile]]):
+          // split what exceeds a task; ambiguous (each fits alone,
+          // together they overflow) splits the BIGGER side — the salt
+          // always splits the left (random hash), the slice always
+          // splits the right (quantiles of its own data), and either
+          // orientation's premium is the SMALLER pile (the 24M
+          // both-hot rung's right pile alone nearly fills the budget,
+          // so salting it ×16 would out-cost the grid the gate exists
+          // to avoid)
+          RangeJoin.classifyPile(lB, rB, fits) match {
+            case RangeJoin.PileClass.Demote => demoteB += k
+            case RangeJoin.PileClass.Grid => gridB += k
+            case RangeJoin.PileClass.SplitA => saltB += k // left splits
+            case RangeJoin.PileClass.SplitB => sliceB += k // right splits
+          }
         case (Some(lB), None) =>
           if (fits(lB + rUpper)) demoteB += k else saltB += k
         case (None, Some(rB)) =>

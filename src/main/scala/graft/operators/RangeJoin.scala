@@ -250,22 +250,39 @@ object RangeJoin {
     * narrow column's scan cost. */
   val StatsSampleFraction: Double = 0.1
 
-  /** Sampled hot-value histogram of `keyCol` in `df`: the values whose
-    * share crosses `threshold` (at most ⌈1/threshold⌉ of them — the
-    * collect is bounded metadata, like the q08 watermark scalar) plus
-    * the hottest single share. Deterministic seed — reproducible plans.
-    * Returns (Nil, 0.0) on an empty sample. */
-  private[operators] def hotValues(df: DataFrame, keyCol: Column,
-                                   sampleFraction: Double,
-                                   threshold: Double): HotStats = {
-    val base = df.select(keyCol.as("__k")).filter(col("__k").isNotNull)
-    val s = if (sampleFraction >= 1.0) base
-            else base.sample(withReplacement = false, sampleFraction, 42L)
-    val stats = hotValuesFromKeys(s, threshold)
-    // tiny sample → noise-dominated estimate → redo on the full frame
-    if (sampleFraction < 1.0 && stats.sampledRows < MinStatsRows)
-      hotValuesFromKeys(base, threshold)
-    else stats
+  /** What the absolute-volume gate decided for ONE hot key/bin, given
+    * the two sides' projected pile bytes. `SplitA`/`SplitB` name the
+    * side whose pile must be hash-split (the other side is the
+    * replication premium the orientation pays). */
+  private[operators] sealed trait PileClass
+  private[operators] object PileClass {
+    case object Demote extends PileClass
+    case object SplitA extends PileClass
+    case object SplitB extends PileClass
+    case object Grid extends PileClass
+  }
+
+  /** THE absolute-volume decision rule, shared verbatim by all three
+    * routers (as-of keys, point-in-interval bins, overlap bins) so the
+    * demote/ambiguous semantics cannot drift between them:
+    *  - both piles together fit one task → Demote (any split is pure
+    *    replication premium — the r13 24M both-hot rung paid 2.9×);
+    *  - both piles alone overflow → Grid (each side must split);
+    *  - one side alone overflows → split THAT side;
+    *  - AMBIGUOUS (each fits alone, together they overflow) → split
+    *    the BIGGER side: either orientation's premium is the OTHER
+    *    side's rows, so the smaller pile is the one to replicate/carry
+    *    (tie → SplitB, the slice/point side — the orientation with the
+    *    cheaper premium where the routers' costs differ). */
+  private[operators] def classifyPile(a: Long, b: Long,
+                                      fits: Long => Boolean): PileClass = {
+    import PileClass._
+    if (fits(a + b)) Demote
+    else if (!fits(a) && !fits(b)) Grid
+    else if (!fits(a)) SplitA
+    else if (!fits(b)) SplitB
+    else if (a > b) SplitA
+    else SplitB
   }
 
   /** Combined-hot-share above which GLOBAL salting beats PARTIAL: when
@@ -355,8 +372,9 @@ object RangeJoin {
     if (sampleFraction >= 1.0) sampled
     else math.round(sampled / sampleFraction)
 
-  /** The histogram tail of [[hotValues]] over an already-sampled key
-    * frame (column `__k`).
+  /** Sampled hot-value histogram over an already-sampled key frame
+    * (column `__k`) — the values whose share crosses `threshold` (at
+    * most ⌈1/threshold⌉ of them, so the collect is bounded metadata).
     *
     * `earlyExitBelow`: when the frame's total lands under this row
     * count, the hot-value collect (the second job) is skipped and an
@@ -366,7 +384,16 @@ object RangeJoin {
   private[operators] def hotValuesFromKeys(keys: DataFrame, threshold: Double,
                                            earlyExitBelow: Long = 0L): HotStats = {
     import org.apache.spark.sql.types.LongType
-    if (keys.schema("__k").dataType == LongType) {
+    // the fast path's bounded heap needs 1/threshold + 1 slots; a
+    // degenerate threshold (≤ 0, or small enough to blow TopKRows'
+    // k ≤ 100000 bound) falls through to the count-filter path, which
+    // handles any threshold (r14 review: the require would otherwise
+    // throw at plan-build time where the old path returned a hot list)
+    val fastK =
+      if (threshold > 0 && 1.0 / threshold <= 99998.0)
+        Some(math.ceil(1.0 / threshold).toInt + 1)
+      else None
+    if (keys.schema("__k").dataType == LongType && fastK.isDefined) {
       // ONE-job fast path for long keys (every bin histogram, and the
       // common id-keyed as-of): the hot list rides the same aggregate
       // as the totals through the [[graft.plans.TopKRows]] bounded
@@ -376,7 +403,7 @@ object RangeJoin {
       // job on a sampled frame is mostly fixed scheduling cost), and
       // the early exit becomes free — it reads the same row.
       import org.apache.spark.sql.graft.ColumnBridge
-      val kTop = math.ceil(1.0 / threshold).toInt + 1
+      val kTop = fastK.get
       val tk = ColumnBridge.column(graft.plans.TopKRows(
         ColumnBridge.expression(col("count")),
         ColumnBridge.expression(col("__k")), kTop).toAggregateExpression())
@@ -418,41 +445,10 @@ object RangeJoin {
   // width helper would either re-scan or force the caches public —
   // the r12 standalone form was deleted once both callers inlined it.
 
-  /** [[pointInInterval]] with the salt applied ONLY inside the listed
-    * hot bins — the per-bin form of [[pointInIntervalSalted]] and the
-    * shape a 100 TB burst actually wants: the global variant replicates
-    * EVERY point `saltBuckets`×, where the burst only needs the hot
-    * bins' points replicated (typically a sliver of the fact — one
-    * incident window out of months of data). Exactness: a (point,
-    * interval) pair meets in exactly ONE bin — the point's — so routing
-    * by that bin's hotness partitions the pair space between the two
-    * branches; the salted branch repeats the q94 argument per hot bin.
-    * Null-bin rows match nothing in either branch, exactly like the
-    * plain equi-join. */
-  def pointInIntervalSaltedPartial(points: DataFrame, pointCol: String,
-                                   intervals: DataFrame, startCol: String, endCol: String,
-                                   hotBins: Seq[Any],
-                                   binWidth: Long = DefaultBinMicros,
-                                   saltBuckets: Int = 8,
-                                   saltCols: Seq[String] = Nil): DataFrame = {
-    require(hotBins.nonEmpty, "partial salting needs a non-empty hot-bin list")
-    val pts = points.withColumn("__bin", binIdx(magnitude(points, pointCol), binWidth))
-    val ivs = intervals
-      .filter(col(startCol) < col(endCol))
-      .withColumn("__bin", intervalBins(intervals, startCol, endCol, binWidth))
-    val hot = col("__bin").isin(hotBins: _*)
-    val plainPart = pts.filter(!hot).join(ivs.filter(!hot), Seq("__bin"))
-    val saltedPart = pts.filter(hot)
-      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
-      .join(ivs.filter(hot).withColumn("__salt",
-        pmod(xxhash64(saltHashCols(intervals, saltCols): _*), lit(saltBuckets))
-          .cast("int")),
-        Seq("__bin", "__salt"))
-      .drop("__salt")
-    plainPart.unionByName(saltedPart)
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("__bin")
-  }
+  // (The r13 one-sided partial kernel, pointInIntervalSaltedPartial,
+  // was deleted in r14: the routed kernel below with pHotBins = Nil and
+  // gridBins = Nil IS that orientation, with the identical exactness
+  // argument — one kernel, one proof, no drift.)
 
   /** [[pointInInterval]] with ORIENTATION-AWARE salting routed per hot
     * bin by WHICH side piles there — the point-in-interval port of the
@@ -462,8 +458,8 @@ object RangeJoin {
     * whole on every salted partition):
     *
     *  - `iHotBins` (intervals pile): intervals hash-split ÷`saltBuckets`
-    *    on axis B, points replicate across it — the
-    *    [[pointInIntervalSaltedPartial]] orientation;
+    *    on axis B, points replicate across it — the classic one-sided
+    *    partial orientation;
     *  - `pHotBins` (points pile): the mirror — points hash-split
     *    ÷`saltBuckets` on axis A, intervals replicate across it; the
     *    point pile spreads, which is the case the one-sided form
@@ -541,7 +537,7 @@ object RangeJoin {
     * the sampled p95 interval length, and the salt applied only to the
     * BINS the stats pass flags hot (share ≥ `hotShareThreshold`) —
     * uniform data keeps the plain (cheaper) plan, a burst salts just
-    * its own bins ([[pointInIntervalSaltedPartial]]). Results are
+    * its own bins ([[pointInIntervalSaltedRouted]]). Results are
     * identical in all regimes; the decision is mirrored in
     * [[lastAutoRange]] (JVM-global, last-writer-wins — use
     * [[pointInIntervalAutoStats]] for the race-free per-call receipt).
@@ -618,15 +614,17 @@ object RangeJoin {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    // interval-side histogram (tiny sample → redo on the full frame,
-    // tracking which frame backed the estimate so the per-bin counts
-    // below read the same rows)
+    // interval-side histogram (tiny sample → the cache SWAPS to the
+    // full frame — the stale sample is unpersisted and the redo's
+    // frame is persisted, so the per-bin counts below read the rows
+    // the histogram decided on without a second full scan)
     val iSide = Future {
       val iStats0 = hotValuesFromKeys(sampledBinKeys(mags, w, frac), hotShareThreshold)
-      if (sampleFraction < 1.0 && iStats0.sampledRows < MinStatsRows)
-        (hotValuesFromKeys(sampledBinKeys(mags0, w, frac), hotShareThreshold),
-          sampledBinKeys(mags0, w, frac), 1.0)
-      else (iStats0, sampledBinKeys(mags, w, frac), sampleFraction)
+      if (sampleFraction < 1.0 && iStats0.sampledRows < MinStatsRows) {
+        mags.unpersist(false)
+        val full = graft.CacheScope.manage(sampledBinKeys(mags0, w, frac).persist())
+        (hotValuesFromKeys(full, hotShareThreshold), full, 1.0)
+      } else (iStats0, sampledBinKeys(mags, w, frac), sampleFraction)
     }
     // POINT-side histogram (r13 verdict #3 — the documented blind
     // spot): a bin hot in POINTS but uniform in intervals skews the
@@ -641,9 +639,11 @@ object RangeJoin {
         (if (sampleFraction >= 1.0) pKeys0
          else pKeys0.sample(withReplacement = false, sampleFraction, 42L)).persist())
       val pStats0 = hotValuesFromKeys(pCache, hotShareThreshold)
-      if (sampleFraction < 1.0 && pStats0.sampledRows < MinStatsRows)
-        (hotValuesFromKeys(pKeys0, hotShareThreshold), pKeys0, 1.0)
-      else (pStats0, pCache, sampleFraction)
+      if (sampleFraction < 1.0 && pStats0.sampledRows < MinStatsRows) {
+        pCache.unpersist(false)
+        val full = graft.CacheScope.manage(pKeys0.persist())
+        (hotValuesFromKeys(full, hotShareThreshold), full, 1.0)
+      } else (pStats0, pCache, sampleFraction)
     }
     val (iStats, iKeys, iFraction) = Await.result(iSide, Duration.Inf)
     val (pStats, pKeys, pFraction) = Await.result(pSide, Duration.Inf)
@@ -682,16 +682,12 @@ object RangeJoin {
       } else {
         val ib = estBytes(iCounts, b, iFraction, wI)
         val pb = estBytes(pCounts, b, pFraction, wP)
-        val iBig = !fits(ib); val pBig = !fits(pb)
-        if (fits(ib + pb)) dB += b
-        else if (iBig && pBig) gB += b
-        else if (pBig) pB += b
-        else if (iBig) iB += b
-        // ambiguous (neither pile alone overflows, together they do):
-        // split the BIGGER side — the orientation replicates only the
-        // other (smaller) side's bin rows
-        else if (pb >= ib) pB += b
-        else iB += b
+        classifyPile(ib, pb, fits) match {
+          case PileClass.Demote => dB += b
+          case PileClass.Grid => gB += b
+          case PileClass.SplitA => iB += b // the interval pile splits
+          case PileClass.SplitB => pB += b // the point pile splits
+        }
       }
     }
     val (iOriented, pOriented, gridBins, demoted) =
@@ -803,13 +799,17 @@ object RangeJoin {
         estimateFullRows(rn, sampleFraction) < minFullRows)
       return (intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w),
         AutoRangeStats(w, 0.0, salted = false, Nil, "tiny"))
+    // tiny sample → the cache SWAPS to the full frame (stale sample
+    // unpersisted, redo frame persisted) so the per-bin counts read
+    // the rows the histogram decided on without a second full scan
     def sideStats(m: DataFrame, m0: DataFrame, fracEnd: Boolean)
         : (HotStats, DataFrame, Double) = {
       val s0 = hotValuesFromKeys(sampledBinKeys(m, w, fracEnd), hotShareThreshold)
-      if (sampleFraction < 1.0 && s0.sampledRows < MinStatsRows)
-        (hotValuesFromKeys(sampledBinKeys(m0, w, fracEnd), hotShareThreshold),
-          sampledBinKeys(m0, w, fracEnd), 1.0)
-      else (s0, sampledBinKeys(m, w, fracEnd), sampleFraction)
+      if (sampleFraction < 1.0 && s0.sampledRows < MinStatsRows) {
+        m.unpersist(false)
+        val full = graft.CacheScope.manage(sampledBinKeys(m0, w, fracEnd).persist())
+        (hotValuesFromKeys(full, hotShareThreshold), full, 1.0)
+      } else (s0, sampledBinKeys(m, w, fracEnd), sampleFraction)
     }
     val lStatsF = Future(sideStats(lm, lm0, fractionalEnd(left, lEnd)))
     val rStatsF = Future(sideStats(rm, rm0, fractionalEnd(right, rEnd)))
@@ -851,16 +851,12 @@ object RangeJoin {
       } else {
         val lb = estBytes(lCounts, b, lFraction, wL)
         val rb = estBytes(rCounts, b, rFraction, wR)
-        val lBig = !fits(lb); val rBig = !fits(rb)
-        if (fits(lb + rb)) dB += b
-        else if (lBig && rBig) gB += b
-        else if (lBig) lB += b
-        else if (rBig) rB += b
-        // ambiguous (neither pile alone overflows, together they do):
-        // split the BIGGER side — the orientation replicates only the
-        // other (smaller) side's bin rows
-        else if (lb >= rb) lB += b
-        else rB += b
+        classifyPile(lb, rb, fits) match {
+          case PileClass.Demote => dB += b
+          case PileClass.Grid => gB += b
+          case PileClass.SplitA => lB += b // the left pile splits
+          case PileClass.SplitB => rB += b // the right pile splits
+        }
       }
     }
     val (lOriented, rOriented, gridBins, demoted) =
@@ -1205,14 +1201,20 @@ object RangeJoin {
     * amplified rungs, where the cutoff no longer fires. */
   def burstWindowOverlapRollup(events: DataFrame): DataFrame = {
     val (l, r) = burstOverlapSides(events)
-    intervalOverlapAuto(l, "w_start", "w_end", r, "e_start", "e_end")
+    overlapRollup(intervalOverlapAuto(l, "w_start", "w_end", r, "e_start", "e_end"))
+  }
+
+  /** The q105-family rollup, shared by the registered auto (q105) and
+    * engaged (q108) forms so the two queries answering ONE oracle can
+    * never drift apart. */
+  private def overlapRollup(joined: DataFrame): DataFrame =
+    joined
       .groupBy("w_len")
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(unix_micros(least(col("w_end"), col("e_end"))) -
           unix_micros(greatest(col("w_start"), col("e_start")))).as("overlap_micros"))
       .orderBy("w_len")
-  }
 
   private val q105Sql =
     s"""WITH w AS (
@@ -1295,14 +1297,8 @@ object RangeJoin {
     * family as q89/q105. */
   def burstWindowOverlapRollupEngaged(events: DataFrame): DataFrame = {
     val (l, r) = burstOverlapSides(events)
-    intervalOverlapAuto(l, "w_start", "w_end", r, "e_start", "e_end",
-      minFullRows = 0L, taskAbsorbBytes = 0L)
-      .groupBy("w_len")
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(unix_micros(least(col("w_end"), col("e_end"))) -
-          unix_micros(greatest(col("w_start"), col("e_start")))).as("overlap_micros"))
-      .orderBy("w_len")
+    overlapRollup(intervalOverlapAuto(l, "w_start", "w_end", r, "e_start", "e_end",
+      minFullRows = 0L, taskAbsorbBytes = 0L))
   }
 
   val all: Seq[Q] = Seq(

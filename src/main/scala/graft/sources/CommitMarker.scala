@@ -23,7 +23,19 @@ import org.apache.spark.sql.SparkSession
   *
   * A half-written bootstrap has NEITHER file, so its retry re-runs the
   * same Overwrite (idempotent); MERGE maintenance rewrites day
-  * partitions, never the store root, so the root marker survives. */
+  * partitions, never the store root, so the root marker survives.
+  *
+  * MIGRATION BOUNDARY (one-time, r14 review): a store committed by a
+  * PRE-marker version of this engine under
+  * `marksuccessfuljobs=false` has neither file and is, by
+  * construction, indistinguishable from a half-written bootstrap — the
+  * next batch would re-run the Overwrite over its merged state. Any
+  * heuristic "adopt" (e.g. treating a non-empty dir as committed)
+  * recreates exactly the replay bug this marker closes, so the engine
+  * refuses to guess: adopting such a store is the operator's explicit
+  * one-line step — call [[mark]] on the store root (or touch
+  * `_GRAFT_COMMITTED` there) before resuming the stream. Stores whose
+  * committer writes `_SUCCESS` need nothing. */
 object CommitMarker {
 
   private val MarkerFile = "_GRAFT_COMMITTED"

@@ -559,6 +559,58 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(bw(2).isNullAt(1), s"left '100' precedes every right lexicographically: ${bw.toSeq}")
   }
 
+  test("time-sliced as-of over a FRACTIONAL ts domain degenerates to slice 0 (r14 review)") {
+    // The per-row trap the integral-only magnitude closes: a double ts
+    // past Long.MaxValue (or NaN) would null its OWN magnitude and
+    // strand that row in slice 0 while the key's other rows carry real
+    // boundaries — and backward carries only flow into LATER slices,
+    // so the stranded row silently loses its true match. Fractional
+    // domains therefore get NO magnitude at all: every row slice 0,
+    // one unsplit merge per key, rows ≡ plain.
+    import spark.implicits._
+    val left = Seq((1L, 1L, 5.0), (2L, 1L, 1.0e19), (3L, 1L, Double.NaN),
+      (4L, 2L, 2.5)).toDF("lid", "k", "t")
+    val right = Seq((1L, 1.0, 10L), (1L, 4.5, 45L), (1L, 9.0e18, 90L),
+      (2L, 2.5, 25L)).toDF("k", "t", "pay")
+    for (dirn <- Seq("backward", "forward")) {
+      val sliced = AsOfJoin.asofJoinTimeSliced(left, right, "k", "t",
+          Seq("pay"), tieBreak = Some("pay"), slices = 4, direction = dirn)
+        .select("lid", "asof_pay").orderBy("lid").collect()
+      val plain = AsOfJoin.asofJoinNative(left, right, "k", "t",
+          Seq("pay"), tieBreak = Some("pay"), broadcast = Some(false), direction = dirn)
+        .select("lid", "asof_pay").orderBy("lid").collect()
+      assert(sliced.toSeq === plain.toSeq, s"[$dirn]")
+    }
+    // pin the exact backward rows: 1e19 exceeds every right (matches
+    // the 9e18 row); NaN orders AFTER +Infinity in Spark, so it too
+    // matches the latest right; 5.0 matches 4.5
+    val bw = AsOfJoin.asofJoinTimeSliced(left, right, "k", "t",
+        Seq("pay"), tieBreak = Some("pay"), slices = 4)
+      .select("lid", "asof_pay").orderBy("lid").collect()
+    assert(bw(0).getLong(1) === 45L, s"5.0 must match 4.5: ${bw.toSeq}")
+    assert(bw(1).getLong(1) === 90L, s"1e19 must match 9e18: ${bw.toSeq}")
+    assert(bw(2).getLong(1) === 90L, s"NaN sorts last, matches 9e18: ${bw.toSeq}")
+    assert(bw(3).getLong(1) === 25L, s"exact-ts match on key 2: ${bw.toSeq}")
+  }
+
+  test("time-sliced as-of over an INTEGRAL numeric ts splits for real and matches plain (r14)") {
+    // long ts must still get true magnitudes (the whole point of the
+    // sliced branch) — boundaries real, rows ≡ plain across slices
+    import spark.implicits._
+    val left = spark.range(2000).select(col("id").as("lid"), lit(7L).as("k"),
+      (col("id") * 13L % 50000L).as("t"))
+    val right = spark.range(5000).select(lit(7L).as("k"),
+      (col("id") * 11L % 50000L).as("t"), col("id").as("pay"))
+    val sliced = AsOfJoin.asofJoinTimeSliced(left, right, "k", "t",
+        Seq("pay"), tieBreak = Some("pay"), slices = 4)
+      .select("lid", "asof_pay").orderBy("lid").collect()
+    val plain = AsOfJoin.asofJoinNative(left, right, "k", "t",
+        Seq("pay"), tieBreak = Some("pay"), broadcast = Some(false))
+      .select("lid", "asof_pay").orderBy("lid").collect()
+    assert(sliced.length === plain.length && sliced.nonEmpty)
+    sliced.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("tiny cutoff reads BOTH sides: a sub-cutoff fact against a huge right-hot pile still routes (r13 ADVICE)") {
     // left alone (~2k rows) is far under TinyFullRows, but the right
     // carries 60k rows with one key owning half — the million-quotes-

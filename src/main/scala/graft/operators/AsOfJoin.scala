@@ -645,18 +645,20 @@ object AsOfJoin {
     // absorbable (r13 verdict #1), share alone no longer justifies
     // replicating the whole right ×salt: fall through to the per-key
     // classification, which weighs actual bytes and may demote all the
-    // way to plain. awaitRight() before returning — the pipeline's
-    // jobs ran in parallel and must not be left in flight against a
-    // cache the caller is about to release.
+    // way to plain. The short-circuit does NOT await the right
+    // pipeline (r14: awaiting put its ~0.2 s persist+histogram on
+    // q101's critical path, where r13 never ran a right scan at all):
+    // its kilobyte-scale jobs drain in the background long before the
+    // caller's action — and the cache release behind it — complete,
+    // and a Spark unpersist racing a reader is safe regardless (the
+    // reader recomputes).
     val leftGlobalShare = lStats.hot.nonEmpty &&
       lStats.hotSumShare >= RangeJoin.GlobalSaltCutover
     if (leftGlobalShare &&
-        (taskAbsorbBytes <= 0L || lHotBytes.exists(_ > taskAbsorbBytes))) {
-      awaitRight()
+        (taskAbsorbBytes <= 0L || lHotBytes.exists(_ > taskAbsorbBytes)))
       return (asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak,
         saltBuckets, direction),
         AutoAsOfStats(lStats.maxShare, salted = true, lStats.hot, "global"))
-    }
     val (rStats, rCached, rFraction) = awaitRight()
     val rTotal = estFullOf(rStats.sampledRows, rFraction)
     val hot = (lStats.hot ++ rStats.hot).distinct

@@ -631,7 +631,20 @@ object RangeJoin {
     // same shuffle partition, and the interval-side histogram cannot
     // see it. One more pruned sampled scan, cached because the
     // absolute-volume gate re-reads it for per-bin counts.
-    val pSide = Future {
+    //
+    // A STREAMING point side (q91's stream-static shape) cannot run
+    // batch stats jobs at all — the stats pass happens ONCE at stream
+    // definition, so the point side's distribution is unknowable then
+    // BY CONSTRUCTION (it is every future micro-batch). The ladder
+    // falls back to the interval-only share routing (the r13
+    // semantics): interval bursts still split, and a point-burst
+    // micro-batch is bounded by maxFilesPerTrigger upstream rather
+    // than by this join's salt.
+    val pointsMeasurable = !points.isStreaming
+    val pSide = if (!pointsMeasurable)
+      Future.successful((HotStats(Nil, 0.0, 0.0, 0L),
+        points.sparkSession.range(0).select(col("id").as("__k")), 1.0))
+    else Future {
       val pKeys0 = points
         .select(binIdx(magnitude(points, pointCol), w).as("__k"))
         .filter(col("__k").isNotNull)
@@ -664,8 +677,12 @@ object RangeJoin {
     val wI = estRowBytes(intervals)
     val wP = estRowBytes(points)
     def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
+    // the byte gate needs BOTH piles measured; an unmeasurable
+    // (streaming) point side falls back to share routing below — no
+    // demotion on a pile whose other half is unknowable
+    val gateActive = taskAbsorbBytes > 0L && pointsMeasurable
     val (iCounts, pCounts) =
-      if (taskAbsorbBytes <= 0L) (Map.empty[Any, Long], Map.empty[Any, Long])
+      if (!gateActive) (Map.empty[Any, Long], Map.empty[Any, Long])
       else {
         val iF = Future(keyCountsIn(iKeys, union))
         val pF = Future(keyCountsIn(pKeys, union))
@@ -676,7 +693,7 @@ object RangeJoin {
     val iB = Seq.newBuilder[Any]; val pB = Seq.newBuilder[Any]
     val gB = Seq.newBuilder[Any]; val dB = Seq.newBuilder[Any]
     union.foreach { b =>
-      if (taskAbsorbBytes <= 0L) {
+      if (!gateActive) {
         val inI = iStats.hot.contains(b); val inP = pStats.hot.contains(b)
         if (inI && inP) gB += b else if (inP) pB += b else iB += b
       } else {

@@ -616,6 +616,44 @@ class RangeJoinSpec extends SparkSuite {
       s"the bigger INTERVAL pile must be the hashed side ($iBig)")
   }
 
+  test("STREAMING point side past the cutoff: stats fall back to interval-only share routing (r14, q91's 10x shape)") {
+    // the stats pass runs ONCE at stream definition, where the point
+    // side's distribution is every future micro-batch — unknowable by
+    // construction, and a batch job on it throws. The ladder must plan
+    // WITHOUT touching the streaming side: interval-only histogram,
+    // share routing (no byte gate — the other pile is unmeasurable),
+    // and the returned frame must still be a streaming frame.
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q91_shape").toString
+    ev.select(col("event_id"), col("ts"), col("value")).write.mode("overwrite").parquet(dir)
+    val staticPts = spark.read.parquet(dir)
+    val streamPts = spark.readStream.schema(staticPts.schema).parquet(dir)
+    // skewed windows: one burst bin hot on the INTERVAL side; force the
+    // stats ladder on (minFullRows = 0) with the DEFAULT byte budget —
+    // exactly the regime that threw before the fallback
+    val wins = RangeJoin.skewedWindows(ev)
+    val (auto, dec) = RangeJoin.pointInIntervalAutoStats(
+      streamPts, "ts", wins, "w_start", "w_end", minFullRows = 0L)
+    assert(auto.isStreaming, "the routed plan must stay a streaming frame")
+    assert(dec.mode !== "tiny", s"the forced ladder must have engaged its stats ($dec)")
+    assert(dec.demoted.isEmpty,
+      s"no demotion on a pile whose point half is unmeasurable ($dec)")
+    // drain one pass through a memory sink and compare rows to the
+    // batch plain join at the same width
+    val q = auto.writeStream.format("memory").queryName("q91_shape")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val got = spark.table("q91_shape").select("event_id", "w_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val want = RangeJoin.pointInInterval(staticPts, "ts", wins, "w_start", "w_end",
+        dec.binWidth)
+      .select("event_id", "w_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got === want && got.nonEmpty,
+      "stream-static routing must match the batch plain join row for row")
+  }
+
   test("routed point-in-interval: grid bins spread BOTH sides; all three classes agree with plain") {
     // direct kernel pin: one bin hot in points only, one in intervals
     // only, one in both, plus cold bins — the routed single join must

@@ -551,6 +551,25 @@ object AsOfJoin {
                         minFullRows: Long = RangeJoin.TinyFullRows,
                         taskAbsorbBytes: Long = RangeJoin.TaskAbsorbBytes)
       : (DataFrame, AutoAsOfStats) = {
+    // STREAM-STATIC guard (r14, the q91 lesson applied to this router):
+    // the stats pass runs batch jobs at plan-definition time, which a
+    // streaming input cannot serve — and its distribution IS every
+    // future micro-batch, unknowable then by construction. A streaming
+    // FACT against a static right takes the broadcast-index form (the
+    // q85 production shape: the index builds once per micro-batch
+    // epoch from the static side, the fact never shuffles — there is
+    // no merge-sort straggler for a salt to fix). A streaming RIGHT
+    // has no stats-time distribution to route on at all — fail fast
+    // with the fix, as the bin-cap and boundary guards do.
+    if (left.isStreaming || right.isStreaming) {
+      require(!right.isStreaming,
+        "asofJoinAuto: the right (history) side must be static — a streaming " +
+          "right has no distribution at stats time; use AsOfStream " +
+          "(flatMapGroupsWithState) for stream-stream as-of, as q92 does")
+      return (asofJoinNative(left, right, key, tsCol, valueCols, tieBreak,
+        broadcast = Some(true), direction),
+        AutoAsOfStats(0.0, salted = false, Nil, "stream-broadcast"))
+    }
     val ltype = left.schema(tsCol).dataType
     // RIGHT-side stats pipeline — ONE sampled (key, slice-magnitude)
     // cache feeds the two-sided tiny cutoff's count, the right

@@ -580,6 +580,18 @@ object RangeJoin {
                                minFullRows: Long = TinyFullRows,
                                taskAbsorbBytes: Long = TaskAbsorbBytes)
       : (DataFrame, AutoRangeStats) = {
+    // STREAM-STATIC guard (r14): STREAMING INTERVALS cannot serve the
+    // definition-time p95/histogram jobs and have no stats-time
+    // distribution by construction — degrade to the plain binned join
+    // (stream-static-safe) at the caller's width or the default.
+    // (Streaming POINTS against static intervals — q91's shape — keep
+    // the full interval-side ladder; that guard lives at the point
+    // pipeline below.)
+    if (intervals.isStreaming)
+      return (pointInInterval(points, pointCol, intervals, startCol, endCol,
+        binWidth.getOrElse(DefaultBinMicros)),
+        AutoRangeStats(binWidth.getOrElse(DefaultBinMicros), 0.0,
+          salted = false, Nil, "stream-plain"))
     // ONE sampled pass over the interval side's two magnitude columns,
     // cached: the p95 width, the tiny-cutoff row estimate, and the
     // hot-bin histogram all derive from this tiny frame — the stats
@@ -777,6 +789,33 @@ object RangeJoin {
                                minFullRows: Long = TinyFullRows,
                                taskAbsorbBytes: Long = TaskAbsorbBytes)
       : (DataFrame, AutoRangeStats) = {
+    // STREAM-STATIC guard (r14, the q91 lesson applied to this
+    // router): a streaming side cannot serve the definition-time stats
+    // jobs, and its distribution is every future micro-batch. The
+    // plain binned overlap is stream-static-safe (explode + equi-join
+    // + residual), so the ladder degrades to it — width from the
+    // STATIC side's sampled p95 when one side is static (the wider
+    // side usually dominates replication, but an unmeasurable side
+    // beats a guessed one), the default width otherwise.
+    if (left.isStreaming || right.isStreaming) {
+      val w = binWidth.getOrElse {
+        val staticSide =
+          if (!left.isStreaming) Some((left, lStart, lEnd))
+          else if (!right.isStreaming) Some((right, rStart, rEnd))
+          else None
+        staticSide.flatMap { case (df, s, e) =>
+          val base = df.filter(col(s) < col(e))
+            .select((magnitude(df, e) - magnitude(df, s)).as("__len"))
+          val sampled = if (sampleFraction >= 1.0) base
+            else base.sample(withReplacement = false, sampleFraction, 42L)
+          val r = sampled
+            .agg(percentile_approx(col("__len"), lit(0.95), lit(10000))).head()
+          if (r.isNullAt(0)) None else Some(math.max(1L, r.getLong(0)))
+        }.getOrElse(DefaultBinMicros)
+      }
+      return (intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w),
+        AutoRangeStats(w, 0.0, salted = false, Nil, "stream-plain"))
+    }
     // one cached sampled magnitude frame PER SIDE (the q88 recipe ×2):
     // p95 + row count in one job each, histograms from the same
     // caches. The two sides' pipelines are independent at every stage

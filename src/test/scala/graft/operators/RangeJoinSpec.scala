@@ -654,6 +654,45 @@ class RangeJoinSpec extends SparkSuite {
       "stream-static routing must match the batch plain join row for row")
   }
 
+  test("STREAM-STATIC overlap and streaming-interval point joins degrade to the plain binned plan (r14)") {
+    // the other two router entries the q91 lesson covers: a streaming
+    // side cannot serve definition-time stats jobs, so the ladders
+    // degrade to the (stream-static-safe) plain binned join instead of
+    // throwing — width from the static side's p95 where one exists.
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_overlap").toString
+    RangeJoin.purchaseWindows(ev).write.mode("overwrite").parquet(dir)
+    val staticWins = spark.read.parquet(dir)
+    val streamWins = spark.readStream.schema(staticWins.schema).parquet(dir)
+    // overlap: streaming left vs static right — must plan (no batch
+    // jobs on the stream), stay streaming, and match the batch rows
+    val errWins = RangeJoin.errorWindows(ev)
+    val (ov, ovDec) = RangeJoin.intervalOverlapAutoStats(
+      streamWins, "w_start", "w_end", errWins, "e_start", "e_end")
+    assert(ov.isStreaming && ovDec.mode === "stream-plain", s"($ovDec)")
+    val q = ov.writeStream.format("memory").queryName("ss_overlap")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val got = spark.table("ss_overlap").select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val want = RangeJoin.intervalOverlap(
+        staticWins, "w_start", "w_end", errWins, "e_start", "e_end", ovDec.binWidth)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    // the width must have come from the measurable static side's p95,
+    // not the hardcoded default
+    assert(ovDec.binWidth !== RangeJoin.DefaultBinMicros,
+      s"width should be the static side's p95 ($ovDec)")
+    // point-in-interval with STREAMING INTERVALS: plain fallback at
+    // the default width, streaming frame out
+    val pts = ev.select(col("event_id"), col("ts"), col("value"))
+    val (pj, pjDec) = RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", streamWins, "w_start", "w_end")
+    assert(pj.isStreaming && pjDec.mode === "stream-plain", s"($pjDec)")
+  }
+
   test("routed point-in-interval: grid bins spread BOTH sides; all three classes agree with plain") {
     // direct kernel pin: one bin hot in points only, one in intervals
     // only, one in both, plus cold bins — the routed single join must

@@ -751,6 +751,42 @@ class AsOfJoinPlanSpec extends SparkSuite {
       s"the bigger LEFT pile must hash-salt ($lBig)")
   }
 
+  test("STREAMING fact: asofJoinAuto degrades to the broadcast-index form; streaming right fails fast (r14)") {
+    // the q91 lesson on the as-of router: a streaming fact cannot
+    // serve the definition-time histograms, and the broadcast form is
+    // the plan a stream-static as-of wants anyway (q85's production
+    // shape — the fact never shuffles, so there is no merge straggler
+    // for a salt to fix). A streaming RIGHT has no stats-time
+    // distribution at all → a clear error naming the alternative.
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_asof").toString
+    val lhsStatic = ev.select(col("event_id"), col("user_id"), col("ts"))
+    lhsStatic.write.mode("overwrite").parquet(dir)
+    val lhsStream = spark.readStream.schema(lhsStatic.schema).parquet(dir)
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val (auto, dec) = AsOfJoin.asofJoinAutoStats(lhsStream, right, "user_id", "ts",
+      Seq("pid"), tieBreak = Some("pid"))
+    assert(auto.isStreaming && dec.mode === "stream-broadcast", s"($dec)")
+    val q = auto.writeStream.format("memory").queryName("ss_asof")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val got = spark.table("ss_asof").select("event_id", "asof_pid")
+      .orderBy("event_id").collect()
+    val want = AsOfJoin.asofJoinNative(lhsStatic, right, "user_id", "ts",
+        Seq("pid"), tieBreak = Some("pid"), broadcast = Some(false))
+      .select("event_id", "asof_pid").orderBy("event_id").collect()
+    assert(got.length === want.length && got.nonEmpty)
+    got.zip(want).foreach { case (a, b) => assert(a === b) }
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoinAutoStats(lhsStatic, lhsStream.select(col("user_id"),
+        col("ts"), col("event_id").as("pid")), "user_id", "ts", Seq("pid"))
+    }
+    assert(e.getMessage.contains("AsOfStream"),
+      s"the error must name the stream-stream alternative: ${e.getMessage}")
+  }
+
   test("concurrent auto as-ofs return independent per-call receipts (no clobber)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

@@ -589,9 +589,15 @@ object AsOfJoin {
     import scala.concurrent.duration.Duration
     val rightSide: Future[(RangeJoin.HotStats, DataFrame, Double)] = Future {
       def build(frac: Double): DataFrame = {
+        // __w: the measured width of what the right actually SHIPS into
+        // the exec (key+ts+payload) — string payloads priced at their
+        // real octet length, not defaultSize's 20 B (RangeJoin
+        // .measuredWidthCol; the mean rides the histogram's aggregate)
+        val shipped = (Seq(key, tsCol) ++ valueCols ++ tieBreak.toSeq).distinct
         val base = right
           .select(col(key).cast(left.schema(key).dataType).as("__k"),
-            sliceMagOf(ltype)(col(tsCol)).as("__m"))
+            sliceMagOf(ltype)(col(tsCol)).as("__m"),
+            RangeJoin.measuredWidthCol(right, shipped).as("__w"))
           .filter(col("__k").isNotNull)
         val s = if (frac >= 1.0) base
                 else base.sample(withReplacement = false, frac, 42L)
@@ -616,7 +622,9 @@ object AsOfJoin {
     // histogram's FIRST aggregate (earlyExitBelow). No persist:
     // hotValuesFromKeys scans this frame exactly once (its per-key
     // counts are what it caches), so a cache here would be write-only.
-    val lBase = left.select(col(key).as("__k")).filter(col("__k").isNotNull)
+    val lBase = left.select(col(key).as("__k"),
+        RangeJoin.measuredWidthCol(left, left.columns.toSeq).as("__w"))
+      .filter(col("__k").isNotNull)
     val lSample =
       if (sampleFraction >= 1.0) lBase
       else lBase.sample(withReplacement = false, sampleFraction, 42L)
@@ -650,11 +658,15 @@ object AsOfJoin {
         (RangeJoin.hotValuesFromKeys(lSample, hotShareThreshold), sampleFraction)
       else (lStats0, sampleFraction)
     val lTotal = estFullOf(lStats.sampledRows, lFraction)
-    val lWidth = RangeJoin.estRowBytes(left)
-    // only key + ts + payload survive the right side's projection into
-    // the exec ([[asofJoinNativeKeys]]) — width what actually shuffles
-    val rWidth = RangeJoin.estRowBytesOf(right,
-      (Seq(key, tsCol) ++ valueCols ++ tieBreak.toSeq).distinct)
+    // MEASURED widths where the sampled pipelines saw rows (string
+    // payloads at real octet length — defaultSize's 20 B/string would
+    // underprice a fat document column 10-100× and demote terabyte
+    // piles at scale); schema fallback on empty samples. The right
+    // prices only key + ts + payload — what survives its projection
+    // into the exec ([[asofJoinNativeKeys]]).
+    val lWidth =
+      if (lStats.avgWidth > 0) math.round(lStats.avgWidth)
+      else RangeJoin.estRowBytes(left)
     def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
     val lHotBytes = lStats.hotShares.map(s => math.round(s * lTotal) * lWidth)
     // GLOBAL short-circuit: once the left's combined hot share crosses
@@ -680,6 +692,10 @@ object AsOfJoin {
         AutoAsOfStats(lStats.maxShare, salted = true, lStats.hot, "global"))
     val (rStats, rCached, rFraction) = awaitRight()
     val rTotal = estFullOf(rStats.sampledRows, rFraction)
+    val rWidth =
+      if (rStats.avgWidth > 0) math.round(rStats.avgWidth)
+      else RangeJoin.estRowBytesOf(right,
+        (Seq(key, tsCol) ++ valueCols ++ tieBreak.toSeq).distinct)
     val hot = (lStats.hot ++ rStats.hot).distinct
     // ORIENTATION + ABSOLUTE-VOLUME routed ladder (r13 verdict #1):
     // share flags say WHICH keys to inspect; projected pile bytes

@@ -302,7 +302,7 @@ object RangeJoin {
     * bins' shares from it, see [[intervalOverlapAutoStats]]). */
   private[operators] final case class HotStats(
       hot: Seq[Any], maxShare: Double, hotSumShare: Double, sampledRows: Long,
-      hotShares: Seq[Double] = Nil) {
+      hotShares: Seq[Double] = Nil, avgWidth: Double = 0.0) {
     /** Combined share of the hot values in `keep`. */
     def shareOf(keep: Set[Any]): Double =
       hot.zip(hotShares).collect { case (k, s) if keep.contains(k) => s }.sum
@@ -352,6 +352,26 @@ object RangeJoin {
     * never rows. */
   private[operators] def estRowBytes(df: DataFrame): Long =
     8L + df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+
+  /** MEASURED per-row byte width (r14): fixed `defaultSize` for
+    * fixed-width types plus the ACTUAL octet length of string/binary
+    * columns. `defaultSize` prices every string at 20 B — a fat
+    * document/props column is underpriced 10-100×, and at 100 TB the
+    * absolute-volume gate would demote terabyte piles as "absorbable".
+    * This expression rides the EXISTING sampled stats jobs as one more
+    * aggregated column (`__w`), so measuring costs zero extra jobs;
+    * [[HotStats.avgWidth]] carries the sample mean back and callers
+    * fall back to [[estRowBytes]] when nothing was measured. */
+  private[operators] def measuredWidthCol(df: DataFrame, cols: Seq[String]): Column = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    cols.map { c =>
+      df.schema(c).dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(c)).cast("long"), lit(0L))
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }.foldLeft(lit(8L))(_ + _)
+  }
 
   /** [[estRowBytes]] over the columns that actually survive a
     * projection (the as-of right side ships only key+ts+payload). */
@@ -407,32 +427,50 @@ object RangeJoin {
       val tk = ColumnBridge.column(graft.plans.TopKRows(
         ColumnBridge.expression(col("count")),
         ColumnBridge.expression(col("__k")), kTop).toAggregateExpression())
-      val r = keys.filter(col("__k").isNotNull).groupBy("__k").count()
-        .agg(sum("count").as("tot"), max("count").as("mx"), tk.as("tk")).head()
+      // a `__w` column (the measured-width expression) rides the same
+      // two-level aggregate: per-key byte sums roll into a side total
+      // whose mean is the MEASURED row width — zero extra jobs
+      val hasW = keys.columns.contains("__w")
+      val grouped =
+        if (hasW) keys.filter(col("__k").isNotNull).groupBy("__k")
+          .agg(count(lit(1)).as("count"), sum("__w").as("__wsum"))
+        else keys.filter(col("__k").isNotNull).groupBy("__k").count()
+      val aggs = Seq(sum("count").as("tot"), max("count").as("mx"), tk.as("tk")) ++
+        (if (hasW) Seq(sum("__wsum").as("ws")) else Nil)
+      val r = grouped.agg(aggs.head, aggs.tail: _*).head()
       if (r.isNullAt(0) || r.getLong(0) == 0L) return HotStats(Nil, 0.0, 0.0, 0L)
       val tot = r.getLong(0)
       val mx = r.getLong(1)
-      if (tot < earlyExitBelow) return HotStats(Nil, mx.toDouble / tot, 0.0, tot)
+      val avgW = if (hasW && !r.isNullAt(3)) r.getLong(3).toDouble / tot else 0.0
+      if (tot < earlyExitBelow)
+        return HotStats(Nil, mx.toDouble / tot, 0.0, tot, Nil, avgW)
       val hotRows = r.getSeq[org.apache.spark.sql.Row](2)
         .filter(_.getLong(0) >= threshold * tot)
       return HotStats(hotRows.map(x => x.getLong(1): Any), mx.toDouble / tot,
         hotRows.map(_.getLong(0)).sum.toDouble / tot, tot,
-        hotRows.map(_.getLong(0).toDouble / tot))
+        hotRows.map(_.getLong(0).toDouble / tot), avgW)
     }
-    val counts = keys.filter(col("__k").isNotNull).groupBy("__k").count().persist()
+    val hasW = keys.columns.contains("__w")
+    val counts = (
+      if (hasW) keys.filter(col("__k").isNotNull).groupBy("__k")
+        .agg(count(lit(1)).as("count"), sum("__w").as("__wsum"))
+      else keys.filter(col("__k").isNotNull).groupBy("__k").count()).persist()
     try {
-      val r = counts.agg(max("count").as("mx"), sum("count").as("tot")).head()
+      val aggs = Seq(max("count").as("mx"), sum("count").as("tot")) ++
+        (if (hasW) Seq(sum("__wsum").as("ws")) else Nil)
+      val r = counts.agg(aggs.head, aggs.tail: _*).head()
       if (r.isNullAt(1) || r.getLong(1) == 0L) HotStats(Nil, 0.0, 0.0, 0L)
       else {
         val tot = r.getLong(1)
+        val avgW = if (hasW && !r.isNullAt(2)) r.getLong(2).toDouble / tot else 0.0
         if (tot < earlyExitBelow)
-          HotStats(Nil, r.getLong(0).toDouble / tot, 0.0, tot)
+          HotStats(Nil, r.getLong(0).toDouble / tot, 0.0, tot, Nil, avgW)
         else {
           val hotRows = counts.filter(col("count") >= lit(threshold * tot))
             .select(col("__k"), col("count")).collect()
           HotStats(hotRows.map(_.get(0)).toSeq, r.getLong(0).toDouble / tot,
             hotRows.map(_.getLong(1)).sum.toDouble / tot, tot,
-            hotRows.map(_.getLong(1).toDouble / tot).toSeq)
+            hotRows.map(_.getLong(1).toDouble / tot).toSeq, avgW)
         }
       }
     } finally { counts.unpersist(); () }
@@ -599,22 +637,24 @@ object RangeJoin {
     // repeated full scans of the interval side (measured: 3 full scans
     // → 1 sampled scan cut q88's auto overhead ~3×).
     val mags0 = intervals.filter(col(startCol) < col(endCol))
-      .select(magnitude(intervals, startCol).as("__s"), magnitude(intervals, endCol).as("__e"))
+      .select(magnitude(intervals, startCol).as("__s"), magnitude(intervals, endCol).as("__e"),
+        measuredWidthCol(intervals, intervals.columns.toSeq).as("__w"))
     val mags = graft.CacheScope.manage(
       (if (sampleFraction >= 1.0) mags0
        else mags0.sample(withReplacement = false, sampleFraction, 42L)).persist())
-    // p95 and sampled count in the SAME job — in tiny mode this one
-    // aggregate is the entire stats cost. The cutoff reads the
-    // INTERVAL side only, on purpose: a sub-cutoff interval side is
-    // broadcast-range, AQE plans the bin join as a broadcast hash join
-    // and the point side never shuffles — no partition can concentrate
-    // whatever the points do (unlike the as-of merge, which sorts both
-    // sides; its cutoff reads both).
+    // p95, sampled count AND measured row width in the SAME job — in
+    // tiny mode this one aggregate is the entire stats cost. The
+    // cutoff reads the INTERVAL side only, on purpose: a sub-cutoff
+    // interval side is broadcast-range, AQE plans the bin join as a
+    // broadcast hash join and the point side never shuffles — no
+    // partition can concentrate whatever the points do (unlike the
+    // as-of merge, which sorts both sides; its cutoff reads both).
     val r = mags.agg(
       percentile_approx(col("__e") - col("__s"), lit(0.95), lit(10000)).as("p95"),
-      count(lit(1)).as("n")).head()
+      count(lit(1)).as("n"), avg("__w").as("aw")).head()
     val w = binWidth.getOrElse(
       if (r.isNullAt(0)) DefaultBinMicros else math.max(1L, r.getLong(0)))
+    val iMeasuredW = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
     if (estimateFullRows(r.getLong(1), sampleFraction) < minFullRows)
       return (pointInInterval(points, pointCol, intervals, startCol, endCol, w),
         AutoRangeStats(w, 0.0, salted = false, Nil, "tiny"))
@@ -658,7 +698,8 @@ object RangeJoin {
         points.sparkSession.range(0).select(col("id").as("__k")), 1.0))
     else Future {
       val pKeys0 = points
-        .select(binIdx(magnitude(points, pointCol), w).as("__k"))
+        .select(binIdx(magnitude(points, pointCol), w).as("__k"),
+          measuredWidthCol(points, points.columns.toSeq).as("__w"))
         .filter(col("__k").isNotNull)
       val pCache = graft.CacheScope.manage(
         (if (sampleFraction >= 1.0) pKeys0
@@ -686,8 +727,10 @@ object RangeJoin {
     // taskAbsorbBytes = 0 disables the gate: classification falls back
     // to the share flags alone (interval-hot → interval-split,
     // point-hot → point-split, both → grid — forced-mode pins).
-    val wI = estRowBytes(intervals)
-    val wP = estRowBytes(points)
+    // Widths are MEASURED from the sampled pipelines (string columns
+    // at real octet length); schema estimate only on empty samples.
+    val wI = if (iMeasuredW > 0) math.round(iMeasuredW) else estRowBytes(intervals)
+    val wP = if (pStats.avgWidth > 0) math.round(pStats.avgWidth) else estRowBytes(points)
     def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
     // the byte gate needs BOTH piles measured; an unmeasurable
     // (streaming) point side falls back to share routing below — no
@@ -829,24 +872,28 @@ object RangeJoin {
     import scala.concurrent.duration.Duration
     def sideMags(df: DataFrame, s: String, e: String): (DataFrame, DataFrame) = {
       val m0 = df.filter(col(s) < col(e))
-        .select(magnitude(df, s).as("__s"), magnitude(df, e).as("__e"))
+        .select(magnitude(df, s).as("__s"), magnitude(df, e).as("__e"),
+          measuredWidthCol(df, df.columns.toSeq).as("__w"))
       val m = graft.CacheScope.manage(
         (if (sampleFraction >= 1.0) m0
          else m0.sample(withReplacement = false, sampleFraction, 42L)).persist())
       (m0, m)
     }
-    def p95AndCount(m: DataFrame): (Option[Long], Long) = {
+    // p95, count AND measured row width in one job per side (the width
+    // prices the gate's piles — string columns at real octet length)
+    def p95AndCount(m: DataFrame): (Option[Long], Long, Double) = {
       val r = m.agg(
         percentile_approx(col("__e") - col("__s"), lit(0.95), lit(10000)).as("p95"),
-        count(lit(1)).as("n")).head()
-      (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1))
+        count(lit(1)).as("n"), avg("__w").as("aw")).head()
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2))
     }
     val lSide = Future { val (m0, m) = sideMags(left, lStart, lEnd)
       (m0, m, p95AndCount(m)) }
     val rSide = Future { val (m0, m) = sideMags(right, rStart, rEnd)
       (m0, m, p95AndCount(m)) }
-    val (lm0, lm, (lp95, ln)) = Await.result(lSide, Duration.Inf)
-    val (rm0, rm, (rp95, rn)) = Await.result(rSide, Duration.Inf)
+    val (lm0, lm, (lp95, ln, lMeasuredW)) = Await.result(lSide, Duration.Inf)
+    val (rm0, rm, (rp95, rn, rMeasuredW)) = Await.result(rSide, Duration.Inf)
     val w = binWidth.getOrElse(math.max(1L, math.max(
       lp95.getOrElse(DefaultBinMicros), rp95.getOrElse(DefaultBinMicros))))
     // tiny cutoff on the COMBINED side sizes: the overlap join shuffles
@@ -886,8 +933,8 @@ object RangeJoin {
     // 0 disables the gate — classification falls back to the share
     // flags (left-hot / right-hot / both → grid), the r13 behavior
     // forced-mode pins rely on.
-    val wL = estRowBytes(left)
-    val wR = estRowBytes(right)
+    val wL = if (lMeasuredW > 0) math.round(lMeasuredW) else estRowBytes(left)
+    val wR = if (rMeasuredW > 0) math.round(rMeasuredW) else estRowBytes(right)
     def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
     val (lCounts, rCounts) =
       if (taskAbsorbBytes <= 0L) (Map.empty[Any, Long], Map.empty[Any, Long])

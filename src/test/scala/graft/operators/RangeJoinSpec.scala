@@ -654,6 +654,41 @@ class RangeJoinSpec extends SparkSuite {
       "stream-static routing must match the batch plain join row for row")
   }
 
+  test("MEASURED width: a fat string column prices the overlap pile for real (r14)") {
+    // left rows carry a 400-char payload: defaultSize prices them at
+    // ~52 B (hot pile 300 rows → 16 kB with the right's → demote under
+    // the 100 kB budget); measured width ~432 B prices the pile at
+    // ~130 kB → the LEFT side alone overflows and must hash-split.
+    val W = 60000000L
+    def side(idCol: String, sCol: String, eCol: String, hot: Int, cold: Int,
+             fat: Boolean) = {
+      val base = spark.range(hot + cold).select(
+        col("id").as(idCol),
+        when(col("id") < hot, to_timestamp(lit("2024-01-15 12:00:00")))
+          .otherwise(timestamp_micros(
+            unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))) +
+              col("id") * 100000000L)).as(sCol))
+        .withColumn(eCol, timestamp_micros(unix_micros(col(sCol)) + 1000000L))
+      if (fat) base.withColumn("payload", repeat(lit("x"), 400)) else base
+    }
+    val l = side("w_id", "w_start", "w_end", hot = 300, cold = 500, fat = true)
+    val r = side("e_id", "e_start", "e_end", hot = 100, cold = 200, fat = false)
+    val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end",
+      binWidth = Some(W), minFullRows = 0L, taskAbsorbBytes = 100000L)
+    assert(dec.mode === "partial" && dec.demoted.isEmpty,
+      s"the fat left pile must split — defaultSize pricing would demote it ($dec)")
+    assert(dec.pointHotBins.isEmpty && dec.gridBins.isEmpty,
+      s"only the LEFT (fat) side overflows the budget ($dec)")
+    val autoRows = auto.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", W)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty)
+  }
+
   test("STREAM-STATIC overlap and streaming-interval point joins degrade to the plain binned plan (r14)") {
     // the other two router entries the q91 lesson covers: a streaming
     // side cannot serve definition-time stats jobs, so the ladders

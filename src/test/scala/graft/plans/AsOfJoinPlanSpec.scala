@@ -751,6 +751,34 @@ class AsOfJoinPlanSpec extends SparkSuite {
       s"the bigger LEFT pile must hash-salt ($lBig)")
   }
 
+  test("MEASURED width: a fat string payload prices the pile for real — no demote at defaultSize's 20 B/string (r14)") {
+    // right payload = a 400-char string per row: defaultSize prices the
+    // shipped row at 44 B (hot pile 500 rows → 22 kB, absorbable under
+    // the 100 kB budget → demote), the MEASURED width at ~432 B (pile
+    // 216 kB → past the budget → the right pile must split). At 100 TB
+    // this is the difference between slicing a terabyte document pile
+    // and handing it whole to one task.
+    val left = spark.range(2000).select(
+      col("id").as("lid"),
+      when(col("id") < 500, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 1000L).as("t"))
+    val right = spark.range(2000).select(
+      when(col("id") < 500, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 37L % 2000000L).as("t"), col("id").as("pid"),
+      repeat(lit("x"), 400).as("pay"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(left, right, "k", "t",
+      Seq("pid", "pay"), tieBreak = Some("pid"), minFullRows = 0L,
+      taskAbsorbBytes = 100000L)
+    assert(dec.mode === "rslice" && dec.slicedKeys === Seq(77L),
+      s"the fat right pile must split — defaultSize pricing would demote it ($dec)")
+    val auto = autoDf.select("lid", "asof_pid").orderBy("lid").collect()
+    val plain = AsOfJoin.asofJoinNative(left, right, "k", "t", Seq("pid", "pay"),
+        tieBreak = Some("pid"), broadcast = Some(false))
+      .select("lid", "asof_pid").orderBy("lid").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("STREAMING fact: asofJoinAuto degrades to the broadcast-index form; streaming right fails fast (r14)") {
     // the q91 lesson on the as-of router: a streaming fact cannot
     // serve the definition-time histograms, and the broadcast form is

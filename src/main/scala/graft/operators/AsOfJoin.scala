@@ -585,8 +585,10 @@ object AsOfJoin {
     // is unchanged (the scan ran in parallel) and the uniformly salted
     // join about to run dwarfs one sampled pruned scan.
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // dedicated pool for the blocking stats actions (r14 ADVICE) — see
+    // RangeJoin.statsEc
+    import RangeJoin.statsEc
     val rightSide: Future[(RangeJoin.HotStats, DataFrame, Double)] = Future {
       def build(frac: Double): DataFrame = {
         // __w: the measured width of what the right actually SHIPS into
@@ -686,10 +688,20 @@ object AsOfJoin {
     val leftGlobalShare = lStats.hot.nonEmpty &&
       lStats.hotSumShare >= RangeJoin.GlobalSaltCutover
     if (leftGlobalShare &&
-        (taskAbsorbBytes <= 0L || lHotBytes.exists(_ > taskAbsorbBytes)))
+        (taskAbsorbBytes <= 0L || lHotBytes.exists(_ > taskAbsorbBytes))) {
+      // the short-circuit returns without consuming the right pipeline,
+      // whose persist may land AFTER the caller's CacheScope.releaseAll()
+      // and stay pinned in executor storage (r14 ADVICE): unpersist the
+      // pipeline's own cache the moment it completes — a reader racing
+      // the unpersist just recomputes, and the frame is never read here
+      rightSide.onComplete {
+        case scala.util.Success((_, cached, _)) => cached.unpersist(false)
+        case _ => ()
+      }
       return (asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak,
         saltBuckets, direction),
         AutoAsOfStats(lStats.maxShare, salted = true, lStats.hot, "global"))
+    }
     val (rStats, rCached, rFraction) = awaitRight()
     val rTotal = estFullOf(rStats.sampledRows, rFraction)
     val rWidth =

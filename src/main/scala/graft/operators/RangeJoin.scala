@@ -250,6 +250,24 @@ object RangeJoin {
     * narrow column's scan cost. */
   val StatsSampleFraction: Double = 0.1
 
+  /** Dedicated cached-thread-pool EC for the auto routers' concurrent
+    * stats pipelines (r14 ADVICE): the pipelines run BLOCKING Spark
+    * actions (persist/head/collect), and on
+    * `ExecutionContext.Implicits.global` — a fixed pool sized to the
+    * CPU count — several auto joins planning concurrently (plus the
+    * callers' own futures in the concurrent-receipt specs) can exhaust
+    * the pool and stall planning fleet-wide. A cached pool grows with
+    * demand, the threads are daemons (never block JVM exit), and the
+    * pipelines' jobs are driver-side metadata work, so unbounded growth
+    * is bounded in practice by the handful of concurrent auto plans. */
+  private[operators] implicit lazy val statsEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-auto-stats")
+        t.setDaemon(true)
+        t
+      }))
+
   /** What the absolute-volume gate decided for ONE hot key/bin, given
     * the two sides' projected pile bytes. `SplitA`/`SplitB` name the
     * side whose pile must be hash-split (the other side is the
@@ -560,7 +578,19 @@ object RangeJoin {
     * equi-join key, so it catches both a pile-up of starts (the burst)
     * and long intervals stacking over one bin. Stats-only bin walk:
     * truncated at 64 bins/interval (a longer tail cannot change which
-    * bin is ≥20% hot). */
+    * bin is ≥20% hot).
+    *
+    * KNOWN BIAS of the byte gate it feeds (r14 ADVICE, cost-only): the
+    * real join replicates an interval into up to MaxBinsPerInterval
+    * bins, so per-bin PILE counts taken from this 64-bin walk UNDERCOUNT
+    * bins populated mainly by long intervals' overhang past bin 63 — a
+    * genuinely oversized pile can be under-priced and demoted to plain
+    * (never a rows error; all modes are row-identical). The walk stays
+    * truncated on purpose: un-truncating multiplies the stats pass's
+    * exploded rows by up to 1024× for tail intervals, a worse premium
+    * than the occasional mis-demote it would prevent — the p95-derived
+    * width keeps ≥95% of intervals within ~1 bin, so the overhang is
+    * the tail of the tail. */
   private def sampledBinKeys(mags: DataFrame, w: Long,
                              fracEnd: Boolean): DataFrame = {
     val firstBin = floor(col("__s") / w).cast("long")
@@ -664,8 +694,8 @@ object RangeJoin {
     // recipe; the point side is NOT launched before the tiny cutoff,
     // so the tiny path's cost stays one aggregate)
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // dedicated pool for the blocking stats actions (r14 ADVICE) — see statsEc
     // interval-side histogram (tiny sample → the cache SWAPS to the
     // full frame — the stale sample is unpersisted and the redo's
     // frame is persisted, so the per-bin counts below read the rows
@@ -868,8 +898,8 @@ object RangeJoin {
     // floor, and max(sides) halves it; at production scale the scans
     // overlap instead of serializing).
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // dedicated pool for the blocking stats actions (r14 ADVICE) — see statsEc
     def sideMags(df: DataFrame, s: String, e: String): (DataFrame, DataFrame) = {
       val m0 = df.filter(col(s) < col(e))
         .select(magnitude(df, s).as("__s"), magnitude(df, e).as("__e"),

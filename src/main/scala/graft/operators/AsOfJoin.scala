@@ -164,13 +164,25 @@ object AsOfJoin {
     * projected pile fit the task budget, so the router kept them on
     * the plain branch — the absolute-volume gate's receipt (empty when
     * `taskAbsorbBytes = 0` disables the gate). */
+  /** Round 15 detail fields: `slicesA` the hash-salt fan-out the
+    * engaged plan executes on the LEFT axis (salted keys and the
+    * grid's salt axis — derived ⌈pile/budget⌉ when the byte gate is
+    * on, the caller's `saltBuckets`/[[RangeJoin.GridSaltDefault]] in
+    * share-only mode), `slicesB` the time-slice count (sliced + grid
+    * keys), `premiumBytes` the plan's priced replication premium —
+    * the projected extra shuffled bytes its splits ship at the
+    * executed fan-outs (the time-slice ships none; salted/grid keys
+    * ship their right pile × (fan-out − 1)). */
   final case class AutoAsOfStats(hotKeyShare: Double, salted: Boolean,
                                  hotKeys: Seq[Any] = Nil,
                                  mode: String = "plain",
                                  rightHotShare: Double = 0.0,
                                  slicedKeys: Seq[Any] = Nil,
                                  griddedKeys: Seq[Any] = Nil,
-                                 demotedKeys: Seq[Any] = Nil)
+                                 demotedKeys: Seq[Any] = Nil,
+                                 slicesA: Int = 0,
+                                 slicesB: Int = 0,
+                                 premiumBytes: Long = 0L)
 
   /** Mirror of the LAST auto decision in this JVM — debugging
     * convenience only; concurrent auto joins clobber it. Use
@@ -457,7 +469,8 @@ object AsOfJoin {
                             saltCols: Seq[String] = Nil,
                             griddedKeys: Seq[Any] = Nil,
                             slices: Int = 8,
-                            precomputedBounds: Seq[(Any, Seq[Any])] = Nil): DataFrame = {
+                            precomputedBounds: Seq[(Any, Seq[Any])] = Nil,
+                            gridSaltBuckets: Int = RangeJoin.GridSaltDefault): DataFrame = {
     require(saltedKeys.nonEmpty || slicedKeys.nonEmpty || griddedKeys.nonEmpty,
       "partial routing needs at least one hot-key list")
     def isIn(keys: Seq[Any]) =
@@ -485,7 +498,7 @@ object AsOfJoin {
       if (griddedKeys.isEmpty) Nil
       else Seq(asofJoinTimeSliced(left.filter(isGrid), right.filter(isGrid),
         key, tsCol, valueCols, tieBreak, slices, direction,
-        saltBuckets = RangeJoin.GridSaltDefault, saltCols = saltCols,
+        saltBuckets = gridSaltBuckets, saltCols = saltCols,
         precomputedBounds = boundsFor(griddedKeys)))
     val coldPart = asofJoinNative(
       left.filter(col(key).isNull || (!isSalt && !isSlice && !isGrid)),
@@ -733,33 +746,72 @@ object AsOfJoin {
     val rUpper = math.round(hotShareThreshold * rTotal) * rWidth
     val saltB = Seq.newBuilder[Any]; val sliceB = Seq.newBuilder[Any]
     val gridB = Seq.newBuilder[Any]; val demoteB = Seq.newBuilder[Any]
+    // derived fan-outs for the r15 priced receipt and execution:
+    // saltFan the salted branch's hash axis, gridFan the grid branch's
+    // salt axis (each the MAX of its keys' ⌈pile/budget⌉ needs),
+    // sliceFan the time axis (free — floored at SlicesDefault below)
+    var saltFan = 0; var sliceFan = 0; var gridFan = 0
+    // the time-sliced split is FREE (no replication): it engages from
+    // FreeSplitEngageFactor × budget instead of 1× (r14 verdict #4 —
+    // the 16M rung priced 4.7% inside the budget and surrendered a
+    // measured ~0.8 s rslice win); the replicating salt keeps 1×
+    val freeEngageAt =
+      math.round(RangeJoin.FreeSplitEngageFactor * taskAbsorbBytes)
     hot.foreach { k =>
       (lBytesOf.get(k), rBytesOf.get(k)) match {
         case (Some(lB), Some(rB)) =>
-          // the shared decision rule ([[RangeJoin.classifyPile]]):
-          // split what exceeds a task; ambiguous (each fits alone,
-          // together they overflow) splits the BIGGER side — the salt
-          // always splits the left (random hash), the slice always
-          // splits the right (quantiles of its own data), and either
-          // orientation's premium is the SMALLER pile (the 24M
-          // both-hot rung's right pile alone nearly fills the budget,
-          // so salting it ×16 would out-cost the grid the gate exists
-          // to avoid)
-          RangeJoin.classifyPile(lB, rB, fits) match {
+          // the shared decision rule ([[RangeJoin.classifyPile]]),
+          // splitBFree = the right split is the free time-slice: split
+          // what exceeds a task; both-overflow PRICED at derived dims
+          // (r15); ambiguous (each fits alone, together they overflow)
+          // splits the BIGGER side — the salt always splits the left
+          // (random hash), the slice always splits the right
+          // (quantiles of its own data)
+          val d = RangeJoin.classifyPile(lB, rB, taskAbsorbBytes,
+            splitBFree = true)
+          val gateOn = taskAbsorbBytes > 0L // share-only dims stay legacy
+          d.cls match {
             case RangeJoin.PileClass.Demote => demoteB += k
-            case RangeJoin.PileClass.Grid => gridB += k
-            case RangeJoin.PileClass.SplitA => saltB += k // left splits
-            case RangeJoin.PileClass.SplitB => sliceB += k // right splits
+            case RangeJoin.PileClass.Grid =>
+              gridB += k
+              if (gateOn) {
+                gridFan = math.max(gridFan, d.slicesA)
+                sliceFan = math.max(sliceFan, d.slicesB)
+              }
+            case RangeJoin.PileClass.SplitA => // left splits
+              saltB += k
+              if (gateOn) saltFan = math.max(saltFan, d.slicesA)
+            case RangeJoin.PileClass.SplitB => // right splits
+              sliceB += k
+              if (gateOn) sliceFan = math.max(sliceFan, d.slicesB)
           }
         case (Some(lB), None) =>
-          if (fits(lB + rUpper)) demoteB += k else saltB += k
+          if (fits(lB + rUpper)) demoteB += k
+          else {
+            saltB += k
+            if (taskAbsorbBytes > 0L)
+              saltFan = math.max(saltFan,
+                RangeJoin.slicesFor(lB, taskAbsorbBytes))
+          }
         case (None, Some(rB)) =>
-          if (fits(rB + lUpper)) demoteB += k else sliceB += k
+          if (taskAbsorbBytes > 0L && rB + lUpper <= freeEngageAt) demoteB += k
+          else {
+            sliceB += k
+            if (taskAbsorbBytes > 0L)
+              sliceFan = math.max(sliceFan,
+                RangeJoin.slicesFor(rB, taskAbsorbBytes))
+          }
         case _ => ()
       }
     }
     val saltOnlyKeys = saltB.result(); val sliceOnlyKeys = sliceB.result()
     val gridKeys = gridB.result(); val demotedKeys = demoteB.result()
+    // executed fan-outs: derived where the gate priced the piles, the
+    // legacy defaults otherwise; the free time axis keeps its
+    // SlicesDefault floor (over-splitting it costs only boundary rows)
+    val saltUse = if (saltFan > 0) saltFan else saltBuckets
+    val gridSaltUse = if (gridFan > 0) gridFan else RangeJoin.GridSaltDefault
+    val slicesUse = math.max(SlicesDefault, sliceFan)
     val mode =
       if (hot.isEmpty || (saltOnlyKeys.isEmpty && sliceOnlyKeys.isEmpty &&
         gridKeys.isEmpty)) "plain" // demotedKeys in the receipt tell why
@@ -778,8 +830,8 @@ object AsOfJoin {
     val bounds: Seq[(Any, Seq[Any])] =
       if (boundKeys.isEmpty) Nil
       else {
-        val probs = array((1 until SlicesDefault)
-          .map(i => lit(i.toDouble / SlicesDefault)): _*)
+        val probs = array((1 until slicesUse)
+          .map(i => lit(i.toDouble / slicesUse)): _*)
         rCached.filter(col("__k").isin(boundKeys: _*))
           .groupBy("__k")
           .agg(percentile_approx(col("__m"), probs, lit(1000)).as("__bnds"))
@@ -792,12 +844,29 @@ object AsOfJoin {
           broadcast = None, direction)
       case _ =>
         asofJoinPartialRouted(left, right, key, tsCol, valueCols,
-          saltOnlyKeys, sliceOnlyKeys, tieBreak, saltBuckets, direction,
-          griddedKeys = gridKeys, slices = SlicesDefault,
-          precomputedBounds = bounds)
+          saltOnlyKeys, sliceOnlyKeys, tieBreak, saltUse, direction,
+          griddedKeys = gridKeys, slices = slicesUse,
+          precomputedBounds = bounds, gridSaltBuckets = gridSaltUse)
+    }
+    // priced premium at the executed fan-outs: the time-slice ships no
+    // replicas; a salted key ships its RIGHT pile ×(saltUse−1) (bounded
+    // by rUpper when the right side never flagged it — the same bound
+    // the demote test used); a grid key its right pile ×(gridSaltUse−1)
+    val premium =
+      if (mode == "plain") 0L
+      else saltOnlyKeys.map(k =>
+        rBytesOf.getOrElse(k, rUpper) * (saltUse - 1)).sum +
+        gridKeys.map(k => rBytesOf.getOrElse(k, rUpper) * (gridSaltUse - 1)).sum
+    val (recA, recB) = mode match {
+      case "plain" => (0, 0)
+      case _ => (
+        math.max(if (saltOnlyKeys.nonEmpty) saltUse else 0,
+          if (gridKeys.nonEmpty) gridSaltUse else 0),
+        if (sliceOnlyKeys.nonEmpty || gridKeys.nonEmpty) slicesUse else 0)
     }
     (df, AutoAsOfStats(lStats.maxShare, mode != "plain", hot, mode,
-      rStats.maxShare, sliceOnlyKeys, gridKeys, demotedKeys))
+      rStats.maxShare, sliceOnlyKeys, gridKeys, demotedKeys,
+      recA, recB, premium))
   }
 
   /** Ts-domain magnitude for distance arithmetic: timestamps in

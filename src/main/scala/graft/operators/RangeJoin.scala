@@ -224,12 +224,23 @@ object RangeJoin {
     * `gridBins` the bins routed to the two-axis grid, `demoted` the
     * share-flagged bins whose projected pile fit [[TaskAbsorbBytes]]
     * and stayed on the plain branch. */
+  /** Round 15 detail fields: `slicesA`/`slicesB` the per-axis split
+    * fan-outs the engaged plan actually executes (derived from the
+    * measured piles when the byte gate is on — ⌈pile/budget⌉ per axis,
+    * [[classifyPile]]; the callers' fixed defaults in share-only
+    * mode), `premiumBytes` the plan's priced replication premium —
+    * the projected extra shuffled bytes its splits ship, summed over
+    * the engaged bins at the executed fan-outs (0 for plain/tiny/
+    * demoted decisions). */
   final case class AutoRangeStats(binWidth: Long, hotBinShare: Double,
                                   salted: Boolean, hotBins: Seq[Any] = Nil,
                                   mode: String = "plain",
                                   pointHotBins: Seq[Any] = Nil,
                                   gridBins: Seq[Any] = Nil,
-                                  demoted: Seq[Any] = Nil)
+                                  demoted: Seq[Any] = Nil,
+                                  slicesA: Int = 0,
+                                  slicesB: Int = 0,
+                                  premiumBytes: Long = 0L)
 
   /** Mirror of the LAST auto decision in this JVM — debugging
     * convenience only. Two concurrent auto joins clobber each other
@@ -280,27 +291,128 @@ object RangeJoin {
     case object Grid extends PileClass
   }
 
+  /** One hot key/bin's resolved plan (r15): the class, the per-axis
+    * split fan-out the piles actually need (`slicesA` divides side A,
+    * `slicesB` side B; 1 = the axis is not split), and the plan's
+    * priced replication premium in projected shuffled bytes — splitting
+    * side X into s slices ships (s−1) extra copies of the OTHER side's
+    * pile (zero when that split replicates nothing, e.g. the as-of
+    * time-slice). */
+  private[operators] final case class PileDecision(cls: PileClass,
+                                                   slicesA: Int = 1,
+                                                   slicesB: Int = 1,
+                                                   premiumBytes: Long = 0L)
+
+  /** Demote hysteresis for a FREE split — one whose engagement ships no
+    * replicas (the as-of time-slice: lefts route to one slice each,
+    * rights split along their own quantiles, only per-slice boundary
+    * rows carry): it may engage from this fraction of the task budget
+    * instead of 1×. r14 surrendered a measured ~0.8 s rslice win
+    * because the 16M rung's pile priced 4.7% INSIDE the budget and
+    * demoted; a free split's wrong-engage downside is the stats premium
+    * alone, so cheap insurance buys earlier. REPLICATING splits keep
+    * the full budget — their wrong-engage cost is real shuffled bytes
+    * (the r13 2.9× lesson). */
+  val FreeSplitEngageFactor: Double = 0.75
+
+  /** Per-task soft cap for the BOTH-OVERFLOW pricing: a candidate plan
+    * is feasible when its largest projected per-task pile stays within
+    * this multiple of the task budget, and among feasible plans the
+    * cheapest REPLICATION wins. Rationale (measured, r13/r14): one task
+    * sorts a ~300 MB pile in ~2 s — about the cost of shuffling the
+    * same bytes once more — so replication only pays once it removes
+    * task excess several × the budget. The 56M both-hot rung's fixed
+    * 4-way grid shipped ~3 GB of replicas to cure a ~700 MB-per-side
+    * pile and lost 3–4× to plain in most box phases
+    * (tools/ladder_bothhot_repro_r14.csv); a 4 × 256 MiB = 1 GiB task
+    * is within one task's spill-safe range, while past it the grid's
+    * per-task bound is genuine straggler insurance at any scale. */
+  val BothOverflowCapFactor: Int = 4
+
+  /** Ceiling on a derived per-axis fan-out: ⌈pile/budget⌉ is unbounded
+    * as piles grow, and a grid axis multiplies the OTHER side's
+    * replication, so unbounded fan-out is its own scale bug. 64 axes ×
+    * 256 MiB = 16 GiB of pile per axis before the cap binds — past
+    * that the per-task pile grows with the data, the honest statement
+    * that ONE key/bin holding >16 GiB needs a semantic fix (finer
+    * keys), not more salt. */
+  val MaxDerivedSlices: Int = 64
+
+  /** Derived fan-out for one pile: enough slices that each lands at or
+    * under the budget, never fewer than 2 (a 1-way "split" is the plain
+    * plan), capped by [[MaxDerivedSlices]]. */
+  private[operators] def slicesFor(pile: Long, budget: Long): Int =
+    math.min(MaxDerivedSlices.toLong,
+      math.max(2L, (pile + budget - 1) / budget)).toInt
+
   /** THE absolute-volume decision rule, shared verbatim by all three
     * routers (as-of keys, point-in-interval bins, overlap bins) so the
     * demote/ambiguous semantics cannot drift between them:
-    *  - both piles together fit one task → Demote (any split is pure
-    *    replication premium — the r13 24M both-hot rung paid 2.9×);
-    *  - both piles alone overflow → Grid (each side must split);
-    *  - one side alone overflows → split THAT side;
+    *  - both piles together fit the engage threshold → Demote (any
+    *    split is pure replication premium — the r13 24M both-hot rung
+    *    paid 2.9×). The threshold is the budget, except a FREE SplitB
+    *    (`splitBFree`, the as-of slice) engages from
+    *    [[FreeSplitEngageFactor]] × budget — free insurance is worth
+    *    buying before the pile actually overflows;
+    *  - both piles alone overflow → PRICED (r15, closing the r14
+    *    verdict's unpriced-grid gap): derive each axis's fan-out from
+    *    its own pile (⌈pile/budget⌉, not a fixed ×4) and charge every
+    *    candidate — demote-to-plain, one-sided split, 2-D grid — its
+    *    replication premium; feasible = largest projected per-task
+    *    pile within [[BothOverflowCapFactor]] × budget; the cheapest
+    *    premium among feasible wins (per-task pile breaks ties), and
+    *    with nothing feasible the grid's minimal per-task pile is the
+    *    last resort;
+    *  - one side alone overflows → split THAT side at its derived
+    *    fan-out;
     *  - AMBIGUOUS (each fits alone, together they overflow) → split
-    *    the BIGGER side: either orientation's premium is the OTHER
-    *    side's rows, so the smaller pile is the one to replicate/carry
-    *    (tie → SplitB, the slice/point side — the orientation with the
-    *    cheaper premium where the routers' costs differ). */
-  private[operators] def classifyPile(a: Long, b: Long,
-                                      fits: Long => Boolean): PileClass = {
+    *    the BIGGER side at 2 (either orientation's premium is the
+    *    OTHER side's rows, so the smaller pile is the one to
+    *    replicate/carry; tie → SplitB, the slice/point side — the
+    *    orientation with the cheaper premium where the routers' costs
+    *    differ).
+    *
+    * `budget ≤ 0` = the gate is OFF (share-only routing): both-flagged
+    * piles grid at the callers' default dims — the r13 semantics the
+    * forced-mode spec pins and registered engaged queries rely on. */
+  private[operators] def classifyPile(a: Long, b: Long, budget: Long,
+                                      splitBFree: Boolean = false): PileDecision = {
     import PileClass._
-    if (fits(a + b)) Demote
-    else if (!fits(a) && !fits(b)) Grid
-    else if (!fits(a)) SplitA
-    else if (!fits(b)) SplitB
-    else if (a > b) SplitA
-    else SplitB
+    if (budget <= 0L) return PileDecision(Grid)
+    val engageAt =
+      if (splitBFree) math.round(FreeSplitEngageFactor * budget) else budget
+    if (a + b <= budget) {
+      if (splitBFree && a + b > engageAt) PileDecision(SplitB, slicesB = 2)
+      else PileDecision(Demote)
+    } else if (a > budget && b > budget) {
+      val sA = slicesFor(a, budget)
+      val sB = slicesFor(b, budget)
+      val premA = b * (sA - 1)
+      val premB = if (splitBFree) 0L else a * (sB - 1)
+      // (largest per-task pile, premium, decision); the one-sided
+      // per-task piles are conservative upper bounds — the un-split
+      // side is charged whole even where the physical form also
+      // spreads it (the as-of slice routes lefts by ts)
+      val cands = Seq(
+        (a + b, 0L, PileDecision(Demote)),
+        (a / sA + b, premA, PileDecision(SplitA, slicesA = sA, premiumBytes = premA)),
+        (a + b / sB, premB, PileDecision(SplitB, slicesB = sB, premiumBytes = premB)),
+        (a / sA + b / sB, premA + premB,
+          PileDecision(Grid, sA, sB, premA + premB)))
+      val cap = BothOverflowCapFactor.toLong * budget
+      val feasible = cands.filter(_._1 <= cap)
+      if (feasible.nonEmpty) feasible.minBy(c => (c._2, c._1))._3
+      else cands.minBy(c => (c._1, c._2))._3
+    } else if (a > budget) {
+      val s = slicesFor(a, budget)
+      PileDecision(SplitA, slicesA = s, premiumBytes = b * (s - 1))
+    } else if (b > budget) {
+      val s = slicesFor(b, budget)
+      PileDecision(SplitB, slicesB = s,
+        premiumBytes = if (splitBFree) 0L else a * (s - 1))
+    } else if (a > b) PileDecision(SplitA, slicesA = 2, premiumBytes = b)
+    else PileDecision(SplitB, slicesB = 2,
+      premiumBytes = if (splitBFree) 0L else a)
   }
 
   /** Combined-hot-share above which GLOBAL salting beats PARTIAL: when
@@ -541,9 +653,16 @@ object RangeJoin {
                                   saltBuckets: Int = 8,
                                   gridSalt: Int = GridSaltDefault,
                                   saltColsP: Seq[String] = Nil,
-                                  saltColsI: Seq[String] = Nil): DataFrame = {
+                                  saltColsI: Seq[String] = Nil,
+                                  gridSaltA: Int = 0,
+                                  gridSaltB: Int = 0): DataFrame = {
     require(iHotBins.nonEmpty || pHotBins.nonEmpty || gridBins.nonEmpty,
       "routed salting needs a non-empty hot-bin list")
+    // r15: the grid's two axes take their own fan-outs (derived from
+    // each side's own pile by the auto router — ⌈pile/budget⌉, not a
+    // fixed square); 0 keeps the legacy symmetric `gridSalt`
+    val gA = if (gridSaltA > 0) gridSaltA else gridSalt // point-hash axis
+    val gB = if (gridSaltB > 0) gridSaltB else gridSalt // interval-hash axis
     val pts = points.withColumn("__bin", binIdx(magnitude(points, pointCol), binWidth))
     val ivs = intervals
       .filter(col(startCol) < col(endCol))
@@ -551,9 +670,9 @@ object RangeJoin {
     def in(bins: Seq[Any]) =
       if (bins.isEmpty) lit(false) else col("__bin").isin(bins: _*)
     val pHash = pmod(xxhash64(saltHashCols(points, saltColsP): _*), lit(saltBuckets)).cast("int")
-    val pHashG = pmod(xxhash64(saltHashCols(points, saltColsP): _*), lit(gridSalt)).cast("int")
+    val pHashG = pmod(xxhash64(saltHashCols(points, saltColsP): _*), lit(gA)).cast("int")
     val iHash = pmod(xxhash64(saltHashCols(intervals, saltColsI): _*), lit(saltBuckets)).cast("int")
-    val iHashG = pmod(xxhash64(saltHashCols(intervals, saltColsI): _*), lit(gridSalt)).cast("int")
+    val iHashG = pmod(xxhash64(saltHashCols(intervals, saltColsI): _*), lit(gB)).cast("int")
     def spread(n: Int) = sequence(lit(0), lit(n - 1))
     val one = array(lit(0))
     val p2 = pts
@@ -561,11 +680,11 @@ object RangeJoin {
         when(in(pHotBins), pHash).when(in(gridBins), pHashG).otherwise(lit(0)))
       .withColumn("__salt_b", explode(
         when(in(iHotBins), spread(saltBuckets))
-          .when(in(gridBins), spread(gridSalt)).otherwise(one)))
+          .when(in(gridBins), spread(gB)).otherwise(one)))
     val i2 = ivs
       .withColumn("__salt_a", explode(
         when(in(pHotBins), spread(saltBuckets))
-          .when(in(gridBins), spread(gridSalt)).otherwise(one)))
+          .when(in(gridBins), spread(gA)).otherwise(one)))
       .withColumn("__salt_b",
         when(in(iHotBins), iHash).when(in(gridBins), iHashG).otherwise(lit(0)))
     p2.join(i2, Seq("__bin", "__salt_a", "__salt_b"))
@@ -761,7 +880,6 @@ object RangeJoin {
     // at real octet length); schema estimate only on empty samples.
     val wI = if (iMeasuredW > 0) math.round(iMeasuredW) else estRowBytes(intervals)
     val wP = if (pStats.avgWidth > 0) math.round(pStats.avgWidth) else estRowBytes(points)
-    def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
     // the byte gate needs BOTH piles measured; an unmeasurable
     // (streaming) point side falls back to share routing below — no
     // demotion on a pile whose other half is unknowable
@@ -777,6 +895,13 @@ object RangeJoin {
       math.round(counts.getOrElse(b, 0L) / math.min(1.0, fracUsed)) * width
     val iB = Seq.newBuilder[Any]; val pB = Seq.newBuilder[Any]
     val gB = Seq.newBuilder[Any]; val dB = Seq.newBuilder[Any]
+    // derived fan-outs + per-bin piles for the r15 priced receipt: the
+    // executed fan-out per axis is the MAX of its bins' derived needs
+    // (⌈pile/budget⌉ — classifyPile), so pricing matches execution
+    var oneSidedFan = 0 // the routed form's one knob for both orientations
+    var gridFanP = 0    // point-hash axis (axis A of the routed form)
+    var gridFanI = 0    // interval-hash axis (axis B)
+    val pileOf = scala.collection.mutable.Map.empty[Any, (Long, Long)]
     union.foreach { b =>
       if (!gateActive) {
         val inI = iStats.hot.contains(b); val inP = pStats.hot.contains(b)
@@ -784,16 +909,28 @@ object RangeJoin {
       } else {
         val ib = estBytes(iCounts, b, iFraction, wI)
         val pb = estBytes(pCounts, b, pFraction, wP)
-        classifyPile(ib, pb, fits) match {
+        pileOf(b) = (ib, pb)
+        val d = classifyPile(ib, pb, taskAbsorbBytes)
+        d.cls match {
           case PileClass.Demote => dB += b
-          case PileClass.Grid => gB += b
-          case PileClass.SplitA => iB += b // the interval pile splits
-          case PileClass.SplitB => pB += b // the point pile splits
+          case PileClass.Grid =>
+            gB += b
+            gridFanI = math.max(gridFanI, d.slicesA)
+            gridFanP = math.max(gridFanP, d.slicesB)
+          case PileClass.SplitA => // the interval pile splits
+            iB += b; oneSidedFan = math.max(oneSidedFan, d.slicesA)
+          case PileClass.SplitB => // the point pile splits
+            pB += b; oneSidedFan = math.max(oneSidedFan, d.slicesB)
         }
       }
     }
     val (iOriented, pOriented, gridBins, demoted) =
       (iB.result(), pB.result(), gB.result(), dB.result())
+    // executed fan-outs: derived when the gate priced the piles, the
+    // callers' fixed defaults in share-only mode
+    val saltUse = if (oneSidedFan > 0) oneSidedFan else saltBuckets
+    val gridPUse = if (gridFanP > 0) gridFanP else GridSaltDefault
+    val gridIUse = if (gridFanI > 0) gridFanI else GridSaltDefault
     // plan ladder: all demoted → plain; an interval-only burst owning
     // most of the join → ONE uniformly salted exec (the r12 global
     // form — the per-bin isin routing buys nothing when nearly every
@@ -804,17 +941,41 @@ object RangeJoin {
       else if (pOriented.isEmpty && gridBins.isEmpty &&
         iStats.shareOf(iOriented.toSet) >= GlobalSaltCutover) "global"
       else "partial"
+    // priced premium of the chosen plan (projected extra shuffled
+    // bytes at the executed fan-outs); global replicates EVERY point
+    // across the salt, not just the hot bins' — priced accordingly
+    def pileI(b: Any) = pileOf.getOrElse(b, (0L, 0L))._1
+    def pileP(b: Any) = pileOf.getOrElse(b, (0L, 0L))._2
+    val premium = mode match {
+      case "global" if gateActive =>
+        estimateFullRows(pStats.sampledRows, pFraction) * wP * (saltUse - 1)
+      case "partial" =>
+        iOriented.map(b => pileP(b) * (saltUse - 1)).sum +
+          pOriented.map(b => pileI(b) * (saltUse - 1)).sum +
+          gridBins.map(b =>
+            pileP(b) * (gridIUse - 1) + pileI(b) * (gridPUse - 1)).sum
+      case _ => 0L
+    }
     val df = mode match {
       case "global" =>
-        pointInIntervalSalted(points, pointCol, intervals, startCol, endCol, w, saltBuckets)
+        pointInIntervalSalted(points, pointCol, intervals, startCol, endCol, w, saltUse)
       case "partial" =>
         pointInIntervalSaltedRouted(points, pointCol, intervals, startCol, endCol,
-          iOriented, pOriented, gridBins, w, saltBuckets)
+          iOriented, pOriented, gridBins, w, saltUse,
+          gridSaltA = gridPUse, gridSaltB = gridIUse)
       case _ =>
         pointInInterval(points, pointCol, intervals, startCol, endCol, w)
     }
+    val (recA, recB) = mode match {
+      case "plain" => (0, 0)
+      case _ => (
+        math.max(if (iOriented.nonEmpty || mode == "global") saltUse else 0,
+          if (gridBins.nonEmpty) gridIUse else 0),
+        math.max(if (pOriented.nonEmpty) saltUse else 0,
+          if (gridBins.nonEmpty) gridPUse else 0))
+    }
     (df, AutoRangeStats(w, maxShare, mode != "plain", union, mode,
-      pOriented, gridBins, demoted))
+      pOriented, gridBins, demoted, recA, recB, premium))
   }
 
   /** [[intervalOverlap]] with the FULL engine-selected ladder (round 13,
@@ -965,7 +1126,6 @@ object RangeJoin {
     // forced-mode pins rely on.
     val wL = if (lMeasuredW > 0) math.round(lMeasuredW) else estRowBytes(left)
     val wR = if (rMeasuredW > 0) math.round(rMeasuredW) else estRowBytes(right)
-    def fits(b: Long) = taskAbsorbBytes > 0L && b <= taskAbsorbBytes
     val (lCounts, rCounts) =
       if (taskAbsorbBytes <= 0L) (Map.empty[Any, Long], Map.empty[Any, Long])
       else {
@@ -977,6 +1137,12 @@ object RangeJoin {
       math.round(counts.getOrElse(b, 0L) / math.min(1.0, fracUsed)) * width
     val lB = Seq.newBuilder[Any]; val rB = Seq.newBuilder[Any]
     val gB = Seq.newBuilder[Any]; val dB = Seq.newBuilder[Any]
+    // derived fan-outs + per-bin piles for the r15 priced receipt:
+    // saltA hashes lefts (serving both the left-one-sided bins and the
+    // grid's left axis), saltB the mirror — each axis's executed
+    // fan-out is the MAX of its bins' derived needs
+    var fanL = 0; var fanR = 0
+    val pileOf = scala.collection.mutable.Map.empty[Any, (Long, Long)]
     hot.foreach { b =>
       if (taskAbsorbBytes <= 0L) {
         val inL = ls.hot.contains(b); val inR = rs.hot.contains(b)
@@ -984,16 +1150,27 @@ object RangeJoin {
       } else {
         val lb = estBytes(lCounts, b, lFraction, wL)
         val rb = estBytes(rCounts, b, rFraction, wR)
-        classifyPile(lb, rb, fits) match {
+        pileOf(b) = (lb, rb)
+        val d = classifyPile(lb, rb, taskAbsorbBytes)
+        d.cls match {
           case PileClass.Demote => dB += b
-          case PileClass.Grid => gB += b
-          case PileClass.SplitA => lB += b // the left pile splits
-          case PileClass.SplitB => rB += b // the right pile splits
+          case PileClass.Grid =>
+            gB += b
+            fanL = math.max(fanL, d.slicesA); fanR = math.max(fanR, d.slicesB)
+          case PileClass.SplitA => // the left pile splits
+            lB += b; fanL = math.max(fanL, d.slicesA)
+          case PileClass.SplitB => // the right pile splits
+            rB += b; fanR = math.max(fanR, d.slicesB)
         }
       }
     }
     val (lOriented, rOriented, gridBins, demoted) =
       (lB.result(), rB.result(), gB.result(), dB.result())
+    // executed fan-outs: derived when the gate priced the piles (a
+    // never-split axis keeps fan-out 1 — replication across it is
+    // free), the callers' defaults in share-only mode
+    val saltAUse = if (taskAbsorbBytes > 0L) math.max(1, fanL) else saltA
+    val saltBUse = if (taskAbsorbBytes > 0L) math.max(1, fanR) else saltB
     // GLOBAL (uniform grid over every bin) only pays when a BOTH-HOT
     // bin — both sides piling up together, each past the task budget —
     // carries most of the join; a one-sided pile, however large its
@@ -1007,22 +1184,42 @@ object RangeJoin {
       else if (gridSet.nonEmpty &&
         math.max(ls.shareOf(gridSet), rs.shareOf(gridSet)) >= GlobalSaltCutover) "global"
       else "partial"
+    // priced premium at the executed fan-outs: a bin whose lefts hash
+    // ÷saltA ships (saltA−1) extra copies of its RIGHT pile (and the
+    // mirror); the global form replicates EVERY row, not just the hot
+    // bins' — priced on the sampled totals
+    def pileL(b: Any) = pileOf.getOrElse(b, (0L, 0L))._1
+    def pileR(b: Any) = pileOf.getOrElse(b, (0L, 0L))._2
+    val premium = mode match {
+      case "global" if taskAbsorbBytes > 0L =>
+        estimateFullRows(ln, sampleFraction) * wL * (saltBUse - 1) +
+          estimateFullRows(rn, sampleFraction) * wR * (saltAUse - 1)
+      case "partial" =>
+        lOriented.map(b => pileR(b) * (saltAUse - 1)).sum +
+          rOriented.map(b => pileL(b) * (saltBUse - 1)).sum +
+          gridBins.map(b =>
+            pileR(b) * (saltAUse - 1) + pileL(b) * (saltBUse - 1)).sum
+      case _ => 0L
+    }
     val df = mode match {
       case "global" =>
-        intervalOverlapSalted(left, lStart, lEnd, right, rStart, rEnd, w, saltA, saltB)
+        intervalOverlapSalted(left, lStart, lEnd, right, rStart, rEnd, w,
+          saltAUse, saltBUse)
       case "partial" =>
         // membership drives the salt expressions' orientation: a bin in
         // the LEFT list hash-splits lefts, in the RIGHT list rights, in
         // both the 2-D grid — so grid-classified bins go on both lists
         intervalOverlapSaltedPartial(left, lStart, lEnd, right, rStart, rEnd,
-          lOriented ++ gridBins, rOriented ++ gridBins, w, saltA, saltB)
+          lOriented ++ gridBins, rOriented ++ gridBins, w, saltAUse, saltBUse)
       case _ =>
         intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w)
     }
     // pointHotBins carries the right-oriented bins here (the slot's
     // meaning generalizes: "bins whose split hashes the OTHER side")
     (df, AutoRangeStats(w, maxShare, mode != "plain", hot, mode,
-      rOriented, gridBins, demoted))
+      rOriented, gridBins, demoted,
+      if (mode == "plain") 0 else saltAUse,
+      if (mode == "plain") 0 else saltBUse, premium))
   }
 
   /** Interval-overlap join: pairs with a POSITIVE overlap between

@@ -223,33 +223,18 @@ object LadderScale {
     // rows (the million-quotes-one-symbol regime) against a 1M-row left
     // that touches the key sparsely — under the plain merge the hot
     // key's ENTIRE right pile shuffles to and sorts on ONE partition;
-    // salting could only replicate that pile. Since r14 the
-    // absolute-volume gate reads this pile as 8M × 32 B = 256 MB —
-    // just INSIDE the 256 MiB task budget — so the receipt is
-    // mode=plain (demoted, the borderline case priced honestly: at
-    // local[32] Tungsten radix-sorts the one-task pile in seconds, and
-    // the r13 rslice win over plain was ~0.8 s on a ~4.7 s join). One
-    // more doubling puts the pile past the budget and the router
-    // slices — the bothhot_big rung proves the escalation arm. Sides
-    // go through parquet like the overlap synth — the stats pass reads
-    // a sampled pruned scan, the production shape.
+    // salting could only replicate that pile. The absolute-volume gate
+    // reads this pile as 8M × 32 B = 256 MB — 4.7% INSIDE the 256 MiB
+    // budget. r14 demoted it (mode=plain), surrendering the measured
+    // ~0.8 s rslice win; since r15 the FREE time-slice engages from
+    // ¾ × budget (it replicates nothing — its wrong-engage downside is
+    // the stats premium alone), so the receipt is mode=rslice and the
+    // rung must track-or-beat plain under the paired A/B protocol
+    // (graft.ABLadder). Sides go through parquet like the overlap
+    // synth — the stats pass reads a sampled pruned scan, the
+    // production shape.
     if (enabled("asof_synth_righthot_16M")) {
-      val hot = 777L
-      val epoch = "to_timestamp('2024-01-01 00:00:00')"
-      spark.range(16000000L).select(
-          when(col("id") % 2 === 0, lit(hot))
-            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
-          expr(s"timestamp_micros(unix_micros($epoch) + id * 1000000)").as("t"),
-          col("id").as("pid"))
-        .write.parquet(s"$scratch/synth_asof_r.parquet")
-      spark.range(1000000L).select(
-          col("id").as("lid"),
-          when(col("id") % 200 === 0, lit(hot))
-            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
-          expr(s"timestamp_micros(unix_micros($epoch) + id * 16000000)").as("t"))
-        .write.parquet(s"$scratch/synth_asof_l.parquet")
-      val lSyn = spark.read.parquet(s"$scratch/synth_asof_l.parquet")
-      val rSyn = spark.read.parquet(s"$scratch/synth_asof_r.parquet")
+      val (lSyn, rSyn) = SynthRungs.rightHot16M(spark, scratch.toString)
       var mode = "?"
       def auto: DataFrame = {
         val (df, st) = AsOfJoin.asofJoinAutoStats(lSyn, rSyn, "k", "t",
@@ -304,32 +289,22 @@ object LadderScale {
       println(f"asof_synth_bothhot_24M,1,$pSec%.2f,$aSec%.2f,$mode,${pN == aN}")
       Console.flush()
     }
-    // SYNTHESIZED both-hot PAST the task budget on BOTH sides (r14):
-    // the 24M rung's piles (77 MB left / 256 MB right at 32 B/row) sit
-    // under the 256 MiB budget, so the absolute-volume gate must now
-    // demote it off the grid (ambiguous → split the bigger side →
-    // rslice). THIS rung scales the same shape to 32M×24M rows — hot
-    // piles 9.6M×32 B = 307 MB left and 12M×32 B = 384 MB right, each
-    // past what one task may absorb — so the router must still pick
-    // the 2-D grid: the regime where the grid's ×salt replication is
-    // insurance actually needed on both axes.
+    // SYNTHESIZED both-hot PAST the task budget on BOTH sides: hot
+    // piles 9.6M×32 B = 307 MB left and 12M×32 B = 384 MB right at
+    // 32M×24M rows, each past what one task may absorb. r14 escalated
+    // this to the FIXED 4-way grid unconditionally — ~96M extra
+    // shuffled rows whose wall-clock lost 3–4× to plain in most box
+    // phases (tools/ladder_bothhot_repro_r14.csv). Since r15 the
+    // both-overflow class is PRICED (RangeJoin.classifyPile): the
+    // zero-premium time-slice's per-task pile (307 MB + 384/2 MB ≈
+    // 499 MB) sits inside the 4×-budget cap, so the receipt is
+    // mode=rslice with premiumBytes=0 — the grid engages only once no
+    // replication-free candidate can bound the task (piles past
+    // ~4 × 256 MiB), at dims derived ⌈pile/budget⌉ per axis. The rung
+    // must beat both plain and the forced grid under the paired A/B
+    // protocol (graft.ABLadder).
     if (enabled("asof_synth_bothhot_big")) {
-      val hot = 777L
-      val epoch = "to_timestamp('2024-01-01 00:00:00')"
-      spark.range(24000000L).select(
-          when(col("id") % 2 === 0, lit(hot))
-            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
-          expr(s"timestamp_micros(unix_micros($epoch) + id * 1000000)").as("t"),
-          col("id").as("pid"))
-        .write.parquet(s"$scratch/synth_bhb_r.parquet")
-      spark.range(32000000L).select(
-          col("id").as("lid"),
-          when(col("id") % 10 < 3, lit(hot))
-            .otherwise(pmod(col("id"), lit(1000)) + 10000L).as("k"),
-          expr(s"timestamp_micros(unix_micros($epoch) + id * 2000000)").as("t"))
-        .write.parquet(s"$scratch/synth_bhb_l.parquet")
-      val lSyn = spark.read.parquet(s"$scratch/synth_bhb_l.parquet")
-      val rSyn = spark.read.parquet(s"$scratch/synth_bhb_r.parquet")
+      val (lSyn, rSyn) = SynthRungs.bothHotBig56M(spark, scratch.toString)
       var mode = "?"
       def auto: DataFrame = {
         val (df, st) = AsOfJoin.asofJoinAutoStats(lSyn, rSyn, "k", "t",

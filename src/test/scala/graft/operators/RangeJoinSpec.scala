@@ -775,4 +775,117 @@ class RangeJoinSpec extends SparkSuite {
     assert(decSkew.mode === "global", s"the bursty call's receipt must salt ($decSkew)")
     assert(decUni.mode === "plain", s"the uniform call's receipt must not ($decUni)")
   }
+
+  test("classifyPile (r15): hysteresis band, derived dims, and the priced both-overflow class") {
+    import RangeJoin.{classifyPile, PileClass}
+    val B = 10000L
+    // under the budget: demote at 1× for replicating routers…
+    assert(classifyPile(4000, 5000, B).cls === PileClass.Demote)
+    // …but a FREE SplitB engages inside the hysteresis band (¾ B, B]
+    // and still demotes under it
+    val band = classifyPile(4000, 5000, B, splitBFree = true)
+    assert(band.cls === PileClass.SplitB && band.premiumBytes === 0L, s"($band)")
+    assert(classifyPile(3000, 4000, B, splitBFree = true).cls === PileClass.Demote)
+    // one side alone overflows → split it at its derived fan-out,
+    // premium = the other pile × (fan-out − 1)
+    val d1 = classifyPile(25000, 2000, B)
+    assert(d1.cls === PileClass.SplitA && d1.slicesA === 3 &&
+      d1.premiumBytes === 4000L, s"($d1)")
+    // ambiguous (each fits, together overflow) → split the bigger side
+    assert(classifyPile(7000, 6000, B).cls === PileClass.SplitA)
+    assert(classifyPile(6000, 7000, B).cls === PileClass.SplitB)
+    // BOTH-OVERFLOW, replicating router: a modest pile pair demotes to
+    // plain — the cheapest premium within the 4× cap (the 56M grid
+    // rung's lesson, priced instead of escalating unconditionally)
+    assert(classifyPile(12000, 12000, B).cls === PileClass.Demote)
+    // both-overflow where plain is infeasible but a one-sided split
+    // is: the cheaper premium wins over the grid
+    val d2 = classifyPile(45000, 12000, B)
+    assert(d2.cls === PileClass.SplitA && d2.slicesA === 5 &&
+      d2.premiumBytes === 48000L, s"($d2)")
+    // both-overflow with a FREE SplitB: zero-premium insurance
+    // undercuts plain (tie on premium → smaller per-task pile)
+    val d3 = classifyPile(12000, 16000, B, splitBFree = true)
+    assert(d3.cls === PileClass.SplitB && d3.slicesB === 2 &&
+      d3.premiumBytes === 0L, s"($d3)")
+    // nothing fits the 4× cap → the grid's minimal per-task pile is
+    // the last resort, dims derived per axis, premium priced
+    val d4 = classifyPile(48000, 48000, B)
+    assert(d4.cls === PileClass.Grid && d4.slicesA === 5 && d4.slicesB === 5 &&
+      d4.premiumBytes === 48000L * 4 * 2, s"($d4)")
+    // share-only mode (budget ≤ 0): legacy grid routing, no dims
+    assert(classifyPile(1, 1, 0L).cls === PileClass.Grid)
+  }
+
+  test("both-overflow overlap: modest piles DEMOTE to plain under the priced rule (r15)") {
+    // both bins' piles exceed the task budget, but together they sit
+    // inside the 4× cap — r14 escalated this to the fixed 4×4 grid
+    // unconditionally (the 56M rung paid 3–4× in most box phases);
+    // the priced rule keeps plain and receipts the demotion
+    val W = 60000000L
+    def side(idCol: String, sCol: String, eCol: String, hot: Int, cold: Int) = {
+      val base = spark.range(hot + cold).select(
+        col("id").as(idCol),
+        when(col("id") < hot, to_timestamp(lit("2024-01-15 12:00:00")))
+          .otherwise(timestamp_micros(
+            unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))) +
+              col("id") * 100000000L)).as(sCol))
+      base.withColumn(eCol, timestamp_micros(unix_micros(col(sCol)) + 1000000L))
+    }
+    val l = side("w_id", "w_start", "w_end", hot = 400, cold = 600)
+    val r = side("e_id", "e_start", "e_end", hot = 400, cold = 600)
+    // piles: 400 × 32 B = 12.8 kB each, both past the 10 kB budget;
+    // plain's one task takes 25.6 kB ≤ 40 kB cap at zero premium
+    val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end",
+      binWidth = Some(W), minFullRows = 0L, taskAbsorbBytes = 10000L)
+    assert(dec.mode === "plain" && dec.demoted.nonEmpty,
+      s"a both-overflow pile inside the cap must demote, receipted ($dec)")
+    assert(dec.premiumBytes === 0L && dec.slicesA === 0 && dec.slicesB === 0,
+      s"a plain plan ships no replicas ($dec)")
+    val autoRows = auto.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", W)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty)
+  }
+
+  test("both-overflow overlap past the cap: the grid engages at DERIVED dims with a priced premium (r15)") {
+    // each side's pile (1500 × 32 B = 48 kB) is past the 4× cap for
+    // every non-grid candidate, so the grid is genuine insurance — at
+    // ⌈48k/10k⌉ = 5 slices per axis (not the fixed 4), premium =
+    // 48 kB × 4 extra copies per side
+    val W = 60000000L
+    def side(idCol: String, sCol: String, eCol: String, hot: Int, cold: Int) = {
+      val base = spark.range(hot + cold).select(
+        col("id").as(idCol),
+        when(col("id") < hot, to_timestamp(lit("2024-01-15 12:00:00")))
+          .otherwise(timestamp_micros(
+            unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))) +
+              col("id") * 100000000L)).as(sCol))
+      base.withColumn(eCol, timestamp_micros(unix_micros(col(sCol)) + 1000000L))
+    }
+    // hot share 1500/5500 ≈ 0.27 < GlobalSaltCutover → partial routing
+    val l = side("w_id", "w_start", "w_end", hot = 1500, cold = 4000)
+    val r = side("e_id", "e_start", "e_end", hot = 1500, cold = 4000)
+    val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end",
+      binWidth = Some(W), minFullRows = 0L, taskAbsorbBytes = 10000L)
+    assert(dec.mode === "partial" && dec.gridBins.nonEmpty && dec.demoted.isEmpty,
+      s"piles past the cap must take the grid ($dec)")
+    assert(dec.slicesA === 5 && dec.slicesB === 5,
+      s"grid dims must be derived from the piles, ⌈48k/10k⌉ = 5 ($dec)")
+    assert(dec.premiumBytes === 48000L * 4 * 2,
+      s"the receipt must price the grid's replication ($dec)")
+    val autoRows = auto.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", W)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty,
+      "the derived-dims grid must never change the pair set")
+  }
 }

@@ -1092,4 +1092,103 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
     assert(a.toSeq === c.toSeq)
   }
+
+  // ---- r15: hysteresis band + priced both-overflow --------------------
+
+  /** Right-hot fixture with EXACT byte arithmetic: widths are 32 B/row
+    * on both sides and every sampled pass falls back to the full frame
+    * (fixtures < MinStatsRows at 10%), so the gate's piles are exact. */
+  private def rightHotSides(lRows: Int, rHot: Int, rCold: Int) = {
+    val left = spark.range(lRows).select(
+      col("id").as("lid"),
+      (col("id") % 500 + 1000L).as("k"),
+      (col("id") * 1000L).as("t"))
+    val right = spark.range(rHot + rCold).select(
+      when(col("id") < rHot, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 37L % 2000000L).as("t"), col("id").as("pid"))
+    (left, right)
+  }
+
+  private def rowsMatchPlain(autoDf: org.apache.spark.sql.DataFrame,
+                             left: org.apache.spark.sql.DataFrame,
+                             right: org.apache.spark.sql.DataFrame): Unit = {
+    val auto = autoDf.select("lid", "asof_pid").orderBy("lid").collect()
+    val plain = AsOfJoin.asofJoinNative(left, right, "k", "t", Seq("pid"),
+        tieBreak = Some("pid"), broadcast = Some(false))
+      .select("lid", "asof_pid").orderBy("lid").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("hysteresis (r15): the FREE rslice engages inside (¾·budget, budget] — and still demotes under it") {
+    // the r14 16M-rung lesson: the right pile priced 4.7% INSIDE the
+    // budget and demoted, surrendering a measured ~0.8 s rslice win.
+    // The time-slice replicates nothing, so it may engage early; the
+    // pile here is rB + lUpper = 500×32 + ⌈0.2×500⌉×32 = 19 200 B.
+    val (left, right) = rightHotSides(lRows = 500, rHot = 500, rCold = 1500)
+    // budget 25 000: pile in the band (18 750, 25 000] → rslice
+    val (inBand, decBand) = AsOfJoin.asofJoinAutoStats(left, right, "k", "t",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L,
+      taskAbsorbBytes = 25000L)
+    assert(decBand.mode === "rslice" && decBand.slicedKeys === Seq(77L),
+      s"a pile inside the band must take the free slice ($decBand)")
+    assert(decBand.premiumBytes === 0L && decBand.slicesB > 0,
+      s"the free slice ships no replicas ($decBand)")
+    rowsMatchPlain(inBand, left, right)
+    // budget 30 000: the pile sits under ¾ of it → demote, receipted
+    val (below, decBelow) = AsOfJoin.asofJoinAutoStats(left, right, "k", "t",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L,
+      taskAbsorbBytes = 30000L)
+    assert(decBelow.mode === "plain" && decBelow.demotedKeys === Seq(77L),
+      s"under ¾ of the budget the demote must hold ($decBelow)")
+    rowsMatchPlain(below, left, right)
+  }
+
+  test("both-overflow as-of (r15): the FREE rslice undercuts the grid — zero premium, receipted") {
+    // both piles exceed the budget (19 200 and 22 400 vs 15 000), and
+    // r14 would grid unconditionally; the priced rule picks the
+    // zero-premium time-slice (per-task 30 400 B inside the 4× cap)
+    val left = spark.range(2000).select(
+      col("id").as("lid"),
+      when(col("id") < 600, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 1000L).as("t"))
+    val right = spark.range(2000).select(
+      when(col("id") < 700, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 37L % 2000000L).as("t"), col("id").as("pid"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(left, right, "k", "t",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L,
+      taskAbsorbBytes = 15000L)
+    assert(dec.mode === "rslice" && dec.slicedKeys === Seq(77L) &&
+      dec.griddedKeys.isEmpty,
+      s"the free split must undercut the grid in both-overflow ($dec)")
+    assert(dec.premiumBytes === 0L, s"rslice ships no replicas ($dec)")
+    rowsMatchPlain(autoDf, left, right)
+  }
+
+  test("both-overflow as-of past the cap (r15): the grid engages at DERIVED dims with a priced premium") {
+    // piles 80 000 B per side vs budget 15 000: plain (160 000) and
+    // both one-sided forms (≥ 93 334) exceed the 4× cap = 60 000, so
+    // the grid is genuine insurance — salt axis ⌈80k/15k⌉ = 6 (not the
+    // fixed 4), premium = the right pile × 5 extra salt copies
+    val left = spark.range(8000).select(
+      col("id").as("lid"),
+      when(col("id") < 2500, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 1000L).as("t"))
+    val right = spark.range(8000).select(
+      when(col("id") < 2500, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 37L % 2000000L).as("t"), col("id").as("pid"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(left, right, "k", "t",
+      Seq("pid"), tieBreak = Some("pid"), minFullRows = 0L,
+      taskAbsorbBytes = 15000L)
+    assert(dec.mode === "grid" && dec.griddedKeys === Seq(77L),
+      s"piles past the cap must take the grid ($dec)")
+    assert(dec.slicesA === 6,
+      s"the grid's salt axis must be derived from the pile ($dec)")
+    assert(dec.premiumBytes === 80000L * 5,
+      s"the receipt must price the grid's replication ($dec)")
+    val p = finalPlan(autoDf)
+    assert(p.contains("__slice") && p.contains("__asof_salt"),
+      "the grid plan must join on (key, salt, slice)")
+    rowsMatchPlain(autoDf, left, right)
+  }
 }

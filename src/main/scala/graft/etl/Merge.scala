@@ -50,6 +50,15 @@ object Merge {
       source: DataFrame,
       keys: Seq[String],
       partitionCol: String): Unit = {
+    // CONCURRENT-WRITER detect-and-fail (r15): optimistic concurrency
+    // on the store's epoch counter. Read the base epoch BEFORE reading
+    // the table; the claim of base+1 happens below, after staging and
+    // before the first partition rename — a second writer whose merge
+    // was computed against this same base loses the atomic create and
+    // aborts without touching any partition (Delta gives reference
+    // users this via its log; plain parquet stores carry epoch files
+    // instead). Serial writers all succeed.
+    val baseEpoch = graft.sources.CommitMarker.currentEpoch(spark, targetDir)
     val target = spark.read.parquet(targetDir)
     val sourceParts = source.select(partitionCol).distinct()
     val movedParts = target
@@ -65,12 +74,27 @@ object Merge {
     // files its plan reads. This collect is partition *metadata* (one
     // value per touched partition), not data.
     val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
-    val staging = targetDir.stripSuffix("/") + "__staging"
+    // staging is per-writer (r15): two concurrent writers sharing one
+    // fixed staging dir would clobber each other BEFORE the epoch claim
+    // can arbitrate; a crashed writer's orphan staging dir is inert (a
+    // sibling path no reader ever lists) and the next successful merge
+    // of the same epoch never sees it
+    val staging = targetDir.stripSuffix("/") + "__staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
     import org.apache.hadoop.fs.Path
     val stagingPath = new Path(staging)
+    // publish gate: claim epoch base+1 now that the merge is staged —
+    // throws ConcurrentWriteException (staging cleaned up, target
+    // untouched) when any writer committed since our base read
+    try graft.sources.CommitMarker.claimEpochFrom(spark, targetDir, baseEpoch)
+    catch {
+      case e: graft.sources.CommitMarker.ConcurrentWriteException =>
+        fs.delete(stagingPath, true)
+        throw e
+    }
     val stagingDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
     val stagingNames = stagingDirs.map(_.getPath.getName).toSet
     stagingDirs.foreach { st =>

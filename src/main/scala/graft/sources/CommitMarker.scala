@@ -39,6 +39,18 @@ import org.apache.spark.sql.SparkSession
 object CommitMarker {
 
   private val MarkerFile = "_GRAFT_COMMITTED"
+  private val EpochPrefix = "_GRAFT_EPOCH_"
+
+  /** Runtime conf key: `true` makes the streaming mergeSink FAIL (rather
+    * than warn) when its bootstrap branch meets a NON-EMPTY directory
+    * that carries no commit marker — see [[unmarkedNonEmpty]]. */
+  val FailOnUnmarkedKey = "graft.merge.failOnUnmarkedNonEmpty"
+
+  /** A second writer raced this one to the store's next epoch — its
+    * MERGE aborted BEFORE touching any partition. The store holds the
+    * winner's merge; rerun to apply this writer's changes on top. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
 
   /** Store readiness: `_SUCCESS` (when the committer writes one) OR the
     * engine's own marker, probed through the path's own FileSystem. */
@@ -55,5 +67,81 @@ object CommitMarker {
   def mark(spark: SparkSession, store: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(store, MarkerFile)
     p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true).close()
+  }
+
+  /** Bootstrap-overwrite guard (r14 ADVICE): a directory that is
+    * NON-EMPTY yet carries neither `_SUCCESS` nor the engine marker is
+    * ambiguous — either a half-written bootstrap (whose retry SHOULD
+    * overwrite) or a pre-marker merged store under
+    * `marksuccessfuljobs=false` (whose overwrite DESTROYS merged
+    * state). The engine cannot tell them apart, so the caller must
+    * surface the ambiguity before taking the destructive branch:
+    * loudly by default, fatally under [[FailOnUnmarkedKey]]. The
+    * one-line adoption step for a known-good store is `mark(store)`
+    * (touch `_GRAFT_COMMITTED`). */
+  def unmarkedNonEmpty(spark: SparkSession, store: String): Boolean = {
+    if (committed(spark, store)) return false
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Highest claimed epoch of the store (0 when none). */
+  def currentEpoch(spark: SparkSession, store: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(EpochPrefix))
+      .map(_.stripPrefix(EpochPrefix).toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** OPTIMISTIC-CONCURRENCY claim of the store's next epoch (r14
+    * verdict #5 — the one lakehouse semantic still narrower than
+    * Delta's). Protocol, mirroring Delta's log commit on plain files:
+    * a writer reads [[currentEpoch]] as `base` BEFORE reading the
+    * table, stages its merge, and calls this with that base just
+    * before publishing — the atomic `create(overwrite = false)` of
+    * `_GRAFT_EPOCH_{base+1}` is the same create-exclusive primitive
+    * Delta's protocol rides. If ANY other writer committed after this
+    * one's base read, the file exists and the claim throws
+    * [[ConcurrentWriteException]] BEFORE any partition is touched —
+    * a merge computed against a stale table can never publish (silent
+    * last-writer-wins becomes detect-and-fail). Serial writers each
+    * claim the next epoch and all succeed; a writer that crashes after
+    * claiming leaves only a stale epoch file, and its retry claims the
+    * next epoch and re-applies the idempotent merge.
+    *
+    * Residual window, documented scope: the publish itself (per-
+    * partition directory renames) is not atomic, so a writer whose
+    * base read lands MID-publish of the winner sees a torn table yet a
+    * fresh epoch — the same non-atomic-swap exposure the store always
+    * had for readers. Closing it takes an atomic log (Delta); the
+    * epoch claim closes the whole compute-while-stale class above it.
+    *
+    * The winner prunes epoch files older than its base (bounded
+    * metadata, never data). */
+  def claimEpochFrom(spark: SparkSession, store: String, base: Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val next = base + 1
+    val p = new org.apache.hadoop.fs.Path(store, s"$EpochPrefix$next")
+    val fs = p.getFileSystem(conf)
+    try fs.create(p, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new ConcurrentWriteException(
+          s"another writer committed epoch $next of $store after this " +
+            s"writer read epoch $base — this MERGE aborted before touching " +
+            s"any partition; rerun to apply it on top of the winner's " +
+            s"state (${e.getMessage})")
+    }
+    if (base > 1)
+      (1L until base).foreach { e =>
+        val old = new org.apache.hadoop.fs.Path(store, s"$EpochPrefix$e")
+        if (fs.exists(old)) fs.delete(old, false)
+      }
+    next
   }
 }

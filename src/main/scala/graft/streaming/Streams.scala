@@ -194,6 +194,26 @@ object Streams {
         val spark = batch.sparkSession
         val latest = graft.etl.Dedup.keepLatest(batch, keys, Seq(col(tsCol)))
         if (!graft.sources.CommitMarker.committed(spark, targetDir)) {
+          // AMBIGUOUS TARGET guard (r14 ADVICE): a non-empty dir with no
+          // marker is EITHER a half-written bootstrap (retry should
+          // overwrite) or a pre-marker merged store under
+          // marksuccessfuljobs=false (overwrite destroys data). Surface
+          // it before the destructive branch: fail under the strict
+          // conf, else warn loudly with the one-line adoption step.
+          if (graft.sources.CommitMarker.unmarkedNonEmpty(spark, targetDir)) {
+            val msg = s"mergeSink bootstrap: $targetDir is non-empty but " +
+              "carries no _SUCCESS/_GRAFT_COMMITTED marker — if it is a " +
+              "merged store from a pre-marker engine (committer tuned with " +
+              "marksuccessfuljobs=false), STOP and adopt it by touching " +
+              "_GRAFT_COMMITTED (CommitMarker.mark) before resuming; if it " +
+              "is a half-written bootstrap this Overwrite is the correct " +
+              s"retry. Set ${graft.sources.CommitMarker.FailOnUnmarkedKey}" +
+              "=true to make this fatal."
+            if (spark.conf.getOption(graft.sources.CommitMarker.FailOnUnmarkedKey)
+                .exists(_.toBoolean))
+              throw new IllegalStateException(msg)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+          }
           latest.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
           graft.sources.CommitMarker.mark(spark, targetDir)
         } else

@@ -483,21 +483,53 @@ object RangeJoin {
   private[operators] def estRowBytes(df: DataFrame): Long =
     8L + df.schema.fields.map(_.dataType.defaultSize.toLong).sum
 
-  /** MEASURED per-row byte width (r14): fixed `defaultSize` for
-    * fixed-width types plus the ACTUAL octet length of string/binary
-    * columns. `defaultSize` prices every string at 20 B — a fat
-    * document/props column is underpriced 10-100×, and at 100 TB the
-    * absolute-volume gate would demote terabyte piles as "absorbable".
-    * This expression rides the EXISTING sampled stats jobs as one more
+  /** MEASURED per-row byte width (r14, containers r15): fixed
+    * `defaultSize` for fixed-width types plus the ACTUAL size of
+    * variable-width columns. `defaultSize` prices every string at 20 B
+    * and — one type family over, the r14 verdict's #3 — every ARRAY at
+    * ONE element: a 100-dim `array<float>` embedding payload (the
+    * driver's own `embeddings` shape) would be underpriced ~100×, and
+    * at 100 TB the absolute-volume gate would demote terabyte piles as
+    * "absorbable". Pricing per family:
+    *  - string/binary: real octet length;
+    *  - arrays of FIXED-width elements: cardinality × element width
+    *    (+ 8 B offset slot) — exact and codegen-friendly, the
+    *    embeddings fast path;
+    *  - other containers (arrays of var-width elements, maps, structs
+    *    carrying var-width fields): serialized JSON octet length — an
+    *    order-of-magnitude proxy (JSON over-prints numbers ~2×), which
+    *    is the fidelity the gate needs, for one expression over the
+    *    SAME sampled rows; types JSON cannot serialize keep the
+    *    `defaultSize` status quo.
+    * The expression rides the EXISTING sampled stats jobs as one more
     * aggregated column (`__w`), so measuring costs zero extra jobs;
     * [[HotStats.avgWidth]] carries the sample mean back and callers
     * fall back to [[estRowBytes]] when nothing was measured. */
   private[operators] def measuredWidthCol(df: DataFrame, cols: Seq[String]): Column = {
-    import org.apache.spark.sql.types.{BinaryType, StringType}
+    import org.apache.spark.sql.types._
+    def isFixed(dt: DataType): Boolean = dt match {
+      case StringType | BinaryType | _: ArrayType | _: MapType => false
+      case s: StructType => s.fields.forall(f => isFixed(f.dataType))
+      case _ => true
+    }
+    def jsonSafe(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _) => jsonSafe(et)
+      case MapType(k, v, _) => jsonSafe(k) && jsonSafe(v)
+      case s: StructType => s.fields.forall(f => jsonSafe(f.dataType))
+      case CalendarIntervalType | NullType => false
+      case _: UserDefinedType[_] => false
+      case _ => true
+    }
     cols.map { c =>
       df.schema(c).dataType match {
         case StringType | BinaryType =>
           coalesce(octet_length(col(c)).cast("long"), lit(0L))
+        case ArrayType(et, _) if isFixed(et) =>
+          lit(8L) + coalesce(
+            size(col(c)).cast("long") * lit(et.defaultSize.toLong), lit(0L))
+        case dt if isFixed(dt) => lit(dt.defaultSize.toLong)
+        case dt if jsonSafe(dt) =>
+          coalesce(octet_length(to_json(col(c))).cast("long"), lit(0L))
         case dt => lit(dt.defaultSize.toLong)
       }
     }.foldLeft(lit(8L))(_ + _)
@@ -1631,6 +1663,24 @@ object RangeJoin {
       minFullRows = 0L, taskAbsorbBytes = 0L))
   }
 
+  /** q109 — the q105 fixture through the r15 PRICED both-overflow path
+    * (q108 pins the share-only global; this row keeps the BYTE-GATED
+    * ladder itself under the driver's oracle): a 1 KiB task budget
+    * makes both burst piles overflow at every measured scale, so
+    * [[classifyPile]] PRICES the candidates — at sf0.001 the cheaper
+    * one-sided split is still feasible under the 4× cap and wins; from
+    * sf0.01 up the piles outgrow every non-grid candidate and the
+    * derived-dims grid engages (⌈pile/budget⌉ per axis,
+    * [[MaxDerivedSlices]]-capped). Either way the executed salted
+    * overlap runs at the priced dims and answers the same oracle as
+    * q89/q105/q108 — row-identical in every regime by the
+    * salt-invariance the specs pin. */
+  def burstWindowOverlapRollupPriced(events: DataFrame): DataFrame = {
+    val (l, r) = burstOverlapSides(events)
+    overlapRollup(intervalOverlapAuto(l, "w_start", "w_end", r, "e_start", "e_end",
+      minFullRows = 0L, taskAbsorbBytes = 1024L))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q88_range_bin_join", (s, d) =>
       pointInWindowRollup(graft.Tables.events(s, d)), Some(q88Sql)),
@@ -1645,5 +1695,7 @@ object RangeJoin {
     Q("q107_range_point_burst", (s, d) =>
       pointBurstRollup(graft.Tables.events(s, d)), Some(q107Sql)),
     Q("q108_interval_overlap_engaged", (s, d) =>
-      burstWindowOverlapRollupEngaged(graft.Tables.events(s, d)), Some(q105Sql)))
+      burstWindowOverlapRollupEngaged(graft.Tables.events(s, d)), Some(q105Sql)),
+    Q("q109_interval_overlap_priced", (s, d) =>
+      burstWindowOverlapRollupPriced(graft.Tables.events(s, d)), Some(q105Sql)))
 }

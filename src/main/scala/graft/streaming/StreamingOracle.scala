@@ -143,14 +143,47 @@ object StreamingOracle {
   private[streaming] val triggerCounts =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
+  /** State-store physics of one gate's last run (r14 verdict #6 — the
+    * streaming tier's receipt, the way the batch tier prints decision +
+    * plan facts): trigger count, total input rows, the FINAL state-store
+    * row count (what the watermark horizon holds at the end), rows
+    * written to state across the run, and rows the watermark DROPPED as
+    * too late — the number that proves late data actually exercised the
+    * eviction contract. `stateOperators` counts the stateful operators
+    * in the plan (0 = the gate is stateless-per-batch, e.g. a
+    * foreachBatch MERGE). All values come from the engine's own
+    * StreamingQueryProgress, not from re-derivation. */
+  final case class GateReceipt(gate: String, triggers: Int, inputRows: Long,
+                               stateOperators: Int, stateRowsFinal: Long,
+                               stateRowsUpdated: Long, lateRowsDropped: Long)
+
+  /** Last-run receipts per gate (JVM-global mirror, same contract as
+    * [[triggerCounts]]): populated by every [[drain]], read by the
+    * StreamAudit main that prints PLAN_AUDIT's streaming section. */
+  private[graft] val gateReceipts =
+    new java.util.concurrent.ConcurrentHashMap[String, GateReceipt]()
+
   /** Start the gate's stream, drain it, stop it; record its trigger
-    * count under `gate`. */
+    * count and state-store receipt under `gate`. */
   private def drain(gate: String)(start: => StreamingQuery): StreamingQuery = {
     val q = start
     try q.processAllAvailable() finally q.stop()
-    triggerCounts.put(gate, q.recentProgress.map(_.batchId).distinct.length)
+    val prog = q.recentProgress
+    triggerCounts.put(gate, prog.map(_.batchId).distinct.length)
+    val dataBatches = prog.filter(_.numInputRows > 0)
+    val lastWithState = prog.reverse.find(_.stateOperators.nonEmpty)
+    gateReceipts.put(gate, GateReceipt(
+      gate,
+      triggers = prog.map(_.batchId).distinct.length,
+      inputRows = dataBatches.map(_.numInputRows).sum,
+      stateOperators = lastWithState.map(_.stateOperators.length).getOrElse(0),
+      stateRowsFinal = lastWithState.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum,
+      stateRowsUpdated = prog.flatMap(_.stateOperators.map(_.numRowsUpdated)).sum,
+      lateRowsDropped = prog.flatMap(
+        _.stateOperators.map(_.numRowsDroppedByWatermark)).sum))
     if (sys.env.contains("GRAFT_GATE_DEBUG"))
-      q.recentProgress.foreach { p =>
+      prog.foreach { p =>
         System.err.println(s"[gate:$gate] batch=${p.batchId} rows=${p.numInputRows} " +
           s"durationMs=${p.durationMs}")
       }

@@ -52,29 +52,42 @@ object ABLadder {
     math.min(1.0, p)
   }
 
-  /** One paired comparison: `pairs` rounds of (A, B) with the order
-    * flipped on odd rounds; per-pair delta = aSec − bSec measured
-    * back-to-back inside the same box phase. */
+  /** Wall-clock of the auto thunk's PLANNING phase (the stats jobs run
+    * at plan-definition time) — set by instrumented thunks, read and
+    * reset by [[runPaired]]'s timer so each pair row can split
+    * stats-vs-join. Harness-local, single-threaded. */
+  @volatile var lastPlanSec: Double = 0.0
+
+  /** One paired comparison: `pairs` rounds of interleaved arms with the
+    * order flipped on odd rounds; each arm is the MIN of
+    * GRAFT_AB_RUNS_PER_ARM (default 2) back-to-back runs — the
+    * per-pair delta stays within one box phase while a single-run
+    * GC/page-cache spike (this box's 3–10× large-shuffle envelope
+    * strikes individual RUNS, any variant — measured r15: 23–31 s
+    * outliers on plans whose other runs read 5–9 s) cannot flip the
+    * pair by itself. delta = aSec − bSec. */
   def runPaired(name: String, aName: String, a: () => DataFrame,
                 bName: String, b: () => DataFrame, pairs: Int): Unit = {
-    def time(f: () => DataFrame): (Double, Long) = {
+    val runsPerArm = sys.env.get("GRAFT_AB_RUNS_PER_ARM").map(_.toInt).getOrElse(2)
+    def once(f: () => DataFrame): (Double, Long, Double) = {
+      lastPlanSec = 0.0
       val t0 = System.nanoTime()
       val n = f().count()
       CacheScope.releaseAll()
-      ((System.nanoTime() - t0) / 1e9, n)
+      ((System.nanoTime() - t0) / 1e9, n, lastPlanSec)
     }
+    def arm(f: () => DataFrame): (Double, Long, Double) =
+      (1 to runsPerArm).map(_ => once(f)).minBy(_._1)
     // one untimed warm-up of each variant: parquet footers, code cache
-    val (_, nA0) = time(a); val (_, nB0) = time(b)
+    val (_, nA0, _) = once(a); val (_, nB0, _) = once(b)
     require(nA0 == nB0, s"$name: variants disagree on rows ($nA0 vs $nB0) — A/B void")
     val deltas = (0 until pairs).map { i =>
-      val (aSec, bSec, nA, nB) =
-        if (i % 2 == 0) {
-          val (as, na) = time(a); val (bs, nb) = time(b); (as, bs, na, nb)
-        } else {
-          val (bs, nb) = time(b); val (as, na) = time(a); (as, bs, na, nb)
-        }
+      val ((aSec, nA, aPlan), (bSec, nB, bPlan)) =
+        if (i % 2 == 0) { val x = arm(a); val y = arm(b); (x, y) }
+        else { val y = arm(b); val x = arm(a); (x, y) }
       require(nA == nB, s"$name: variants disagree on rows ($nA vs $nB) — A/B void")
-      println(f"pair,$name,$i,$aName,$aSec%.2f,$bName,$bSec%.2f,${aSec - bSec}%.2f")
+      println(f"pair,$name,$i,$aName,$aSec%.2f,$aPlan%.2f,$bName,$bSec%.2f," +
+        f"$bPlan%.2f,${aSec - bSec}%.2f")
       Console.flush()
       aSec - bSec
     }
@@ -99,7 +112,7 @@ object ABLadder {
     def enabled(n: String) = only.forall(n.contains)
     val scratch = sys.env.getOrElse("GRAFT_AB_SCRATCH",
       java.nio.file.Files.createTempDirectory("graft_ab").toString)
-    println("row_kind,comparison,pair,a,a_sec,b,b_sec,delta_sec")
+    println("row_kind,comparison,pair,a,a_sec,a_plan_sec,b,b_sec,b_plan_sec,delta_sec")
     println(s"# summary,comparison,a,b,median_delta,a_wins,a_losses,p_sign")
     Console.flush()
 
@@ -109,8 +122,10 @@ object ABLadder {
       val (l, r) = SynthRungs.rightHot16M(spark, scratch)
       var mode = "?"
       def auto() = {
+        val t0 = System.nanoTime()
         val (df, st) = AsOfJoin.asofJoinAutoStats(l, r, "k", "t",
           Seq("pid"), tieBreak = Some("pid"))
+        lastPlanSec = (System.nanoTime() - t0) / 1e9
         mode = st.mode; df
       }
       def plain() = AsOfJoin.asofJoinNative(l, r, "k", "t", Seq("pid"),
@@ -127,8 +142,10 @@ object ABLadder {
       val (l, r) = SynthRungs.bothHotBig56M(spark, scratch)
       var mode = "?"
       def auto() = {
+        val t0 = System.nanoTime()
         val (df, st) = AsOfJoin.asofJoinAutoStats(l, r, "k", "t",
           Seq("pid"), tieBreak = Some("pid"))
+        lastPlanSec = (System.nanoTime() - t0) / 1e9
         mode = st.mode; df
       }
       def plain() = AsOfJoin.asofJoinNative(l, r, "k", "t", Seq("pid"),

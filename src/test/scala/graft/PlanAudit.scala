@@ -80,13 +80,15 @@ object PlanAudit {
         println(f"auto_receipt: mode=${r.mode} binWidth=${r.binWidth} " +
           f"hotBinShare=${r.hotBinShare}%.3f hotBins=${r.hotBins.size} " +
           s"otherSideSplitBins=${r.pointHotBins.size} gridBins=${r.gridBins.size} " +
-          s"demoted=${r.demoted.size}")
+          s"demoted=${r.demoted.size} " +
+          s"dims=${r.slicesA}x${r.slicesB} premiumBytes=${r.premiumBytes}")
       }
       operators.AsOfJoin.lastAutoAsOf.foreach { r =>
         println(f"auto_receipt: mode=${r.mode} hotKeyShare=${r.hotKeyShare}%.3f " +
           f"rightHotShare=${r.rightHotShare}%.3f hotKeys=${r.hotKeys.size} " +
           s"slicedKeys=${r.slicedKeys.size} griddedKeys=${r.griddedKeys.size} " +
-          s"demotedKeys=${r.demotedKeys.size}")
+          s"demotedKeys=${r.demotedKeys.size} " +
+          s"dims=${r.slicesA}x${r.slicesB} premiumBytes=${r.premiumBytes}")
       }
       println()
       CacheScope.releaseAll()

@@ -817,6 +817,29 @@ class RangeJoinSpec extends SparkSuite {
     assert(classifyPile(1, 1, 0L).cls === PileClass.Grid)
   }
 
+  test("measuredWidthCol (r15): container columns price at real size, not defaultSize's one-element guess") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.fill(100)(1.0f), Map("a" -> "x" * 50), ("y" * 80, 7)))
+      .toDF("id", "emb", "m", "s")
+    def widthOf(cols: String*): Long =
+      df.select(RangeJoin.measuredWidthCol(df, cols).as("w")).head().getLong(0)
+    // fixed-width long: header 8 + 8
+    assert(widthOf("id") === 16L)
+    // array<float> of 100 elements: 8 header + 8 slot + 100 × 4 — the
+    // embeddings shape; defaultSize would say 4
+    assert(widthOf("emb") === 8L + 8L + 400L)
+    // map and var-width struct: JSON-serialized length — at least the
+    // payload characters, far above defaultSize's one-entry guess
+    assert(widthOf("m") >= 8L + 50L, s"map priced ${widthOf("m")}")
+    assert(widthOf("s") >= 8L + 80L, s"struct priced ${widthOf("s")}")
+    // null containers price as empty, not as an error
+    val nulls = Seq((1L, null: Seq[Float], null: Map[String, String]))
+      .toDF("id", "emb", "m")
+    val w = nulls.select(RangeJoin.measuredWidthCol(nulls, Seq("emb", "m")).as("w"))
+      .head().getLong(0)
+    assert(w === 8L + 8L + 0L)
+  }
+
   test("both-overflow overlap: modest piles DEMOTE to plain under the priced rule (r15)") {
     // both bins' piles exceed the task budget, but together they sit
     // inside the 4× cap — r14 escalated this to the fixed 4×4 grid

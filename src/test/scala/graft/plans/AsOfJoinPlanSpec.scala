@@ -1093,6 +1093,34 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(a.toSeq === c.toSeq)
   }
 
+  test("MEASURED width (r15): a fat ARRAY payload prices the pile for real — defaultSize assumes ONE element") {
+    // right payload = 100 floats per row: ArrayType.defaultSize prices
+    // it at 4 B (one element), so the shipped row reads ~48 B and the
+    // hot pile ~24 kB — inside even ¾ of the 100 kB budget → demote.
+    // Measured pricing (cardinality × element width) reads ~440 B/row
+    // → 220 kB → the right pile alone overflows and must time-slice.
+    // The embeddings table is exactly this shape at 100 TB.
+    val left = spark.range(2000).select(
+      col("id").as("lid"),
+      when(col("id") < 500, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 1000L).as("t"))
+    val right = spark.range(2000).select(
+      when(col("id") < 500, lit(77L)).otherwise(col("id") % 500 + 1000L).as("k"),
+      (col("id") * 37L % 2000000L).as("t"), col("id").as("pid"),
+      array_repeat(col("id").cast("float"), 100).as("pay"))
+    val (autoDf, dec) = AsOfJoin.asofJoinAutoStats(left, right, "k", "t",
+      Seq("pid", "pay"), tieBreak = Some("pid"), minFullRows = 0L,
+      taskAbsorbBytes = 100000L)
+    assert(dec.mode === "rslice" && dec.slicedKeys === Seq(77L),
+      s"the fat array pile must split — defaultSize pricing would demote it ($dec)")
+    val auto = autoDf.select("lid", "asof_pid").orderBy("lid").collect()
+    val plain = AsOfJoin.asofJoinNative(left, right, "k", "t", Seq("pid", "pay"),
+        tieBreak = Some("pid"), broadcast = Some(false))
+      .select("lid", "asof_pid").orderBy("lid").collect()
+    assert(auto.length === plain.length && auto.nonEmpty)
+    auto.zip(plain).foreach { case (a, b) => assert(a === b) }
+  }
+
   // ---- r15: hysteresis band + priced both-overflow --------------------
 
   /** Right-hot fixture with EXACT byte arithmetic: widths are 32 B/row

@@ -320,6 +320,55 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("merge sink strict guard (r15): an unmarked NON-EMPTY target fails fatally; adoption preserves it") {
+    // the r14 ADVICE scenario the three-scenario spec could not state:
+    // a PRE-MARKER merged store under marksuccessfuljobs=false is
+    // indistinguishable from a half-written bootstrap, and the default
+    // branch overwrites it (with a loud warning). Under the strict
+    // conf the batch must FAIL naming the one-line adoption step, and
+    // after adoption (CommitMarker.mark) the SAME checkpoint resumes
+    // on the MERGE branch — the old store's rows survive.
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mergestrict").toString
+    val table = s"$tmp/table"
+    Seq((50L, ts("2024-01-01 08:00:00"), 5L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(table)
+    import java.nio.file.{Files, Path}
+    Files.walk(Path.of(table)).filter(_.getFileName.toString == "_SUCCESS")
+      .forEach(p => { Files.delete(p); () })
+    assert(graft.sources.CommitMarker.unmarkedNonEmpty(spark, table),
+      "the fixture must read as ambiguous (non-empty, no marker)")
+    spark.conf.set(graft.sources.CommitMarker.FailOnUnmarkedKey, "true")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("day", to_date(col("ts")))
+      val writer = Streams.mergeSink(events, table, s"$tmp/chk",
+        keys = Seq("event_id"), tsCol = "ts", partitionCol = "day")
+      val q1 = writer.start()
+      input.addData((1L, ts("2024-01-02 10:00:00"), 1L, "view", 1.0))
+      val ex = intercept[Throwable] { q1.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(m => m.contains("_GRAFT_COMMITTED")),
+        s"the failure must name the adoption step: ${msgs(ex)}")
+      q1.stop()
+      assert(spark.read.parquet(table).count() === 1,
+        "the strict guard must leave the ambiguous store untouched")
+      // operator adopts the store, the same checkpoint resumes: the
+      // replayed batch takes the MERGE branch and the old row survives
+      graft.sources.CommitMarker.mark(spark, table)
+      val q2 = writer.start()
+      q2.processAllAvailable()
+      q2.stop()
+      val t = spark.read.parquet(table)
+      assert(t.count() === 2 && t.filter(col("event_id") === 50L).count() === 1,
+        "adoption must preserve the pre-marker store's rows")
+    } finally spark.conf.unset(graft.sources.CommitMarker.FailOnUnmarkedKey)
+  }
+
   test("file-stream source → checkpointed parquet sink round-trips all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val chk = s"$tmp/chk"

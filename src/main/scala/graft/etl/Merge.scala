@@ -81,18 +81,23 @@ object Merge {
     // of the same epoch never sees it
     val staging = targetDir.stripSuffix("/") + "__staging_" +
       java.util.UUID.randomUUID().toString.take(8)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(targetDir), spark.sparkContext.hadoopConfiguration)
     import org.apache.hadoop.fs.Path
     val stagingPath = new Path(staging)
-    // publish gate: claim epoch base+1 now that the merge is staged —
-    // throws ConcurrentWriteException (staging cleaned up, target
-    // untouched) when any writer committed since our base read
-    try graft.sources.CommitMarker.claimEpochFrom(spark, targetDir, baseEpoch)
-    catch {
-      case e: graft.sources.CommitMarker.ConcurrentWriteException =>
-        fs.delete(stagingPath, true)
+    // any failure from the staging write through the publish claim
+    // cleans its own staging dir (the fixed-name scheme self-healed by
+    // overwriting; per-writer names must self-clean instead — only a
+    // hard kill can orphan one, and orphans are inert sibling dirs)
+    try {
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+      // publish gate: claim epoch base+1 now that the merge is staged —
+      // throws ConcurrentWriteException (staging cleaned up, target
+      // untouched) when any writer committed since our base read
+      graft.sources.CommitMarker.claimEpochFrom(spark, targetDir, baseEpoch)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(stagingPath, true) catch { case _: Throwable => () }
         throw e
     }
     val stagingDirs = fs.listStatus(stagingPath).filter(_.isDirectory)

@@ -711,9 +711,25 @@ object AsOfJoin {
         case scala.util.Success((_, cached, _)) => cached.unpersist(false)
         case _ => ()
       }
+      // receipt dims: the global form salts at saltBuckets (known
+      // without the right pipeline). premiumBytes = whole right side
+      // × (saltBuckets − 1) — priced OPPORTUNISTICALLY from the right
+      // pipeline only if it already finished (the short-circuit's
+      // whole point is not to await it; an unpriced 0 is the
+      // documented fallback, never a blocking stats job).
+      val rPremium = rightSide.value.flatMap(_.toOption).map {
+        case (rs, _, rFrac) =>
+          val total = if (rFrac >= 1.0) rs.sampledRows
+            else math.round(rs.sampledRows / rFrac)
+          val w = if (rs.avgWidth > 0) math.round(rs.avgWidth)
+            else RangeJoin.estRowBytesOf(right,
+              (Seq(key, tsCol) ++ valueCols ++ tieBreak.toSeq).distinct)
+          total * w * (saltBuckets - 1)
+      }.getOrElse(0L)
       return (asofJoinSalted(left, right, key, tsCol, valueCols, tieBreak,
         saltBuckets, direction),
-        AutoAsOfStats(lStats.maxShare, salted = true, lStats.hot, "global"))
+        AutoAsOfStats(lStats.maxShare, salted = true, lStats.hot, "global",
+          slicesA = saltBuckets, premiumBytes = rPremium))
     }
     val (rStats, rCached, rFraction) = awaitRight()
     val rTotal = estFullOf(rStats.sampledRows, rFraction)

@@ -86,16 +86,23 @@ object CommitMarker {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  /** Parsed epoch numbers of the store's `_GRAFT_EPOCH_*` files.
+    * Foreign files sharing the prefix (a tool's `.bak`, a mid-copy
+    * `._COPYING_`) are SKIPPED, not fatal — one stray file must never
+    * wedge every future merge on the store. */
+  private def epochsOf(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(EpochPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(EpochPrefix).toLong).toOption)
+
   /** Highest claimed epoch of the store (0 when none). */
   def currentEpoch(spark: SparkSession, store: String): Long = {
     val p = new org.apache.hadoop.fs.Path(store)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).iterator
-      .map(_.getPath.getName)
-      .filter(_.startsWith(EpochPrefix))
-      .map(_.stripPrefix(EpochPrefix).toLong)
-      .foldLeft(0L)(math.max)
+    epochsOf(fs, p).foldLeft(0L)(math.max)
   }
 
   /** OPTIMISTIC-CONCURRENCY claim of the store's next epoch (r14
@@ -121,8 +128,18 @@ object CommitMarker {
     * had for readers. Closing it takes an atomic log (Delta); the
     * epoch claim closes the whole compute-while-stale class above it.
     *
-    * The winner prunes epoch files older than its base (bounded
-    * metadata, never data). */
+    * FILESYSTEM SCOPE: the guarantee is exactly as strong as
+    * `create(overwrite = false)` exclusivity — atomic on HDFS, local,
+    * ABFS; NOT on raw S3A, whose create is a HEAD-then-PUT race (the
+    * reason Delta needs an external LogStore on S3). On such stores
+    * the claim still detects every non-simultaneous conflict and is a
+    * strict improvement over no detection, but two truly simultaneous
+    * claimants can both win — deploy an S3 store behind a consistent
+    * committer/coordination layer if that matters.
+    *
+    * The winner prunes epoch files older than its base via ONE
+    * directory listing (bounded metadata, never data — and never
+    * O(historic epochs) of per-file probes). */
   def claimEpochFrom(spark: SparkSession, store: String, base: Long): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val next = base + 1
@@ -130,18 +147,29 @@ object CommitMarker {
     val fs = p.getFileSystem(conf)
     try fs.create(p, false).close()
     catch {
-      case e: java.io.IOException =>
-        throw new ConcurrentWriteException(
-          s"another writer committed epoch $next of $store after this " +
-            s"writer read epoch $base — this MERGE aborted before touching " +
-            s"any partition; rerun to apply it on top of the winner's " +
-            s"state (${e.getMessage})")
+      // only EXISTENCE collisions are a concurrent writer; any other
+      // IO fault (network, permissions, quota) must surface as itself,
+      // not as a lie about another writer
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw concurrent(store, base, next, e)
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw concurrent(store, base, next, e)
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+        throw concurrent(store, base, next, e)
     }
-    if (base > 1)
-      (1L until base).foreach { e =>
-        val old = new org.apache.hadoop.fs.Path(store, s"$EpochPrefix$e")
-        if (fs.exists(old)) fs.delete(old, false)
-      }
+    epochsOf(fs, new org.apache.hadoop.fs.Path(store))
+      .filter(_ < base)
+      .foreach(e => fs.delete(
+        new org.apache.hadoop.fs.Path(store, s"$EpochPrefix$e"), false))
     next
   }
+
+  private def concurrent(store: String, base: Long, next: Long,
+                         e: Exception): ConcurrentWriteException =
+    new ConcurrentWriteException(
+      s"another writer committed epoch $next of $store after this " +
+        s"writer read epoch $base — this MERGE aborted before touching " +
+        s"any partition; rerun to apply it on top of the winner's " +
+        s"state (${e.getMessage})")
 }

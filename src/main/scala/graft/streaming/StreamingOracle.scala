@@ -124,6 +124,11 @@ object StreamingOracle {
     graft.SessionClones.cloned(
       s"stream-gate-$partitions-${if (rocksDb) "rocks" else "mem"}", spark) { s =>
       s.conf.set("spark.sql.shuffle.partitions", partitions)
+      // GateReceipt sums over recentProgress, which Spark caps at 100
+      // entries by default — raise it so a many-trigger gate's receipt
+      // never silently under-reports (r15 review; gates run 2–4
+      // triggers today, this is posture)
+      s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
       if (rocksDb) {
         s.conf.set(ProviderKey, RocksDbProvider)
         // changelog checkpointing is RocksDB's production posture at

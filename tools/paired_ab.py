@@ -25,8 +25,12 @@ def sign_p(w, l):
 
 
 def load(path):
+    # Bench can emit two "metric" lines (full map + top-15 tail); take
+    # the line with the LARGEST queries map so a stray second line —
+    # or a pass file captured without grep -m1 — never crashes the load
     with open(path) as f:
-        return json.loads(f.read().strip())["queries"]
+        lines = [json.loads(x) for x in f.read().splitlines() if x.strip()]
+    return max((x["queries"] for x in lines), key=len)
 
 
 def main(d):

@@ -26,8 +26,11 @@ WA=/tmp/paired_ab/wt_$A; WB=/tmp/paired_ab/wt_$B
 build "$A" "$WA"; build "$B" "$WB"
 
 run() { # $1 = worktree, $2 = out json
+  # Bench prints TWO "metric" lines (the full per-query map, then a
+  # top-15 tail line for truncated log windows) — keep only the FIRST,
+  # the full map, or paired_ab.py's json.loads chokes on extra data
   (cd "$1" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' > "$2")
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep -m1 '"metric"' > "$2")
 }
 
 for i in $(seq 1 "$PAIRS"); do

@@ -1667,9 +1667,10 @@ object RangeJoin {
     * (q108 pins the share-only global; this row keeps the BYTE-GATED
     * ladder itself under the driver's oracle): a 1 KiB task budget
     * makes both burst piles overflow at every measured scale, so
-    * [[classifyPile]] PRICES the candidates — at sf0.001 the cheaper
-    * one-sided split is still feasible under the 4× cap and wins; from
-    * sf0.01 up the piles outgrow every non-grid candidate and the
+    * [[classifyPile]] PRICES the candidates — through sf0.01 the
+    * cheaper one-sided split is still feasible under the 4× cap and
+    * wins (sf0.01 receipt: mode=partial dims=3x1 premiumBytes=4536);
+    * at sf0.1 the piles outgrow every non-grid candidate and the
     * derived-dims grid engages (⌈pile/budget⌉ per axis,
     * [[MaxDerivedSlices]]-capped). Either way the executed salted
     * overlap runs at the priced dims and answers the same oracle as

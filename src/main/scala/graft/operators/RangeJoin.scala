@@ -283,8 +283,8 @@ object RangeJoin {
     * the two sides' projected pile bytes. `SplitA`/`SplitB` name the
     * side whose pile must be hash-split (the other side is the
     * replication premium the orientation pays). */
-  private[operators] sealed trait PileClass
-  private[operators] object PileClass {
+  private[graft] sealed trait PileClass
+  private[graft] object PileClass {
     case object Demote extends PileClass
     case object SplitA extends PileClass
     case object SplitB extends PileClass
@@ -298,7 +298,7 @@ object RangeJoin {
     * side X into s slices ships (s−1) extra copies of the OTHER side's
     * pile (zero when that split replicates nothing, e.g. the as-of
     * time-slice). */
-  private[operators] final case class PileDecision(cls: PileClass,
+  private[graft] final case class PileDecision(cls: PileClass,
                                                    slicesA: Int = 1,
                                                    slicesB: Int = 1,
                                                    premiumBytes: Long = 0L)
@@ -341,7 +341,7 @@ object RangeJoin {
   /** Derived fan-out for one pile: enough slices that each lands at or
     * under the budget, never fewer than 2 (a 1-way "split" is the plain
     * plan), capped by [[MaxDerivedSlices]]. */
-  private[operators] def slicesFor(pile: Long, budget: Long): Int =
+  private[graft] def slicesFor(pile: Long, budget: Long): Int =
     math.min(MaxDerivedSlices.toLong,
       math.max(2L, (pile + budget - 1) / budget)).toInt
 
@@ -375,7 +375,7 @@ object RangeJoin {
     * `budget ≤ 0` = the gate is OFF (share-only routing): both-flagged
     * piles grid at the callers' default dims — the r13 semantics the
     * forced-mode spec pins and registered engaged queries rely on. */
-  private[operators] def classifyPile(a: Long, b: Long, budget: Long,
+  private[graft] def classifyPile(a: Long, b: Long, budget: Long,
                                       splitBFree: Boolean = false): PileDecision = {
     import PileClass._
     if (budget <= 0L) return PileDecision(Grid)

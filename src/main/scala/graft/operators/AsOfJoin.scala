@@ -313,6 +313,102 @@ object AsOfJoin {
     }
   }
 
+  /** Per-key slice boundaries for the time-sliced branches — the
+    * caller's precomputed quantiles verbatim, or one sampled quantile
+    * job over the (pre-filtered, hot-keys-only) right side with the
+    * usual full-frame redo when the sample is noise-dominated. The
+    * quantiles come from a SAMPLED scan because boundaries only steer
+    * load balance; exactness is the carry argument — a skewed estimate
+    * costs evenness, never rows. The result is bounded METADATA (≤ hot
+    * keys × (slices−1) values), collected and COMPILED INTO the slice
+    * expression as a literal when-chain: slice(x) = #boundaries ≤ x as
+    * a codegen'd sum of comparisons (the first cut's boundary-array
+    * broadcast join + `aggregate()` lambda was CodegenFallback and the
+    * interpreted per-row lambda dominated the 16M-row rung). accuracy
+    * 1000: a 0.1%-of-rank boundary error moves ~0.1% of the pile
+    * between adjacent slices — irrelevant to balance, ~3× cheaper to
+    * update than the stats passes' oracle-grade 10000. The MaxSliceKeys
+    * bound keeps both the collect and the compiled CaseWhen
+    * metadata-sized — a direct call on an un-prefiltered frame fails
+    * fast instead of pulling every key's boundaries to the driver. */
+  private def sliceBoundsFor(rBase: DataFrame, key: String, magOf: Column => Column,
+                             tsCol: String, slices: Int,
+                             boundsSampleFraction: Double,
+                             precomputedBounds: Seq[(Any, Seq[Any])]): Seq[(Any, Seq[Any])] = {
+    val boundRows: Seq[(Any, Seq[Any])] =
+      if (precomputedBounds.nonEmpty) precomputedBounds
+      else {
+        val probs = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
+        def quantiles(src: DataFrame) = src
+          .groupBy(col(key).as("__bk"))
+          .agg(percentile_approx(magOf(col(tsCol)), probs, lit(1000)).as("__bnds"),
+            count(lit(1)).as("__n"))
+          .limit(MaxSliceKeys + 1)
+          .collect()
+        val sampled = quantiles(
+          if (boundsSampleFraction >= 1.0) rBase
+          else rBase.sample(withReplacement = false, boundsSampleFraction, 42L))
+        val rows =
+          if (boundsSampleFraction < 1.0 &&
+              sampled.map(_.getLong(2)).sum < RangeJoin.MinStatsRows) quantiles(rBase)
+          else sampled
+        rows.toSeq.map(r => (r.get(0), Option(r.getSeq[Any](1)).map(_.toSeq).orNull))
+      }
+    require(boundRows.length <= MaxSliceKeys,
+      s"asofJoinTimeSliced saw more than $MaxSliceKeys distinct right keys — " +
+        "it compiles per-key boundary routing, so pre-filter both sides to " +
+        "the hot keys (asofJoinAuto's router does this) or raise MaxSliceKeys")
+    boundRows
+  }
+
+  /** slice(key, m) = #boundaries ≤ m for the key's compiled boundary
+    * list; keys outside the list — and a null boundary array (every
+    * magnitude in the key's group cast to null, e.g. a string ts
+    * domain) — route to slice 0, the documented unsplit-but-correct
+    * fallback. */
+  private def sliceExprOf(boundRows: Seq[(Any, Seq[Any])])(
+      keyCol: Column, m: Column): Column =
+    boundRows.foldLeft(lit(0)) { case (acc, (k, bsRaw)) =>
+      val bs = Option(bsRaw).getOrElse(Seq.empty).filter(_ != null)
+      when(keyCol === lit(k),
+        bs.map(b => when(m >= lit(b), 1).otherwise(0))
+          .reduceOption(_ + _).getOrElse(lit(0))).otherwise(acc)
+    }
+
+  /** The sliced right side plus its BOUNDARY CARRY rows for
+    * `direction`: per-(key, slice) extreme row via max_by/min_by over
+    * the whole row, ordered by a (ts, tieBreak) struct — a PARTIAL
+    * aggregate (map-side combine), deliberately not a window: the
+    * window form shuffles and sorts the entire hot pile a second time
+    * just to keep one row per slice (measured costing more than the
+    * straggler it saves on the 16M rung). Struct comparison is
+    * lexicographic and Spark orders a null field lowest, so a null
+    * tie-break loses to any value — the same resolution as the exec's
+    * greatest-tieBreak backward rule. Backward carries replicate into
+    * every LATER slice, forward into every EARLIER one; nearest needs
+    * both. */
+  private def carriesFor(rS: DataFrame, key: String, tsCol: String,
+                         tieBreak: Option[String], slices: Int,
+                         direction: String): Seq[DataFrame] = {
+    val needBack = direction != "forward"
+    val needFwd = direction != "backward"
+    def carry(back: Boolean): DataFrame = {
+      val ordS = struct(col(tsCol) +: tieBreak.map(col).toSeq: _*)
+      val rowS = struct(rS.columns.map(col): _*)
+      val tops = rS.groupBy(col(key), col("__slice"))
+        .agg((if (back) max_by(rowS, ordS) else min_by(rowS, ordS)).as("__top"))
+        .select(rS.columns.map(c => col(s"__top.$c")): _*)
+      if (back)
+        tops.filter(col("__slice") < slices - 1)
+          .withColumn("__slice", explode(sequence(col("__slice") + 1, lit(slices - 1))))
+      else
+        tops.filter(col("__slice") > 0)
+          .withColumn("__slice", explode(sequence(lit(0), col("__slice") - 1)))
+    }
+    (if (needBack) Seq(carry(back = true)) else Nil) ++
+      (if (needFwd) Seq(carry(back = false)) else Nil)
+  }
+
   /** `precomputedBounds`: per-key slice boundaries (slice magnitudes,
     * ascending) already measured by the caller — the auto router passes
     * the quantiles it computed on its own cached right-side sample, so
@@ -357,71 +453,17 @@ object AsOfJoin {
     // a direct call on an un-prefiltered frame fails fast below instead
     // of pulling every key's boundaries to the driver and compiling an
     // arbitrarily deep CaseWhen
-    val boundRows: Seq[(Any, Seq[Any])] =
-      if (precomputedBounds.nonEmpty) precomputedBounds
-      else {
-        val probs = array((1 until slices).map(i => lit(i.toDouble / slices)): _*)
-        def quantiles(src: DataFrame) = src
-          .groupBy(col(key).as("__bk"))
-          .agg(percentile_approx(magOf(col(tsCol)), probs, lit(1000)).as("__bnds"),
-            count(lit(1)).as("__n"))
-          .limit(MaxSliceKeys + 1)
-          .collect()
-        val sampled = quantiles(
-          if (boundsSampleFraction >= 1.0) rBase
-          else rBase.sample(withReplacement = false, boundsSampleFraction, 42L))
-        val rows =
-          if (boundsSampleFraction < 1.0 &&
-              sampled.map(_.getLong(2)).sum < RangeJoin.MinStatsRows) quantiles(rBase)
-          else sampled
-        rows.toSeq.map(r => (r.get(0), Option(r.getSeq[Any](1)).map(_.toSeq).orNull))
-      }
-    require(boundRows.length <= MaxSliceKeys,
-      s"asofJoinTimeSliced saw more than $MaxSliceKeys distinct right keys — " +
-        "it compiles per-key boundary routing, so pre-filter both sides to " +
-        "the hot keys (asofJoinAuto's router does this) or raise MaxSliceKeys")
-    // a null boundary array (every magnitude in the key's group cast
-    // to null — e.g. a string ts domain) degenerates that key to slice
-    // 0, the documented unsplit-but-correct fallback
-    def sliceExpr(keyCol: Column, m: Column): Column =
-      boundRows.foldLeft(lit(0)) { case (acc, (k, bsRaw)) =>
-        val bs = Option(bsRaw).getOrElse(Seq.empty).filter(_ != null)
-        when(keyCol === lit(k),
-          bs.map(b => when(m >= lit(b), 1).otherwise(0))
-            .reduceOption(_ + _).getOrElse(lit(0))).otherwise(acc)
-      }
+    val boundRows: Seq[(Any, Seq[Any])] = sliceBoundsFor(rBase, key, magOf(_),
+      tsCol, slices, boundsSampleFraction, precomputedBounds)
     // a key with no sampled right rows (or a null-ts left) routes to
     // slice 0, where the exec hands it the same null payload the plain
     // path would
-    val l2 = left.withColumn("__slice", sliceExpr(col(key), magOf(col(tsCol))))
-    val rS = rBase.withColumn("__slice", sliceExpr(col(key), magOf(col(tsCol))))
-    val needBack = direction != "forward"
-    val needFwd = direction != "backward"
-    def carry(back: Boolean): DataFrame = {
-      // per-(key, slice) extreme row via max_by/min_by over the whole
-      // row, ordered by a (ts, tieBreak) struct — a PARTIAL aggregate
-      // (map-side combine), deliberately not a window: the window form
-      // shuffles and sorts the entire hot pile a second time just to
-      // keep one row per slice (the 16M-row LadderScale rung measured
-      // that extra shuffle costing more than the straggler it saves).
-      // Struct comparison is lexicographic and Spark orders a null
-      // field lowest, so a null tie-break loses to any value — the
-      // same resolution as the exec's greatest-tieBreak backward rule.
-      val ordS = struct(col(tsCol) +: tieBreak.map(col).toSeq: _*)
-      val rowS = struct(rS.columns.map(col): _*)
-      val tops = rS.groupBy(col(key), col("__slice"))
-        .agg((if (back) max_by(rowS, ordS) else min_by(rowS, ordS)).as("__top"))
-        .select(rS.columns.map(c => col(s"__top.$c")): _*)
-      if (back)
-        tops.filter(col("__slice") < slices - 1)
-          .withColumn("__slice", explode(sequence(col("__slice") + 1, lit(slices - 1))))
-      else
-        tops.filter(col("__slice") > 0)
-          .withColumn("__slice", explode(sequence(lit(0), col("__slice") - 1)))
-    }
-    val rAll = (Seq(rS) ++
-      (if (needBack) Seq(carry(back = true)) else Nil) ++
-      (if (needFwd) Seq(carry(back = false)) else Nil)).reduce(_ unionByName _)
+    val l2 = left.withColumn("__slice",
+      sliceExprOf(boundRows)(col(key), magOf(col(tsCol))))
+    val rS = rBase.withColumn("__slice",
+      sliceExprOf(boundRows)(col(key), magOf(col(tsCol))))
+    val rAll = (Seq(rS) ++ carriesFor(rS, key, tsCol, tieBreak, slices, direction))
+      .reduce(_ unionByName _)
     if (saltBuckets <= 1)
       asofJoinNativeKeys(l2, rAll, Seq(key, "__slice"), tsCol, valueCols,
           tieBreak, broadcast = Some(false), direction)
@@ -458,8 +500,27 @@ object AsOfJoin {
     *  - everything else: the plain native path (null-key lefts ride
     *    here for their contractual null payload).
     *
-    * The branches partition the key space, and as-of is per-key
-    * independent, so the union is row-identical to the plain join. */
+    * The classes partition the key space, and as-of is per-key
+    * independent, so per-key behavior is exactly its class's behavior.
+    *
+    * ONE exec, not a branch union (r15): the r14 form unioned four
+    * per-class joins, and each branch re-scanned BOTH inputs (an
+    * engaged plan paid up to #classes× the scan and shuffle of the
+    * plain join — the exact cost the overlap router's salt-expression
+    * routing was built to avoid, per its own scaladoc). The routing
+    * now lives in the (salt, slice) EXPRESSIONS on a single composite
+    * (key, salt, slice) merge: each side is scanned once, shuffled
+    * once; only the boundary-carry aggregate re-reads the right side,
+    * filtered to the sliced/grid keys (the same aggregate the sliced
+    * branch always ran). Per class the composite key degenerates to
+    * exactly the old branch's key — cold (key, 0, 0), salted
+    * (key, hash, 0) with rights replicated across the salt, sliced
+    * (key, 0, slice) with carries, grid (key, hash, slice) with both —
+    * and keys are part of the join key, so rows of different classes
+    * never meet: the single exec is row-identical to the old union
+    * (AsOfJoinPlanSpec pins auto ≡ plain on every class mix, including
+    * the four-class "mixed" fixture). Null-key lefts route to (0, 0)
+    * where the exec hands them the contractual null payload. */
   def asofJoinPartialRouted(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                             valueCols: Seq[String],
                             saltedKeys: Seq[Any], slicedKeys: Seq[Any],
@@ -473,38 +534,67 @@ object AsOfJoin {
                             gridSaltBuckets: Int = RangeJoin.GridSaltDefault): DataFrame = {
     require(saltedKeys.nonEmpty || slicedKeys.nonEmpty || griddedKeys.nonEmpty,
       "partial routing needs at least one hot-key list")
-    def isIn(keys: Seq[Any]) =
-      if (keys.isEmpty) lit(false) else col(key).isin(keys: _*)
-    val (isSalt, isSlice, isGrid) = (isIn(saltedKeys), isIn(slicedKeys), isIn(griddedKeys))
-    // `slices` and `saltBuckets` are DISTINCT knobs on purpose: the
-    // first sizes the time axis (sliced + grid branches), the second
-    // the hash axis (salted branch; the grid's own hash axis is the
-    // overlap ladder's GridSaltDefault, trading fan-out for the ×axis
-    // replication budget) — so tuning the salt never changes the slice
-    // count, and saltBuckets = 1 (a legal "don't split the left")
-    // cannot crash the sliced branch's ≥2-slice requirement.
-    val saltPart =
-      if (saltedKeys.isEmpty) Nil
-      else Seq(asofJoinSalted(left.filter(isSalt), right.filter(isSalt),
-        key, tsCol, valueCols, tieBreak, saltBuckets, direction, saltCols))
-    def boundsFor(keys: Seq[Any]) =
-      precomputedBounds.filter { case (k, _) => keys.contains(k) }
-    val slicePart =
-      if (slicedKeys.isEmpty) Nil
-      else Seq(asofJoinTimeSliced(left.filter(isSlice), right.filter(isSlice),
-        key, tsCol, valueCols, tieBreak, slices, direction,
-        precomputedBounds = boundsFor(slicedKeys)))
-    val gridPart =
-      if (griddedKeys.isEmpty) Nil
-      else Seq(asofJoinTimeSliced(left.filter(isGrid), right.filter(isGrid),
-        key, tsCol, valueCols, tieBreak, slices, direction,
-        saltBuckets = gridSaltBuckets, saltCols = saltCols,
-        precomputedBounds = boundsFor(griddedKeys)))
-    val coldPart = asofJoinNative(
-      left.filter(col(key).isNull || (!isSalt && !isSlice && !isGrid)),
-      right.filter(!isSalt && !isSlice && !isGrid),
-      key, tsCol, valueCols, tieBreak, broadcast = Some(false), direction)
-    (saltPart ++ slicePart ++ gridPart :+ coldPart).reduce(_ unionByName _)
+    require(slices >= 2, "time slicing needs at least 2 slices")
+    val ltype = left.schema(tsCol).dataType
+    def magOf(c: Column) = sliceMagOf(ltype)(c)
+    def isIn(keys: Seq[Any])(c: Column) =
+      if (keys.isEmpty) lit(false) else c.isin(keys: _*)
+    // `slices` and `saltBuckets` stay DISTINCT knobs: the first sizes
+    // the time axis (sliced + grid classes), the second the salted
+    // class's hash axis; the grid's own hash axis is `gridSaltBuckets`
+    // (the auto router passes its derived ⌈pile/budget⌉ fan-out).
+    val boundKeys = slicedKeys ++ griddedKeys
+    // right key aligned to the left's key domain so the compiled
+    // per-key literals compare identically on both sides
+    val rBase = right.withColumn(key, col(key).cast(left.schema(key).dataType))
+    val boundRows: Seq[(Any, Seq[Any])] =
+      if (boundKeys.isEmpty) Nil
+      else sliceBoundsFor(
+        rBase.filter(isIn(boundKeys)(col(key)) && col(tsCol).isNotNull),
+        key, magOf(_), tsCol, slices, RangeJoin.StatsSampleFraction,
+        precomputedBounds.filter { case (k, _) => boundKeys.contains(k) })
+    // an axis nobody routes on is DROPPED from the plan entirely — an
+    // rslice-only plan joins on (key, slice) with zero salt machinery,
+    // a salt-only plan on (key, salt) with zero slice machinery (the
+    // spec pins both shapes)
+    val saltAxis = saltedKeys.nonEmpty || griddedKeys.nonEmpty
+    val sliceAxis = boundKeys.nonEmpty
+    val hash = xxhash64(RangeJoin.saltHashCols(left, saltCols): _*)
+    def withSlice(df: DataFrame): DataFrame =
+      if (!sliceAxis) df
+      else df.withColumn("__slice",
+        sliceExprOf(boundRows)(col(key), magOf(col(tsCol))))
+    val l2 = {
+      val l1 = withSlice(left)
+      if (!saltAxis) l1
+      else l1.withColumn("__asof_salt",
+        when(isIn(saltedKeys)(col(key)), pmod(hash, lit(saltBuckets)).cast("int"))
+          .when(isIn(griddedKeys)(col(key)), pmod(hash, lit(gridSaltBuckets)).cast("int"))
+          .otherwise(lit(0)))
+    }
+    val rS = withSlice(rBase)
+    // carries only exist for the sliced/grid keys — the aggregate runs
+    // on that filtered slice of the right, exactly as the old sliced
+    // branch did
+    val carries =
+      if (!sliceAxis) Nil
+      else carriesFor(rS.filter(isIn(boundKeys)(col(key)) && col(tsCol).isNotNull),
+        key, tsCol, tieBreak, slices, direction)
+    def spread(n: Int) = sequence(lit(0), lit(n - 1))
+    val one = array(lit(0))
+    val rUnion = (Seq(rS) ++ carries).reduce(_ unionByName _)
+    val r2 =
+      if (!saltAxis) rUnion
+      else rUnion.withColumn("__asof_salt", explode(
+        when(isIn(saltedKeys)(col(key)), spread(saltBuckets))
+          .when(isIn(griddedKeys)(col(key)), spread(gridSaltBuckets))
+          .otherwise(one)))
+    val joinKeys = Seq(key) ++
+      (if (saltAxis) Seq("__asof_salt") else Nil) ++
+      (if (sliceAxis) Seq("__slice") else Nil)
+    asofJoinNativeKeys(l2, r2, joinKeys, tsCol,
+        valueCols, tieBreak, broadcast = Some(false), direction)
+      .drop(joinKeys.drop(1): _*)
   }
 
 

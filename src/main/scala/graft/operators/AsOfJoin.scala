@@ -355,9 +355,11 @@ object AsOfJoin {
         rows.toSeq.map(r => (r.get(0), Option(r.getSeq[Any](1)).map(_.toSeq).orNull))
       }
     require(boundRows.length <= MaxSliceKeys,
-      s"asofJoinTimeSliced saw more than $MaxSliceKeys distinct right keys — " +
-        "it compiles per-key boundary routing, so pre-filter both sides to " +
-        "the hot keys (asofJoinAuto's router does this) or raise MaxSliceKeys")
+      s"time-sliced as-of routing saw more than $MaxSliceKeys distinct right " +
+        "keys — the boundary routing is compiled per key (one CaseWhen branch " +
+        "each), so pre-filter to the hot keys (asofJoinAuto's router does " +
+        "this) or raise MaxSliceKeys. The cap applies to the sliced and " +
+        "gridded key lists COMBINED when routed in one plan")
     boundRows
   }
 
@@ -534,25 +536,36 @@ object AsOfJoin {
                             gridSaltBuckets: Int = RangeJoin.GridSaltDefault): DataFrame = {
     require(saltedKeys.nonEmpty || slicedKeys.nonEmpty || griddedKeys.nonEmpty,
       "partial routing needs at least one hot-key list")
-    require(slices >= 2, "time slicing needs at least 2 slices")
+    // `slices` and `saltBuckets` stay DISTINCT knobs: the first sizes
+    // the time axis (sliced + grid classes), the second the salted
+    // class's hash axis; the grid's own hash axis is `gridSaltBuckets`
+    // (the auto router passes its derived ⌈pile/budget⌉ fan-out). A
+    // salt-only call never builds the time axis, so `slices` is only
+    // validated when some key actually routes on it.
+    val boundKeys = slicedKeys ++ griddedKeys
+    require(boundKeys.isEmpty || slices >= 2, "time slicing needs at least 2 slices")
     val ltype = left.schema(tsCol).dataType
     def magOf(c: Column) = sliceMagOf(ltype)(c)
     def isIn(keys: Seq[Any])(c: Column) =
       if (keys.isEmpty) lit(false) else c.isin(keys: _*)
-    // `slices` and `saltBuckets` stay DISTINCT knobs: the first sizes
-    // the time axis (sliced + grid classes), the second the salted
-    // class's hash axis; the grid's own hash axis is `gridSaltBuckets`
-    // (the auto router passes its derived ⌈pile/budget⌉ fan-out).
-    val boundKeys = slicedKeys ++ griddedKeys
     // right key aligned to the left's key domain so the compiled
     // per-key literals compare identically on both sides
     val rBase = right.withColumn(key, col(key).cast(left.schema(key).dataType))
+    // precomputed boundaries are used verbatim for the keys they cover;
+    // keys they DON'T cover get their own sampled quantiles (r15
+    // review: a partially-covering list must not silently strand the
+    // uncovered keys' piles in slice 0 — the old per-branch form
+    // sampled for the uncovered branch, and so does this)
     val boundRows: Seq[(Any, Seq[Any])] =
       if (boundKeys.isEmpty) Nil
-      else sliceBoundsFor(
-        rBase.filter(isIn(boundKeys)(col(key)) && col(tsCol).isNotNull),
-        key, magOf(_), tsCol, slices, RangeJoin.StatsSampleFraction,
-        precomputedBounds.filter { case (k, _) => boundKeys.contains(k) })
+      else {
+        val covered = precomputedBounds.filter { case (k, _) => boundKeys.contains(k) }
+        val missing = boundKeys.filterNot(covered.map(_._1).toSet)
+        covered ++ (if (missing.isEmpty) Nil
+        else sliceBoundsFor(
+          rBase.filter(isIn(missing)(col(key)) && col(tsCol).isNotNull),
+          key, magOf(_), tsCol, slices, RangeJoin.StatsSampleFraction, Nil))
+      }
     // an axis nobody routes on is DROPPED from the plan entirely — an
     // rslice-only plan joins on (key, slice) with zero salt machinery,
     // a salt-only plan on (key, salt) with zero slice machinery (the

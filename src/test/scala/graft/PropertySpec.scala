@@ -326,82 +326,4 @@ object PropertySpec extends Properties("graft") {
         sk.size <= cap - 1
     }
 
-  // ---- classifyPile invariants (r15, pure — no Spark jobs) -------------
-
-  import graft.operators.RangeJoin
-  import graft.operators.RangeJoin.PileClass
-
-  private val genBudget = Gen.choose(1L, 1000000000L)
-  private val genPile = Gen.choose(0L, 4000000000L)
-  private val genFree = Gen.oneOf(true, false)
-
-  property("classifyPile: dims bounded, premium non-negative, free SplitB ships nothing") =
-    Prop.forAll(genPile, genPile, genBudget, genFree) { (a, b, budget, free) =>
-      val d = RangeJoin.classifyPile(a, b, budget, free)
-      d.slicesA >= 1 && d.slicesA <= RangeJoin.MaxDerivedSlices &&
-        d.slicesB >= 1 && d.slicesB <= RangeJoin.MaxDerivedSlices &&
-        d.premiumBytes >= 0L &&
-        (!(free && d.cls == PileClass.SplitB) || d.premiumBytes == 0L)
-    }
-
-  property("classifyPile: Demote only inside the engage threshold or the priced cap") =
-    Prop.forAll(genPile, genPile, genBudget, genFree) { (a, b, budget, free) =>
-      val d = RangeJoin.classifyPile(a, b, budget, free)
-      d.cls != PileClass.Demote ||
-        a + b <= budget ||
-        (a > budget && b > budget &&
-          a + b <= RangeJoin.BothOverflowCapFactor.toLong * budget)
-    }
-
-  property("classifyPile: a one-sided overflow always splits the overflowing side") =
-    Prop.forAll(genPile, genBudget, genFree) { (a, budget, free) =>
-      val big = budget + 1 + a % budget // strictly over budget
-      val small = a % (budget + 1)      // at or under budget
-      RangeJoin.classifyPile(big, small, budget, free).cls == PileClass.SplitA &&
-        RangeJoin.classifyPile(small, big, budget, free).cls == PileClass.SplitB
-    }
-
-  property("classifyPile: growing a pile never re-demotes an engaged decision") =
-    Prop.forAll(genPile, genPile, genBudget, Gen.choose(1L, 1000000000L), genFree) {
-      (a, b, budget, delta, free) =>
-        val before = RangeJoin.classifyPile(a, b, budget, free)
-        before.cls == PileClass.Demote ||
-          RangeJoin.classifyPile(a + delta, b, budget, free).cls != PileClass.Demote
-    }
-
-  property("classifyPile: mirror symmetry for the replicating routers (a != b)") =
-    Prop.forAll(genPile, genPile, genBudget) { (a0, b0, budget) =>
-      val (a, b) = if (a0 == b0) (a0, b0 + 1) else (a0, b0)
-      val d = RangeJoin.classifyPile(a, b, budget)
-      val m = RangeJoin.classifyPile(b, a, budget)
-      val mirrored = (d.cls, m.cls) match {
-        case (PileClass.SplitA, PileClass.SplitB) => true
-        case (PileClass.SplitB, PileClass.SplitA) => true
-        case (x, y) => x == y
-      }
-      mirrored && d.premiumBytes == m.premiumBytes &&
-        d.slicesA == m.slicesB && d.slicesB == m.slicesA
-    }
-
-  property("classifyPile: both-overflow respects the per-task cap whenever ANY candidate can") =
-    Prop.forAll(genPile, genPile, genBudget, genFree) { (a0, b0, budget, free) =>
-      // force both-overflow
-      val a = budget + 1 + a0 % (3 * budget)
-      val b = budget + 1 + b0 % (3 * budget)
-      val d = RangeJoin.classifyPile(a, b, budget, free)
-      val cap = RangeJoin.BothOverflowCapFactor.toLong * budget
-      def perTask(dec: RangeJoin.PileDecision): Long = dec.cls match {
-        case PileClass.Demote => a + b
-        case PileClass.SplitA => a / dec.slicesA + b
-        case PileClass.SplitB => a + b / dec.slicesB
-        case PileClass.Grid => a / dec.slicesA + b / dec.slicesB
-      }
-      // the grid at derived dims is the reference "any candidate"
-      val sA = math.min(RangeJoin.MaxDerivedSlices.toLong,
-        math.max(2L, (a + budget - 1) / budget)).toInt
-      val sB = math.min(RangeJoin.MaxDerivedSlices.toLong,
-        math.max(2L, (b + budget - 1) / budget)).toInt
-      val gridPerTask = a / sA + b / sB
-      gridPerTask > cap || perTask(d) <= cap
-    }
 }

@@ -1121,6 +1121,41 @@ class AsOfJoinPlanSpec extends SparkSuite {
     auto.zip(plain).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("routed as-of with PARTIALLY covering precomputed bounds: uncovered keys sample their own (r15 review)") {
+    // direct-call shape: bounds precomputed for the sliced key only;
+    // the gridded key must get sampled quantiles of its own instead of
+    // silently stranding its pile in slice 0 — and the single-exec
+    // routed plan must stay row-identical to plain in this mix
+    import spark.implicits._
+    val left = spark.range(4000).select(
+      col("id").as("lid"),
+      when(col("id") % 4 === 0, lit(77L))
+        .when(col("id") % 4 === 1, lit(88L))
+        .otherwise(col("id") % 100 + 1000L).as("k"),
+      (col("id") * 1000L).as("t"))
+    val right = spark.range(4000).select(
+      when(col("id") % 2 === 0, lit(77L)).otherwise(lit(88L)).as("k"),
+      (col("id") * 37L % 2000000L).as("t"), col("id").as("pid"))
+    val bounds77 = Seq((77L: Any, Seq[Any](250000L, 500000L, 750000L, 1000000L,
+      1250000L, 1500000L, 1750000L)))
+    val routed = AsOfJoin.asofJoinPartialRouted(left, right, "k", "t",
+      Seq("pid"), saltedKeys = Nil, slicedKeys = Seq(77L),
+      tieBreak = Some("pid"), griddedKeys = Seq(88L),
+      precomputedBounds = bounds77)
+    val plain = AsOfJoin.asofJoinNative(left, right, "k", "t", Seq("pid"),
+      tieBreak = Some("pid"), broadcast = Some(false))
+    val a = routed.select("lid", "asof_pid").orderBy("lid").collect()
+    val b = plain.select("lid", "asof_pid").orderBy("lid").collect()
+    assert(a.length === b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+    // and a salt-only call is legal with slices = 1 (no time axis built)
+    val saltOnly = AsOfJoin.asofJoinPartialRouted(left, right, "k", "t",
+      Seq("pid"), saltedKeys = Seq(77L), slicedKeys = Nil,
+      tieBreak = Some("pid"), slices = 1)
+    val c = saltOnly.select("lid", "asof_pid").orderBy("lid").collect()
+    b.zip(c).foreach { case (x, y) => assert(x === y) }
+  }
+
   // ---- r15: hysteresis band + priced both-overflow --------------------
 
   /** Right-hot fixture with EXACT byte arithmetic: widths are 32 B/row

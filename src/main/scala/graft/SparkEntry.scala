@@ -17,6 +17,7 @@ object SparkEntry {
       analytics.Calendar.all ++
       etl.Taxonomy.all ++
       etl.VersionLog.all ++
+      etl.SnapshotMerge.all ++
       etl.Skew.all ++
       sources.PartitionedLayout.all ++
       streaming.StreamingOracle.all ++

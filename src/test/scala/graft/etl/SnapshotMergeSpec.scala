@@ -1,0 +1,223 @@
+package graft.etl
+
+import graft.SparkSuite
+import graft.sources.CommitMarker
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The snapshot MERGE store: Delta-parity semantics the swap store
+  * cannot give — snapshot-isolated reads across a concurrent publish,
+  * time travel per epoch, vacuum with retention, detect-and-fail
+  * concurrency — plus the MERGE row semantics shared with
+  * [[Merge.upsert]], all on the partition-incremental layout. */
+object SnapshotMergeSpec {
+  // racer injection shared with executor threads (local mode, one JVM):
+  // fired exactly once from inside the victim's merge computation
+  val racerFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var racerTarget: java.io.File = _
+}
+
+class SnapshotMergeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def freshStore(): String =
+    java.nio.file.Files.createTempDirectory("graft_sms").toString + "/store"
+
+  private def bootstrap(store: String): Unit = {
+    val e = SnapshotMerge.upsert(spark, store,
+      Seq((1L, "a", "d1", 10L), (2L, "b", "d1", 10L), (3L, "c", "d2", 10L))
+        .toDF("id", "v", "day", "ts"),
+      Seq("id"), "day")
+    assert(e === 1L)
+  }
+
+  private def asMap(df: DataFrame): Map[Long, (String, String, Long)] =
+    df.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("v"), r.getAs[String]("day"), r.getAs[Long]("ts"))).toMap
+
+  test("bootstrap + read round-trips rows, schema order, and types exactly") {
+    val store = freshStore()
+    bootstrap(store)
+    val back = SnapshotMerge.read(spark, store)
+    assert(back.columns.toSeq === Seq("id", "v", "day", "ts"),
+      "manifest schema order, not partition-column-last scan order")
+    assert(back.schema("day").dataType.typeName === "string",
+      "partition column keeps its committed type, not an inferred one")
+    assert(asMap(back) === Map(
+      1L -> ("a", "d1", 10L), 2L -> ("b", "d1", 10L), 3L -> ("c", "d2", 10L)))
+  }
+
+  test("merge semantics: update, insert, moved-partition key, emptied partition") {
+    val store = freshStore()
+    bootstrap(store)
+    // id=3 moves d2 -> d1 (d2 becomes EMPTY and must leave the snapshot),
+    // id=2 updates in place, id=4 inserts into a new partition
+    val e = SnapshotMerge.upsert(spark, store,
+      Seq((3L, "c2", "d1", 20L), (2L, "b2", "d1", 20L), (4L, "d", "d3", 20L))
+        .toDF("id", "v", "day", "ts"),
+      Seq("id"), "day")
+    assert(e === 2L)
+    assert(asMap(SnapshotMerge.read(spark, store)) === Map(
+      1L -> ("a", "d1", 10L), 2L -> ("b2", "d1", 20L),
+      3L -> ("c2", "d1", 20L), 4L -> ("d", "d3", 20L)))
+    val snap = SnapshotMerge.latestSnapshot(spark, store).get
+    assert(!snap.parts.keySet.exists(_.startsWith("day=d2")),
+      s"emptied partition must leave the manifest: ${snap.parts.keySet}")
+    // null partition values merge instead of dropping (null-safe join)
+    SnapshotMerge.upsert(spark, store,
+      Seq((5L, "e", null.asInstanceOf[String], 30L)).toDF("id", "v", "day", "ts"),
+      Seq("id"), "day")
+    SnapshotMerge.upsert(spark, store,
+      Seq((5L, "e2", null.asInstanceOf[String], 31L)).toDF("id", "v", "day", "ts"),
+      Seq("id"), "day")
+    val withNull = asMap(SnapshotMerge.read(spark, store))
+    assert(withNull(5L) === ("e2", null, 31L), s"null-partition upsert: $withNull")
+    assert(withNull.size === 5)
+  }
+
+  test("SNAPSHOT ISOLATION: a read planned before a merge returns the old snapshot after it") {
+    val store = freshStore()
+    bootstrap(store)
+    val pinned = SnapshotMerge.read(spark, store) // plans against epoch 1
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 99L), (3L, "moved", "d9", 99L))
+        .toDF("id", "v", "day", "ts"),
+      Seq("id"), "day") // epoch 2 rewrites d1 AND empties/moves d2
+    // the swap store deletes d1's and d2's old files here — this store
+    // must keep serving the epoch-1 files the pinned plan references
+    assert(asMap(pinned) === Map(
+      1L -> ("a", "d1", 10L), 2L -> ("b", "d1", 10L), 3L -> ("c", "d2", 10L)),
+      "pinned read must be the epoch-1 snapshot, not a torn or updated view")
+    assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b2", "d1", 99L))
+  }
+
+  test("time travel: read(asOf) returns each committed epoch; epochs list is ascending") {
+    val store = freshStore()
+    bootstrap(store)
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b3", "d1", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L, 3L))
+    assert(asMap(SnapshotMerge.read(spark, store, Some(1L)))(2L) === ("b", "d1", 10L))
+    assert(asMap(SnapshotMerge.read(spark, store, Some(2L)))(2L) === ("b2", "d1", 20L))
+    assert(asMap(SnapshotMerge.read(spark, store, Some(3L)))(2L) === ("b3", "d1", 30L))
+  }
+
+  test("concurrent writers at the protocol level: a merge computed against a stale snapshot cannot publish") {
+    // deterministic interleave (the MergeConcurrencySpec pattern): writer
+    // B reads base epoch 1, writer A commits epoch 2 in between, B's
+    // publish-time claim of epoch 2 must fail — and the store afterwards
+    // is exactly A's snapshot, never a torn mix
+    val store = freshStore()
+    bootstrap(store)
+    val baseB = math.max(
+      SnapshotMerge.latestSnapshot(spark, store).map(_.epoch).getOrElse(0L),
+      CommitMarker.currentEpoch(spark, store)) // B's stale read: 1
+    SnapshotMerge.upsert(spark, store, // A runs fully: commits epoch 2
+      Seq((2L, "fromA", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    val e = intercept[CommitMarker.ConcurrentWriteException] {
+      CommitMarker.claimEpochFrom(spark, store, baseB) // B's publish gate
+    }
+    assert(e.getMessage.contains("aborted before touching any partition"), e.getMessage)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L))
+    assert(asMap(SnapshotMerge.read(spark, store)) === Map(
+      1L -> ("a", "d1", 10L), 2L -> ("fromA", "d1", 20L), 3L -> ("c", "d2", 10L)))
+  }
+
+  test("the losing upsert leaves nothing reader-visible: manifests unchanged, staging cleaned, retry lands on top") {
+    val store = freshStore()
+    bootstrap(store)
+    // the racer claims epoch 2 INSIDE writer B's merge window via a
+    // typed-filter closure on B's source — deterministically after B's
+    // base read (epoch 1), before B's publish claim of epoch 2
+    SnapshotMergeSpec.racerFired.set(false)
+    SnapshotMergeSpec.racerTarget = new java.io.File(store, "_GRAFT_EPOCH_2")
+    val sourceB = Seq((3L, "fromB", "d2", 30L)).toDF("id", "v", "day", "ts")
+      .filter { (_: org.apache.spark.sql.Row) =>
+        if (SnapshotMergeSpec.racerFired.compareAndSet(false, true))
+          SnapshotMergeSpec.racerTarget.createNewFile()
+        true
+      }
+    val e = intercept[CommitMarker.ConcurrentWriteException] {
+      SnapshotMerge.upsert(spark, store, sourceB, Seq("id"), "day")
+    }
+    assert(e.getMessage.contains("epoch"), e.getMessage)
+    // nothing reader-visible from the loser: manifest chain unchanged,
+    // epoch-1 snapshot reads clean
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L))
+    assert(asMap(SnapshotMerge.read(spark, store)) === Map(
+      1L -> ("a", "d1", 10L), 2L -> ("b", "d1", 10L), 3L -> ("c", "d2", 10L)))
+    // no staging leftovers from the aborted writer
+    val parent = new java.io.File(store).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("__staging")),
+      s"aborted staging must be cleaned: ${parent.listFiles().map(_.getName).toSeq}")
+    // retry (fresh base, past the racer's claim) succeeds at epoch 3
+    val retried = SnapshotMerge.upsert(spark, store,
+      Seq((3L, "fromB", "d2", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    assert(retried === 3L)
+    assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("fromB", "d2", 30L))
+  }
+
+  test("a claimed-but-unpublished epoch (crashed writer) is skipped, not read") {
+    val store = freshStore()
+    bootstrap(store)
+    // simulate a writer that claimed epoch 2 and died before its manifest
+    CommitMarker.claimEpochFrom(spark, store, 1L)
+    // readers still see epoch 1; the next writer burns 2 and commits 3
+    assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b", "d1", 10L))
+    val e = SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    assert(e === 3L, "the crashed claim's epoch number is burnt, never reused")
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 3L))
+    assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b2", "d1", 20L))
+  }
+
+  test("vacuum: drops superseded versions + stale manifests, keeps retention, sweeps orphans") {
+    val store = freshStore()
+    bootstrap(store)
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b3", "d1", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    // plant an orphan from a "crashed publish": an __e dir no manifest
+    // references, in a partition no manifest knows
+    val realOrphan = new java.io.File(store, "day=dX/__e=2")
+    assert(realOrphan.mkdirs())
+    val deleted = SnapshotMerge.vacuum(spark, store, keep = 2)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(2L, 3L))
+    // epoch-1's d1 version (superseded by 2 and 3) and the orphan are gone
+    assert(!new java.io.File(store, "day=d1/__e=1").exists())
+    assert(!new java.io.File(store, "day=dX").exists(),
+      s"orphaned partition-version dirs must be swept: $deleted")
+    // retained snapshots still read
+    assert(asMap(SnapshotMerge.read(spark, store, Some(2L)))(2L) === ("b2", "d1", 20L))
+    assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b3", "d1", 30L))
+    // d2 epoch-1 version is still referenced by BOTH kept snapshots
+    assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("c", "d2", 10L))
+    // vacuuming to keep=1 drops epoch 2
+    SnapshotMerge.vacuum(spark, store, keep = 1)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(3L))
+    intercept[Exception] { SnapshotMerge.read(spark, store, Some(2L)).collect() }
+  }
+
+  test("partition pruning survives the manifest reader (day stays a partition column)") {
+    val store = freshStore()
+    bootstrap(store)
+    val plan = SnapshotMerge.read(spark, store)
+      .filter(col("day") === "d1")
+      .queryExecution.executedPlan.toString
+    // the day filter must land in PartitionFilters, not a post-scan Filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("day"),
+      s"day filter must prune partitions:\n$plan")
+  }
+
+  test("q110 registered query runs and is stable across invocations") {
+    val d = sfDir("0.001")
+    val r1 = SnapshotMerge.snapshotMergeRollup(spark, d).collect()
+    val r2 = SnapshotMerge.snapshotMergeRollup(spark, d).collect()
+    assert(r1.nonEmpty && r1.sameElements(r2))
+  }
+}

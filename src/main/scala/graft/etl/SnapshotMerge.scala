@@ -179,9 +179,18 @@ object SnapshotMerge {
       require(s.schema.fieldNames.toSet.subsetOf(source.columns.toSet),
         s"source is missing store columns ${s.schema.fieldNames.toSet -- source.columns}")
     }
-    val target = base.map(readSnapshot(spark, store, _))
+    val targetRaw = base.map(readSnapshot(spark, store, _))
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(source.schema.fields)))
+    // SCHEMA EVOLUTION (additive, the Delta mergeSchema shape): a source
+    // column the store lacks widens the store — existing rows read it as
+    // null; the merged schema (and every later manifest) is the SOURCE's
+    // column set and order. Column DROPS are refused by the require
+    // above — silently forgetting data is not a merge.
+    val target = source.columns.foldLeft(targetRaw) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(source.schema(c).dataType))
+    }.select(source.columns.map(col).toIndexedSeq: _*)
     val sourceParts = source.select(partitionCol).distinct()
     val movedParts = target
       .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
@@ -263,6 +272,98 @@ object SnapshotMerge {
     fc.rename(fs.makeQualified(tmp),
       fs.makeQualified(new Path(storePath, s"$SnapPrefix${snap.epoch}")),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Change feed between two committed epochs (Delta CDF analog on the
+    * PARTITIONED store — [[VersionLog.changes]] gives the same contract
+    * on full-copy snapshots): full-row diff via `exceptAll` — rows only
+    * in `toE` are inserts, rows only in `fromE` deletes, an update one
+    * of each. Columns are aligned by name against `toE`'s manifest
+    * schema (schema evolution adds columns; older snapshots read them
+    * as null through their own manifest schema widened here by the
+    * positional union contract being name-aligned first). Distributed
+    * set difference — one shuffle per side, never a collect. */
+  def changes(spark: SparkSession, store: String, fromE: Long, toE: Long): DataFrame = {
+    val have = committedEpochs(spark, store)
+    require(have.contains(fromE) && have.contains(toE),
+      s"unknown epochs $fromE/$toE (have: ${have.mkString(",")})")
+    require(fromE <= toE, s"fromE $fromE must be <= toE $toE (labels would invert)")
+    val after = read(spark, store, Some(toE))
+    val beforeRaw = read(spark, store, Some(fromE))
+    // align by NAME to the after-schema before the positional exceptAll;
+    // a column the older snapshot never had reads as null
+    val before = after.columns.foldLeft(beforeRaw) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(after.schema(c).dataType))
+    }.select(after.columns.map(col).toIndexedSeq: _*)
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** OPTIMIZE analog with snapshot isolation: rewrite the current
+    * snapshot's most FRAGMENTED partitions (file count above
+    * `maxFilesPerPartition`) as a new epoch — coalesced output, no
+    * logical change, readers of prior epochs untouched. A long-running
+    * [[graft.streaming.Streams.snapshotMergeSink]] stream appends one
+    * file set per trigger per touched partition; this is the compaction
+    * that keeps read amplification bounded without stopping the stream
+    * (the epoch claim arbitrates against concurrent merges like any
+    * writer). Returns the committed epoch, or None when nothing is
+    * fragmented enough to rewrite. */
+  def compact(spark: SparkSession, store: String,
+              maxFilesPerPartition: Int = 8): Option[Long] = {
+    val base = latestSnapshot(spark, store).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $store"))
+    val storePath = new Path(store)
+    val fs = fsOf(spark, storePath)
+    val fragmented = base.parts.filter { case (name, e) =>
+      val d = new Path(storePath, s"$name/$EpochDir$e")
+      fs.exists(d) && fs.listStatus(d).count(s =>
+        s.isFile && !s.getPath.getName.startsWith("_")) > maxFilesPerPartition
+    }
+    if (fragmented.isEmpty) return None
+    val claimBase = math.max(base.epoch, CommitMarker.currentEpoch(spark, store))
+    val dirs = fragmented.toSeq.sortBy(_._1)
+      .map { case (name, e) => s"${store.stripSuffix("/")}/$name/$EpochDir$e" }
+    val rows = spark.read
+      .schema(base.schema.add(EpochCol, LongType))
+      .option("basePath", store)
+      .parquet(dirs: _*)
+      .select(base.schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    val partitionCol = {
+      // the partition column is the prefix of every partition dir name
+      val n = fragmented.keysIterator.next()
+      n.substring(0, n.indexOf('='))
+    }
+    // one shuffle task per rewritten partition → ONE file per partition
+    // (the compaction contract); the shuffle moves only the fragmented
+    // partitions' rows, never the table
+    val compacted = rows.repartition(math.max(1, fragmented.size), col(partitionCol))
+    // same publish protocol as upsert: stage → claim → move in → manifest
+    val staging = store.stripSuffix("/") + "__staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val stagingPath = new Path(staging)
+    val next =
+      try {
+        compacted.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+        CommitMarker.claimEpochFrom(spark, store, claimBase)
+      } catch {
+        case e: Throwable =>
+          try fs.delete(stagingPath, true) catch { case _: Throwable => () }
+          throw e
+      }
+    val stagedDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
+    val stagedNames = stagedDirs.map(_.getPath.getName).toSet
+    stagedDirs.foreach { st =>
+      val parent = new Path(storePath, st.getPath.getName)
+      fs.mkdirs(parent)
+      fs.rename(st.getPath, new Path(parent, s"$EpochDir$next"))
+    }
+    fs.delete(stagingPath, true)
+    val parts = base.parts.filterNot { case (n, _) => fragmented.contains(n) } ++
+      stagedNames.iterator.map(_ -> next)
+    writeManifest(fs, spark, storePath, Snapshot(next, base.schema, parts))
+    Some(next)
   }
 
   /** Drop everything outside the newest `keep` snapshots: older

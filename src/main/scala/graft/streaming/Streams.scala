@@ -220,4 +220,49 @@ object Streams {
           graft.etl.Merge.upsertIntoParquet(
             spark, targetDir, latest, keys, partitionCol)
       }
+
+  /** foreachBatch MERGE sink over the SNAPSHOT store
+    * ([[graft.etl.SnapshotMerge]]) — the streaming upsert with
+    * Delta-parity read semantics: each trigger commits one manifest
+    * epoch, so downstream readers always see a complete snapshot (never
+    * the mid-publish torn view the swap store exposes) and can
+    * time-travel the stream's history up to the vacuum retention.
+    *
+    * The entire bootstrap-ambiguity class [[mergeSink]] has to guard
+    * (half-written Overwrite vs pre-marker merged store, the
+    * `_SUCCESS`-vs-marker committer coupling, the strict-fail conf)
+    * does not exist here: there is no first-write Overwrite branch at
+    * all. The manifest is the single commit authority — an empty store
+    * bootstraps through the same MERGE path, and a half-written first
+    * epoch is simply an uncommitted manifest no reader or later writer
+    * ever consults. Replay stays idempotent per key: a re-run batch
+    * re-upserts the same deduped rows, landing a new epoch with
+    * identical logical content.
+    *
+    * `vacuumKeep` bounds the history a LONG-RUNNING stream accrues: one
+    * epoch per trigger means manifests and superseded partition
+    * versions grow with trigger count, and the store-root listing every
+    * commit performs grows with them — unbounded retention turns the
+    * O(live partitions) manifest design into O(all triggers ever)
+    * metadata. After each commit the sink vacuums to the newest
+    * `vacuumKeep` epochs (readers pinned further back than the
+    * retention lose isolation — the Delta VACUUM trade, here sized in
+    * triggers). */
+  def snapshotMergeSink(stream: DataFrame, targetDir: String, checkpoint: String,
+                        keys: Seq[String], tsCol: String,
+                        partitionCol: String,
+                        vacuumKeep: Int = 24): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val latest = graft.etl.Dedup.keepLatest(batch, keys, Seq(col(tsCol)))
+        // an empty trigger (restart bookkeeping) must not burn an epoch
+        if (!latest.isEmpty) {
+          graft.etl.SnapshotMerge.upsert(spark, targetDir, latest, keys, partitionCol)
+          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep)
+        }
+        ()
+      }
 }

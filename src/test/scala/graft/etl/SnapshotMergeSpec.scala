@@ -202,6 +202,75 @@ class SnapshotMergeSpec extends SparkSuite {
     intercept[Exception] { SnapshotMerge.read(spark, store, Some(2L)).collect() }
   }
 
+  test("change feed between epochs: update = delete+insert, moved key diffs in both partitions") {
+    val store = freshStore()
+    bootstrap(store)
+    // epoch 2: update key 2, move key 3 to d1, insert key 4
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L), (3L, "c", "d1", 10L), (4L, "d", "d3", 20L))
+        .toDF("id", "v", "day", "ts"),
+      Seq("id"), "day")
+    val feed = SnapshotMerge.changes(spark, store, 1L, 2L).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("v"), r.getAs[String]("day"))).toSet
+    assert(feed === Set(
+      ("delete", 2L, "b", "d1"), ("insert", 2L, "b2", "d1"), // update
+      ("delete", 3L, "c", "d2"), ("insert", 3L, "c", "d1"),  // moved key
+      ("insert", 4L, "d", "d3")))                            // pure insert
+    intercept[IllegalArgumentException] {
+      SnapshotMerge.changes(spark, store, 2L, 1L)
+    }
+  }
+
+  test("schema evolution: a merge adding a column widens the manifest schema; old epochs read nulls through the feed") {
+    val store = freshStore()
+    bootstrap(store)
+    SnapshotMerge.upsert(spark, store,
+      Seq((4L, "d", "d1", 20L, "extra")).toDF("id", "v", "day", "ts", "tag"),
+      Seq("id"), "day")
+    val now = SnapshotMerge.read(spark, store)
+    assert(now.columns.contains("tag"))
+    val tags = now.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("tag")).toMap
+    // rows of untouched partitions re-read through the widened schema as null
+    assert(tags === Map(1L -> null, 2L -> null, 3L -> null, 4L -> "extra"),
+      s"pre-evolution rows must read the new column as null: $tags")
+    // the change feed aligns the old epoch to the new schema by name
+    val feed = SnapshotMerge.changes(spark, store, 1L, 2L).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(feed === Set(("insert", 4L)))
+  }
+
+  test("compact: fragmented partitions rewrite to one file in a new epoch; logical rows unchanged; prior epochs intact") {
+    val store = freshStore()
+    // bootstrap d1 FRAGMENTED: 20 rows range-spread over 10 write tasks
+    // → ~10 data files in d1's version; d2 gets one small file
+    val rows = (1 to 20).map(i => (i.toLong, s"v$i", "d1", i.toLong)) :+
+      ((99L, "z", "d2", 0L))
+    SnapshotMerge.upsert(spark, store,
+      rows.toDF("id", "v", "day", "ts").repartitionByRange(10, col("id")),
+      Seq("id"), "day")
+    def filesIn(part: String): Int = {
+      val snap = SnapshotMerge.latestSnapshot(spark, store).get
+      new java.io.File(store, s"$part/__e=${snap.parts(part)}").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    assert(filesIn("day=d1") > 4, s"fixture must be fragmented, got ${filesIn("day=d1")}")
+    val before = asMap(SnapshotMerge.read(spark, store))
+    val beforeEpoch = SnapshotMerge.latestSnapshot(spark, store).get.epoch
+    val compactedEpoch = SnapshotMerge.compact(spark, store, maxFilesPerPartition = 4)
+    assert(compactedEpoch.contains(beforeEpoch + 1))
+    assert(asMap(SnapshotMerge.read(spark, store)) === before,
+      "compaction must not change a single logical row")
+    // the compaction contract: the rewritten d1 version holds ONE file
+    assert(filesIn("day=d1") === 1)
+    // d2 was not fragmented: its version is untouched (same epoch ref)
+    assert(SnapshotMerge.latestSnapshot(spark, store).get.parts("day=d2") === 1L)
+    // the pre-compaction epoch still time-travels (snapshot isolation)
+    assert(asMap(SnapshotMerge.read(spark, store, Some(beforeEpoch))) === before)
+    // nothing left to compact now
+    assert(SnapshotMerge.compact(spark, store, maxFilesPerPartition = 4).isEmpty)
+  }
+
   test("partition pruning survives the manifest reader (day stays a partition column)") {
     val store = freshStore()
     bootstrap(store)

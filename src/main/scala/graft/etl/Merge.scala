@@ -50,6 +50,12 @@ object Merge {
       source: DataFrame,
       keys: Seq[String],
       partitionCol: String): Unit = {
+    // touched-partition dir names are derived from collected values via
+    // toString — refuse partition types whose string form does not
+    // round-trip Spark's partition paths (timestamps, floats, decimals:
+    // a mismatch would leave a moved-out key served from two partitions)
+    SnapshotMerge.requirePathStablePartitionType(
+      source.schema(partitionCol).dataType, partitionCol)
     // CONCURRENT-WRITER detect-and-fail (r15): optimistic concurrency
     // on the store's epoch counter. Read the base epoch BEFORE reading
     // the table; the claim of base+1 happens below, after staging and

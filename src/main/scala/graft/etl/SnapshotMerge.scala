@@ -157,8 +157,10 @@ object SnapshotMerge {
   /** MERGE upsert (same row semantics as [[Merge.upsert]]: matched keys
     * replaced, unmatched inserted, matched keys whose partition value
     * moved rewritten out of their old partition) committing a new
-    * snapshot epoch. Returns the committed epoch. An empty store
-    * bootstraps: epoch 1 = the source itself. */
+    * snapshot epoch. Returns the committed LOGICAL epoch (the manifest
+    * number — always base + 1; physical `__e` version numbers may burn
+    * on crashes and races, the logical chain stays dense). An empty
+    * store bootstraps: epoch 1 = the source itself. */
   def upsert(
       spark: SparkSession,
       store: String,
@@ -167,17 +169,32 @@ object SnapshotMerge {
       partitionCol: String): Long = {
     require(source.columns.contains(partitionCol),
       s"source must carry the partition column $partitionCol")
-    val storePath = new Path(store)
-    val fs = fsOf(spark, storePath)
+    requirePathStablePartitionType(
+      source.schema(partitionCol).dataType, partitionCol)
+    // physical-version floor read BEFORE the manifest (the protocol
+    // order Merge.upsertIntoParquet documents) — not load-bearing for
+    // the lost-update guarantee (the manifest create-exclusive below
+    // is), but it keeps physical numbers monotone past in-flight claims
+    val claimFloor = CommitMarker.currentEpoch(spark, store)
     val base = latestSnapshot(spark, store)
-    // claim base = max(published, claimed): a claim without a manifest is
-    // a crashed writer that never published — its epoch number is burnt,
-    // its state is invisible, the merge reads the last PUBLISHED snapshot
-    val claimBase = math.max(base.map(_.epoch).getOrElse(0L),
-      CommitMarker.currentEpoch(spark, store))
+    // Schema compatibility: every store column must arrive from the
+    // source with ITS OWN TYPE. A name-only check would let a type
+    // change commit a manifest schema that cannot decode untouched
+    // partitions' old parquet files — the latest snapshot would throw
+    // on read until every partition happened to be rewritten (Delta's
+    // mergeSchema refuses type changes for the same reason).
     base.foreach { s =>
-      require(s.schema.fieldNames.toSet.subsetOf(source.columns.toSet),
-        s"source is missing store columns ${s.schema.fieldNames.toSet -- source.columns}")
+      s.schema.fields.foreach { f =>
+        source.schema.fields.find(_.name == f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"source is missing store column ${f.name} — dropping a " +
+              "column is not a merge")
+          case Some(sf) => require(sf.dataType == f.dataType,
+            s"store column ${f.name} is ${f.dataType} but the source " +
+              s"sends ${sf.dataType}; type changes cannot decode old " +
+              "partition versions — rewrite the table instead")
+        }
+      }
     }
     val targetRaw = base.map(readSnapshot(spark, store, _))
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -185,12 +202,9 @@ object SnapshotMerge {
     // SCHEMA EVOLUTION (additive, the Delta mergeSchema shape): a source
     // column the store lacks widens the store — existing rows read it as
     // null; the merged schema (and every later manifest) is the SOURCE's
-    // column set and order. Column DROPS are refused by the require
+    // column set and order. Column DROPS and type changes are refused
     // above — silently forgetting data is not a merge.
-    val target = source.columns.foldLeft(targetRaw) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(source.schema(c).dataType))
-    }.select(source.columns.map(col).toIndexedSeq: _*)
+    val target = alignTo(targetRaw, source.schema)
     val sourceParts = source.select(partitionCol).distinct()
     val movedParts = target
       .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
@@ -204,42 +218,130 @@ object SnapshotMerge {
     // before any publish step — same bound as Merge.upsertIntoParquet
     val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
     val touchedNames = touchedVals.map(partDirName(partitionCol, _)).toSet
+    publish(spark, store, base, claimFloor, merged, partitionCol,
+      touchedNames, merged.schema)
+  }
 
+  /** Stage → physical claim → move in → MANIFEST CREATE-EXCLUSIVE — the
+    * shared publish protocol of [[upsert]] and [[compact]].
+    *
+    * THE COMMIT POINT IS THE MANIFEST (Delta's log-commit shape): the
+    * logical next epoch is `base + 1` and the manifest lands by an
+    * atomic no-overwrite rename — if ANY other writer committed
+    * `base + 1` first, the rename fails and this writer aborts with
+    * [[CommitMarker.ConcurrentWriteException]], whatever physical claim
+    * it won. This is what makes the lost-update window airtight: a
+    * writer that computed against manifest N can ONLY publish manifest
+    * N+1, and exactly one N+1 can exist — an in-flight writer between
+    * its physical claim and its manifest is raced, never silently
+    * overwritten (physical `_GRAFT_EPOCH_k` claims only hand out unique
+    * `__e=k` directory numbers; they no longer arbitrate commits).
+    *
+    * Crash/abort truth table: before the claim → staging self-cleans;
+    * after the claim, before the manifest → unique orphan `__e=k` dirs
+    * (unreferenced; vacuum sweeps after its grace), logical chain
+    * unaffected; manifest rename lost → this writer deletes its own
+    * moved dirs best-effort and throws. Every moved dir is ADDITIVE —
+    * nothing any committed manifest references is renamed over or
+    * deleted here. */
+  private def publish(
+      spark: SparkSession,
+      store: String,
+      base: Option[Snapshot],
+      claimFloor: Long,
+      rows: DataFrame,
+      partitionCol: String,
+      touchedNames: Set[String],
+      schema: StructType): Long = {
+    val storePath = new Path(store)
+    val fs = fsOf(spark, storePath)
     val staging = store.stripSuffix("/") + "__staging_" +
       java.util.UUID.randomUUID().toString.take(8)
     val stagingPath = new Path(staging)
-    val next =
+    // the physical floor also rides above every version any RETAINED
+    // manifest references — claim files alone could regress if a tool
+    // swept them, and a regressed physical number would collide with a
+    // live __e dir
+    val physFloor = math.max(claimFloor,
+      base.map(s => (s.parts.values ++ Iterator(s.epoch)).max).getOrElse(0L))
+    val phys =
       try {
-        merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-        // publish gate — throws ConcurrentWriteException (staging cleaned,
-        // nothing reader-visible happened) when any writer committed or
-        // claimed since our base read
-        CommitMarker.claimEpochFrom(spark, store, claimBase)
+        rows.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+        CommitMarker.claimEpochFrom(spark, store, physFloor)
       } catch {
         case e: Throwable =>
           try fs.delete(stagingPath, true) catch { case _: Throwable => () }
           throw e
       }
-    // ADDITIVE publish: each staged `col=value` dir becomes that
-    // partition's `__e={next}` version subdir. Nothing referenced by any
-    // committed manifest is deleted or renamed over — a crash mid-loop
-    // orphans unreferenced dirs only (vacuum sweeps them).
     val stagedDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
     val stagedNames = stagedDirs.map(_.getPath.getName).toSet
-    stagedDirs.foreach { st =>
-      val parent = new Path(storePath, st.getPath.getName)
-      fs.mkdirs(parent)
-      fs.rename(st.getPath, new Path(parent, s"$EpochDir$next"))
+    val movedIn = Seq.newBuilder[Path]
+    def dropMovedIn(): Unit = movedIn.result().foreach { d =>
+      try fs.delete(d, true) catch { case _: Throwable => () }
     }
-    fs.delete(stagingPath, true)
+    try {
+      stagedDirs.foreach { st =>
+        val parent = new Path(storePath, st.getPath.getName)
+        fs.mkdirs(parent)
+        val dest = new Path(parent, s"$EpochDir$phys")
+        // rename reports failure as FALSE on several filesystems, not as
+        // an exception — committing a manifest over a failed move would
+        // reference a directory that does not exist and wedge the store
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"failed to move staged partition ${st.getPath} to $dest")
+        movedIn += dest
+      }
+      fs.delete(stagingPath, true)
+    } catch {
+      case e: Throwable =>
+        dropMovedIn()
+        try fs.delete(stagingPath, true) catch { case _: Throwable => () }
+        throw e
+    }
     // a touched partition with no staged dir ended EMPTY (its only rows
     // were matched keys that moved partition): it simply leaves the
     // manifest — no deletion dance, old epochs still time-travel to it
     val baseParts = base.map(_.parts).getOrElse(Map.empty[String, Long])
     val parts = baseParts.filterNot { case (n, _) => touchedNames(n) } ++
-      stagedNames.iterator.map(_ -> next)
-    writeManifest(fs, spark, storePath, Snapshot(next, merged.schema, parts))
+      stagedNames.iterator.map(_ -> phys)
+    val next = base.map(_.epoch).getOrElse(0L) + 1
+    try writeManifest(fs, spark, storePath, Snapshot(next, schema, parts))
+    catch {
+      case e: Throwable =>
+        dropMovedIn() // the loser's additive dirs — referenced by nothing
+        throw e
+    }
     next
+  }
+
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+
+  /** Partition dir names are derived from collected values via
+    * `toString` (the same approach as [[Merge.upsertIntoParquet]]), so
+    * the partition column must be a type whose string form round-trips
+    * Spark's partition-path formatting exactly. Timestamps (session-
+    * timezone formatted, sub-second suffix), floating point (scientific
+    * notation), decimals, and binary do NOT — a mismatch would leave a
+    * moved-out partition's stale manifest entry serving its rows twice.
+    * Derive a string/date/integral partition column instead (the
+    * reference lakehouse partitions by derived y/m/d strings for the
+    * same reason). */
+  private[etl] def requirePathStablePartitionType(
+      dt: org.apache.spark.sql.types.DataType, colName: String): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | DateType | IntegerType | LongType | ShortType |
+           ByteType | BooleanType => ()
+      case other => throw new IllegalArgumentException(
+        s"partition column $colName: $other values do not round-trip " +
+          "partition paths via toString; use a string/date/integral " +
+          "partition column (derive one if needed)")
+    }
   }
 
   private def partDirName(partitionCol: String, v: Option[String]): String = {
@@ -250,13 +352,17 @@ object SnapshotMerge {
     }
   }
 
-  /** Commit point: write `.{SnapPrefix}{epoch}.inprogress` (dot-hidden,
-    * never matches the manifest listing), then atomically rename into
-    * place. The claim made `epoch` this writer's alone, so the rename
-    * target cannot be contended. */
+  /** THE commit: write `.{SnapPrefix}{epoch}.inprogress` (dot-hidden,
+    * never matches the manifest listing), then rename WITHOUT overwrite
+    * — atomic put-if-absent of the logical epoch. A rename collision
+    * means another writer committed this epoch first: the merge was
+    * computed against a stale snapshot and must abort
+    * (same create-exclusive strength scope as CommitMarker: atomic on
+    * HDFS/local/ABFS; raw S3A needs a coordination layer). */
   private def writeManifest(fs: FileSystem, spark: SparkSession,
                             storePath: Path, snap: Snapshot): Unit = {
-    val tmp = new Path(storePath, s".$SnapPrefix${snap.epoch}.inprogress")
+    val tmp = new Path(storePath,
+      s".$SnapPrefix${snap.epoch}.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder
@@ -269,9 +375,21 @@ object SnapshotMerge {
     } finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.getUri, spark.sessionState.newHadoopConf())
-    fc.rename(fs.makeQualified(tmp),
-      fs.makeQualified(new Path(storePath, s"$SnapPrefix${snap.epoch}")),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val dest = fs.makeQualified(new Path(storePath, s"$SnapPrefix${snap.epoch}"))
+    try fc.rename(fs.makeQualified(tmp), dest) // no-overwrite: put-if-absent
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw new CommitMarker.ConcurrentWriteException(
+          s"another writer committed epoch ${snap.epoch} of $storePath " +
+            "after this writer read its base snapshot — this merge " +
+            "aborted; its partition versions were retracted; rerun to " +
+            s"apply it on top of the winner (${e.getMessage})")
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Change feed between two committed epochs (Delta CDF analog on the
@@ -289,13 +407,9 @@ object SnapshotMerge {
       s"unknown epochs $fromE/$toE (have: ${have.mkString(",")})")
     require(fromE <= toE, s"fromE $fromE must be <= toE $toE (labels would invert)")
     val after = read(spark, store, Some(toE))
-    val beforeRaw = read(spark, store, Some(fromE))
     // align by NAME to the after-schema before the positional exceptAll;
     // a column the older snapshot never had reads as null
-    val before = after.columns.foldLeft(beforeRaw) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(after.schema(c).dataType))
-    }.select(after.columns.map(col).toIndexedSeq: _*)
+    val before = alignTo(read(spark, store, Some(fromE)), after.schema)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
@@ -307,11 +421,13 @@ object SnapshotMerge {
     * [[graft.streaming.Streams.snapshotMergeSink]] stream appends one
     * file set per trigger per touched partition; this is the compaction
     * that keeps read amplification bounded without stopping the stream
-    * (the epoch claim arbitrates against concurrent merges like any
-    * writer). Returns the committed epoch, or None when nothing is
+    * (the manifest commit arbitrates against concurrent merges like any
+    * writer — a compact racing a merge aborts, never loses its rows).
+    * Returns the committed logical epoch, or None when nothing is
     * fragmented enough to rewrite. */
   def compact(spark: SparkSession, store: String,
               maxFilesPerPartition: Int = 8): Option[Long] = {
+    val claimFloor = CommitMarker.currentEpoch(spark, store)
     val base = latestSnapshot(spark, store).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $store"))
     val storePath = new Path(store)
@@ -322,14 +438,7 @@ object SnapshotMerge {
         s.isFile && !s.getPath.getName.startsWith("_")) > maxFilesPerPartition
     }
     if (fragmented.isEmpty) return None
-    val claimBase = math.max(base.epoch, CommitMarker.currentEpoch(spark, store))
-    val dirs = fragmented.toSeq.sortBy(_._1)
-      .map { case (name, e) => s"${store.stripSuffix("/")}/$name/$EpochDir$e" }
-    val rows = spark.read
-      .schema(base.schema.add(EpochCol, LongType))
-      .option("basePath", store)
-      .parquet(dirs: _*)
-      .select(base.schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    val rows = readSnapshot(spark, store, base.copy(parts = fragmented))
     val partitionCol = {
       // the partition column is the prefix of every partition dir name
       val n = fragmented.keysIterator.next()
@@ -339,52 +448,35 @@ object SnapshotMerge {
     // (the compaction contract); the shuffle moves only the fragmented
     // partitions' rows, never the table
     val compacted = rows.repartition(math.max(1, fragmented.size), col(partitionCol))
-    // same publish protocol as upsert: stage → claim → move in → manifest
-    val staging = store.stripSuffix("/") + "__staging_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val stagingPath = new Path(staging)
-    val next =
-      try {
-        compacted.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-        CommitMarker.claimEpochFrom(spark, store, claimBase)
-      } catch {
-        case e: Throwable =>
-          try fs.delete(stagingPath, true) catch { case _: Throwable => () }
-          throw e
-      }
-    val stagedDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
-    val stagedNames = stagedDirs.map(_.getPath.getName).toSet
-    stagedDirs.foreach { st =>
-      val parent = new Path(storePath, st.getPath.getName)
-      fs.mkdirs(parent)
-      fs.rename(st.getPath, new Path(parent, s"$EpochDir$next"))
-    }
-    fs.delete(stagingPath, true)
-    val parts = base.parts.filterNot { case (n, _) => fragmented.contains(n) } ++
-      stagedNames.iterator.map(_ -> next)
-    writeManifest(fs, spark, storePath, Snapshot(next, base.schema, parts))
-    Some(next)
+    Some(publish(spark, store, Some(base), claimFloor, compacted,
+      partitionCol, fragmented.keySet, base.schema))
   }
 
   /** Drop everything outside the newest `keep` snapshots: older
-    * manifests, partition-version dirs they alone reference, and
-    * orphaned `__e` dirs from crashed publishes (epoch ≤ newest kept —
-    * anything newer may be a publish IN FLIGHT and is left alone).
-    * Returns the deleted paths. Readers pinned to a vacuumed snapshot
-    * lose isolation — the Delta VACUUM trade, caller-chosen via
-    * `keep`. */
-  def vacuum(spark: SparkSession, store: String, keep: Int = 1): Seq[String] = {
+    * manifests, plus partition-version dirs referenced by no kept
+    * manifest — superseded versions and crashed-publish orphans alike —
+    * once they are older than `graceMs`. The grace window is what makes
+    * vacuum safe to run NEXT TO live traffic (physical version numbers
+    * no longer order against logical epochs, so age is the only honest
+    * in-flight signal): a publisher's just-moved `__e` dir or
+    * just-created partition parent is younger than any sane grace and
+    * is left alone; so is the snapshot a reader pinned moments ago.
+    * Readers pinned PAST the grace on a dropped epoch lose isolation —
+    * the Delta VACUUM retention trade, caller-chosen. Returns the
+    * deleted paths. */
+  def vacuum(spark: SparkSession, store: String, keep: Int = 1,
+             graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     require(keep >= 1, "keep must retain at least the current snapshot")
     val storePath = new Path(store)
     val fs = fsOf(spark, storePath)
     val all = committedEpochs(spark, store)
     if (all.isEmpty) return Nil
     val kept = all.takeRight(keep)
-    val maxKept = kept.last
     val referenced: Set[(String, Long)] =
       kept.flatMap(e => snapshot(spark, store, e).parts.iterator.map {
         case (n, pe) => (n, pe)
       }).toSet
+    val horizon = System.currentTimeMillis() - graceMs
     val deleted = Seq.newBuilder[String]
     fs.listStatus(storePath).filter(_.isDirectory).foreach { pd =>
       val pname = pd.getPath.getName
@@ -392,15 +484,21 @@ object SnapshotMerge {
         var live = 0
         fs.listStatus(pd.getPath).foreach { ed =>
           val en = ed.getPath.getName
-          if (en.startsWith(EpochDir)) {
-            val e = scala.util.Try(en.stripPrefix(EpochDir).toLong).toOption
-            if (e.exists(v => v <= maxKept && !referenced((pname, v)))) {
-              fs.delete(ed.getPath, true)
-              deleted += ed.getPath.toString
-            } else live += 1
+          val sweep = en.startsWith(EpochDir) &&
+            scala.util.Try(en.stripPrefix(EpochDir).toLong).toOption
+              .exists(v => !referenced((pname, v))) &&
+            ed.getModificationTime < horizon
+          if (sweep) {
+            fs.delete(ed.getPath, true)
+            deleted += ed.getPath.toString
           } else live += 1
         }
-        if (live == 0) { fs.delete(pd.getPath, true); deleted += pd.getPath.toString }
+        // an empty partition parent is only junk once it has AGED past
+        // the grace — a publisher mkdirs the parent an instant before
+        // renaming its first version in
+        if (live == 0 && pd.getModificationTime < horizon) {
+          fs.delete(pd.getPath, true); deleted += pd.getPath.toString
+        }
       }
     }
     all.dropRight(keep).foreach { e =>

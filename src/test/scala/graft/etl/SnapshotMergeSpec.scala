@@ -15,11 +15,14 @@ object SnapshotMergeSpec {
   // fired exactly once from inside the victim's merge computation
   val racerFired = new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile var racerTarget: java.io.File = _
+  @volatile var racerContent: Array[Byte] = _
 }
 
 class SnapshotMergeSpec extends SparkSuite {
 
   import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   private def freshStore(): String =
     java.nio.file.Files.createTempDirectory("graft_sms").toString + "/store"
@@ -153,25 +156,90 @@ class SnapshotMergeSpec extends SparkSuite {
     val parent = new java.io.File(store).getParentFile
     assert(!parent.listFiles().exists(_.getName.contains("__staging")),
       s"aborted staging must be cleaned: ${parent.listFiles().map(_.getName).toSeq}")
-    // retry (fresh base, past the racer's claim) succeeds at epoch 3
+    // retry: the logical chain continues at 2 (only the racer's physical
+    // claim number was burnt)
     val retried = SnapshotMerge.upsert(spark, store,
       Seq((3L, "fromB", "d2", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
-    assert(retried === 3L)
+    assert(retried === 2L)
     assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("fromB", "d2", 30L))
   }
 
-  test("a claimed-but-unpublished epoch (crashed writer) is skipped, not read") {
+  test("a claimed-but-unpublished physical version (crashed writer) is skipped; the logical chain stays dense") {
     val store = freshStore()
     bootstrap(store)
-    // simulate a writer that claimed epoch 2 and died before its manifest
+    // simulate a writer that claimed physical version 2 and died before
+    // its manifest
     CommitMarker.claimEpochFrom(spark, store, 1L)
-    // readers still see epoch 1; the next writer burns 2 and commits 3
+    // readers still see epoch 1; the next writer burns PHYSICAL 2 but
+    // commits LOGICAL epoch 2 — manifest numbers never skip
     assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b", "d1", 10L))
     val e = SnapshotMerge.upsert(spark, store,
       Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
-    assert(e === 3L, "the crashed claim's epoch number is burnt, never reused")
-    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 3L))
+    assert(e === 2L, "logical epochs are dense; only physical numbers burn")
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L))
     assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b2", "d1", 20L))
+    // the burnt physical number was 2, so the writer's version dirs are 3
+    assert(new java.io.File(store, "day=d1/__e=3").exists(),
+      "the physical version must have skipped the crashed claim")
+  }
+
+  test("LOST-UPDATE guard: a writer that computed against a stale snapshot aborts at the manifest, whatever physical claim it won") {
+    // the finding-#2 scenario: writer A is between its physical claim
+    // and its manifest when writer B starts — B's base read cannot see
+    // A, B wins its own physical claim, and ONLY the manifest
+    // create-exclusive can stop B from silently reverting A's commit.
+    // The racer plants A's manifest (epoch 2) inside B's merge window;
+    // B then loses the epoch-2 manifest rename and must retract.
+    val store = freshStore()
+    bootstrap(store)
+    val manifest1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(store, "_GRAFT_SNAP_1"))
+    SnapshotMergeSpec.racerFired.set(false)
+    SnapshotMergeSpec.racerTarget = new java.io.File(store, "_GRAFT_SNAP_2")
+    SnapshotMergeSpec.racerContent = manifest1 // valid manifest body
+    val sourceB = Seq((3L, "fromB", "d2", 30L)).toDF("id", "v", "day", "ts")
+      .filter { (_: org.apache.spark.sql.Row) =>
+        if (SnapshotMergeSpec.racerFired.compareAndSet(false, true))
+          java.nio.file.Files.write(SnapshotMergeSpec.racerTarget.toPath,
+            SnapshotMergeSpec.racerContent)
+        true
+      }
+    val e = intercept[CommitMarker.ConcurrentWriteException] {
+      SnapshotMerge.upsert(spark, store, sourceB, Seq("id"), "day")
+    }
+    assert(e.getMessage.contains("committed epoch 2"), e.getMessage)
+    // the winner's snapshot stands; B retracted its moved version dirs
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L))
+    assert(asMap(SnapshotMerge.read(spark, store)) === Map(
+      1L -> ("a", "d1", 10L), 2L -> ("b", "d1", 10L), 3L -> ("c", "d2", 10L)))
+    val d2 = new java.io.File(store, "day=d2")
+    assert(!d2.listFiles().exists(_.getName == "__e=2"),
+      s"the loser's version dirs must be retracted: ${d2.listFiles().map(_.getName).toSeq}")
+    // B's retry lands as epoch 3 on top of the winner
+    SnapshotMerge.upsert(spark, store,
+      Seq((3L, "fromB", "d2", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("fromB", "d2", 30L))
+  }
+
+  test("guards: type changes and path-unstable partition types are refused") {
+    val store = freshStore()
+    bootstrap(store)
+    // ts was committed LONG; sending it as DOUBLE would commit a manifest
+    // schema that cannot decode untouched partitions' old files
+    val typeChange = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsert(spark, store,
+        Seq((9L, "x", "d1", 1.5)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    }
+    assert(typeChange.getMessage.contains("type changes cannot decode"),
+      typeChange.getMessage)
+    // a timestamp partition column's toString does not round-trip Spark's
+    // partition paths — refused up front, not corrupted later
+    val badPart = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsert(spark, java.nio.file.Files.createTempDirectory("graft_sms_ts").toString + "/s",
+        Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "v", "tstamp"),
+        Seq("id"), "tstamp")
+    }
+    assert(badPart.getMessage.contains("round-trip"), badPart.getMessage)
   }
 
   test("vacuum: drops superseded versions + stale manifests, keeps retention, sweeps orphans") {
@@ -185,7 +253,9 @@ class SnapshotMergeSpec extends SparkSuite {
     // references, in a partition no manifest knows
     val realOrphan = new java.io.File(store, "day=dX/__e=2")
     assert(realOrphan.mkdirs())
-    val deleted = SnapshotMerge.vacuum(spark, store, keep = 2)
+    // negative grace: everything unreferenced sweeps immediately (the
+    // production default leaves a 10-minute in-flight window)
+    val deleted = SnapshotMerge.vacuum(spark, store, keep = 2, graceMs = -1000L)
     assert(SnapshotMerge.committedEpochs(spark, store) === Seq(2L, 3L))
     // epoch-1's d1 version (superseded by 2 and 3) and the orphan are gone
     assert(!new java.io.File(store, "day=d1/__e=1").exists())
@@ -197,7 +267,7 @@ class SnapshotMergeSpec extends SparkSuite {
     // d2 epoch-1 version is still referenced by BOTH kept snapshots
     assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("c", "d2", 10L))
     // vacuuming to keep=1 drops epoch 2
-    SnapshotMerge.vacuum(spark, store, keep = 1)
+    SnapshotMerge.vacuum(spark, store, keep = 1, graceMs = -1000L)
     assert(SnapshotMerge.committedEpochs(spark, store) === Seq(3L))
     intercept[Exception] { SnapshotMerge.read(spark, store, Some(2L)).collect() }
   }

@@ -400,18 +400,37 @@ object SnapshotMerge {
     * schema (schema evolution adds columns; older snapshots read them
     * as null through their own manifest schema widened here by the
     * positional union contract being name-aligned first). Distributed
-    * set difference — one shuffle per side, never a collect. */
+    * set difference — one shuffle per side, never a collect.
+    *
+    * MANIFEST-PRUNED: partitions whose (name, physical version) pair is
+    * IDENTICAL in both manifests are skipped before any file is read —
+    * the same version directory holds the same rows, which cancel in
+    * the diff, so the pruning is exact. This is the property that makes
+    * a CDF between two epochs of a 100 TB table cost the CHANGED
+    * partitions, not the table: the manifests already know what moved
+    * (a row's partition value determines its directory name on both
+    * sides, so no cross-partition cancellation exists to lose). */
   def changes(spark: SparkSession, store: String, fromE: Long, toE: Long): DataFrame = {
     val have = committedEpochs(spark, store)
     require(have.contains(fromE) && have.contains(toE),
       s"unknown epochs $fromE/$toE (have: ${have.mkString(",")})")
     require(fromE <= toE, s"fromE $fromE must be <= toE $toE (labels would invert)")
-    val after = read(spark, store, Some(toE))
+    val (fromSnap, toSnap) = prunedPair(
+      snapshot(spark, store, fromE), snapshot(spark, store, toE))
+    val after = readSnapshot(spark, store, toSnap)
     // align by NAME to the after-schema before the positional exceptAll;
     // a column the older snapshot never had reads as null
-    val before = alignTo(read(spark, store, Some(fromE)), after.schema)
+    val before = alignTo(readSnapshot(spark, store, fromSnap), after.schema)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** The exact metadata prune behind [[changes]]: drop every
+    * (partition, version) pair both manifests share. */
+  private[etl] def prunedPair(from: Snapshot, to: Snapshot): (Snapshot, Snapshot) = {
+    val common = from.parts.toSet.intersect(to.parts.toSet)
+    (from.copy(parts = from.parts.filterNot(common)),
+      to.copy(parts = to.parts.filterNot(common)))
   }
 
   /** OPTIMIZE analog with snapshot isolation: rewrite the current
@@ -591,6 +610,55 @@ object SnapshotMerge {
        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q111 — the snapshot store's CHANGE FEED under the oracle: the CDF
+    * between the bootstrap epoch and the final epoch of q110's store
+    * (updates surface as delete+insert, the epoch-2 moved-day keys diff
+    * in both partitions), rolled up per change type and day. The oracle
+    * recomputes the same full-row diff with EXCEPT ALL in DuckDB —
+    * q47 proves the contract on [[VersionLog]]'s full-copy snapshots;
+    * this row proves it on the partition-incremental manifest store. */
+  def snapshotChangesRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val store = q110Store(spark, sfDir)
+    val epochs = committedEpochs(spark, store)
+    changes(spark, store, epochs.head, epochs.last)
+      .groupBy("_change_type", "day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("_change_type"), col("day").asc_nulls_last)
+  }
+
+  private val q111Sql = {
+    val dsum = graft.functions.Det.sqlDsum _
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         cast(cast(ts AS date) AS varchar) AS day
+       |  FROM events),
+       |v0 AS (SELECT * FROM ev WHERE event_id % 10 < 8),
+       |u1 AS (
+       |  SELECT event_id, user_id, event_type, value + 1000.0 AS value,
+       |         CASE WHEN event_id % 10 = 6
+       |              THEN cast(cast(day AS date) + INTERVAL 1 DAY AS date)::varchar
+       |              ELSE day END AS day
+       |  FROM ev WHERE event_id % 10 >= 6),
+       |s1 AS (
+       |  SELECT * FROM v0 WHERE event_id NOT IN (SELECT event_id FROM u1)
+       |  UNION ALL SELECT * FROM u1),
+       |u2 AS (
+       |  SELECT event_id, user_id, event_type, value * 2.0 AS value, day
+       |  FROM ev WHERE event_id % 10 = 0 OR event_id % 10 = 5),
+       |s2 AS (
+       |  SELECT * FROM s1 WHERE event_id NOT IN (SELECT event_id FROM u2)
+       |  UNION ALL SELECT * FROM u2),
+       |ins AS (SELECT * FROM s2 EXCEPT ALL SELECT * FROM v0),
+       |del AS (SELECT * FROM v0 EXCEPT ALL SELECT * FROM s2),
+       |feed AS (
+       |  SELECT 'insert' AS _change_type, day, value FROM ins
+       |  UNION ALL SELECT 'delete' AS _change_type, day, value FROM del)
+       |SELECT _change_type, day, count(*) AS n, ${dsum("value")} AS total_value
+       |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def all: Seq[graft.Q] = Seq(
-    graft.Q("q110_snapshot_merge", (s, d) => snapshotMergeRollup(s, d), Some(q110Sql)))
+    graft.Q("q110_snapshot_merge", (s, d) => snapshotMergeRollup(s, d), Some(q110Sql)),
+    graft.Q("q111_snapshot_changes", (s, d) => snapshotChangesRollup(s, d), Some(q111Sql)))
 }

@@ -111,7 +111,15 @@ object Merge {
     stagingDirs.foreach { st =>
       val dest = new Path(targetDir, st.getPath.getName)
       if (fs.exists(dest)) fs.delete(dest, true)
-      fs.rename(st.getPath, dest)
+      // rename reports failure as FALSE on several filesystems; the old
+      // partition is already deleted here, so the staged dir now holds
+      // the ONLY copy of this partition's rows — surface the failure and
+      // leave staging in place for recovery instead of deleting it
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(
+          s"failed to publish staged partition ${st.getPath} to $dest — " +
+            s"the partition's rows are preserved at $staging; restore " +
+            "them manually before the next merge")
     }
     fs.delete(stagingPath, true)
     // A touched partition can end up EMPTY after the merge (its only rows

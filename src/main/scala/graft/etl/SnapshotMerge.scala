@@ -39,19 +39,23 @@ import graft.sources.CommitMarker
   *  - '''Time travel''': `read(asOf = Some(e))` for any epoch still
   *    inside the vacuum retention, on the partitioned store rather than
   *    VersionLog's full-copy snapshots.
-  *  - '''Detect-and-fail concurrency''': publish rides
-  *    [[CommitMarker.claimEpochFrom]] — a merge computed against a stale
-  *    snapshot aborts before its manifest (or any reader-visible state)
-  *    lands; its already-moved `__e` directories are unreferenced orphans
-  *    that [[vacuum]] sweeps.
+  *  - '''Detect-and-fail concurrency''': THE MANIFEST IS THE COMMIT —
+  *    logical epoch `base + 1` lands by an atomic no-overwrite rename
+  *    (put-if-absent, Delta's log-commit shape), so a merge computed
+  *    against a stale snapshot aborts at publish whatever physical
+  *    claim it won, retracting its own moved `__e` directories.
+  *    [[CommitMarker.claimEpochFrom]] claims only hand out UNIQUE
+  *    physical `__e=k` version-dir numbers.
   *
   * Crash truth table (writer dies at any point):
   *  - before the claim → staging dir self-cleans / is an inert sibling;
   *  - after the claim, before the manifest rename → orphan `__e` dirs
-  *    referenced by no manifest (vacuum sweeps); the next writer claims
-  *    the next epoch and proceeds;
-  *  - the manifest rename is the commit point (atomic on HDFS/local/ABFS
-  *    — same FileContext.rename(OVERWRITE) the VersionLog pointer uses).
+  *    referenced by no manifest (vacuum sweeps after its grace); the
+  *    next writer burns past the claimed number, the logical chain
+  *    stays dense;
+  *  - the manifest rename is the commit point (no-overwrite — atomic
+  *    create-exclusive strength: HDFS/local/ABFS; raw S3A needs a
+  *    coordination layer, the same scope as CommitMarker).
   *
   * Scale posture: the manifest is O(live partitions) of metadata read
   * once per plan — the same class as Delta's checkpoint, not a data
@@ -258,11 +262,13 @@ object SnapshotMerge {
     val staging = store.stripSuffix("/") + "__staging_" +
       java.util.UUID.randomUUID().toString.take(8)
     val stagingPath = new Path(staging)
-    // the physical floor also rides above every version any RETAINED
-    // manifest references — claim files alone could regress if a tool
-    // swept them, and a regressed physical number would collide with a
-    // live __e dir
-    val physFloor = math.max(claimFloor,
+    // the physical floor rides above every version the base manifest
+    // references AND the claim state read FRESH here — entry-time claim
+    // reads go stale while a slow merge stages, and claim pruning can
+    // delete exactly the number a stale floor would re-claim, colliding
+    // a new `__e` dir with a retained older epoch's live one
+    val physFloor = math.max(
+      math.max(claimFloor, CommitMarker.currentEpoch(spark, store)),
       base.map(s => (s.parts.values ++ Iterator(s.epoch)).max).getOrElse(0L))
     val phys =
       try {
@@ -292,7 +298,6 @@ object SnapshotMerge {
             s"failed to move staged partition ${st.getPath} to $dest")
         movedIn += dest
       }
-      fs.delete(stagingPath, true)
     } catch {
       case e: Throwable =>
         dropMovedIn()
@@ -306,12 +311,45 @@ object SnapshotMerge {
     val parts = baseParts.filterNot { case (n, _) => touchedNames(n) } ++
       stagedNames.iterator.map(_ -> phys)
     val next = base.map(_.epoch).getOrElse(0L) + 1
-    try writeManifest(fs, spark, storePath, Snapshot(next, schema, parts))
-    catch {
+    try {
+      // ZOMBIE-EPOCH GATE: the put-if-absent sentinel for `next` can have
+      // been vacuumed while this merge staged (manifests older than the
+      // retention are deleted without grace), so the rename alone would
+      // let a slow writer commit an epoch BELOW the tip — a silently lost
+      // update plus a false time-travel history. Verify the tip is still
+      // exactly our base. Race-free: a manifest > next can only appear by
+      // a writer whose base was `next` or later, which cannot exist until
+      // OUR manifest lands, so nothing higher can land between this check
+      // and the rename — and the rename itself still arbitrates `next`.
+      val tip = committedEpochs(spark, store).lastOption.getOrElse(0L)
+      if (tip != next - 1)
+        throw new CommitMarker.ConcurrentWriteException(
+          s"the tip of $store is epoch $tip but this merge was computed " +
+            s"against epoch ${next - 1} (its put-if-absent sentinel may " +
+            "have been vacuumed while the merge staged) — aborted; rerun " +
+            "to apply it on top of the tip")
+      // moved-in versions must still exist at commit: a vacuum whose
+      // grace was outlived by this publish window may have swept them
+      // (they were unreferenced until this manifest lands); committing
+      // would wedge the latest snapshot on path-not-found
+      movedIn.result().foreach { d =>
+        if (!fs.exists(d))
+          throw new java.io.IOException(
+            s"$d vanished before the manifest commit (vacuum grace " +
+              "outlived by this publish?) — merge aborted; increase the " +
+              "vacuum graceMs past the longest publish window")
+      }
+      writeManifest(fs, spark, storePath, Snapshot(next, schema, parts))
+    } catch {
       case e: Throwable =>
         dropMovedIn() // the loser's additive dirs — referenced by nothing
+        try fs.delete(stagingPath, true) catch { case _: Throwable => () }
         throw e
     }
+    // staging cleanup only AFTER the commit: a cleanup hiccup must not
+    // abort a completed publish (an orphan staging dir is an inert
+    // sibling no reader lists — Merge.scala documents the same)
+    try fs.delete(stagingPath, true) catch { case _: Throwable => () }
     next
   }
 
@@ -376,16 +414,23 @@ object SnapshotMerge {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.getUri, spark.sessionState.newHadoopConf())
     val dest = fs.makeQualified(new Path(storePath, s"$SnapPrefix${snap.epoch}"))
+    def lost(e: Exception): Nothing = {
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw new CommitMarker.ConcurrentWriteException(
+        s"another writer committed epoch ${snap.epoch} of $storePath " +
+          "after this writer read its base snapshot — this merge " +
+          "aborted; its partition versions were retracted; rerun to " +
+          s"apply it on top of the winner (${e.getMessage})")
+    }
     try fc.rename(fs.makeQualified(tmp), dest) // no-overwrite: put-if-absent
     catch {
-      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.nio.file.FileAlreadyExistsException) =>
-        try fs.delete(tmp, false) catch { case _: Throwable => () }
-        throw new CommitMarker.ConcurrentWriteException(
-          s"another writer committed epoch ${snap.epoch} of $storePath " +
-            "after this writer read its base snapshot — this merge " +
-            "aborted; its partition versions were retracted; rerun to " +
-            s"apply it on top of the winner (${e.getMessage})")
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
+      case e: java.nio.file.FileAlreadyExistsException => lost(e)
+      // some filesystems report the existing destination as a plain
+      // IOException — same message-based net as CommitMarker's claim
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+        lost(e)
       case e: Throwable =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
         throw e
@@ -475,14 +520,19 @@ object SnapshotMerge {
     * manifests, plus partition-version dirs referenced by no kept
     * manifest — superseded versions and crashed-publish orphans alike —
     * once they are older than `graceMs`. The grace window is what makes
-    * vacuum safe to run NEXT TO live traffic (physical version numbers
+    * vacuum safe to run NEXT TO live PUBLISHES (physical version numbers
     * no longer order against logical epochs, so age is the only honest
     * in-flight signal): a publisher's just-moved `__e` dir or
     * just-created partition parent is younger than any sane grace and
-    * is left alone; so is the snapshot a reader pinned moments ago.
-    * Readers pinned PAST the grace on a dropped epoch lose isolation —
-    * the Delta VACUUM retention trade, caller-chosen. Returns the
-    * deleted paths. */
+    * is left alone, and a publish that somehow outlives the grace
+    * re-verifies its moved dirs before committing, aborting rather than
+    * referencing swept data — size `graceMs` past the longest publish
+    * window. READERS get no such age key: a reader pinned on a DROPPED
+    * epoch loses its files whenever its version dirs are old — the
+    * Delta VACUUM retention trade; size `keep` to the reader window,
+    * not `graceMs`. Directories whose filesystem reports no
+    * modification time (some object-store listings return 0) are
+    * treated as YOUNG, never swept. Returns the deleted paths. */
   def vacuum(spark: SparkSession, store: String, keep: Int = 1,
              graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     require(keep >= 1, "keep must retain at least the current snapshot")
@@ -506,7 +556,7 @@ object SnapshotMerge {
           val sweep = en.startsWith(EpochDir) &&
             scala.util.Try(en.stripPrefix(EpochDir).toLong).toOption
               .exists(v => !referenced((pname, v))) &&
-            ed.getModificationTime < horizon
+            ed.getModificationTime != 0L && ed.getModificationTime < horizon
           if (sweep) {
             fs.delete(ed.getPath, true)
             deleted += ed.getPath.toString
@@ -584,28 +634,34 @@ object SnapshotMerge {
       .orderBy(col("day").asc_nulls_last)
   }
 
+  // the q110 store's three-state fold, stated ONCE in DuckDB dialect —
+  // q110's final-state oracle and q111's change-feed oracle both build
+  // on it (changing the store construction means changing exactly this)
+  private val qStoreFoldSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         cast(cast(ts AS date) AS varchar) AS day
+      |  FROM events),
+      |v0 AS (SELECT * FROM ev WHERE event_id % 10 < 8),
+      |u1 AS (
+      |  SELECT event_id, user_id, event_type, value + 1000.0 AS value,
+      |         CASE WHEN event_id % 10 = 6
+      |              THEN cast(cast(day AS date) + INTERVAL 1 DAY AS date)::varchar
+      |              ELSE day END AS day
+      |  FROM ev WHERE event_id % 10 >= 6),
+      |s1 AS (
+      |  SELECT * FROM v0 WHERE event_id NOT IN (SELECT event_id FROM u1)
+      |  UNION ALL SELECT * FROM u1),
+      |u2 AS (
+      |  SELECT event_id, user_id, event_type, value * 2.0 AS value, day
+      |  FROM ev WHERE event_id % 10 = 0 OR event_id % 10 = 5),
+      |s2 AS (
+      |  SELECT * FROM s1 WHERE event_id NOT IN (SELECT event_id FROM u2)
+      |  UNION ALL SELECT * FROM u2)""".stripMargin
+
   private val q110Sql = {
     val dsum = graft.functions.Det.sqlDsum _
-    s"""WITH ev AS (
-       |  SELECT event_id, user_id, event_type, value,
-       |         cast(cast(ts AS date) AS varchar) AS day
-       |  FROM events),
-       |v0 AS (SELECT * FROM ev WHERE event_id % 10 < 8),
-       |u1 AS (
-       |  SELECT event_id, user_id, event_type, value + 1000.0 AS value,
-       |         CASE WHEN event_id % 10 = 6
-       |              THEN cast(cast(day AS date) + INTERVAL 1 DAY AS date)::varchar
-       |              ELSE day END AS day
-       |  FROM ev WHERE event_id % 10 >= 6),
-       |s1 AS (
-       |  SELECT * FROM v0 WHERE event_id NOT IN (SELECT event_id FROM u1)
-       |  UNION ALL SELECT * FROM u1),
-       |u2 AS (
-       |  SELECT event_id, user_id, event_type, value * 2.0 AS value, day
-       |  FROM ev WHERE event_id % 10 = 0 OR event_id % 10 = 5),
-       |s2 AS (
-       |  SELECT * FROM s1 WHERE event_id NOT IN (SELECT event_id FROM u2)
-       |  UNION ALL SELECT * FROM u2)
+    s"""$qStoreFoldSql
        |SELECT day, count(*) AS n, ${dsum("value")} AS total_value
        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
@@ -629,26 +685,7 @@ object SnapshotMerge {
 
   private val q111Sql = {
     val dsum = graft.functions.Det.sqlDsum _
-    s"""WITH ev AS (
-       |  SELECT event_id, user_id, event_type, value,
-       |         cast(cast(ts AS date) AS varchar) AS day
-       |  FROM events),
-       |v0 AS (SELECT * FROM ev WHERE event_id % 10 < 8),
-       |u1 AS (
-       |  SELECT event_id, user_id, event_type, value + 1000.0 AS value,
-       |         CASE WHEN event_id % 10 = 6
-       |              THEN cast(cast(day AS date) + INTERVAL 1 DAY AS date)::varchar
-       |              ELSE day END AS day
-       |  FROM ev WHERE event_id % 10 >= 6),
-       |s1 AS (
-       |  SELECT * FROM v0 WHERE event_id NOT IN (SELECT event_id FROM u1)
-       |  UNION ALL SELECT * FROM u1),
-       |u2 AS (
-       |  SELECT event_id, user_id, event_type, value * 2.0 AS value, day
-       |  FROM ev WHERE event_id % 10 = 0 OR event_id % 10 = 5),
-       |s2 AS (
-       |  SELECT * FROM s1 WHERE event_id NOT IN (SELECT event_id FROM u2)
-       |  UNION ALL SELECT * FROM u2),
+    s"""$qStoreFoldSql,
        |ins AS (SELECT * FROM s2 EXCEPT ALL SELECT * FROM v0),
        |del AS (SELECT * FROM v0 EXCEPT ALL SELECT * FROM s2),
        |feed AS (

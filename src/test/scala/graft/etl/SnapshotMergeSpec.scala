@@ -129,12 +129,15 @@ class SnapshotMergeSpec extends SparkSuite {
       1L -> ("a", "d1", 10L), 2L -> ("fromA", "d1", 20L), 3L -> ("c", "d2", 10L)))
   }
 
-  test("the losing upsert leaves nothing reader-visible: manifests unchanged, staging cleaned, retry lands on top") {
+  test("a bare claim appearing mid-merge does not abort a merge computed against the true tip — the manifest arbitrates") {
+    // under the manifest-commit protocol a claim file alone is not a
+    // commit: a writer (crashed, or in-flight and destined to LOSE the
+    // manifest race) that claims physical 2 inside B's merge window must
+    // not make B abort — B's base IS the tip, so B burns past the claim
+    // and commits. (The genuinely-stale-writer path is the LOST-UPDATE
+    // test below; the crashed-claim-at-entry path is the test above.)
     val store = freshStore()
     bootstrap(store)
-    // the racer claims epoch 2 INSIDE writer B's merge window via a
-    // typed-filter closure on B's source — deterministically after B's
-    // base read (epoch 1), before B's publish claim of epoch 2
     SnapshotMergeSpec.racerFired.set(false)
     SnapshotMergeSpec.racerTarget = new java.io.File(store, "_GRAFT_EPOCH_2")
     val sourceB = Seq((3L, "fromB", "d2", 30L)).toDF("id", "v", "day", "ts")
@@ -143,25 +146,18 @@ class SnapshotMergeSpec extends SparkSuite {
           SnapshotMergeSpec.racerTarget.createNewFile()
         true
       }
-    val e = intercept[CommitMarker.ConcurrentWriteException] {
-      SnapshotMerge.upsert(spark, store, sourceB, Seq("id"), "day")
-    }
-    assert(e.getMessage.contains("epoch"), e.getMessage)
-    // nothing reader-visible from the loser: manifest chain unchanged,
-    // epoch-1 snapshot reads clean
-    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L))
-    assert(asMap(SnapshotMerge.read(spark, store)) === Map(
-      1L -> ("a", "d1", 10L), 2L -> ("b", "d1", 10L), 3L -> ("c", "d2", 10L)))
-    // no staging leftovers from the aborted writer
+    val e = SnapshotMerge.upsert(spark, store, sourceB, Seq("id"), "day")
+    assert(e === 2L, "logical epoch 2 commits; only a MANIFEST can abort a tip-based merge")
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L))
+    assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("fromB", "d2", 30L))
+    // the publish-time claim floor was re-read, so B's physical number
+    // burnt PAST the racer's claim instead of colliding with it
+    assert(SnapshotMerge.latestSnapshot(spark, store).get.parts("day=d2") === 3L,
+      "physical version must skip the racer's claimed number")
+    // no staging leftovers
     val parent = new java.io.File(store).getParentFile
     assert(!parent.listFiles().exists(_.getName.contains("__staging")),
-      s"aborted staging must be cleaned: ${parent.listFiles().map(_.getName).toSeq}")
-    // retry: the logical chain continues at 2 (only the racer's physical
-    // claim number was burnt)
-    val retried = SnapshotMerge.upsert(spark, store,
-      Seq((3L, "fromB", "d2", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
-    assert(retried === 2L)
-    assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("fromB", "d2", 30L))
+      s"staging must be cleaned: ${parent.listFiles().map(_.getName).toSeq}")
   }
 
   test("a claimed-but-unpublished physical version (crashed writer) is skipped; the logical chain stays dense") {
@@ -207,7 +203,11 @@ class SnapshotMergeSpec extends SparkSuite {
     val e = intercept[CommitMarker.ConcurrentWriteException] {
       SnapshotMerge.upsert(spark, store, sourceB, Seq("id"), "day")
     }
-    assert(e.getMessage.contains("committed epoch 2"), e.getMessage)
+    // the zombie gate catches the stale base BEFORE the rename; a racer
+    // landing between the gate and the rename would surface through the
+    // rename collision instead — both are the same abort contract
+    assert(e.getMessage.contains("tip of") || e.getMessage.contains("committed epoch 2"),
+      e.getMessage)
     // the winner's snapshot stands; B retracted its moved version dirs
     assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L))
     assert(asMap(SnapshotMerge.read(spark, store)) === Map(

@@ -309,6 +309,36 @@ object PropertySpec extends Properties("graft") {
         sk.size <= cap - 1
     }
 
+  /** The snapshot store as a PURE FOLD: any chain of MERGE epochs must
+    * read back exactly last-writer-wins per key (batches key-distinct,
+    * like the sink's per-batch dedup), with every intermediate epoch
+    * still time-traveling to its own prefix fold. Partitioning by
+    * event_type makes cross-batch type changes exercise MOVED-partition
+    * keys organically. Each trial runs real merges — kept to 2 batches. */
+  property("snapshot store: a MERGE chain ≡ the last-writer fold; every epoch time-travels to its prefix") = {
+    val genBatch = Gen.nonEmptyListOf(genEvent).map(_.distinctBy(_._1).take(12))
+    Prop.forAllNoShrink(genBatch, genBatch) { (b1, b2) =>
+      val store = java.nio.file.Files.createTempDirectory("graft_prop_snap")
+        .toString + "/s"
+      def model(bs: List[List[(Long, Timestamp, Long, String, Double)]]) =
+        bs.foldLeft(Map.empty[Long, (Timestamp, Long, String, Double)]) {
+          (m, b) => m ++ b.map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+        }
+      def stored(asOf: Option[Long]) =
+        graft.etl.SnapshotMerge.read(spark, store, asOf).collect()
+          .map(r => r.getAs[Long]("event_id") ->
+            ((r.getAs[Timestamp]("ts"), r.getAs[Long]("user_id"),
+              r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
+      val batches = List(b1, b2)
+      val epochs = batches.map(b =>
+        graft.etl.SnapshotMerge.upsert(spark, store, toDF(b),
+          Seq("event_id"), "event_type"))
+      epochs == List(1L, 2L) &&
+        stored(None) == model(batches) &&
+        stored(Some(1L)) == model(batches.take(1))
+    }
+  }
+
   property("MG: guarantees survive arbitrary partitioning + merge trees") =
     Prop.forAll(genStream, Gen.choose(2, 9)) { case ((keys, cap), parts) =>
       val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap

@@ -262,18 +262,35 @@ object SnapshotMerge {
     val staging = store.stripSuffix("/") + "__staging_" +
       java.util.UUID.randomUUID().toString.take(8)
     val stagingPath = new Path(staging)
-    // the physical floor rides above every version the base manifest
-    // references AND the claim state read FRESH here — entry-time claim
-    // reads go stale while a slow merge stages, and claim pruning can
-    // delete exactly the number a stale floor would re-claim, colliding
-    // a new `__e` dir with a retained older epoch's live one
+    // base floor: every version the base manifest references plus the
+    // entry-time claim state
     val physFloor = math.max(
       math.max(claimFloor, CommitMarker.currentEpoch(spark, store)),
       base.map(s => (s.parts.values ++ Iterator(s.epoch)).max).getOrElse(0L))
     val phys =
       try {
         rows.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-        CommitMarker.claimEpochFrom(spark, store, physFloor)
+        // The floor is re-read AFTER the staging write — a floor read
+        // before the merge materializes is stale by the merge's full
+        // duration, and claim pruning can delete exactly the number a
+        // stale floor would re-claim, nesting a new `__e` dir into a
+        // retained epoch's LIVE version dir. Claims are number
+        // allocators, not commit arbiters, so a collision in the tiny
+        // read-to-create window just means the number was taken — bump
+        // and retry (bounded), never abort a tip-based merge over it.
+        var floor = math.max(physFloor, CommitMarker.currentEpoch(spark, store))
+        var claimed = -1L
+        var attempts = 0
+        while (claimed < 0) {
+          try claimed = CommitMarker.claimEpochFrom(spark, store, floor)
+          catch {
+            case e: CommitMarker.ConcurrentWriteException =>
+              attempts += 1
+              if (attempts >= 5) throw e
+              floor = math.max(floor + 1, CommitMarker.currentEpoch(spark, store))
+          }
+        }
+        claimed
       } catch {
         case e: Throwable =>
           try fs.delete(stagingPath, true) catch { case _: Throwable => () }
@@ -290,6 +307,16 @@ object SnapshotMerge {
         val parent = new Path(storePath, st.getPath.getName)
         fs.mkdirs(parent)
         val dest = new Path(parent, s"$EpochDir$phys")
+        // a pre-existing dest means a physical-number collision slipped
+        // every guard (externally deleted claim files): renaming onto an
+        // existing directory NESTS into it on HDFS-like filesystems, and
+        // the abort path would then delete the OTHER writer's committed
+        // data — refuse before touching it
+        if (fs.exists(dest))
+          throw new java.io.IOException(
+            s"version dir $dest already exists (physical number " +
+              "collision — were claim files deleted externally?); " +
+              "aborting without touching it")
         // rename reports failure as FALSE on several filesystems, not as
         // an exception — committing a manifest over a failed move would
         // reference a directory that does not exist and wedge the store
@@ -331,7 +358,11 @@ object SnapshotMerge {
       // moved-in versions must still exist at commit: a vacuum whose
       // grace was outlived by this publish window may have swept them
       // (they were unreferenced until this manifest lands); committing
-      // would wedge the latest snapshot on path-not-found
+      // would wedge the latest snapshot on path-not-found. This check
+      // NARROWS that over-grace window to the final instant — the real
+      // guarantee is the grace contract itself (publishes shorter than
+      // graceMs have dirs too young to sweep); a publish that violates
+      // it races this check
       movedIn.result().foreach { d =>
         if (!fs.exists(d))
           throw new java.io.IOException(
@@ -351,6 +382,11 @@ object SnapshotMerge {
     // sibling no reader lists — Merge.scala documents the same)
     try fs.delete(stagingPath, true) catch { case _: Throwable => () }
     next
+  }
+
+  private[etl] def alreadyExistsMessage(e: java.io.IOException): Boolean = {
+    val m = Option(e.getMessage).map(_.toLowerCase).getOrElse("")
+    m.contains("exist") && !m.contains("not exist") && !m.contains("no such")
   }
 
   private def alignTo(df: DataFrame, schema: StructType): DataFrame =
@@ -427,10 +463,10 @@ object SnapshotMerge {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
       case e: java.nio.file.FileAlreadyExistsException => lost(e)
       // some filesystems report the existing destination as a plain
-      // IOException — same message-based net as CommitMarker's claim
-      case e: java.io.IOException
-          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
-        lost(e)
+      // IOException — match ALREADY-exists only ("does not exist"/"no
+      // such file" are genuine faults that must surface as themselves,
+      // not as a retryable concurrency lie)
+      case e: java.io.IOException if alreadyExistsMessage(e) => lost(e)
       case e: Throwable =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
         throw e
@@ -530,9 +566,13 @@ object SnapshotMerge {
     * window. READERS get no such age key: a reader pinned on a DROPPED
     * epoch loses its files whenever its version dirs are old — the
     * Delta VACUUM retention trade; size `keep` to the reader window,
-    * not `graceMs`. Directories whose filesystem reports no
-    * modification time (some object-store listings return 0) are
-    * treated as YOUNG, never swept. Returns the deleted paths. */
+    * not `graceMs`. Directories whose LISTING reports no modification
+    * time (some object stores fake directory entries at mtime 0) age
+    * by their newest child file instead, so vacuum neither sweeps
+    * blind nor silently stops bounding a streaming store. Manifest
+    * deletion honors the same grace — the commit gate's put-if-absent
+    * sentinel must outlive any gate-to-rename window. Returns the
+    * deleted paths. */
   def vacuum(spark: SparkSession, store: String, keep: Int = 1,
              graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     require(keep >= 1, "keep must retain at least the current snapshot")
@@ -546,17 +586,29 @@ object SnapshotMerge {
         case (n, pe) => (n, pe)
       }).toSet
     val horizon = System.currentTimeMillis() - graceMs
+    // directory mtimes can read 0 on object stores whose listings fake
+    // directory entries — fall back to the newest CHILD mtime (files
+    // carry real stamps there) so vacuum neither sweeps blind nor
+    // degrades to a silent no-op that lets a streaming store grow one
+    // epoch per trigger forever
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val m =
+        if (st.getModificationTime != 0L) st.getModificationTime
+        else if (!st.isDirectory) 0L
+        else fs.listStatus(st.getPath).foldLeft(0L)((a, c) =>
+          math.max(a, c.getModificationTime))
+      m != 0L && m < horizon
+    }
     val deleted = Seq.newBuilder[String]
     fs.listStatus(storePath).filter(_.isDirectory).foreach { pd =>
       val pname = pd.getPath.getName
       if (!pname.startsWith("_") && !pname.startsWith(".")) {
         var live = 0
         fs.listStatus(pd.getPath).foreach { ed =>
-          val en = ed.getPath.getName
-          val sweep = en.startsWith(EpochDir) &&
-            scala.util.Try(en.stripPrefix(EpochDir).toLong).toOption
-              .exists(v => !referenced((pname, v))) &&
-            ed.getModificationTime != 0L && ed.getModificationTime < horizon
+          val sweep = ed.getPath.getName.startsWith(EpochDir) &&
+            scala.util.Try(ed.getPath.getName.stripPrefix(EpochDir).toLong)
+              .toOption.exists(v => !referenced((pname, v))) &&
+            aged(ed)
           if (sweep) {
             fs.delete(ed.getPath, true)
             deleted += ed.getPath.toString
@@ -570,9 +622,15 @@ object SnapshotMerge {
         }
       }
     }
+    // manifest deletion honors the SAME grace: the zombie gate's
+    // exclusivity argument needs the base+1 sentinel to outlive any
+    // gate-to-rename window, so a freshly superseded manifest lingers
+    // one grace period before it drops out of the listing
     all.dropRight(keep).foreach { e =>
       val m = new Path(storePath, s"$SnapPrefix$e")
-      if (fs.delete(m, false)) deleted += m.toString
+      val st = try Some(fs.getFileStatus(m))
+        catch { case _: java.io.FileNotFoundException => None }
+      if (st.exists(aged) && fs.delete(m, false)) deleted += m.toString
     }
     deleted.result()
   }

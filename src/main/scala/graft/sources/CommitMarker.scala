@@ -155,7 +155,10 @@ object CommitMarker {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw concurrent(store, base, next, e)
       case e: java.io.IOException
-          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+          if Option(e.getMessage).map(_.toLowerCase).exists(m =>
+            // ALREADY-exists only: "does not exist"/"no such file" are
+            // genuine faults, not another writer
+            m.contains("exist") && !m.contains("not exist") && !m.contains("no such")) =>
         throw concurrent(store, base, next, e)
     }
     epochsOf(fs, new org.apache.hadoop.fs.Path(store))

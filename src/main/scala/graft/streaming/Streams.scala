@@ -251,7 +251,8 @@ object Streams {
   def snapshotMergeSink(stream: DataFrame, targetDir: String, checkpoint: String,
                         keys: Seq[String], tsCol: String,
                         partitionCol: String,
-                        vacuumKeep: Int = 24): DataStreamWriter[org.apache.spark.sql.Row] =
+                        vacuumKeep: Int = 24,
+                        vacuumGraceMs: Long = 10 * 60 * 1000L): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -261,7 +262,7 @@ object Streams {
         // an empty trigger (restart bookkeeping) must not burn an epoch
         if (!latest.isEmpty) {
           graft.etl.SnapshotMerge.upsert(spark, targetDir, latest, keys, partitionCol)
-          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep)
+          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs)
         }
         ()
       }

@@ -315,11 +315,26 @@ object PropertySpec extends Properties("graft") {
     * still time-traveling to its own prefix fold. Partitioning by
     * event_type makes cross-batch type changes exercise MOVED-partition
     * keys organically. Each trial runs real merges — kept to 2 batches. */
+  // one scratch root for ALL snapshot-chain trials, deleted on JVM exit
+  // (a per-trial createTempDirectory with no hook would leak ten parquet
+  // stores per suite run)
+  private lazy val snapPropRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_prop_snap")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path => JPath}
+      import java.util.Comparator
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[JPath]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    }))
+    p
+  }
+
   property("snapshot store: a MERGE chain ≡ the last-writer fold; every epoch time-travels to its prefix") = {
     val genBatch = Gen.nonEmptyListOf(genEvent).map(_.distinctBy(_._1).take(12))
     Prop.forAllNoShrink(genBatch, genBatch) { (b1, b2) =>
-      val store = java.nio.file.Files.createTempDirectory("graft_prop_snap")
-        .toString + "/s"
+      val store = snapPropRoot.resolve(
+        java.util.UUID.randomUUID().toString.take(8)).toString + "/s"
       def model(bs: List[List[(Long, Timestamp, Long, String, Double)]]) =
         bs.foldLeft(Map.empty[Long, (Timestamp, Long, String, Double)]) {
           (m, b) => m ++ b.map(r => r._1 -> ((r._2, r._3, r._4, r._5)))

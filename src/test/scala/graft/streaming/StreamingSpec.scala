@@ -639,7 +639,7 @@ class StreamingSpec extends SparkSuite {
       .withColumn("day", to_date(col("ts")))
     val query = Streams.snapshotMergeSink(events, table, s"$tmp/chk",
       keys = Seq("event_id"), tsCol = "ts", partitionCol = "day",
-      vacuumKeep = 2).start()
+      vacuumKeep = 2, vacuumGraceMs = -1000L).start()
     try {
       // trigger 1: bootstrap through the SAME merge path (no Overwrite
       // branch, no marker, no ambiguity guard needed)

@@ -240,6 +240,11 @@ object SnapshotMerge {
     * its physical claim and its manifest is raced, never silently
     * overwritten (physical `_GRAFT_EPOCH_k` claims only hand out unique
     * `__e=k` directory numbers; they no longer arbitrate commits).
+    * The put-if-absent sentinel's one caveat — vacuum could delete an
+    * old N+1 manifest out from under a merge that staged longer than
+    * the retention — is closed twice over: the ZOMBIE GATE below
+    * re-verifies the tip immediately before the rename, and vacuum's
+    * manifest deletion honors the same grace as its data sweeps.
     *
     * Crash/abort truth table: before the claim → staging self-cleans;
     * after the claim, before the manifest → unique orphan `__e=k` dirs

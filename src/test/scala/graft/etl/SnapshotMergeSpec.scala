@@ -221,6 +221,35 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("fromB", "d2", 30L))
   }
 
+  test("a pre-existing destination version dir aborts the publish without touching it") {
+    // physical-number collisions should be impossible (monotone claims),
+    // but if one ever slips (claim files deleted externally), renaming
+    // onto the existing dir would NEST into it and the abort path would
+    // then delete the OTHER writer's committed data — the move loop must
+    // refuse instead
+    val store = freshStore()
+    bootstrap(store)
+    // the next physical number a writer will claim is 2 — plant a dir
+    // there as if another writer owned it
+    val planted = new java.io.File(store, "day=d1/__e=2")
+    assert(planted.mkdirs())
+    val canary = new java.io.File(planted, "someone_elses_data.parquet")
+    assert(canary.createNewFile())
+    val e = intercept[java.io.IOException] {
+      SnapshotMerge.upsert(spark, store,
+        Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(canary.exists(), "the other writer's data must not be touched")
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L))
+    assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b", "d1", 10L))
+    // clearing the collision (sweeping the foreign dir) unblocks the merge
+    assert(canary.delete() && planted.delete())
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b2", "d1", 20L))
+  }
+
   test("guards: type changes and path-unstable partition types are refused") {
     val store = freshStore()
     bootstrap(store)

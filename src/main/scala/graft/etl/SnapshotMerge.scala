@@ -87,6 +87,15 @@ object SnapshotMerge {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Data files only: `_`-prefixed control files AND `.`-prefixed
+    * hidden files (local-FS `.part-*.crc` checksums roughly DOUBLE a
+    * raw count — r15 ADVICE) are excluded, the same predicate Spark's
+    * own scans apply. */
+  private def isDataFile(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val n = s.getPath.getName
+    s.isFile && !n.startsWith("_") && !n.startsWith(".")
+  }
+
   /** Epochs with a committed manifest, ascending (committed = the
     * manifest rename landed; foreign files sharing the prefix are
     * skipped, as in CommitMarker). */
@@ -394,6 +403,12 @@ object SnapshotMerge {
     m.contains("exist") && !m.contains("not exist") && !m.contains("no such")
   }
 
+  /** After a failed no-overwrite create/rename: does the destination
+    * exist (→ a concurrent writer won it)? None when the probe itself
+    * fails — the caller falls back to message classification. */
+  private[etl] def existsAfterFailure(fs: FileSystem, dest: Path): Option[Boolean] =
+    try Some(fs.exists(dest)) catch { case _: Throwable => None }
+
   private def alignTo(df: DataFrame, schema: StructType): DataFrame =
     schema.fields.foldLeft(df) { (d, f) =>
       if (d.columns.contains(f.name)) d
@@ -468,10 +483,14 @@ object SnapshotMerge {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
       case e: java.nio.file.FileAlreadyExistsException => lost(e)
       // some filesystems report the existing destination as a plain
-      // IOException — match ALREADY-exists only ("does not exist"/"no
-      // such file" are genuine faults that must surface as themselves,
-      // not as a retryable concurrency lie)
-      case e: java.io.IOException if alreadyExistsMessage(e) => lost(e)
+      // IOException — classify by PROBING the destination (r15 ADVICE:
+      // message substrings are locale-dependent, and a lease/lock error
+      // containing "exists" would misreport a genuine fault as a
+      // retryable concurrency abort); the message match remains only as
+      // the fallback when the probe itself cannot answer
+      case e: java.io.IOException
+          if existsAfterFailure(fs, dest).getOrElse(alreadyExistsMessage(e)) =>
+        lost(e)
       case e: Throwable =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
         throw e
@@ -539,8 +558,7 @@ object SnapshotMerge {
     val fs = fsOf(spark, storePath)
     val fragmented = base.parts.filter { case (name, e) =>
       val d = new Path(storePath, s"$name/$EpochDir$e")
-      fs.exists(d) && fs.listStatus(d).count(s =>
-        s.isFile && !s.getPath.getName.startsWith("_")) > maxFilesPerPartition
+      fs.exists(d) && fs.listStatus(d).count(s => isDataFile(s)) > maxFilesPerPartition
     }
     if (fragmented.isEmpty) return None
     val rows = readSnapshot(spark, store, base.copy(parts = fragmented))
@@ -621,8 +639,12 @@ object SnapshotMerge {
         }
         // an empty partition parent is only junk once it has AGED past
         // the grace — a publisher mkdirs the parent an instant before
-        // renaming its first version in
-        if (live == 0 && pd.getModificationTime < horizon) {
+        // renaming its first version in. Routed through aged() (r15
+        // ADVICE): object stores that fake directory listings report
+        // mtime 0, and a raw `0 < horizon` would deem a just-created
+        // parent permanently aged, sweeping it out from under the
+        // publisher's first rename (safe abort, but a liveness bug).
+        if (live == 0 && aged(pd)) {
           fs.delete(pd.getPath, true); deleted += pd.getPath.toString
         }
       }

@@ -154,11 +154,17 @@ object CommitMarker {
         throw concurrent(store, base, next, e)
       case e: java.nio.file.FileAlreadyExistsException =>
         throw concurrent(store, base, next, e)
+      // plain-IOException filesystems: classify by PROBING the claim
+      // file (r15 ADVICE — message substrings are locale-dependent and
+      // a lease error containing "exists" would lie about a concurrent
+      // writer); the message match is only the probe-failed fallback
       case e: java.io.IOException
-          if Option(e.getMessage).map(_.toLowerCase).exists(m =>
-            // ALREADY-exists only: "does not exist"/"no such file" are
-            // genuine faults, not another writer
-            m.contains("exist") && !m.contains("not exist") && !m.contains("no such")) =>
+          if (try fs.exists(p) catch {
+            case _: Throwable =>
+              Option(e.getMessage).map(_.toLowerCase).exists(m =>
+                m.contains("exist") && !m.contains("not exist") &&
+                  !m.contains("no such"))
+          }) =>
         throw concurrent(store, base, next, e)
     }
     epochsOf(fs, new org.apache.hadoop.fs.Path(store))

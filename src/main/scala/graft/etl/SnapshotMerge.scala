@@ -74,11 +74,28 @@ import graft.sources.CommitMarker
   */
 object SnapshotMerge {
 
+  /** Physical file statistics of one partition version, recorded in the
+    * manifest AT PUBLISH TIME (r15 verdict #3): data-file count and
+    * total bytes. They let `compact`'s fragmentation probe and
+    * `vacuum`'s superseded-version sweep plan from manifest metadata
+    * alone instead of issuing O(live partitions) driver-side
+    * `listStatus` RPCs — minutes of driver time at 10⁵–10⁶ partitions,
+    * the same reason Delta checkpoints carry per-file stats. */
+  final case class PartStats(files: Int, bytes: Long)
+
   /** One committed table version: its epoch, the logical row schema at
     * commit time, and for each live partition DIRECTORY NAME (Spark's
     * escaped `col=value` form) the epoch whose `__e={epoch}` subdir
-    * holds its current rows. */
-  final case class Snapshot(epoch: Long, schema: StructType, parts: Map[String, Long])
+    * holds its current rows. `stats` carries [[PartStats]] for every
+    * partition whose publish recorded them (all writes since the stats
+    * format landed; absent entries fall back to an FS probe).
+    * `dataChange=false` marks an epoch whose LOGICAL content is
+    * identical to its predecessor (compaction) — the flag Delta writes
+    * on OPTIMIZE commits, and what lets a streaming reader skip the
+    * epoch without diffing a single file. */
+  final case class Snapshot(epoch: Long, schema: StructType, parts: Map[String, Long],
+                            stats: Map[String, PartStats] = Map.empty,
+                            dataChange: Boolean = true)
 
   private val SnapPrefix = "_GRAFT_SNAP_"
   private val EpochDir = "__e="
@@ -119,18 +136,28 @@ object SnapshotMerge {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
     var schema: StructType = null
+    var dataChange = true
     val parts = Map.newBuilder[String, Long]
+    val stats = Map.newBuilder[String, PartStats]
     text.split('\n').iterator.map(_.stripSuffix("\r")).filter(_.nonEmpty).foreach {
       case l if l.startsWith("schema\t") =>
         schema = DataType.fromJson(l.substring("schema\t".length)).asInstanceOf[StructType]
-      case l if l.startsWith("part\t") =>
+      case l if l.startsWith("part\t") => // legacy stat-less line, still readable
         val rest = l.substring("part\t".length)
         val sep = rest.indexOf('\t')
         parts += rest.substring(sep + 1) -> rest.substring(0, sep).toLong
+      case l if l.startsWith("partv2\t") => // epoch \t files \t bytes \t name
+        val f = l.substring("partv2\t".length).split('\t')
+        // the NAME is the final field and never splits: escapePathName
+        // percent-encodes control characters, tab included
+        parts += f(3) -> f(0).toLong
+        stats += f(3) -> PartStats(f(1).toInt, f(2).toLong)
+      case l if l.startsWith("kind\t") =>
+        dataChange = l.substring("kind\t".length) != "compact"
       case _ => () // "epoch\tN" header (redundant with the file name) or unknown
     }
     require(schema != null, s"manifest $p carries no schema line")
-    Snapshot(epoch, schema, parts.result())
+    Snapshot(epoch, schema, parts.result(), stats.result(), dataChange)
   }
 
   /** The newest committed snapshot, if any. */
@@ -270,7 +297,9 @@ object SnapshotMerge {
       rows: DataFrame,
       partitionCol: String,
       touchedNames: Set[String],
-      schema: StructType): Long = {
+      schema: StructType,
+      dataChange: Boolean = true,
+      writeOptions: Map[String, String] = Map.empty): Long = {
     val storePath = new Path(store)
     val fs = fsOf(spark, storePath)
     val staging = store.stripSuffix("/") + "__staging_" +
@@ -283,7 +312,8 @@ object SnapshotMerge {
       base.map(s => (s.parts.values ++ Iterator(s.epoch)).max).getOrElse(0L))
     val phys =
       try {
-        rows.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+        rows.write.mode(SaveMode.Overwrite).options(writeOptions)
+          .partitionBy(partitionCol).parquet(staging)
         // The floor is re-read AFTER the staging write — a floor read
         // before the merge materializes is stale by the merge's full
         // duration, and claim pruning can delete exactly the number a
@@ -312,6 +342,14 @@ object SnapshotMerge {
       }
     val stagedDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
     val stagedNames = stagedDirs.map(_.getPath.getName).toSet
+    // per-partition file stats, listed from STAGING before the move-in
+    // (contents are identical after the rename): one listStatus per
+    // TOUCHED partition at publish time buys compact/vacuum their
+    // manifest-only planning over ALL partitions forever after
+    val stagedStats: Map[String, PartStats] = stagedDirs.iterator.map { st =>
+      val files = fs.listStatus(st.getPath).filter(isDataFile)
+      st.getPath.getName -> PartStats(files.length, files.map(_.getLen).sum)
+    }.toMap
     val movedIn = Seq.newBuilder[Path]
     def dropMovedIn(): Unit = movedIn.result().foreach { d =>
       try fs.delete(d, true) catch { case _: Throwable => () }
@@ -351,6 +389,8 @@ object SnapshotMerge {
     val baseParts = base.map(_.parts).getOrElse(Map.empty[String, Long])
     val parts = baseParts.filterNot { case (n, _) => touchedNames(n) } ++
       stagedNames.iterator.map(_ -> phys)
+    val stats = base.map(_.stats).getOrElse(Map.empty[String, PartStats])
+      .filterNot { case (n, _) => touchedNames(n) } ++ stagedStats
     val next = base.map(_.epoch).getOrElse(0L) + 1
     try {
       // ZOMBIE-EPOCH GATE: the put-if-absent sentinel for `next` can have
@@ -384,7 +424,8 @@ object SnapshotMerge {
               "outlived by this publish?) — merge aborted; increase the " +
               "vacuum graceMs past the longest publish window")
       }
-      writeManifest(fs, spark, storePath, Snapshot(next, schema, parts))
+      writeManifest(fs, spark, storePath,
+        Snapshot(next, schema, parts, stats, dataChange))
     } catch {
       case e: Throwable =>
         dropMovedIn() // the loser's additive dirs — referenced by nothing
@@ -461,9 +502,16 @@ object SnapshotMerge {
     try {
       val sb = new StringBuilder
       sb.append("epoch\t").append(snap.epoch).append('\n')
+      if (!snap.dataChange) sb.append("kind\tcompact\n")
       sb.append("schema\t").append(snap.schema.json).append('\n')
       snap.parts.toSeq.sortBy(_._1).foreach { case (name, e) =>
-        sb.append("part\t").append(e).append('\t').append(name).append('\n')
+        snap.stats.get(name) match {
+          case Some(st) =>
+            sb.append("partv2\t").append(e).append('\t').append(st.files)
+              .append('\t').append(st.bytes).append('\t').append(name).append('\n')
+          case None => // carried from a pre-stats manifest: stays stat-less
+            sb.append("part\t").append(e).append('\t').append(name).append('\n')
+        }
       }
       out.write(sb.result().getBytes("UTF-8"))
     } finally out.close()
@@ -538,27 +586,72 @@ object SnapshotMerge {
       to.copy(parts = to.parts.filterNot(common)))
   }
 
+  /** FS fragmentation probes taken because a manifest entry carried no
+    * stats (pre-stats manifests only) — the spec hook proving compact
+    * plans from manifest metadata alone on stats-carrying stores. */
+  private[etl] val statsFallbackProbes = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** OPTIMIZE analog with snapshot isolation: rewrite the current
     * snapshot's most FRAGMENTED partitions (file count above
-    * `maxFilesPerPartition`) as a new epoch — coalesced output, no
+    * `maxFilesPerPartition`) as a new epoch — BIN-PACKED output, no
     * logical change, readers of prior epochs untouched. A long-running
     * [[graft.streaming.Streams.snapshotMergeSink]] stream appends one
     * file set per trigger per touched partition; this is the compaction
     * that keeps read amplification bounded without stopping the stream
     * (the manifest commit arbitrates against concurrent merges like any
     * writer — a compact racing a merge aborts, never loses its rows).
-    * Returns the committed logical epoch, or None when nothing is
-    * fragmented enough to rewrite. */
+    *
+    * Scale shape (r15 verdict #1/#2 — the two scale-killers of the v1
+    * compact, both closed):
+    *
+    *  - '''The probe is manifest metadata, not FS RPCs.''' Every publish
+    *    records [[PartStats]] per touched partition, so deciding WHAT is
+    *    fragmented reads zero directories — at 10⁵–10⁶ partitions the
+    *    old per-partition `listStatus` probe was minutes of driver RPC
+    *    before any work started. Only pre-stats manifest entries fall
+    *    back to a listing (counted in [[statsFallbackProbes]]).
+    *  - '''Output is bin-packed to `targetFileBytes`, not
+    *    one-file-per-partition.''' Each fragmented partition fans out
+    *    into ⌈bytes / targetFileBytes⌉ hash bins (Delta OPTIMIZE's
+    *    contract) — a hot multi-GB partition rewrites in parallel
+    *    across its bins instead of sorting through ONE straggler task,
+    *    and no output file is an unsplittable giant. Bins are placed by
+    *    hashing the bin id; a rare same-partition bin collision merges
+    *    two bins into one task, so the hard per-file bound is enforced
+    *    independently by `maxRecordsPerFile` (target bytes ÷ measured
+    *    average row bytes) — file size is guaranteed by the writer,
+    *    bins only buy parallelism. The one extra job this costs is a
+    *    per-partition row COUNT over the fragmented versions, which the
+    *    vectorized parquet reader answers from footer metadata without
+    *    decoding a column.
+    *
+    * The committed manifest carries `kind=compact` (`dataChange=false`,
+    * Delta's OPTIMIZE flag): the epoch's logical content is its
+    * predecessor's, so [[changes]] between the flanking epochs nets
+    * empty and a [[graft.streaming.SnapshotStreamSource]] reader skips
+    * it without diffing a file. Returns the committed logical epoch, or
+    * None when nothing is fragmented enough to rewrite. */
   def compact(spark: SparkSession, store: String,
-              maxFilesPerPartition: Int = 8): Option[Long] = {
+              maxFilesPerPartition: Int = 8,
+              targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
     val claimFloor = CommitMarker.currentEpoch(spark, store)
     val base = latestSnapshot(spark, store).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $store"))
     val storePath = new Path(store)
     val fs = fsOf(spark, storePath)
-    val fragmented = base.parts.filter { case (name, e) =>
-      val d = new Path(storePath, s"$name/$EpochDir$e")
-      fs.exists(d) && fs.listStatus(d).count(s => isDataFile(s)) > maxFilesPerPartition
+    val measured: Map[String, PartStats] = base.parts.map { case (name, e) =>
+      name -> base.stats.getOrElse(name, {
+        statsFallbackProbes.incrementAndGet()
+        val d = new Path(storePath, s"$name/$EpochDir$e")
+        if (!fs.exists(d)) PartStats(0, 0L)
+        else {
+          val fl = fs.listStatus(d).filter(isDataFile)
+          PartStats(fl.length, fl.map(_.getLen).sum)
+        }
+      })
+    }
+    val fragmented = base.parts.filter { case (name, _) =>
+      measured(name).files > maxFilesPerPartition
     }
     if (fragmented.isEmpty) return None
     val rows = readSnapshot(spark, store, base.copy(parts = fragmented))
@@ -567,12 +660,53 @@ object SnapshotMerge {
       val n = fragmented.keysIterator.next()
       n.substring(0, n.indexOf('='))
     }
-    // one shuffle task per rewritten partition → ONE file per partition
-    // (the compaction contract); the shuffle moves only the fragmented
-    // partitions' rows, never the table
-    val compacted = rows.repartition(math.max(1, fragmented.size), col(partitionCol))
+    // bin layout: contiguous global bin ids per partition, k_p bins each
+    val binOf: Map[String, (Long, Int)] = {
+      var off = 0L
+      fragmented.keys.toSeq.sorted.map { name =>
+        val k = math.max(1, math.min(4096,
+          math.ceil(measured(name).bytes.toDouble / targetFileBytes).toInt))
+        val entry = name -> ((off, k)); off += k; entry
+      }.toMap
+    }
+    val totalBins = binOf.values.iterator.map(_._2.toLong).sum
+    // per-file record cap from measured on-disk density — one
+    // footer-metadata count job over only the fragmented versions
+    val totalRows = math.max(1L, rows.count())
+    val totalBytes = math.max(1L, fragmented.keysIterator.map(measured(_).bytes).sum)
+    val maxRecords = math.max(1L,
+      (targetFileBytes.toDouble * totalRows / totalBytes).toLong)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val lookupRows = binOf.toSeq.map { case (name, (off, k)) =>
+      val vs = name.substring(name.indexOf('=') + 1)
+      val v: String =
+        if (vs == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else ExternalCatalogUtils.unescapePathName(vs)
+      Row(v, off, k)
+    }
+    val lookup = spark.createDataFrame(
+      spark.sparkContext.parallelize(lookupRows, 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pv",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("__off", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__k",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val dataCols = base.schema.fieldNames.toIndexedSeq.map(col)
+    // left join + hash fallback: a value-formatting mismatch can only
+    // misplace a row's BIN (sizing), never lose the row
+    val binned = rows
+      .join(broadcast(lookup), rows(partitionCol).cast("string") <=> col("__pv"), "left_outer")
+      .withColumn("__gbin",
+        when(col("__k").isNull, pmod(xxhash64(col(partitionCol)), lit(totalBins)))
+          .otherwise(col("__off") + pmod(xxhash64(dataCols: _*), col("__k").cast("long"))))
+    // 2× headroom: distinct bins spread over 2·bins slots so a
+    // same-partition collision (two bins → one task) is the exception
+    val numTasks = math.max(1L, math.min(1L << 15, 2L * totalBins)).toInt
+    val compacted = binned.repartition(numTasks, col("__gbin")).select(dataCols: _*)
     Some(publish(spark, store, Some(base), claimFloor, compacted,
-      partitionCol, fragmented.keySet, base.schema))
+      partitionCol, fragmented.keySet, base.schema, dataChange = false,
+      writeOptions = Map("maxRecordsPerFile" -> maxRecords.toString)))
   }
 
   /** Drop everything outside the newest `keep` snapshots: older
@@ -594,16 +728,33 @@ object SnapshotMerge {
     * by their newest child file instead, so vacuum neither sweeps
     * blind nor silently stops bounding a streaming store. Manifest
     * deletion honors the same grace — the commit gate's put-if-absent
-    * sentinel must outlive any gate-to-rename window. Returns the
-    * deleted paths. */
+    * sentinel must outlive any gate-to-rename window — and additionally
+    * waits until the manifest's exclusively-referenced dirs are
+    * confirmed gone, so the manifest-driven mode below never loses
+    * sight of a surviving dir. Returns the deleted paths.
+    *
+    * Two planning modes (r15 verdict #3):
+    *  - `sweepOrphans = true` (default): full per-partition walk — the
+    *    only mode that finds crashed-publish ORPHANS (dirs no manifest
+    *    references). O(live partitions) driver FS listings; run
+    *    periodically.
+    *  - `sweepOrphans = false`: plans the routine sweep — superseded
+    *    versions of dropped epochs — from MANIFEST METADATA alone; the
+    *    FS is touched once per delete candidate, never listed per
+    *    partition. This is what a per-trigger streaming vacuum
+    *    ([[graft.streaming.Streams.snapshotMergeSink]]) runs: its cost
+    *    scales with what each trigger superseded, not with table
+    *    width. */
   def vacuum(spark: SparkSession, store: String, keep: Int = 1,
-             graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
+             graceMs: Long = 10 * 60 * 1000L,
+             sweepOrphans: Boolean = true): Seq[String] = {
     require(keep >= 1, "keep must retain at least the current snapshot")
     val storePath = new Path(store)
     val fs = fsOf(spark, storePath)
     val all = committedEpochs(spark, store)
     if (all.isEmpty) return Nil
     val kept = all.takeRight(keep)
+    val droppedEpochs = all.dropRight(keep)
     val referenced: Set[(String, Long)] =
       kept.flatMap(e => snapshot(spark, store, e).parts.iterator.map {
         case (n, pe) => (n, pe)
@@ -623,41 +774,106 @@ object SnapshotMerge {
       m != 0L && m < horizon
     }
     val deleted = Seq.newBuilder[String]
-    fs.listStatus(storePath).filter(_.isDirectory).foreach { pd =>
-      val pname = pd.getPath.getName
-      if (!pname.startsWith("_") && !pname.startsWith(".")) {
-        var live = 0
-        fs.listStatus(pd.getPath).foreach { ed =>
-          val sweep = ed.getPath.getName.startsWith(EpochDir) &&
-            scala.util.Try(ed.getPath.getName.stripPrefix(EpochDir).toLong)
-              .toOption.exists(v => !referenced((pname, v))) &&
-            aged(ed)
-          if (sweep) {
-            fs.delete(ed.getPath, true)
-            deleted += ed.getPath.toString
-          } else live += 1
+    // (partition, version) pairs confirmed ABSENT after this pass —
+    // gates which dropped manifests may be deleted (a manifest must
+    // never outlive its referenced dirs the other way around: dropping
+    // a manifest while its exclusive dirs survive would strand them
+    // invisible to the MANIFEST-driven mode forever)
+    val goneExclusive = scala.collection.mutable.Set.empty[(String, Long)]
+    if (sweepOrphans) {
+      // FULL WALK: every partition directory listed — the only mode
+      // that finds crashed-publish ORPHANS (version dirs no manifest
+      // ever referenced). O(partitions) driver FS calls; run it
+      // periodically, not per-trigger.
+      fs.listStatus(storePath).filter(_.isDirectory).foreach { pd =>
+        val pname = pd.getPath.getName
+        if (!pname.startsWith("_") && !pname.startsWith(".")) {
+          var live = 0
+          fs.listStatus(pd.getPath).foreach { ed =>
+            val ver = scala.util.Try(
+              ed.getPath.getName.stripPrefix(EpochDir).toLong).toOption
+            val sweep = ed.getPath.getName.startsWith(EpochDir) &&
+              ver.exists(v => !referenced((pname, v))) &&
+              aged(ed)
+            if (sweep) {
+              fs.delete(ed.getPath, true)
+              deleted += ed.getPath.toString
+              ver.foreach(v => goneExclusive += ((pname, v)))
+            } else live += 1
+          }
+          // an empty partition parent is only junk once it has AGED past
+          // the grace — a publisher mkdirs the parent an instant before
+          // renaming its first version in. Routed through aged() (r15
+          // ADVICE): object stores that fake directory listings report
+          // mtime 0, and a raw `0 < horizon` would deem a just-created
+          // parent permanently aged, sweeping it out from under the
+          // publisher's first rename (safe abort, but a liveness bug).
+          if (live == 0 && aged(pd)) {
+            fs.delete(pd.getPath, true); deleted += pd.getPath.toString
+          }
         }
-        // an empty partition parent is only junk once it has AGED past
-        // the grace — a publisher mkdirs the parent an instant before
-        // renaming its first version in. Routed through aged() (r15
-        // ADVICE): object stores that fake directory listings report
-        // mtime 0, and a raw `0 < horizon` would deem a just-created
-        // parent permanently aged, sweeping it out from under the
-        // publisher's first rename (safe abort, but a liveness bug).
-        if (live == 0 && aged(pd)) {
-          fs.delete(pd.getPath, true); deleted += pd.getPath.toString
+      }
+    } else {
+      // MANIFEST-DRIVEN fast path (r15 verdict #3): the superseded
+      // versions — the routine growth a per-trigger streaming vacuum
+      // must bound — are computable from manifests alone: every pair a
+      // DROPPED manifest references that no KEPT manifest does. The FS
+      // is touched only per delete-candidate (one status probe + the
+      // delete), never listed per partition — O(dropped work), not
+      // O(live partitions). Crashed-publish orphans live in NO
+      // manifest and are invisible here by construction; sweep them
+      // with a periodic `sweepOrphans = true` pass.
+      val candidates = droppedEpochs
+        .flatMap(e => snapshot(spark, store, e).parts.iterator.map {
+          case (n, v) => (n, v)
+        }).toSet.diff(referenced)
+      val touchedParents = scala.collection.mutable.Set.empty[String]
+      candidates.toSeq.sorted.foreach { case (n, v) =>
+        val d = new Path(storePath, s"$n/$EpochDir$v")
+        val st = try Some(fs.getFileStatus(d))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          case None => goneExclusive += ((n, v)) // already gone
+          case Some(s) if aged(s) =>
+            fs.delete(d, true)
+            deleted += d.toString
+            goneExclusive += ((n, v))
+            touchedParents += n
+          case _ => () // younger than the grace — next pass
+        }
+      }
+      // empty-parent cleanup limited to parents this pass emptied
+      touchedParents.foreach { n =>
+        val pd = new Path(storePath, n)
+        val st = try Some(fs.getFileStatus(pd))
+          catch { case _: java.io.FileNotFoundException => None }
+        if (st.exists(s => s.isDirectory && fs.listStatus(pd).isEmpty && aged(s))) {
+          fs.delete(pd, true); deleted += pd.toString
         }
       }
     }
-    // manifest deletion honors the SAME grace: the zombie gate's
+    // manifest deletion honors the SAME grace (the zombie gate's
     // exclusivity argument needs the base+1 sentinel to outlive any
-    // gate-to-rename window, so a freshly superseded manifest lingers
-    // one grace period before it drops out of the listing
-    all.dropRight(keep).foreach { e =>
-      val m = new Path(storePath, s"$SnapPrefix$e")
-      val st = try Some(fs.getFileStatus(m))
-        catch { case _: java.io.FileNotFoundException => None }
-      if (st.exists(aged) && fs.delete(m, false)) deleted += m.toString
+    // gate-to-rename window) AND requires the manifest's exclusively-
+    // referenced version dirs to be confirmed gone — otherwise a
+    // surviving (younger) dir would be stranded invisible to the
+    // manifest-driven mode once its manifest disappears
+    droppedEpochs.foreach { e =>
+      val snap = snapshot(spark, store, e)
+      val exclusive = snap.parts.iterator.map { case (n, v) => (n, v) }
+        .filterNot(referenced).toSet
+      // pairs not deleted THIS pass may be gone from an earlier one —
+      // probe only those (bounded by the dropped manifests' own size)
+      val survivor = exclusive.filterNot(goneExclusive).exists { case (n, v) =>
+        try { fs.getFileStatus(new Path(storePath, s"$n/$EpochDir$v")); true }
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+      if (!survivor) {
+        val m = new Path(storePath, s"$SnapPrefix$e")
+        val st = try Some(fs.getFileStatus(m))
+          catch { case _: java.io.FileNotFoundException => None }
+        if (st.exists(aged) && fs.delete(m, false)) deleted += m.toString
+      }
     }
     deleted.result()
   }

@@ -262,7 +262,12 @@ object Streams {
         // an empty trigger (restart bookkeeping) must not burn an epoch
         if (!latest.isEmpty) {
           graft.etl.SnapshotMerge.upsert(spark, targetDir, latest, keys, partitionCol)
-          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs)
+          // manifest-driven sweep: per-trigger vacuum cost must scale
+          // with what the trigger superseded, not with table width —
+          // crashed-publish orphans need a periodic sweepOrphans=true
+          // pass, which is maintenance, not the sink's per-trigger job
+          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
+            sweepOrphans = false)
         }
         ()
       }

@@ -391,6 +391,113 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(SnapshotMerge.compact(spark, store, maxFilesPerPartition = 4).isEmpty)
   }
 
+  test("manifest stats: every publish records files+bytes matching the FS; untouched partitions carry theirs forward") {
+    val store = freshStore()
+    bootstrap(store)
+    def fsStats(part: String, epoch: Long): (Int, Long) = {
+      val files = new java.io.File(store, s"$part/__e=$epoch").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      (files.length, files.map(_.length).sum)
+    }
+    val s1 = SnapshotMerge.latestSnapshot(spark, store).get
+    assert(s1.stats.keySet === s1.parts.keySet, "every partition entry carries stats")
+    s1.parts.foreach { case (name, e) =>
+      val (files, bytes) = fsStats(name, e)
+      assert(s1.stats(name) === SnapshotMerge.PartStats(files, bytes),
+        s"$name manifest stats must match the filesystem")
+    }
+    // an upsert touching only d1 must CARRY d2's stats, not re-list them
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    val s2 = SnapshotMerge.latestSnapshot(spark, store).get
+    assert(s2.stats("day=d2") === s1.stats("day=d2"))
+    val (d1Files, d1Bytes) = fsStats("day=d1", s2.parts("day=d1"))
+    assert(s2.stats("day=d1") === SnapshotMerge.PartStats(d1Files, d1Bytes))
+    // the fragmentation probe plans from these stats with ZERO FS
+    // fallback listings on a stats-carrying store
+    val before = SnapshotMerge.statsFallbackProbes.get()
+    SnapshotMerge.compact(spark, store, maxFilesPerPartition = 8)
+    assert(SnapshotMerge.statsFallbackProbes.get() === before,
+      "compact on a stats-carrying manifest must not list partition dirs")
+  }
+
+  test("bin-packed compact: a fat partition rewrites into multiple bounded files; rows, flags, and the change feed stay exact") {
+    val store = freshStore()
+    // high-entropy payloads (sha2 hex) so parquet cannot compress the
+    // fixture away: ~260 B/row on disk, 2 000 rows ≈ 500 KB in day=f1,
+    // written as 10 separate files (range-split) → fragmented
+    val n = 2000
+    val fat = spark.range(1, n + 1)
+      .select(col("id"),
+        concat_ws("", sha2(col("id").cast("string"), 256),
+          sha2(concat(col("id").cast("string"), lit("x")), 256),
+          sha2(concat(col("id").cast("string"), lit("y")), 256),
+          sha2(concat(col("id").cast("string"), lit("z")), 256)).as("v"),
+        lit("f1").as("day"), col("id").as("ts"))
+      .repartitionByRange(10, col("id"))
+    SnapshotMerge.upsert(spark, store, fat, Seq("id"), "day")
+    val base = SnapshotMerge.latestSnapshot(spark, store).get
+    assert(base.stats("day=f1").files >= 10, "fixture must be fragmented")
+    val partBytes = base.stats("day=f1").bytes
+    val target = 64L * 1024
+    assert(partBytes > 3 * target, s"fixture must exceed several bins: $partBytes")
+    val beforeRows = SnapshotMerge.read(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val e = SnapshotMerge.compact(spark, store,
+      maxFilesPerPartition = 4, targetFileBytes = target)
+    assert(e.contains(base.epoch + 1))
+    val snap = SnapshotMerge.latestSnapshot(spark, store).get
+    assert(!snap.dataChange, "a compact epoch must carry the dataChange=false flag")
+    val outDir = new java.io.File(store, s"day=f1/__e=${snap.parts("day=f1")}")
+    val outFiles = outDir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(outFiles.length > 1,
+      s"a ${partBytes}B partition must fan out past one file at target=$target")
+    assert(outFiles.length <= 2 * math.ceil(partBytes.toDouble / target).toInt,
+      s"fan-out must stay near ceil(bytes/target): ${outFiles.length}")
+    outFiles.foreach(f => assert(f.length <= 3 * target,
+      s"every output file must be bounded: ${f.getName} is ${f.length}"))
+    // logical content pinned
+    val afterRows = SnapshotMerge.read(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows === beforeRows)
+    // the flanking change feed nets EMPTY — the property the streaming
+    // source rides to skip compaction epochs
+    assert(SnapshotMerge.changes(spark, store, base.epoch, snap.epoch).count() === 0L)
+    // new stats recorded for the rewritten version
+    assert(snap.stats("day=f1").files === outFiles.length)
+    assert(snap.stats("day=f1").bytes === outFiles.map(_.length).sum)
+  }
+
+  test("vacuum fast path: superseded versions sweep from manifests alone; orphans wait for the full walk; manifests outlive surviving dirs") {
+    val store = freshStore()
+    bootstrap(store)
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b3", "d1", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    val orphan = new java.io.File(store, "day=dX/__e=9")
+    assert(orphan.mkdirs())
+    // a dropped manifest whose exclusive dir is NOT yet aged survives
+    SnapshotMerge.vacuum(spark, store, keep = 2,
+      graceMs = 24 * 3600 * 1000L, sweepOrphans = false)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L, 3L),
+      "nothing aged: the dropped manifest must outlive its surviving dir")
+    // aged pass: the superseded d1 version and its manifest go; the
+    // orphan is INVISIBLE to the manifest-driven mode by construction
+    val deleted = SnapshotMerge.vacuum(spark, store, keep = 2,
+      graceMs = -1000L, sweepOrphans = false)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(2L, 3L))
+    assert(!new java.io.File(store, "day=d1/__e=1").exists())
+    assert(orphan.exists(), s"fast path must not walk partitions: $deleted")
+    // retained epochs read intact (d2 v1 is shared and must survive)
+    assert(asMap(SnapshotMerge.read(spark, store))(3L) === ("c", "d2", 10L))
+    assert(asMap(SnapshotMerge.read(spark, store, Some(2L)))(2L) === ("b2", "d1", 20L))
+    // the periodic full walk reaps the orphan
+    SnapshotMerge.vacuum(spark, store, keep = 2, graceMs = -1000L)
+    assert(!new java.io.File(store, "day=dX").exists())
+  }
+
   test("partition pruning survives the manifest reader (day stays a partition column)") {
     val store = freshStore()
     bootstrap(store)

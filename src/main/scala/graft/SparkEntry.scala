@@ -21,6 +21,7 @@ object SparkEntry {
       etl.Skew.all ++
       sources.PartitionedLayout.all ++
       streaming.StreamingOracle.all ++
+      streaming.SnapshotStream.all ++
       llm.TextDedup.all ++
       llm.Similarity.all ++
       llm.TextStats.all ++

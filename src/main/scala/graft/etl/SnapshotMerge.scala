@@ -578,12 +578,102 @@ object SnapshotMerge {
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /** KEYED change feed (Delta CDF parity — the reference enables CDF
+    * table properties, delta_setup.py:461-467, whose update rows carry
+    * `update_preimage`/`update_postimage`): the same net-diff algebra
+    * as [[changes]], but a row whose KEY appears on both sides of the
+    * diff is classified as an update pair instead of delete+insert —
+    * the row-level lineage a downstream incremental consumer needs to
+    * distinguish "key changed" from "key appeared/disappeared".
+    *
+    * Shape: the two exceptAll sides union once and one extra
+    * keys-shuffle (a window over the DIFF rows, never the table)
+    * assigns the classification — no side is recomputed, and the
+    * manifest prune bounds everything to changed partitions. */
+  def changesKeyed(spark: SparkSession, store: String, fromE: Long, toE: Long,
+                   keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val have = committedEpochs(spark, store)
+    require(have.contains(fromE) && have.contains(toE),
+      s"unknown epochs $fromE/$toE (have: ${have.mkString(",")})")
+    require(fromE <= toE, s"fromE $fromE must be <= toE $toE (labels would invert)")
+    val (fromSnap, toSnap) = prunedPair(
+      snapshot(spark, store, fromE), snapshot(spark, store, toE))
+    val after = readSnapshot(spark, store, toSnap)
+    val before = alignTo(readSnapshot(spark, store, fromSnap), after.schema)
+    val ins = after.exceptAll(before).withColumn("_side", lit("i"))
+    val del = before.exceptAll(after).withColumn("_side", lit("d"))
+    val w = Window.partitionBy(keys.map(col): _*)
+    ins.unionByName(del)
+      .withColumn("_both", size(collect_set(col("_side")).over(w)) === 2)
+      .withColumn("_change_type",
+        when(col("_both") && col("_side") === "i", "update_postimage")
+          .when(col("_both"), "update_preimage")
+          .when(col("_side") === "i", "insert")
+          .otherwise("delete"))
+      .drop("_side", "_both")
+  }
+
   /** The exact metadata prune behind [[changes]]: drop every
     * (partition, version) pair both manifests share. */
   private[etl] def prunedPair(from: Snapshot, to: Snapshot): (Snapshot, Snapshot) = {
     val common = from.parts.toSet.intersect(to.parts.toSet)
     (from.copy(parts = from.parts.filterNot(common)),
       to.copy(parts = to.parts.filterNot(common)))
+  }
+
+  /** Partitions whose version was bumped by at least one
+    * `dataChange=true` epoch in `(fromE, toE]` — the streaming source's
+    * planning step, read from MANIFESTS alone. A partition rewritten
+    * only by compaction epochs is excluded: its logical rows are
+    * pinned, so skipping it is exact (and is what makes OPTIMIZE free
+    * for a downstream stream). When intermediate manifests were
+    * vacuumed (the logical chain in the listing has gaps), falls back
+    * to the endpoint version diff — still exact, it merely loses the
+    * compact-skip (a compacted partition's diff then reads and nets to
+    * zero). */
+  private[graft] def changedPartsBetween(
+      spark: SparkSession, store: String, fromE: Long, toE: Long): Set[String] = {
+    if (fromE == toE) return Set.empty
+    val epochs = committedEpochs(spark, store).filter(e => e > fromE && e <= toE)
+    val endpointDiff = { (from: Map[String, Long], to: Map[String, Long]) =>
+      (from.keySet ++ to.keySet).filter(n => from.get(n) != to.get(n))
+    }
+    if (epochs != ((fromE + 1) to toE)) {
+      endpointDiff(snapshot(spark, store, fromE).parts,
+        snapshot(spark, store, toE).parts)
+    } else {
+      var prev = snapshot(spark, store, fromE).parts
+      val changed = Set.newBuilder[String]
+      epochs.foreach { e =>
+        val s = snapshot(spark, store, e)
+        if (s.dataChange) endpointDiff(prev, s.parts).foreach(changed += _)
+        prev = s.parts
+      }
+      changed.result()
+    }
+  }
+
+  /** The streaming source's batch body: [[changes]]' net-diff algebra
+    * over `(fromE, toE]`, restricted to [[changedPartsBetween]]'s
+    * partitions (so compaction epochs cost zero file reads), deletes
+    * optional. */
+  private[graft] def streamingChanges(
+      spark: SparkSession, store: String, fromE: Long, toE: Long,
+      withDeletes: Boolean): DataFrame = {
+    val changed = changedPartsBetween(spark, store, fromE, toE)
+    val fromSnapAll = snapshot(spark, store, fromE)
+    val toSnapAll = snapshot(spark, store, toE)
+    val (fromSnap, toSnap) = prunedPair(
+      fromSnapAll.copy(parts = fromSnapAll.parts.filter(kv => changed(kv._1))),
+      toSnapAll.copy(parts = toSnapAll.parts.filter(kv => changed(kv._1))))
+    val after = readSnapshot(spark, store, toSnap)
+    val before = alignTo(readSnapshot(spark, store, fromSnap), after.schema)
+    val inserts = after.exceptAll(before).withColumn("_change_type", lit("insert"))
+    if (withDeletes)
+      inserts.unionByName(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    else inserts
   }
 
   /** FS fragmentation probes taken because a manifest entry carried no
@@ -996,7 +1086,43 @@ object SnapshotMerge {
        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q113 — the KEYED change feed under the oracle: the same
+    * bootstrap→final CDF as q111, but with event_id-keyed
+    * classification — updated keys roll up as
+    * `update_preimage`/`update_postimage`, appeared keys as `insert`
+    * (the fixture's moved-day keys now surface as update PAIRS across
+    * partitions, the lineage delete+insert loses). The oracle composes
+    * the same EXCEPT ALL algebra with key-membership CASEs. */
+  def snapshotChangesKeyedRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val store = q110Store(spark, sfDir)
+    val epochs = committedEpochs(spark, store)
+    changesKeyed(spark, store, epochs.head, epochs.last, Seq("event_id"))
+      .groupBy("_change_type", "day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("_change_type"), col("day").asc_nulls_last)
+  }
+
+  private val q113Sql = {
+    val dsum = graft.functions.Det.sqlDsum _
+    s"""$qStoreFoldSql,
+       |ins AS (SELECT * FROM s2 EXCEPT ALL SELECT * FROM v0),
+       |del AS (SELECT * FROM v0 EXCEPT ALL SELECT * FROM s2),
+       |feed AS (
+       |  SELECT CASE WHEN event_id IN (SELECT event_id FROM del)
+       |              THEN 'update_postimage' ELSE 'insert' END AS _change_type,
+       |         day, value FROM ins
+       |  UNION ALL
+       |  SELECT CASE WHEN event_id IN (SELECT event_id FROM ins)
+       |              THEN 'update_preimage' ELSE 'delete' END AS _change_type,
+       |         day, value FROM del)
+       |SELECT _change_type, day, count(*) AS n, ${dsum("value")} AS total_value
+       |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q110_snapshot_merge", (s, d) => snapshotMergeRollup(s, d), Some(q110Sql)),
-    graft.Q("q111_snapshot_changes", (s, d) => snapshotChangesRollup(s, d), Some(q111Sql)))
+    graft.Q("q111_snapshot_changes", (s, d) => snapshotChangesRollup(s, d), Some(q111Sql)),
+    graft.Q("q113_snapshot_changes_keyed",
+      (s, d) => snapshotChangesKeyedRollup(s, d), Some(q113Sql)))
 }

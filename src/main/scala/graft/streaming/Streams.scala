@@ -248,6 +248,40 @@ object Streams {
     * `vacuumKeep` epochs (readers pinned further back than the
     * retention lose isolation — the Delta VACUUM trade, here sized in
     * triggers). */
+  /** Medallion CHAINING sink: applies a [[SnapshotStreamSource]] change
+    * feed into a downstream snapshot store by keyed upsert — the
+    * stage-to-stage hop the reference drives with
+    * `readStream.format("delta")` → MERGE (real_time_streaming.py:
+    * 226-230 feeding its silver/gold merges). Insert rows only: the
+    * upstream store's single mutation is keyed upsert, so every net
+    * change lands as exactly one insert per key (updates and
+    * partition moves included — the old-row `delete` is implied by the
+    * key overwrite) and the downstream store converges to the
+    * upstream's final state. A compaction upstream produces a ZERO-row
+    * batch here (the source skips `dataChange=false` epochs at
+    * planning time), which must not burn a downstream epoch — hence
+    * the emptiness guard, same as [[snapshotMergeSink]]'s. Replay
+    * safety: a recovered batch re-upserts the same net rows —
+    * idempotent per key. */
+  def changeApplySink(stream: DataFrame, targetDir: String, checkpoint: String,
+                      keys: Seq[String], partitionCol: String,
+                      vacuumKeep: Int = 24,
+                      vacuumGraceMs: Long = 10 * 60 * 1000L): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val rows = batch.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_epoch")
+        if (!rows.isEmpty) {
+          graft.etl.SnapshotMerge.upsert(spark, targetDir, rows, keys, partitionCol)
+          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
+            sweepOrphans = false)
+        }
+        ()
+      }
+
   def snapshotMergeSink(stream: DataFrame, targetDir: String, checkpoint: String,
                         keys: Seq[String], tsCol: String,
                         partitionCol: String,

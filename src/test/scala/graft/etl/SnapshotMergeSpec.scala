@@ -342,6 +342,29 @@ class SnapshotMergeSpec extends SparkSuite {
       "an epoch diffed against itself reads nothing at all")
   }
 
+  test("keyed change feed: updates surface as pre/post image pairs, moved keys included; pure inserts stay inserts") {
+    val store = freshStore()
+    bootstrap(store)
+    // epoch 2: update key 2, MOVE key 3 d2→d1 (with a value change),
+    // insert key 4
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L), (3L, "c2", "d1", 30L), (4L, "d", "d3", 20L))
+        .toDF("id", "v", "day", "ts"),
+      Seq("id"), "day")
+    val feed = SnapshotMerge.changesKeyed(spark, store, 1L, 2L, Seq("id")).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("v"), r.getAs[String]("day"))).toSet
+    assert(feed === Set(
+      ("update_preimage", 2L, "b", "d1"), ("update_postimage", 2L, "b2", "d1"),
+      ("update_preimage", 3L, "c", "d2"), ("update_postimage", 3L, "c2", "d1"),
+      ("insert", 4L, "d", "d3")),
+      s"keyed classification must pair the moved key across partitions: $feed")
+    // the delete+insert default is untouched
+    val plain = SnapshotMerge.changes(spark, store, 1L, 2L)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(plain === Set("insert", "delete"))
+  }
+
   test("schema evolution: a merge adding a column widens the manifest schema; old epochs read nulls through the feed") {
     val store = freshStore()
     bootstrap(store)

@@ -1,0 +1,205 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.etl.SnapshotMerge
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+
+/** The streaming SOURCE over the snapshot store: offsets are committed
+  * epochs, batches are net change rows, compaction epochs plan to zero
+  * file reads, recovery replays deterministically, vacuumed history
+  * fails loudly. */
+class SnapshotStreamSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_snapstream").toString
+
+  private def upsert(store: String, rows: Seq[(Long, String, String, Long)]): Long =
+    SnapshotMerge.upsert(spark, store,
+      rows.toDF("id", "v", "day", "ts"), Seq("id"), "day")
+
+  private def feedSet(df: DataFrame): Set[(String, Long, String, String)] =
+    collectable(df).collect().map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+      r.getAs[String]("v"), r.getAs[String]("day"))).toSet
+
+  /** getBatch returns the v1-contract STREAMING-marked frame, which the
+    * engine splices rather than executes; to assert on its rows the
+    * spec unwraps the marker (batch semantics are identical — the
+    * LogicalRDD's lineage IS the already-planned batch diff). */
+  private def collectable(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+          org.apache.spark.sql.execution.LogicalRDD(lr.output, lr.rdd)(
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
+      case _ => df
+    }
+
+  test("live stream: initial snapshot, per-merge net diffs, zero-row compaction trigger") {
+    val root = freshDir()
+    val store = s"$root/A"
+    upsert(store, Seq((1L, "a", "d1", 10L), (2L, "b", "d1", 10L), (3L, "c", "d2", 10L)))
+
+    val sink = s"$root/sink"
+    val q = spark.readStream.format(SnapshotStream.Format)
+      .option("path", store).load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val boot = spark.read.parquet(sink)
+      assert(feedSet(boot) === Set(
+        ("insert", 1L, "a", "d1"), ("insert", 2L, "b", "d1"), ("insert", 3L, "c", "d2")))
+      assert(boot.select("_commit_epoch").distinct().as[Long].collect().toSeq === Seq(1L))
+
+      // epoch 2: update id2, MOVE id3 d2→d1, insert id4
+      upsert(store, Seq((2L, "b2", "d1", 20L), (3L, "c", "d1", 10L), (4L, "d", "d3", 20L)))
+      q.processAllAvailable()
+      val afterMerge = spark.read.parquet(sink).filter(col("_commit_epoch") === 2L)
+      assert(feedSet(afterMerge) === Set(
+        ("delete", 2L, "b", "d1"), ("insert", 2L, "b2", "d1"),
+        ("delete", 3L, "c", "d2"), ("insert", 3L, "c", "d1"),
+        ("insert", 4L, "d", "d3")))
+
+      // epoch 3: pure compaction — the batch must carry ZERO rows (the
+      // dataChange=false manifest is skipped at planning time)
+      val rowsBefore = spark.read.parquet(sink).count()
+      assert(SnapshotMerge.compact(spark, store, maxFilesPerPartition = 0).contains(3L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(sink).count() === rowsBefore,
+        "a compaction epoch must stream zero rows")
+      val compactBatches = q.recentProgress.filter(p =>
+        p.batchId > 0 && p.numInputRows == 0)
+      assert(compactBatches.nonEmpty,
+        s"the offset must still advance across the compact epoch: " +
+          q.recentProgress.map(p => (p.batchId, p.numInputRows)).toSeq)
+
+      // epoch 4 after the compact: the diff reads the COMPACTED version
+      upsert(store, Seq((1L, "a2", "d1", 40L)))
+      q.processAllAvailable()
+      val afterCompactMerge = spark.read.parquet(sink).filter(col("_commit_epoch") === 4L)
+      assert(feedSet(afterCompactMerge) === Set(
+        ("delete", 1L, "a", "d1"), ("insert", 1L, "a2", "d1")))
+    } finally q.stop()
+  }
+
+  test("getBatch is a pure function of the offset range (deterministic recovery replay)") {
+    val store = s"${freshDir()}/A"
+    upsert(store, Seq((1L, "a", "d1", 10L), (2L, "b", "d2", 10L)))
+    upsert(store, Seq((1L, "a2", "d1", 20L), (3L, "c", "d2", 20L)))
+    val src = new SnapshotStreamSource(spark, Map("path" -> store))
+    def batch(): Set[(String, Long, String, String)] =
+      feedSet(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+    val first = batch()
+    assert(first === Set(
+      ("delete", 1L, "a", "d1"), ("insert", 1L, "a2", "d1"), ("insert", 3L, "c", "d2")))
+    assert(batch() === first, "a replayed range must reproduce itself exactly")
+    // the returned frame satisfies the v1 contract: the plan IS
+    // streaming while its internals execute as a batch diff
+    assert(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)).isStreaming)
+    // initial batch (no start offset) = full snapshot at the end epoch
+    assert(feedSet(src.getBatch(None, LongOffset(1L))) === Set(
+      ("insert", 1L, "a", "d1"), ("insert", 2L, "b", "d2")))
+  }
+
+  test("planning: compaction-only ranges touch no partitions; merges touch exactly theirs") {
+    val store = s"${freshDir()}/A"
+    upsert(store, Seq((1L, "a", "d1", 10L), (2L, "b", "d2", 10L)))   // epoch 1
+    upsert(store, Seq((1L, "a2", "d1", 20L)))                        // epoch 2: d1
+    assert(SnapshotMerge.compact(spark, store, maxFilesPerPartition = 0).contains(3L))
+    assert(SnapshotMerge.changedPartsBetween(spark, store, 1L, 2L) === Set("day=d1"))
+    assert(SnapshotMerge.changedPartsBetween(spark, store, 2L, 3L) === Set.empty[String],
+      "a pure-compact range must plan to zero partitions")
+    assert(SnapshotMerge.changedPartsBetween(spark, store, 1L, 3L) === Set("day=d1"),
+      "merge-then-compact still reads the merged partition")
+    assert(SnapshotMerge.streamingChanges(spark, store, 2L, 3L, withDeletes = true)
+      .count() === 0L)
+  }
+
+  test("withDeletes=false emits only the keyed final rows; maxEpochsPerTrigger paces the offset") {
+    val store = s"${freshDir()}/A"
+    upsert(store, Seq((1L, "a", "d1", 10L)))
+    upsert(store, Seq((1L, "a2", "d1", 20L)))
+    upsert(store, Seq((2L, "b", "d2", 30L)))
+    val src = new SnapshotStreamSource(spark,
+      Map("path" -> store, "withDeletes" -> "false", "maxEpochsPerTrigger" -> "1"))
+    assert(feedSet(src.getBatch(Some(LongOffset(1L)), LongOffset(2L))) === Set(
+      ("insert", 1L, "a2", "d1")))
+    // pacing: the first poll hands out the tip capped to +1 per trigger
+    val o1 = src.getOffset.map(_.asInstanceOf[LongOffset].offset)
+    val o2 = src.getOffset.map(_.asInstanceOf[LongOffset].offset)
+    val o3 = src.getOffset.map(_.asInstanceOf[LongOffset].offset)
+    assert(o1.exists(_ <= 3L) && o2.exists(_ <= 3L) && o3 === Some(3L),
+      s"pacing must converge on the tip: $o1 $o2 $o3")
+    assert((o1.get to o3.get).size <= 3, "offsets advance monotonically")
+  }
+
+  test("vacuumed history fails the replay loudly; schema evolution upstream keeps the pinned projection") {
+    val store = s"${freshDir()}/A"
+    upsert(store, Seq((1L, "a", "d1", 10L)))
+    val src = new SnapshotStreamSource(spark, Map("path" -> store))
+    upsert(store, Seq((1L, "a2", "d1", 20L)))
+    upsert(store, Seq((1L, "a3", "d1", 30L)))
+    SnapshotMerge.vacuum(spark, store, keep = 1, graceMs = -1000L)
+    val e = intercept[IllegalArgumentException] {
+      src.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+
+    // additive evolution mid-stream: the source keeps its PINNED schema
+    val store2 = s"${freshDir()}/B"
+    upsert(store2, Seq((1L, "a", "d1", 10L)))
+    val src2 = new SnapshotStreamSource(spark, Map("path" -> store2))
+    SnapshotMerge.upsert(spark, store2,
+      Seq((2L, "b", "d1", 20L, "tagged")).toDF("id", "v", "day", "ts", "tag"),
+      Seq("id"), "day")
+    val widened = src2.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    assert(widened.columns.toSeq ===
+      Seq("id", "v", "day", "ts", "_change_type", "_commit_epoch"),
+      "new upstream columns are projected away until a restart repins")
+    assert(feedSet(widened) === Set(("insert", 2L, "b", "d1")))
+
+    // an empty store refuses to start (no schema to pin)
+    val none = intercept[IllegalStateException] {
+      new SnapshotStreamSource(spark, Map("path" -> s"${freshDir()}/empty"))
+    }
+    assert(none.getMessage.contains("no committed snapshot"), none.getMessage)
+  }
+
+  test("medallion chaining: changeApplySink converges the downstream store to the upstream final state") {
+    val root = freshDir()
+    val a = s"$root/bronze"
+    val b = s"$root/silver"
+    upsert(a, Seq((1L, "a", "d1", 10L), (2L, "b", "d1", 10L), (3L, "c", "d2", 10L)))
+    val q = Streams.changeApplySink(
+      spark.readStream.format(SnapshotStream.Format).option("path", a).load(),
+      b, s"$root/ckpt", Seq("id"), "day").start()
+    try {
+      q.processAllAvailable()
+      // upstream merge with update + moved key + insert, then compact
+      upsert(a, Seq((2L, "b2", "d1", 20L), (3L, "c", "d1", 10L), (4L, "d", "d3", 20L)))
+      q.processAllAvailable()
+      SnapshotMerge.compact(spark, a, maxFilesPerPartition = 0)
+      q.processAllAvailable()
+      upsert(a, Seq((4L, "d2", "d3", 40L)))
+      q.processAllAvailable()
+      def state(store: String): Map[Long, (String, String, Long)] =
+        SnapshotMerge.read(spark, store).collect().map(r =>
+          r.getAs[Long]("id") ->
+            ((r.getAs[String]("v"), r.getAs[String]("day"), r.getAs[Long]("ts")))).toMap
+      assert(state(b) === state(a),
+        "downstream must converge to the upstream final state across merges AND a compact")
+      // the zero-row compact batch must not have burned a downstream epoch
+      val bEpochs = SnapshotMerge.committedEpochs(spark, b)
+      assert(bEpochs.size === 3,
+        s"3 data-changing upstream epochs → 3 downstream epochs, got $bEpochs")
+    } finally q.stop()
+  }
+}

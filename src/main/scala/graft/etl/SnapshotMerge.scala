@@ -578,6 +578,91 @@ object SnapshotMerge {
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /** The store's partition column name, read from the manifest's
+    * directory names (every name is `col=value`). */
+  private def partitionColOf(snap: Snapshot): String = {
+    val n = snap.parts.keysIterator.next()
+    n.substring(0, n.indexOf('='))
+  }
+
+  /** S8 DELETE on the snapshot store (Delta DELETE parity — the
+    * reference's predicate deletes run on its managed Delta tables,
+    * delta_setup.py:670-702; [[Merge.delete]] gives the same row
+    * semantics on plain frames): rewrites ONLY the partitions holding
+    * matching rows as a new manifest epoch — snapshot isolation and
+    * time travel hold, the change feed sees the removed rows as
+    * `delete` CDF rows, and a partition whose every row matched simply
+    * leaves the manifest. Row semantics match SQL DELETE: rows where
+    * `cond` is TRUE go; FALSE and NULL stay. Returns the committed
+    * epoch, or None when nothing matched (no epoch burned). */
+  def deleteWhere(spark: SparkSession, store: String,
+                  cond: org.apache.spark.sql.Column): Option[Long] = {
+    val claimFloor = CommitMarker.currentEpoch(spark, store)
+    val base = latestSnapshot(spark, store).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $store"))
+    if (base.parts.isEmpty) return None
+    val partitionCol = partitionColOf(base)
+    val snap = readSnapshot(spark, store, base)
+    val touched = snap.filter(cond).select(partitionCol).distinct()
+    // partition METADATA (one value per touched partition) — the same
+    // bounded collect class as upsert's
+    val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
+    if (touchedVals.isEmpty) return None
+    val touchedNames = touchedVals.map(partDirName(partitionCol, _)).toSet
+    val affected = snap.join(
+      broadcast(touched.withColumnRenamed(partitionCol, "__p")),
+      snap(partitionCol) <=> col("__p"), "left_semi")
+    val kept = Merge.delete(affected, cond)
+    Some(publish(spark, store, Some(base), claimFloor, kept,
+      partitionCol, touchedNames, base.schema))
+  }
+
+  /** S8 UPDATE on the snapshot store (Delta UPDATE parity): rows where
+    * `cond` is TRUE get `set`'s columns rewritten ([[Merge.update]]'s
+    * semantics), only the partitions holding matching rows re-publish.
+    * Refused up front: updating the PARTITION column (a moved row's
+    * target partition may be untouched by this commit, and its staged
+    * version would then hold only the moved rows — replacing, not
+    * extending, that partition; route partition moves through
+    * [[upsert]], whose moved-key handling rewrites both sides), and
+    * `set` expressions that change a column's TYPE (the manifest
+    * schema could no longer decode untouched partitions — the same
+    * refusal as upsert's). Returns the committed epoch, or None when
+    * nothing matched. */
+  def updateWhere(spark: SparkSession, store: String,
+                  cond: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): Option[Long] = {
+    val claimFloor = CommitMarker.currentEpoch(spark, store)
+    val base = latestSnapshot(spark, store).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $store"))
+    if (base.parts.isEmpty) return None
+    val partitionCol = partitionColOf(base)
+    require(!set.contains(partitionCol),
+      s"updateWhere cannot move rows across partitions (set touches " +
+        s"$partitionCol) — use upsert, whose moved-key path rewrites " +
+        "both the old and the new partition")
+    set.keys.foreach(k => require(base.schema.fieldNames.contains(k),
+      s"updateWhere: unknown column $k"))
+    val snap = readSnapshot(spark, store, base)
+    val updated = Merge.update(snap, cond, set)
+    base.schema.fields.foreach { f =>
+      val got = updated.schema(f.name).dataType
+      require(got == f.dataType,
+        s"updateWhere: column ${f.name} would become $got but the " +
+          s"store holds ${f.dataType}; type changes cannot decode old " +
+          "partition versions")
+    }
+    val touched = snap.filter(cond).select(partitionCol).distinct()
+    val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
+    if (touchedVals.isEmpty) return None
+    val touchedNames = touchedVals.map(partDirName(partitionCol, _)).toSet
+    val affected = updated.join(
+      broadcast(touched.withColumnRenamed(partitionCol, "__p")),
+      updated(partitionCol) <=> col("__p"), "left_semi")
+    Some(publish(spark, store, Some(base), claimFloor, affected,
+      partitionCol, touchedNames, base.schema))
+  }
+
   /** KEYED change feed (Delta CDF parity — the reference enables CDF
     * table properties, delta_setup.py:461-467, whose update rows carry
     * `update_preimage`/`update_postimage`): the same net-diff algebra
@@ -589,7 +674,15 @@ object SnapshotMerge {
     * Shape: the two exceptAll sides union once and one extra
     * keys-shuffle (a window over the DIFF rows, never the table)
     * assigns the classification — no side is recomputed, and the
-    * manifest prune bounds everything to changed partitions. */
+    * manifest prune bounds everything to changed partitions.
+    *
+    * Contract: `keys` must identify at most ONE row per snapshot (the
+    * invariant an upsert-maintained store keeps when its sources are
+    * key-unique — [[graft.streaming.Streams.snapshotMergeSink]] dedups
+    * per batch for exactly this). With duplicate keys the
+    * classification is per KEY, not per row pair: a key with two
+    * before-rows and one after-row yields two preimages and one
+    * postimage — information-preserving, but not Delta's 1:1 pairing. */
   def changesKeyed(spark: SparkSession, store: String, fromE: Long, toE: Long,
                    keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1120,9 +1213,70 @@ object SnapshotMerge {
        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q114 — predicate DELETE + UPDATE on the snapshot store under the
+  // oracle: bootstrap the full events fixture, DELETE the error rows,
+  // UPDATE high-value purchases in place (×0.5), read the FINAL
+  // snapshot through the manifest reader. DuckDB recomputes the fold
+  // declaratively (IS DISTINCT FROM for SQL-DELETE null semantics; a
+  // CASE for the conditional update).
+  // ------------------------------------------------------------------
+
+  private val q114Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q114Store(spark: SparkSession, sfDir: String): String =
+    q114Dirs.computeIfAbsent(graft.PathKey(sfDir), { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_snapdelupd_q114")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path => JPath}
+        if (Files.exists(root))
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val store = root.toString + "/store"
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("day"))
+      upsert(spark, store, ev, Seq("event_id"), "day")
+      deleteWhere(spark, store, col("event_type") === "error")
+      updateWhere(spark, store,
+        col("event_type") === "purchase" && col("value") > 100.0,
+        Map("value" -> (col("value") * lit(0.5))))
+      store
+    })
+
+  /** q114 — per-day rollup of the store after a predicate DELETE and a
+    * predicate UPDATE, both committed as manifest epochs. */
+  def snapshotDeleteUpdateRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    read(spark, q114Store(spark, sfDir))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("day").asc_nulls_last)
+  }
+
+  private val q114Sql = {
+    val dsum = graft.functions.Det.sqlDsum _
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         cast(cast(ts AS date) AS varchar) AS day
+       |  FROM events),
+       |s1 AS (SELECT * FROM ev WHERE event_type IS DISTINCT FROM 'error'),
+       |s2 AS (
+       |  SELECT event_id, user_id, event_type,
+       |         CASE WHEN event_type = 'purchase' AND value > cast(100.0 as double)
+       |              THEN value * cast(0.5 as double) ELSE value END AS value,
+       |         day
+       |  FROM s1)
+       |SELECT day, count(*) AS n, ${dsum("value")} AS total_value
+       |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q110_snapshot_merge", (s, d) => snapshotMergeRollup(s, d), Some(q110Sql)),
     graft.Q("q111_snapshot_changes", (s, d) => snapshotChangesRollup(s, d), Some(q111Sql)),
     graft.Q("q113_snapshot_changes_keyed",
-      (s, d) => snapshotChangesKeyedRollup(s, d), Some(q113Sql)))
+      (s, d) => snapshotChangesKeyedRollup(s, d), Some(q113Sql)),
+    graft.Q("q114_snapshot_delete_update",
+      (s, d) => snapshotDeleteUpdateRollup(s, d), Some(q114Sql)))
 }

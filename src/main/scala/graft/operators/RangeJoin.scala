@@ -232,6 +232,11 @@ object RangeJoin {
     * the projected extra shuffled bytes its splits ship, summed over
     * the engaged bins at the executed fan-outs (0 for plain/tiny/
     * demoted decisions). */
+  /** Round 16 field: `preGated=true` marks a plain decision taken by
+    * the PRE-HISTOGRAM gate — whole-side byte bounds proved no bin
+    * pile could overflow the task budget, so the histogram pipelines
+    * never ran (the mode stays "plain"; this flag is what
+    * distinguishes "measured uniform" from "bounded small"). */
   final case class AutoRangeStats(binWidth: Long, hotBinShare: Double,
                                   salted: Boolean, hotBins: Seq[Any] = Nil,
                                   mode: String = "plain",
@@ -240,7 +245,8 @@ object RangeJoin {
                                   demoted: Seq[Any] = Nil,
                                   slicesA: Int = 0,
                                   slicesB: Int = 0,
-                                  premiumBytes: Long = 0L)
+                                  premiumBytes: Long = 0L,
+                                  preGated: Boolean = false)
 
   /** Mirror of the LAST auto decision in this JVM — debugging
     * convenience only. Two concurrent auto joins clobber each other
@@ -248,6 +254,24 @@ object RangeJoin {
     * call (specs, audits) must use the `...AutoStats` overloads, whose
     * returned receipt is per-call and race-free. */
   @volatile var lastAutoRange: Option[AutoRangeStats] = None
+
+  /** PRE-HISTOGRAM gate bound, as a multiple of the task budget (r15
+    * verdict #4 — the demoted cold path's ~38% stats premium): when
+    * EVERY side's WHOLE projected bytes (estimated rows × measured
+    * row width, both already in hand from the p95/count aggregate) fit
+    * `factor × taskAbsorbBytes`, no bin's pile can exceed the budget —
+    * a pile is at most its side. The classifier could then only
+    * Demote, or 2-split in the ambiguous band, and the 2-split cannot
+    * pay there by [[TaskAbsorbBytes]]'s own break-even (one task sorts
+    * ~budget bytes in about the cost of shuffling them once more,
+    * while the split ships up to a whole side as premium). So the
+    * routers skip BOTH histogram pipelines outright — the stats cost
+    * collapses to the p95/count aggregates — and receipt the shortcut
+    * as `preGated`. Bounded downside: the largest forgone task is
+    * ≤ 2 × budget (both whole sides on one task), inside the
+    * [[BothOverflowCapFactor]] comfort zone. 0 disables the gate (the
+    * demote-receipt specs force the measured path). */
+  val PreGateSideBudgetFactor: Double = 1.0
 
   /** Hottest-bin/key concentration above which the salted plan is
     * selected: one bin/key owning ≥20% of rows pins ≥20% of the join on
@@ -797,7 +821,8 @@ object RangeJoin {
                                hotShareThreshold: Double = HotShareThreshold,
                                sampleFraction: Double = StatsSampleFraction,
                                minFullRows: Long = TinyFullRows,
-                               taskAbsorbBytes: Long = TaskAbsorbBytes)
+                               taskAbsorbBytes: Long = TaskAbsorbBytes,
+                               preGateFactor: Double = PreGateSideBudgetFactor)
       : (DataFrame, AutoRangeStats) = {
     // STREAM-STATIC guard (r14): STREAMING INTERVALS cannot serve the
     // definition-time p95/histogram jobs and have no stats-time
@@ -839,6 +864,46 @@ object RangeJoin {
     if (estimateFullRows(r.getLong(1), sampleFraction) < minFullRows)
       return (pointInInterval(points, pointCol, intervals, startCol, endCol, w),
         AutoRangeStats(w, 0.0, salted = false, Nil, "tiny"))
+    val pointsMeasurable = !points.isStreaming
+    // the point side's narrow sampled projection — built ONCE, shared
+    // by the pre-histogram gate's probe and (when the gate declines)
+    // the point histogram pipeline, so a failed gate wastes no scan
+    def buildPointCache(): DataFrame = {
+      val pKeys0 = points
+        .select(binIdx(magnitude(points, pointCol), w).as("__k"),
+          measuredWidthCol(points, points.columns.toSeq).as("__w"))
+        .filter(col("__k").isNotNull)
+      graft.CacheScope.manage(
+        (if (sampleFraction >= 1.0) pKeys0
+         else pKeys0.sample(withReplacement = false, sampleFraction, 42L)).persist())
+    }
+    var preBuiltPointCache: Option[DataFrame] = None
+    // PRE-HISTOGRAM gate (see PreGateSideBudgetFactor): the interval
+    // side's whole bytes are already in hand; when they fit the bound,
+    // ONE cheap count/width aggregate over the shared point cache
+    // decides whether both histogram pipelines can be skipped. A
+    // streaming point side is unmeasurable — the gate stands down and
+    // the interval-only ladder keeps its semantics (an interval burst
+    // must still split whatever the points do).
+    if (taskAbsorbBytes > 0 && preGateFactor > 0 && pointsMeasurable &&
+        iMeasuredW > 0) {
+      val bound = (preGateFactor * taskAbsorbBytes).toLong
+      val iBytes = math.ceil(
+        estimateFullRows(r.getLong(1), sampleFraction) * iMeasuredW).toLong
+      if (iBytes <= bound) {
+        val pCache = buildPointCache()
+        val pr = pCache.agg(count(lit(1)).as("n"), avg("__w").as("aw")).head()
+        val pAw = if (pr.isNullAt(1)) 0.0 else pr.getDouble(1)
+        val pBytes = math.ceil(
+          estimateFullRows(pr.getLong(0), sampleFraction) * pAw).toLong
+        if (pAw > 0 && pBytes <= bound) {
+          pCache.unpersist(false)
+          return (pointInInterval(points, pointCol, intervals, startCol, endCol, w),
+            AutoRangeStats(w, 0.0, salted = false, Nil, "plain", preGated = true))
+        }
+        preBuiltPointCache = Some(pCache) // the histogram reuses it
+      }
+    }
     val frac = fractionalEnd(intervals, endCol)
     // the two sides' histograms are independent once the width is
     // fixed — run them CONCURRENTLY (the as-of router's round-14
@@ -873,7 +938,6 @@ object RangeJoin {
     // semantics): interval bursts still split, and a point-burst
     // micro-batch is bounded by maxFilesPerTrigger upstream rather
     // than by this join's salt.
-    val pointsMeasurable = !points.isStreaming
     val pSide = if (!pointsMeasurable)
       Future.successful((HotStats(Nil, 0.0, 0.0, 0L),
         points.sparkSession.range(0).select(col("id").as("__k")), 1.0))
@@ -882,9 +946,8 @@ object RangeJoin {
         .select(binIdx(magnitude(points, pointCol), w).as("__k"),
           measuredWidthCol(points, points.columns.toSeq).as("__w"))
         .filter(col("__k").isNotNull)
-      val pCache = graft.CacheScope.manage(
-        (if (sampleFraction >= 1.0) pKeys0
-         else pKeys0.sample(withReplacement = false, sampleFraction, 42L)).persist())
+      // a declined pre-gate already built (and materialized) the cache
+      val pCache = preBuiltPointCache.getOrElse(buildPointCache())
       val pStats0 = hotValuesFromKeys(pCache, hotShareThreshold)
       if (sampleFraction < 1.0 && pStats0.sampledRows < MinStatsRows) {
         pCache.unpersist(false)
@@ -1053,7 +1116,8 @@ object RangeJoin {
                                saltA: Int = GridSaltDefault, saltB: Int = GridSaltDefault,
                                hotShareThreshold: Double = HotShareThreshold,
                                minFullRows: Long = TinyFullRows,
-                               taskAbsorbBytes: Long = TaskAbsorbBytes)
+                               taskAbsorbBytes: Long = TaskAbsorbBytes,
+                               preGateFactor: Double = PreGateSideBudgetFactor)
       : (DataFrame, AutoRangeStats) = {
     // STREAM-STATIC guard (r14, the q91 lesson applied to this
     // router): a streaming side cannot serve the definition-time stats
@@ -1125,6 +1189,20 @@ object RangeJoin {
         estimateFullRows(rn, sampleFraction) < minFullRows)
       return (intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w),
         AutoRangeStats(w, 0.0, salted = false, Nil, "tiny"))
+    // PRE-HISTOGRAM gate (see PreGateSideBudgetFactor): both sides'
+    // whole projected bytes already measured by the p95/count jobs —
+    // when both fit the budget bound, no pile can overflow a task and
+    // the histogram pipelines (groupBys, possible full redos, per-bin
+    // pile counts) are skipped outright
+    if (taskAbsorbBytes > 0 && preGateFactor > 0 &&
+        lMeasuredW > 0 && rMeasuredW > 0) {
+      val bound = (preGateFactor * taskAbsorbBytes).toLong
+      val lBytes = math.ceil(estimateFullRows(ln, sampleFraction) * lMeasuredW).toLong
+      val rBytes = math.ceil(estimateFullRows(rn, sampleFraction) * rMeasuredW).toLong
+      if (lBytes <= bound && rBytes <= bound)
+        return (intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, w),
+          AutoRangeStats(w, 0.0, salted = false, Nil, "plain", preGated = true))
+    }
     // tiny sample → the cache SWAPS to the full frame (stale sample
     // unpersisted, redo frame persisted) so the per-bin counts read
     // the rows the histogram decided on without a second full scan

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
@@ -82,7 +83,7 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new SnapshotStreamSource(sqlContext.sparkSession, parameters)
+    new SnapshotStreamSource(sqlContext.sparkSession, parameters, Some(metadataPath))
 }
 
 object SnapshotStream {
@@ -129,8 +130,12 @@ object SnapshotStream {
       // epoch 1: bootstrap = ids %10 < 7
       SnapshotMerge.upsert(gs, a, ev.filter(col("event_id") % 10 < 7),
         Seq("event_id"), "day")
+      // withDeletes=false: the keyed apply discards deletes anyway, and
+      // only the OPTION skips the delete-side exceptAll at planning
+      // time (the sink's filter runs after the sealed batch executed)
       val q = Streams.changeApplySink(
-        gs.readStream.format(Format).option("path", a).load(),
+        gs.readStream.format(Format).option("path", a)
+          .option("withDeletes", "false").load(),
         b, root.resolve("ckpt").toString, Seq("event_id"), "day").start()
       try {
         q.processAllAvailable() // initial snapshot flows downstream
@@ -233,7 +238,8 @@ object SnapshotStream {
 
 class SnapshotStreamSource(
     spark: SparkSession,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String],
+    metadataPath: Option[String] = None) extends Source {
 
   private val store = SnapshotStream.storeOf(parameters)
   private val withDeletes =
@@ -243,14 +249,57 @@ class SnapshotStreamSource(
       .getOrElse(Long.MaxValue)
   require(maxEpochsPerTrigger >= 1, "maxEpochsPerTrigger must be >= 1")
 
+  private val paced = maxEpochsPerTrigger != Long.MaxValue
+
   private val pinned: StructType =
     SnapshotStream.pinnedStoreSchema(spark, parameters)
   override val schema: StructType = SnapshotStream.streamSchema(pinned)
 
-  // last offset this source HANDED OUT (rate limiting only — the
-  // engine's checkpoint, not this field, is the processed truth; a
-  // restart simply starts handing out from the tip again)
-  @volatile private var lastPolled: Option[Long] = None
+  // Last offset this source HANDED OUT — the pacing floor. The engine's
+  // checkpoint, not this field, is the processed truth; pacing only
+  // bounds how far PAST it a batch may reach. A paced source persists
+  // the floor under the stream's own metadata dir so a RESTART against
+  // a backlogged store does not hand the uncapped tip to the first
+  // poll (the one batch pacing exists to bound); getBatch also seeds it
+  // from every range the engine replays. A stale/lost floor file only
+  // widens one batch — never skips data, because the engine pairs each
+  // offered end with its own committed start.
+  @volatile private var lastPolled: Option[Long] =
+    if (paced) readPacingFloor() else None
+
+  private def pacingFloorPath: Option[Path] =
+    metadataPath.map(m => new Path(m, "graft_pacing_floor"))
+
+  private def readPacingFloor(): Option[Long] =
+    pacingFloorPath.flatMap { p =>
+      try {
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val text = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+          scala.util.Try(text.toLong).toOption
+        }
+      } catch { case _: Throwable => None }
+    }
+
+  private def writePacingFloor(v: Long): Unit =
+    pacingFloorPath.foreach { p =>
+      try {
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(p, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      } catch { case _: Throwable => () } // best-effort: pacing, not truth
+    }
+
+  private def advanceFloor(v: Long): Unit = {
+    if (lastPolled.forall(_ < v)) {
+      lastPolled = Some(v)
+      if (paced) writePacingFloor(v)
+    }
+  }
 
   override def getOffset: Option[OffsetV1] = {
     val tip = SnapshotMerge.committedEpochs(spark, store).lastOption
@@ -259,13 +308,14 @@ class SnapshotStreamSource(
         Some(math.max(l + maxEpochsPerTrigger, 1L))
       case (t, _) => t
     }
-    capped.foreach(c => lastPolled = Some(c))
+    capped.foreach(advanceFloor)
     capped.map(LongOffset(_))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val toE = epochOf(end)
     val fromE = start.map(epochOf)
+    advanceFloor(toE) // recovery replays re-seed the pacing floor
     val have = SnapshotMerge.committedEpochs(spark, store).toSet
     (fromE.toSeq :+ toE).foreach { e =>
       require(have(e),

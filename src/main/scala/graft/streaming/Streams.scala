@@ -248,6 +248,36 @@ object Streams {
     * `vacuumKeep` epochs (readers pinned further back than the
     * retention lose isolation — the Delta VACUUM trade, here sized in
     * triggers). */
+  def snapshotMergeSink(stream: DataFrame, targetDir: String, checkpoint: String,
+                        keys: Seq[String], tsCol: String,
+                        partitionCol: String,
+                        vacuumKeep: Int = 24,
+                        vacuumGraceMs: Long = 10 * 60 * 1000L,
+                        orphanSweepEvery: Int = 100): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val commits = new java.util.concurrent.atomic.AtomicLong(0)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val latest = graft.etl.Dedup.keepLatest(batch, keys, Seq(col(tsCol)))
+        // an empty trigger (restart bookkeeping) must not burn an epoch
+        if (!latest.isEmpty) {
+          graft.etl.SnapshotMerge.upsert(spark, targetDir, latest, keys, partitionCol)
+          // manifest-driven sweep per trigger: its cost scales with what
+          // the trigger superseded, not with table width; every
+          // `orphanSweepEvery`-th commit ALSO runs the full-walk pass —
+          // crashed publishes leave orphan version dirs no manifest
+          // references, and a sink that never walks would grow them
+          // unbounded over a long stream's crash history (r16 review)
+          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
+            sweepOrphans =
+              orphanSweepEvery > 0 && commits.incrementAndGet() % orphanSweepEvery == 0)
+        }
+        ()
+      }
+  }
+
   /** Medallion CHAINING sink: applies a [[SnapshotStreamSource]] change
     * feed into a downstream snapshot store by keyed upsert — the
     * stage-to-stage hop the reference drives with
@@ -257,16 +287,28 @@ object Streams {
     * change lands as exactly one insert per key (updates and
     * partition moves included — the old-row `delete` is implied by the
     * key overwrite) and the downstream store converges to the
-    * upstream's final state. A compaction upstream produces a ZERO-row
-    * batch here (the source skips `dataChange=false` epochs at
-    * planning time), which must not burn a downstream epoch — hence
-    * the emptiness guard, same as [[snapshotMergeSink]]'s. Replay
-    * safety: a recovered batch re-upserts the same net rows —
-    * idempotent per key. */
+    * upstream's final state.
+    *
+    * PAIR THE SOURCE WITH `.option("withDeletes", "false")` (r16
+    * review): this sink discards delete rows, but the discard happens
+    * AFTER the upstream batch plan executed — the source seals each
+    * batch into an already-planned diff, so only the option (which
+    * skips the delete-side exceptAll at planning time) actually saves
+    * that shuffle; filtering here would silently pay it every trigger.
+    *
+    * A compaction upstream produces a ZERO-row batch here (the source
+    * skips `dataChange=false` epochs at planning time), which must not
+    * burn a downstream epoch — hence the emptiness guard, same as
+    * [[snapshotMergeSink]]'s. Replay safety: a recovered batch
+    * re-upserts the same net rows — idempotent per key. Vacuum cadence
+    * matches [[snapshotMergeSink]]: manifest-driven per trigger, full
+    * orphan walk every `orphanSweepEvery` commits. */
   def changeApplySink(stream: DataFrame, targetDir: String, checkpoint: String,
                       keys: Seq[String], partitionCol: String,
                       vacuumKeep: Int = 24,
-                      vacuumGraceMs: Long = 10 * 60 * 1000L): DataStreamWriter[org.apache.spark.sql.Row] =
+                      vacuumGraceMs: Long = 10 * 60 * 1000L,
+                      orphanSweepEvery: Int = 100): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val commits = new java.util.concurrent.atomic.AtomicLong(0)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -277,32 +319,10 @@ object Streams {
         if (!rows.isEmpty) {
           graft.etl.SnapshotMerge.upsert(spark, targetDir, rows, keys, partitionCol)
           graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
-            sweepOrphans = false)
+            sweepOrphans =
+              orphanSweepEvery > 0 && commits.incrementAndGet() % orphanSweepEvery == 0)
         }
         ()
       }
-
-  def snapshotMergeSink(stream: DataFrame, targetDir: String, checkpoint: String,
-                        keys: Seq[String], tsCol: String,
-                        partitionCol: String,
-                        vacuumKeep: Int = 24,
-                        vacuumGraceMs: Long = 10 * 60 * 1000L): DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val latest = graft.etl.Dedup.keepLatest(batch, keys, Seq(col(tsCol)))
-        // an empty trigger (restart bookkeeping) must not burn an epoch
-        if (!latest.isEmpty) {
-          graft.etl.SnapshotMerge.upsert(spark, targetDir, latest, keys, partitionCol)
-          // manifest-driven sweep: per-trigger vacuum cost must scale
-          // with what the trigger superseded, not with table width —
-          // crashed-publish orphans need a periodic sweepOrphans=true
-          // pass, which is maintenance, not the sink's per-trigger job
-          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
-            sweepOrphans = false)
-        }
-        ()
-      }
+  }
 }

@@ -135,6 +135,29 @@ object ABLadder {
       println(s"# righthot_16M auto mode=$mode")
     }
 
+    // 8M×2 demoted overlap (the r15 cold-path rung, r15 verdict #4):
+    // auto — whose r16 PRE-HISTOGRAM gate answers from the p95/count
+    // aggregates alone — vs plain at the same width. Done-bar from the
+    // verdict: auto ≤ 1.1× plain.
+    if (enabled("overlap_8Mx2")) {
+      val (l, r) = SynthRungs.overlapBurst8Mx2(spark, scratch)
+      var mode = "?"; var gated = false
+      var width = graft.operators.RangeJoin.DefaultBinMicros
+      def auto() = {
+        val t0 = System.nanoTime()
+        val (df, st) = graft.operators.RangeJoin.intervalOverlapAutoStats(
+          l, "w_start", "w_end", r, "e_start", "e_end")
+        lastPlanSec = (System.nanoTime() - t0) / 1e9
+        mode = st.mode; gated = st.preGated; width = st.binWidth; df
+      }
+      def plain() = graft.operators.RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", width)
+      runPaired("overlap_8Mx2_auto_vs_plain", "auto", () => auto(),
+        "plain", () => plain(), pairs)
+      println(s"# overlap_8Mx2 auto mode=$mode preGated=$gated")
+      Console.flush()
+    }
+
     // 56M both-hot (the r14 unpriced-grid rung): engine choice (now
     // priced — rslice at zero premium) vs plain, and vs the r14-style
     // FORCED grid (share-only routing classifies both-hot → grid)

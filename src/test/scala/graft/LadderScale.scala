@@ -181,30 +181,9 @@ object LadderScale {
     // premium + run variance). Piles past the budget are the bothhot
     // rungs' job. Rows compared auto-vs-plain as everywhere else.
     if (enabled("overlap_synth_8Mx2")) {
-      val minute = 60L * 1000000L
-      def side(burstTs: String, n: Long, idCol: String, sCol: String,
-               eCol: String): DataFrame = {
-        val base = spark.range(n).select(
-          col("id").as(idCol),
-          // natural spread: one window start per 100 s — sparse enough
-          // that any instant is covered by only a few natural windows,
-          // keeping the burst×natural output linear in the burst while
-          // the burst bin's SHUFFLE pile stays ~|burst|
-          when(col("id") % 4 =!= 3,
-            to_timestamp(lit(burstTs)))
-            .otherwise(timestamp_micros(
-              unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))) +
-                col("id") * 100000000L)).as(sCol))
-        base.withColumn(eCol, timestamp_micros(
-          unix_micros(col(sCol)) + (col(idCol) % 7 + 1) * minute))
-      }
-      val n = 8000000L
-      side("2024-01-15 12:00:00", n, "w_id", "w_start", "w_end")
-        .write.parquet(s"$scratch/synth_l.parquet")
-      side("2024-01-20 06:00:00", n, "e_id", "e_start", "e_end")
-        .write.parquet(s"$scratch/synth_r.parquet")
-      val l = spark.read.parquet(s"$scratch/synth_l.parquet")
-      val r = spark.read.parquet(s"$scratch/synth_r.parquet")
+      // shape shared with ABLadder via SynthRungs (one rung, one
+      // definition): 75% burst per side, natural 100 s spread elsewhere
+      val (l, r) = SynthRungs.overlapBurst8Mx2(spark, scratch.toString)
       var mode = "?"
       var width = RangeJoin.DefaultBinMicros
       def auto: DataFrame = {

@@ -44,7 +44,7 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
   }
 
-  private def build10x(spark: SparkSession, base: String): String = {
+  private[graft] def build10x(spark: SparkSession, base: String): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_scale10x")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}

@@ -26,7 +26,7 @@ object StreamAudit {
     "q92_streaming_stream_asof", "q93_streaming_forward_asof",
     "q95_streaming_nearest_asof", "q97_streaming_dedup_ttl",
     "q102_streaming_sketch_maintain", "q104_streaming_histogram_maintain",
-    "l55_streaming_incremental_dedup")
+    "l55_streaming_incremental_dedup", "q112_snapshot_stream_chain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

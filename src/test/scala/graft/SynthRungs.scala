@@ -43,6 +43,31 @@ object SynthRungs {
     (l, r)
   }
 
+  /** The 8M×2 burst-overlap rung (the r15 demoted-cold-path rung,
+    * ladderscale_r15's `overlap_synth_8Mx2`): 75% of each side sits on
+    * one burst instant, window lengths 1–7 min, natural 100 s spread
+    * elsewhere. Whole sides ≈ 8M × 32 B = 256 MB — inside the task
+    * budget, so the auto ladder's correct answer is "do nothing"; the
+    * rung measures what that answer COSTS (r15: a 38% stats premium;
+    * r16's pre-histogram gate is judged on cutting it). */
+  def overlapBurst8Mx2(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val minute = 60L * 1000000L
+    def side(path: String, burstTs: String, idCol: String, sCol: String,
+             eCol: String): DataFrame =
+      writeOnce(spark, path) {
+        val base = spark.range(8000000L).select(
+          col("id").as(idCol),
+          when(col("id") % 4 =!= 3, to_timestamp(lit(burstTs)))
+            .otherwise(timestamp_micros(
+              unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))) +
+                col("id") * 100000000L)).as(sCol))
+        base.withColumn(eCol, timestamp_micros(
+          unix_micros(col(sCol)) + (col(idCol) % 7 + 1) * minute))
+      }
+    (side(s"$dir/synth_ov8_l.parquet", "2024-01-15 12:00:00", "w_id", "w_start", "w_end"),
+      side(s"$dir/synth_ov8_r.parquet", "2024-01-20 06:00:00", "e_id", "e_start", "e_end"))
+  }
+
   /** Both-hot as-of PAST the budget on both sides (the 56M rung): one
     * key carries 30% of a 32M left (9.6M × 32 B = 307 MB) AND 50% of a
     * 24M right (12M × 32 B = 384 MB) — the both-overflow class the r15

@@ -342,6 +342,46 @@ class SnapshotMergeSpec extends SparkSuite {
       "an epoch diffed against itself reads nothing at all")
   }
 
+  test("deleteWhere/updateWhere: predicate mutations commit epochs; emptied partitions leave; CDF sees them; unsafe updates refused") {
+    val store = freshStore()
+    bootstrap(store)
+    // DELETE d2's only row → the partition leaves the manifest
+    assert(SnapshotMerge.deleteWhere(spark, store, col("id") === 3L).contains(2L))
+    assert(asMap(SnapshotMerge.read(spark, store)).keySet === Set(1L, 2L))
+    assert(!SnapshotMerge.latestSnapshot(spark, store).get.parts.keySet
+      .exists(_.startsWith("day=d2")), "an emptied partition must leave the manifest")
+    // prior epoch still time-travels to the deleted row
+    assert(asMap(SnapshotMerge.read(spark, store, Some(1L)))(3L) === ("c", "d2", 10L))
+    // the change feed sees the delete
+    val feed = SnapshotMerge.changes(spark, store, 1L, 2L).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(feed === Set(("delete", 3L)))
+    // a no-match delete burns no epoch
+    assert(SnapshotMerge.deleteWhere(spark, store, col("id") === 99L).isEmpty)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L))
+    // UPDATE one row in place
+    assert(SnapshotMerge.updateWhere(spark, store, col("id") === 2L,
+      Map("v" -> lit("b2"))).contains(3L))
+    val now = asMap(SnapshotMerge.read(spark, store))
+    assert(now === Map(1L -> ("a", "d1", 10L), 2L -> ("b2", "d1", 10L)),
+      "the matched row updates in place; non-matching rows are untouched")
+    // refusals: partition-moving update, type-changing update
+    val moved = intercept[IllegalArgumentException] {
+      SnapshotMerge.updateWhere(spark, store, col("id") === 2L,
+        Map("day" -> lit("d9")))
+    }
+    assert(moved.getMessage.contains("cannot move rows"), moved.getMessage)
+    val typed = intercept[IllegalArgumentException] {
+      SnapshotMerge.updateWhere(spark, store, col("id") === 2L,
+        Map("ts" -> lit(1.5)))
+    }
+    assert(typed.getMessage.contains("type changes"), typed.getMessage)
+    // a no-match update burns no epoch
+    assert(SnapshotMerge.updateWhere(spark, store, col("id") === 99L,
+      Map("v" -> lit("x"))).isEmpty)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L, 3L))
+  }
+
   test("keyed change feed: updates surface as pre/post image pairs, moved keys included; pure inserts stay inserts") {
     val store = freshStore()
     bootstrap(store)

@@ -467,6 +467,52 @@ class RangeJoinSpec extends SparkSuite {
       "partial routing must be row-identical to the plain overlap")
   }
 
+  test("PRE-HISTOGRAM gate: sides whose whole bytes fit the budget skip the histograms, receipted preGated (r16)") {
+    val ev = Tables.events(spark, sf)
+    // the same burst fixture the demote test measures: under the
+    // DEFAULT budget its whole sides are kilobytes, so the gate must
+    // answer from the p95/count aggregates alone — plain plan, no hot
+    // receipts (the histograms never ran), preGated flag set
+    val (l, r) = RangeJoin.burstOverlapSides(ev)
+    val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L)
+    assert(dec.preGated && dec.mode === "plain" && !dec.salted,
+      s"bounded-small sides must shortcut to plain ($dec)")
+    assert(dec.hotBins.isEmpty && dec.demoted.isEmpty,
+      s"no histogram receipts can exist — the pipelines were skipped ($dec)")
+    val autoRows = auto.select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val plain = RangeJoin.intervalOverlap(
+        l, "w_start", "w_end", r, "e_start", "e_end", dec.binWidth)
+      .select("w_id", "e_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(autoRows === plain && autoRows.nonEmpty,
+      "the pre-gated plan is the plain overlap at the p95 width")
+
+    // point-in-interval form: same shortcut, one extra cheap point
+    // aggregate instead of two histogram pipelines
+    val pts = ev.select(col("event_id"), col("ts"), col("value"))
+    val wins = RangeJoin.purchaseWindows(ev)
+    val (autoP, decP) = RangeJoin.pointInIntervalAutoStats(
+      pts, "ts", wins, "w_start", "w_end", minFullRows = 0L)
+    assert(decP.preGated && decP.mode === "plain",
+      s"bounded-small point/interval sides must shortcut ($decP)")
+    val pRows = autoP.select("event_id", "w_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val pPlain = RangeJoin.pointInInterval(pts, "ts", wins, "w_start", "w_end",
+        decP.binWidth)
+      .select("event_id", "w_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(pRows === pPlain && pRows.nonEmpty)
+
+    // the gate stands down when the budget is off (share-only mode
+    // must keep its measured semantics)
+    val (_, decOff) = RangeJoin.intervalOverlapAutoStats(
+      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L,
+      taskAbsorbBytes = 0L)
+    assert(!decOff.preGated, s"budget off → no pre-gate ($decOff)")
+  }
+
   test("absolute-volume gate: a share-hot overlap bin whose pile fits one task DEMOTES to plain, receipted") {
     // the q105 two-sided burst with the stats ladder forced on but the
     // DEFAULT task budget active: the burst bins are unambiguously hot
@@ -475,9 +521,14 @@ class RangeJoinSpec extends SparkSuite {
     // The router must keep the plain plan and say why (demoted bins).
     val ev = Tables.events(spark, sf)
     val (l, r) = RangeJoin.burstOverlapSides(ev)
+    // preGateFactor = 0: the kilobyte fixture would otherwise take the
+    // r16 pre-histogram shortcut — this test pins the MEASURED demote
+    // receipt, so the histogram path is forced
     val (auto, dec) = RangeJoin.intervalOverlapAutoStats(
-      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L)
-    assert(dec.mode === "plain", s"an absorbable pile must not salt ($dec)")
+      l, "w_start", "w_end", r, "e_start", "e_end", minFullRows = 0L,
+      preGateFactor = 0.0)
+    assert(dec.mode === "plain" && !dec.preGated,
+      s"an absorbable pile must not salt ($dec)")
     assert(dec.demoted.nonEmpty, s"the demotion must be receipted ($dec)")
     assert(dec.hotBins.nonEmpty, s"the share flags must still be visible ($dec)")
     val autoRows = auto.select("w_id", "e_id").collect()

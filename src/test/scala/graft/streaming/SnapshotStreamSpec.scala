@@ -123,22 +123,38 @@ class SnapshotStreamSpec extends SparkSuite {
       .count() === 0L)
   }
 
-  test("withDeletes=false emits only the keyed final rows; maxEpochsPerTrigger paces the offset") {
-    val store = s"${freshDir()}/A"
+  test("withDeletes=false emits only the keyed final rows; maxEpochsPerTrigger paces the offset and survives a restart") {
+    val root = freshDir()
+    val store = s"$root/A"
     upsert(store, Seq((1L, "a", "d1", 10L)))
     upsert(store, Seq((1L, "a2", "d1", 20L)))
     upsert(store, Seq((2L, "b", "d2", 30L)))
+    upsert(store, Seq((3L, "c", "d2", 40L)))
+    val meta = s"$root/srcmeta"
     val src = new SnapshotStreamSource(spark,
-      Map("path" -> store, "withDeletes" -> "false", "maxEpochsPerTrigger" -> "1"))
+      Map("path" -> store, "withDeletes" -> "false", "maxEpochsPerTrigger" -> "1"),
+      Some(meta))
+    // the replayed range seeds the pacing floor at its end epoch (2)
     assert(feedSet(src.getBatch(Some(LongOffset(1L)), LongOffset(2L))) === Set(
       ("insert", 1L, "a2", "d1")))
-    // pacing: the first poll hands out the tip capped to +1 per trigger
+    // tip is 4, floor is 2 → the cap BINDS: one epoch per poll
     val o1 = src.getOffset.map(_.asInstanceOf[LongOffset].offset)
     val o2 = src.getOffset.map(_.asInstanceOf[LongOffset].offset)
     val o3 = src.getOffset.map(_.asInstanceOf[LongOffset].offset)
-    assert(o1.exists(_ <= 3L) && o2.exists(_ <= 3L) && o3 === Some(3L),
-      s"pacing must converge on the tip: $o1 $o2 $o3")
-    assert((o1.get to o3.get).size <= 3, "offsets advance monotonically")
+    assert(o1 === Some(3L) && o2 === Some(4L) && o3 === Some(4L),
+      s"the cap must advance ONE epoch per poll to the tip: $o1 $o2 $o3")
+    // RESTART: a fresh source over the same metadata dir restores the
+    // pacing floor — the first post-restart poll must not hand the
+    // uncapped tip to one batch (the r16 review's backlogged-recovery
+    // hole)
+    upsert(store, Seq((4L, "d", "d3", 50L)))
+    upsert(store, Seq((5L, "e", "d3", 60L)))
+    val restarted = new SnapshotStreamSource(spark,
+      Map("path" -> store, "withDeletes" -> "false", "maxEpochsPerTrigger" -> "1"),
+      Some(meta))
+    val r1 = restarted.getOffset.map(_.asInstanceOf[LongOffset].offset)
+    assert(r1 === Some(5L),
+      s"restart must resume pacing from the persisted floor (4), not the tip: $r1")
   }
 
   test("vacuumed history fails the replay loudly; schema evolution upstream keeps the pinned projection") {
@@ -179,7 +195,8 @@ class SnapshotStreamSpec extends SparkSuite {
     val b = s"$root/silver"
     upsert(a, Seq((1L, "a", "d1", 10L), (2L, "b", "d1", 10L), (3L, "c", "d2", 10L)))
     val q = Streams.changeApplySink(
-      spark.readStream.format(SnapshotStream.Format).option("path", a).load(),
+      spark.readStream.format(SnapshotStream.Format).option("path", a)
+        .option("withDeletes", "false").load(),
       b, s"$root/ckpt", Seq("id"), "day").start()
     try {
       q.processAllAvailable()

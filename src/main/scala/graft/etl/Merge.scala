@@ -28,11 +28,20 @@ object Merge {
   /** S8 DELETE: predicate-filtered rewrite. */
   def delete(target: DataFrame, cond: Column): DataFrame = target.filter(!cond || cond.isNull)
 
-  /** S8 UPDATE: conditional column rewrite. */
+  /** S8 UPDATE: conditional column rewrite. ONE projection evaluates
+    * every SET expression AND the predicate against the PRE-update row
+    * — SQL/Delta UPDATE semantics (r16 review: the previous
+    * `withColumn` fold let later entries and the re-evaluated
+    * predicate see already-updated values, so
+    * `Map("a" -> col("b"), "b" -> col("a"))` failed to swap and
+    * results depended on Map insertion order). */
   def update(target: DataFrame, cond: Column, set: Map[String, Column]): DataFrame =
-    set.foldLeft(target) { case (df, (name, value)) =>
-      df.withColumn(name, when(cond, value).otherwise(col(name)))
-    }
+    target.select(target.columns.toIndexedSeq.map { name =>
+      set.get(name) match {
+        case Some(value) => when(cond, value).otherwise(col(name)).as(name)
+        case None => col(name)
+      }
+    }: _*)
 
   /** MERGE into a partitioned parquet table directory, rewriting only the
     * partitions the merge touches. `partitionCol` must be a column of

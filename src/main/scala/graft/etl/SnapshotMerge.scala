@@ -585,6 +585,45 @@ object SnapshotMerge {
     n.substring(0, n.indexOf('='))
   }
 
+  /** The shared predicate-mutation commit protocol of [[deleteWhere]],
+    * [[updateWhere]], and [[deleteKeys]] (ONE copy — r16 review: two
+    * hand-kept copies would let DELETE and UPDATE semantics drift):
+    * read the base snapshot, find the partitions holding rows matching
+    * `touchCond` (one bounded metadata collect, the upsert class),
+    * rewrite ONLY those partitions through `rewrite`, publish. The
+    * rewrite input is PARTITION-PRUNED with literal `isin` values —
+    * the touched values are already on the driver, so the parquet scan
+    * reads only the touched directories (a semi-join here would scan
+    * the whole store; upsert cannot prune this way because its touched
+    * set depends on a join with the source). Returns None (no epoch
+    * burned) when nothing matches. */
+  private def rewriteTouched(
+      spark: SparkSession, store: String,
+      touchCond: DataFrame => org.apache.spark.sql.Column,
+      rewrite: DataFrame => DataFrame,
+      guard: (Snapshot, String) => Unit = (_, _) => ()): Option[Long] = {
+    val claimFloor = CommitMarker.currentEpoch(spark, store)
+    val base = latestSnapshot(spark, store).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $store"))
+    if (base.parts.isEmpty) return None
+    val partitionCol = partitionColOf(base)
+    guard(base, partitionCol)
+    val snap = readSnapshot(spark, store, base)
+    // partition METADATA (one typed value per touched partition)
+    val touchedVals: Array[Any] = snap.filter(touchCond(snap))
+      .select(partitionCol).distinct().collect().map(_.get(0))
+    if (touchedVals.isEmpty) return None
+    val touchedNames =
+      touchedVals.map(v => partDirName(partitionCol, Option(v).map(_.toString))).toSet
+    val nonNull = touchedVals.filter(_ != null)
+    val prune = {
+      val in = if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*) else lit(false)
+      if (nonNull.length < touchedVals.length) in || col(partitionCol).isNull else in
+    }
+    Some(publish(spark, store, Some(base), claimFloor,
+      rewrite(snap.filter(prune)), partitionCol, touchedNames, base.schema))
+  }
+
   /** S8 DELETE on the snapshot store (Delta DELETE parity — the
     * reference's predicate deletes run on its managed Delta tables,
     * delta_setup.py:670-702; [[Merge.delete]] gives the same row
@@ -596,30 +635,45 @@ object SnapshotMerge {
     * `cond` is TRUE go; FALSE and NULL stay. Returns the committed
     * epoch, or None when nothing matched (no epoch burned). */
   def deleteWhere(spark: SparkSession, store: String,
-                  cond: org.apache.spark.sql.Column): Option[Long] = {
+                  cond: org.apache.spark.sql.Column): Option[Long] =
+    rewriteTouched(spark, store, _ => cond, df => Merge.delete(df, cond))
+
+  /** KEYED delete: removes every store row whose `keys` tuple appears
+    * in `keyRows` — the downstream-apply form a change feed's pure
+    * `delete` rows need ([[graft.streaming.Streams.changeApplySink]]).
+    * Touched partitions come from the key join; only they rewrite. */
+  def deleteKeys(spark: SparkSession, store: String,
+                 keyRows: DataFrame, keys: Seq[String]): Option[Long] = {
+    // the touched set needs a SEMI-JOIN on the keys, which a Column
+    // cannot express — so this runs the rewriteTouched protocol inline
+    // with the join standing in for the touch condition
+    val keySet = broadcast(keyRows.select(keys.map(col): _*).distinct())
     val claimFloor = CommitMarker.currentEpoch(spark, store)
     val base = latestSnapshot(spark, store).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $store"))
     if (base.parts.isEmpty) return None
     val partitionCol = partitionColOf(base)
     val snap = readSnapshot(spark, store, base)
-    val touched = snap.filter(cond).select(partitionCol).distinct()
-    // partition METADATA (one value per touched partition) — the same
-    // bounded collect class as upsert's
-    val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
+    val touchedVals: Array[Any] = snap.join(keySet, keys, "left_semi")
+      .select(partitionCol).distinct().collect().map(_.get(0))
     if (touchedVals.isEmpty) return None
-    val touchedNames = touchedVals.map(partDirName(partitionCol, _)).toSet
-    val affected = snap.join(
-      broadcast(touched.withColumnRenamed(partitionCol, "__p")),
-      snap(partitionCol) <=> col("__p"), "left_semi")
-    val kept = Merge.delete(affected, cond)
+    val touchedNames =
+      touchedVals.map(v => partDirName(partitionCol, Option(v).map(_.toString))).toSet
+    val nonNull = touchedVals.filter(_ != null)
+    val prune = {
+      val in = if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*) else lit(false)
+      if (nonNull.length < touchedVals.length) in || col(partitionCol).isNull else in
+    }
+    val kept = snap.filter(prune).join(keySet, keys, "left_anti")
     Some(publish(spark, store, Some(base), claimFloor, kept,
       partitionCol, touchedNames, base.schema))
   }
 
   /** S8 UPDATE on the snapshot store (Delta UPDATE parity): rows where
-    * `cond` is TRUE get `set`'s columns rewritten ([[Merge.update]]'s
-    * semantics), only the partitions holding matching rows re-publish.
+    * `cond` is TRUE get `set`'s columns rewritten — every SET
+    * expression and the predicate evaluate against the PRE-update row
+    * ([[Merge.update]]'s one-projection semantics) — and only the
+    * partitions holding matching rows re-publish.
     * Refused up front: updating the PARTITION column (a moved row's
     * target partition may be untouched by this commit, and its staged
     * version would then hold only the moved rows — replacing, not
@@ -631,37 +685,29 @@ object SnapshotMerge {
     * nothing matched. */
   def updateWhere(spark: SparkSession, store: String,
                   cond: org.apache.spark.sql.Column,
-                  set: Map[String, org.apache.spark.sql.Column]): Option[Long] = {
-    val claimFloor = CommitMarker.currentEpoch(spark, store)
-    val base = latestSnapshot(spark, store).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $store"))
-    if (base.parts.isEmpty) return None
-    val partitionCol = partitionColOf(base)
-    require(!set.contains(partitionCol),
-      s"updateWhere cannot move rows across partitions (set touches " +
-        s"$partitionCol) — use upsert, whose moved-key path rewrites " +
-        "both the old and the new partition")
-    set.keys.foreach(k => require(base.schema.fieldNames.contains(k),
-      s"updateWhere: unknown column $k"))
-    val snap = readSnapshot(spark, store, base)
-    val updated = Merge.update(snap, cond, set)
-    base.schema.fields.foreach { f =>
-      val got = updated.schema(f.name).dataType
-      require(got == f.dataType,
-        s"updateWhere: column ${f.name} would become $got but the " +
-          s"store holds ${f.dataType}; type changes cannot decode old " +
-          "partition versions")
-    }
-    val touched = snap.filter(cond).select(partitionCol).distinct()
-    val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
-    if (touchedVals.isEmpty) return None
-    val touchedNames = touchedVals.map(partDirName(partitionCol, _)).toSet
-    val affected = updated.join(
-      broadcast(touched.withColumnRenamed(partitionCol, "__p")),
-      updated(partitionCol) <=> col("__p"), "left_semi")
-    Some(publish(spark, store, Some(base), claimFloor, affected,
-      partitionCol, touchedNames, base.schema))
-  }
+                  set: Map[String, org.apache.spark.sql.Column]): Option[Long] =
+    rewriteTouched(spark, store, _ => cond,
+      df => Merge.update(df, cond, set),
+      guard = (base, partitionCol) => {
+        require(!set.contains(partitionCol),
+          s"updateWhere cannot move rows across partitions (set touches " +
+            s"$partitionCol) — use upsert, whose moved-key path rewrites " +
+            "both the old and the new partition")
+        set.keys.foreach(k => require(base.schema.fieldNames.contains(k),
+          s"updateWhere: unknown column $k"))
+        // dry-run the projection on an empty slice to type-check the
+        // SET expressions against the committed schema
+        val probe = Merge.update(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base.schema),
+          cond, set)
+        base.schema.fields.foreach { f =>
+          val got = probe.schema(f.name).dataType
+          require(got == f.dataType,
+            s"updateWhere: column ${f.name} would become $got but the " +
+              s"store holds ${f.dataType}; type changes cannot decode old " +
+              "partition versions")
+        }
+      })
 
   /** KEYED change feed (Delta CDF parity — the reference enables CDF
     * table properties, delta_setup.py:461-467, whose update rows carry

@@ -264,6 +264,13 @@ class SnapshotStreamSource(
   // from every range the engine replays. A stale/lost floor file only
   // widens one batch — never skips data, because the engine pairs each
   // offered end with its own committed start.
+  //
+  // DELIBERATE EXEMPTION: a FRESH stream's first batch is the INITIAL
+  // SNAPSHOT (fromE = None → the whole table at the tip) — the same
+  // unpaced first batch Delta's source takes. Capping the first offset
+  // would not shrink it (a snapshot at ANY epoch is roughly the whole
+  // table) and could pin the stream to a vacuumed epoch; pacing
+  // governs the epoch RANGE of every batch after the floor seeds.
   @volatile private var lastPolled: Option[Long] =
     if (paced) readPacingFloor() else None
 
@@ -288,9 +295,19 @@ class SnapshotStreamSource(
   private def writePacingFloor(v: Long): Unit =
     pacingFloorPath.foreach { p =>
       try {
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val out = fs.create(p, true)
+        // tmp + rename-overwrite, never truncate in place: a crash
+        // between an in-place create and its write would leave an
+        // EMPTY floor that reads back as "no floor" — the exact
+        // unbounded recovery batch the file exists to prevent (r16
+        // review; a merely stale floor only widens one batch)
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = p.getFileSystem(conf)
+        val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+        val out = fs.create(tmp, true)
         try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       } catch { case _: Throwable => () } // best-effort: pacing, not truth
     }
 

@@ -253,8 +253,7 @@ object Streams {
                         partitionCol: String,
                         vacuumKeep: Int = 24,
                         vacuumGraceMs: Long = 10 * 60 * 1000L,
-                        orphanSweepEvery: Int = 100): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val commits = new java.util.concurrent.atomic.AtomicLong(0)
+                        orphanSweepEvery: Int = 100): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -263,66 +262,82 @@ object Streams {
         val latest = graft.etl.Dedup.keepLatest(batch, keys, Seq(col(tsCol)))
         // an empty trigger (restart bookkeeping) must not burn an epoch
         if (!latest.isEmpty) {
-          graft.etl.SnapshotMerge.upsert(spark, targetDir, latest, keys, partitionCol)
+          val epoch = graft.etl.SnapshotMerge.upsert(
+            spark, targetDir, latest, keys, partitionCol)
           // manifest-driven sweep per trigger: its cost scales with what
           // the trigger superseded, not with table width; every
-          // `orphanSweepEvery`-th commit ALSO runs the full-walk pass —
-          // crashed publishes leave orphan version dirs no manifest
-          // references, and a sink that never walks would grow them
-          // unbounded over a long stream's crash history (r16 review)
+          // `orphanSweepEvery`-th COMMITTED EPOCH also runs the
+          // full-walk pass — crashed publishes leave orphan version dirs
+          // no manifest references, and a sink that never walks would
+          // grow them unbounded over a long stream's crash history. The
+          // cadence keys on the store's own epoch number (durable,
+          // monotone), NOT a process counter: a crash-prone deployment
+          // restarting every few triggers would reset an in-memory
+          // counter forever (r16 review #2).
           graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
-            sweepOrphans =
-              orphanSweepEvery > 0 && commits.incrementAndGet() % orphanSweepEvery == 0)
+            sweepOrphans = orphanSweepEvery > 0 && epoch % orphanSweepEvery == 0)
         }
         ()
       }
-  }
 
   /** Medallion CHAINING sink: applies a [[SnapshotStreamSource]] change
-    * feed into a downstream snapshot store by keyed upsert — the
-    * stage-to-stage hop the reference drives with
-    * `readStream.format("delta")` → MERGE (real_time_streaming.py:
-    * 226-230 feeding its silver/gold merges). Insert rows only: the
-    * upstream store's single mutation is keyed upsert, so every net
-    * change lands as exactly one insert per key (updates and
-    * partition moves included — the old-row `delete` is implied by the
-    * key overwrite) and the downstream store converges to the
-    * upstream's final state.
+    * feed into a downstream snapshot store — the stage-to-stage hop the
+    * reference drives with `readStream.format("delta")` → MERGE
+    * (real_time_streaming.py:226-230 feeding its silver/gold merges).
     *
-    * PAIR THE SOURCE WITH `.option("withDeletes", "false")` (r16
-    * review): this sink discards delete rows, but the discard happens
-    * AFTER the upstream batch plan executed — the source seals each
-    * batch into an already-planned diff, so only the option (which
-    * skips the delete-side exceptAll at planning time) actually saves
-    * that shuffle; filtering here would silently pay it every trigger.
+    * Apply semantics per net batch:
+    *  - `insert` rows upsert by key — updates and partition moves
+    *    included (the old-row `delete` is implied by the key
+    *    overwrite);
+    *  - `delete` rows whose key has NO insert in the same batch are
+    *    TRUE deletions (the upstream ran [[graft.etl.SnapshotMerge
+    *    .deleteWhere]] — e.g. an erasure) and apply through
+    *    [[graft.etl.SnapshotMerge.deleteKeys]]; without this the
+    *    downstream would retain erased rows forever (r16 review #2).
     *
-    * A compaction upstream produces a ZERO-row batch here (the source
-    * skips `dataChange=false` epochs at planning time), which must not
-    * burn a downstream epoch — hence the emptiness guard, same as
+    * So: stream WITH deletes (the default) when the upstream may ever
+    * run predicate deletes. `.option("withDeletes", "false")` remains
+    * the cheaper pairing — it skips the delete-side exceptAll at
+    * planning time (a sink-side filter cannot: the source seals each
+    * batch plan) — and is EXACT for upsert-only upstreams, where every
+    * delete is key-implied.
+    *
+    * A compaction upstream produces a ZERO-row batch (the source skips
+    * `dataChange=false` epochs at planning time), which must not burn
+    * a downstream epoch — hence the emptiness guards, same as
     * [[snapshotMergeSink]]'s. Replay safety: a recovered batch
-    * re-upserts the same net rows — idempotent per key. Vacuum cadence
+    * re-applies the same net rows — idempotent per key. Vacuum cadence
     * matches [[snapshotMergeSink]]: manifest-driven per trigger, full
-    * orphan walk every `orphanSweepEvery` commits. */
+    * orphan walk keyed on the store's own epoch number. */
   def changeApplySink(stream: DataFrame, targetDir: String, checkpoint: String,
                       keys: Seq[String], partitionCol: String,
                       vacuumKeep: Int = 24,
                       vacuumGraceMs: Long = 10 * 60 * 1000L,
-                      orphanSweepEvery: Int = 100): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val commits = new java.util.concurrent.atomic.AtomicLong(0)
+                      orphanSweepEvery: Int = 100): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val rows = batch.filter(col("_change_type") === "insert")
-          .drop("_change_type", "_commit_epoch")
-        if (!rows.isEmpty) {
-          graft.etl.SnapshotMerge.upsert(spark, targetDir, rows, keys, partitionCol)
+        val meta = Seq("_change_type", "_commit_epoch")
+        val ins = batch.filter(col("_change_type") === "insert").drop(meta: _*)
+        val dels = batch.filter(col("_change_type") === "delete").drop(meta: _*)
+        val keyCols = keys.map(col)
+        // keys with a delete and no insert in the same NET batch are
+        // true deletions (an updated/moved key re-lands as an insert)
+        val gone = dels.select(keyCols: _*).distinct()
+          .join(ins.select(keyCols: _*).distinct(), keys, "left_anti")
+        var lastEpoch: Option[Long] = None
+        if (graft.etl.SnapshotMerge.latestSnapshot(spark, targetDir).nonEmpty &&
+            !gone.isEmpty)
+          lastEpoch = graft.etl.SnapshotMerge.deleteKeys(spark, targetDir, gone, keys)
+        if (!ins.isEmpty)
+          lastEpoch = Some(graft.etl.SnapshotMerge.upsert(
+            spark, targetDir, ins, keys, partitionCol))
+        lastEpoch.foreach { e =>
           graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
-            sweepOrphans =
-              orphanSweepEvery > 0 && commits.incrementAndGet() % orphanSweepEvery == 0)
+            sweepOrphans = orphanSweepEvery > 0 && e % orphanSweepEvery == 0)
         }
         ()
       }
-  }
 }

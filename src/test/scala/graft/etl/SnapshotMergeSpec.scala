@@ -380,6 +380,27 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(SnapshotMerge.updateWhere(spark, store, col("id") === 99L,
       Map("v" -> lit("x"))).isEmpty)
     assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L, 3L))
+    // SQL UPDATE semantics: every SET expression evaluates against the
+    // PRE-update row (r16 review — a sequential fold would let "v"
+    // read the already-updated "ts" and vice versa)
+    assert(SnapshotMerge.updateWhere(spark, store, col("id") === 1L,
+      Map("v" -> col("ts").cast("string"),
+        "ts" -> (length(col("v")).cast("long") + 100L))).contains(4L))
+    assert(asMap(SnapshotMerge.read(spark, store))(1L) === ("10", "d1", 101L),
+      "v must read the OLD ts and ts the OLD v — simultaneous, not sequential")
+  }
+
+  test("deleteKeys: removes exactly the keyed rows, partition-pruned; no-match burns nothing") {
+    import spark.implicits._
+    val store = freshStore()
+    bootstrap(store)
+    assert(SnapshotMerge.deleteKeys(spark, store,
+      Seq(2L, 99L).toDF("id"), Seq("id")).contains(2L))
+    assert(asMap(SnapshotMerge.read(spark, store)).keySet === Set(1L, 3L))
+    // keys absent from the store: nothing matched, no epoch burned
+    assert(SnapshotMerge.deleteKeys(spark, store,
+      Seq(77L).toDF("id"), Seq("id")).isEmpty)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L))
   }
 
   test("keyed change feed: updates surface as pre/post image pairs, moved keys included; pure inserts stay inserts") {

@@ -189,14 +189,15 @@ class SnapshotStreamSpec extends SparkSuite {
     assert(none.getMessage.contains("no committed snapshot"), none.getMessage)
   }
 
-  test("medallion chaining: changeApplySink converges the downstream store to the upstream final state") {
+  test("medallion chaining: changeApplySink converges the downstream store to the upstream final state, deletes included") {
     val root = freshDir()
     val a = s"$root/bronze"
     val b = s"$root/silver"
     upsert(a, Seq((1L, "a", "d1", 10L), (2L, "b", "d1", 10L), (3L, "c", "d2", 10L)))
+    // deletes flow (the default): the upstream runs a predicate DELETE
+    // below, whose only downstream trace is its delete CDF rows
     val q = Streams.changeApplySink(
-      spark.readStream.format(SnapshotStream.Format).option("path", a)
-        .option("withDeletes", "false").load(),
+      spark.readStream.format(SnapshotStream.Format).option("path", a).load(),
       b, s"$root/ckpt", Seq("id"), "day").start()
     try {
       q.processAllAvailable()
@@ -207,16 +208,22 @@ class SnapshotStreamSpec extends SparkSuite {
       q.processAllAvailable()
       upsert(a, Seq((4L, "d2", "d3", 40L)))
       q.processAllAvailable()
+      // upstream predicate DELETE (the erasure case, r16 review): the
+      // downstream keyed apply must actually REMOVE the key
+      SnapshotMerge.deleteWhere(spark, a, col("id") === 2L)
+      q.processAllAvailable()
       def state(store: String): Map[Long, (String, String, Long)] =
         SnapshotMerge.read(spark, store).collect().map(r =>
           r.getAs[Long]("id") ->
             ((r.getAs[String]("v"), r.getAs[String]("day"), r.getAs[Long]("ts")))).toMap
+      assert(!state(a).contains(2L))
       assert(state(b) === state(a),
-        "downstream must converge to the upstream final state across merges AND a compact")
-      // the zero-row compact batch must not have burned a downstream epoch
+        "downstream must converge across merges, a compact, AND a predicate delete")
+      // the zero-row compact batch must not have burned a downstream
+      // epoch: 4 data-changing upstream commits → 4 downstream epochs
       val bEpochs = SnapshotMerge.committedEpochs(spark, b)
-      assert(bEpochs.size === 3,
-        s"3 data-changing upstream epochs → 3 downstream epochs, got $bEpochs")
+      assert(bEpochs.size === 4,
+        s"4 data-changing upstream epochs → 4 downstream epochs, got $bEpochs")
     } finally q.stop()
   }
 }

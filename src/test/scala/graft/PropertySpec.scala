@@ -354,6 +354,59 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  /** The STREAMED medallion chain as a pure fold (r16): any random
+    * chain of upstream mutations — keyed MERGE, predicate DELETE,
+    * predicate UPDATE, compaction — drained through the
+    * SnapshotStream source into changeApplySink must leave the
+    * downstream store EQUAL to the upstream snapshot at every drain
+    * point, and a compaction must not burn a downstream epoch (its
+    * dataChange=false manifest plans to a zero-row batch). Partitioning
+    * by event_type makes update/delete churn exercise emptied and
+    * multi-partition rewrites organically. */
+  property("snapshot stream chain: random mutations (merge/delete/update/compact) converge downstream at every drain") = {
+    val genBatch = Gen.nonEmptyListOf(genEvent).map(_.distinctBy(_._1).take(10))
+    val genOp = for {
+      k <- Gen.choose(0, 3)
+      b <- genBatch
+      x <- Gen.choose(-10.0, 400.0)
+    } yield (k, b, x)
+    Prop.forAllNoShrink(genBatch, Gen.listOfN(2, genOp)) { (b0, ops) =>
+      import graft.etl.SnapshotMerge
+      val root = snapPropRoot.resolve(java.util.UUID.randomUUID().toString.take(8))
+      val up = root.resolve("up").toString
+      val down = root.resolve("down").toString
+      SnapshotMerge.upsert(spark, up, toDF(b0), Seq("event_id"), "event_type")
+      val q = graft.streaming.Streams.changeApplySink(
+        spark.readStream.format(graft.streaming.SnapshotStream.Format)
+          .option("path", up).load(),
+        down, root.resolve("ckpt").toString, Seq("event_id"), "event_type").start()
+      def state(store: String) = SnapshotMerge.read(spark, store).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Timestamp]("ts"), r.getAs[Long]("user_id"),
+            r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
+      try {
+        q.processAllAvailable()
+        var ok = state(down) == state(up)
+        ops.foreach { case (k, b, x) =>
+          val downEpochs = SnapshotMerge.committedEpochs(spark, down)
+          k match {
+            case 0 => SnapshotMerge.upsert(spark, up, toDF(b),
+              Seq("event_id"), "event_type")
+            case 1 => SnapshotMerge.deleteWhere(spark, up, col("value") > x)
+            case 2 => SnapshotMerge.updateWhere(spark, up, col("value") <= x,
+              Map("value" -> (col("value") + lit(1.0))))
+            case 3 => SnapshotMerge.compact(spark, up, maxFilesPerPartition = 0)
+          }
+          q.processAllAvailable()
+          ok = ok && state(down) == state(up)
+          if (k == 3) // compaction must not burn a downstream epoch
+            ok = ok && SnapshotMerge.committedEpochs(spark, down) == downEpochs
+        }
+        ok
+      } finally q.stop()
+    }
+  }
+
   property("MG: guarantees survive arbitrary partitioning + merge trees") =
     Prop.forAll(genStream, Gen.choose(2, 9)) { case ((keys, cap), parts) =>
       val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap

@@ -35,13 +35,24 @@ object Merge {
     * predicate see already-updated values, so
     * `Map("a" -> col("b"), "b" -> col("a"))` failed to swap and
     * results depended on Map insertion order). */
-  def update(target: DataFrame, cond: Column, set: Map[String, Column]): DataFrame =
+  def update(target: DataFrame, cond: Column, set: Map[String, Column]): DataFrame = {
+    // resolve SET names case-insensitively (Spark's own default) and
+    // FAIL on unknown columns — the select form would otherwise
+    // silently no-op a typo'd name (the withColumn fold used to
+    // resolve case-insensitively and append new columns; appending is
+    // not an UPDATE, so unknown names are an error now, not a column)
+    val byLower = target.columns.map(c => c.toLowerCase -> c).toMap
+    val resolved: Map[String, Column] = set.map { case (k, v) =>
+      byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+        s"update: unknown column $k (have: ${target.columns.mkString(", ")})")) -> v
+    }
     target.select(target.columns.toIndexedSeq.map { name =>
-      set.get(name) match {
+      resolved.get(name) match {
         case Some(value) => when(cond, value).otherwise(col(name)).as(name)
         case None => col(name)
       }
     }: _*)
+  }
 
   /** MERGE into a partitioned parquet table directory, rewriting only the
     * partitions the merge touches. `partitionCol` must be a column of

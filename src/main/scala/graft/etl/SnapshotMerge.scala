@@ -206,6 +206,32 @@ object SnapshotMerge {
       store: String,
       source: DataFrame,
       keys: Seq[String],
+      partitionCol: String): Long =
+    applyBatch(spark, store, source, None, keys, partitionCol)
+
+  /** ONE-COMMIT change-feed apply (r16 review #2 of the third pass):
+    * keyed upsert of `inserts` AND removal of `deleteKeyRows`' keys in
+    * a SINGLE published epoch — a downstream store chained through
+    * [[graft.streaming.Streams.changeApplySink]] never exposes an
+    * intermediate committed state no upstream snapshot held (two
+    * sequential commits would: deletes landed, inserts not yet). A key
+    * present in BOTH sides re-lands from `inserts` (the sink's
+    * net-batch construction keeps them disjoint anyway). */
+  def applyChanges(
+      spark: SparkSession,
+      store: String,
+      inserts: DataFrame,
+      deleteKeyRows: DataFrame,
+      keys: Seq[String],
+      partitionCol: String): Long =
+    applyBatch(spark, store, inserts, Some(deleteKeyRows), keys, partitionCol)
+
+  private def applyBatch(
+      spark: SparkSession,
+      store: String,
+      source: DataFrame,
+      deleteKeyRows: Option[DataFrame],
+      keys: Seq[String],
       partitionCol: String): Long = {
     require(source.columns.contains(partitionCol),
       s"source must carry the partition column $partitionCol")
@@ -245,15 +271,25 @@ object SnapshotMerge {
     // column set and order. Column DROPS and type changes are refused
     // above — silently forgetting data is not a merge.
     val target = alignTo(targetRaw, source.schema)
+    val keySet = deleteKeyRows.map(kr =>
+      broadcast(kr.select(keys.map(col): _*).distinct()))
     val sourceParts = source.select(partitionCol).distinct()
     val movedParts = target
       .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
       .select(partitionCol).distinct()
-    val touched = sourceParts.union(movedParts).distinct()
+    // delete keys touch the partitions currently holding their rows
+    val deleteParts = keySet.map(ks =>
+      target.join(ks, keys, "left_semi").select(partitionCol).distinct())
+    val touched = deleteParts.foldLeft(sourceParts.union(movedParts))(_ union _)
+      .distinct()
     val affected = target.join(
       broadcast(touched.withColumnRenamed(partitionCol, "__p")),
       target(partitionCol) <=> col("__p"), "left_semi")
-    val merged = Merge.upsert(affected, source, keys)
+    // deletions apply to the TARGET before the upsert union, so a key
+    // on both sides re-lands from the source (insert wins)
+    val kept = keySet.map(ks => affected.join(ks, keys, "left_anti"))
+      .getOrElse(affected)
+    val merged = Merge.upsert(kept, source, keys)
     // partition METADATA (one value per touched partition), collected
     // before any publish step — same bound as Merge.upsertIntoParquet
     val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
@@ -599,7 +635,7 @@ object SnapshotMerge {
     * burned) when nothing matches. */
   private def rewriteTouched(
       spark: SparkSession, store: String,
-      touchCond: DataFrame => org.apache.spark.sql.Column,
+      selectTouched: DataFrame => DataFrame,
       rewrite: DataFrame => DataFrame,
       guard: (Snapshot, String) => Unit = (_, _) => ()): Option[Long] = {
     val claimFloor = CommitMarker.currentEpoch(spark, store)
@@ -610,7 +646,7 @@ object SnapshotMerge {
     guard(base, partitionCol)
     val snap = readSnapshot(spark, store, base)
     // partition METADATA (one typed value per touched partition)
-    val touchedVals: Array[Any] = snap.filter(touchCond(snap))
+    val touchedVals: Array[Any] = selectTouched(snap)
       .select(partitionCol).distinct().collect().map(_.get(0))
     if (touchedVals.isEmpty) return None
     val touchedNames =
@@ -636,37 +672,19 @@ object SnapshotMerge {
     * epoch, or None when nothing matched (no epoch burned). */
   def deleteWhere(spark: SparkSession, store: String,
                   cond: org.apache.spark.sql.Column): Option[Long] =
-    rewriteTouched(spark, store, _ => cond, df => Merge.delete(df, cond))
+    rewriteTouched(spark, store, _.filter(cond), df => Merge.delete(df, cond))
 
   /** KEYED delete: removes every store row whose `keys` tuple appears
-    * in `keyRows` — the downstream-apply form a change feed's pure
-    * `delete` rows need ([[graft.streaming.Streams.changeApplySink]]).
+    * in `keyRows` — the standalone form of the change-feed apply's
+    * delete side (the sink itself uses the ONE-COMMIT [[applyChanges]];
+    * this is the API for callers deleting keys without inserts).
     * Touched partitions come from the key join; only they rewrite. */
   def deleteKeys(spark: SparkSession, store: String,
                  keyRows: DataFrame, keys: Seq[String]): Option[Long] = {
-    // the touched set needs a SEMI-JOIN on the keys, which a Column
-    // cannot express — so this runs the rewriteTouched protocol inline
-    // with the join standing in for the touch condition
     val keySet = broadcast(keyRows.select(keys.map(col): _*).distinct())
-    val claimFloor = CommitMarker.currentEpoch(spark, store)
-    val base = latestSnapshot(spark, store).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $store"))
-    if (base.parts.isEmpty) return None
-    val partitionCol = partitionColOf(base)
-    val snap = readSnapshot(spark, store, base)
-    val touchedVals: Array[Any] = snap.join(keySet, keys, "left_semi")
-      .select(partitionCol).distinct().collect().map(_.get(0))
-    if (touchedVals.isEmpty) return None
-    val touchedNames =
-      touchedVals.map(v => partDirName(partitionCol, Option(v).map(_.toString))).toSet
-    val nonNull = touchedVals.filter(_ != null)
-    val prune = {
-      val in = if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*) else lit(false)
-      if (nonNull.length < touchedVals.length) in || col(partitionCol).isNull else in
-    }
-    val kept = snap.filter(prune).join(keySet, keys, "left_anti")
-    Some(publish(spark, store, Some(base), claimFloor, kept,
-      partitionCol, touchedNames, base.schema))
+    rewriteTouched(spark, store,
+      _.join(keySet, keys, "left_semi"),
+      _.join(keySet, keys, "left_anti"))
   }
 
   /** S8 UPDATE on the snapshot store (Delta UPDATE parity): rows where
@@ -686,7 +704,7 @@ object SnapshotMerge {
   def updateWhere(spark: SparkSession, store: String,
                   cond: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column]): Option[Long] =
-    rewriteTouched(spark, store, _ => cond,
+    rewriteTouched(spark, store, _.filter(cond),
       df => Merge.update(df, cond, set),
       guard = (base, partitionCol) => {
         require(!set.contains(partitionCol),

@@ -130,9 +130,11 @@ object SnapshotStream {
       // epoch 1: bootstrap = ids %10 < 7
       SnapshotMerge.upsert(gs, a, ev.filter(col("event_id") % 10 < 7),
         Seq("event_id"), "day")
-      // withDeletes=false: the keyed apply discards deletes anyway, and
-      // only the OPTION skips the delete-side exceptAll at planning
-      // time (the sink's filter runs after the sealed batch executed)
+      // withDeletes=false is EXACT here because this upstream only
+      // upserts (no deleteWhere in the fixture): every net change
+      // re-lands as an insert per key, and the option skips the
+      // delete-side exceptAll at planning time — the cheaper pairing
+      // changeApplySink's doc scopes to upsert-only upstreams
       val q = Streams.changeApplySink(
         gs.readStream.format(Format).option("path", a)
           .option("withDeletes", "false").load(),

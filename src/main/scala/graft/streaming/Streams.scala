@@ -291,9 +291,11 @@ object Streams {
     *    overwrite);
     *  - `delete` rows whose key has NO insert in the same batch are
     *    TRUE deletions (the upstream ran [[graft.etl.SnapshotMerge
-    *    .deleteWhere]] — e.g. an erasure) and apply through
-    *    [[graft.etl.SnapshotMerge.deleteKeys]]; without this the
-    *    downstream would retain erased rows forever (r16 review #2).
+    *    .deleteWhere]] — e.g. an erasure); without applying them the
+    *    downstream would retain erased rows forever. Inserts and
+    *    deletions land in ONE committed epoch
+    *    ([[graft.etl.SnapshotMerge.applyChanges]]) so no downstream
+    *    epoch ever exposes a state no upstream snapshot held.
     *
     * So: stream WITH deletes (the default) when the upstream may ever
     * run predicate deletes. `.option("withDeletes", "false")` remains
@@ -319,25 +321,42 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val meta = Seq("_change_type", "_commit_epoch")
-        val ins = batch.filter(col("_change_type") === "insert").drop(meta: _*)
-        val dels = batch.filter(col("_change_type") === "delete").drop(meta: _*)
-        val keyCols = keys.map(col)
-        // keys with a delete and no insert in the same NET batch are
-        // true deletions (an updated/moved key re-lands as an insert)
-        val gone = dels.select(keyCols: _*).distinct()
-          .join(ins.select(keyCols: _*).distinct(), keys, "left_anti")
-        var lastEpoch: Option[Long] = None
-        if (graft.etl.SnapshotMerge.latestSnapshot(spark, targetDir).nonEmpty &&
-            !gone.isEmpty)
-          lastEpoch = graft.etl.SnapshotMerge.deleteKeys(spark, targetDir, gone, keys)
-        if (!ins.isEmpty)
-          lastEpoch = Some(graft.etl.SnapshotMerge.upsert(
-            spark, targetDir, ins, keys, partitionCol))
-        lastEpoch.foreach { e =>
-          graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
-            sweepOrphans = orphanSweepEvery > 0 && e % orphanSweepEvery == 0)
-        }
+        // the sealed batch's lineage (the upstream diff) re-executes on
+        // every action — cache it so the emptiness probes and the apply
+        // read ONE materialization, not three diff runs per trigger
+        batch.persist()
+        try {
+          val meta = Seq("_change_type", "_commit_epoch")
+          val ins = batch.filter(col("_change_type") === "insert").drop(meta: _*)
+          val dels = batch.filter(col("_change_type") === "delete").drop(meta: _*)
+          // withDeletes=false streams ship no delete rows: probing dels
+          // FIRST keeps the common no-delete trigger free of the keyed
+          // anti-join and the extra manifest read (r16 review)
+          val hasDeletes = !dels.isEmpty
+          val hasInserts = !ins.isEmpty
+          if (hasInserts || hasDeletes) {
+            val keyCols = keys.map(col)
+            // keys with a delete and no insert in the same NET batch are
+            // true deletions (an updated/moved key re-lands as an insert)
+            val epoch: Long =
+              if (hasDeletes &&
+                  graft.etl.SnapshotMerge.latestSnapshot(spark, targetDir).nonEmpty) {
+                val gone = dels.select(keyCols: _*).distinct()
+                  .join(ins.select(keyCols: _*).distinct(), keys, "left_anti")
+                // ONE commit per net batch (r16 review): a delete-then-
+                // upsert pair would publish an intermediate downstream
+                // epoch whose state no upstream snapshot ever held —
+                // visible to read(asOf) and second-hop chains
+                graft.etl.SnapshotMerge.applyChanges(
+                  spark, targetDir, ins, gone, keys, partitionCol)
+              } else if (hasInserts)
+                graft.etl.SnapshotMerge.upsert(spark, targetDir, ins, keys, partitionCol)
+              else -1L // deletes against a store that does not exist yet
+            if (epoch > 0)
+              graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
+                sweepOrphans = orphanSweepEvery > 0 && epoch % orphanSweepEvery == 0)
+          }
+        } finally { batch.unpersist(); () }
         ()
       }
 }

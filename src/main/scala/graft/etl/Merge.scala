@@ -46,6 +46,18 @@ object Merge {
       byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
         s"update: unknown column $k (have: ${target.columns.mkString(", ")})")) -> v
     }
+    // two SET keys folding to one column (Map("V" -> x, "v" -> y)) would
+    // silently collapse to whichever the Map iterates last — a typo'd
+    // duplicate is an error under the fail-loud contract, not a
+    // nondeterministic absorb
+    if (resolved.size != set.size) {
+      val colliding = set.keys.groupBy(_.toLowerCase).collect {
+        case (_, ks) if ks.size > 1 => ks.mkString("/")
+      }
+      throw new IllegalArgumentException(
+        s"update: SET entries collide on the same column " +
+          s"(case-insensitive): ${colliding.mkString(", ")}")
+    }
     target.select(target.columns.toIndexedSeq.map { name =>
       resolved.get(name) match {
         case Some(value) => when(cond, value).otherwise(col(name)).as(name)

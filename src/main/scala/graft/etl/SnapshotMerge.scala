@@ -100,6 +100,50 @@ object SnapshotMerge {
   private val SnapPrefix = "_GRAFT_SNAP_"
   private val EpochDir = "__e="
   private val EpochCol = "__e"
+  private val TipFile = "_GRAFT_TIP"
+
+  /** Receipts for [[tipEpoch]]'s two regimes (spec hooks, the
+    * statsFallbackProbes pattern): pointer answered in O(1) FS ops vs
+    * fell back to the O(total epochs) directory listing. */
+  private[graft] val tipPointerHits = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val tipListingFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The newest committed epoch in O(1) FS operations — the per-poll
+    * offset discovery of [[graft.streaming.SnapshotStreamSource]] (r16
+    * verdict: listing the manifest directory per poll is O(total
+    * epochs); a year-old store on a 30 s trigger holds ~10⁶ manifests
+    * unless vacuumed). Reads the `_GRAFT_TIP` pointer (updated
+    * best-effort by every [[writeManifest]] commit) and TRUSTS it only
+    * after two probes: the named manifest exists AND its successor does
+    * not — so a pointer gone stale (a writer crashed between its
+    * manifest rename and the pointer write, or a delayed pointer write
+    * landed late) is detected and the listing answers instead. Three FS
+    * ops on the hot path; the fallback self-heals at the next commit. */
+  def tipEpoch(spark: SparkSession, store: String): Option[Long] = {
+    val p = new Path(store)
+    val fs = fsOf(spark, p)
+    val cand =
+      try {
+        val tf = new Path(p, TipFile)
+        if (!fs.exists(tf)) None
+        else {
+          val in = fs.open(tf)
+          val text = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+          scala.util.Try(text.toLong).toOption
+        }
+      } catch { case _: Throwable => None }
+    cand match {
+      case Some(e) if fs.exists(new Path(p, s"$SnapPrefix$e")) &&
+          !fs.exists(new Path(p, s"$SnapPrefix${e + 1}")) =>
+        tipPointerHits.incrementAndGet()
+        Some(e)
+      case _ =>
+        tipListingFallbacks.incrementAndGet()
+        committedEpochs(spark, store).lastOption
+    }
+  }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -293,6 +337,13 @@ object SnapshotMerge {
     // partition METADATA (one value per touched partition), collected
     // before any publish step — same bound as Merge.upsertIntoParquet
     val touchedVals = touched.collect().map(r => Option(r.get(0)).map(_.toString))
+    // EMPTY batch against an existing store: nothing to stage — return
+    // the current epoch instead of burning one (a recovery replay of a
+    // delete-only batch whose keys were already removed would otherwise
+    // publish an identical-parts epoch per replayed no-op trigger).
+    // Bootstrap (no base) still commits epoch 1: it establishes the
+    // store schema even when the first batch carries zero rows.
+    if (touchedVals.isEmpty && base.isDefined) return base.get.epoch
     val touchedNames = touchedVals.map(partDirName(partitionCol, _)).toSet
     publish(spark, store, base, claimFloor, merged, partitionCol,
       touchedNames, merged.schema)
@@ -562,8 +613,24 @@ object SnapshotMerge {
           "aborted; its partition versions were retracted; rerun to " +
           s"apply it on top of the winner (${e.getMessage})")
     }
-    try fc.rename(fs.makeQualified(tmp), dest) // no-overwrite: put-if-absent
-    catch {
+    def updateTipPointer(): Unit =
+      try {
+        // best-effort O(1) tip pointer for stream polls — tmp +
+        // rename-overwrite (never truncate in place); a failed or
+        // delayed write leaves a STALE pointer, which tipEpoch detects
+        // with its successor probe and the next commit heals
+        val tp = new Path(storePath, TipFile)
+        val ttmp = new Path(storePath,
+          s".$TipFile.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val o = fs.create(ttmp, true)
+        try o.write(snap.epoch.toString.getBytes("UTF-8")) finally o.close()
+        fc.rename(fs.makeQualified(ttmp), fs.makeQualified(tp),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch { case _: Throwable => () }
+    try {
+      fc.rename(fs.makeQualified(tmp), dest) // no-overwrite: put-if-absent
+      updateTipPointer()
+    } catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
       case e: java.nio.file.FileAlreadyExistsException => lost(e)
       // some filesystems report the existing destination as a plain
@@ -579,6 +646,61 @@ object SnapshotMerge {
         try fs.delete(tmp, false) catch { case _: Throwable => () }
         throw e
     }
+  }
+
+  /** RESTORE the store to a prior epoch (Delta RESTORE parity — the
+    * reference restores managed tables to a version,
+    * delta_setup.py:581-596; [[VersionLog.restore]] gives the verb on
+    * the full-copy swap store): commits a NEW manifest whose
+    * (partition → version) map, schema, and stats are `epoch`'s —
+    * METADATA-ONLY, no data file is moved or rewritten (the old version
+    * dirs are still on disk inside the vacuum retention; the new
+    * manifest simply references them again). The commit carries
+    * `dataChange=true`, so the change feed across the restore is the
+    * exact INVERSE of the rolled-back diff and a live downstream stream
+    * converges to the restored state — unlike `read(asOf)`, which
+    * time-travels one reader without moving the table.
+    *
+    * Fails loudly when the epoch's manifest or any referenced version
+    * dir was vacuumed (committing would wedge the tip on path-not-found
+    * — the incident-recovery verb must never create a second incident);
+    * the existence sweep is O(partitions of the restored epoch) FS
+    * probes, a rare-verb cost. Restoring to the current tip is a no-op
+    * (returns None, no epoch burned). Concurrency: the same
+    * tip-gate + manifest create-exclusive as every writer — a restore
+    * racing a merge aborts with [[CommitMarker.ConcurrentWriteException]]
+    * rather than silently undoing it. */
+  def restoreTo(spark: SparkSession, store: String, epoch: Long): Option[Long] = {
+    val storePath = new Path(store)
+    val fs = fsOf(spark, storePath)
+    val have = committedEpochs(spark, store)
+    require(have.contains(epoch),
+      s"cannot restore $store to epoch $epoch: its manifest is gone " +
+        s"(have: ${have.mkString(",")}) — restores reach only inside the " +
+        "vacuum retention; raise vacuum(keep)")
+    val base = latestSnapshot(spark, store).get
+    if (base.epoch == epoch) return None
+    val old = snapshot(spark, store, epoch)
+    old.parts.foreach { case (n, v) =>
+      val d = new Path(storePath, s"$n/$EpochDir$v")
+      if (!fs.exists(d))
+        throw new IllegalStateException(
+          s"cannot restore $store to epoch $epoch: $d was vacuumed — " +
+            "the epoch's manifest survives but its data does not; " +
+            "restores reach only inside the vacuum retention")
+    }
+    val next = base.epoch + 1
+    // the same zombie gate as publish: the tip must still be our base at
+    // the commit instant (nothing higher can land between this check and
+    // the rename — see publish); the manifest rename arbitrates the rest
+    val tip = committedEpochs(spark, store).lastOption.getOrElse(0L)
+    if (tip != base.epoch)
+      throw new CommitMarker.ConcurrentWriteException(
+        s"the tip of $store moved to $tip while restoring against " +
+          s"${base.epoch} — aborted; rerun the restore against the new tip")
+    writeManifest(fs, spark, storePath,
+      Snapshot(next, old.schema, old.parts, old.stats, dataChange = true))
+    Some(next)
   }
 
   /** Change feed between two committed epochs (Delta CDF analog on the
@@ -749,7 +871,6 @@ object SnapshotMerge {
     * postimage — information-preserving, but not Delta's 1:1 pairing. */
   def changesKeyed(spark: SparkSession, store: String, fromE: Long, toE: Long,
                    keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val have = committedEpochs(spark, store)
     require(have.contains(fromE) && have.contains(toE),
       s"unknown epochs $fromE/$toE (have: ${have.mkString(",")})")
@@ -758,8 +879,18 @@ object SnapshotMerge {
       snapshot(spark, store, fromE), snapshot(spark, store, toE))
     val after = readSnapshot(spark, store, toSnap)
     val before = alignTo(readSnapshot(spark, store, fromSnap), after.schema)
-    val ins = after.exceptAll(before).withColumn("_side", lit("i"))
-    val del = before.exceptAll(after).withColumn("_side", lit("d"))
+    classifyKeyed(after.exceptAll(before), before.exceptAll(after), keys)
+  }
+
+  /** The keyed classification shared by [[changesKeyed]] and the
+    * streaming source's `keys` mode: tag the two diff sides, then ONE
+    * keys-window over the DIFF rows (never a table side) splits keys
+    * present on both sides into update pre/post images. */
+  private def classifyKeyed(insSide: DataFrame, delSide: DataFrame,
+                            keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ins = insSide.withColumn("_side", lit("i"))
+    val del = delSide.withColumn("_side", lit("d"))
     val w = Window.partitionBy(keys.map(col): _*)
     ins.unionByName(del)
       .withColumn("_both", size(collect_set(col("_side")).over(w)) === 2)
@@ -814,10 +945,13 @@ object SnapshotMerge {
   /** The streaming source's batch body: [[changes]]' net-diff algebra
     * over `(fromE, toE]`, restricted to [[changedPartsBetween]]'s
     * partitions (so compaction epochs cost zero file reads), deletes
-    * optional. */
+    * optional. With `keys` set, the batch is [[changesKeyed]]'s
+    * classification instead (Delta CDF streaming parity: updated keys
+    * arrive as `update_preimage`/`update_postimage` pairs) — one extra
+    * keys-shuffle over the DIFF rows, never a recompute of a side. */
   private[graft] def streamingChanges(
       spark: SparkSession, store: String, fromE: Long, toE: Long,
-      withDeletes: Boolean): DataFrame = {
+      withDeletes: Boolean, keys: Option[Seq[String]] = None): DataFrame = {
     val changed = changedPartsBetween(spark, store, fromE, toE)
     val fromSnapAll = snapshot(spark, store, fromE)
     val toSnapAll = snapshot(spark, store, toE)
@@ -826,11 +960,17 @@ object SnapshotMerge {
       toSnapAll.copy(parts = toSnapAll.parts.filter(kv => changed(kv._1))))
     val after = readSnapshot(spark, store, toSnap)
     val before = alignTo(readSnapshot(spark, store, fromSnap), after.schema)
-    val inserts = after.exceptAll(before).withColumn("_change_type", lit("insert"))
-    if (withDeletes)
-      inserts.unionByName(
-        before.exceptAll(after).withColumn("_change_type", lit("delete")))
-    else inserts
+    keys match {
+      case Some(ks) =>
+        classifyKeyed(after.exceptAll(before), before.exceptAll(after), ks)
+      case None =>
+        val inserts =
+          after.exceptAll(before).withColumn("_change_type", lit("insert"))
+        if (withDeletes)
+          inserts.unionByName(
+            before.exceptAll(after).withColumn("_change_type", lit("delete")))
+        else inserts
+    }
   }
 
   /** FS fragmentation probes taken because a manifest entry carried no
@@ -881,7 +1021,6 @@ object SnapshotMerge {
   def compact(spark: SparkSession, store: String,
               maxFilesPerPartition: Int = 8,
               targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
-    val claimFloor = CommitMarker.currentEpoch(spark, store)
     val base = latestSnapshot(spark, store).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $store"))
     val storePath = new Path(store)
@@ -901,59 +1040,119 @@ object SnapshotMerge {
       measured(name).files > maxFilesPerPartition
     }
     if (fragmented.isEmpty) return None
-    val rows = readSnapshot(spark, store, base.copy(parts = fragmented))
     val partitionCol = {
       // the partition column is the prefix of every partition dir name
       val n = fragmented.keysIterator.next()
       n.substring(0, n.indexOf('='))
     }
-    // bin layout: contiguous global bin ids per partition, k_p bins each
-    val binOf: Map[String, (Long, Int)] = {
-      var off = 0L
-      fragmented.keys.toSeq.sorted.map { name =>
-        val k = math.max(1, math.min(4096,
-          math.ceil(measured(name).bytes.toDouble / targetFileBytes).toInt))
-        val entry = name -> ((off, k)); off += k; entry
-      }.toMap
+    // Per-partition ROW counts over only the fragmented versions — one
+    // footer-metadata job (the scan needs no data column: partition
+    // values come from directory names, row counts from footers).
+    val rowsByName: Map[String, Long] =
+      readSnapshot(spark, store, base.copy(parts = fragmented))
+        .groupBy(partitionCol).count().collect()
+        .map(r => partDirName(partitionCol,
+          Option(r.get(0)).map(_.toString)) -> r.getLong(1)).toMap
+    // Per-partition record cap from the partition's OWN on-disk density
+    // (r16 verdict #1: one corpus-average cap let a wide-row partition
+    // overshoot targetFileBytes by the width ratio whenever fragmented
+    // partitions' row widths differed). A cap only BINDS when the
+    // partition spans multiple bins or a same-partition bin collision
+    // merges two bins into one task — a partition whose whole data fits
+    // one target file (bytes <= targetFileBytes, one bin) writes one
+    // bounded file with no cap at all.
+    val capOf: Map[String, Long] = fragmented.keys.map { name =>
+      val rowsP = math.max(1L, rowsByName.getOrElse(name, 0L))
+      name -> math.max(1L, (targetFileBytes.toDouble * rowsP /
+        math.max(1L, measured(name).bytes)).toLong)
+    }.toMap
+    // Density GROUPS — `maxRecordsPerFile` is one value per write job,
+    // so partitions needing different caps need different jobs. The
+    // UNCONSTRAINED group (bytes <= target: cap irrelevant, see above)
+    // always shares one job with no cap; constrained partitions group
+    // greedily by cap within 2×, each group capped at its MIN — every
+    // file lands <= ~targetFileBytes while staying >= ~target/2. A
+    // near-uniform store is one group (often the unconstrained one):
+    // one epoch, the r16 shape; width-skewed stores burn one compact
+    // epoch per density class, all dataChange=false.
+    val (unconstrained, constrained) =
+      fragmented.keys.toSeq.partition(n => measured(n).bytes <= targetFileBytes)
+    val constrainedGroups: Seq[(Seq[String], Option[Long])] = {
+      val sorted = constrained.sortBy(n => (capOf(n), n))
+      val out = Seq.newBuilder[(Seq[String], Option[Long])]
+      var cur = List.empty[String]
+      var curMin = 0L
+      def flush(): Unit = if (cur.nonEmpty) out += ((cur.reverse, Some(curMin)))
+      sorted.foreach { n =>
+        if (cur.isEmpty) { cur = List(n); curMin = capOf(n) }
+        else if (capOf(n) <= 2 * curMin) cur = n :: cur
+        else { flush(); cur = List(n); curMin = capOf(n) }
+      }
+      flush()
+      out.result()
     }
-    val totalBins = binOf.values.iterator.map(_._2.toLong).sum
-    // per-file record cap from measured on-disk density — one
-    // footer-metadata count job over only the fragmented versions
-    val totalRows = math.max(1L, rows.count())
-    val totalBytes = math.max(1L, fragmented.keysIterator.map(measured(_).bytes).sum)
-    val maxRecords = math.max(1L,
-      (targetFileBytes.toDouble * totalRows / totalBytes).toLong)
+    val groups: Seq[(Seq[String], Option[Long])] =
+      (if (unconstrained.nonEmpty) Seq((unconstrained.sorted, None)) else Nil) ++
+        constrainedGroups
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val lookupRows = binOf.toSeq.map { case (name, (off, k)) =>
-      val vs = name.substring(name.indexOf('=') + 1)
-      val v: String =
-        if (vs == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-        else ExternalCatalogUtils.unescapePathName(vs)
-      Row(v, off, k)
-    }
-    val lookup = spark.createDataFrame(
-      spark.sparkContext.parallelize(lookupRows, 1),
-      StructType(Seq(
-        org.apache.spark.sql.types.StructField("__pv",
-          org.apache.spark.sql.types.StringType, nullable = true),
-        org.apache.spark.sql.types.StructField("__off", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__k",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
     val dataCols = base.schema.fieldNames.toIndexedSeq.map(col)
-    // left join + hash fallback: a value-formatting mismatch can only
-    // misplace a row's BIN (sizing), never lose the row
-    val binned = rows
-      .join(broadcast(lookup), rows(partitionCol).cast("string") <=> col("__pv"), "left_outer")
-      .withColumn("__gbin",
-        when(col("__k").isNull, pmod(xxhash64(col(partitionCol)), lit(totalBins)))
-          .otherwise(col("__off") + pmod(xxhash64(dataCols: _*), col("__k").cast("long"))))
-    // 2× headroom: distinct bins spread over 2·bins slots so a
-    // same-partition collision (two bins → one task) is the exception
-    val numTasks = math.max(1L, math.min(1L << 15, 2L * totalBins)).toInt
-    val compacted = binned.repartition(numTasks, col("__gbin")).select(dataCols: _*)
-    Some(publish(spark, store, Some(base), claimFloor, compacted,
-      partitionCol, fragmented.keySet, base.schema, dataChange = false,
-      writeOptions = Map("maxRecordsPerFile" -> maxRecords.toString)))
+    var committed: Option[Long] = None
+    groups.foreach { case (group, cap) =>
+      // each group commits its own compact epoch — re-read the tip so a
+      // prior group's commit is the base, and drop any partition whose
+      // version moved under a concurrent writer since measurement (its
+      // fragmentation is reconsidered by the next compact run)
+      val tip = latestSnapshot(spark, store).getOrElse(base)
+      val live = group.filter(n => tip.parts.get(n).contains(fragmented(n)))
+      if (live.nonEmpty) {
+        val rows = readSnapshot(spark, store,
+          base.copy(parts = live.map(n => n -> fragmented(n)).toMap))
+        // bin layout: contiguous global bin ids per partition, k_p each
+        val binOf: Map[String, (Long, Int)] = {
+          var off = 0L
+          live.sorted.map { name =>
+            val k = math.max(1, math.min(4096,
+              math.ceil(measured(name).bytes.toDouble / targetFileBytes).toInt))
+            val entry = name -> ((off, k)); off += k; entry
+          }.toMap
+        }
+        val totalBins = binOf.values.iterator.map(_._2.toLong).sum
+        val lookupRows = binOf.toSeq.map { case (name, (off, k)) =>
+          val vs = name.substring(name.indexOf('=') + 1)
+          val v: String =
+            if (vs == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+            else ExternalCatalogUtils.unescapePathName(vs)
+          Row(v, off, k)
+        }
+        val lookup = spark.createDataFrame(
+          spark.sparkContext.parallelize(lookupRows, 1),
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("__pv",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("__off", LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("__k",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        // left join + hash fallback: a value-formatting mismatch can only
+        // misplace a row's BIN (sizing), never lose the row
+        val binned = rows
+          .join(broadcast(lookup),
+            rows(partitionCol).cast("string") <=> col("__pv"), "left_outer")
+          .withColumn("__gbin",
+            when(col("__k").isNull, pmod(xxhash64(col(partitionCol)), lit(totalBins)))
+              .otherwise(col("__off") +
+                pmod(xxhash64(dataCols: _*), col("__k").cast("long"))))
+        // 2× headroom: distinct bins spread over 2·bins slots so a
+        // same-partition collision (two bins → one task) is the exception
+        val numTasks = math.max(1L, math.min(1L << 15, 2L * totalBins)).toInt
+        val compacted = binned.repartition(numTasks, col("__gbin")).select(dataCols: _*)
+        committed = Some(publish(spark, store, Some(tip),
+          CommitMarker.currentEpoch(spark, store), compacted,
+          partitionCol, live.toSet, tip.schema, dataChange = false,
+          writeOptions =
+            cap.map(c => Map("maxRecordsPerFile" -> c.toString)).getOrElse(Map.empty)))
+      }
+    }
+    committed
   }
 
   /** Drop everything outside the newest `keep` snapshots: older
@@ -1042,8 +1241,12 @@ object SnapshotMerge {
             val sweep = ed.getPath.getName.startsWith(EpochDir) &&
               ver.exists(v => !referenced((pname, v))) &&
               aged(ed)
-            if (sweep) {
-              fs.delete(ed.getPath, true)
+            // fs.delete reports failure as FALSE (permissions, transient
+            // object-store fault) — only a TRUE result may mark the pair
+            // gone, or the manifest-deletion gate below would drop a
+            // manifest while its exclusively-referenced dir survives,
+            // stranding it invisible to the manifest-driven fast path
+            if (sweep && fs.delete(ed.getPath, true)) {
               deleted += ed.getPath.toString
               ver.foreach(v => goneExclusive += ((pname, v)))
             } else live += 1
@@ -1055,9 +1258,8 @@ object SnapshotMerge {
           // mtime 0, and a raw `0 < horizon` would deem a just-created
           // parent permanently aged, sweeping it out from under the
           // publisher's first rename (safe abort, but a liveness bug).
-          if (live == 0 && aged(pd)) {
-            fs.delete(pd.getPath, true); deleted += pd.getPath.toString
-          }
+          if (live == 0 && aged(pd) && fs.delete(pd.getPath, true))
+            deleted += pd.getPath.toString
         }
       }
     } else {
@@ -1082,10 +1284,13 @@ object SnapshotMerge {
         st match {
           case None => goneExclusive += ((n, v)) // already gone
           case Some(s) if aged(s) =>
-            fs.delete(d, true)
-            deleted += d.toString
-            goneExclusive += ((n, v))
-            touchedParents += n
+            // a FALSE delete leaves the pair a survivor: the manifest
+            // must outlive the dir (see the full-walk note above)
+            if (fs.delete(d, true)) {
+              deleted += d.toString
+              goneExclusive += ((n, v))
+              touchedParents += n
+            }
           case _ => () // younger than the grace — next pass
         }
       }
@@ -1094,9 +1299,9 @@ object SnapshotMerge {
         val pd = new Path(storePath, n)
         val st = try Some(fs.getFileStatus(pd))
           catch { case _: java.io.FileNotFoundException => None }
-        if (st.exists(s => s.isDirectory && fs.listStatus(pd).isEmpty && aged(s))) {
-          fs.delete(pd, true); deleted += pd.toString
-        }
+        if (st.exists(s => s.isDirectory && fs.listStatus(pd).isEmpty && aged(s))
+            && fs.delete(pd, true))
+          deleted += pd.toString
       }
     }
     // manifest deletion honors the SAME grace (the zombie gate's
@@ -1105,21 +1310,37 @@ object SnapshotMerge {
     // referenced version dirs to be confirmed gone — otherwise a
     // surviving (younger) dir would be stranded invisible to the
     // manifest-driven mode once its manifest disappears
+    // Manifests are swept OLDEST-FIRST and the sweep STOPS at the first
+    // one it cannot delete (survivor dirs, under-grace, failed delete):
+    // the committed-manifest listing stays a CONTIGUOUS suffix of the
+    // logical chain, the invariant tipEpoch's two-probe trust rides
+    // (SNAP_e present + SNAP_{e+1} absent ⟹ e IS the tip — a hole in
+    // the middle of the chain would let a stale pointer pass both
+    // probes and serve an old epoch as the tip).
+    var chainBroken = false
     droppedEpochs.foreach { e =>
-      val snap = snapshot(spark, store, e)
-      val exclusive = snap.parts.iterator.map { case (n, v) => (n, v) }
-        .filterNot(referenced).toSet
-      // pairs not deleted THIS pass may be gone from an earlier one —
-      // probe only those (bounded by the dropped manifests' own size)
-      val survivor = exclusive.filterNot(goneExclusive).exists { case (n, v) =>
-        try { fs.getFileStatus(new Path(storePath, s"$n/$EpochDir$v")); true }
-        catch { case _: java.io.FileNotFoundException => false }
-      }
-      if (!survivor) {
-        val m = new Path(storePath, s"$SnapPrefix$e")
-        val st = try Some(fs.getFileStatus(m))
-          catch { case _: java.io.FileNotFoundException => None }
-        if (st.exists(aged) && fs.delete(m, false)) deleted += m.toString
+      if (!chainBroken) {
+        val snap = snapshot(spark, store, e)
+        val exclusive = snap.parts.iterator.map { case (n, v) => (n, v) }
+          .filterNot(referenced).toSet
+        // pairs not deleted THIS pass may be gone from an earlier one —
+        // probe only those (bounded by the dropped manifests' own size)
+        val survivor = exclusive.filterNot(goneExclusive).exists { case (n, v) =>
+          try { fs.getFileStatus(new Path(storePath, s"$n/$EpochDir$v")); true }
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+        if (survivor) chainBroken = true
+        else {
+          val m = new Path(storePath, s"$SnapPrefix$e")
+          val st = try Some(fs.getFileStatus(m))
+            catch { case _: java.io.FileNotFoundException => None }
+          st match {
+            case None => () // already gone — the chain has no hole here
+            case Some(s) if aged(s) && fs.delete(m, false) =>
+              deleted += m.toString
+            case _ => chainBroken = true // kept: stop before a hole forms
+          }
+        }
       }
     }
     deleted.result()
@@ -1336,11 +1557,87 @@ object SnapshotMerge {
        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q115 — RESTORE under the oracle: bootstrap → MERGE → restoreTo(1)
+  // → MERGE. The final state must read as if the rolled-back merge
+  // NEVER HAPPENED (the oracle's fold applies only the bootstrap and
+  // the post-restore merge) — equality proves the restore epoch's
+  // metadata-only (partition → version) rollback is exact and that the
+  // post-restore merge applied on top of the restored state.
+  // ------------------------------------------------------------------
+
+  private val q115Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q115Store(spark: SparkSession, sfDir: String): String =
+    q115Dirs.computeIfAbsent(graft.PathKey(sfDir), { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_snaprestore_q115")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path => JPath}
+        if (Files.exists(root))
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val store = root.toString + "/store"
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("day"))
+      // epoch 1: bootstrap (the q110 fold's v0)
+      upsert(spark, store, ev.filter(col("event_id") % 10 < 8),
+        Seq("event_id"), "day")
+      // epoch 2: the q110 fold's u1 — the merge the restore rolls back
+      upsert(spark, store,
+        ev.filter(col("event_id") % 10 >= 6)
+          .withColumn("value", col("value") + lit(1000.0))
+          .withColumn("day",
+            when(col("event_id") % 10 === 6,
+              date_add(col("day").cast("date"), 1).cast("string"))
+              .otherwise(col("day"))),
+        Seq("event_id"), "day")
+      // epoch 3: the restore — final content must forget u1 entirely
+      val restored = restoreTo(spark, store, 1L)
+      require(restored.contains(3L), s"restore must commit epoch 3: $restored")
+      // epoch 4: the q110 fold's u2, applied ON TOP of the restored state
+      upsert(spark, store,
+        ev.filter(col("event_id") % 10 === 0 || col("event_id") % 10 === 5)
+          .withColumn("value", col("value") * lit(2.0)),
+        Seq("event_id"), "day")
+      store
+    })
+
+  /** q115 — per-day rollup after bootstrap → merge → RESTORE → merge:
+    * the rolled-back merge must leave no trace in the final state. */
+  def snapshotRestoreRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    read(spark, q115Store(spark, sfDir))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("day").asc_nulls_last)
+  }
+
+  private val q115Sql = {
+    val dsum = graft.functions.Det.sqlDsum _
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         cast(cast(ts AS date) AS varchar) AS day
+       |  FROM events),
+       |v0 AS (SELECT * FROM ev WHERE event_id % 10 < 8),
+       |u2 AS (
+       |  SELECT event_id, user_id, event_type, value * 2.0 AS value, day
+       |  FROM ev WHERE event_id % 10 = 0 OR event_id % 10 = 5),
+       |s2 AS (
+       |  SELECT * FROM v0 WHERE event_id NOT IN (SELECT event_id FROM u2)
+       |  UNION ALL SELECT * FROM u2)
+       |SELECT day, count(*) AS n, ${dsum("value")} AS total_value
+       |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q110_snapshot_merge", (s, d) => snapshotMergeRollup(s, d), Some(q110Sql)),
     graft.Q("q111_snapshot_changes", (s, d) => snapshotChangesRollup(s, d), Some(q111Sql)),
     graft.Q("q113_snapshot_changes_keyed",
       (s, d) => snapshotChangesKeyedRollup(s, d), Some(q113Sql)),
     graft.Q("q114_snapshot_delete_update",
-      (s, d) => snapshotDeleteUpdateRollup(s, d), Some(q114Sql)))
+      (s, d) => snapshotDeleteUpdateRollup(s, d), Some(q114Sql)),
+    graft.Q("q115_snapshot_restore",
+      (s, d) => snapshotRestoreRollup(s, d), Some(q115Sql)))
 }

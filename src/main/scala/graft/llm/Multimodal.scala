@@ -375,13 +375,27 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** The l39/l42 AUDIT-SURFACE cap (r16 verdict #3 of What's wrong):
+    * both are codec/Θ(answer) AUDITS whose bounded production twins
+    * (l23 frame planning, l54 clusters) stay flat at scale — the audits
+    * themselves need only a FIXED oracle-checked surface, not one that
+    * grows with the corpus. 500 = the full fixture at sf0.001 AND
+    * sf0.01 (doc_ids 0–499 at both), so the cap is NON-BINDING at every
+    * driver-gated scale — capped ≡ uncapped there, hash-identically —
+    * while larger corpora (sf0.1's 5 000 docs) re-verify the same
+    * pinned 500-doc surface instead of re-paying codec CPU and
+    * quadratic pair growth per scale rung. */
+  private[llm] val AuditCap = 500L
+
   /** l39 — REAL audio probe, oracle-exact: encode a per-doc WAV, parse it
     * through [[probeAudio]], emit the recovered rate/channels/frames and
     * the probe's duration arithmetic. All rates are integer-valued, so
-    * the float round-trip is exact. */
+    * the float round-trip is exact. Audits the first [[AuditCap]] docs
+    * (the whole fixture at gated scales). */
   def synthAudioProbe(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    val media = documents.select(col("doc_id")).as[Long]
+    val media = documents.filter(col("doc_id") < AuditCap)
+      .select(col("doc_id")).as[Long]
       .mapPartitions(ids => ids.map(id => (id, "audio/wav", synthWav(id))))
       .toDF("doc_id", "mime", "media")
       .withColumn("media_bytes", length(col("media")).cast("long"))
@@ -392,12 +406,12 @@ object Multimodal {
   }
 
   private val l39Sql =
-    """SELECT doc_id, true AS decoded,
+    s"""SELECT doc_id, true AS decoded,
       | cast(8000 + 1600 * (doc_id % 5) as int) AS sample_rate,
       | cast(1 + doc_id % 2 as int) AS channels,
       | cast(100 + doc_id % 400 as bigint) AS frames,
       | cast((100 + doc_id % 400) * 1000 // (8000 + 1600 * (doc_id % 5)) as bigint) AS duration_ms
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id < $AuditCap ORDER BY doc_id""".stripMargin
 
   /** The 64-bit dHash a [[synthGradientPng]] image must produce: four
     * 16-bit band words from affine maps of the doc's dup-group id (so
@@ -443,10 +457,15 @@ object Multimodal {
     * 16-bit band join → hamming-verify pipeline on real pixels, while the
     * oracle replays the SAME banding/hamming algebra over the closed-form
     * hashes. Every stage (codec, luma sampling, bit packing, band
-    * bucketing, XOR popcount) is covered by the hash compare. */
+    * bucketing, XOR popcount) is covered by the hash compare. Audits
+    * the first [[AuditCap]] docs (the whole fixture at gated scales) —
+    * the pair list is Θ(answer), quadratic in dup-group size, so the
+    * audit surface is pinned while l54 carries the bounded production
+    * contract at any corpus size. */
   def synthImageNearDup(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    val media = documents.select(col("doc_id")).as[Long]
+    val media = documents.filter(col("doc_id") < AuditCap)
+      .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         imageioNoCache
         ids.map(id => (id, "image/png", synthGradientPng(id)))
@@ -456,11 +475,12 @@ object Multimodal {
     imageNearDup(spark, media)
   }
 
-  // The closed-form dHash CTE shared by l42 (pair audit) and l54
-  // (cluster rollup). RECURSIVE prefix is harmless for l42 and lets l54
-  // append TextDedup's reachability closure over its `pairs` CTE.
-  private val hashCteSql =
-    """WITH RECURSIVE h AS (
+  // The closed-form dHash CTE shared by l42 (pair audit, doc set capped
+  // at AuditCap) and l54 (cluster rollup, uncapped). RECURSIVE prefix
+  // is harmless for l42 and lets l54 append TextDedup's reachability
+  // closure over its `pairs` CTE.
+  private def hashCteSqlWhere(where: String): String =
+    s"""WITH RECURSIVE h AS (
       |  SELECT doc_id,
       |    xor((doc_id % 50 * 40503 + 1229) % 65536
       |        + ((doc_id % 50 * 12345 + 6789) % 65536) * 65536
@@ -469,12 +489,13 @@ object Multimodal {
       |      CASE WHEN (doc_id // 50) % 3 = 1
       |           THEN (1::BIGINT << cast((doc_id // 50) % 16 + 16 as int))
       |           ELSE 0 END) AS dhash
-      |  FROM documents)""".stripMargin
+      |  FROM documents $where)""".stripMargin
+  private val hashCteSql = hashCteSqlWhere("")
 
   // the bucket cap is interpolated from the Scala-side constant (the
   // TextDedup.pairsCtes pattern) so a future cap change cannot desync
   // implementation and oracle silently
-  private val dhashCtesSql = hashCteSql + ",\n" +
+  private val dhashCtesSql = hashCteSqlWhere(s"WHERE doc_id < $AuditCap") + ",\n" +
     s"""b0 AS (
       |  SELECT doc_id, dhash, band_id, (dhash >> (16 * band_id)) & 65535 AS band_val
       |  FROM h, (SELECT unnest(range(0, 4)) AS band_id)),

@@ -213,9 +213,149 @@ object SnapshotStream {
        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q116 — the KEYED streaming mode under the oracle: a stream with
+  // .option("keys", "event_id") reads an upstream store through four
+  // mutations (bootstrap → two MERGEs — one key updated TWICE, one
+  // moving partition — → predicate DELETE) into an append-only feed,
+  // and the registered query RECONSTRUCTS the upstream final state
+  // from the update PAIRS alone: value = insert value + Σ(postimage −
+  // preimage), day = the last postimage's day. The delta algebra is
+  // wrong under any misclassification (a pre/post swapped, paired, or
+  // dropped row changes the sum), so hash-equality against the
+  // oracle's declarative fold proves the per-batch pairing exact —
+  // the downstream-consumer property Delta CDF streaming sells.
+  // Values are floor()ed to integer-valued doubles so every +1000/×2
+  // and every telescoped delta is EXACT in binary FP on both engines.
+  // ------------------------------------------------------------------
+
+  private val q116Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q116Feed(spark: SparkSession, sfDir: String): String =
+    q116Dirs.computeIfAbsent(graft.PathKey(sfDir), { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_snapkeyed_q116")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path => JPath}
+        if (Files.exists(root))
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val gs = graft.SessionClones.cloned("snapshot-keyed-gate", spark) { s =>
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+      }
+      val up = root.resolve("upstream").toString
+      val feed = root.resolve("feed").toString
+      val ev = graft.Tables.events(gs, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value")).cast("double").as("value"),
+          to_date(col("ts")).cast("string").as("day"))
+      // epoch 1: bootstrap = ids %10 < 7
+      SnapshotMerge.upsert(gs, up, ev.filter(col("event_id") % 10 < 7),
+        Seq("event_id"), "day")
+      val q = gs.readStream.format(Format).option("path", up)
+        .option("keys", "event_id").load()
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(feed)
+        }
+        .start()
+      try {
+        q.processAllAvailable() // initial snapshot: all inserts
+        // epoch 2: %10 ∈ {5,6,8} — 5,6 update (+1000; 6 MOVES day+1),
+        // 8 inserts
+        SnapshotMerge.upsert(gs, up,
+          ev.filter(col("event_id") % 10 === 5 || col("event_id") % 10 === 6 ||
+              col("event_id") % 10 === 8)
+            .withColumn("value", col("value") + lit(1000.0))
+            .withColumn("day",
+              when(col("event_id") % 10 === 6,
+                date_add(col("day").cast("date"), 1).cast("string"))
+                .otherwise(col("day"))),
+          Seq("event_id"), "day")
+        q.processAllAvailable()
+        // epoch 3: %10 ∈ {0,5,9} — 0 updates, 5 updates a SECOND time
+        // (its preimage is epoch 2's postimage), 9 inserts
+        SnapshotMerge.upsert(gs, up,
+          ev.filter(col("event_id") % 10 === 0 || col("event_id") % 10 === 5 ||
+              col("event_id") % 10 === 9)
+            .withColumn("value", col("value") * lit(2.0)),
+          Seq("event_id"), "day")
+        q.processAllAvailable()
+        // epoch 4: predicate DELETE — pure delete rows in keyed mode
+        SnapshotMerge.deleteWhere(gs, up, col("event_id") % 10 === 4)
+        q.processAllAvailable()
+      } finally q.stop()
+      val prog = q.recentProgress
+      StreamingOracle.triggerCounts.put("q116",
+        prog.map(_.batchId).distinct.length)
+      StreamingOracle.gateReceipts.put("q116", StreamingOracle.GateReceipt(
+        "q116",
+        triggers = prog.map(_.batchId).distinct.length,
+        inputRows = prog.filter(_.numInputRows > 0).map(_.numInputRows).sum,
+        stateOperators = 0, stateRowsFinal = 0, stateRowsUpdated = 0,
+        lateRowsDropped = 0))
+      feed
+    })
+
+  /** q116 — the upstream final state reconstructed from the keyed
+    * feed's change types alone, rolled up per day. */
+  def snapshotKeyedStreamRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    val feed = spark.read.parquet(q116Feed(spark, sfDir))
+    val deletedKeys = feed.filter(col("_change_type") === "delete")
+      .select("event_id").distinct()
+    val base = feed.filter(col("_change_type") === "insert")
+    val upd = feed.filter(
+      col("_change_type").isin("update_preimage", "update_postimage"))
+    val deltas = upd.groupBy("event_id").agg(
+      dsum(when(col("_change_type") === "update_postimage", col("value"))
+        .otherwise(-col("value"))).as("vdelta"))
+    val lastPost = upd.filter(col("_change_type") === "update_postimage")
+      .groupBy("event_id")
+      .agg(max_by(col("day"), col("_commit_epoch")).as("last_day"))
+    base.join(deletedKeys, Seq("event_id"), "left_anti")
+      .join(deltas, Seq("event_id"), "left_outer")
+      .join(lastPost, Seq("event_id"), "left_outer")
+      .select(coalesce(col("last_day"), col("day")).as("day"),
+        (col("value") + coalesce(col("vdelta"), lit(0.0))).as("value"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("day").asc_nulls_last)
+  }
+
+  private val q116Sql = {
+    val dsum = graft.functions.Det.sqlDsum _
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, floor(value) AS value,
+       |         cast(cast(ts AS date) AS varchar) AS day
+       |  FROM events),
+       |v0 AS (SELECT * FROM ev WHERE event_id % 10 < 7),
+       |u1 AS (
+       |  SELECT event_id, user_id, event_type, value + 1000.0 AS value,
+       |         CASE WHEN event_id % 10 = 6
+       |              THEN cast(cast(day AS date) + INTERVAL 1 DAY AS date)::varchar
+       |              ELSE day END AS day
+       |  FROM ev WHERE event_id % 10 IN (5, 6, 8)),
+       |s1 AS (
+       |  SELECT * FROM v0 WHERE event_id NOT IN (SELECT event_id FROM u1)
+       |  UNION ALL SELECT * FROM u1),
+       |u2 AS (
+       |  SELECT event_id, user_id, event_type, value * 2.0 AS value, day
+       |  FROM ev WHERE event_id % 10 IN (0, 5, 9)),
+       |s2 AS (
+       |  SELECT * FROM s1 WHERE event_id NOT IN (SELECT event_id FROM u2)
+       |  UNION ALL SELECT * FROM u2),
+       |s3 AS (SELECT * FROM s2 WHERE event_id % 10 <> 4)
+       |SELECT day, count(*) AS n, ${dsum("value")} AS total_value
+       |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q112_snapshot_stream_chain",
-      (s, d) => snapshotChainRollup(s, d), Some(q112Sql)))
+      (s, d) => snapshotChainRollup(s, d), Some(q112Sql)),
+    graft.Q("q116_snapshot_stream_keyed",
+      (s, d) => snapshotKeyedStreamRollup(s, d), Some(q116Sql)))
 
   private[streaming] def storeOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -233,6 +373,13 @@ object SnapshotStream {
           "upsert) before streaming from it"))
   }
 
+  /** The source's output schema: the store schema plus `_change_type`
+    * and `_commit_epoch`. `_commit_epoch` is the BATCH-END epoch of the
+    * net diff — every row of a multi-epoch batch (backlog, or
+    * `maxEpochsPerTrigger > 1`) carries the range-end epoch, NOT the
+    * per-row commit provenance Delta CDF's `_commit_version` gives;
+    * read it as "the snapshot this row's state is current as of", never
+    * as row lineage. */
   private[streaming] def streamSchema(storeSchema: StructType): StructType =
     storeSchema.add("_change_type", StringType, nullable = false)
       .add("_commit_epoch", LongType, nullable = false)
@@ -246,6 +393,18 @@ class SnapshotStreamSource(
   private val store = SnapshotStream.storeOf(parameters)
   private val withDeletes =
     parameters.getOrElse("withDeletes", "true").toBoolean
+  /** `.option("keys", "a,b")` — Delta CDF streaming parity: each batch
+    * classifies its net diff per key, so an updated key arrives as an
+    * `update_preimage`/`update_postimage` PAIR instead of
+    * delete+insert (the [[SnapshotMerge.changesKeyed]] algebra; same
+    * key-uniqueness contract). The initial snapshot is still all
+    * `insert`. Keys mode needs both diff sides — it refuses
+    * `withDeletes=false`. */
+  private val keyCols: Option[Seq[String]] =
+    parameters.get("keys").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+  require(keyCols.forall(_.nonEmpty), "keys option must name at least one column")
+  require(keyCols.isEmpty || withDeletes,
+    "keys mode classifies BOTH diff sides — it cannot combine with withDeletes=false")
   private val maxEpochsPerTrigger =
     parameters.get("maxEpochsPerTrigger").map(_.toLong)
       .getOrElse(Long.MaxValue)
@@ -255,6 +414,10 @@ class SnapshotStreamSource(
 
   private val pinned: StructType =
     SnapshotStream.pinnedStoreSchema(spark, parameters)
+  keyCols.foreach(_.foreach(k =>
+    require(pinned.fieldNames.contains(k),
+      s"keys option names $k, not a store column " +
+        s"(have: ${pinned.fieldNames.mkString(", ")})")))
   override val schema: StructType = SnapshotStream.streamSchema(pinned)
 
   // Last offset this source HANDED OUT — the pacing floor. The engine's
@@ -321,10 +484,20 @@ class SnapshotStreamSource(
   }
 
   override def getOffset: Option[OffsetV1] = {
-    val tip = SnapshotMerge.committedEpochs(spark, store).lastOption
+    // O(1) per poll: the commit-maintained tip pointer, double-probed
+    // and falling back to the listing when stale (r16 verdict #4 — a
+    // year-old store at 30 s triggers holds ~10⁶ manifests; listing
+    // them EVERY poll was the one unbounded per-trigger cost left)
+    val tip = SnapshotMerge.tipEpoch(spark, store)
     val capped = (tip, lastPolled) match {
       case (Some(t), Some(l)) if t - l > maxEpochsPerTrigger =>
         Some(math.max(l + maxEpochsPerTrigger, 1L))
+      // never OFFER below the floor: the floor is a lower bound on what
+      // the engine may hold, and an end below the engine's committed
+      // start is the inverted range getBatch fails loudly on — a tip
+      // reading below the floor (a stale pointer surviving both probes
+      // after a mid-chain vacuum hole) offers "no new data" instead
+      case (Some(t), Some(l)) if t < l => Some(l)
       case (t, _) => t
     }
     capped.foreach(advanceFloor)
@@ -334,7 +507,25 @@ class SnapshotStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val toE = epochOf(end)
     val fromE = start.map(epochOf)
-    advanceFloor(toE) // recovery replays re-seed the pacing floor
+    // recovery replays re-seed the pacing floor — from the range END and
+    // from the engine-held START: a floor file whose write failed before
+    // a crash can read BELOW the engine's committed offset, and seeding
+    // from the start is what heals it (the floor may never sit below an
+    // offset the engine is known to hold)
+    advanceFloor(math.max(fromE.getOrElse(0L), toE))
+    // an inverted range means getOffset offered an end BEHIND the
+    // engine's committed start (stale floor after a failed write +
+    // crash): planning it would silently net zero rows, regress the
+    // checkpoint, and re-deliver the range to non-idempotent sinks on
+    // the next poll. Fail loudly instead — the advanceFloor above has
+    // already re-seeded (and persisted) the true floor, so the restart
+    // proceeds from the correct offset
+    require(fromE.forall(_ <= toE),
+      s"snapshot stream offset range inverted: start=${fromE.get} > end=$toE " +
+        s"for $store — the pacing floor regressed behind the engine's " +
+        "committed offset (a floor persisted before a crash was stale); " +
+        "the floor has been re-seeded from the committed offset, restart " +
+        "the stream")
     val have = SnapshotMerge.committedEpochs(spark, store).toSet
     (fromE.toSeq :+ toE).foreach { e =>
       require(have(e),
@@ -347,7 +538,7 @@ class SnapshotStreamSource(
         SnapshotMerge.read(spark, store, Some(toE))
           .withColumn("_change_type", lit("insert"))
       case Some(f) =>
-        SnapshotMerge.streamingChanges(spark, store, f, toE, withDeletes)
+        SnapshotMerge.streamingChanges(spark, store, f, toE, withDeletes, keyCols)
     }
     val out = batch
       .withColumn("_commit_epoch", lit(toE))
@@ -376,6 +567,18 @@ class SnapshotStreamSource(
     case other => other.json.trim.toLong // SerializedOffset from the checkpoint
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  /** The engine's completion callback doubles as the floor's durable
+    * refresh: after every committed batch the persisted pacing floor is
+    * re-written at (at least) the committed offset — UNCONDITIONALLY,
+    * not just when the in-memory floor advances, because the case this
+    * heals is precisely "the in-memory floor is current but its file
+    * write failed during getOffset"; without the re-write that stale
+    * file survives until a crash turns it into an inverted restart
+    * range. */
+  override def commit(end: OffsetV1): Unit = {
+    val e = epochOf(end)
+    advanceFloor(e)
+    if (paced) writePacingFloor(math.max(lastPolled.getOrElse(e), e))
+  }
   override def stop(): Unit = ()
 }

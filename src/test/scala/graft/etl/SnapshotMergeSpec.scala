@@ -426,6 +426,40 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(plain === Set("insert", "delete"))
   }
 
+  test("a no-op batch burns no epoch; case-colliding SET entries are refused") {
+    val store = freshStore()
+    bootstrap(store)
+    // an EMPTY merge batch (a recovery replay whose rows were already
+    // applied) returns the current epoch instead of publishing an
+    // identical-parts epoch per replayed trigger
+    val e = SnapshotMerge.upsert(spark, store,
+      Seq.empty[(Long, String, String, Long)].toDF("id", "v", "day", "ts"),
+      Seq("id"), "day")
+    assert(e === 1L, "a no-op batch returns the current epoch")
+    // the one-commit change apply short-circuits the same way when both
+    // sides net to nothing (delete keys absent from the store)
+    val e2 = SnapshotMerge.applyChanges(spark, store,
+      Seq.empty[(Long, String, String, Long)].toDF("id", "v", "day", "ts"),
+      Seq(99L).toDF("id"), Seq("id"), "day")
+    assert(e2 === 1L)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L),
+      "no-op batches must not burn epochs")
+    // bootstrap of an EMPTY store still commits (establishes the schema)
+    val fresh = freshStore()
+    assert(SnapshotMerge.upsert(spark, fresh,
+      Seq.empty[(Long, String, String, Long)].toDF("id", "v", "day", "ts"),
+      Seq("id"), "day") === 1L)
+    assert(SnapshotMerge.read(spark, fresh).columns.toSeq ===
+      Seq("id", "v", "day", "ts"))
+    // two SET keys folding to one column must error, not absorb one
+    // nondeterministically
+    val coll = intercept[IllegalArgumentException] {
+      Merge.update(Seq((1L, "x")).toDF("id", "v"), lit(true),
+        Map("V" -> lit("a"), "v" -> lit("b")))
+    }
+    assert(coll.getMessage.contains("collide"), coll.getMessage)
+  }
+
   test("schema evolution: a merge adding a column widens the manifest schema; old epochs read nulls through the feed") {
     val store = freshStore()
     bootstrap(store)
@@ -553,6 +587,70 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(snap.stats("day=f1").bytes === outFiles.map(_.length).sum)
   }
 
+  test("per-partition compaction caps: partitions with ~10× different row widths both land under the target file size") {
+    val store = freshStore()
+    // wide rows (~1 KB: four sha2 hex blocks) in day=w; thin rows
+    // (~100 B: a short hash prefix) in day=t — ~10× apart in on-disk
+    // width, both fragmented (10 files each). Under the r16
+    // corpus-average cap the wide partition overshot targetFileBytes by
+    // roughly the width ratio; per-partition caps bound BOTH.
+    val wide = spark.range(1, 301).select(col("id"),
+      concat_ws("", sha2(col("id").cast("string"), 256),
+        sha2(concat(col("id").cast("string"), lit("x")), 256),
+        sha2(concat(col("id").cast("string"), lit("y")), 256),
+        sha2(concat(col("id").cast("string"), lit("z")), 256)).as("v"),
+      lit("w").as("day"), col("id").as("ts"))
+    val thin = spark.range(1001, 2201).select(col("id"),
+      substring(sha2(col("id").cast("string"), 256), 1, 24).as("v"),
+      lit("t").as("day"), col("id").as("ts"))
+    // each side range-split on its own so BOTH partitions fragment
+    SnapshotMerge.upsert(spark, store,
+      wide.repartitionByRange(10, col("id"))
+        .unionByName(thin.repartitionByRange(10, col("id"))),
+      Seq("id"), "day")
+    val base = SnapshotMerge.latestSnapshot(spark, store).get
+    assert(base.stats("day=w").files >= 8 && base.stats("day=t").files >= 8,
+      s"fixture must be fragmented on both sides: ${base.stats}")
+    val target = 16L * 1024
+    assert(base.stats("day=w").bytes > 2 * target &&
+      base.stats("day=t").bytes > 2 * target,
+      s"both partitions must span multiple bins: ${base.stats}")
+    val widthRatio = base.stats("day=w").bytes.toDouble / 300 /
+      (base.stats("day=t").bytes.toDouble / 1200)
+    assert(widthRatio > 5, s"row widths must differ materially: $widthRatio")
+    val beforeRows = SnapshotMerge.read(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val e = SnapshotMerge.compact(spark, store,
+      maxFilesPerPartition = 4, targetFileBytes = target)
+    assert(e.isDefined)
+    val snap = SnapshotMerge.latestSnapshot(spark, store).get
+    // EVERY output file of EVERY rewritten partition lands <= ~1.2×
+    // target — the per-partition cap contract (footer overhead slack)
+    Seq("day=w", "day=t").foreach { part =>
+      val dir = new java.io.File(store, s"$part/__e=${snap.parts(part)}")
+      val files = dir.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files.length > 1, s"$part must fan out past one file")
+      files.foreach(f => assert(f.length <= (1.2 * target).toLong,
+        s"$part file ${f.getName} is ${f.length} B — over 1.2× the " +
+          s"$target B target; the per-partition cap failed"))
+    }
+    // width-skewed stores burn one compact epoch per density class —
+    // every one dataChange=false, so a downstream stream reads zero rows
+    val compactEpochs = SnapshotMerge.committedEpochs(spark, store)
+      .filter(_ > base.epoch)
+    assert(compactEpochs.nonEmpty)
+    compactEpochs.foreach { ce =>
+      assert(!SnapshotMerge.snapshot(spark, store, ce).dataChange,
+        s"epoch $ce must carry the compact flag")
+    }
+    assert(SnapshotMerge.changes(spark, store, base.epoch, snap.epoch).count() === 0L,
+      "the flanking change feed must net empty across all compact epochs")
+    val afterRows = SnapshotMerge.read(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows === beforeRows, "compaction must not change a logical row")
+  }
+
   test("vacuum fast path: superseded versions sweep from manifests alone; orphans wait for the full walk; manifests outlive surviving dirs") {
     val store = freshStore()
     bootstrap(store)
@@ -592,6 +690,100 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") &&
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("day"),
       s"day filter must prune partitions:\n$plan")
+  }
+
+  test("restoreTo: metadata-only rollback; CDF inverts the rolled-back diff; vacuumed targets fail loudly; tip restore is a no-op") {
+    val store = freshStore()
+    bootstrap(store)
+    // epoch 2: update key 2, insert key 4
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L), (4L, "d", "d3", 20L)).toDF("id", "v", "day", "ts"),
+      Seq("id"), "day")
+    val e = SnapshotMerge.restoreTo(spark, store, 1L)
+    assert(e.contains(3L), s"restore commits the NEXT epoch: $e")
+    // restored read ≡ time travel to the target epoch
+    assert(asMap(SnapshotMerge.read(spark, store)) ===
+      asMap(SnapshotMerge.read(spark, store, Some(1L))))
+    // METADATA-ONLY: the restore manifest references epoch-1's version
+    // dirs verbatim — no data file was written or moved
+    assert(SnapshotMerge.snapshot(spark, store, 3L).parts ===
+      SnapshotMerge.snapshot(spark, store, 1L).parts)
+    // the change feed across the restore is the INVERSE of the
+    // rolled-back diff
+    def feed(f: Long, t: Long): Set[(String, Long, String)] =
+      SnapshotMerge.changes(spark, store, f, t).collect()
+        .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+          r.getAs[String]("v"))).toSet
+    val fwd = feed(1L, 2L)
+    assert(feed(2L, 3L) === fwd.map { case (t, id, v) =>
+      (if (t == "insert") "delete" else "insert", id, v) },
+      "the restore's CDF must be the rolled-back diff, inverted")
+    // restoring to the current tip burns nothing
+    assert(SnapshotMerge.restoreTo(spark, store, 3L).isEmpty)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L, 3L))
+    // an unknown epoch fails loudly
+    val unknown = intercept[IllegalArgumentException] {
+      SnapshotMerge.restoreTo(spark, store, 99L)
+    }
+    assert(unknown.getMessage.contains("manifest is gone"), unknown.getMessage)
+    // a merge lands ON TOP of the restored state (key 4 stays gone)
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b9", "d1", 90L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    assert(asMap(SnapshotMerge.read(spark, store)) === Map(
+      1L -> ("a", "d1", 10L), 2L -> ("b9", "d1", 90L), 3L -> ("c", "d2", 10L)))
+    // restore past the vacuum retention: manifest gone → loud
+    SnapshotMerge.vacuum(spark, store, keep = 1, graceMs = -1000L)
+    val past = intercept[IllegalArgumentException] {
+      SnapshotMerge.restoreTo(spark, store, 2L)
+    }
+    assert(past.getMessage.contains("vacuum retention"), past.getMessage)
+    // manifest present but a referenced dir gone (the half-vacuumed
+    // state): the existence sweep must refuse BEFORE committing
+    val store2 = freshStore()
+    bootstrap(store2)
+    SnapshotMerge.upsert(spark, store2,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    val gone = new java.io.File(store2, "day=d1/__e=1")
+    assert(gone.listFiles().forall(_.delete()) && gone.delete())
+    val halfGone = intercept[IllegalStateException] {
+      SnapshotMerge.restoreTo(spark, store2, 1L)
+    }
+    assert(halfGone.getMessage.contains("was vacuumed"), halfGone.getMessage)
+    assert(SnapshotMerge.committedEpochs(spark, store2) === Seq(1L, 2L),
+      "a refused restore must not commit")
+  }
+
+  test("tipEpoch: the pointer answers polls in O(1); stale or missing pointers fall back to the listing and self-heal") {
+    val store = freshStore()
+    bootstrap(store)
+    (2 to 6).foreach { i =>
+      SnapshotMerge.upsert(spark, store,
+        Seq((2L, s"b$i", "d1", i.toLong)).toDF("id", "v", "day", "ts"),
+        Seq("id"), "day")
+    }
+    val hits0 = SnapshotMerge.tipPointerHits.get()
+    val fb0 = SnapshotMerge.tipListingFallbacks.get()
+    assert(SnapshotMerge.tipEpoch(spark, store) === Some(6L))
+    assert(SnapshotMerge.tipPointerHits.get() === hits0 + 1 &&
+      SnapshotMerge.tipListingFallbacks.get() === fb0,
+      "a commit-maintained pointer must answer without listing")
+    // pointer missing (pre-pointer store): the listing answers
+    val tip = new java.io.File(store, "_GRAFT_TIP")
+    assert(tip.delete())
+    assert(SnapshotMerge.tipEpoch(spark, store) === Some(6L))
+    assert(SnapshotMerge.tipListingFallbacks.get() === fb0 + 1)
+    // pointer STALE (a writer crashed between its manifest rename and
+    // the pointer write): the successor probe detects and falls back
+    java.nio.file.Files.write(tip.toPath, "4".getBytes("UTF-8"))
+    assert(SnapshotMerge.tipEpoch(spark, store) === Some(6L))
+    assert(SnapshotMerge.tipListingFallbacks.get() === fb0 + 2)
+    // the next commit heals the pointer
+    SnapshotMerge.upsert(spark, store,
+      Seq((3L, "x", "d2", 70L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    assert(new String(java.nio.file.Files.readAllBytes(tip.toPath), "UTF-8") === "7")
+    val hits1 = SnapshotMerge.tipPointerHits.get()
+    assert(SnapshotMerge.tipEpoch(spark, store) === Some(7L))
+    assert(SnapshotMerge.tipPointerHits.get() === hits1 + 1)
   }
 
   test("q110 registered query runs and is stable across invocations") {

@@ -157,6 +157,45 @@ class SnapshotStreamSpec extends SparkSuite {
       s"restart must resume pacing from the persisted floor (4), not the tip: $r1")
   }
 
+  test("a pacing floor stale behind the committed offset fails loudly, self-heals, and commit() durably refreshes the floor") {
+    val root = freshDir()
+    val store = s"$root/A"
+    upsert(store, Seq((1L, "a", "d1", 10L)))
+    upsert(store, Seq((2L, "b", "d1", 20L)))
+    upsert(store, Seq((3L, "c", "d1", 30L)))
+    upsert(store, Seq((4L, "d", "d1", 40L)))
+    val meta = s"$root/srcmeta"
+    // plant a floor of 1 while the engine's committed offset is 3 — the
+    // floor-write-failed-then-crash state (r16 ADVICE)
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(meta))
+    java.nio.file.Files.write(java.nio.file.Path.of(meta, "graft_pacing_floor"),
+      "1".getBytes("UTF-8"))
+    val src = new SnapshotStreamSource(spark,
+      Map("path" -> store, "maxEpochsPerTrigger" -> "1"), Some(meta))
+    // the stale floor makes the poll offer 2 — BEHIND the committed 3
+    assert(src.getOffset.map(_.asInstanceOf[LongOffset].offset) === Some(2L))
+    // the engine pairs that end with its committed start 3 → inverted;
+    // planning it would silently net zero rows, regress the checkpoint,
+    // and re-deliver epochs to a non-idempotent sink — fail LOUDLY
+    val e = intercept[IllegalArgumentException] {
+      src.getBatch(Some(LongOffset(3L)), LongOffset(2L))
+    }
+    assert(e.getMessage.contains("inverted"), e.getMessage)
+    // ...and the failure re-seeded the floor from the committed start,
+    // so a restarted source proceeds correctly: 4 = floor(3) + cap(1)
+    val healed = new SnapshotStreamSource(spark,
+      Map("path" -> store, "maxEpochsPerTrigger" -> "1"), Some(meta))
+    assert(healed.getOffset.map(_.asInstanceOf[LongOffset].offset) === Some(4L))
+    // commit() refreshes the floor file even when the in-memory floor
+    // already holds the value — the exact state a failed getOffset
+    // write leaves behind
+    java.nio.file.Files.delete(java.nio.file.Path.of(meta, "graft_pacing_floor"))
+    healed.commit(LongOffset(4L))
+    val back = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(meta, "graft_pacing_floor")), "UTF-8").trim
+    assert(back === "4", s"commit must durably refresh the floor: $back")
+  }
+
   test("vacuumed history fails the replay loudly; schema evolution upstream keeps the pinned projection") {
     val store = s"${freshDir()}/A"
     upsert(store, Seq((1L, "a", "d1", 10L)))
@@ -187,6 +226,53 @@ class SnapshotStreamSpec extends SparkSuite {
       new SnapshotStreamSource(spark, Map("path" -> s"${freshDir()}/empty"))
     }
     assert(none.getMessage.contains("no committed snapshot"), none.getMessage)
+  }
+
+  test("keys mode: updates stream as pre/post image pairs per batch; pure inserts and deletes keep their types; bad options are refused") {
+    val root = freshDir()
+    val store = s"$root/A"
+    val feed = s"$root/feed"
+    upsert(store, Seq((1L, "a", "d1", 10L), (2L, "b", "d2", 10L)))
+    val q = spark.readStream.format(SnapshotStream.Format)
+      .option("path", store).option("keys", "id").load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(feed)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // epoch 2: update key 1 (value change), MOVE key 2 d2→d1 with a
+      // value change, insert key 3
+      upsert(store, Seq((1L, "a2", "d1", 20L), (2L, "b2", "d1", 20L),
+        (3L, "c", "d2", 20L)))
+      q.processAllAvailable()
+      // epoch 3: pure delete
+      SnapshotMerge.deleteWhere(spark, store, col("id") === 3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(feed).collect()
+      .map(r => (r.getAs[Long]("_commit_epoch"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[String]("day"))).toSet
+    assert(rows === Set(
+      (1L, "insert", 1L, "a", "d1"), (1L, "insert", 2L, "b", "d2"),
+      (2L, "update_preimage", 1L, "a", "d1"), (2L, "update_postimage", 1L, "a2", "d1"),
+      (2L, "update_preimage", 2L, "b", "d2"), (2L, "update_postimage", 2L, "b2", "d1"),
+      (2L, "insert", 3L, "c", "d2"),
+      (3L, "delete", 3L, "c", "d2")),
+      s"keyed classification per batch, moved keys paired across partitions: $rows")
+    // keys mode needs both diff sides
+    val both = intercept[IllegalArgumentException] {
+      new SnapshotStreamSource(spark,
+        Map("path" -> store, "keys" -> "id", "withDeletes" -> "false"))
+    }
+    assert(both.getMessage.contains("withDeletes"), both.getMessage)
+    // a key that is not a store column is refused at construction
+    val bad = intercept[IllegalArgumentException] {
+      new SnapshotStreamSource(spark, Map("path" -> store, "keys" -> "nope"))
+    }
+    assert(bad.getMessage.contains("not a store column"), bad.getMessage)
   }
 
   test("medallion chaining: changeApplySink converges the downstream store to the upstream final state, deletes included") {

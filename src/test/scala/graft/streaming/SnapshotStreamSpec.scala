@@ -228,6 +228,36 @@ class SnapshotStreamSpec extends SparkSuite {
     assert(none.getMessage.contains("no committed snapshot"), none.getMessage)
   }
 
+  test("offset polls cost O(1) FS ops on a ~10³-epoch store: the tip pointer answers without listing the manifest directory") {
+    val store = s"${freshDir()}/A"
+    upsert(store, Seq((1L, "a", "d1", 10L)))
+    // fabricate a 1000-epoch history: committedEpochs/tipEpoch read only
+    // manifest NAMES + the pointer, so copies of the epoch-1 manifest
+    // under bumped names are indistinguishable from real commits for
+    // offset discovery (their content still parses — same schema/parts)
+    val m1 = java.nio.file.Path.of(store, "_GRAFT_SNAP_1")
+    (2 to 1000).foreach { e =>
+      java.nio.file.Files.copy(m1, java.nio.file.Path.of(store, s"_GRAFT_SNAP_$e"))
+    }
+    java.nio.file.Files.write(java.nio.file.Path.of(store, "_GRAFT_TIP"),
+      "1000".getBytes("UTF-8"))
+    // the local FS keeps a checksum sidecar for the pointer; the raw
+    // overwrite above stales it, which tipEpoch would (correctly) treat
+    // as a torn pointer and fall back — this spec wants the HOT path
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Path.of(store, "._GRAFT_TIP.crc"))
+    val hits0 = SnapshotMerge.tipPointerHits.get()
+    val fb0 = SnapshotMerge.tipListingFallbacks.get()
+    val src = new SnapshotStreamSource(spark, Map("path" -> store))
+    (1 to 100).foreach { _ =>
+      assert(src.getOffset.map(_.asInstanceOf[LongOffset].offset) === Some(1000L))
+    }
+    assert(SnapshotMerge.tipPointerHits.get() === hits0 + 100,
+      "every poll must be answered by the pointer")
+    assert(SnapshotMerge.tipListingFallbacks.get() === fb0,
+      "no poll may fall back to the O(total epochs) listing")
+  }
+
   test("keys mode: updates stream as pre/post image pairs per batch; pure inserts and deletes keep their types; bad options are refused") {
     val root = freshDir()
     val store = s"$root/A"

@@ -122,18 +122,7 @@ object SnapshotMerge {
   def tipEpoch(spark: SparkSession, store: String): Option[Long] = {
     val p = new Path(store)
     val fs = fsOf(spark, p)
-    val cand =
-      try {
-        val tf = new Path(p, TipFile)
-        if (!fs.exists(tf)) None
-        else {
-          val in = fs.open(tf)
-          val text = try new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-          finally in.close()
-          scala.util.Try(text.toLong).toOption
-        }
-      } catch { case _: Throwable => None }
+    val cand = graft.sources.PointerFile.read(spark, new Path(p, TipFile))
     cand match {
       case Some(e) if fs.exists(new Path(p, s"$SnapPrefix$e")) &&
           !fs.exists(new Path(p, s"$SnapPrefix${e + 1}")) =>
@@ -341,9 +330,15 @@ object SnapshotMerge {
     // the current epoch instead of burning one (a recovery replay of a
     // delete-only batch whose keys were already removed would otherwise
     // publish an identical-parts epoch per replayed no-op trigger).
+    // NOT a no-op despite zero rows: a source that WIDENS the schema
+    // (columns the store lacks) must still commit, or the evolution
+    // would silently vanish (r17 review) — the publish below stages
+    // nothing and lands a manifest whose only change is the schema.
     // Bootstrap (no base) still commits epoch 1: it establishes the
     // store schema even when the first batch carries zero rows.
-    if (touchedVals.isEmpty && base.isDefined) return base.get.epoch
+    val widens = base.exists(s =>
+      !source.schema.fieldNames.forall(s.schema.fieldNames.contains))
+    if (touchedVals.isEmpty && base.isDefined && !widens) return base.get.epoch
     val touchedNames = touchedVals.map(partDirName(partitionCol, _)).toSet
     publish(spark, store, base, claimFloor, merged, partitionCol,
       touchedNames, merged.schema)
@@ -613,23 +608,13 @@ object SnapshotMerge {
           "aborted; its partition versions were retracted; rerun to " +
           s"apply it on top of the winner (${e.getMessage})")
     }
-    def updateTipPointer(): Unit =
-      try {
-        // best-effort O(1) tip pointer for stream polls — tmp +
-        // rename-overwrite (never truncate in place); a failed or
-        // delayed write leaves a STALE pointer, which tipEpoch detects
-        // with its successor probe and the next commit heals
-        val tp = new Path(storePath, TipFile)
-        val ttmp = new Path(storePath,
-          s".$TipFile.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-        val o = fs.create(ttmp, true)
-        try o.write(snap.epoch.toString.getBytes("UTF-8")) finally o.close()
-        fc.rename(fs.makeQualified(ttmp), fs.makeQualified(tp),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch { case _: Throwable => () }
     try {
       fc.rename(fs.makeQualified(tmp), dest) // no-overwrite: put-if-absent
-      updateTipPointer()
+      // best-effort O(1) tip pointer for stream polls; a failed or
+      // delayed write leaves a STALE pointer, which tipEpoch detects
+      // with its successor probe and the next commit heals
+      graft.sources.PointerFile.write(spark,
+        new Path(storePath, TipFile), snap.epoch)
     } catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
       case e: java.nio.file.FileAlreadyExistsException => lost(e)
@@ -700,8 +685,37 @@ object SnapshotMerge {
           s"${base.epoch} — aborted; rerun the restore against the new tip")
     writeManifest(fs, spark, storePath,
       Snapshot(next, old.schema, old.parts, old.stats, dataChange = true))
+    restorePostCommitHook()
+    // POST-COMMIT re-verify (r17 review: TOCTOU vs a concurrent vacuum).
+    // The dirs this manifest references are OLD — a vacuum that computed
+    // its `referenced` set BEFORE this commit may sweep them around the
+    // rename, and publish's grace defense does not apply (grace protects
+    // YOUNG dirs; these aged long ago). If any vanished, the committed
+    // tip is wedged: repair best-effort by committing a compensating
+    // restore back to the pre-restore tip (whose dirs were the KEPT tip
+    // throughout this window and so survived the sweep), then fail
+    // loudly — the incident verb must never leave a silently unreadable
+    // table.
+    val lost = old.parts.collectFirst { case (n, v)
+        if !fs.exists(new Path(storePath, s"$n/$EpochDir$v")) =>
+      s"$n/$EpochDir$v"
+    }
+    lost.foreach { d =>
+      try writeManifest(fs, spark, storePath,
+        Snapshot(next + 1, base.schema, base.parts, base.stats, dataChange = true))
+      catch { case _: Throwable => () } // a racer on next+1 hit the wedge too
+      throw new IllegalStateException(
+        s"restore of $store to epoch $epoch lost $d to a concurrent " +
+          s"vacuum mid-commit — a compensating epoch restoring the " +
+          s"pre-restore tip (${base.epoch}) was committed; re-run the " +
+          "restore with vacuum paused or a retention covering the target")
+    }
     Some(next)
   }
+
+  /** Test seam for the restore TOCTOU window (fires between the restore
+    * manifest commit and its post-commit dir re-verify). */
+  private[etl] var restorePostCommitHook: () => Unit = () => ()
 
   /** Change feed between two committed epochs (Delta CDF analog on the
     * PARTITIONED store — [[VersionLog.changes]] gives the same contract
@@ -1355,18 +1369,8 @@ object SnapshotMerge {
   // the snapshots are pure functions of the events fixture.
   // ------------------------------------------------------------------
 
-  private val q110Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def q110Store(spark: SparkSession, sfDir: String): String =
-    q110Dirs.computeIfAbsent(graft.PathKey(sfDir), { _ =>
-      val root = java.nio.file.Files.createTempDirectory("graft_snapmerge_q110")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path => JPath}
-        import java.util.Comparator
-        if (Files.exists(root))
-          Files.walk(root).sorted(Comparator.reverseOrder[JPath]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    graft.GateFixture.cached("graft_snapmerge_q110", sfDir) { root =>
       val store = root.toString + "/store"
       val ev = graft.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -1389,7 +1393,7 @@ object SnapshotMerge {
           .withColumn("value", col("value") * lit(2.0)),
         Seq("event_id"), "day")
       store
-    })
+    }
 
   /** q110 — per-day rollup of the snapshot store's FINAL state, read
     * through the manifest (snapshot-isolated) reader. */
@@ -1507,17 +1511,8 @@ object SnapshotMerge {
   // CASE for the conditional update).
   // ------------------------------------------------------------------
 
-  private val q114Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def q114Store(spark: SparkSession, sfDir: String): String =
-    q114Dirs.computeIfAbsent(graft.PathKey(sfDir), { _ =>
-      val root = java.nio.file.Files.createTempDirectory("graft_snapdelupd_q114")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path => JPath}
-        if (Files.exists(root))
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    graft.GateFixture.cached("graft_snapdelupd_q114", sfDir) { root =>
       val store = root.toString + "/store"
       val ev = graft.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -1528,7 +1523,7 @@ object SnapshotMerge {
         col("event_type") === "purchase" && col("value") > 100.0,
         Map("value" -> (col("value") * lit(0.5))))
       store
-    })
+    }
 
   /** q114 — per-day rollup of the store after a predicate DELETE and a
     * predicate UPDATE, both committed as manifest epochs. */
@@ -1566,17 +1561,8 @@ object SnapshotMerge {
   // post-restore merge applied on top of the restored state.
   // ------------------------------------------------------------------
 
-  private val q115Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def q115Store(spark: SparkSession, sfDir: String): String =
-    q115Dirs.computeIfAbsent(graft.PathKey(sfDir), { _ =>
-      val root = java.nio.file.Files.createTempDirectory("graft_snaprestore_q115")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path => JPath}
-        if (Files.exists(root))
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    graft.GateFixture.cached("graft_snaprestore_q115", sfDir) { root =>
       val store = root.toString + "/store"
       val ev = graft.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -1602,7 +1588,7 @@ object SnapshotMerge {
           .withColumn("value", col("value") * lit(2.0)),
         Seq("event_id"), "day")
       store
-    })
+    }
 
   /** q115 — per-day rollup after bootstrap → merge → RESTORE → merge:
     * the rolled-back merge must leave no trace in the final state. */

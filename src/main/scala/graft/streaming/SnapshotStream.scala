@@ -108,17 +108,8 @@ object SnapshotStream {
   // the events fixture.
   // ------------------------------------------------------------------
 
-  private val q112Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def q112Downstream(spark: SparkSession, sfDir: String): String =
-    q112Dirs.computeIfAbsent(graft.PathKey(sfDir), { _ =>
-      val root = java.nio.file.Files.createTempDirectory("graft_snapstream_q112")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path => JPath}
-        if (Files.exists(root))
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    graft.GateFixture.cached("graft_snapstream_q112", sfDir) { root =>
       val gs = graft.SessionClones.cloned("snapshot-stream-gate", spark) { s =>
         s.conf.set("spark.sql.shuffle.partitions", "2")
       }
@@ -175,7 +166,7 @@ object SnapshotStream {
         stateOperators = 0, stateRowsFinal = 0, stateRowsUpdated = 0,
         lateRowsDropped = 0))
       b
-    })
+    }
 
   /** q112 — per-day rollup of the DOWNSTREAM store after the streamed
     * medallion hop (bootstrap + 2 merges + 1 compact upstream). */
@@ -229,17 +220,8 @@ object SnapshotStream {
   // and every telescoped delta is EXACT in binary FP on both engines.
   // ------------------------------------------------------------------
 
-  private val q116Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def q116Feed(spark: SparkSession, sfDir: String): String =
-    q116Dirs.computeIfAbsent(graft.PathKey(sfDir), { _ =>
-      val root = java.nio.file.Files.createTempDirectory("graft_snapkeyed_q116")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path => JPath}
-        if (Files.exists(root))
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    graft.GateFixture.cached("graft_snapkeyed_q116", sfDir) { root =>
       val gs = graft.SessionClones.cloned("snapshot-keyed-gate", spark) { s =>
         s.conf.set("spark.sql.shuffle.partitions", "2")
       }
@@ -296,7 +278,7 @@ object SnapshotStream {
         stateOperators = 0, stateRowsFinal = 0, stateRowsUpdated = 0,
         lateRowsDropped = 0))
       feed
-    })
+    }
 
   /** q116 — the upstream final state reconstructed from the keyed
     * feed's change types alone, rolled up per day. */
@@ -442,39 +424,15 @@ class SnapshotStreamSource(
   private def pacingFloorPath: Option[Path] =
     metadataPath.map(m => new Path(m, "graft_pacing_floor"))
 
+  // the shared pointer-file contract (graft.sources.PointerFile): tmp +
+  // rename-overwrite so a crash never leaves an EMPTY floor that reads
+  // back as "no floor" — the exact unbounded recovery batch the file
+  // exists to prevent; best-effort, because pacing is not truth
   private def readPacingFloor(): Option[Long] =
-    pacingFloorPath.flatMap { p =>
-      try {
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          val text = try new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-          finally in.close()
-          scala.util.Try(text.toLong).toOption
-        }
-      } catch { case _: Throwable => None }
-    }
+    pacingFloorPath.flatMap(p => graft.sources.PointerFile.read(spark, p))
 
   private def writePacingFloor(v: Long): Unit =
-    pacingFloorPath.foreach { p =>
-      try {
-        // tmp + rename-overwrite, never truncate in place: a crash
-        // between an in-place create and its write would leave an
-        // EMPTY floor that reads back as "no floor" — the exact
-        // unbounded recovery batch the file exists to prevent (r16
-        // review; a merely stale floor only widens one batch)
-        val conf = spark.sessionState.newHadoopConf()
-        val fs = p.getFileSystem(conf)
-        val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-        fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch { case _: Throwable => () } // best-effort: pacing, not truth
-    }
+    pacingFloorPath.foreach(p => graft.sources.PointerFile.write(spark, p, v))
 
   private def advanceFloor(v: Long): Unit = {
     if (lastPolled.forall(_ < v)) {

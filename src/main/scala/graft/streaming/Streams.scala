@@ -286,9 +286,11 @@ object Streams {
     * (real_time_streaming.py:226-230 feeding its silver/gold merges).
     *
     * Apply semantics per net batch:
-    *  - `insert` rows upsert by key — updates and partition moves
-    *    included (the old-row `delete` is implied by the key
-    *    overwrite);
+    *  - `insert` AND `update_postimage` rows upsert by key — updates
+    *    and partition moves included (the old-row `delete`/preimage is
+    *    implied by the key overwrite), so the sink composes with both
+    *    the default delete+insert stream and the keyed
+    *    `.option("keys", ...)` stream;
     *  - `delete` rows whose key has NO insert in the same batch are
     *    TRUE deletions (the upstream ran [[graft.etl.SnapshotMerge
     *    .deleteWhere]] — e.g. an erasure); without applying them the
@@ -327,7 +329,13 @@ object Streams {
         batch.persist()
         try {
           val meta = Seq("_change_type", "_commit_epoch")
-          val ins = batch.filter(col("_change_type") === "insert").drop(meta: _*)
+          // a keys-mode upstream classifies updates as pre/post image
+          // pairs: the POSTIMAGE is the row to land (a keyed upsert),
+          // the preimage is superseded by it — dropping postimages
+          // here would silently diverge the downstream on every update
+          // (r17 review)
+          val ins = batch.filter(
+            col("_change_type").isin("insert", "update_postimage")).drop(meta: _*)
           val dels = batch.filter(col("_change_type") === "delete").drop(meta: _*)
           // withDeletes=false streams ship no delete rows: probing dels
           // FIRST keeps the common no-delete trigger free of the keyed

@@ -458,6 +458,46 @@ class SnapshotMergeSpec extends SparkSuite {
         Map("V" -> lit("a"), "v" -> lit("b")))
     }
     assert(coll.getMessage.contains("collide"), coll.getMessage)
+    // an empty batch that WIDENS the schema is NOT a no-op: the
+    // evolution must commit (r17 review — the short-circuit would
+    // otherwise silently drop it)
+    val e3 = SnapshotMerge.upsert(spark, store,
+      Seq.empty[(Long, String, String, Long, String)]
+        .toDF("id", "v", "day", "ts", "tag"),
+      Seq("id"), "day")
+    assert(e3 === 2L, "a schema-widening empty batch commits an epoch")
+    val widened = SnapshotMerge.read(spark, store)
+    assert(widened.columns.contains("tag"))
+    assert(widened.collect().forall(_.getAs[String]("tag") == null))
+  }
+
+  test("restore TOCTOU: a referenced dir lost to a concurrent vacuum mid-commit rolls back with a compensating epoch and fails loudly") {
+    val store = freshStore()
+    bootstrap(store)
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    val preRestore = asMap(SnapshotMerge.read(spark, store))
+    // fire "vacuum" between the restore's manifest commit and its
+    // post-commit re-verify: delete an epoch-1 dir the restore references
+    SnapshotMerge.restorePostCommitHook = () => {
+      val d = new java.io.File(store, "day=d1/__e=1")
+      d.listFiles().foreach(_.delete()); d.delete(); ()
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        SnapshotMerge.restoreTo(spark, store, 1L)
+      }
+      assert(e.getMessage.contains("concurrent") &&
+        e.getMessage.contains("compensating"), e.getMessage)
+    } finally SnapshotMerge.restorePostCommitHook = () => ()
+    // the compensating epoch restored the pre-restore tip: the store
+    // reads exactly as before the failed restore, and the chain is dense
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L, 3L, 4L))
+    assert(asMap(SnapshotMerge.read(spark, store)) === preRestore,
+      "the wedged restore must leave the pre-restore state readable")
+    assert(SnapshotMerge.snapshot(spark, store, 4L).parts ===
+      SnapshotMerge.snapshot(spark, store, 2L).parts,
+      "the compensating manifest must reference the pre-restore tip's dirs")
   }
 
   test("schema evolution: a merge adding a column widens the manifest schema; old epochs read nulls through the feed") {

@@ -305,6 +305,37 @@ class SnapshotStreamSpec extends SparkSuite {
     assert(bad.getMessage.contains("not a store column"), bad.getMessage)
   }
 
+  test("a keys-mode stream chained through changeApplySink converges: postimages land as upserts, preimages are superseded") {
+    val root = freshDir()
+    val a = s"$root/bronze"
+    val b = s"$root/silver"
+    upsert(a, Seq((1L, "a", "d1", 10L), (2L, "b", "d2", 10L)))
+    val q = Streams.changeApplySink(
+      spark.readStream.format(SnapshotStream.Format)
+        .option("path", a).option("keys", "id").load(),
+      b, s"$root/ckpt", Seq("id"), "day").start()
+    try {
+      q.processAllAvailable()
+      // a batch whose net diff is ALL updates (the r17 review's exact
+      // failure case: no insert rows, only pre/post pairs)
+      upsert(a, Seq((1L, "a2", "d1", 20L), (2L, "b2", "d2", 20L)))
+      q.processAllAvailable()
+      // mixed batch: update + move + insert, then a pure delete
+      upsert(a, Seq((2L, "b3", "d1", 30L), (3L, "c", "d3", 30L)))
+      q.processAllAvailable()
+      SnapshotMerge.deleteWhere(spark, a, col("id") === 1L)
+      q.processAllAvailable()
+      def state(store: String): Map[Long, (String, String, Long)] =
+        SnapshotMerge.read(spark, store).collect().map(r =>
+          r.getAs[Long]("id") ->
+            ((r.getAs[String]("v"), r.getAs[String]("day"), r.getAs[Long]("ts")))).toMap
+      assert(state(b) === state(a),
+        "the downstream store must converge across update-only, mixed, " +
+          "and delete batches of a keyed stream")
+      assert(state(b) === Map(2L -> ("b3", "d1", 30L), 3L -> ("c", "d3", 30L)))
+    } finally q.stop()
+  }
+
   test("medallion chaining: changeApplySink converges the downstream store to the upstream final state, deletes included") {
     val root = freshDir()
     val a = s"$root/bronze"

@@ -160,6 +160,14 @@ object SnapshotMerge {
       .sorted
   }
 
+  /** Is `epoch`'s manifest committed? ONE existence probe — the
+    * O(1) membership check the streaming source's getBatch uses in
+    * place of listing the whole manifest directory per batch. */
+  def isCommitted(spark: SparkSession, store: String, epoch: Long): Boolean = {
+    val p = new Path(store, s"$SnapPrefix$epoch")
+    fsOf(spark, p).exists(p)
+  }
+
   /** Parse the manifest of `epoch`. */
   def snapshot(spark: SparkSession, store: String, epoch: Long): Snapshot = {
     val p = new Path(store, s"$SnapPrefix$epoch")
@@ -937,11 +945,16 @@ object SnapshotMerge {
   private[graft] def changedPartsBetween(
       spark: SparkSession, store: String, fromE: Long, toE: Long): Set[String] = {
     if (fromE == toE) return Set.empty
-    val epochs = committedEpochs(spark, store).filter(e => e > fromE && e <= toE)
+    // O(range) existence probes, not an O(total epochs) directory
+    // listing — a batch's planning cost must scale with the epochs it
+    // covers, not with the store's lifetime history (the per-poll twin
+    // of this bound is tipEpoch's pointer)
+    val all = (fromE + 1) to toE
+    val epochs = all.filter(e => isCommitted(spark, store, e))
     val endpointDiff = { (from: Map[String, Long], to: Map[String, Long]) =>
       (from.keySet ++ to.keySet).filter(n => from.get(n) != to.get(n))
     }
-    if (epochs != ((fromE + 1) to toE)) {
+    if (epochs != all) {
       endpointDiff(snapshot(spark, store, fromE).parts,
         snapshot(spark, store, toE).parts)
     } else {

@@ -484,9 +484,10 @@ class SnapshotStreamSource(
         "committed offset (a floor persisted before a crash was stale); " +
         "the floor has been re-seeded from the committed offset, restart " +
         "the stream")
-    val have = SnapshotMerge.committedEpochs(spark, store).toSet
+    // two existence probes, not an O(total epochs) listing — getBatch's
+    // planning cost must not grow with the store's lifetime history
     (fromE.toSeq :+ toE).foreach { e =>
-      require(have(e),
+      require(SnapshotMerge.isCommitted(spark, store, e),
         s"epoch $e of $store is no longer committed (vacuumed?) — the " +
           "store's retention must cover the stream's checkpoint lag; " +
           "raise vacuum(keep) past the longest recovery window")

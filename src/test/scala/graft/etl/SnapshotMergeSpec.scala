@@ -720,6 +720,45 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(!new java.io.File(store, "day=dX").exists())
   }
 
+  test("vacuum keeps the manifest chain a contiguous suffix: the sweep stops at the first survivor instead of punching a hole") {
+    val store = freshStore()
+    bootstrap(store)
+    (2 to 4).foreach { i =>
+      SnapshotMerge.upsert(spark, store,
+        Seq((2L, s"b$i", "d1", i.toLong)).toDF("id", "v", "day", "ts"),
+        Seq("id"), "day")
+    }
+    // age everything EXCEPT epoch 2's superseded d1 version: that young
+    // dir makes epoch 2's manifest undeletable — and the sweep must then
+    // ALSO keep epoch 3's manifest (aged, dirs deletable) or the
+    // committed listing would read [2, 4] with a hole at 3, the exact
+    // state that lets a stale tip pointer pass the two-probe trust
+    val old = System.currentTimeMillis() - 24 * 3600 * 1000L
+    val d1 = new java.io.File(store, "day=d1")
+    d1.listFiles().foreach { ed =>
+      val aged = ed.getName != "__e=2"
+      if (aged) { ed.listFiles().foreach(_.setLastModified(old)); ed.setLastModified(old) }
+    }
+    new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("_GRAFT_SNAP_"))
+      .foreach(_.setLastModified(old))
+    SnapshotMerge.vacuum(spark, store, keep = 1,
+      graceMs = 10 * 60 * 1000L, sweepOrphans = false)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(2L, 3L, 4L),
+      "the sweep must stop at the first kept manifest (2, survivor dir) " +
+        "and keep 3 too — a [2, 4] hole would break the tip pointer's " +
+        "two-probe trust")
+    assert(SnapshotMerge.tipEpoch(spark, store) === Some(4L))
+    // a later pass with the survivor aged finishes the sweep cleanly
+    d1.listFiles().foreach { ed =>
+      ed.listFiles().foreach(_.setLastModified(old)); ed.setLastModified(old)
+    }
+    SnapshotMerge.vacuum(spark, store, keep = 1,
+      graceMs = 10 * 60 * 1000L, sweepOrphans = false)
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(4L))
+    assert(asMap(SnapshotMerge.read(spark, store))(2L) === ("b4", "d1", 4L))
+  }
+
   test("partition pruning survives the manifest reader (day stays a partition column)") {
     val store = freshStore()
     bootstrap(store)

@@ -305,6 +305,40 @@ class SnapshotStreamSpec extends SparkSuite {
     assert(bad.getMessage.contains("not a store column"), bad.getMessage)
   }
 
+  test("a live downstream stream converges across an upstream RESTORE (the rollback diff flows as a normal net batch)") {
+    val root = freshDir()
+    val a = s"$root/bronze"
+    val b = s"$root/silver"
+    upsert(a, Seq((1L, "a", "d1", 10L), (2L, "b", "d2", 10L)))
+    val q = Streams.changeApplySink(
+      spark.readStream.format(SnapshotStream.Format).option("path", a).load(),
+      b, s"$root/ckpt", Seq("id"), "day").start()
+    try {
+      q.processAllAvailable()
+      // epoch 2: update key 1, insert key 3 — the merge the restore undoes
+      upsert(a, Seq((1L, "a2", "d1", 20L), (3L, "c", "d3", 20L)))
+      q.processAllAvailable()
+      // epoch 3: RESTORE to epoch 1 (dataChange=true, metadata-only) —
+      // the stream must deliver the INVERSE diff and the downstream
+      // store must forget the rolled-back merge, key 3 included
+      assert(SnapshotMerge.restoreTo(spark, a, 1L).contains(3L))
+      q.processAllAvailable()
+      def state(store: String): Map[Long, (String, String, Long)] =
+        SnapshotMerge.read(spark, store).collect().map(r =>
+          r.getAs[Long]("id") ->
+            ((r.getAs[String]("v"), r.getAs[String]("day"), r.getAs[Long]("ts")))).toMap
+      assert(state(b) === state(a),
+        "downstream must converge across the restore")
+      assert(state(b) === Map(1L -> ("a", "d1", 10L), 2L -> ("b", "d2", 10L)),
+        "the restored state is the epoch-1 snapshot — the rolled-back " +
+          "merge's update AND its insert are both undone downstream")
+      // a post-restore merge keeps flowing
+      upsert(a, Seq((4L, "d", "d1", 40L)))
+      q.processAllAvailable()
+      assert(state(b) === state(a) && state(b).contains(4L))
+    } finally q.stop()
+  }
+
   test("a keys-mode stream chained through changeApplySink converges: postimages land as upserts, preimages are superseded") {
     val root = freshDir()
     val a = s"$root/bronze"

@@ -4,20 +4,46 @@ package graft
   * q114/q115/q116 — r17 review: four hand-kept copies of the same
   * tempdir + shutdown-hook + per-(JVM, sfDir) memo block). Each
   * fixture is a pure function of its events fixture, built exactly
-  * once per (JVM, name, sfDir) and deleted at JVM exit. */
+  * once per (JVM, name, sfDir) and deleted at JVM exit.
+  *
+  * The memo holds FUTURES, not values: `computeIfAbsent` would run the
+  * multi-minute Spark build inside the map's bin lock, serializing
+  * UNRELATED fixtures that happen to share a hash bin when gate
+  * queries evaluate concurrently (r17 review). Here the map mutation
+  * is O(1); the winner builds outside any lock, losers await the same
+  * future, and a FAILED build removes its future so a retry can run. */
 object GateFixture {
 
-  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
 
-  def cached(name: String, sfDir: String)(build: java.nio.file.Path => String): String =
-    dirs.computeIfAbsent(name + "|" + PathKey(sfDir), { _ =>
-      val root = java.nio.file.Files.createTempDirectory(name)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path => JPath}
-        if (Files.exists(root))
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
-      build(root)
-    })
+  def cached(name: String, sfDir: String)(build: java.nio.file.Path => String): String = {
+    val key = name + "|" + PathKey(sfDir)
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = dirs.putIfAbsent(key, fresh)
+    val f =
+      if (prior != null) prior
+      else {
+        try {
+          val root = java.nio.file.Files.createTempDirectory(name)
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            import java.nio.file.{Files, Path => JPath}
+            if (Files.exists(root))
+              Files.walk(root).sorted(java.util.Comparator.reverseOrder[JPath]())
+                .forEach(f => Files.deleteIfExists(f))
+          }))
+          fresh.complete(build(root))
+        } catch {
+          case e: Throwable =>
+            fresh.completeExceptionally(e)
+            dirs.remove(key, fresh)
+        }
+        fresh
+      }
+    try f.join()
+    catch {
+      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+        throw e.getCause
+    }
+  }
 }

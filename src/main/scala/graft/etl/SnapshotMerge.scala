@@ -681,6 +681,16 @@ object SnapshotMerge {
           s"cannot restore $store to epoch $epoch: $d was vacuumed — " +
             "the epoch's manifest survives but its data does not; " +
             "restores reach only inside the vacuum retention")
+      // GRACE-RE-STAMP (r17 review: the post-commit re-verify narrows
+      // but cannot close the vacuum race — a sweep whose `referenced`
+      // set predates this commit may reach these OLD dirs after the
+      // re-verify). aged() is the ONE check vacuum re-does at delete
+      // time, so stamping the dirs young here puts them back under the
+      // same graceMs umbrella every in-flight publish enjoys: any sane
+      // sweep loop finishes inside the grace, and once the manifest
+      // below lands the dirs are referenced by a kept tip forever.
+      try fs.setTimes(d, System.currentTimeMillis(), -1)
+      catch { case _: Throwable => () } // best-effort; the verify below remains
     }
     val next = base.epoch + 1
     // the same zombie gate as publish: the tip must still be our base at
@@ -711,12 +721,23 @@ object SnapshotMerge {
     lost.foreach { d =>
       try writeManifest(fs, spark, storePath,
         Snapshot(next + 1, base.schema, base.parts, base.stats, dataChange = true))
-      catch { case _: Throwable => () } // a racer on next+1 hit the wedge too
+      catch { case _: Throwable => () } // adjudicated by the probe below
+      // the catch above swallows BOTH "a racer took next+1" and a
+      // genuine repair failure (transient fault, permissions) — probe
+      // which happened and say so, or the operator would trust a
+      // "was committed" message while the tip is still wedged (r17
+      // review)
+      val repaired = isCommitted(spark, store, next + 1)
       throw new IllegalStateException(
         s"restore of $store to epoch $epoch lost $d to a concurrent " +
-          s"vacuum mid-commit — a compensating epoch restoring the " +
-          s"pre-restore tip (${base.epoch}) was committed; re-run the " +
-          "restore with vacuum paused or a retention covering the target")
+          s"vacuum mid-commit — " + (if (repaired)
+          s"epoch ${next + 1} now restores the pre-restore tip " +
+            s"(${base.epoch}); re-run the restore with vacuum paused or " +
+            "a retention covering the target"
+        else
+          s"AND the compensating commit failed: the tip (epoch $next) " +
+            "references deleted data and reads of it will fail; run " +
+            s"restoreTo(${base.epoch}) to repair, with vacuum paused"))
     }
     Some(next)
   }
@@ -948,19 +969,32 @@ object SnapshotMerge {
     // O(range) existence probes, not an O(total epochs) directory
     // listing — a batch's planning cost must scale with the epochs it
     // covers, not with the store's lifetime history (the per-poll twin
-    // of this bound is tipEpoch's pointer)
+    // of this bound is tipEpoch's pointer). One FS handle for the whole
+    // range (not one Hadoop conf clone per probe), short-circuiting at
+    // the first hole; a WIDE recovery range (an unpaced stream catching
+    // up across a big backlog) crosses back to the single listing,
+    // which beats per-epoch HEADs once the range outgrows a directory
+    // page (r17 review).
     val all = (fromE + 1) to toE
-    val epochs = all.filter(e => isCommitted(spark, store, e))
+    val dense =
+      if (all.size > 256) {
+        val have = committedEpochs(spark, store).toSet
+        all.forall(have)
+      } else {
+        val storePath = new Path(store)
+        val fs = fsOf(spark, storePath)
+        all.forall(e => fs.exists(new Path(storePath, s"$SnapPrefix$e")))
+      }
     val endpointDiff = { (from: Map[String, Long], to: Map[String, Long]) =>
       (from.keySet ++ to.keySet).filter(n => from.get(n) != to.get(n))
     }
-    if (epochs != all) {
+    if (!dense) {
       endpointDiff(snapshot(spark, store, fromE).parts,
         snapshot(spark, store, toE).parts)
     } else {
       var prev = snapshot(spark, store, fromE).parts
       val changed = Set.newBuilder[String]
-      epochs.foreach { e =>
+      all.foreach { e =>
         val s = snapshot(spark, store, e)
         if (s.dataChange) endpointDiff(prev, s.parts).foreach(changed += _)
         prev = s.parts

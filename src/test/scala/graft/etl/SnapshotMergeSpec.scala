@@ -488,7 +488,8 @@ class SnapshotMergeSpec extends SparkSuite {
         SnapshotMerge.restoreTo(spark, store, 1L)
       }
       assert(e.getMessage.contains("concurrent") &&
-        e.getMessage.contains("compensating"), e.getMessage)
+        e.getMessage.contains("now restores the pre-restore tip"),
+        e.getMessage)
     } finally SnapshotMerge.restorePostCommitHook = () => ()
     // the compensating epoch restored the pre-restore tip: the store
     // reads exactly as before the failed restore, and the chain is dense

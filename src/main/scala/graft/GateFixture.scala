@@ -34,9 +34,26 @@ object GateFixture {
           }))
           fresh.complete(build(root))
         } catch {
+          // NonFatal failures memoize into the future (losers see them)
+          // and REMOVE the entry so a retry can rebuild. Fatal errors
+          // (OutOfMemoryError, LinkageError) and interruption must NOT
+          // be swallowed into an ordinary memoized failure (r17 ADVICE):
+          // the future is still completed — a loser awaiting it must
+          // never hang — but the winner rethrows the original, and an
+          // InterruptedException re-sets the thread's interrupt status
+          // before propagating.
+          case e: InterruptedException =>
+            fresh.completeExceptionally(e)
+            dirs.remove(key, fresh)
+            Thread.currentThread().interrupt()
+            throw e
+          case scala.util.control.NonFatal(e) =>
+            fresh.completeExceptionally(e)
+            dirs.remove(key, fresh)
           case e: Throwable =>
             fresh.completeExceptionally(e)
             dirs.remove(key, fresh)
+            throw e
         }
         fresh
       }

@@ -80,8 +80,17 @@ object SnapshotMerge {
     * `vacuum`'s superseded-version sweep plan from manifest metadata
     * alone instead of issuing O(live partitions) driver-side
     * `listStatus` RPCs — minutes of driver time at 10⁵–10⁶ partitions,
-    * the same reason Delta checkpoints carry per-file stats. */
-  final case class PartStats(files: Int, bytes: Long)
+    * the same reason Delta checkpoints carry per-file stats.
+    *
+    * `rows` (r17 verdict #1, the `partv3` stat line): the partition
+    * version's row count, observed at publish time from the staged
+    * files' parquet footers — what lets `compact` derive its
+    * per-partition density caps (bytes ÷ rows) from the manifest alone
+    * instead of re-reading the fragmented partitions in an extra
+    * planning pass. `None` on entries carried from pre-`partv3`
+    * manifests; compact falls back to one footer-count job over
+    * exactly those. */
+  final case class PartStats(files: Int, bytes: Long, rows: Option[Long] = None)
 
   /** One committed table version: its epoch, the logical row schema at
     * commit time, and for each live partition DIRECTORY NAME (Spark's
@@ -193,6 +202,10 @@ object SnapshotMerge {
         // percent-encodes control characters, tab included
         parts += f(3) -> f(0).toLong
         stats += f(3) -> PartStats(f(1).toInt, f(2).toLong)
+      case l if l.startsWith("partv3\t") => // epoch \t files \t bytes \t rows \t name
+        val f = l.substring("partv3\t".length).split('\t')
+        parts += f(4) -> f(0).toLong
+        stats += f(4) -> PartStats(f(1).toInt, f(2).toLong, Some(f(3).toLong))
       case l if l.startsWith("kind\t") =>
         dataChange = l.substring("kind\t".length) != "compact"
       case _ => () // "epoch\tN" header (redundant with the file name) or unknown
@@ -302,6 +315,33 @@ object SnapshotMerge {
               "partition versions — rewrite the table instead")
         }
       }
+    }
+    // CASE-FOLD collisions are refused, which is what makes the store's
+    // case-EXACT name matching (above, and the widens probe below)
+    // consistent with Spark's default case-insensitive resolution (r17
+    // ADVICE): a source column differing only in case from a store
+    // column (or from another source column) is not a widening — it
+    // would commit a manifest whose reads are ambiguous under the
+    // default resolver (`SELECT day` against a store holding both `Day`
+    // and `day` cannot resolve). Same fail-loud contract as
+    // [[Merge.update]]'s SET-collision check.
+    locally {
+      val storeByLower = base.map(_.schema.fieldNames.map(n => n.toLowerCase -> n).toMap)
+        .getOrElse(Map.empty)
+      source.schema.fieldNames.foreach { n =>
+        storeByLower.get(n.toLowerCase).foreach { sn =>
+          require(sn == n,
+            s"source column $n differs only in case from store column " +
+              s"$sn — not a widening; rename the source column (store " +
+              "schemas are case-exact by contract)")
+        }
+      }
+      val dup = source.schema.fieldNames.groupBy(_.toLowerCase)
+        .collect { case (_, ns) if ns.length > 1 => ns.mkString("/") }
+      require(dup.isEmpty,
+        s"source columns collide case-insensitively (${dup.mkString(", ")}) " +
+          "— reads of the committed store would be ambiguous under " +
+          "Spark's default resolver")
     }
     val targetRaw = base.map(readSnapshot(spark, store, _))
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -432,13 +472,28 @@ object SnapshotMerge {
       }
     val stagedDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
     val stagedNames = stagedDirs.map(_.getPath.getName).toSet
+    // Per-partition ROW counts from the just-staged files' parquet
+    // footers (r17 verdict #1, the partv3 stat line): ONE distributed
+    // metadata job — the scan decodes no data column (partition values
+    // come from directory names, counts from row-group footers), the
+    // files were written this instant (footers hot), and executor-side
+    // footer reads beat a driver-side per-file loop once a publish
+    // stages 10⁴+ files. Observing rows HERE is what lets compact's
+    // density caps plan from the manifest alone forever after.
+    val stagedRows: Map[String, Long] =
+      if (stagedDirs.isEmpty) Map.empty
+      else spark.read.schema(schema).parquet(staging)
+        .groupBy(col(partitionCol)).count().collect()
+        .map(r => partDirName(partitionCol,
+          Option(r.get(0)).map(_.toString)) -> r.getLong(1)).toMap
     // per-partition file stats, listed from STAGING before the move-in
     // (contents are identical after the rename): one listStatus per
     // TOUCHED partition at publish time buys compact/vacuum their
     // manifest-only planning over ALL partitions forever after
     val stagedStats: Map[String, PartStats] = stagedDirs.iterator.map { st =>
       val files = fs.listStatus(st.getPath).filter(isDataFile)
-      st.getPath.getName -> PartStats(files.length, files.map(_.getLen).sum)
+      st.getPath.getName -> PartStats(files.length, files.map(_.getLen).sum,
+        rows = Some(stagedRows.getOrElse(st.getPath.getName, 0L)))
     }.toMap
     val movedIn = Seq.newBuilder[Path]
     def dropMovedIn(): Unit = movedIn.result().foreach { d =>
@@ -596,7 +651,11 @@ object SnapshotMerge {
       sb.append("schema\t").append(snap.schema.json).append('\n')
       snap.parts.toSeq.sortBy(_._1).foreach { case (name, e) =>
         snap.stats.get(name) match {
-          case Some(st) =>
+          case Some(st) if st.rows.isDefined =>
+            sb.append("partv3\t").append(e).append('\t').append(st.files)
+              .append('\t').append(st.bytes).append('\t').append(st.rows.get)
+              .append('\t').append(name).append('\n')
+          case Some(st) => // carried from a pre-rows manifest: stays rows-less
             sb.append("partv2\t").append(e).append('\t').append(st.files)
               .append('\t').append(st.bytes).append('\t').append(name).append('\n')
           case None => // carried from a pre-stats manifest: stays stat-less
@@ -726,8 +785,16 @@ object SnapshotMerge {
       // genuine repair failure (transient fault, permissions) — probe
       // which happened and say so, or the operator would trust a
       // "was committed" message while the tip is still wedged (r17
-      // review)
-      val repaired = isCommitted(spark, store, next + 1)
+      // review). A bare isCommitted probe is not enough (r17 ADVICE):
+      // a CONCURRENT WRITER (a merge, or a second restore to a
+      // different epoch) can take next+1 while the compensating
+      // writeManifest fails — the epoch exists but is an UNRELATED
+      // commit, not the repair. Repaired means the committed next+1
+      // manifest IS the compensating snapshot: its parts equal the
+      // pre-restore tip's.
+      val repaired = isCommitted(spark, store, next + 1) &&
+        (try snapshot(spark, store, next + 1).parts == base.parts
+        catch { case scala.util.control.NonFatal(_) => false })
       throw new IllegalStateException(
         s"restore of $store to epoch $epoch lost $d to a concurrent " +
           s"vacuum mid-commit — " + (if (repaired)
@@ -735,9 +802,11 @@ object SnapshotMerge {
             s"(${base.epoch}); re-run the restore with vacuum paused or " +
             "a retention covering the target"
         else
-          s"AND the compensating commit failed: the tip (epoch $next) " +
-            "references deleted data and reads of it will fail; run " +
-            s"restoreTo(${base.epoch}) to repair, with vacuum paused"))
+          s"AND the compensating commit did not land (it failed, or an " +
+            s"unrelated writer committed epoch ${next + 1} first): the " +
+            s"restore epoch $next references deleted data and reads of " +
+            s"it will fail; run restoreTo(${base.epoch}) to repair, " +
+            "with vacuum paused"))
     }
     Some(next)
   }
@@ -1039,6 +1108,12 @@ object SnapshotMerge {
     * plans from manifest metadata alone on stats-carrying stores. */
   private[etl] val statsFallbackProbes = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Footer-count jobs taken because a fragmented manifest entry carried
+    * no `partv3` row count (pre-partv3 manifests only) — the spec hook
+    * proving compact PLANNING runs zero Spark jobs on a partv3 store
+    * (r17 verdict #1). */
+  private[etl] val rowCountFallbackJobs = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** OPTIMIZE analog with snapshot isolation: rewrite the current
     * snapshot's most FRAGMENTED partitions (file count above
     * `maxFilesPerPartition`) as a new epoch — BIN-PACKED output, no
@@ -1068,10 +1143,12 @@ object SnapshotMerge {
     *    two bins into one task, so the hard per-file bound is enforced
     *    independently by `maxRecordsPerFile` (target bytes ÷ measured
     *    average row bytes) — file size is guaranteed by the writer,
-    *    bins only buy parallelism. The one extra job this costs is a
-    *    per-partition row COUNT over the fragmented versions, which the
-    *    vectorized parquet reader answers from footer metadata without
-    *    decoding a column.
+    *    bins only buy parallelism. The per-partition row counts behind
+    *    the caps come from the manifest's `partv3` stats (observed once
+    *    at publish time from the staged footers) — planning reads zero
+    *    files on a partv3 store; only pre-partv3 entries fall back to
+    *    one footer-metadata count job over exactly those partitions
+    *    (counted in [[rowCountFallbackJobs]]).
     *
     * The committed manifest carries `kind=compact` (`dataChange=false`,
     * Delta's OPTIMIZE flag): the epoch's logical content is its
@@ -1106,14 +1183,27 @@ object SnapshotMerge {
       val n = fragmented.keysIterator.next()
       n.substring(0, n.indexOf('='))
     }
-    // Per-partition ROW counts over only the fragmented versions — one
-    // footer-metadata job (the scan needs no data column: partition
-    // values come from directory names, row counts from footers).
+    // Per-partition ROW counts, read from the MANIFEST's partv3 stats
+    // (r17 verdict #1: publish observes them at write time, so planning
+    // here reads zero files). Only entries carried from pre-partv3
+    // manifests fall back to one footer-metadata job over exactly those
+    // partitions (the scan decodes no data column: partition values come
+    // from directory names, counts from row-group footers) — counted in
+    // [[rowCountFallbackJobs]], the spec hook proving a partv3 store
+    // plans its caps without a single Spark job.
+    val rowsFromStats: Map[String, Long] = fragmented.keys.iterator
+      .flatMap(n => measured(n).rows.map(n -> _)).toMap
+    val rowsMissing = fragmented.filterNot(kv => rowsFromStats.contains(kv._1))
     val rowsByName: Map[String, Long] =
-      readSnapshot(spark, store, base.copy(parts = fragmented))
-        .groupBy(partitionCol).count().collect()
-        .map(r => partDirName(partitionCol,
-          Option(r.get(0)).map(_.toString)) -> r.getLong(1)).toMap
+      if (rowsMissing.isEmpty) rowsFromStats
+      else {
+        rowCountFallbackJobs.incrementAndGet()
+        rowsFromStats ++
+          readSnapshot(spark, store, base.copy(parts = rowsMissing))
+            .groupBy(partitionCol).count().collect()
+            .map(r => partDirName(partitionCol,
+              Option(r.get(0)).map(_.toString)) -> r.getLong(1))
+      }
     // Per-partition record cap from the partition's OWN on-disk density
     // (r16 verdict #1: one corpus-average cap let a wide-row partition
     // overshoot targetFileBytes by the width ratio whenever fragmented

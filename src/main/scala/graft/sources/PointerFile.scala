@@ -36,7 +36,11 @@ object PointerFile {
         finally in.close()
         scala.util.Try(text.toLong).toOption
       }
-    } catch { case _: Throwable => None }
+    } catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); None
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Best-effort write — swallows every failure (the value is
     * reconstructible), cleaning its tmp on the way out. */
@@ -52,7 +56,15 @@ object PointerFile {
       fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: Throwable =>
+      // best-effort means NonFatal failures are swallowed after the tmp
+      // cleanup — but this runs on the COMMIT hot path (writeManifest),
+      // so a cancelled thread's InterruptedException must re-set the
+      // interrupt status rather than vanish, and fatal VM errors must
+      // propagate (r17 ADVICE)
+      case e: InterruptedException =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
     }
   }

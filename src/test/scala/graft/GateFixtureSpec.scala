@@ -56,4 +56,27 @@ class GateFixtureSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     assert(results.asScala.toSet.size === 1, "all callers share the winner's value")
   }
+
+  test("fatal build errors propagate unwrapped and stay retryable; interruption restores the interrupt flag") {
+    // a fatal error (OutOfMemoryError et al.) must NOT be memoized into
+    // an ordinary failure (r17 ADVICE): the winner rethrows the ORIGINAL
+    // instance, and the key stays retryable
+    val key = s"gfspec_fatal_${System.nanoTime()}"
+    val oom = new OutOfMemoryError("synthetic — thrown, not a real OOM")
+    val got = intercept[OutOfMemoryError] {
+      GateFixture.cached(key, "/sf") { _ => throw oom }
+    }
+    assert(got eq oom, "the original fatal error, not a wrapper")
+    val retried = GateFixture.cached(key, "/sf")(_.toString)
+    assert(retried.nonEmpty, "a fatal failure must unblock a retry")
+
+    // an interrupted build re-sets the thread's interrupt status before
+    // propagating (a swallowed interrupt loses the cancellation signal)
+    val ikey = s"gfspec_intr_${System.nanoTime()}"
+    intercept[InterruptedException] {
+      GateFixture.cached(ikey, "/sf") { _ => throw new InterruptedException("stop") }
+    }
+    assert(Thread.interrupted(), // reads AND clears — leaves the test thread clean
+      "the interrupt flag must be restored on the way out")
+  }
 }

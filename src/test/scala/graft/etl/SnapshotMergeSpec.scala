@@ -501,6 +501,74 @@ class SnapshotMergeSpec extends SparkSuite {
       "the compensating manifest must reference the pre-restore tip's dirs")
   }
 
+  test("restore repair adjudication: an unrelated writer taking next+1 is NOT reported as the repair") {
+    // r17 ADVICE: the repair probe must verify the committed next+1
+    // manifest IS the compensating snapshot — a concurrent merge that
+    // takes next+1 while the compensating write fails would otherwise
+    // be falsely reported as "now restores the pre-restore tip"
+    val store = freshStore()
+    bootstrap(store) // epoch 1: {d1 -> 1, d2 -> 1}
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    val preRestore = asMap(SnapshotMerge.read(spark, store)) // epoch 2 state
+    // between the restore's commit (epoch 3) and its re-verify: an
+    // UNRELATED merge commits epoch 4 (touching only d2), then the
+    // vacuum race deletes a d1 dir the restore references — the
+    // compensating write of epoch 4 now fails because the merge won it
+    SnapshotMerge.restorePostCommitHook = () => {
+      SnapshotMerge.upsert(spark, store,
+        Seq((5L, "e", "d2", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+      val d = new java.io.File(store, "day=d1/__e=1")
+      d.listFiles().foreach(_.delete()); d.delete(); ()
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        SnapshotMerge.restoreTo(spark, store, 1L)
+      }
+      assert(e.getMessage.contains("did not land") &&
+        e.getMessage.contains("restoreTo(2)"),
+        s"epoch 4 exists but is an unrelated commit — the message must " +
+          s"say the repair did NOT land: ${e.getMessage}")
+      assert(!e.getMessage.contains("now restores the pre-restore tip"),
+        e.getMessage)
+    } finally SnapshotMerge.restorePostCommitHook = () => ()
+    // the tip (the unrelated epoch 4) references the deleted dir — run
+    // the repair the message prescribes and verify it lands
+    assert(SnapshotMerge.snapshot(spark, store, 4L).parts !==
+      SnapshotMerge.snapshot(spark, store, 2L).parts,
+      "precondition: epoch 4 is NOT the compensating snapshot")
+    val repaired = SnapshotMerge.restoreTo(spark, store, 2L)
+    assert(repaired.contains(5L))
+    assert(asMap(SnapshotMerge.read(spark, store)) === preRestore,
+      "the prescribed repair must restore the pre-restore state")
+  }
+
+  test("case-fold collisions are refused: a case-only rename is not a widening; colliding source columns are ambiguous") {
+    val store = freshStore()
+    bootstrap(store) // columns id, v, day, ts
+    // a source column differing only in case from a store column would
+    // read as a widening under case-exact matching while being
+    // ambiguous under Spark's default case-insensitive resolver
+    val caseRename = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsert(spark, store,
+        Seq((9L, "x", "d1", 40L, "X")).toDF("id", "v", "day", "ts", "V"),
+        Seq("id"), "day")
+    }
+    assert(caseRename.getMessage.contains("differs only in case"),
+      caseRename.getMessage)
+    // two NEW source columns folding to one name would commit a store
+    // whose reads cannot resolve either
+    val dup = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsert(spark, store,
+        Seq((9L, "x", "d1", 40L, "a", "b"))
+          .toDF("id", "v", "day", "ts", "tag", "TAG"),
+        Seq("id"), "day")
+    }
+    assert(dup.getMessage.contains("collide case-insensitively"), dup.getMessage)
+    // neither refused merge burned an epoch
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L))
+  }
+
   test("schema evolution: a merge adding a column widens the manifest schema; old epochs read nulls through the feed") {
     val store = freshStore()
     bootstrap(store)
@@ -562,16 +630,21 @@ class SnapshotMergeSpec extends SparkSuite {
     assert(s1.stats.keySet === s1.parts.keySet, "every partition entry carries stats")
     s1.parts.foreach { case (name, e) =>
       val (files, bytes) = fsStats(name, e)
-      assert(s1.stats(name) === SnapshotMerge.PartStats(files, bytes),
+      assert(s1.stats(name).files === files && s1.stats(name).bytes === bytes,
         s"$name manifest stats must match the filesystem")
     }
+    // partv3 (r17 verdict #1): publish observes per-partition ROW counts
+    assert(s1.stats("day=d1").rows === Some(2L) &&
+      s1.stats("day=d2").rows === Some(1L),
+      s"publish must record partv3 row counts: ${s1.stats}")
     // an upsert touching only d1 must CARRY d2's stats, not re-list them
     SnapshotMerge.upsert(spark, store,
       Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
     val s2 = SnapshotMerge.latestSnapshot(spark, store).get
     assert(s2.stats("day=d2") === s1.stats("day=d2"))
     val (d1Files, d1Bytes) = fsStats("day=d1", s2.parts("day=d1"))
-    assert(s2.stats("day=d1") === SnapshotMerge.PartStats(d1Files, d1Bytes))
+    assert(s2.stats("day=d1") ===
+      SnapshotMerge.PartStats(d1Files, d1Bytes, rows = Some(2L)))
     // the fragmentation probe plans from these stats with ZERO FS
     // fallback listings on a stats-carrying store
     val before = SnapshotMerge.statsFallbackProbes.get()
@@ -690,6 +763,73 @@ class SnapshotMergeSpec extends SparkSuite {
     val afterRows = SnapshotMerge.read(spark, store).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(afterRows === beforeRows, "compaction must not change a logical row")
+  }
+
+  test("partv3 row counts: compact caps plan with ZERO count jobs on a partv3 store; pre-partv3 manifests fall back to one") {
+    val target = 16L * 1024
+    def fragmented(store: String): Unit = {
+      val wide = spark.range(1, 301).select(col("id"),
+        concat_ws("", sha2(col("id").cast("string"), 256),
+          sha2(concat(col("id").cast("string"), lit("x")), 256),
+          sha2(concat(col("id").cast("string"), lit("y")), 256),
+          sha2(concat(col("id").cast("string"), lit("z")), 256)).as("v"),
+        lit("w").as("day"), col("id").as("ts"))
+      SnapshotMerge.upsert(spark, store,
+        wide.repartitionByRange(10, col("id")), Seq("id"), "day")
+      val st = SnapshotMerge.latestSnapshot(spark, store).get.stats("day=w")
+      assert(st.files >= 8 && st.bytes > 2 * target,
+        s"fixture must be fragmented across multiple bins: $st")
+    }
+    def boundedFiles(store: String): Unit = {
+      val snap = SnapshotMerge.latestSnapshot(spark, store).get
+      val dir = new java.io.File(store, s"day=w/__e=${snap.parts("day=w")}")
+      val files = dir.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files.length > 1, "the capped partition must fan out")
+      files.foreach(f => assert(f.length <= (1.2 * target).toLong,
+        s"${f.getName} is ${f.length} B — the cap failed"))
+    }
+    // a partv3 store: the caps' row counts come from the manifest alone
+    // (r17 verdict #1 — the old planner re-read the fragmented data)
+    val a = freshStore()
+    fragmented(a)
+    assert(SnapshotMerge.latestSnapshot(spark, a).get
+      .stats("day=w").rows === Some(300L))
+    val before = SnapshotMerge.rowCountFallbackJobs.get()
+    assert(SnapshotMerge.compact(spark, a,
+      maxFilesPerPartition = 4, targetFileBytes = target).isDefined)
+    assert(SnapshotMerge.rowCountFallbackJobs.get() === before,
+      "compact planning on a partv3 store must run zero count jobs")
+    boundedFiles(a)
+
+    // a LEGACY manifest (partv2 lines, no rows): exactly one fallback
+    // footer-count job over the row-less entries, caps still exact
+    val b = freshStore()
+    fragmented(b)
+    val p = new org.apache.hadoop.fs.Path(b)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(p, "_GRAFT_SNAP_1")
+    val in = fs.open(mf)
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    val legacy = text.split('\n').map { l =>
+      if (!l.startsWith("partv3\t")) l
+      else { // epoch \t files \t bytes \t rows \t name -> drop rows
+        val f = l.substring("partv3\t".length).split('\t')
+        s"partv2\t${f(0)}\t${f(1)}\t${f(2)}\t${f(4)}"
+      }
+    }.mkString("\n")
+    val out = fs.create(mf, true) // through the FS so the .crc follows
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    assert(SnapshotMerge.latestSnapshot(spark, b).get
+      .stats("day=w").rows.isEmpty,
+      "a partv2 manifest must still parse (backward compat), rows-less")
+    val before2 = SnapshotMerge.rowCountFallbackJobs.get()
+    assert(SnapshotMerge.compact(spark, b,
+      maxFilesPerPartition = 4, targetFileBytes = target).isDefined)
+    assert(SnapshotMerge.rowCountFallbackJobs.get() === before2 + 1,
+      "a pre-partv3 manifest falls back to exactly one count job")
+    boundedFiles(b)
   }
 
   test("vacuum fast path: superseded versions sweep from manifests alone; orphans wait for the full walk; manifests outlive surviving dirs") {

@@ -111,6 +111,14 @@ object SnapshotMerge {
   private val EpochCol = "__e"
   private val TipFile = "_GRAFT_TIP"
 
+  /** Appended to EVERY retention failure (r17 verdict #6): the sizing
+    * rule — vacuum(keep) ≥ checkpoint lag + recovery window, graceMs >
+    * longest publish window — lives in ONE runbook section instead of
+    * scattered error prose; RetentionSpec asserts each failure points
+    * here. */
+  private[graft] val RetentionRunbook =
+    """(retention sizing: README.md "Retention sizing")"""
+
   /** Receipts for [[tipEpoch]]'s two regimes (spec hooks, the
     * statsFallbackProbes pattern): pointer answered in O(1) FS ops vs
     * fell back to the O(total epochs) directory listing. */
@@ -562,12 +570,13 @@ object SnapshotMerge {
       // guarantee is the grace contract itself (publishes shorter than
       // graceMs have dirs too young to sweep); a publish that violates
       // it races this check
+      publishPreCommitHook()
       movedIn.result().foreach { d =>
         if (!fs.exists(d))
           throw new java.io.IOException(
             s"$d vanished before the manifest commit (vacuum grace " +
               "outlived by this publish?) — merge aborted; increase the " +
-              "vacuum graceMs past the longest publish window")
+              s"vacuum graceMs past the longest publish window $RetentionRunbook")
       }
       writeManifest(fs, spark, storePath,
         Snapshot(next, schema, parts, stats, dataChange))
@@ -729,7 +738,7 @@ object SnapshotMerge {
     require(have.contains(epoch),
       s"cannot restore $store to epoch $epoch: its manifest is gone " +
         s"(have: ${have.mkString(",")}) — restores reach only inside the " +
-        "vacuum retention; raise vacuum(keep)")
+        s"vacuum retention; raise vacuum(keep) $RetentionRunbook")
     val base = latestSnapshot(spark, store).get
     if (base.epoch == epoch) return None
     val old = snapshot(spark, store, epoch)
@@ -739,7 +748,7 @@ object SnapshotMerge {
         throw new IllegalStateException(
           s"cannot restore $store to epoch $epoch: $d was vacuumed — " +
             "the epoch's manifest survives but its data does not; " +
-            "restores reach only inside the vacuum retention")
+            s"restores reach only inside the vacuum retention $RetentionRunbook")
       // GRACE-RE-STAMP (r17 review: the post-commit re-verify narrows
       // but cannot close the vacuum race — a sweep whose `referenced`
       // set predates this commit may reach these OLD dirs after the
@@ -814,6 +823,12 @@ object SnapshotMerge {
   /** Test seam for the restore TOCTOU window (fires between the restore
     * manifest commit and its post-commit dir re-verify). */
   private[etl] var restorePostCommitHook: () => Unit = () => ()
+
+  /** Test seam for publish's pre-commit window (fires immediately before
+    * the moved-in dir re-verify, after the dirs moved in) — lets
+    * RetentionSpec exercise the grace-outlived failure path without a
+    * real cross-thread vacuum race. */
+  private[etl] var publishPreCommitHook: () => Unit = () => ()
 
   /** Change feed between two committed epochs (Delta CDF analog on the
     * PARTITIONED store — [[VersionLog.changes]] gives the same contract

@@ -333,11 +333,257 @@ object SnapshotStream {
        |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q117 — PER-EPOCH LINEAGE under the oracle (Delta CDF
+  // `_commit_version` streaming parity, r17 verdict #2): a stream with
+  // .option("epochLineage", "true") consumes the initial snapshot,
+  // stops, the upstream commits a ≥3-epoch backlog (merge → compact →
+  // merge), and the RESTARTED stream covers the whole backlog in ONE
+  // batch whose rows each carry the epoch they actually committed at.
+  // The registered rollup groups by (_change_type, _commit_epoch, day)
+  // — a row attributed to the wrong epoch, a compact epoch leaking
+  // rows, or a net-mode collapse (everything stamped range-end) all
+  // shift the rollup — and the oracle replays the same per-epoch
+  // EXCEPT ALL diffs declaratively in DuckDB.
+  // ------------------------------------------------------------------
+
+  private def q117Feed(spark: SparkSession, sfDir: String): String =
+    graft.GateFixture.cached("graft_snaplineage_q117", sfDir) { root =>
+      val gs = graft.SessionClones.cloned("snapshot-lineage-gate", spark) { s =>
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+      }
+      val up = root.resolve("upstream").toString
+      val feed = root.resolve("feed").toString
+      val ev = graft.Tables.events(gs, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("day"))
+      // epoch 1: bootstrap = ids %10 < 7
+      SnapshotMerge.upsert(gs, up, ev.filter(col("event_id") % 10 < 7),
+        Seq("event_id"), "day")
+      def start() = gs.readStream.format(Format).option("path", up)
+        .option("epochLineage", "true").load()
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(feed)
+        }
+        .start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop() // initial snapshot @1
+      // BACKLOG while no stream runs — the multi-epoch batch lineage
+      // exists for. epoch 2: %10 ∈ {5,6,8} (5,6 update +1000; 6 MOVES
+      // day+1; 8 inserts); epoch 3: pure compaction (must contribute
+      // zero rows at its OWN epoch); epoch 4: %10 ∈ {0,9} ×2
+      SnapshotMerge.upsert(gs, up,
+        ev.filter(col("event_id") % 10 === 5 || col("event_id") % 10 === 6 ||
+            col("event_id") % 10 === 8)
+          .withColumn("value", col("value") + lit(1000.0))
+          .withColumn("day",
+            when(col("event_id") % 10 === 6,
+              date_add(col("day").cast("date"), 1).cast("string"))
+              .otherwise(col("day"))),
+        Seq("event_id"), "day")
+      val ce = SnapshotMerge.compact(gs, up, maxFilesPerPartition = 0)
+      // the oracle pins epoch NUMBERS: the compact must burn exactly one
+      // (near-uniform row widths → a single density group at gated SFs)
+      require(ce.contains(3L), s"compact must commit exactly epoch 3: $ce")
+      SnapshotMerge.upsert(gs, up,
+        ev.filter(col("event_id") % 10 === 0 || col("event_id") % 10 === 9)
+          .withColumn("value", col("value") * lit(2.0)),
+        Seq("event_id"), "day")
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      // the ≥3-epoch backlog must have planned as ONE batch — the gate
+      // is about multi-epoch lineage, not one-epoch triggers
+      val withRows = q2.recentProgress.filter(_.numInputRows > 0)
+      require(withRows.length == 1,
+        s"the backlog must arrive as one batch, got ${withRows.length}")
+      val prog = q1.recentProgress ++ q2.recentProgress
+      StreamingOracle.triggerCounts.put("q117",
+        prog.map(_.batchId).distinct.length)
+      StreamingOracle.gateReceipts.put("q117", StreamingOracle.GateReceipt(
+        "q117",
+        triggers = prog.map(_.batchId).distinct.length,
+        inputRows = prog.filter(_.numInputRows > 0).map(_.numInputRows).sum,
+        stateOperators = 0, stateRowsFinal = 0, stateRowsUpdated = 0,
+        lateRowsDropped = 0))
+      feed
+    }
+
+  /** q117 — the lineage feed rolled up per (change type, COMMIT EPOCH,
+    * day): exact only if every row of the one backlog batch carries the
+    * epoch it truly committed at. */
+  def snapshotLineageRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    spark.read.parquet(q117Feed(spark, sfDir))
+      .groupBy("_change_type", "_commit_epoch", "day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("_change_type"), col("_commit_epoch"),
+        col("day").asc_nulls_last)
+  }
+
+  private val q117Sql = {
+    val dsum = graft.functions.Det.sqlDsum _
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         cast(cast(ts AS date) AS varchar) AS day
+       |  FROM events),
+       |v0 AS (SELECT * FROM ev WHERE event_id % 10 < 7),
+       |u1 AS (
+       |  SELECT event_id, user_id, event_type, value + 1000.0 AS value,
+       |         CASE WHEN event_id % 10 = 6
+       |              THEN cast(cast(day AS date) + INTERVAL 1 DAY AS date)::varchar
+       |              ELSE day END AS day
+       |  FROM ev WHERE event_id % 10 IN (5, 6, 8)),
+       |s1 AS (
+       |  SELECT * FROM v0 WHERE event_id NOT IN (SELECT event_id FROM u1)
+       |  UNION ALL SELECT * FROM u1),
+       |u2 AS (
+       |  SELECT event_id, user_id, event_type, value * 2.0 AS value, day
+       |  FROM ev WHERE event_id % 10 IN (0, 9)),
+       |s2 AS (
+       |  SELECT * FROM s1 WHERE event_id NOT IN (SELECT event_id FROM u2)
+       |  UNION ALL SELECT * FROM u2),
+       |feed AS (
+       |  SELECT 'insert' AS _change_type, cast(1 AS bigint) AS _commit_epoch,
+       |         day, value FROM v0
+       |  UNION ALL SELECT 'insert', cast(2 AS bigint), day, value
+       |  FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM v0)
+       |  UNION ALL SELECT 'delete', cast(2 AS bigint), day, value
+       |  FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM s1)
+       |  UNION ALL SELECT 'insert', cast(4 AS bigint), day, value
+       |  FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1)
+       |  UNION ALL SELECT 'delete', cast(4 AS bigint), day, value
+       |  FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2))
+       |SELECT _change_type, _commit_epoch, day, count(*) AS n,
+       |       ${dsum("value")} AS total_value
+       |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q118 — MID-STREAM ADDITIVE SCHEMA EVOLUTION under the oracle (r17
+  // verdict #3: the documented contract — "new columns are projected
+  // away until a restart repins" — had no gate). An upstream widening
+  // merge lands WHILE a pinned stream applies changes downstream: the
+  // pre-restart batch must flow WITHOUT the new column (the downstream
+  // store must not widen), the restarted stream repins and surfaces it
+  // (the downstream widens through the sink's own additive-evolution
+  // path), and the final downstream state is deterministic: the new
+  // column is non-null exactly for the keys whose last change flowed
+  // AFTER the restart. The oracle folds that rule declaratively.
+  // ------------------------------------------------------------------
+
+  private def q118Downstream(spark: SparkSession, sfDir: String): String =
+    graft.GateFixture.cached("graft_snapevolve_q118", sfDir) { root =>
+      val gs = graft.SessionClones.cloned("snapshot-evolve-gate", spark) { s =>
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+      }
+      val up = root.resolve("upstream").toString
+      val down = root.resolve("silver").toString
+      val ev = graft.Tables.events(gs, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          to_date(col("ts")).cast("string").as("day"))
+      // epoch 1: bootstrap = ids %10 < 7 (no `score` column yet)
+      SnapshotMerge.upsert(gs, up, ev.filter(col("event_id") % 10 < 7),
+        Seq("event_id"), "day")
+      def start() = Streams.changeApplySink(
+        gs.readStream.format(Format).option("path", up).load(),
+        down, root.resolve("ckpt").toString, Seq("event_id"), "day").start()
+      val q1 = start() // pins the score-less schema
+      try {
+        q1.processAllAvailable()
+        // epoch 2: WIDENING merge — adds `score` (floor of the original
+        // value) and updates value for %10 ∈ {5,6}
+        SnapshotMerge.upsert(gs, up,
+          ev.filter(col("event_id") % 10 === 5 || col("event_id") % 10 === 6)
+            .withColumn("score", floor(col("value")).cast("double"))
+            .withColumn("value", col("value") + lit(1000.0)),
+          Seq("event_id"), "day")
+        q1.processAllAvailable()
+        // the documented contract, asserted mid-stream: the pinned
+        // stream projected the new column away, so the downstream store
+        // must NOT have widened
+        require(!SnapshotMerge.latestSnapshot(gs, down).get
+          .schema.fieldNames.contains("score"),
+          "pre-restart batches must carry the pinned schema")
+      } finally q1.stop()
+      val q2 = start() // repins: the source schema now carries `score`
+      try {
+        // epoch 3: %10 ∈ {0,5} — value ×2, score = floor(value)·3
+        SnapshotMerge.upsert(gs, up,
+          ev.filter(col("event_id") % 10 === 0 || col("event_id") % 10 === 5)
+            .withColumn("score", (floor(col("value")) * lit(3.0)).cast("double"))
+            .withColumn("value", col("value") * lit(2.0)),
+          Seq("event_id"), "day")
+        q2.processAllAvailable()
+        require(SnapshotMerge.latestSnapshot(gs, down).get
+          .schema.fieldNames.contains("score"),
+          "the restarted stream must surface the evolved column")
+      } finally q2.stop()
+      // the pre-restart loss is REAL and bounded to pre-restart keys:
+      // upstream holds epoch-2 scores for %10=6, downstream must not
+      require(SnapshotMerge.read(gs, up)
+        .filter(col("event_id") % 10 === 6 && col("score").isNotNull)
+        .count() > 0, "upstream must hold the epoch-2 scores")
+      require(SnapshotMerge.read(gs, down)
+        .filter(col("event_id") % 10 === 6 && col("score").isNotNull)
+        .count() == 0L,
+        "epoch-2 scores flowed before the restart and must not be downstream")
+      val prog = q1.recentProgress ++ q2.recentProgress
+      StreamingOracle.triggerCounts.put("q118",
+        prog.map(_.batchId).distinct.length)
+      StreamingOracle.gateReceipts.put("q118", StreamingOracle.GateReceipt(
+        "q118",
+        triggers = prog.map(_.batchId).distinct.length,
+        inputRows = prog.filter(_.numInputRows > 0).map(_.numInputRows).sum,
+        stateOperators = 0, stateRowsFinal = 0, stateRowsUpdated = 0,
+        lateRowsDropped = 0))
+      down
+    }
+
+  /** q118 — the downstream store after a mid-stream widening: per-day
+    * rollup of value AND of the evolved column, whose population is
+    * exactly the keys re-touched after the restart. */
+  def snapshotEvolveRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Det.dsum
+    SnapshotMerge.read(spark, q118Downstream(spark, sfDir))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+        count(col("score")).as("n_scored"),
+        dsum(coalesce(col("score"), lit(0.0))).as("total_score"))
+      .orderBy(col("day").asc_nulls_last)
+  }
+
+  private val q118Sql = {
+    val dsum = graft.functions.Det.sqlDsum _
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         cast(cast(ts AS date) AS varchar) AS day
+       |  FROM events),
+       |f AS (
+       |  SELECT event_id, day,
+       |         CASE WHEN event_id % 10 IN (0, 5) THEN value * 2.0
+       |              WHEN event_id % 10 = 6 THEN value + 1000.0
+       |              ELSE value END AS value,
+       |         CASE WHEN event_id % 10 IN (0, 5)
+       |              THEN floor(value) * cast(3.0 AS double)
+       |              ELSE NULL END AS score
+       |  FROM ev WHERE event_id % 10 < 7)
+       |SELECT day, count(*) AS n, ${dsum("value")} AS total_value,
+       |       cast(count(score) AS bigint) AS n_scored,
+       |       ${dsum("coalesce(score, cast(0 as double))")} AS total_score
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q112_snapshot_stream_chain",
       (s, d) => snapshotChainRollup(s, d), Some(q112Sql)),
     graft.Q("q116_snapshot_stream_keyed",
-      (s, d) => snapshotKeyedStreamRollup(s, d), Some(q116Sql)))
+      (s, d) => snapshotKeyedStreamRollup(s, d), Some(q116Sql)),
+    graft.Q("q117_snapshot_stream_lineage",
+      (s, d) => snapshotLineageRollup(s, d), Some(q117Sql)),
+    graft.Q("q118_snapshot_stream_evolve",
+      (s, d) => snapshotEvolveRollup(s, d), Some(q118Sql)))
 
   private[streaming] def storeOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -356,12 +602,14 @@ object SnapshotStream {
   }
 
   /** The source's output schema: the store schema plus `_change_type`
-    * and `_commit_epoch`. `_commit_epoch` is the BATCH-END epoch of the
-    * net diff — every row of a multi-epoch batch (backlog, or
-    * `maxEpochsPerTrigger > 1`) carries the range-end epoch, NOT the
-    * per-row commit provenance Delta CDF's `_commit_version` gives;
-    * read it as "the snapshot this row's state is current as of", never
-    * as row lineage. */
+    * and `_commit_epoch`. In the default NET mode `_commit_epoch` is
+    * the BATCH-END epoch of the net diff — every row of a multi-epoch
+    * batch (backlog, or `maxEpochsPerTrigger > 1`) carries the
+    * range-end epoch; read it as "the snapshot this row's state is
+    * current as of". With `.option("epochLineage", "true")` it IS the
+    * per-row commit provenance Delta CDF's `_commit_version` gives:
+    * each row carries the epoch of the commit that produced it, proven
+    * per-epoch-exact by q117's oracle. */
   private[streaming] def streamSchema(storeSchema: StructType): StructType =
     storeSchema.add("_change_type", StringType, nullable = false)
       .add("_commit_epoch", LongType, nullable = false)
@@ -387,6 +635,20 @@ class SnapshotStreamSource(
   require(keyCols.forall(_.nonEmpty), "keys option must name at least one column")
   require(keyCols.isEmpty || withDeletes,
     "keys mode classifies BOTH diff sides — it cannot combine with withDeletes=false")
+  /** `.option("epochLineage", "true")` — Delta CDF `_commit_version`
+    * parity (r17 verdict #2): a multi-epoch batch (backlog recovery, or
+    * `maxEpochsPerTrigger > 1`) plans as a UNION of per-epoch diffs,
+    * each row stamped with the epoch it actually committed at, instead
+    * of one net diff stamped with the range end. Costs O(epochs in
+    * range) manifest reads and diff plans per batch — each sub-diff is
+    * still manifest-pruned to its OWN epoch's changed partitions, and
+    * `dataChange=false` epochs still plan to nothing — and, unlike the
+    * net mode, emits intermediate states a back-and-forth key passed
+    * through (exactly Delta CDF's per-commit semantics: changes are per
+    * commit, never netted across commits). Pair with
+    * `maxEpochsPerTrigger` to bound a recovery batch's plan width. */
+  private val epochLineage =
+    parameters.getOrElse("epochLineage", "false").toBoolean
   private val maxEpochsPerTrigger =
     parameters.get("maxEpochsPerTrigger").map(_.toLong)
       .getOrElse(Long.MaxValue)
@@ -490,18 +752,45 @@ class SnapshotStreamSource(
       require(SnapshotMerge.isCommitted(spark, store, e),
         s"epoch $e of $store is no longer committed (vacuumed?) — the " +
           "store's retention must cover the stream's checkpoint lag; " +
-          "raise vacuum(keep) past the longest recovery window")
+          "raise vacuum(keep) past the longest recovery window " +
+          SnapshotMerge.RetentionRunbook)
     }
     val batch = fromE match {
       case None => // initial snapshot: everything at toE is an insert
         SnapshotMerge.read(spark, store, Some(toE))
           .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_epoch", lit(toE))
+      case Some(f) if epochLineage =>
+        // per-epoch lineage: one diff per epoch in the range, each
+        // stamped with its TRUE commit epoch. Lineage cannot be
+        // reconstructed across a vacuumed hole — every epoch in the
+        // range must still be committed, not just the endpoints
+        val es = (f + 1) to toE
+        es.foreach { e =>
+          require(SnapshotMerge.isCommitted(spark, store, e),
+            s"epoch $e of $store is no longer committed (vacuumed?) — " +
+              s"epochLineage reconstructs per-epoch provenance and " +
+              s"needs EVERY epoch in ($f, $toE] retained; raise " +
+              "vacuum(keep) past the stream's checkpoint lag " +
+              SnapshotMerge.RetentionRunbook)
+        }
+        es.iterator.flatMap { e =>
+          // a compaction epoch contributes no logical change: skip its
+          // (empty) diff plan instead of unioning a dead branch
+          if (!SnapshotMerge.snapshot(spark, store, e).dataChange) None
+          else Some(SnapshotMerge
+            .streamingChanges(spark, store, e - 1, e, withDeletes, keyCols)
+            .withColumn("_commit_epoch", lit(e)))
+        }.reduceOption(_ unionByName _).getOrElse {
+          // an all-compaction range: the correctly-shaped empty batch
+          SnapshotMerge.streamingChanges(spark, store, toE, toE, withDeletes, keyCols)
+            .withColumn("_commit_epoch", lit(toE))
+        }
       case Some(f) =>
         SnapshotMerge.streamingChanges(spark, store, f, toE, withDeletes, keyCols)
+          .withColumn("_commit_epoch", lit(toE))
     }
-    val out = batch
-      .withColumn("_commit_epoch", lit(toE))
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val out = batch.select(schema.fieldNames.toIndexedSeq.map(col): _*)
     asStreamingFrame(out)
   }
 

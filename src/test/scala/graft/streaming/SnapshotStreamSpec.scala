@@ -123,6 +123,52 @@ class SnapshotStreamSpec extends SparkSuite {
       .count() === 0L)
   }
 
+  test("epochLineage: multi-epoch batches stamp true commit epochs; compact epochs contribute nothing; back-and-forth keys keep both legs; a vacuumed hole fails loudly") {
+    val store = s"${freshDir()}/A"
+    upsert(store, Seq((1L, "a", "d1", 10L), (2L, "b", "d2", 10L)))  // epoch 1
+    upsert(store, Seq((1L, "a2", "d1", 20L), (3L, "c", "d2", 20L))) // epoch 2
+    assert(SnapshotMerge.compact(spark, store,
+      maxFilesPerPartition = 0).contains(3L))                       // epoch 3
+    upsert(store, Seq((2L, "b2", "d2", 40L)))                       // epoch 4
+    val src = new SnapshotStreamSource(spark,
+      Map("path" -> store, "epochLineage" -> "true"))
+    def lineage(from: Long, to: Long): Set[(Long, String, Long, String)] =
+      collectable(src.getBatch(Some(LongOffset(from)), LongOffset(to)))
+        .collect().map(r => (r.getAs[Long]("_commit_epoch"),
+          r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+          r.getAs[String]("v"))).toSet
+    // one batch spanning (1, 4]: every row at ITS epoch, nothing at the
+    // compact epoch 3
+    assert(lineage(1L, 4L) === Set(
+      (2L, "delete", 1L, "a"), (2L, "insert", 1L, "a2"), (2L, "insert", 3L, "c"),
+      (4L, "delete", 2L, "b"), (4L, "insert", 2L, "b2")))
+    // an all-compaction range plans to the correctly-shaped empty batch
+    assert(collectable(src.getBatch(Some(LongOffset(2L)), LongOffset(3L)))
+      .count() === 0L)
+    // a key changed and changed BACK: the net mode cancels it; lineage
+    // keeps both legs at their true epochs (Delta CDF's per-commit
+    // semantics — changes are per commit, never netted across commits)
+    upsert(store, Seq((3L, "cX", "d2", 50L)))  // epoch 5
+    upsert(store, Seq((3L, "c", "d2", 20L)))   // epoch 6: the epoch-2 row again
+    val net = new SnapshotStreamSource(spark, Map("path" -> store))
+    assert(collectable(net.getBatch(Some(LongOffset(4L)), LongOffset(6L)))
+      .count() === 0L, "the net mode cancels a back-and-forth key")
+    assert(lineage(4L, 6L) === Set(
+      (5L, "delete", 3L, "c"), (5L, "insert", 3L, "cX"),
+      (6L, "delete", 3L, "cX"), (6L, "insert", 3L, "c")))
+    // lineage cannot be reconstructed across a vacuumed hole: a missing
+    // INTERIOR manifest fails loudly with the retention message (the
+    // net mode only needs the endpoints)
+    val gone = new java.io.File(store, "_GRAFT_SNAP_5")
+    assert(gone.delete())
+    new java.io.File(store, "._GRAFT_SNAP_5.crc").delete()
+    val err = intercept[IllegalArgumentException] {
+      src.getBatch(Some(LongOffset(4L)), LongOffset(6L))
+    }
+    assert(err.getMessage.contains("epochLineage") &&
+      err.getMessage.contains("vacuum(keep)"), err.getMessage)
+  }
+
   test("withDeletes=false emits only the keyed final rows; maxEpochsPerTrigger paces the offset and survives a restart") {
     val root = freshDir()
     val store = s"$root/A"

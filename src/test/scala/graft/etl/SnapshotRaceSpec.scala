@@ -110,4 +110,154 @@ class SnapshotRaceSpec extends SparkSuite {
     // hard (a lucky serial schedule is legal), just recorded
     info(s"attempts=${attempts.get} protocol_aborts=${aborts.get} epochs=${epochs.length}")
   }
+
+  /** restore ∥ vacuum ∥ merge as REAL threads (r17 verdict #4: the
+    * restore-vs-vacuum TOCTOU was proven only through the deterministic
+    * `restorePostCommitHook` seam). The vacuum runs with a short-but-
+    * honest grace (1.5 s ≫ one sweep pass over this store), so the
+    * documented protocol applies: the restore's grace-re-stamp puts its
+    * target dirs back under the same umbrella every in-flight publish
+    * enjoys. Every terminal outcome must be one of:
+    *
+    *  - restore INTACT (returned Some): the tip reads exactly the
+    *    target-epoch state;
+    *  - loud PRE-COMMIT refusal (target manifest or data vacuumed
+    *    first): nothing committed, the tip reads the pre-restore state;
+    *  - the loud MID-COMMIT failure, repaired or with the prescribed
+    *    manual repair (near-unreachable under an honest grace — the
+    *    deterministic seam tests own this arm's details; here it is
+    *    accepted and repaired if it ever fires).
+    *
+    * The merge thread re-sends CONTENT-IDENTICAL rows (epoch 2's own
+    * delta), so whatever interleaving wins, the final logical state is
+    * exactly one of two known values — while its commits both slide the
+    * vacuum keep-window past the restore target (the pressure that
+    * makes the race real) and race the restore's tip gate. A live
+    * downstream stream must converge to the final state in every
+    * non-wedged outcome. */
+  test("restore ∥ vacuum ∥ merge: every outcome is restore-intact or a documented loud failure; the tip stays readable and a live stream converges") {
+    (1 to 3).foreach { iter =>
+      val root = java.nio.file.Files.createTempDirectory("graft_restorerace").toString
+      val store = s"$root/store"
+      val downstream = s"$root/down"
+      def batch(tag: String, ids: Range) =
+        spark.range(ids.start, ids.end)
+          .select(col("id"), concat(lit(tag), col("id")).as("v"),
+            concat(lit("d"), col("id") % 4).as("day"), col("id").as("ts"))
+      // epoch 1: a0..a99 over 4 partitions; epoch 2 (the restore
+      // target): b50..b59; epoch 3: c60..c69 — both spanning all 4
+      // partitions, so every merge supersedes every partition version
+      SnapshotMerge.upsert(spark, store,
+        batch("a", 0 until 100).repartitionByRange(4, col("id")), Seq("id"), "day")
+      SnapshotMerge.upsert(spark, store, batch("b", 50 until 60), Seq("id"), "day")
+      SnapshotMerge.upsert(spark, store, batch("c", 60 until 70), Seq("id"), "day")
+      val e2State = (0L until 100L).map(i =>
+        i -> (if (i >= 50 && i < 60) s"b$i" else s"a$i")).toMap
+      val e3State = e2State ++ (60L until 70L).map(i => i -> s"c$i")
+
+      val q = graft.streaming.Streams.changeApplySink(
+        spark.readStream.format(graft.streaming.SnapshotStream.Format)
+          .option("path", store).load(),
+        downstream, s"$root/ckpt", Seq("id"), "day").start()
+      q.processAllAvailable()
+
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      @volatile var outcome: Either[Throwable, Option[Long]] = null
+      def thread(name: String)(body: => Unit): Thread = {
+        val t = new Thread(() => {
+          try body catch { case e: Throwable =>
+            failures.add(new RuntimeException(s"$name: unexpected", e)) }
+        }, name)
+        t.start(); t
+      }
+      val merger = thread("merger") {
+        (1 to 8).foreach { _ =>
+          // content-identical re-send: burns epochs (sliding the keep
+          // window past the target) without changing the logical state;
+          // losing a commit race is the protocol working, not a failure
+          try SnapshotMerge.upsert(spark, store,
+            batch("b", 50 until 60), Seq("id"), "day")
+          catch { case _: CommitMarker.ConcurrentWriteException => () }
+          Thread.sleep(120)
+        }
+      }
+      val vacuumer = thread("vacuumer") {
+        (1 to 45).foreach { i =>
+          SnapshotMerge.vacuum(spark, store, keep = 4, graceMs = 1500L,
+            sweepOrphans = i % 3 == 0)
+          Thread.sleep(60)
+        }
+      }
+      val restorer = thread("restorer") {
+        // iteration-varied start: early → the restore usually wins;
+        // late → the keep window has slid past the target and the
+        // vacuumed-refusal arms become reachable
+        Thread.sleep(if (iter == 3) 5500L else 800L * iter)
+        var done = false
+        var tries = 0
+        while (!done && tries < 60) {
+          tries += 1
+          try { outcome = Right(SnapshotMerge.restoreTo(spark, store, 2L)); done = true }
+          catch {
+            case _: CommitMarker.ConcurrentWriteException => Thread.sleep(50)
+            case e: IllegalArgumentException
+                if e.getMessage.contains("manifest is gone") =>
+              outcome = Left(e); done = true
+            case e: IllegalStateException
+                if e.getMessage.contains("was vacuumed") ||
+                  e.getMessage.contains("mid-commit") =>
+              outcome = Left(e); done = true
+          }
+        }
+        if (!done) failures.add(new RuntimeException("restorer: never terminal"))
+      }
+      Seq(merger, vacuumer, restorer).foreach(_.join(180000))
+      assert(Seq(merger, vacuumer, restorer).forall(!_.isAlive),
+        "racers must terminate")
+      assert(failures.isEmpty,
+        s"only documented outcomes are legal: ${failures.peek()}")
+      assert(outcome != null, "the restorer must reach a terminal outcome")
+
+      val wedgedArm = outcome.left.exists(_.getMessage.contains("did not land"))
+      val expected = outcome match {
+        case Right(Some(_)) => e2State // restore intact (merges are no-ops on it)
+        case Right(None) =>
+          fail("the tip can never equal the target mid-race"); e2State
+        case Left(e) if e.getMessage.contains("did not land") =>
+          // the documented manual repair, with the race stopped
+          val m = "restoreTo\\((\\d+)\\)".r.findFirstMatchIn(e.getMessage)
+          assert(m.isDefined, s"the wedged message must prescribe the repair: $e")
+          SnapshotMerge.restoreTo(spark, store, m.get.group(1).toLong)
+          e3State
+        case Left(_) => e3State // repaired mid-commit, or loud pre-commit refusal
+      }
+      val state = SnapshotMerge.read(spark, store).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(state === expected, s"iter $iter outcome=$outcome")
+      // the tip is structurally sound: every referenced dir exists, the
+      // committed chain is a contiguous suffix (the tipEpoch invariant)
+      val tip = SnapshotMerge.latestSnapshot(spark, store).get
+      tip.parts.foreach { case (n, v) =>
+        assert(new java.io.File(store, s"$n/__e=$v").isDirectory,
+          s"tip epoch ${tip.epoch} references a missing dir $n/__e=$v")
+      }
+      val epochs = SnapshotMerge.committedEpochs(spark, store)
+      assert(epochs === (epochs.head to epochs.last), s"contiguous: $epochs")
+      // the live stream converged exactly — except across a WEDGED tip,
+      // where reads of swept data fail loudly by design
+      try {
+        if (!wedgedArm) {
+          q.processAllAvailable()
+          val down = SnapshotMerge.read(spark, downstream).collect()
+            .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+          assert(down === state,
+            s"iter $iter: the downstream store must equal the final state")
+        }
+      } finally q.stop()
+      info(s"iter $iter outcome=" + (outcome match {
+        case Right(e) => s"restored@$e"
+        case Left(e) => e.getMessage.take(80)
+      }) + s" epochs=${epochs.mkString(",")}")
+    }
+  }
 }

@@ -57,9 +57,13 @@ object GateFixture {
         }
         fresh
       }
-    try f.join()
+    // get(), not join(): join is UNINTERRUPTIBLE, so a cancelled loser
+    // thread would silently wait out the whole multi-minute build (r18
+    // review); get lets the loser abort by throwing InterruptedException
+    // — the cancellation signal itself
+    try f.get()
     catch {
-      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+      case e: java.util.concurrent.ExecutionException if e.getCause != null =>
         throw e.getCause
     }
   }

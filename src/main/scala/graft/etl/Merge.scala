@@ -41,9 +41,13 @@ object Merge {
     // silently no-op a typo'd name (the withColumn fold used to
     // resolve case-insensitively and append new columns; appending is
     // not an UPDATE, so unknown names are an error now, not a column)
-    val byLower = target.columns.map(c => c.toLowerCase -> c).toMap
+    // Locale.ROOT fold: Spark's case-insensitive resolution is
+    // locale-independent; a default-locale fold diverges under tr-TR
+    val byLower = target.columns.map(c =>
+      c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     val resolved: Map[String, Column] = set.map { case (k, v) =>
-      byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+      byLower.getOrElse(k.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
         s"update: unknown column $k (have: ${target.columns.mkString(", ")})")) -> v
     }
     // two SET keys folding to one column (Map("V" -> x, "v" -> y)) would
@@ -51,7 +55,7 @@ object Merge {
     // duplicate is an error under the fail-loud contract, not a
     // nondeterministic absorb
     if (resolved.size != set.size) {
-      val colliding = set.keys.groupBy(_.toLowerCase).collect {
+      val colliding = set.keys.groupBy(_.toLowerCase(java.util.Locale.ROOT)).collect {
         case (_, ks) if ks.size > 1 => ks.mkString("/")
       }
       throw new IllegalArgumentException(

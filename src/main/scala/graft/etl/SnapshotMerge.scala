@@ -334,17 +334,21 @@ object SnapshotMerge {
     // and `day` cannot resolve). Same fail-loud contract as
     // [[Merge.update]]'s SET-collision check.
     locally {
-      val storeByLower = base.map(_.schema.fieldNames.map(n => n.toLowerCase -> n).toMap)
+      // Locale.ROOT fold (r18 review): Spark's resolver compares
+      // case-insensitively locale-independently; a default-locale fold
+      // under tr-TR would let "UID" vs "uid" slip this guard
+      def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val storeByLower = base.map(_.schema.fieldNames.map(n => fold(n) -> n).toMap)
         .getOrElse(Map.empty)
       source.schema.fieldNames.foreach { n =>
-        storeByLower.get(n.toLowerCase).foreach { sn =>
+        storeByLower.get(fold(n)).foreach { sn =>
           require(sn == n,
             s"source column $n differs only in case from store column " +
               s"$sn — not a widening; rename the source column (store " +
               "schemas are case-exact by contract)")
         }
       }
-      val dup = source.schema.fieldNames.groupBy(_.toLowerCase)
+      val dup = source.schema.fieldNames.groupBy(fold)
         .collect { case (_, ns) if ns.length > 1 => ns.mkString("/") }
       require(dup.isEmpty,
         s"source columns collide case-insensitively (${dup.mkString(", ")}) " +
@@ -500,8 +504,13 @@ object SnapshotMerge {
     // manifest-only planning over ALL partitions forever after
     val stagedStats: Map[String, PartStats] = stagedDirs.iterator.map { st =>
       val files = fs.listStatus(st.getPath).filter(isDataFile)
+      // a dir name the count map cannot key (a value/path round-trip
+      // mismatch that slipped the path-stable type guard) records
+      // rows=None — routing compact to its honest footer-count fallback
+      // — NEVER Some(0), which would drive the per-file cap to one
+      // record per file (r18 review)
       st.getPath.getName -> PartStats(files.length, files.map(_.getLen).sum,
-        rows = Some(stagedRows.getOrElse(st.getPath.getName, 0L)))
+        rows = stagedRows.get(st.getPath.getName))
     }.toMap
     val movedIn = Seq.newBuilder[Path]
     def dropMovedIn(): Unit = movedIn.result().foreach { d =>
@@ -1098,8 +1107,31 @@ object SnapshotMerge {
       spark: SparkSession, store: String, fromE: Long, toE: Long,
       withDeletes: Boolean, keys: Option[Seq[String]] = None): DataFrame = {
     val changed = changedPartsBetween(spark, store, fromE, toE)
-    val fromSnapAll = snapshot(spark, store, fromE)
-    val toSnapAll = snapshot(spark, store, toE)
+    diffPruned(spark, store, snapshot(spark, store, fromE),
+      snapshot(spark, store, toE), changed, withDeletes, keys)
+  }
+
+  /** Single-hop streaming diff between two ALREADY-PARSED adjacent
+    * manifests — the lineage loop's building block (r18 review: going
+    * through [[streamingChanges]] per epoch re-read each manifest ~3×
+    * per batch; the caller reads the range's manifests ONCE and diffs
+    * consecutive pairs). Adjacent means `to.epoch == from.epoch + 1`:
+    * the changed-partition set is the plain endpoint version diff, and
+    * a `dataChange=false` `to` plans to the empty frame outright. */
+  private[graft] def streamingChangesAdjacent(
+      spark: SparkSession, store: String, from: Snapshot, to: Snapshot,
+      withDeletes: Boolean, keys: Option[Seq[String]] = None): DataFrame = {
+    val changed: Set[String] =
+      if (!to.dataChange) Set.empty
+      else (from.parts.keySet ++ to.parts.keySet)
+        .filter(n => from.parts.get(n) != to.parts.get(n))
+    diffPruned(spark, store, from, to, changed, withDeletes, keys)
+  }
+
+  private def diffPruned(
+      spark: SparkSession, store: String, fromSnapAll: Snapshot,
+      toSnapAll: Snapshot, changed: Set[String], withDeletes: Boolean,
+      keys: Option[Seq[String]]): DataFrame = {
     val (fromSnap, toSnap) = prunedPair(
       fromSnapAll.copy(parts = fromSnapAll.parts.filter(kv => changed(kv._1))),
       toSnapAll.copy(parts = toSnapAll.parts.filter(kv => changed(kv._1))))

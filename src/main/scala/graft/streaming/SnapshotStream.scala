@@ -774,24 +774,52 @@ class SnapshotStreamSource(
               "vacuum(keep) past the stream's checkpoint lag " +
               SnapshotMerge.RetentionRunbook)
         }
-        es.iterator.flatMap { e =>
-          // a compaction epoch contributes no logical change: skip its
-          // (empty) diff plan instead of unioning a dead branch
-          if (!SnapshotMerge.snapshot(spark, store, e).dataChange) None
-          else Some(SnapshotMerge
-            .streamingChanges(spark, store, e - 1, e, withDeletes, keyCols)
-            .withColumn("_commit_epoch", lit(e)))
-        }.reduceOption(_ unionByName _).getOrElse {
+        // each manifest parsed ONCE for the whole batch (r18 review),
+        // consecutive pairs diffed directly
+        val snaps = (f to toE).map(e => SnapshotMerge.snapshot(spark, store, e))
+        snaps.sliding(2).flatMap {
+          case Seq(a, b) =>
+            // a compaction epoch contributes no logical change: skip its
+            // (empty) diff plan instead of unioning a dead branch
+            if (!b.dataChange) None
+            else Some(SnapshotMerge
+              .streamingChangesAdjacent(spark, store, a, b, withDeletes, keyCols)
+              .withColumn("_commit_epoch", lit(b.epoch)))
+          case _ => None
+        }.reduceOption(
+          // allowMissingColumns: a range spanning an additive widening
+          // has sub-diffs with different column sets — pre-widening
+          // rows read the new column as null, exactly what the widened
+          // store itself answers for them (r18 review: the strict union
+          // threw and wedged the stream on the replayed range)
+          _.unionByName(_, allowMissingColumns = true)).getOrElse {
           // an all-compaction range: the correctly-shaped empty batch
-          SnapshotMerge.streamingChanges(spark, store, toE, toE, withDeletes, keyCols)
+          SnapshotMerge.streamingChangesAdjacent(
+            spark, store, snaps.last, snaps.last.copy(dataChange = false),
+            withDeletes, keyCols)
             .withColumn("_commit_epoch", lit(toE))
         }
       case Some(f) =>
         SnapshotMerge.streamingChanges(spark, store, f, toE, withDeletes, keyCols)
           .withColumn("_commit_epoch", lit(toE))
     }
-    val out = batch.select(schema.fieldNames.toIndexedSeq.map(col): _*)
-    asStreamingFrame(out)
+    asStreamingFrame(toPinned(batch))
+  }
+
+  /** Project any batch onto the PINNED output schema: columns the store
+    * grew after the pin are dropped (the documented mid-stream
+    * contract), and pinned columns a batch lacks surface as nulls —
+    * which happens when the pin is NEWER than the batch's epochs (a
+    * paced or lineage restart replaying pre-widening history through a
+    * post-widening pin; the strict select threw AnalysisException and
+    * wedged the stream on its own replayed range — r18 review). Null is
+    * exactly what the widened store answers for those rows itself. */
+  private def toPinned(batch: DataFrame): DataFrame = {
+    val padded = schema.fields.foldLeft(batch) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    padded.select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** The v1-source contract requires the returned frame's plan to BE

@@ -312,7 +312,13 @@ object Streams {
     * [[snapshotMergeSink]]'s. Replay safety: a recovered batch
     * re-applies the same net rows — idempotent per key. Vacuum cadence
     * matches [[snapshotMergeSink]]: manifest-driven per trigger, full
-    * orphan walk keyed on the store's own epoch number. */
+    * orphan walk keyed on the store's own epoch number.
+    *
+    * `epochLineage` upstreams compose too: a batch carrying several
+    * `_commit_epoch` values is PER-COMMIT changes, not a net diff, so
+    * the sink applies it as one slice per epoch, ascending — netting it
+    * would resurrect a key inserted-then-deleted inside one recovery
+    * batch and upsert duplicate postimages of a twice-updated key. */
   def changeApplySink(stream: DataFrame, targetDir: String, checkpoint: String,
                       keys: Seq[String], partitionCol: String,
                       vacuumKeep: Int = 24,
@@ -329,41 +335,59 @@ object Streams {
         batch.persist()
         try {
           val meta = Seq("_change_type", "_commit_epoch")
-          // a keys-mode upstream classifies updates as pre/post image
-          // pairs: the POSTIMAGE is the row to land (a keyed upsert),
-          // the preimage is superseded by it — dropping postimages
-          // here would silently diverge the downstream on every update
-          // (r17 review)
-          val ins = batch.filter(
-            col("_change_type").isin("insert", "update_postimage")).drop(meta: _*)
-          val dels = batch.filter(col("_change_type") === "delete").drop(meta: _*)
-          // withDeletes=false streams ship no delete rows: probing dels
-          // FIRST keeps the common no-delete trigger free of the keyed
-          // anti-join and the extra manifest read (r16 review)
-          val hasDeletes = !dels.isEmpty
-          val hasInserts = !ins.isEmpty
-          if (hasInserts || hasDeletes) {
-            val keyCols = keys.map(col)
-            // keys with a delete and no insert in the same NET batch are
-            // true deletions (an updated/moved key re-lands as an insert)
-            val epoch: Long =
-              if (hasDeletes &&
-                  graft.etl.SnapshotMerge.latestSnapshot(spark, targetDir).nonEmpty) {
-                val gone = dels.select(keyCols: _*).distinct()
-                  .join(ins.select(keyCols: _*).distinct(), keys, "left_anti")
-                // ONE commit per net batch (r16 review): a delete-then-
-                // upsert pair would publish an intermediate downstream
-                // epoch whose state no upstream snapshot ever held —
-                // visible to read(asOf) and second-hop chains
-                graft.etl.SnapshotMerge.applyChanges(
-                  spark, targetDir, ins, gone, keys, partitionCol)
-              } else if (hasInserts)
-                graft.etl.SnapshotMerge.upsert(spark, targetDir, ins, keys, partitionCol)
-              else -1L // deletes against a store that does not exist yet
-            if (epoch > 0)
-              graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
-                sweepOrphans = orphanSweepEvery > 0 && epoch % orphanSweepEvery == 0)
+          def applySlice(slice: DataFrame): Unit = {
+            // a keys-mode upstream classifies updates as pre/post image
+            // pairs: the POSTIMAGE is the row to land (a keyed upsert),
+            // the preimage is superseded by it — dropping postimages
+            // here would silently diverge the downstream on every update
+            // (r17 review)
+            val ins = slice.filter(
+              col("_change_type").isin("insert", "update_postimage")).drop(meta: _*)
+            val dels = slice.filter(col("_change_type") === "delete").drop(meta: _*)
+            // withDeletes=false streams ship no delete rows: probing dels
+            // FIRST keeps the common no-delete trigger free of the keyed
+            // anti-join and the extra manifest read (r16 review)
+            val hasDeletes = !dels.isEmpty
+            val hasInserts = !ins.isEmpty
+            if (hasInserts || hasDeletes) {
+              val keyCols = keys.map(col)
+              // keys with a delete and no insert in the same NET slice are
+              // true deletions (an updated/moved key re-lands as an insert)
+              val epoch: Long =
+                if (hasDeletes &&
+                    graft.etl.SnapshotMerge.latestSnapshot(spark, targetDir).nonEmpty) {
+                  val gone = dels.select(keyCols: _*).distinct()
+                    .join(ins.select(keyCols: _*).distinct(), keys, "left_anti")
+                  // ONE commit per net slice (r16 review): a delete-then-
+                  // upsert pair would publish an intermediate downstream
+                  // epoch whose state no upstream snapshot ever held —
+                  // visible to read(asOf) and second-hop chains
+                  graft.etl.SnapshotMerge.applyChanges(
+                    spark, targetDir, ins, gone, keys, partitionCol)
+                } else if (hasInserts)
+                  graft.etl.SnapshotMerge.upsert(spark, targetDir, ins, keys, partitionCol)
+                else -1L // deletes against a store that does not exist yet
+              if (epoch > 0)
+                graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
+                  sweepOrphans = orphanSweepEvery > 0 && epoch % orphanSweepEvery == 0)
+            }
           }
+          // NET batches carry ONE commit epoch and apply whole (the fast
+          // path: a single cheap agg probe on the cached batch). An
+          // epochLineage feed carries PER-COMMIT changes — netting them
+          // here would resurrect a key inserted-then-deleted within one
+          // recovery batch and upsert duplicate postimages of a
+          // twice-updated key (r18 review); per-epoch slices are each
+          // net one-change-per-key diffs, applied ascending, so every
+          // downstream commit reproduces a TRUE upstream snapshot.
+          val bounds = batch.agg(
+            min(col("_commit_epoch")), max(col("_commit_epoch"))).collect()(0)
+          if (bounds.isNullAt(0) || bounds.getLong(0) == bounds.getLong(1))
+            applySlice(batch)
+          else
+            batch.select("_commit_epoch").distinct().collect()
+              .map(_.getLong(0)).sorted
+              .foreach(e => applySlice(batch.filter(col("_commit_epoch") === e)))
         } finally { batch.unpersist(); () }
         ()
       }

@@ -19,7 +19,8 @@ object L50Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "48g"))
+      // heap comes from the forked JVM's -Xmx (build.sbt javaOptions,
+      // SPARK_DRIVER_MEM): spark.driver.memory is inert in local mode
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.configure(spark)

@@ -243,8 +243,20 @@ class SnapshotRaceSpec extends SparkSuite {
       }
       val epochs = SnapshotMerge.committedEpochs(spark, store)
       assert(epochs === (epochs.head to epochs.last), s"contiguous: $epochs")
-      // the live stream converged exactly — except across a WEDGED tip,
-      // where reads of swept data fail loudly by design
+      // the live stream converged exactly — except across a WEDGED tip
+      // (reads of swept data fail loudly by design), or when the
+      // stream's OWN replay epoch outlived keep=4 under a load stall:
+      // that kill is the documented loud retention outcome, not a race
+      // defect (r18 review — classify it instead of flaking)
+      def retentionKilled(e: Throwable): Boolean = {
+        var c: Throwable = e
+        while (c != null) {
+          if (Option(c.getMessage).exists(_.contains("no longer committed")))
+            return true
+          c = c.getCause
+        }
+        false
+      }
       try {
         if (!wedgedArm) {
           q.processAllAvailable()
@@ -253,6 +265,9 @@ class SnapshotRaceSpec extends SparkSuite {
           assert(down === state,
             s"iter $iter: the downstream store must equal the final state")
         }
+      } catch {
+        case e: Throwable if retentionKilled(e) =>
+          info(s"iter $iter: stream killed by retention (documented loud outcome)")
       } finally q.stop()
       info(s"iter $iter outcome=" + (outcome match {
         case Right(e) => s"restored@$e"

@@ -169,6 +169,74 @@ class SnapshotStreamSpec extends SparkSuite {
       err.getMessage.contains("vacuum(keep)"), err.getMessage)
   }
 
+  test("a widening inside a lineage range unions as nulls; a pin newer than the batch pads missing columns instead of wedging") {
+    val store = s"${freshDir()}/A"
+    upsert(store, Seq((1L, "a", "d1", 10L), (2L, "b", "d1", 10L)))  // epoch 1
+    upsert(store, Seq((1L, "a2", "d1", 20L)))                        // epoch 2 (pre-widening)
+    SnapshotMerge.upsert(spark, store,                               // epoch 3: widens with tag
+      Seq((2L, "b2", "d1", 30L, "t")).toDF("id", "v", "day", "ts", "tag"),
+      Seq("id"), "day")
+    // both sources pin the POST-widening schema (tag present)
+    val lin = new SnapshotStreamSource(spark,
+      Map("path" -> store, "epochLineage" -> "true"))
+    // r18 review #1: the strict unionByName threw AnalysisException on a
+    // lineage range spanning the widening, wedging the stream on its own
+    // replayed range — pre-widening sub-diffs must surface tag as null
+    val rows = collectable(lin.getBatch(Some(LongOffset(1L)), LongOffset(3L)))
+      .collect().map(r => (r.getAs[Long]("_commit_epoch"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("v"), r.getAs[String]("tag"))).toSet
+    assert(rows === Set(
+      (2L, "delete", 1L, "a", null), (2L, "insert", 1L, "a2", null),
+      (3L, "delete", 2L, "b", null), (3L, "insert", 2L, "b2", "t")))
+    // the same wedge existed in NET mode whenever the replayed range
+    // ended BEFORE the widening epoch (a paced restart): the pinned
+    // column the batch lacks pads as null — exactly what the widened
+    // store answers for those rows itself
+    val net = new SnapshotStreamSource(spark, Map("path" -> store))
+    val preWiden = collectable(net.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+    assert(preWiden.columns.contains("tag"))
+    assert(preWiden.collect().forall(_.getAs[String]("tag") == null),
+      "a pre-widening net batch must pad the pinned column with nulls")
+    val initial = collectable(net.getBatch(None, LongOffset(1L)))
+    assert(initial.collect().forall(_.getAs[String]("tag") == null),
+      "a replayed pre-widening initial snapshot must pad, not wedge")
+  }
+
+  test("an epochLineage feed applies per commit through changeApplySink: inserted-then-deleted keys stay deleted, twice-updated keys stay unique") {
+    val root = freshDir()
+    val store = s"$root/A"
+    val down = s"$root/down"
+    upsert(store, Seq((1L, "a", "d1", 10L)))                      // epoch 1
+    def start() = Streams.changeApplySink(
+      spark.readStream.format(SnapshotStream.Format)
+        .option("path", store).option("epochLineage", "true").load(),
+      down, s"$root/ckpt", Seq("id"), "day").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()                // downstream @1
+    // backlog: a key inserted THEN deleted, and a key updated TWICE —
+    // the two shapes a net apply of a lineage feed corrupts (r18
+    // review #2: resurrection and duplicate postimages)
+    upsert(store, Seq((9L, "z", "d1", 20L)))                      // epoch 2
+    SnapshotMerge.deleteWhere(spark, store, col("id") === 9L)     // epoch 3
+    upsert(store, Seq((1L, "a2", "d1", 40L)))                     // epoch 4
+    upsert(store, Seq((1L, "a3", "d1", 50L)))                     // epoch 5
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()                // ONE batch (1,5]
+    val state = SnapshotMerge.read(spark, down).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(state.toSet === Set((1L, "a3")), s"got ${state.toSeq}")
+    assert(state.length === 1, "a twice-updated key must stay unique")
+    // one downstream commit per upstream epoch, each a TRUE upstream
+    // snapshot: id 9 exists exactly between its insert and its delete
+    val epochs = SnapshotMerge.committedEpochs(spark, down)
+    assert(epochs === Seq(1L, 2L, 3L, 4L, 5L), s"per-epoch slices: $epochs")
+    def has9(e: Long): Boolean = SnapshotMerge.read(spark, down, Some(e))
+      .filter(col("id") === 9L).count() > 0
+    assert(has9(2L) && !has9(3L),
+      "intermediate downstream epochs must reproduce true upstream snapshots")
+  }
+
   test("withDeletes=false emits only the keyed final rows; maxEpochsPerTrigger paces the offset and survives a restart") {
     val root = freshDir()
     val store = s"$root/A"

@@ -839,6 +839,44 @@ object SnapshotMerge {
     * real cross-thread vacuum race. */
   private[etl] var publishPreCommitHook: () => Unit = () => ()
 
+  /** DESCRIBE HISTORY analog (Delta parity — the reference inspects
+    * table history for its rollback/audit runbooks,
+    * delta_setup.py:581-596 neighborhood; [[VersionLog.history]] gives
+    * the verb on the full-copy store): one row per RETAINED epoch, from
+    * manifest metadata alone — epoch, operation kind, live partition
+    * count, and the file/byte/row totals the `partv2`/`partv3` stat
+    * lines carry (`rows` is null when any entry predates `partv3`, and
+    * `files`/`bytes` when any predates `partv2` — absence is reported,
+    * never guessed). Metadata-scale: O(retained epochs) manifest reads
+    * on the driver, zero data files touched; vacuumed epochs are simply
+    * absent, same as Delta's history after log cleanup. */
+  def history(spark: SparkSession, store: String): DataFrame = {
+    val rows = committedEpochs(spark, store).map { e =>
+      val s = snapshot(spark, store, e)
+      val stats = s.parts.keysIterator.map(n => s.stats.get(n)).toSeq
+      def total(f: PartStats => Long): Option[Long] =
+        if (stats.forall(_.isDefined)) Some(stats.flatten.map(f).sum) else None
+      val rowsTotal =
+        if (stats.forall(_.exists(_.rows.isDefined)))
+          Some(stats.flatten.flatMap(_.rows).sum)
+        else None
+      Row(e, if (s.dataChange) "write" else "compact",
+        s.parts.size, total(_.files.toLong).map(Long.box).orNull,
+        total(_.bytes).map(Long.box).orNull, rowsTotal.map(Long.box).orNull)
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("epoch", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("operation",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("partitions",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("files", LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("bytes", LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("rows", LongType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Change feed between two committed epochs (Delta CDF analog on the
     * PARTITIONED store — [[VersionLog.changes]] gives the same contract
     * on full-copy snapshots): full-row diff via `exceptAll` — rows only
@@ -1377,6 +1415,13 @@ object SnapshotMerge {
     * confirmed gone, so the manifest-driven mode below never loses
     * sight of a surviving dir. Returns the deleted paths.
     *
+    * `dryRun = true` (Delta's VACUUM DRY RUN): plans the identical
+    * sweep — same retention, grace, and chain-contiguity rules, with
+    * would-deleted dirs treated as gone for the manifest gate — and
+    * returns the would-delete paths WITHOUT touching the filesystem
+    * (the fast path's emptied-parent report is skipped, since no parent
+    * actually empties in a dry run).
+    *
     * Two planning modes (r15 verdict #3):
     *  - `sweepOrphans = true` (default): full per-partition walk — the
     *    only mode that finds crashed-publish ORPHANS (dirs no manifest
@@ -1391,7 +1436,8 @@ object SnapshotMerge {
     *    width. */
   def vacuum(spark: SparkSession, store: String, keep: Int = 1,
              graceMs: Long = 10 * 60 * 1000L,
-             sweepOrphans: Boolean = true): Seq[String] = {
+             sweepOrphans: Boolean = true,
+             dryRun: Boolean = false): Seq[String] = {
     require(keep >= 1, "keep must retain at least the current snapshot")
     val storePath = new Path(store)
     val fs = fsOf(spark, storePath)
@@ -1444,7 +1490,7 @@ object SnapshotMerge {
             // gone, or the manifest-deletion gate below would drop a
             // manifest while its exclusively-referenced dir survives,
             // stranding it invisible to the manifest-driven fast path
-            if (sweep && fs.delete(ed.getPath, true)) {
+            if (sweep && (dryRun || fs.delete(ed.getPath, true))) {
               deleted += ed.getPath.toString
               ver.foreach(v => goneExclusive += ((pname, v)))
             } else live += 1
@@ -1456,7 +1502,7 @@ object SnapshotMerge {
           // mtime 0, and a raw `0 < horizon` would deem a just-created
           // parent permanently aged, sweeping it out from under the
           // publisher's first rename (safe abort, but a liveness bug).
-          if (live == 0 && aged(pd) && fs.delete(pd.getPath, true))
+          if (live == 0 && aged(pd) && (dryRun || fs.delete(pd.getPath, true)))
             deleted += pd.getPath.toString
         }
       }
@@ -1484,7 +1530,7 @@ object SnapshotMerge {
           case Some(s) if aged(s) =>
             // a FALSE delete leaves the pair a survivor: the manifest
             // must outlive the dir (see the full-walk note above)
-            if (fs.delete(d, true)) {
+            if (dryRun || fs.delete(d, true)) {
               deleted += d.toString
               goneExclusive += ((n, v))
               touchedParents += n
@@ -1534,7 +1580,7 @@ object SnapshotMerge {
             catch { case _: java.io.FileNotFoundException => None }
           st match {
             case None => () // already gone — the chain has no hole here
-            case Some(s) if aged(s) && fs.delete(m, false) =>
+            case Some(s) if aged(s) && (dryRun || fs.delete(m, false)) =>
               deleted += m.toString
             case _ => chainBroken = true // kept: stop before a hole forms
           }
@@ -1801,6 +1847,38 @@ object SnapshotMerge {
        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q119 — DESCRIBE HISTORY under the oracle: the q110 store's history
+    * (epoch, operation, live partitions, total rows), every field from
+    * MANIFEST metadata alone. DuckDB recomputes each epoch's state via
+    * the shared fold and counts rows and distinct partition values —
+    * equality proves the `partv3` row stats equal the LOGICAL row
+    * counts at every epoch, not just that publish wrote something. */
+  def snapshotHistoryRollup(spark: SparkSession, sfDir: String): DataFrame =
+    history(spark, q110Store(spark, sfDir))
+      .select(col("epoch"), col("operation"), col("partitions"),
+        col("rows").as("n_rows"))
+      .orderBy("epoch")
+
+  private val q119Sql =
+    s"""$qStoreFoldSql,
+       |h AS (
+       |  SELECT cast(1 AS bigint) AS epoch, 'write' AS operation,
+       |         cast(count(DISTINCT day) +
+       |              max(CASE WHEN day IS NULL THEN 1 ELSE 0 END) AS integer)
+       |           AS partitions,
+       |         cast(count(*) AS bigint) AS n_rows FROM v0
+       |  UNION ALL
+       |  SELECT cast(2 AS bigint), 'write',
+       |         cast(count(DISTINCT day) +
+       |              max(CASE WHEN day IS NULL THEN 1 ELSE 0 END) AS integer),
+       |         cast(count(*) AS bigint) FROM s1
+       |  UNION ALL
+       |  SELECT cast(3 AS bigint), 'write',
+       |         cast(count(DISTINCT day) +
+       |              max(CASE WHEN day IS NULL THEN 1 ELSE 0 END) AS integer),
+       |         cast(count(*) AS bigint) FROM s2)
+       |SELECT epoch, operation, partitions, n_rows FROM h ORDER BY epoch""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
     graft.Q("q110_snapshot_merge", (s, d) => snapshotMergeRollup(s, d), Some(q110Sql)),
     graft.Q("q111_snapshot_changes", (s, d) => snapshotChangesRollup(s, d), Some(q111Sql)),
@@ -1809,5 +1887,7 @@ object SnapshotMerge {
     graft.Q("q114_snapshot_delete_update",
       (s, d) => snapshotDeleteUpdateRollup(s, d), Some(q114Sql)),
     graft.Q("q115_snapshot_restore",
-      (s, d) => snapshotRestoreRollup(s, d), Some(q115Sql)))
+      (s, d) => snapshotRestoreRollup(s, d), Some(q115Sql)),
+    graft.Q("q119_snapshot_history",
+      (s, d) => snapshotHistoryRollup(s, d), Some(q119Sql)))
 }

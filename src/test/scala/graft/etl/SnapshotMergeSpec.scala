@@ -832,6 +832,69 @@ class SnapshotMergeSpec extends SparkSuite {
     boundedFiles(b)
   }
 
+  test("history: one metadata row per retained epoch — operation, partitions, and partv3 row totals; pre-partv3 epochs report null, not a guess") {
+    val store = freshStore()
+    bootstrap(store)                                            // epoch 1: 3 rows, 2 parts
+    SnapshotMerge.upsert(spark, store,
+      Seq((4L, "d", "d3", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day") // epoch 2: 4 rows, 3 parts
+    assert(SnapshotMerge.compact(spark, store,
+      maxFilesPerPartition = 0).contains(3L))                    // epoch 3: compact
+    val h = SnapshotMerge.history(spark, store).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[String]("operation"),
+        r.getAs[Int]("partitions"), r.getAs[java.lang.Long]("rows")))
+    assert(h.toSeq === Seq(
+      (1L, "write", 2, java.lang.Long.valueOf(3L)),
+      (2L, "write", 3, java.lang.Long.valueOf(4L)),
+      (3L, "compact", 3, java.lang.Long.valueOf(4L))),
+      s"history must read from manifests alone: ${h.toSeq}")
+    // an epoch with any pre-partv3 entry reports rows as NULL — absence
+    // is reported, never guessed
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(p, "_GRAFT_SNAP_1")
+    val in = fs.open(mf)
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    val legacy = text.split('\n').map { l =>
+      if (!l.startsWith("partv3\t")) l
+      else {
+        val f = l.substring("partv3\t".length).split('\t')
+        s"partv2\t${f(0)}\t${f(1)}\t${f(2)}\t${f(4)}"
+      }
+    }.mkString("\n")
+    val out = fs.create(mf, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    val h1 = SnapshotMerge.history(spark, store).collect().head
+    assert(h1.isNullAt(h1.fieldIndex("rows")) &&
+      !h1.isNullAt(h1.fieldIndex("bytes")),
+      "partv2-only epochs carry bytes but null rows")
+  }
+
+  test("vacuum dry run: reports exactly what a real sweep would delete, touching nothing") {
+    val store = freshStore()
+    bootstrap(store)
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b2", "d1", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    SnapshotMerge.upsert(spark, store,
+      Seq((2L, "b3", "d1", 30L)).toDF("id", "v", "day", "ts"), Seq("id"), "day")
+    val dry = SnapshotMerge.vacuum(spark, store, keep = 1,
+      graceMs = -1000L, sweepOrphans = true, dryRun = true).toSet
+    assert(dry.nonEmpty, "superseded versions must be reported")
+    dry.foreach(d => assert(new java.io.File(new java.net.URI(
+      if (d.startsWith("file:")) d else s"file:$d")).exists() ||
+      new java.io.File(d.stripPrefix("file:")).exists(),
+      s"a dry run must not delete $d"))
+    // the store still reads its full chain
+    assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L, 3L))
+    // the real run deletes exactly the reported set
+    val real = SnapshotMerge.vacuum(spark, store, keep = 1,
+      graceMs = -1000L, sweepOrphans = true).toSet
+    assert(real === dry,
+      s"dry=${dry.diff(real)} real=${real.diff(dry)} must plan identically")
+    real.foreach(d => assert(!new java.io.File(d.stripPrefix("file:")).exists(),
+      s"the real run must delete $d"))
+  }
+
   test("vacuum fast path: superseded versions sweep from manifests alone; orphans wait for the full walk; manifests outlive surviving dirs") {
     val store = freshStore()
     bootstrap(store)

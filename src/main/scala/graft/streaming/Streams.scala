@@ -335,7 +335,11 @@ object Streams {
         batch.persist()
         try {
           val meta = Seq("_change_type", "_commit_epoch")
-          def applySlice(slice: DataFrame): Unit = {
+          // returns the committed downstream epoch (-1 = nothing landed);
+          // vacuum runs ONCE per foreachBatch call, after the last slice
+          // — a lineage recovery batch spanning N epochs was running N
+          // manifest-listing sweeps per trigger (r18 ADVICE)
+          def applySlice(slice: DataFrame): Long = {
             // a keys-mode upstream classifies updates as pre/post image
             // pairs: the POSTIMAGE is the row to land (a keyed upsert),
             // the preimage is superseded by it — dropping postimages
@@ -349,7 +353,8 @@ object Streams {
             // anti-join and the extra manifest read (r16 review)
             val hasDeletes = !dels.isEmpty
             val hasInserts = !ins.isEmpty
-            if (hasInserts || hasDeletes) {
+            if (!hasInserts && !hasDeletes) -1L
+            else {
               val keyCols = keys.map(col)
               // keys with a delete and no insert in the same NET slice are
               // true deletions (an updated/moved key re-lands as an insert)
@@ -367,9 +372,7 @@ object Streams {
                 } else if (hasInserts)
                   graft.etl.SnapshotMerge.upsert(spark, targetDir, ins, keys, partitionCol)
                 else -1L // deletes against a store that does not exist yet
-              if (epoch > 0)
-                graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
-                  sweepOrphans = orphanSweepEvery > 0 && epoch % orphanSweepEvery == 0)
+              epoch
             }
           }
           // NET batches carry ONE commit epoch and apply whole (the fast
@@ -382,12 +385,23 @@ object Streams {
           // downstream commit reproduces a TRUE upstream snapshot.
           val bounds = batch.agg(
             min(col("_commit_epoch")), max(col("_commit_epoch"))).collect()(0)
-          if (bounds.isNullAt(0) || bounds.getLong(0) == bounds.getLong(1))
-            applySlice(batch)
-          else
-            batch.select("_commit_epoch").distinct().collect()
-              .map(_.getLong(0)).sorted
-              .foreach(e => applySlice(batch.filter(col("_commit_epoch") === e)))
+          val committed: Seq[Long] =
+            (if (bounds.isNullAt(0) || bounds.getLong(0) == bounds.getLong(1))
+               Seq(applySlice(batch))
+             else
+               batch.select("_commit_epoch").distinct().collect()
+                 .map(_.getLong(0)).sorted.toSeq
+                 .map(e => applySlice(batch.filter(col("_commit_epoch") === e)))
+            ).filter(_ > 0)
+          // ONE vacuum per trigger, after the final slice (r18 ADVICE):
+          // retention is a property of the trigger's END state — the
+          // per-slice sweeps only re-listed manifests N times to delete
+          // what one pass at the end deletes anyway. The orphan cadence
+          // still fires iff any epoch this trigger landed on hit it.
+          if (committed.nonEmpty)
+            graft.etl.SnapshotMerge.vacuum(spark, targetDir, vacuumKeep, vacuumGraceMs,
+              sweepOrphans = orphanSweepEvery > 0 &&
+                committed.exists(_ % orphanSweepEvery == 0))
         } finally { batch.unpersist(); () }
         ()
       }

@@ -842,11 +842,22 @@ class SnapshotMergeSpec extends SparkSuite {
     val h = SnapshotMerge.history(spark, store).collect()
       .map(r => (r.getAs[Long]("epoch"), r.getAs[String]("operation"),
         r.getAs[Int]("partitions"), r.getAs[java.lang.Long]("rows")))
+    // NEWEST-FIRST, Delta's history(limit) ordering (r18 ADVICE)
     assert(h.toSeq === Seq(
-      (1L, "write", 2, java.lang.Long.valueOf(3L)),
+      (3L, "compact", 3, java.lang.Long.valueOf(4L)),
       (2L, "write", 3, java.lang.Long.valueOf(4L)),
-      (3L, "compact", 3, java.lang.Long.valueOf(4L))),
-      s"history must read from manifests alone: ${h.toSeq}")
+      (1L, "write", 2, java.lang.Long.valueOf(3L))),
+      s"history must read from manifests alone, newest first: ${h.toSeq}")
+    // limit short-circuits the parse: only the newest `limit` manifests
+    // are opened — O(limit), not O(retained) (r18 ADVICE)
+    val parsed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    SnapshotMerge.historyEpochHook = e => { parsed += e; () }
+    try {
+      val top = SnapshotMerge.history(spark, store, limit = Some(1)).collect()
+      assert(top.map(_.getAs[Long]("epoch")).toSeq === Seq(3L))
+      assert(parsed.toSeq === Seq(3L),
+        s"limit=1 must parse exactly the tip manifest, parsed: $parsed")
+    } finally SnapshotMerge.historyEpochHook = _ => ()
     // an epoch with any pre-partv3 entry reports rows as NULL — absence
     // is reported, never guessed
     val p = new org.apache.hadoop.fs.Path(store)
@@ -864,10 +875,84 @@ class SnapshotMergeSpec extends SparkSuite {
     }.mkString("\n")
     val out = fs.create(mf, true)
     try out.write(legacy.getBytes("UTF-8")) finally out.close()
-    val h1 = SnapshotMerge.history(spark, store).collect().head
+    val h1 = SnapshotMerge.history(spark, store).collect()
+      .find(_.getAs[Long]("epoch") == 1L).get
     assert(h1.isNullAt(h1.fieldIndex("rows")) &&
       !h1.isNullAt(h1.fieldIndex("bytes")),
       "partv2-only epochs carry bytes but null rows")
+  }
+
+  test("detail: one tip descriptor from manifest metadata — location, partition column, stat totals, manifest mtimes") {
+    val store = freshStore()
+    bootstrap(store)                                            // epoch 1: 3 rows, 2 parts
+    SnapshotMerge.upsert(spark, store,
+      Seq((4L, "d", "d3", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day") // epoch 2: 4 rows, 3 parts
+    val d = SnapshotMerge.detail(spark, store).collect()
+    assert(d.length === 1, "detail is ONE row")
+    val r = d.head
+    assert(r.getAs[String]("format") === "graft-snapshot")
+    assert(r.getAs[String]("location").endsWith(store.stripPrefix("file:")),
+      s"location must be the qualified store path: ${r.getAs[String]("location")}")
+    assert(r.getAs[String]("partition_col") === "day")
+    assert(r.getAs[Long]("epoch") === 2L)
+    assert(r.getAs[String]("operation") === "write")
+    assert(r.getAs[Int]("partitions") === 3)
+    assert(r.getAs[java.lang.Long]("rows") === java.lang.Long.valueOf(4L))
+    // file/byte totals equal what the tip's version dirs really hold
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tip = SnapshotMerge.latestSnapshot(spark, store).get
+    val real = tip.parts.toSeq.map { case (n, v) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(p, s"$n/__e=$v"))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+    }
+    assert(r.getAs[java.lang.Long]("files") ===
+      java.lang.Long.valueOf(real.map(_.length.toLong).sum))
+    assert(r.getAs[java.lang.Long]("bytes") ===
+      java.lang.Long.valueOf(real.map(_.map(_.getLen).sum).sum))
+    // manifest mtimes: real on a local FS, created <= modified
+    val created = r.getAs[java.sql.Timestamp]("created_at")
+    val modified = r.getAs[java.sql.Timestamp]("last_modified")
+    assert(created != null && modified != null && !modified.before(created),
+      s"created_at $created must not trail last_modified $modified")
+    // a compact tip reports its operation
+    assert(SnapshotMerge.compact(spark, store, maxFilesPerPartition = 0).contains(3L))
+    val r2 = SnapshotMerge.detail(spark, store).collect().head
+    assert(r2.getAs[Long]("epoch") === 3L &&
+      r2.getAs[String]("operation") === "compact")
+  }
+
+  test("history tolerates exactly a swept manifest — any other FileNotFoundException fails loudly") {
+    val store = freshStore()
+    bootstrap(store)                                            // epoch 1
+    SnapshotMerge.upsert(spark, store,
+      Seq((4L, "d", "d3", 20L)).toDF("id", "v", "day", "ts"), Seq("id"), "day") // epoch 2
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // (a) the tolerable race: a vacuum sweeps epoch 1's manifest between
+    // history's listing and its parse — the row is simply absent
+    SnapshotMerge.historyEpochHook = e =>
+      if (e == 1L) {
+        fs.delete(new org.apache.hadoop.fs.Path(p, "_GRAFT_SNAP_1"), false)
+        ()
+      }
+    try {
+      val h = SnapshotMerge.history(spark, store).collect()
+        .map(_.getAs[Long]("epoch")).toSeq
+      assert(h === Seq(2L), s"a mid-iteration sweep must drop only its row: $h")
+    } finally SnapshotMerge.historyEpochHook = _ => ()
+    // (b) corruption: an FNF raised while the manifest is STILL COMMITTED
+    // (a refactor reading some other vanished file) must propagate — a
+    // silently shorter history would mask a torn store (r18 verdict #2)
+    SnapshotMerge.historyEpochHook = e =>
+      if (e == 2L) throw new java.io.FileNotFoundException("sidecar gone")
+    try {
+      val e = intercept[java.io.FileNotFoundException] {
+        SnapshotMerge.history(spark, store).collect()
+      }
+      assert(e.getMessage.contains("sidecar gone"))
+    } finally SnapshotMerge.historyEpochHook = _ => ()
   }
 
   test("vacuum dry run: reports exactly what a real sweep would delete, touching nothing") {

@@ -275,4 +275,85 @@ class SnapshotRaceSpec extends SparkSuite {
       }) + s" epochs=${epochs.mkString(",")}")
     }
   }
+
+  /** dry-run vacuum ∥ real vacuum ∥ writes (r18 verdict #5): the serial
+    * spec pins dry ⊆ real, but the one historical dry-run WRITE — the
+    * emptied-parent delete removed in r18's second review — was only
+    * reachable when a CONCURRENT real vacuum emptied a parent
+    * mid-dry-run. This spec races live dry runs (both planning modes)
+    * against a real per-trigger-style vacuum and a writer, watching
+    * [[SnapshotMerge.vacuumWriteHook]] — the single funnel every real
+    * vacuum mutation passes through — and asserts the dry thread
+    * performs ZERO filesystem write ops under any interleaving. A dry
+    * run losing a manifest mid-parse to the real sweep surfaces as
+    * FileNotFoundException (advisory plan, loud outcome) — tolerated,
+    * counted, and still write-free. */
+  test("dry-run vacuum ∥ real vacuum ∥ upserts: the dry thread performs ZERO filesystem write ops under interleaving") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dryrace").toString
+    val store = s"$root/store"
+    SnapshotMerge.upsert(spark, store,
+      spark.range(0, 40)
+        .select(col("id"), concat(lit("v"), col("id")).as("v"),
+          concat(lit("d"), col("id") % 4).as("day"), col("id").as("ts")),
+      Seq("id"), "day")
+    val writeThreads = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    SnapshotMerge.vacuumWriteHook = _ =>
+      { writeThreads.add(Thread.currentThread().getName); () }
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val dryReports = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dryRaces = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val dry = new Thread(() => {
+        var i = 0
+        while (!stop.get()) {
+          i += 1
+          try {
+            if (SnapshotMerge.vacuum(spark, store, keep = 1, graceMs = -1000L,
+              sweepOrphans = i % 2 == 0, dryRun = true).nonEmpty)
+              dryReports.incrementAndGet()
+          } catch {
+            // the real sweep took a dropped manifest between this dry
+            // run's listing and its parse — a loud advisory failure,
+            // never a write
+            case _: java.io.FileNotFoundException =>
+              dryRaces.incrementAndGet()
+            case e: Throwable =>
+              failures.add(new RuntimeException("dry-runner: unexpected", e))
+          }
+          Thread.sleep(i % 7)
+        }
+      }, "dry-runner")
+      val churn = new Thread(() => {
+        try {
+          (1 to 12).foreach { i =>
+            SnapshotMerge.upsert(spark, store,
+              spark.range(i * 3, i * 3 + 3)
+                .select(col("id"), concat(lit(s"u$i-"), col("id")).as("v"),
+                  concat(lit("d"), col("id") % 4).as("day"), col("id").as("ts")),
+              Seq("id"), "day")
+            SnapshotMerge.vacuum(spark, store, keep = 1, graceMs = -1000L,
+              sweepOrphans = i % 3 == 0)
+            Thread.sleep(i % 5)
+          }
+        } catch { case e: Throwable =>
+          failures.add(new RuntimeException("churn: unexpected", e)) }
+      }, "churn")
+      dry.start(); churn.start()
+      churn.join(120000)
+      stop.set(true)
+      dry.join(120000)
+      assert(!dry.isAlive && !churn.isAlive, "racers must terminate")
+      assert(failures.isEmpty, s"unexpected failure: ${failures.peek()}")
+      val writers = writeThreads.toArray(Array.empty[String]).toSet
+      assert(!writers.contains("dry-runner"),
+        s"a DRY run performed a real filesystem write (writers: $writers)")
+      assert(writers.contains("churn"),
+        "the real vacuum must actually have written (else the race was vacuous)")
+      assert(dryReports.get() > 0,
+        "dry runs must have planned real deletions while racing")
+      info(s"dry_reports=${dryReports.get} dry_mid-parse_races=${dryRaces.get} " +
+        s"real_write_ops=${writeThreads.size}")
+    } finally SnapshotMerge.vacuumWriteHook = _ => ()
+  }
 }

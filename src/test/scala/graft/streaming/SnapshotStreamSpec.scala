@@ -521,4 +521,44 @@ class SnapshotStreamSpec extends SparkSuite {
         s"4 data-changing upstream epochs → 4 downstream epochs, got $bEpochs")
     } finally q.stop()
   }
+
+  test("epochLineage with no explicit pacing defaults a bounded recovery width; explicit pacing and net mode are unchanged") {
+    val root = freshDir()
+    val store = s"$root/A"
+    // a 70-epoch backlog past the stream's floor (epoch 2): wider than
+    // the 64-epoch lineage default, so the cap must BIND
+    (1 to 70).foreach(i => upsert(store, Seq((i % 5L, s"v$i", "d1", i.toLong))))
+    assert(SnapshotStream.DefaultLineageEpochsPerTrigger === 64L,
+      "the spec's backlog math pins the documented default")
+    val meta = s"$root/srcmeta"
+    val src = new SnapshotStreamSource(spark,
+      Map("path" -> store, "epochLineage" -> "true"), Some(meta))
+    // an engine replay seeds the floor at 2 (the restart-with-backlog
+    // shape the default exists for)
+    collectable(src.getBatch(Some(LongOffset(1L)), LongOffset(2L))).collect()
+    val o1 = src.getOffset.map(_.asInstanceOf[LongOffset].offset)
+    assert(o1 === Some(2L + 64L),
+      s"lineage with no explicit pacing must offer floor + 64, not the tip: $o1")
+    // the capped batch plans and executes (64 union branches, bounded)
+    val batch = collectable(src.getBatch(Some(LongOffset(2L)), LongOffset(66L)))
+    val es = batch.select("_commit_epoch").distinct()
+      .collect().map(_.getLong(0))
+    assert(es.min >= 3L && es.max <= 66L && es.length <= 64,
+      s"per-batch lineage span must stay within the default cap: ${es.sorted.toSeq}")
+    val o2 = src.getOffset.map(_.asInstanceOf[LongOffset].offset)
+    assert(o2 === Some(70L), s"the next poll reaches the tip: $o2")
+    // an explicit maxEpochsPerTrigger still overrides the default
+    val explicit = new SnapshotStreamSource(spark,
+      Map("path" -> store, "epochLineage" -> "true",
+        "maxEpochsPerTrigger" -> "100"), Some(s"$root/srcmeta2"))
+    collectable(explicit.getBatch(Some(LongOffset(1L)), LongOffset(2L))).collect()
+    assert(explicit.getOffset.map(_.asInstanceOf[LongOffset].offset) === Some(70L),
+      "an explicit cap wider than the backlog must offer the tip")
+    // net mode keeps its unbounded default: ONE diff whatever the range
+    val net = new SnapshotStreamSource(spark,
+      Map("path" -> store), Some(s"$root/srcmeta3"))
+    collectable(net.getBatch(Some(LongOffset(1L)), LongOffset(2L))).collect()
+    assert(net.getOffset.map(_.asInstanceOf[LongOffset].offset) === Some(70L),
+      "net mode with no pacing option must stay unpaced")
+  }
 }

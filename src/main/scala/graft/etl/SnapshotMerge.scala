@@ -999,7 +999,9 @@ object SnapshotMerge {
     * schema (schema evolution adds columns; older snapshots read them
     * as null through their own manifest schema widened here by the
     * positional union contract being name-aligned first). Distributed
-    * set difference — one shuffle per side, never a collect.
+    * set difference — ONE netted aggregation over both sides
+    * ([[NetDiff.tagged]], multiset-identical to the exceptAll pair it
+    * replaces at half the scans/shuffles), never a collect.
     *
     * MANIFEST-PRUNED: partitions whose (name, physical version) pair is
     * IDENTICAL in both manifests are skipped before any file is read —
@@ -1017,11 +1019,10 @@ object SnapshotMerge {
     val (fromSnap, toSnap) = prunedPair(
       snapshot(spark, store, fromE), snapshot(spark, store, toE))
     val after = readSnapshot(spark, store, toSnap)
-    // align by NAME to the after-schema before the positional exceptAll;
+    // align by NAME to the after-schema before the positional diff;
     // a column the older snapshot never had reads as null
     val before = alignTo(readSnapshot(spark, store, fromSnap), after.schema)
-    after.exceptAll(before).withColumn("_change_type", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    NetDiff.tagged(after, before)
   }
 
   /** The store's partition column name, read from the manifest's
@@ -1145,8 +1146,8 @@ object SnapshotMerge {
     * the row-level lineage a downstream incremental consumer needs to
     * distinguish "key changed" from "key appeared/disappeared".
     *
-    * Shape: the two exceptAll sides union once and one extra
-    * keys-shuffle (a window over the DIFF rows, never the table)
+    * Shape: one netted diff aggregation ([[NetDiff.tagged]]) and one
+    * extra keys-shuffle (a window over the DIFF rows, never the table)
     * assigns the classification — no side is recomputed, and the
     * manifest prune bounds everything to changed partitions.
     *
@@ -1167,27 +1168,23 @@ object SnapshotMerge {
       snapshot(spark, store, fromE), snapshot(spark, store, toE))
     val after = readSnapshot(spark, store, toSnap)
     val before = alignTo(readSnapshot(spark, store, fromSnap), after.schema)
-    classifyKeyed(after.exceptAll(before), before.exceptAll(after), keys)
+    classifyKeyed(NetDiff.tagged(after, before), keys)
   }
 
   /** The keyed classification shared by [[changesKeyed]] and the
-    * streaming source's `keys` mode: tag the two diff sides, then ONE
-    * keys-window over the DIFF rows (never a table side) splits keys
+    * streaming source's `keys` mode, over the [[NetDiff.tagged]] diff:
+    * ONE keys-window over the DIFF rows (never a table side) splits keys
     * present on both sides into update pre/post images. */
-  private def classifyKeyed(insSide: DataFrame, delSide: DataFrame,
-                            keys: Seq[String]): DataFrame = {
+  private def classifyKeyed(tagged: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ins = insSide.withColumn("_side", lit("i"))
-    val del = delSide.withColumn("_side", lit("d"))
     val w = Window.partitionBy(keys.map(col): _*)
-    ins.unionByName(del)
-      .withColumn("_both", size(collect_set(col("_side")).over(w)) === 2)
+    tagged
+      .withColumn("_both", size(collect_set(col("_change_type")).over(w)) === 2)
       .withColumn("_change_type",
-        when(col("_both") && col("_side") === "i", "update_postimage")
+        when(col("_both") && col("_change_type") === "insert", "update_postimage")
           .when(col("_both"), "update_preimage")
-          .when(col("_side") === "i", "insert")
-          .otherwise("delete"))
-      .drop("_side", "_both")
+          .otherwise(col("_change_type")))
+      .drop("_both")
   }
 
   /** The exact metadata prune behind [[changes]]: drop every
@@ -1289,16 +1286,12 @@ object SnapshotMerge {
       toSnapAll.copy(parts = toSnapAll.parts.filter(kv => changed(kv._1))))
     val after = readSnapshot(spark, store, toSnap)
     val before = alignTo(readSnapshot(spark, store, fromSnap), after.schema)
+    val tagged = NetDiff.tagged(after, before)
     keys match {
-      case Some(ks) =>
-        classifyKeyed(after.exceptAll(before), before.exceptAll(after), ks)
+      case Some(ks) => classifyKeyed(tagged, ks)
       case None =>
-        val inserts =
-          after.exceptAll(before).withColumn("_change_type", lit("insert"))
-        if (withDeletes)
-          inserts.unionByName(
-            before.exceptAll(after).withColumn("_change_type", lit("delete")))
-        else inserts
+        if (withDeletes) tagged
+        else tagged.filter(col("_change_type") === "insert")
     }
   }
 

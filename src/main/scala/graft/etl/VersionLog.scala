@@ -73,10 +73,10 @@ object VersionLog {
   }
 
   /** Change feed between two snapshots (Delta CDF analog,
-    * delta_setup.py:461-467 enables CDF): full-row diff via exceptAll —
-    * rows only in `to` are inserts, rows only in `from` are deletes; an
-    * update surfaces as one of each. Distributed set difference, one
-    * shuffle per side. */
+    * delta_setup.py:461-467 enables CDF): full-row diff — rows only in
+    * `to` are inserts, rows only in `from` are deletes; an update
+    * surfaces as one of each. Distributed set difference via ONE netted
+    * aggregation over both sides ([[NetDiff.tagged]]). */
   def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
     val hist = history(spark, dir)
     require(hist.contains(fromV) && hist.contains(toV),
@@ -86,12 +86,10 @@ object VersionLog {
     val after = read(spark, dir, Some(toV))
     require(before.columns.sorted.sameElements(after.columns.sorted),
       s"snapshot schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
-    // align by NAME before the positional exceptAll — a reordered commit
+    // align by NAME before the positional diff — a reordered commit
     // would otherwise diff same-typed columns positionally and emit garbage
     val beforeAligned = before.select(after.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    import org.apache.spark.sql.functions.lit
-    after.exceptAll(beforeAligned).withColumn("_change_type", lit("insert"))
-      .unionByName(beforeAligned.exceptAll(after).withColumn("_change_type", lit("delete")))
+    NetDiff.tagged(after, beforeAligned)
   }
 
   /** Drop snapshots older than the current pointer minus `keep`. */

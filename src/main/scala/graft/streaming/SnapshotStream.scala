@@ -123,8 +123,8 @@ object SnapshotStream {
         Seq("event_id"), "day")
       // withDeletes=false is EXACT here because this upstream only
       // upserts (no deleteWhere in the fixture): every net change
-      // re-lands as an insert per key, and the option skips the
-      // delete-side exceptAll at planning time — the cheaper pairing
+      // re-lands as an insert per key, and the option drops delete
+      // rows inside the batch plan — the cheaper pairing
       // changeApplySink's doc scopes to upsert-only upstreams
       val q = Streams.changeApplySink(
         gs.readStream.format(Format).option("path", a)

@@ -301,8 +301,8 @@ object Streams {
     *
     * So: stream WITH deletes (the default) when the upstream may ever
     * run predicate deletes. `.option("withDeletes", "false")` remains
-    * the cheaper pairing — it skips the delete-side exceptAll at
-    * planning time (a sink-side filter cannot: the source seals each
+    * the cheaper pairing — it drops the delete rows inside the source's
+    * batch plan (a sink-side filter cannot: the source seals each
     * batch plan) — and is EXACT for upsert-only upstreams, where every
     * delete is key-implied.
     *

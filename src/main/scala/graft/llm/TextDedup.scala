@@ -783,34 +783,55 @@ object TextDedup {
     // `checkpoint()` to the cluster FS is the fault-tolerant knob.)
     val edges = p0.union(p0.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 64) {
+    // pointer-jump helper (path compression): comp ← label(comp). Plain
+    // neighbor propagation needs O(diameter) rounds — a 70-link chain
+    // of near-dups would exhaust the round cap and silently return
+    // unconverged labels; jumping through the label table halves the
+    // remaining path per round, so 64 rounds covers any component a
+    // 64-bit id space can express. comp is always itself a node id,
+    // but left_outer+coalesce keeps the step total regardless.
+    def jump(folded: DataFrame): DataFrame = folded
+      .join(folded.select(col("id").as("comp"), col("comp").as("__jump")),
+        Seq("comp"), "left_outer")
+      .select(col("id"), coalesce(col("__jump"), col("comp")).as("comp"))
+    // Convergence probe (r19): per-id comp is NON-INCREASING — the fold
+    // takes min(own, neighbors') and the jump replaces comp by
+    // label(comp) ≤ comp (labels(x) ≤ x holds from round 1 on) — and the
+    // id set is fixed, so a round changed something iff the EXACT sum of
+    // comps dropped. One tiny aggregate over the already-materialized
+    // checkpoint replaces the old join-back + count job per round
+    // (decimal(38,0): exact at any node count, no wraparound ambiguity).
+    def checksum(labels: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = labels.agg(
+        sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        count(lit(1))).head()
+      (r.getDecimal(0), r.getLong(1))
+    }
+    // Round 1 fused: every neighbor's INITIAL label is its own id, so
+    // the first propagation needs no label join — one aggregate computes
+    // min(id, min(neighbor ids)) per node (edges carry both directions,
+    // so the id_a side enumerates every node).
+    var labels = edges.groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("__nbr"))
+      .select(col("id_a").as("id"), least(col("id_a"), col("__nbr")).as("comp"))
+    labels = jump(labels).localCheckpoint()
+    var prev = checksum(labels)
+    var converged = false
+    var iter = 1
+    while (!converged && iter < 64) {
       val fromNbr = edges
         .join(labels.select(col("id").as("id_b"), col("comp")), Seq("id_b"))
         .select(col("id_a").as("id"), col("comp"))
       val folded = labels.union(fromNbr)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-      // pointer jump (path compression): comp ← label(comp). Plain
-      // neighbor propagation needs O(diameter) rounds — a 70-link chain
-      // of near-dups would exhaust the round cap and silently return
-      // unconverged labels; jumping through the label table halves the
-      // remaining path per round, so 64 rounds covers any component a
-      // 64-bit id space can express. comp is always itself a node id,
-      // but left_outer+coalesce keeps the step total regardless.
-      val next = folded
-        .join(folded.select(col("id").as("comp"), col("comp").as("__jump")),
-          Seq("comp"), "left_outer")
-        .select(col("id"), coalesce(col("__jump"), col("comp")).as("comp"))
-        .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev")).count()
+      val next = jump(folded).localCheckpoint()
+      val s = checksum(next)
+      converged = s == prev
+      prev = s
       labels = next // superseded checkpoints are reclaimed by the ContextCleaner
       iter += 1
     }
-    require(changed == 0,
+    require(converged,
       s"component label propagation did not converge after $iter rounds")
     labels
   }
